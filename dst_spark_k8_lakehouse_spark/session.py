@@ -1,0 +1,100 @@
+"""SparkSession factory.
+
+Local-mode analog of the reference's notebook connector
+(``docker/spark-notebook/connector.py:18-152``): one function that builds a
+fully-configured session. The reference wires a k8s master, Iceberg+Delta
+Catalyst extensions, a Polaris REST catalog, and S3A credentials; our build
+parameterizes the same decisions for ``local[*]`` vs ``k8s://`` and guards
+the lakehouse-format extensions behind jar availability (the test container
+ships vanilla Spark).
+
+Scale posture: these defaults are written for a real cluster —
+AQE (runtime re-planning + skew-join handling + partition coalescing),
+shuffle partitions sized to parallelism, Arrow transfer for the Python
+boundary, UTC session time. On ``local[N]`` the same settings are correct,
+just smaller.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _lakehouse_extensions() -> dict[str, str]:
+    """Delta/Iceberg Catalyst extension wiring, only if the jars exist.
+
+    Mirrors ``connector.py:94-102`` (``spark.sql.extensions`` =
+    Iceberg + Delta; Delta as the ``spark_catalog``). In this container
+    neither package is installed, so this returns {} — the engine's
+    lakehouse layer (``plans/``) provides parquet-native fallbacks with
+    the same semantics (versioned writes, schema-merge, time travel).
+    """
+    conf: dict[str, str] = {}
+    extensions: list[str] = []
+    try:  # delta-spark publishes the extension class with its jars
+        import delta  # noqa: F401
+
+        extensions.append("io.delta.sql.DeltaSparkSessionExtension")
+        conf["spark.sql.catalog.spark_catalog"] = (
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+        )
+    except ImportError:
+        pass
+    if extensions:
+        conf["spark.sql.extensions"] = ",".join(extensions)
+    return conf
+
+
+def get_session(
+    app_name: str = "dst-spark-k8-lakehouse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Parameters mirror the decisions in the reference connector:
+    master selection (``connector.py:61``), memory/shuffle sizing
+    (``connector.py:126``), extension wiring (``connector.py:94-102``).
+
+    - ``master``: defaults to ``local[$SPARK_GRAFT_CPUS]`` (or
+      ``local[*]``); pass ``k8s://...`` on a cluster.
+    - ``shuffle_partitions``: defaults to the local core count — at
+      cluster scale pass ~2-3× total executor cores; AQE coalesces
+      downward at runtime so erring high is safe.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip() or "*"
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = os.cpu_count() or 8 if cpus == "*" else int(cpus)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime re-planning, auto-coalesce of small shuffle
+        # partitions, skew-join splitting — the main 100 TB survival knobs.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # UTC everywhere: parquet timestamps are instant-typed; the DuckDB
+        # oracle is UTC-naive. (Reference pins nothing — notebook pods run
+        # UTC; we make it explicit.)
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every Python<->JVM columnar crossing (pandas UDFs,
+        # toPandas, createDataFrame-from-pandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in _lakehouse_extensions().items():
+        builder = builder.config(key, value)
+    if extra_conf:
+        for key, value in extra_conf.items():
+            builder = builder.config(key, value)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,6 @@
+"""Sources & sinks (SURVEY.md §2.1): testdata catalog, scan/sink queries."""
+
+from dst_spark_k8_lakehouse_spark.sources.catalog import TABLES, load_table, register_views
+from dst_spark_k8_lakehouse_spark.sources import scans  # noqa: F401  (registers queries)
+
+__all__ = ["TABLES", "load_table", "register_views"]

@@ -1,0 +1,79 @@
+"""Scan/sink operator queries (SURVEY.md §2.1).
+
+Reference evidence: parquet staging ``modules/dst_metrics/python_logger.py:
+10-14``; CSV read/write ``modules/dst_metrics/demo.py:52-54,88``; append
+sink with mergeSchema ``modules/dst_metrics/spark_logger.py:55-57``;
+``spark.range`` ``demo.py:52,57``.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.registry import query
+from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+
+@query(
+    "s1_parquet_scan",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def s1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: plain parquet scan — the base access path for every table."""
+    return load_table(spark, sf_dir, "region")
+
+
+@query("s2_csv_roundtrip")  # rows-only: CSV round-trip is an IO property
+def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3: CSV sink with header then CSV scan with explicit schema.
+
+    Reference reads CSV with header and later casts stringly columns
+    (``demo.py:88,122``); we read back with an explicit schema instead
+    (the survey's 'avoid inference' posture, ``spark_logger.py:14``).
+    """
+    out = tempfile.mkdtemp(prefix="s2_csv_")
+    try:
+        nation = load_table(spark, sf_dir, "nation")
+        nation.write.mode("overwrite").option("header", True).csv(out)
+        back = (
+            spark.read.option("header", True)
+            .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+            .csv(out)
+        )
+        return spark.createDataFrame(
+            [(back.count(), nation.count())], "n_back BIGINT, n_src BIGINT"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query("s5_append_sink")  # rows-only: sink semantics, not a relational result
+def s5_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: append-mode lakehouse sink (``spark_logger.py:55-57``) —
+    two appends of the same 5-row table double the row count."""
+    out = tempfile.mkdtemp(prefix="s5_append_")
+    try:
+        region = load_table(spark, sf_dir, "region")
+        region.write.mode("overwrite").parquet(out)
+        region.write.mode("append").parquet(out)
+        return spark.createDataFrame(
+            [(spark.read.parquet(out).count(),)], "n_appended BIGINT"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "s8_range",
+    oracle="SELECT range AS id, range * 100 AS amount FROM range(10)",
+)
+def s8_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: range generator source (``demo.py:52,57`` builds demo customers
+    and orders from ``spark.range(10)`` + selectExpr)."""
+    return spark.range(10).select(
+        F.col("id"), (F.col("id") * 100).alias("amount")
+    )

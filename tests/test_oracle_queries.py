@@ -1,0 +1,49 @@
+"""Every registered query either matches its DuckDB oracle exactly
+(oracle-declared) or at least runs and returns rows (rows-only)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dst_spark_k8_lakehouse_spark import registry
+
+from tests.oracle import assert_matches_oracle
+
+registry.load_all()
+
+ORACLE_IDS = sorted(qid for qid in registry.QUERIES if qid in registry.ORACLES)
+ROWS_ONLY_IDS = sorted(
+    qid for qid in registry.QUERIES if qid not in registry.ORACLES
+)
+
+
+@pytest.mark.parametrize("qid", ORACLE_IDS)
+def test_query_matches_oracle(qid, spark, duck, sf_dir):
+    df = registry.QUERIES[qid](spark, sf_dir)
+    assert_matches_oracle(df, duck, registry.ORACLES[qid])
+
+
+@pytest.mark.parametrize("qid", ROWS_ONLY_IDS)
+def test_rows_only_query_runs(qid, spark, sf_dir):
+    df = registry.QUERIES[qid](spark, sf_dir)
+    rows = df.limit(1000).collect()
+    assert df.schema.fieldNames(), f"{qid}: empty schema"
+    assert rows is not None
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"nation", "revenue", "n_items"} <= set(df.columns)
+
+
+def test_entry_contract_shape():
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert qs, "no queries registered"
+    assert set(oracles) <= set(qs), "oracle without a matching query"
