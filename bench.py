@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on a single local Spark session and prints ONE
+JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Timing discipline (BASELINE.md notes): session startup is excluded, a
+warm-up action runs first (JIT + codegen + file-listing caches), and each
+query is timed around a full ``collect()`` of its result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dst_spark_k8_lakehouse_spark import get_session, registry
+
+# Headline set: the flagship star join plus one representative per
+# operator family (scan, filter, agg, join, window, sort, setop, scalar
+# fns, LLM-data ops). Everything else still runs in tests/verify.
+HEADLINE = [
+    "j8_star_join",
+    "a5_groupby_agg",
+    "a12_summary",
+    "j1_inner_join",
+    "j4_semi",
+    "j5_broadcast",
+    "w1_rank",
+    "w4_topk_group",
+    "o2_sort_limit",
+    "p12_dedup_rows",
+    "f1_string",
+    "f2_date",
+    "f5_json",
+    "u2_intersect",
+    "l1_exact_dedup",
+    "l3_text_stats",
+    "l4_cosine_topk",
+    "t1_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+    registry.load_all()
+    spark = get_session(app_name="dst-spark-k8-lakehouse-bench")
+
+    # Warm-up: touch every table once so file listing, footer reads and
+    # codegen caches don't bill the first timed query.
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table, TABLES
+
+    for name in TABLES:
+        load_table(spark, sf_dir, name).count()
+
+    timings: dict[str, float] = {}
+    for qid in HEADLINE:
+        fn = registry.QUERIES.get(qid)
+        if fn is None:
+            continue
+        start = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[qid] = round(time.perf_counter() - start, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

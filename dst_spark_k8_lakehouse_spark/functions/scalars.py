@@ -69,11 +69,11 @@ def f1_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f2_date",
     oracle="""
         SELECT o_orderkey,
-               CAST(o_orderdate AS DATE) AS order_date,
+               CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
                CAST(year(o_orderdate) AS INT) AS order_year,
                CAST(month(o_orderdate) AS INT) AS order_month,
                CAST(dayofmonth(o_orderdate) AS INT) AS order_day,
-               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)
                    AS due_date,
                CAST(datediff('day', CAST(o_orderdate AS DATE),
                              DATE '2000-01-01') AS INT) AS days_to_y2k,
@@ -89,11 +89,11 @@ def f2_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate").cast("date")
     return orders.select(
         "o_orderkey",
-        d.alias("order_date"),
+        d.cast("timestamp").alias("order_date"),
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
-        F.date_add(d, 30).alias("due_date"),
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
         F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
         F.date_trunc("month", "o_orderdate").alias("order_month_start"),
         F.unix_timestamp("o_orderdate").alias("order_epoch"),

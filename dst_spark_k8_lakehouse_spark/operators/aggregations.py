@@ -77,7 +77,7 @@ def a4_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sum_sql('l_quantity')} AS sum_qty,
                {sum_sql('l_extendedprice')} AS sum_price,
                {avg_sql('l_discount', round_to=4)} AS avg_disc,
-               CAST(max(l_shipdate) AS DATE) AS last_ship
+               CAST(CAST(max(l_shipdate) AS DATE) AS TIMESTAMP) AS last_ship
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
     """,
@@ -93,7 +93,7 @@ def a5_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("l_quantity").alias("sum_qty"),
             exact_sum("l_extendedprice").alias("sum_price"),
             exact_avg("l_discount", round_to=4).alias("avg_disc"),
-            F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+            F.max(F.col("l_shipdate").cast("date")).cast("timestamp").alias("last_ship"),
         )
     )
 
@@ -249,7 +249,7 @@ def a11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                    count(*) AS n_orders,
                    {sum_sql('o_totalprice')} AS total_spent,
                    {avg_sql('o_totalprice')} AS avg_order,
-                   CAST(max(o_orderdate) AS DATE) AS last_order
+                   CAST(CAST(max(o_orderdate) AS DATE) AS TIMESTAMP) AS last_order
             FROM orders
             WHERE o_orderstatus = 'F'
             GROUP BY o_custkey
@@ -270,7 +270,7 @@ def a12_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             exact_sum("o_totalprice").alias("total_spent"),
             exact_avg("o_totalprice").alias("avg_order"),
-            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.max(F.col("o_orderdate").cast("date")).cast("timestamp").alias("last_order"),
         )
     )
     return customer.join(

@@ -133,7 +133,7 @@ def p6_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey,
                CAST(l_quantity AS INT) AS qty_int,
                CAST(l_orderkey AS VARCHAR) AS key_str,
-               CAST(l_shipdate AS DATE) AS ship_date
+               CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date
         FROM lineitem
     """,
 )
@@ -143,7 +143,13 @@ def p8_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .withColumn("qty_int", F.col("l_quantity").cast("int"))
         .withColumn("key_str", F.col("l_orderkey").cast("string"))
-        .withColumn("ship_date", F.col("l_shipdate").cast("date"))
+        .withColumn(
+            # day-truncate, but emit TIMESTAMP: a DATE column round-trips
+            # as datetime.date from Spark vs datetime64 from DuckDB and
+            # the driver's stringified value-hash would diverge.
+            "ship_date",
+            F.col("l_shipdate").cast("date").cast("timestamp"),
+        )
         .select("l_orderkey", "qty_int", "key_str", "ship_date")
     )
 
