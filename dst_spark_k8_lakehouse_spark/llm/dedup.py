@@ -1,0 +1,378 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §2.12).
+
+Grounded in the reference's data-quality pattern — duplicate detection +
+removal on a key (``06_pipeline_metrics_demo.ipynb:245-264``,
+``dropDuplicates`` + dup-count) — generalized to content-level dedup at
+100 TB scale:
+
+- **exact** (L1): content hash → keep one row per hash. One shuffle on
+  the hash; map-side partial aggregation; no Python.
+- **MinHash+LSH** (L2): shingle → minhash signature → banded LSH
+  bucketing → candidate pairs → exact-Jaccard verification. All
+  higher-order-function built-ins (JVM codegen, no UDF): the classic
+  MMDS ch.3 construction. Candidate generation is linear in corpus size
+  (explode b bands/doc, shuffle on band signature); only the verify step
+  touches pairs, and only within-bucket pairs ever materialize.
+- **SimHash**: 64-bit signature via Arrow-vectorized pandas UDF, near
+  pairs by 16-bit band join + ``bit_count(a XOR b)`` hamming filter.
+- **n-gram Jaccard** (oracle-checked): the exact token-set Jaccard
+  expression both engines can evaluate, on a deterministic pair set.
+- **embedding cosine near-dup**: sign-LSH over the embedding column,
+  within-bucket exact cosine.
+
+The testdata ``documents`` table is duplicate-free by construction, so
+dedup queries plant duplicates deterministically (tagged copies of every
+10th doc) — a dedup query over already-unique data would be vacuous
+evidence.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dst_spark_k8_lakehouse_spark.registry import query
+from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+# Copies get doc_id + OFFSET so planted duplicates are recognizable and
+# the original (smaller id) always wins the keep-first rule.
+DUP_OFFSET = 1_000_000
+
+
+def with_planted_duplicates(docs: DataFrame) -> DataFrame:
+    """documents ∪ a copy of every 10th doc (same text, new doc_id)."""
+    copies = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + DUP_OFFSET)
+        .withColumn("source", F.lit("mirror"))
+    )
+    return docs.unionByName(copies)
+
+
+PLANTED_SQL = f"""
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + {DUP_OFFSET}, text, lang, 'mirror', n_chars
+        FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@query(
+    "l1_exact_dedup",
+    oracle=f"""
+        WITH bronze AS ({PLANTED_SQL})
+        SELECT sha256(text) AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM bronze
+        GROUP BY 1
+    """,
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup via content hash — one row kept per distinct text.
+
+    Scale: ``sha2`` is computed map-side; the groupBy shuffles only
+    (hash, doc_id) pairs — 40 bytes/row regardless of document size,
+    so 100 TB of text shuffles as a few TB of keys. Keep-first is
+    deterministic (min doc_id), unlike ``dropDuplicates`` whose kept row
+    is partition-order-dependent.
+    """
+    return (
+        with_planted_duplicates(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+def _shingles(tok_col: str = "tok", n: int = 3):
+    """Distinct word n-gram shingles via higher-order functions (no UDF)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({tok_col}) - {n - 1}, 0)), "
+            f"i -> concat_ws(' ', "
+            + ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
+            + "))"
+        )
+    )
+
+
+def minhash_signature(shingle_col: str, num_hashes: int = 32):
+    """Array of ``num_hashes`` min-hashes; hash family = xxhash64 with a
+    per-permutation salt. Deterministic — no RNG, so signatures agree
+    across runs, partitionings, and cluster sizes."""
+    return F.array(
+        *[
+            F.expr(
+                f"array_min(transform({shingle_col}, "
+                f"s -> xxhash64(concat('p{p}#', s))))"
+            )
+            for p in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows = bands → r = num_hashes/bands rows per band; two docs become
+    candidates iff some band signature matches exactly. Shuffle cost:
+    ``bands`` rows per doc keyed by a 1-band signature string — linear.
+    """
+    r = num_hashes // bands
+    sigs = (
+        docs.withColumn("tok", _tokens())
+        .withColumn("sh", _shingles("tok", shingle_n))
+        .filter(F.size("sh") > 0)
+        .withColumn("mh", minhash_signature("sh", num_hashes))
+        .select("doc_id", "mh")
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, "
+                f"concat_ws(',', slice(mh, b * {r} + 1, {r})) AS sig))"
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+@query("l2_minhash_lsh")  # rows-only: LSH banding is not SQL-expressible
+def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash-LSH near-dup detection with exact-Jaccard verification.
+
+    Pipeline: shingle → 32-perm minhash → 8-band LSH → candidate pairs →
+    verify with exact Jaccard on the shingle sets → keep pairs ≥ 0.5.
+    Planted duplicates (Jaccard 1.0) must all surface; the pytest suite
+    asserts recall. Verification joins shingle arrays only for candidate
+    pairs — never all pairs.
+    """
+    docs = with_planted_duplicates(load_table(spark, sf_dir, "documents"))
+    cand = minhash_lsh_candidates(docs)
+    sh = (
+        docs.withColumn("tok", _tokens())
+        .select("doc_id", _shingles("tok").alias("sh"))
+    )
+    return (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sh", "sh_b")
+        .withColumn(
+            "jaccard",
+            F.floor(
+                1e6
+                * F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            )
+            / 1e6,
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "l2_ngram_jaccard",
+    oracle="""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(floor(1e6 * len(list_intersect(a.tok, b.tok))
+                    / len(list_distinct(list_concat(a.tok, b.tok)))) / 1e6
+                    AS DOUBLE) AS jaccard
+        FROM (SELECT doc_id, list_distinct(string_split(trim(lower(text)), ' ')) AS tok
+              FROM documents) a
+        JOIN (SELECT doc_id, list_distinct(string_split(trim(lower(text)), ' ')) AS tok
+              FROM documents) b
+          ON a.doc_id + 1 = b.doc_id
+    """,
+)
+def l2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (oracle-checked core): exact token-set Jaccard between adjacent
+    doc pairs — verifies the similarity expression LSH candidates are
+    checked with. Single-space split (not regex) for byte-level parity
+    with the DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), " ")).alias(
+            "tok"
+        ),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.floor(
+                    1e6
+                    * F.size(F.array_intersect("a.tok", "b.tok"))
+                    / F.size(F.array_union("a.tok", "b.tok"))
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-vectorized).
+
+    Charikar's construction: per-token 64-bit hash votes ±1 on each bit;
+    the signature is the sign vector. Token hash = first 8 bytes of
+    sha256 (stdlib, deterministic across workers/runs).
+    """
+    import hashlib
+
+    import numpy as np
+
+    def one(t: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (t or "").lower().split():
+            h = np.uint64(
+                int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big")
+            )
+            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            acc += 2 * bits - 1
+        sig = int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
+        return sig - (1 << 64) if sig >= (1 << 63) else sig  # two's complement
+
+    return text.map(one)
+
+
+@query("l2_simhash")  # rows-only: signature is not SQL-expressible
+def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: SimHash near-dup pairs. Band trick: hamming(a,b) ≤ 3 implies
+    one of the 4 16-bit chunks matches exactly (pigeonhole), so pairing
+    happens via an equi-join on (chunk_idx, chunk_value) — a linear
+    shuffle — then ``bit_count(XOR)`` verifies true hamming distance.
+    """
+    docs = with_planted_duplicates(load_table(spark, sf_dir, "documents"))
+    sigs = docs.select("doc_id", simhash64("text").alias("sig"))
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "i -> struct(i AS idx, shiftright(sig, i * 16) & 65535 AS val))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "sig", "c.idx", "c.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.sig ^ b.sig)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+@query("l2_embed_neardup")  # rows-only: float cosine over planted copies
+def l2_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: embedding-cosine near-dup. Planted near-copies (every 10th
+    vector scaled ×1.01 → cosine 1.0 with its original) must pair up.
+
+    Bucketing: sign-LSH over 8 deterministic pseudo-random hyperplanes
+    (plane coefficients derived from xxhash64(plane, dim) — no RNG
+    state, so buckets are reproducible on any cluster). Exact cosine is
+    evaluated only within buckets. With 8 planes, exact duplicates
+    always share a bucket (identical signs); lower thresholds would use
+    multiple LSH tables — documented trade-off, not needed for ≥0.99.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + DUP_OFFSET)
+        .withColumn(
+            "embedding", F.expr("transform(embedding, x -> x * CAST(1.01 AS FLOAT))")
+        )
+    )
+    vecs = emb.unionByName(copies).withColumn(
+        "norm",
+        F.expr(
+            "sqrt(aggregate(embedding, 0D, "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        ),
+    )
+    # plane p coefficient for dim d: ±1 from the hash parity — a valid
+    # (if coarse) random-hyperplane family, fully deterministic
+    sign_bits = [
+        F.expr(
+            "CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0D, "
+            f"(acc, i) -> acc + (CASE WHEN pmod(xxhash64('plane{p}', "
+            "CAST(i AS STRING)), 2) = 0 THEN 1 ELSE -1 END) "
+            "* CAST(element_at(embedding, i + 1) AS DOUBLE)) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+        for p in range(8)
+    ]
+    bucketed = vecs.withColumn(
+        "bucket", sum(sign_bits[1:], start=sign_bits[0]).cast("int")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, "
+        "(acc, v) -> acc + v)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
+        .filter(F.col("cosine") >= 0.99)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,209 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §2.12 L3).
+
+Extends the reference's data-quality audit pattern (per-column stats and
+null/dup audits, ``06_pipeline_metrics_demo.ipynb:224-265``) to document
+corpora: corpus stats, quality scoring, token counting, language ID, and
+content fingerprinting — all JVM-side built-ins (string functions +
+higher-order array functions), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.registry import query
+from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language scorer. Real pipelines plug in fastText/CLD3 via a pandas UDF;
+# the heuristic keeps the hot path JVM-side and dependency-free.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+    "zh": ["的", "是", "了", "在", "和", "有"],
+}
+
+
+@query(
+    "l3_text_stats",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(floor(1e4 * sum(n_chars) / count(*)) / 1e4 AS DOUBLE)
+                   AS avg_chars,
+               max(n_chars) AS max_chars,
+               CAST(floor(1e4 * sum(len(string_split(trim(text), ' ')))
+                    / count(*)) / 1e4 AS DOUBLE) AS avg_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def l3_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: corpus statistics by language — doc counts, char/token means.
+
+    Averages are floor-truncated from exact integer sums (token and char
+    counts are integers, so sum order cannot diverge between engines).
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), " "))
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.floor(1e4 * F.sum("n_chars") / F.count("*")) / 1e4).alias(
+            "avg_chars"
+        ),
+        F.max("n_chars").alias("max_chars"),
+        (F.floor(1e4 * F.sum("n_tokens") / F.count("*")) / 1e4).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+@query(
+    "l3_quality_score",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(list_filter(string_split(trim(lower(text)), ' '),
+                       w -> list_contains(['the','a','of','and','to','is'], w)))
+                       AS n_stop,
+                   length(text) AS n_chars_raw,
+                   length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(floor(1e4 * n_stop / n_tokens) / 1e4 AS DOUBLE)
+                   AS stop_ratio,
+               CAST(floor(1e4 * n_alpha / n_chars_raw) / 1e4 AS DOUBLE)
+                   AS alpha_ratio,
+               CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000
+                          AND n_stop > 0 THEN 1 ELSE 0 END AS INT)
+                   AS quality_keep
+        FROM t
+    """,
+)
+def l3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: per-document quality signals (length band, stopword ratio,
+    alphabetic-character ratio) + a keep/drop gate — the C4/Gopher-style
+    rule filter, entirely in whole-stage-codegen'd built-ins."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
+        F.expr(
+            f"size(filter(split(trim(lower(text)), ' '), "
+            f"w -> array_contains(array({stop_list}), w)))"
+        ).alias("n_stop"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
+    )
+    return docs.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(1e4 * F.col("n_stop") / F.col("n_tokens")) / 1e4).alias(
+            "stop_ratio"
+        ),
+        (F.floor(1e4 * F.col("n_alpha") / F.col("n_chars_raw")) / 1e4).alias(
+            "alpha_ratio"
+        ),
+        F.when(
+            F.col("n_tokens").between(20, 1000) & (F.col("n_stop") > 0), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("quality_keep"),
+    )
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-space
+# symbols — the GPT-2 pre-tokenizer shape without the merges table.
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "l3_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{BPE_REGEX}'))
+                    AS INT) AS bpe_tokens
+        FROM documents
+    """,
+)
+def l3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: token counting — whitespace split and a BPE-ish regex
+    pre-tokenizer. Both are single-pass scans; the regex stays in the
+    JVM (``regexp_extract_all``), which is what makes corpus-wide token
+    accounting tractable at 100 TB."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_REGEX), 0))
+        .cast("int")
+        .alias("bpe_tokens"),
+    )
+
+
+@query(
+    "l3_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_concat([CAST(0 AS BIGINT)],
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007
+               ) AS fingerprint
+        FROM documents
+    """,
+)
+def l3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: document fingerprint — polynomial rolling hash over the
+    character stream (base 31 mod 1e9+7), the Rabin-Karp family used for
+    shift-tolerant content addressing. Pure ``aggregate`` higher-order
+    fold; order-dependent by design and identical in both engines
+    (left-to-right)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
+        ).alias("fingerprint"),
+    )
+
+
+@query("l3_langid")  # rows-only: heuristic scorer, not SQL-expressible
+def l3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: language identification via stopword-profile scoring — argmax
+    over per-language stopword hit counts, deterministic tiebreak by
+    language code. One scan, k small array-intersections per row; at
+    100 TB this is embarrassingly parallel with zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tok", F.split(F.trim(F.lower("text")), r"\s+")
+    )
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        "tok",
+                        F.array(*[F.lit(w) for w in words]),
+                    )
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(STOPWORDS.items())
+        ]
+    )
+    # array_max on struct<hits,lang> orders by (hits, lang); ties break
+    # to the lexicographically largest code — fixed, documented, stable.
+    return docs.withColumn("scores", scores).select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.expr("array_max(scores).lang").alias("predicted_lang"),
+        F.expr("array_max(scores).hits").cast("int").alias("stopword_hits"),
+    )
