@@ -1,0 +1,160 @@
+"""Structured Streaming pipelines (SURVEY §2.10 T4-T5 + stateful ops).
+
+Real ``readStream`` → transform → ``writeStream`` flows over the same
+window expressions as ``streaming/windows.py``. None of this is
+oracle-checkable (late-data/state semantics have no batch-SQL
+equivalent) — integration tests drive it with ``availableNow`` triggers
+and assert the sink contents.
+
+Late-data posture: every event-time aggregation takes a watermark; the
+state store drops windows older than (max event time − watermark), so
+state is bounded and late rows beyond the watermark are discarded —
+Spark's documented contract, which we adopt unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a parquet directory of events. Streaming
+    file sources require an explicit schema (no inference at plan time)
+    — same posture as the reference's explicit-StructType rule
+    (``modules/dst_metrics/spark_logger.py:14``)."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T1+T4: watermarked tumbling-window counts — the streaming twin of
+    ``t1_tumbling``; append-mode emits a window only once it closes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "10 minutes"
+) -> DataFrame:
+    """T5: stateful streaming dedup — drops repeats of ``keys`` arriving
+    within the watermark horizon; state for keys older than the
+    watermark is evicted (bounded memory, unlike a global distinct)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count + value total across micro-batches. The state
+    row is two numbers per user — the pattern for any custom accumulator
+    Spark's built-in aggs can't express (decayed counters, CDC merge,
+    fraud scores...). Update-mode output, one row per user per batch."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain everything currently available into an in-memory sink and
+    stop — the batch-like trigger used by tests and backfills. The
+    result is readable as ``spark.table(query_name)``. Pick the output
+    mode per operator: append (stateless / closed windows only),
+    update (stateful operators), complete (full agg table)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_append(
+    df: DataFrame, target_dir: str, checkpoint_dir: str
+) -> None:
+    """T-sink: ``foreachBatch`` bridge into the batch lakehouse layer —
+    each micro-batch appends to a parquet table exactly once
+    (checkpoint + batch id give effectively-once file commits)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(target_dir)
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,99 @@
+"""Structured Streaming integration tests (SURVEY §2.10 T4-T5): real
+readStream/writeStream flows with availableNow triggers — watermarked
+window aggs, stateful dedup, custom applyInPandasWithState operator,
+foreachBatch sink. Batch-equivalent window semantics are oracle-checked
+separately via t1/t2/t3 in streaming/windows.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+from dst_spark_k8_lakehouse_spark.streaming import pipelines
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Streaming file source needs a plain-schema parquet directory;
+    re-emit the events table (ts already normalized to microseconds)
+    in 4 files so availableNow runs multiple micro-batches."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = pipelines.stream_events(spark, events_dir)
+    agg = pipelines.windowed_event_counts(stream)
+    pipelines.run_available_now(
+        agg, "t4_windows", str(tmp_path / "ckpt"), output_mode="complete"
+    )
+    got = {
+        (r.window_start, r.n_events)
+        for r in spark.table("t4_windows").collect()
+    }
+    batch = {
+        (r.w.start, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_dedup_within_watermark(spark, events_dir, tmp_path):
+    """Duplicate the source dir's content logically by unioning the
+    stream with itself via two readers? Not expressible — instead dedup
+    on a coarse key (user_id) and check one row per user survives."""
+    stream = pipelines.stream_events(spark, events_dir)
+    dedup = pipelines.dedup_within_watermark(stream, ["user_id"])
+    pipelines.run_available_now(dedup, "t5_dedup", str(tmp_path / "ckpt"))
+    out = spark.table("t5_dedup")
+    n_users = out.select("user_id").distinct().count()
+    assert out.count() == n_users  # at most one row kept per user
+
+
+def test_running_user_totals_stateful(spark, sf_dir, events_dir, tmp_path):
+    stream = pipelines.stream_events(spark, events_dir)
+    running = pipelines.running_user_totals(stream)
+    pipelines.run_available_now(
+        running, "t6_running", str(tmp_path / "ckpt"), output_mode="update"
+    )
+    # last emitted row per user must equal the batch per-user totals
+    out = spark.table("t6_running")
+    final = {
+        r.user_id: r.n_events
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    batch = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == batch
+
+
+def test_foreach_batch_append_sink(spark, events_dir, tmp_path):
+    stream = pipelines.stream_events(spark, events_dir)
+    target = str(tmp_path / "bronze_events")
+    pipelines.foreach_batch_append(
+        stream.filter(F.col("event_type") == "click"),
+        target,
+        str(tmp_path / "ckpt"),
+    )
+    written = spark.read.parquet(target)
+    expected = (
+        spark.read.schema(pipelines.EVENTS_STREAM_SCHEMA)
+        .parquet(events_dir)
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert written.count() == expected
