@@ -1,0 +1,100 @@
+"""DDL / catalog surface (SURVEY §2.2 D1-D14).
+
+The reference's DDL runs against Polaris (Iceberg REST) and Delta
+catalogs; every statement below has a session-catalog equivalent that
+Spark executes with identical syntax — this module is a thin, explicit
+wrapper so the capability surface is enumerable and testable.
+
+Statements whose reference form needs format jars (row-level DML, time
+travel, VACUUM, RENAME COLUMN) route to ``plans.table.VersionedTable``,
+which reproduces their semantics over plain parquet; with delta-spark
+installed (``session._lakehouse_extensions``) the same calls can target
+Delta tables unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def create_database(spark: SparkSession, name: str) -> None:
+    """D1 (``CREATE DATABASE IF NOT EXISTS``, ``getting_started.py:125``,
+    ``01_polaris_demo.ipynb:47``)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def show_databases(spark: SparkSession) -> list[str]:
+    """D2 (``SHOW NAMESPACES``, ``01_polaris_demo.ipynb:58``)."""
+    return [r.namespace for r in spark.sql("SHOW DATABASES").collect()]
+
+
+def show_tables(spark: SparkSession, database: str | None = None) -> list[str]:
+    """D2 (``SHOW TABLES``, ``05_…ipynb:228``)."""
+    stmt = f"SHOW TABLES IN {database}" if database else "SHOW TABLES"
+    return [r.tableName for r in spark.sql(stmt).collect()]
+
+
+def describe_table(spark: SparkSession, name: str) -> DataFrame:
+    """D3 (``DESCRIBE TABLE EXTENDED``, ``getting_started.py:141``)."""
+    return spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+
+
+def create_table(
+    spark: SparkSession,
+    name: str,
+    columns: str,
+    partitioned_by: str | None = None,
+    location: str | None = None,
+) -> None:
+    """D4/D5 (typed ``CREATE TABLE … USING``, ``getting_started.py:
+    130-137``; partitioned, ``02_iceberg_demo.ipynb:45-54``).
+
+    Iceberg's hidden partition transform ``days(ts)`` (``02_…ipynb:54``)
+    has no vanilla-Spark equivalent: callers declare an explicit derived
+    date column instead (documented semantic diff — predicates must
+    reference the partition column for pruning; Iceberg rewrites
+    ``ts``-range predicates automatically)."""
+    ddl = f"CREATE TABLE IF NOT EXISTS {name} ({columns}) USING parquet"
+    if partitioned_by:
+        ddl += f" PARTITIONED BY ({partitioned_by})"
+    if location:
+        ddl += f" LOCATION '{location}'"
+    spark.sql(ddl)
+
+
+def insert_into(spark: SparkSession, name: str, values_sql: str) -> None:
+    """S10 (``INSERT INTO … VALUES``, ``getting_started.py:155``)."""
+    spark.sql(f"INSERT INTO {name} VALUES {values_sql}")
+
+
+def insert_overwrite(spark: SparkSession, name: str, select_sql: str) -> None:
+    """S11 (``INSERT OVERWRITE``, ``03_delta_demo.ipynb:102-104``).
+
+    Semantic diff vs the reference: on plain parquet tables Spark
+    rejects an overwrite whose SELECT reads the target table
+    (UNSUPPORTED_OVERWRITE — no snapshot isolation); Delta/Iceberg allow
+    it. Self-referencing rewrites route through
+    ``VersionedTable.update``/``overwrite``, which snapshot first."""
+    spark.sql(f"INSERT OVERWRITE TABLE {name} {select_sql}")
+
+
+def add_column(spark: SparkSession, name: str, column_ddl: str) -> None:
+    """D7 (``ALTER TABLE ADD COLUMN``, ``02_iceberg_demo.ipynb:122``)."""
+    spark.sql(f"ALTER TABLE {name} ADD COLUMNS ({column_ddl})")
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """D6 (``DROP TABLE``, ``getting_started.py:129``)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def drop_database(spark: SparkSession, name: str, cascade: bool = True) -> None:
+    """D6 (``DROP DATABASE``, ``01_polaris_demo.ipynb:77``)."""
+    spark.sql(
+        f"DROP DATABASE IF EXISTS {name}{' CASCADE' if cascade else ''}"
+    )
+
+
+def use_database(spark: SparkSession, name: str) -> None:
+    """D9 (``USE``, ``05_…ipynb:60-67``)."""
+    spark.sql(f"USE {name}")

@@ -1,0 +1,225 @@
+"""Versioned lakehouse tables over plain parquet (SURVEY §2.2, §7.4).
+
+The reference gets ACID tables, time travel, DML, and schema evolution
+from Delta 3.2 / Iceberg 1.9 jars (``scripts/download-jars.sh:84-91``).
+Neither ships in this container, so this module provides the same
+*semantics* with the same *mechanism* both formats use — an append-only
+log of snapshots, each listing immutable data files — implemented as a
+JSON manifest over parquet directories:
+
+- append / overwrite with schema-merge      (``spark_logger.py:55-57``,
+  ``03_delta_demo.ipynb:163``)
+- row-level UPDATE / DELETE as copy-on-write rewrites
+  (``02_iceberg_demo.ipynb:91,103`` — Delta/Iceberg plan the same
+  rewrite through their DML extensions)
+- time travel by version                     (``versionAsOf``,
+  ``03_delta_demo.ipynb:134``; snapshot-id, ``02_…ipynb:155-158``)
+- DESCRIBE HISTORY analog                    (``03_delta_demo.ipynb:123``)
+- VACUUM with version retention              (``03_delta_demo.ipynb:186``)
+- metadata-only column rename                (``02_iceberg_demo.ipynb:123``
+  — Iceberg renames via field-id mapping; we store a rename chain in
+  the manifest and apply it at read)
+
+Scale: data files are immutable and only the manifest mutates, so reads
+at any version are plain parquet scans (pushdown/pruning intact) and
+concurrent readers never see partial writes. Single-writer is assumed
+(the real formats add optimistic-concurrency commits on top of exactly
+this layout; a driver-coordinated pipeline satisfies it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+
+
+@dataclass
+class Snapshot:
+    version: int
+    timestamp_ms: int
+    operation: str
+    files: list[str]  # table-root-relative parquet directories
+    renames: list[list[str]]  # [old, new] chain, applied in order
+
+
+class VersionedTable:
+    """A writable, versioned parquet table addressed by directory path."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- manifest ----------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST)
+
+    def _load(self) -> list[Snapshot]:
+        if not os.path.exists(self._manifest_path()):
+            return []
+        with open(self._manifest_path()) as f:
+            return [Snapshot(**s) for s in json.load(f)]
+
+    def _commit(self, snap: Snapshot) -> None:
+        """Atomic manifest swap: write-temp + rename, the same
+        last-writer-wins commit primitive Delta's _delta_log relies on
+        (rename atomicity from the filesystem / object-store layer)."""
+        snaps = self._load()
+        snaps.append(snap)
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump([vars(s) for s in snaps], f, indent=1)
+        os.replace(tmp, self._manifest_path())
+
+    def _new_data_dir(self, version: int) -> str:
+        return f"v{version:06d}-{uuid.uuid4().hex[:8]}"
+
+    # -- writes ------------------------------------------------------
+    def _write(self, df: DataFrame, operation: str, base_files: list[str]) -> int:
+        snaps = self._load()
+        version = len(snaps)
+        rel = self._new_data_dir(version)
+        df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
+        prev_renames = snaps[-1].renames if snaps else []
+        self._commit(
+            Snapshot(
+                version=version,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                files=[*base_files, rel],
+                renames=list(prev_renames),
+            )
+        )
+        return version
+
+    def create(self, df: DataFrame) -> int:
+        """CTAS (``CREATE TABLE … USING`` + write, ``getting_started.py:
+        130-151``; ``writeTo(...).createOrReplace()``, ``05_…ipynb:92``)."""
+        os.makedirs(self.path, exist_ok=True)
+        return self._write(df, "CREATE", [])
+
+    def append(self, df: DataFrame) -> int:
+        """Append with implicit schema merge — new files may carry new
+        columns; reads reconcile with ``mergeSchema`` exactly like the
+        reference's ``mode("append").option("mergeSchema","true")``
+        (``spark_logger.py:55-57``)."""
+        current = self._load()
+        base = current[-1].files if current else []
+        return self._write(df, "APPEND", base)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """INSERT OVERWRITE / ``mode("overwrite")`` (``demo.py:153``,
+        ``03_delta_demo.ipynb:102-104``): new snapshot references only
+        the new files; old files stay for time travel until VACUUM."""
+        return self._write(df, "OVERWRITE", [])
+
+    def update(self, condition: str, assignments: dict[str, str]) -> int:
+        """Row-level UPDATE (``UPDATE t SET … WHERE …``,
+        ``02_iceberg_demo.ipynb:91``) as a copy-on-write rewrite:
+        matching rows get the assignment expressions, others pass
+        through, result becomes a full new snapshot."""
+        df = self.read()
+        exprs = [
+            f"CASE WHEN ({condition}) THEN ({assignments[col]}) "
+            f"ELSE {col} END AS {col}"
+            if col in assignments
+            else col
+            for col in df.columns
+        ]
+        return self._write(df.selectExpr(*exprs), "UPDATE", [])
+
+    def delete(self, condition: str) -> int:
+        """Row-level DELETE (``DELETE FROM t WHERE …``,
+        ``02_iceberg_demo.ipynb:103``): anti-filter rewrite."""
+        df = self.read().where(f"NOT ({condition}) OR ({condition}) IS NULL")
+        return self._write(df, "DELETE", [])
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN (``02_iceberg_demo.ipynb:123``) —
+        metadata-only: appended to the manifest rename chain, applied at
+        read time; zero data files touched (Iceberg field-id mapping
+        semantics, not a rewrite)."""
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("rename on empty table")
+        last = snaps[-1]
+        self._commit(
+            Snapshot(
+                version=len(snaps),
+                timestamp_ms=int(time.time() * 1000),
+                operation=f"RENAME {old}->{new}",
+                files=list(last.files),
+                renames=[*last.renames, [old, new]],
+            )
+        )
+        return len(snaps)
+
+    # -- reads -------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Scan the table, optionally time-travelling (``versionAsOf``).
+
+        ``mergeSchema`` reconciles evolved schemas across snapshots'
+        files; the rename chain is applied afterwards so old files'
+        column names resolve to the current ones."""
+        snaps = self._load()
+        if not snaps:
+            raise FileNotFoundError(f"no table at {self.path}")
+        if version is None:
+            snap = snaps[-1]
+        else:
+            if not 0 <= version < len(snaps):
+                raise ValueError(
+                    f"version {version} not in [0, {len(snaps) - 1}]"
+                )
+            snap = snaps[version]
+        paths = [os.path.join(self.path, f) for f in snap.files]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for old, new in snap.renames:
+            df = df.withColumnRenamed(old, new)
+        return df
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY analog (``03_delta_demo.ipynb:123``;
+        Iceberg ``.snapshots`` / ``.history`` metadata tables,
+        ``02_…ipynb:143``)."""
+        rows: list[dict[str, Any]] = [
+            {
+                "version": s.version,
+                "timestamp_ms": s.timestamp_ms,
+                "operation": s.operation,
+                "n_files": len(s.files),
+            }
+            for s in self._load()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            schema="version int, timestamp_ms long, operation string, n_files int",
+        )
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """VACUUM (``03_delta_demo.ipynb:182-186``): drop data dirs not
+        referenced by the ``retain_last`` most recent snapshots; those
+        older versions stop being time-travellable — same trade-off the
+        reference demos with ``RETAIN 0 HOURS``."""
+        import shutil
+
+        snaps = self._load()
+        keep = {f for s in snaps[-retain_last:] for f in s.files}
+        removed = []
+        for entry in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, entry)
+            if (
+                os.path.isdir(full)
+                and entry not in keep
+                and entry.startswith("v")
+            ):
+                shutil.rmtree(full)
+                removed.append(entry)
+        return removed

@@ -1,0 +1,155 @@
+"""Lakehouse-layer tests: the reference's 02_iceberg_demo / 03_delta_demo
+flows (DDL, DML, time travel, schema evolution, VACUUM) reproduced over
+the parquet VersionedTable + session-catalog DDL."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dst_spark_k8_lakehouse_spark.plans import VersionedTable, ddl
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.create(
+        spark.createDataFrame(
+            [Row(id=1, name="alice", bal=10.0), Row(id=2, name="bob", bal=20.0)]
+        )
+    )
+    return t
+
+
+def test_append_and_read(spark, vt):
+    vt.append(spark.createDataFrame([Row(id=3, name="carol", bal=30.0)]))
+    assert vt.read().count() == 3
+
+
+def test_update_rewrites_matching_rows(spark, vt):
+    """``UPDATE t SET bal = bal * 2 WHERE id = 1``
+    (02_iceberg_demo.ipynb:91 shape)."""
+    vt.update("id = 1", {"bal": "bal * 2"})
+    rows = {r.id: r.bal for r in vt.read().collect()}
+    assert rows == {1: 20.0, 2: 20.0}
+
+
+def test_delete_removes_matching_rows(spark, vt):
+    vt.delete("name = 'bob'")
+    assert [r.id for r in vt.read().collect()] == [1]
+
+
+def test_time_travel_by_version(spark, vt):
+    """versionAsOf semantics (03_delta_demo.ipynb:134): every prior
+    state stays addressable."""
+    vt.delete("id = 1")
+    vt.append(spark.createDataFrame([Row(id=9, name="zed", bal=0.0)]))
+    assert vt.read(version=0).count() == 2  # original
+    assert vt.read(version=1).count() == 1  # after delete
+    assert vt.read().count() == 2  # latest
+    with pytest.raises(ValueError):
+        vt.read(version=99)
+
+
+def test_schema_merge_append(spark, vt):
+    """mergeSchema on append (spark_logger.py:55-57): new column appears,
+    old rows read NULL for it."""
+    vt.append(
+        spark.createDataFrame(
+            [Row(id=4, name="dara", bal=5.0, tier="gold")]
+        )
+    )
+    df = vt.read()
+    assert "tier" in df.columns
+    assert df.filter(F.col("tier").isNull()).count() == 2
+
+
+def test_metadata_only_rename(spark, vt):
+    """RENAME COLUMN (02_iceberg_demo.ipynb:123) without touching data
+    files; time travel before the rename still shows the old name."""
+    vt.rename_column("bal", "balance")
+    assert "balance" in vt.read().columns
+    assert "bal" in vt.read(version=0).columns
+
+
+def test_history_and_vacuum(spark, vt):
+    vt.overwrite(spark.createDataFrame([Row(id=7, name="eve", bal=1.0)]))
+    hist = {r.version: r.operation for r in vt.history().collect()}
+    assert hist == {0: "CREATE", 1: "OVERWRITE"}
+    removed = vt.vacuum(retain_last=1)
+    assert len(removed) == 1  # the CREATE snapshot's files
+    assert vt.read().count() == 1  # latest unaffected
+
+
+def test_ddl_roundtrip(spark, tmp_path):
+    """D1-D11 flow on the session catalog (getting_started.py:125-168)."""
+    ddl.create_database(spark, "demo_ns")
+    ddl.use_database(spark, "demo_ns")
+    try:
+        ddl.create_table(
+            spark,
+            "demo_ns.users",
+            "id BIGINT, name STRING, signup DATE",
+            location=str(tmp_path / "users"),
+        )
+        assert "users" in ddl.show_tables(spark, "demo_ns")
+        ddl.insert_into(
+            spark, "demo_ns.users", "(1, 'ada', DATE'2024-01-01')"
+        )
+        ddl.insert_into(
+            spark, "demo_ns.users", "(2, 'bo', DATE'2024-02-01')"
+        )
+        assert spark.table("demo_ns.users").count() == 2
+        # NB: plain-parquet tables reject a self-referencing overwrite
+        # SELECT (no snapshot isolation) — that flow goes through
+        # VersionedTable; see ddl.insert_overwrite docstring.
+        ddl.insert_overwrite(
+            spark,
+            "demo_ns.users",
+            "SELECT 1, 'ADA', DATE'2024-01-01'",
+        )
+        rows = spark.table("demo_ns.users").collect()
+        assert len(rows) == 1 and rows[0].name == "ADA"
+        assert any(
+            r.col_name == "Location"
+            for r in ddl.describe_table(spark, "demo_ns.users").collect()
+        )
+    finally:
+        ddl.use_database(spark, "default")
+        ddl.drop_database(spark, "demo_ns", cascade=True)
+    assert "demo_ns" not in ddl.show_databases(spark)
+
+
+def test_partitioned_table_prunes(spark, tmp_path):
+    """D5 fallback: explicit partition column; a partition predicate must
+    prune at scan (the Iceberg days(ts) emulation documented in ddl.py)."""
+    loc = str(tmp_path / "events_p")
+    ddl.create_table(
+        spark,
+        "default.events_p",
+        "event_id BIGINT, value DOUBLE, day DATE",
+        partitioned_by="day",
+        location=loc,
+    )
+    try:
+        ddl.insert_into(
+            spark,
+            "default.events_p",
+            "(1, 1.0, DATE'2024-01-01'), (2, 2.0, DATE'2024-01-02')",
+        )
+        plan = (
+            spark.table("default.events_p")
+            .filter("day = DATE'2024-01-01'")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [" in plan
+        # physical layout really is hive-partitioned
+        assert any(
+            d.startswith("day=") for d in os.listdir(loc)
+        )
+    finally:
+        ddl.drop_table(spark, "default.events_p")
