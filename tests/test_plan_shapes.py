@@ -1,0 +1,128 @@
+"""Physical-plan regression tests — the 100 TB contract.
+
+Correctness tests prove the operators compute the right answer at small
+sf; these prove the *plans* are the ones that survive a 1000-executor
+cluster: filters reach the parquet reader, projections prune the scan
+schema, small dimensions broadcast instead of shuffling the fact side,
+sort+limit lowers to TakeOrderedAndProject (partition-local top-k), and
+aggregations are partial (map-side) before the shuffle. A regression in
+any of these is invisible at 60k rows and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark import registry
+from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+registry.load_all()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+
+
+def test_projection_prunes_scan_schema(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = plan_of(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+    # the 9 unselected columns must not appear in the scan
+    assert "l_extendedprice" not in plan
+
+
+def test_broadcast_join_no_fact_shuffle(spark, sf_dir):
+    plan = plan_of(registry.QUERIES["j5_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_all_dimensions(spark, sf_dir):
+    """The flagship must stream lineitem through broadcast joins at this
+    scale (AQE/static planning both acceptable) — a sort-merge join here
+    means a dimension grew past the broadcast threshold or a hint broke."""
+    plan = plan_of(registry.QUERIES["j8_star_join"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation+region at minimum
+    assert "SortMergeJoin" not in plan
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    plan = plan_of(registry.QUERIES["o2_sort_limit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort + CollectLimit would sort every partition fully
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    plan = plan_of(registry.QUERIES["a5_groupby_agg"](spark, sf_dir))
+    # partial + final HashAggregate around one exchange: map-side combine
+    # shuffles one row per (task, group), not one per input row
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_scalar_pipeline(spark, sf_dir):
+    plan = plan_of(registry.QUERIES["f1_string"](spark, sf_dir), "codegen")
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0" not in plan
+
+
+def test_semi_join_does_not_materialize_right_columns(spark, sf_dir):
+    plan = plan_of(registry.QUERIES["j4_semi"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    # semi join needs only the key from orders
+    assert "ReadSchema: struct<o_custkey:bigint>" in plan
+
+
+def test_exact_sums_stay_in_codegen(spark, sf_dir):
+    """Integer-cent aggregation must not fall back to interpreted
+    decimal aggregation (exact.py design note)."""
+    # (explain("codegen") can't see through AdaptiveSparkPlan before
+    # execution; the formatted plan's aggregate expressions are the
+    # contract here — bigint cents, never a decimal slow path)
+    formatted = plan_of(registry.QUERIES["a3_sum"](spark, sf_dir))
+    assert "partial_sum(cast(round((o_totalprice" in formatted
+    assert "decimal" not in formatted.lower()
+
+
+def test_window_topk_single_shuffle(spark, sf_dir):
+    plan = plan_of(registry.QUERIES["w4_topk_group"](spark, sf_dir))
+    # one hash-partitioning exchange on the window key...
+    assert plan.count("Arguments: hashpartitioning") == 1
+    # ...and rank<=k pushed below the shuffle (WindowGroupLimit applies
+    # the per-group limit map-side before exchanging)
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_cosine_topk_broadcasts_query_vector(spark, sf_dir):
+    plan = plan_of(registry.QUERIES["l4_cosine_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the embeddings side must never shuffle for a 1-row query join
+    assert "Exchange hashpartitioning" not in plan
+
+
+@pytest.mark.parametrize("qid", ["l1_exact_dedup", "l3_token_count"])
+def test_llm_ops_have_no_python_in_hot_path(spark, sf_dir, qid):
+    """Dedup hashing and token counting must stay JVM-side — a
+    BatchEvalPython / ArrowEvalPython node here means a 10-100× hot-path
+    regression at corpus scale."""
+    plan = plan_of(registry.QUERIES[qid](spark, sf_dir))
+    assert "EvalPython" not in plan
