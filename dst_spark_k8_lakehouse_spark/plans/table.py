@@ -141,6 +141,40 @@ class VersionedTable:
         df = self.read().where(f"NOT ({condition}) OR ({condition}) IS NULL")
         return self._write(df, "DELETE", [])
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        update_when_matched: bool = True,
+        insert_when_not_matched: bool = True,
+    ) -> int:
+        """MERGE INTO (Delta/Iceberg upsert; the dedup'd-upsert pattern
+        of SURVEY §7.4): source rows update matching target rows by key
+        and/or insert unmatched ones, as one new snapshot.
+
+        Formulation is join-free on the update path: target rows whose
+        key appears in source are replaced wholesale (left-anti join),
+        then source rows are unioned in — one shuffle per side on the
+        merge key. The source must be unique per key (enforced — a
+        multi-match MERGE is ambiguous and Delta errors likewise).
+        """
+        target = self.read()
+        dup_keys = (
+            source.groupBy(*on).count().where("count > 1").limit(1).count()
+        )
+        if dup_keys:
+            raise ValueError("MERGE source has duplicate keys")
+        if update_when_matched:
+            kept_target = target.join(source.select(*on), on, "left_anti")
+            incoming = source
+        else:
+            kept_target = target
+            incoming = source.join(target.select(*on), on, "left_anti")
+        if not insert_when_not_matched:
+            incoming = incoming.join(target.select(*on), on, "left_semi")
+        merged = kept_target.unionByName(incoming, allowMissingColumns=True)
+        return self._write(merged, "MERGE", [])
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN (``02_iceberg_demo.ipynb:123``) —
         metadata-only: appended to the manifest rename chain, applied at
