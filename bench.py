@@ -52,9 +52,13 @@ HEADLINE = [
     "f5_json",
     "u2_intersect",
     "l1_exact_dedup",
+    "l2_minhash_lsh",
     "l3_text_stats",
     "l4_cosine_topk",
+    "l4_ann_ivf",
+    "j7_asof",
     "t1_tumbling",
+    "t3_session",
 ]
 
 

@@ -1,0 +1,22 @@
+"""The spark-submit-able job (reference entry point 3) runs end-to-end:
+gold output written, metrics logged with a completion event."""
+
+from __future__ import annotations
+
+from dst_spark_k8_lakehouse_spark.plans import VersionedTable
+from jobs.revenue_report import run
+
+
+def test_revenue_report_job(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "gold")
+    n = run(spark, sf_dir, out)
+    assert n == 25  # one row per nation
+
+    report = spark.read.parquet(f"{out}/revenue_by_nation")
+    assert set(report.columns) == {"region", "nation", "revenue", "n_items"}
+
+    log = VersionedTable(spark, f"{out}/_activity_log").read()
+    by_fn = {r.metric_function: r for r in log.collect()}
+    assert by_fn["count"].metric_value == 25.0
+    assert by_fn["completion"].status == "success"
+    assert log.count() == 2  # one batched commit, two events

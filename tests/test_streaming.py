@@ -81,6 +81,57 @@ def test_running_user_totals_stateful(spark, sf_dir, events_dir, tmp_path):
     assert final == batch
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T4: true late-data semantics across restarts. Batch 1 advances
+    the watermark (max event time − 10 min, persisted in the
+    checkpoint); batch 2 then delivers one event older than the
+    watermark (dropped) and one within it (kept)."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows, fname):
+        spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=m), 1, "click", 1.0, "{}")
+             for i, m in rows],
+            pipelines.EVENTS_STREAM_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = pipelines.stream_events(spark, src)
+        agg = pipelines.windowed_event_counts(
+            stream, "10 minutes", "10 minutes"
+        )
+        q = (
+            agg.writeStream.format("parquet")  # file sink: checkpoint-recoverable
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    mk([(1, 0), (2, 60)], "b1")  # watermark after b1: 60min - 10min = 50min
+    run_once()
+    first = {r.window_start.minute for r in spark.read.parquet(out).collect()}
+    assert 0 in first  # the 00:00 window closed and was emitted
+
+    mk([(3, 20), (4, 55)], "b2")  # 20min < watermark 50min → dropped
+    run_once()
+    emitted = {
+        (r.window_start.minute, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # the late 00:20 event must NOT create/modify a window; 00:55 may
+    # appear once its window closes in a later batch — but 20 never.
+    assert not any(m == 20 for m, _ in emitted)
+
+
 def test_foreach_batch_append_sink(spark, events_dir, tmp_path):
     stream = pipelines.stream_events(spark, events_dir)
     target = str(tmp_path / "bronze_events")
