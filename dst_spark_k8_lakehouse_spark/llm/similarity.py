@@ -92,6 +92,58 @@ def l4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "l4_batch_topk",
+    oracle="""
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id >= 10),
+             s AS (SELECT qid, vec_id, label,
+                          floor(1e6 * list_dot_product(cv, qv)
+                                / (sqrt(list_dot_product(cv, cv))
+                                   * sqrt(list_dot_product(qv, qv)))) / 1e6
+                              AS sim
+                   FROM c CROSS JOIN q)
+        SELECT qid, vec_id, CAST(sim AS DOUBLE) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY sim DESC, vec_id) AS rk
+              FROM s)
+        WHERE rk <= 3
+    """,
+)
+def l4_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: batched similarity search — top-3 neighbors for each of 10
+    query vectors in ONE pass over the corpus.
+
+    This is the shape real retrieval workloads take (queries arrive in
+    batches, not singly): broadcast the whole query batch, score every
+    (corpus row × query) in the map stage, then per-query top-k via
+    ``WindowGroupLimit`` (rank ≤ k applied map-side before the shuffle).
+    Corpus is scanned once regardless of batch size — at 100 TB the
+    scan dominates, so batching divides its cost across all queries.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            (F.floor(1e6 * cosine("embedding", "qv")) / 1e6).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
 def ivf_assign(vectors: DataFrame, n_cells: int = 8) -> DataFrame:
     """Assign each vector to its nearest 'centroid'.
 
