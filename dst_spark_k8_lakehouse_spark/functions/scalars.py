@@ -167,13 +167,15 @@ def f4_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                json_extract_string(props, '$.k') AS k_str,
                CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
                CAST(json_extract_string(props, '$.missing') AS VARCHAR)
-                   AS missing_key
+                   AS missing_key,
+               concat('{"k":', json_extract_string(props, '$.k'), '}')
+                   AS reserialized
         FROM events
     """,
 )
 def f5_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5: get_json_object / from_json over the events.props JSON
-    string column."""
+    """F5: get_json_object / from_json / to_json over the events.props
+    JSON string column."""
     events = load_table(spark, sf_dir, "events")
     # one from_json parse serves both typed fields; get_json_object does
     # its own parse — 2 parses/row total instead of 3
@@ -183,6 +185,9 @@ def f5_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         parsed.getField("k").alias("k_int"),
         parsed.getField("missing").alias("missing_key"),
+        F.to_json(F.struct(parsed.getField("k").alias("k"))).alias(
+            "reserialized"
+        ),
     )
 
 
