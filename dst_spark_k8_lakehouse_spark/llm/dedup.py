@@ -174,6 +174,101 @@ def minhash_signature(tok_col: str, num_hashes: int = 32, shingle_n: int = 3):
     return sig(tok_col)
 
 
+def signature_table(
+    docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, mh, shash) — the persistable dedup state. At corpus
+    scale this is computed once per ingest batch and written as a table
+    (see ``incremental_neardup``); signatures are deterministic, so
+    re-ingesting a doc reproduces its row exactly."""
+    return (
+        docs.withColumn("tok", _tokens())
+        .withColumn("ms", minhash_signature("tok", num_hashes, shingle_n))
+        .filter(F.size("ms.shash") > 0)
+        .select(
+            "doc_id",
+            F.col("ms.mh").alias("mh"),
+            F.col("ms.shash").alias("shash"),
+        )
+    )
+
+
+def banded_signatures(
+    sigs: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Explode signatures to (doc_id, band, sig) LSH keys."""
+    r = num_hashes // bands
+    band_sigs = F.array(
+        *[
+            F.concat_ws(",", F.slice("mh", i * r + 1, r).cast("array<string>"))
+            for i in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+
+
+def verified_pairs(
+    cand: DataFrame, sigs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard on hashed shingle sets, candidate pairs only."""
+    sh = sigs.select("doc_id", F.col("shash").alias("sh"))
+    return (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sh", "sh_b")
+        .withColumn(
+            "jaccard",
+            F.floor(
+                1e6
+                * F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            )
+            / 1e6,
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    existing_sigs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup: check an ingest batch against an existing
+    corpus WITHOUT rescanning the corpus text.
+
+    Returns ``(pairs, new_sigs)``: near-dup pairs where doc_a is an
+    existing-or-new doc and doc_b a new doc, plus the new batch's
+    signature rows for the caller to append to the signature table.
+    This is the 100 TB shape — daily batches cost
+    O(batch + matched buckets), never O(corpus): only signature rows
+    (40 numbers/doc) of the existing corpus are read, and the band join
+    touches just the buckets the new docs land in.
+    """
+    new_sigs = signature_table(new_docs, num_hashes)
+    all_sigs = existing_sigs.unionByName(new_sigs)
+    new_banded = banded_signatures(new_sigs, num_hashes, bands).alias("r")
+    all_banded = banded_signatures(all_sigs, num_hashes, bands).alias("l")
+    cand = (
+        all_banded.join(
+            new_banded,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return verified_pairs(cand, all_sigs, threshold), new_sigs
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -186,21 +281,8 @@ def minhash_lsh_candidates(
     candidates iff some band signature matches exactly. Shuffle cost:
     ``bands`` rows per doc keyed by a 1-band signature string — linear.
     """
-    r = num_hashes // bands
-    sigs = (
-        docs.withColumn("tok", _tokens())
-        .withColumn("ms", minhash_signature("tok", num_hashes, shingle_n))
-        .filter(F.size("ms.shash") > 0)
-        .select("doc_id", F.col("ms.mh").alias("mh"))
-    )
-    band_sigs = F.array(
-        *[
-            F.concat_ws(",", F.slice("mh", i * r + 1, r).cast("array<string>"))
-            for i in range(bands)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id", F.posexplode(band_sigs).alias("band", "sig")
+    banded = banded_signatures(
+        signature_table(docs, num_hashes, shingle_n), num_hashes, bands
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -230,27 +312,8 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs — never all pairs.
     """
     docs = with_planted_duplicates(load_table(spark, sf_dir, "documents"))
-    cand = minhash_lsh_candidates(docs)
-    sh = docs.withColumn("tok", _tokens()).select(
-        "doc_id", minhash_signature("tok")["shash"].alias("sh")
-    )
-    return (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("sh", "sh_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("sh", "sh_b")
-        .withColumn(
-            "jaccard",
-            F.floor(
-                1e6
-                * F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            )
-            / 1e6,
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    sigs = signature_table(docs)
+    return verified_pairs(minhash_lsh_candidates(docs), sigs)
 
 
 @query(

@@ -116,3 +116,38 @@ def test_multimodal_decode_is_deterministic_and_stubbed(spark, sf_dir):
     assert kinds == {"image", "audio", "video"}
     total = sum(r.n_media for r in out)
     assert total == load_table(spark, sf_dir, "documents").count()
+
+
+def test_incremental_neardup_against_persisted_signatures(
+    spark, sf_dir, tmp_path
+):
+    """The daily-increment flow: persist corpus signatures once, then
+    check a new batch (containing copies of existing docs) against them
+    without re-reading corpus text."""
+    from dst_spark_k8_lakehouse_spark.plans import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    sig_table = VersionedTable(spark, str(tmp_path / "sigs"))
+    sig_table.create(dedup.signature_table(corpus))
+
+    # new batch: 5 fresh docs + 5 copies of existing corpus docs
+    fresh = docs.filter(
+        (F.col("doc_id") >= 400) & (F.col("doc_id") < 405)
+    ).withColumn("doc_id", F.col("doc_id") + 10_000)
+    copies = docs.filter(F.col("doc_id") < 50).limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 20_000
+    )
+    batch = fresh.unionByName(copies)
+
+    pairs, new_sigs = dedup.incremental_neardup(
+        batch, sig_table.read(), threshold=0.9
+    )
+    hits = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    copied_ids = {r.doc_id for r in copies.collect()}
+    # every planted copy must match its original (doc_a = original id)
+    assert {b - 20_000 for (a, b) in hits if b in copied_ids} == {
+        b - 20_000 for b in copied_ids
+    }
+    sig_table.append(new_sigs)  # state grows by the batch only
+    assert sig_table.read().count() == 400 + 10
