@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Batch job: LLM training-data curation pipeline.
+
+documents → quality gate → exact dedup → MinHash near-dup dedup →
+curated corpus + signature table + corpus stats, with pipeline metrics
+at every layer. The medallion flow (``06_pipeline_metrics_demo.ipynb``)
+applied to corpus curation:
+
+  bronze  raw documents
+  silver  quality-filtered, exactly-deduplicated
+  gold    near-dup-free corpus + stats + persisted dedup state
+
+spark-submit-able like ``jobs/revenue_report.py``. Deterministic keep
+rules throughout: smallest doc_id survives any duplicate group.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from dst_spark_k8_lakehouse_spark import get_session  # noqa: E402
+from dst_spark_k8_lakehouse_spark.llm import dedup  # noqa: E402
+from dst_spark_k8_lakehouse_spark.metrics import MetricContext  # noqa: E402
+from dst_spark_k8_lakehouse_spark.plans import VersionedTable  # noqa: E402
+from dst_spark_k8_lakehouse_spark.sources.catalog import load_table  # noqa: E402
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Silver rule filter (C4/Gopher-style, cf. l3_quality_score):
+    token-length band + must contain a common-word token."""
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    return docs.where(
+        F.size(toks).between(5, 2000)
+        & (F.size(F.array_intersect(toks, F.array(F.lit("the"), F.lit("a")))) > 0)
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the smallest doc_id per distinct text (hash-group)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+    )
+
+
+def neardup_dedup(
+    docs: DataFrame, threshold: float = 0.7
+) -> tuple[DataFrame, DataFrame]:
+    """Drop near-duplicates (keep smallest doc_id of each pair);
+    returns (kept docs, signature table for incremental reuse)."""
+    sigs = dedup.signature_table(docs)
+    pairs = dedup.verified_pairs(
+        dedup.minhash_lsh_candidates(docs), sigs, threshold
+    )
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = docs.join(losers, "doc_id", "left_anti")
+    return kept, sigs.join(losers, "doc_id", "left_anti")
+
+
+def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    with MetricContext(
+        spark,
+        layer=3,
+        project="corpus",
+        dataset_year=2024,
+        description="corpus curation",
+        job_name="curate_corpus",
+        table_path=f"{out_dir}/_activity_log",
+    ) as ctx:
+
+        def log(layer: int, desc: str, n: int) -> None:
+            counts[desc] = n
+            ctx.log_metric(
+                layer=layer,
+                project="corpus",
+                dataset_year=2024,
+                description=desc,
+                value=n,
+                unit="rows",
+                function="count",
+                source_path=sf_dir,
+            )
+
+        bronze = load_table(spark, sf_dir, "documents")
+        log(1, "bronze_docs", bronze.count())
+
+        silver = exact_dedup(quality_gate(bronze))
+        log(2, "silver_docs", silver.count())
+
+        gold, sigs = neardup_dedup(silver)
+        gold_table = VersionedTable(spark, f"{out_dir}/corpus")
+        gold_table.create(gold)
+        VersionedTable(spark, f"{out_dir}/signatures").create(sigs)
+        log(3, "gold_docs", gold_table.read().count())
+
+        stats = gold.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        stats.write.mode("overwrite").parquet(f"{out_dir}/stats")
+    return counts
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    parser.add_argument("--out", required=True)
+    args = parser.parse_args()
+    spark = get_session(app_name="curate-corpus")
+    counts = run(spark, args.sf_dir, args.out)
+    print(counts)
+
+
+if __name__ == "__main__":
+    main()

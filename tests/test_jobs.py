@@ -20,3 +20,25 @@ def test_revenue_report_job(spark, sf_dir, tmp_path):
     assert by_fn["count"].metric_value == 25.0
     assert by_fn["completion"].status == "success"
     assert log.count() == 2  # one batched commit, two events
+
+
+def test_curate_corpus_job(spark, sf_dir, tmp_path):
+    from jobs.curate_corpus import run as curate
+
+    out = str(tmp_path / "curated")
+    counts = curate(spark, sf_dir, out)
+    assert 0 < counts["gold_docs"] <= counts["silver_docs"] <= counts["bronze_docs"]
+
+    corpus = VersionedTable(spark, f"{out}/corpus").read()
+    sigs = VersionedTable(spark, f"{out}/signatures").read()
+    assert corpus.count() == counts["gold_docs"]
+    assert sigs.count() == counts["gold_docs"]  # state matches corpus
+
+    log = VersionedTable(spark, f"{out}/_activity_log").read()
+    assert log.count() == 4  # 3 layer counts + completion, one commit
+    assert (
+        log.filter("metric_function = 'completion'").collect()[0].status
+        == "success"
+    )
+    stats = spark.read.parquet(f"{out}/stats")
+    assert stats.count() > 0
