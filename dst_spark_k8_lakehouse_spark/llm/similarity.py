@@ -175,6 +175,64 @@ def ivf_assign(vectors: DataFrame, n_cells: int = 8) -> DataFrame:
     )
 
 
+def build_ivf_index(
+    vectors: DataFrame, index_path: str, n_cells: int = 8
+):
+    """Materialize the IVF index: cell assignments + precomputed norms,
+    written as a versioned table PARTITIONED in storage by cell would be
+    the cluster layout; locally the table carries the cell column and
+    relies on predicate pushdown. Build cost is one pass; queries then
+    touch nprobe/n_cells of the data (`query_ivf_index`)."""
+    from dst_spark_k8_lakehouse_spark.plans import VersionedTable
+
+    assigned = ivf_assign(vectors, n_cells).withColumn(
+        "norm", norm("embedding")
+    )
+    table = VersionedTable(vectors.sparkSession, index_path)
+    table.create(assigned)
+    return table
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    n_cells: int = 8,
+) -> DataFrame:
+    """Probe-path ANN query against a persisted IVF index: rank cells by
+    centroid similarity (tiny driver-side list), scan only the nprobe
+    best cells (pushed-down cell filter), brute-force within them."""
+    from dst_spark_k8_lakehouse_spark.plans import VersionedTable
+
+    index = VersionedTable(spark, index_path).read()
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = index.filter(F.col("vec_id") < n_cells).select(
+        "cell", F.col("embedding").alias("cv")
+    )
+    probe = [
+        r.cell
+        for r in cents.withColumn("qv", qv)
+        .select("cell", cosine("cv", "qv").alias("sim"))
+        .orderBy(F.desc("sim"), "cell")
+        .limit(nprobe)
+        .collect()
+    ]
+    return (
+        index.filter(F.col("cell").isin(probe))
+        .withColumn("qv", qv)
+        .select(
+            "vec_id",
+            "label",
+            (F.floor(1e6 * dot("embedding", "qv") / (F.col("norm") * norm("qv")))
+             / 1e6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
 @query("l4_ann_ivf")  # rows-only: ANN result set is approximate by design
 def l4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: IVF approximate top-10 — probe the 2 cells nearest the query

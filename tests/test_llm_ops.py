@@ -151,3 +151,32 @@ def test_incremental_neardup_against_persisted_signatures(
     }
     sig_table.append(new_sigs)  # state grows by the batch only
     assert sig_table.read().count() == 400 + 10
+
+
+def test_persisted_ivf_index_query(spark, sf_dir, tmp_path):
+    """Build the IVF index once, query it twice: identical results
+    (deterministic), and consistent with the inline l4_ann_ivf query
+    for the same query vector (vec_id=0's embedding)."""
+    from dst_spark_k8_lakehouse_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path)
+
+    qvec = emb.filter("vec_id = 0").collect()[0].embedding
+    # k=11: the index query has no self-exclusion, so vec_id=0 itself
+    # occupies one slot (cosine 1.0); drop it and compare the top 10
+    r1 = [
+        (r.vec_id, r.cosine)
+        for r in similarity.query_ivf_index(spark, path, qvec, k=11).collect()
+    ]
+    r2 = [
+        (r.vec_id, r.cosine)
+        for r in similarity.query_ivf_index(spark, path, qvec, k=11).collect()
+    ]
+    assert r1 == r2  # deterministic
+    inline = [
+        (r.vec_id, r.cosine)
+        for r in registry.QUERIES["l4_ann_ivf"](spark, sf_dir).collect()
+    ]
+    assert [x for x in r1 if x[0] != 0][:10] == inline
