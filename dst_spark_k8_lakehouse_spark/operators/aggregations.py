@@ -284,3 +284,29 @@ def a12_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_order",
         "last_order",
     )
+
+
+@query(
+    "a11_gsets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_rows
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def a11_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: explicit GROUPING SETS through the SQL entry point (the
+    reference's primary interface is ``spark.sql`` over catalog views,
+    SURVEY §3.1) — per-status totals, per-priority totals, grand total
+    in one pass (Expand + single aggregate, no self-union)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_gsets"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -115,3 +115,33 @@ def u6_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="c_custkey long, c_mktsegment string, bal_zscore double",
         )
     )
+
+
+@query(
+    "u7_udtf",
+    oracle="""
+        SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+        FROM part WHERE p_partkey < 100
+    """,
+)
+def u7_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7: Python UDTF (Spark 4 table function) — one input row expands
+    to N output rows. Lateral-join shape; the UDTF runs Arrow-batched in
+    the Python worker. (For plain tokenization explode() is the JVM fast
+    path — a UDTF earns its cost when the expansion logic is genuinely
+    procedural.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class SplitWords:
+        def eval(self, name: str):
+            for w in (name or "").split(" "):
+                yield (w,)
+
+    spark.udtf.register("split_words", SplitWords)
+    part = load_table(spark, sf_dir, "part")
+    part.filter("p_partkey < 100").createOrReplaceTempView("part_u7")
+    return spark.sql(
+        "SELECT p_partkey, s.word FROM part_u7, "
+        "LATERAL split_words(p_name) s"
+    )
