@@ -8,11 +8,15 @@ removal on a key (``06_pipeline_metrics_demo.ipynb:245-264``,
 - **exact** (L1): content hash → keep one row per hash. One shuffle on
   the hash; map-side partial aggregation; no Python.
 - **MinHash+LSH** (L2): shingle → minhash signature → banded LSH
-  bucketing → candidate pairs → exact-Jaccard verification. All
-  higher-order-function built-ins (JVM codegen, no UDF): the classic
-  MMDS ch.3 construction. Candidate generation is linear in corpus size
-  (explode b bands/doc, shuffle on band signature); only the verify step
-  touches pairs, and only within-bucket pairs ever materialize.
+  bucketing → candidate pairs → exact-Jaccard verification → connected-
+  component clustering → one representative per cluster. Signatures run
+  in an Arrow-vectorized pandas UDF (see ``minhash_signature`` for why
+  that beats interpreted HOF lambdas 30×); banding, joins, and Jaccard
+  stay JVM-side. Candidate generation is linear in corpus size (explode
+  b bands/doc, shuffle on band signature); only the verify step touches
+  pairs, and only within-bucket pairs ever materialize. Signatures are
+  persistable (``signature_table``) for incremental ingest
+  (``incremental_neardup``).
 - **SimHash**: 64-bit signature via Arrow-vectorized pandas UDF, near
   pairs by 16-bit band join + ``bit_count(a XOR b)`` hamming filter.
 - **n-gram Jaccard** (oracle-checked): the exact token-set Jaccard
@@ -501,3 +505,73 @@ def l2_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine"),
         )
     )
+
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = smallest doc_id reachable. Deduplication needs this:
+    pairwise output alone over-deletes (a~b, b~c must collapse to ONE
+    representative, not two independent drops).
+
+    Iterative min-label propagation (the standard Spark formulation —
+    no GraphFrames dependency): each round, every node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(graph diameter) rounds — near-dup clusters are small and dense,
+    so typically 2-4. Each round is one shuffle on doc_id;
+    ``localCheckpoint`` truncates the lineage so plans don't grow with
+    iterations. The loop exits early when no label changes.
+    """
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+                (
+                    F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")
+                ).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter("_changed").limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_representatives(
+    docs: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Drop every near-dup except one representative per connected
+    cluster (the smallest doc_id). Docs in no pair pass through."""
+    clusters = neardup_clusters(pairs)
+    losers = clusters.filter("doc_id <> cluster_id").select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")

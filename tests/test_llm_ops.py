@@ -180,3 +180,47 @@ def test_persisted_ivf_index_query(spark, sf_dir, tmp_path):
         for r in registry.QUERIES["l4_ann_ivf"](spark, sf_dir).collect()
     ]
     assert [x for x in r1 if x[0] != 0][:10] == inline
+
+
+def test_neardup_clusters_transitive(spark):
+    """Chains must collapse: a~b, b~c, c~d → one cluster with the
+    smallest id as representative; disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (10, 11, 1.0)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup.neardup_clusters(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup.dedup_keep_representatives(docs, pairs).collect()
+    )
+    assert kept == [1, 10, 99]  # one rep per cluster + untouched doc
+
+
+def test_full_neardup_dedup_on_corpus(spark, sf_dir):
+    """End-to-end: LSH pairs → clusters → representative-only corpus.
+    Every planted copy is dropped, every original kept."""
+    docs = dedup.with_planted_duplicates(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.signature_table(docs)
+    pairs = dedup.verified_pairs(
+        dedup.minhash_lsh_candidates(docs), sigs, threshold=0.95
+    )
+    kept = dedup.dedup_keep_representatives(docs, pairs)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    planted = {
+        i + dedup.DUP_OFFSET
+        for (i,) in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert not (planted & kept_ids)  # all copies dropped
