@@ -57,15 +57,18 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 def neardup_dedup(
     docs: DataFrame, threshold: float = 0.7
 ) -> tuple[DataFrame, DataFrame]:
-    """Drop near-duplicates (keep smallest doc_id of each pair);
+    """Drop near-duplicates, keeping one representative per connected
+    cluster (dropping the second doc of every pair independently would
+    over-delete on chains a~b~c where a and c are NOT near-dups);
     returns (kept docs, signature table for incremental reuse)."""
     sigs = dedup.signature_table(docs)
     pairs = dedup.verified_pairs(
         dedup.minhash_lsh_candidates(docs), sigs, threshold
     )
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    kept = docs.join(losers, "doc_id", "left_anti")
-    return kept, sigs.join(losers, "doc_id", "left_anti")
+    kept = dedup.dedup_keep_representatives(docs, pairs)
+    return kept, sigs.join(
+        kept.select("doc_id"), "doc_id", "left_semi"
+    )
 
 
 def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
