@@ -70,6 +70,8 @@ def salted_join(
     Left rows get a deterministic salt from their full-row hash; the
     right side is exploded ×``salt_buckets`` so each (key, salt) bucket
     pairs up. Equivalent row-multiset to ``left.join(right, key)``.
+    Non-key column names must be disjoint between the two sides (same
+    requirement a plain ``join(…, key)`` has for unambiguous selects).
     """
     lcols = [c for c in left.columns if c != key]
     salted_left = left.withColumn(

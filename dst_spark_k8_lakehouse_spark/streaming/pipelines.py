@@ -144,12 +144,40 @@ def run_available_now(
 def foreach_batch_append(
     df: DataFrame, target_dir: str, checkpoint_dir: str
 ) -> None:
-    """T-sink: ``foreachBatch`` bridge into the batch lakehouse layer —
-    each micro-batch appends to a parquet table exactly once
-    (checkpoint + batch id give effectively-once file commits)."""
+    """T-sink: ``foreachBatch`` bridge into a plain parquet directory —
+    each micro-batch appends exactly once (checkpoint + batch id give
+    effectively-once file commits)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(target_dir)
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_to_table(
+    df: DataFrame, table_path: str, checkpoint_dir: str
+) -> None:
+    """T-sink: ``foreachBatch`` into the versioned lakehouse layer —
+    each micro-batch becomes one table snapshot (append, schema-merging),
+    so the stream's history is time-travellable batch by batch and a
+    crashed batch re-runs into a NEW snapshot rather than duplicating
+    files in place (the checkpoint skips batches already committed)."""
+    import os
+
+    from dst_spark_k8_lakehouse_spark.plans import VersionedTable
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table = VersionedTable(batch_df.sparkSession, table_path)
+        if os.path.exists(table._manifest_path()):
+            table.append(batch_df)
+        else:
+            table.create(batch_df)
 
     q = (
         df.writeStream.foreachBatch(write_batch)

@@ -148,3 +148,20 @@ def test_foreach_batch_append_sink(spark, events_dir, tmp_path):
         .count()
     )
     assert written.count() == expected
+
+
+def test_foreach_batch_versioned_table_sink(spark, events_dir, tmp_path):
+    """Each micro-batch lands as one time-travellable snapshot."""
+    from dst_spark_k8_lakehouse_spark.plans import VersionedTable
+
+    stream = pipelines.stream_events(spark, events_dir)
+    path = str(tmp_path / "events_table")
+    pipelines.foreach_batch_to_table(stream, path, str(tmp_path / "ckpt"))
+    table = VersionedTable(spark, path)
+    total = spark.read.schema(pipelines.EVENTS_STREAM_SCHEMA).parquet(
+        events_dir
+    ).count()
+    assert table.read().count() == total
+    hist = table.history().collect()
+    assert len(hist) >= 1  # >=1 snapshot; multiple if several micro-batches
+    assert {r.operation for r in hist} <= {"CREATE", "APPEND"}
