@@ -38,6 +38,7 @@ from dst_spark_k8_lakehouse_spark import get_session, registry
 # fns, LLM-data ops). Everything else still runs in tests/verify.
 HEADLINE = [
     "j8_star_join",
+    "x1_q3_shipping",
     "a5_groupby_agg",
     "a12_summary",
     "j1_inner_join",

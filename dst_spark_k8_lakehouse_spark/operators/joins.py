@@ -272,3 +272,60 @@ def j8_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "region"),
     )
+
+
+@query(
+    "x1_q3_shipping",
+    oracle=f"""
+        SELECT l_orderkey,
+               {revenue_sql('l_extendedprice', 'l_discount')} AS revenue,
+               CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1996-01-01'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 20
+    """,
+)
+def x1_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite workload (TPC-H Q3 shape): selective dimension filter →
+    two fact joins → group → top-k by revenue. The composition proof
+    that the operator inventory works *together*: predicate pushdown on
+    three scans, broadcast of the filtered customer side, partial agg,
+    TakeOrderedAndProject for the top-20. Deterministic tiebreak on
+    l_orderkey keeps the cut hash-stable."""
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1998-01-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1996-01-01")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        lineitem.join(
+            orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("timestamp").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(revenue("l_extendedprice", "l_discount").alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(20)
+    )
