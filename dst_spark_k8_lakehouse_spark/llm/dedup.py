@@ -314,10 +314,33 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Planted duplicates (Jaccard 1.0) must all surface; the pytest suite
     asserts recall. Verification joins shingle-hash arrays only for
     candidate pairs — never all pairs.
+
+    Signatures are materialized once (``localCheckpoint``) and reused by
+    the band self-join (2 sides) and verification (2 sides) — the
+    inline analog of the persisted signature table a production
+    pipeline keeps (``incremental_neardup``); without it the UDF
+    pipeline would execute 4×.
     """
     docs = with_planted_duplicates(load_table(spark, sf_dir, "documents"))
-    sigs = signature_table(docs)
-    return verified_pairs(minhash_lsh_candidates(docs), sigs)
+    # eager=False: materializes at first action (honest timing), then
+    # all four plan branches read the stored partitions
+    sigs = signature_table(docs).localCheckpoint(eager=False)
+    banded = banded_signatures(sigs)
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return verified_pairs(cand, sigs)
 
 
 @query(
