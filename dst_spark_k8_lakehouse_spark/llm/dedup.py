@@ -435,7 +435,9 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — then ``bit_count(XOR)`` verifies true hamming distance.
     """
     docs = with_planted_duplicates(load_table(spark, sf_dir, "documents"))
-    sigs = docs.select("doc_id", simhash64("text").alias("sig"))
+    sigs = docs.select(
+        "doc_id", simhash64("text").alias("sig")
+    ).localCheckpoint(eager=False)  # UDF once; self-join reads both sides
     chunks = sigs.select(
         "doc_id",
         "sig",
@@ -506,7 +508,7 @@ def l2_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     bucketed = vecs.withColumn(
         "bucket", sum(sign_bits[1:], start=sign_bits[0]).cast("int")
-    )
+    ).localCheckpoint(eager=False)  # 8 HOF plane-projections run once
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     dot = F.expr(
