@@ -47,7 +47,59 @@ def query(query_id: str, oracle: str | None = None) -> Callable[[F], F]:
     return _register
 
 
+# Driver-coverage rotation (COVERAGE.md "driver rotation"): the
+# per-round CORRECTNESS run checks queries in dict-iteration order and
+# may cap at ~50, so ids that still lack a green CORRECTNESS row in any
+# prior round are listed here to iterate FIRST. Round 1 covered registry
+# positions 1-50 (CORRECTNESS_r01.json); round 2 therefore fronts the 24
+# ids that were cut off, plus any ids new this round.
+PRIORITY: list[str] = [
+    # new in round 2
+    "u5b_pandas_grouped_agg",
+    "l4_ann_ivf_probe",
+    # untested in round 1 (registry positions 51-74)
+    "p4_filter_and",
+    "p5_null_filter",
+    "p6_when",
+    "p8_cast",
+    "p11_fillna",
+    "p12_dedup_rows",
+    "p13_distinct",
+    "p14_concat",
+    "u1_union",
+    "u2_intersect",
+    "u3_except",
+    "o1_sort",
+    "o2_sort_limit",
+    "u4_udf",
+    "u5_pandas_udf",
+    "u6_grouped_map",
+    "u7_udtf",
+    "w1_rank",
+    "w2_lag",
+    "w3_running_sum",
+    "w4_topk_group",
+    "t1_tumbling",
+    "t2_sliding",
+    "t3_session",
+]
+
+
+def _apply_priority() -> None:
+    """Rebuild QUERIES/ORACLES iteration order: PRIORITY ids first."""
+    ordered = {qid: QUERIES[qid] for qid in PRIORITY if qid in QUERIES}
+    for qid, fn in QUERIES.items():
+        ordered.setdefault(qid, fn)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    oracles = {qid: ORACLES[qid] for qid in ordered if qid in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(oracles)
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from dst_spark_k8_lakehouse_spark import functions, llm, operators, streaming  # noqa: F401
     from dst_spark_k8_lakehouse_spark import sources  # noqa: F401
+
+    _apply_priority()
