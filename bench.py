@@ -76,11 +76,13 @@ def main() -> None:
     for name in TABLES:
         load_table(spark, sf_dir, name).count()
 
+    missing = [qid for qid in HEADLINE if qid not in registry.QUERIES]
+    if missing:  # a typo/rename must not silently shrink the benchmark
+        raise SystemExit(f"HEADLINE ids not in registry: {missing}")
+
     timings: dict[str, float] = {}
     for qid in HEADLINE:
-        fn = registry.QUERIES.get(qid)
-        if fn is None:
-            continue
+        fn = registry.QUERIES[qid]
         fn(spark, sf_dir).toPandas()  # warm: codegen + JIT, discarded
         df = fn(spark, sf_dir)  # fresh plan: no shuffle/exchange reuse
         start = time.perf_counter()

@@ -174,20 +174,21 @@ def f4_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f5_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5: get_json_object / from_json / to_json over the events.props
-    JSON string column."""
+    """F5: from_json / to_json over the events.props JSON string column.
+
+    ONE ``from_json`` parse per row serves every output: ``k`` is parsed
+    as STRING (Spark stringifies the JSON number token, matching DuckDB
+    ``json_extract_string``) and the int view is a cast of that field —
+    no second ``get_json_object`` parse of the same column."""
     events = load_table(spark, sf_dir, "events")
-    # one from_json parse serves both typed fields; get_json_object does
-    # its own parse — 2 parses/row total instead of 3
-    parsed = F.from_json("props", "k INT, missing STRING")
+    parsed = F.from_json("props", "k STRING, missing STRING")
+    k_int = parsed.getField("k").cast("int")
     return events.select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        parsed.getField("k").alias("k_int"),
+        parsed.getField("k").alias("k_str"),
+        k_int.alias("k_int"),
         parsed.getField("missing").alias("missing_key"),
-        F.to_json(F.struct(parsed.getField("k").alias("k"))).alias(
-            "reserialized"
-        ),
+        F.to_json(F.struct(k_int.alias("k"))).alias("reserialized"),
     )
 
 

@@ -32,6 +32,8 @@ evidence.
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -245,13 +247,16 @@ def incremental_neardup(
     """Incremental near-dup: check an ingest batch against an existing
     corpus WITHOUT rescanning the corpus text.
 
-    Returns ``(pairs, new_sigs)``: near-dup pairs where doc_a is an
-    existing-or-new doc and doc_b a new doc, plus the new batch's
-    signature rows for the caller to append to the signature table.
-    This is the 100 TB shape — daily batches cost
-    O(batch + matched buckets), never O(corpus): only signature rows
-    (40 numbers/doc) of the existing corpus are read, and the band join
-    touches just the buckets the new docs land in.
+    Returns ``(pairs, new_sigs)``: near-dup pairs normalized to
+    ``doc_a < doc_b`` where at least one side is a new-batch doc, plus
+    the new batch's signature rows for the caller to append to the
+    signature table. Pair normalization uses least/greatest rather than
+    a ``l < r`` join predicate so a new doc whose id sorts BELOW an
+    existing near-dup's id is still matched — no monotonic-id
+    assumption on batches. This is the 100 TB shape — daily batches
+    cost O(batch + matched buckets), never O(corpus): only signature
+    rows (40 numbers/doc) of the existing corpus are read, and the band
+    join touches just the buckets the new docs land in.
     """
     new_sigs = signature_table(new_docs, num_hashes)
     all_sigs = existing_sigs.unionByName(new_sigs)
@@ -262,11 +267,11 @@ def incremental_neardup(
             new_banded,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
         )
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
+            F.least("l.doc_id", "r.doc_id").alias("doc_a"),
+            F.greatest("l.doc_id", "r.doc_id").alias("doc_b"),
         )
         .distinct()
     )
@@ -589,6 +594,15 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"neardup_clusters: labels still changing after max_iter="
+            f"{max_iter} rounds; returned labels are partially converged "
+            f"(a component's diameter exceeds max_iter) and clusters may "
+            f"be split — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -33,7 +33,7 @@ import json
 import os
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,6 +48,10 @@ class Snapshot:
     operation: str
     files: list[str]  # table-root-relative parquet directories
     renames: list[list[str]]  # [old, new] chain, applied in order
+    # Commit metadata, e.g. streaming transaction identifiers (the
+    # analog of Delta's `txn` action: appId + batch version recorded
+    # with the commit so retried micro-batches are detectable).
+    props: dict[str, Any] = field(default_factory=dict)
 
 
 class VersionedTable:
@@ -82,7 +86,13 @@ class VersionedTable:
         return f"v{version:06d}-{uuid.uuid4().hex[:8]}"
 
     # -- writes ------------------------------------------------------
-    def _write(self, df: DataFrame, operation: str, base_files: list[str]) -> int:
+    def _write(
+        self,
+        df: DataFrame,
+        operation: str,
+        base_files: list[str],
+        props: dict[str, Any] | None = None,
+    ) -> int:
         snaps = self._load()
         version = len(snaps)
         rel = self._new_data_dir(version)
@@ -95,24 +105,33 @@ class VersionedTable:
                 operation=operation,
                 files=[*base_files, rel],
                 renames=list(prev_renames),
+                props=dict(props or {}),
             )
         )
         return version
 
-    def create(self, df: DataFrame) -> int:
+    def create(self, df: DataFrame, props: dict[str, Any] | None = None) -> int:
         """CTAS (``CREATE TABLE … USING`` + write, ``getting_started.py:
         130-151``; ``writeTo(...).createOrReplace()``, ``05_…ipynb:92``)."""
         os.makedirs(self.path, exist_ok=True)
-        return self._write(df, "CREATE", [])
+        return self._write(df, "CREATE", [], props)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, props: dict[str, Any] | None = None) -> int:
         """Append with implicit schema merge — new files may carry new
         columns; reads reconcile with ``mergeSchema`` exactly like the
         reference's ``mode("append").option("mergeSchema","true")``
         (``spark_logger.py:55-57``)."""
         current = self._load()
         base = current[-1].files if current else []
-        return self._write(df, "APPEND", base)
+        return self._write(df, "APPEND", base, props)
+
+    def committed_props(self, key: str) -> set[Any]:
+        """All values recorded under ``key`` across snapshot props —
+        the lookup idempotent streaming sinks use to skip a retried
+        micro-batch (Delta `txn`-action semantics)."""
+        return {
+            s.props[key] for s in self._load() if key in s.props
+        }
 
     def overwrite(self, df: DataFrame) -> int:
         """INSERT OVERWRITE / ``mode("overwrite")`` (``demo.py:153``,

@@ -153,6 +153,22 @@ def test_incremental_neardup_against_persisted_signatures(
     assert sig_table.read().count() == 400 + 10
 
 
+def test_incremental_neardup_new_ids_below_corpus_ids(spark, sf_dir):
+    """Batch ids are NOT assumed monotonically above corpus ids: a new
+    doc whose id sorts below its existing near-dup's id must still be
+    matched (pairs normalized to doc_a < doc_b)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    existing_sigs = dedup.signature_table(corpus)
+    # copies of corpus docs, with ids BELOW every corpus id
+    batch = docs.filter(F.col("doc_id") < 5)
+    pairs, _ = dedup.incremental_neardup(batch, existing_sigs, threshold=0.9)
+    hits = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert {(i, i + 100_000) for i in range(5)} <= hits
+
+
 def test_persisted_ivf_index_query(spark, sf_dir, tmp_path):
     """Build the IVF index once, query it twice: identical results
     (deterministic), and consistent with the inline l4_ann_ivf query

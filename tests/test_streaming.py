@@ -165,3 +165,20 @@ def test_foreach_batch_versioned_table_sink(spark, events_dir, tmp_path):
     hist = table.history().collect()
     assert len(hist) >= 1  # >=1 snapshot; multiple if several micro-batches
     assert {r.operation for r in hist} <= {"CREATE", "APPEND"}
+
+
+def test_stream_batch_retry_is_idempotent(spark, tmp_path):
+    """A micro-batch replayed after a crash between the table commit
+    and the checkpoint commit must not duplicate rows: the snapshot
+    records stream_batch_id and the retry is skipped."""
+    from dst_spark_k8_lakehouse_spark.plans import VersionedTable
+
+    path = str(tmp_path / "t")
+    batch = spark.range(10).withColumnRenamed("id", "v")
+    assert pipelines.write_stream_batch_to_table(batch, 0, path) is True
+    assert pipelines.write_stream_batch_to_table(batch, 1, path) is True
+    # retry of batch 1 (checkpoint commit lost) → skipped, no new snapshot
+    assert pipelines.write_stream_batch_to_table(batch, 1, path) is False
+    table = VersionedTable(spark, path)
+    assert table.read().count() == 20
+    assert table.history().count() == 2
