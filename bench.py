@@ -53,10 +53,12 @@ HEADLINE = [
     "f5_json",
     "u2_intersect",
     "l1_exact_dedup",
-    "l2_minhash_lsh",
+    "l2_minhash_lsh",  # inline: signature UDF + band join + verify
+    "l2_minhash_lsh_sigs",  # production: persisted sigs, marginal pass cost
     "l3_text_stats",
     "l4_cosine_topk",
-    "l4_ann_ivf",
+    "l4_ann_ivf_probe",  # production path: probe a pre-built IVF index
+    # (inline-rebuild variant l4_ann_ivf stays correctness-only)
     "j7_asof",
     "t1_tumbling",
     "t3_session",

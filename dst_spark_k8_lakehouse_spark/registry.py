@@ -57,6 +57,7 @@ PRIORITY: list[str] = [
     # new in round 2
     "u5b_pandas_grouped_agg",
     "l4_ann_ivf_probe",
+    "l2_minhash_lsh_sigs",
     # untested in round 1 (registry positions 51-74)
     "p4_filter_and",
     "p5_null_filter",

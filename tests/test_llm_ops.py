@@ -33,6 +33,22 @@ def test_minhash_lsh_finds_planted_duplicates(spark, sf_dir):
     assert not missing, f"LSH missed planted duplicates: {sorted(missing)[:5]}"
 
 
+def test_minhash_lsh_sigs_variant_matches_inline(spark, sf_dir):
+    """The production-flow query (persisted signature table) returns
+    exactly the inline query's pairs — signatures are deterministic."""
+    inline = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in registry.QUERIES["l2_minhash_lsh"](spark, sf_dir).collect()
+    }
+    persisted = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in registry.QUERIES["l2_minhash_lsh_sigs"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert persisted == inline and len(inline) > 0
+
+
 def test_simhash_finds_planted_duplicates(spark, sf_dir):
     pairs = registry.QUERIES["l2_simhash"](spark, sf_dir)
     found = {
@@ -196,6 +212,12 @@ def test_persisted_ivf_index_query(spark, sf_dir, tmp_path):
         for r in registry.QUERIES["l4_ann_ivf"](spark, sf_dir).collect()
     ]
     assert [x for x in r1 if x[0] != 0][:10] == inline
+    # the registered probe-path query (memoized index) matches too
+    probe = [
+        (r.vec_id, r.cosine)
+        for r in registry.QUERIES["l4_ann_ivf_probe"](spark, sf_dir).collect()
+    ]
+    assert probe == inline
 
 
 def test_neardup_clusters_transitive(spark):
