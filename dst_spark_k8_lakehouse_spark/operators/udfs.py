@@ -84,6 +84,38 @@ def u5_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "u5b_pandas_grouped_agg",
+    oracle="""
+        SELECT c_nationkey,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS acctbal_sum
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+)
+def u5b_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5b: grouped-aggregate pandas UDF — the third vectorized flavor
+    (SURVEY §2.11): a ``pandas_udf`` returning one scalar per group,
+    used directly inside ``groupBy().agg()``. Each group's column
+    arrives as ONE pandas Series (no partial aggregation — the whole
+    group crosses the Arrow boundary, so like ``applyInPandas`` it
+    needs bounded group sizes at 100 TB; unlike built-in aggregates it
+    cannot map-side combine). Sum computed in exact integer cents
+    (mirrors ``exact.exact_sum``) so the result value-hashes against
+    the oracle."""
+
+    @F.pandas_udf(T.DoubleType())
+    def exact_bal_sum(bal: pd.Series) -> float:
+        return float(bal.mul(100).round().astype("int64").sum()) / 100.0
+
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(exact_bal_sum("c_acctbal").alias("acctbal_sum"))
+    )
+
+
+@query(
     "u6_grouped_map",
     oracle="""
         SELECT c_custkey, c_mktsegment,

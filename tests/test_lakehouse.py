@@ -153,3 +153,47 @@ def test_partitioned_table_prunes(spark, tmp_path):
         )
     finally:
         ddl.drop_table(spark, "default.events_p")
+
+
+def test_open_table_backend_selection(spark, tmp_path):
+    """open_table returns the parquet-native VersionedTable when
+    delta-spark is absent, and the two backends expose the same call
+    surface (so call sites are backend-agnostic)."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        DeltaBackedTable,
+        VersionedTable,
+        delta_available,
+        open_table,
+    )
+
+    t = open_table(spark, str(tmp_path / "t"))
+    expected = DeltaBackedTable if delta_available() else VersionedTable
+    assert isinstance(t, expected)
+    # API-compatible subset both backends must serve
+    for method in (
+        "create", "append", "overwrite", "read", "update", "delete",
+        "merge", "history", "vacuum", "committed_props",
+    ):
+        assert callable(getattr(VersionedTable, method)), method
+        assert callable(getattr(DeltaBackedTable, method)), method
+
+
+def test_delta_backend_roundtrip(spark, tmp_path):
+    """Native Delta semantics (03_delta_demo.ipynb:96-189): create,
+    append, time travel, history. Runs only where delta-spark and its
+    jars are installed; this container ships vanilla Spark."""
+    pytest.importorskip("delta")
+    from dst_spark_k8_lakehouse_spark.plans import DeltaBackedTable
+
+    path = str(tmp_path / "dt")
+    t = DeltaBackedTable(spark, path)
+    t.create(spark.range(5).withColumnRenamed("id", "v"))
+    t.append(spark.range(5, 8).withColumnRenamed("id", "v"))
+    assert t.read().count() == 8
+    assert t.read(version=0).count() == 5
+    assert t.history().count() == 2
+    # idempotent stream batch: same txn version commits once
+    batch = spark.range(100, 103).withColumnRenamed("id", "v")
+    t.append(batch, {"stream_batch_id": 7})
+    t.append(batch, {"stream_batch_id": 7})
+    assert t.read().count() == 11
