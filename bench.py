@@ -60,6 +60,8 @@ HEADLINE = [
     "l2_minhash_lsh",  # inline: signature UDF + band join + verify
     "l2_minhash_lsh_sigs",  # production: persisted sigs, marginal pass cost
     "l3_text_stats",
+    "l6_chunk_docs",
+    "l6_vocab_topk",
     "l4_cosine_topk",
     "l4_ann_ivf_probe",  # production path: probe a pre-built IVF index
     # (inline-rebuild variant l4_ann_ivf stays correctness-only)

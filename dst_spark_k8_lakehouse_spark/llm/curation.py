@@ -1,0 +1,248 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY §2.12
+extension set, round 2): chunking, sequence packing, stratified
+sampling, PII scrubbing, vocabulary statistics.
+
+These are the ops between "raw deduplicated corpus" and "tensors":
+every one is a single scan plus at most one bounded shuffle, expressed
+with built-in functions (no Python), and every one is oracle-checked
+against DuckDB running the equivalent SQL. Token parity rule: both
+sides tokenize with a single-space split on trimmed text (same
+convention as ``l2_ngram_jaccard``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.registry import query
+from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+CHUNK = 64  # tokens per chunk
+STRIDE = 48  # chunk start distance (CHUNK - STRIDE = 16-token overlap)
+CTX = 512  # pack budget (tokens per training sequence)
+
+
+@query(
+    "l6_chunk_docs",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tok
+                   FROM documents)
+        SELECT doc_id,
+               CAST(s // {STRIDE} AS INT) AS chunk_idx,
+               CAST(len(list_slice(tok, s + 1, s + {CHUNK})) AS INT)
+                   AS n_tokens,
+               array_to_string(list_slice(tok, s + 1, s + {CHUNK}), ' ')
+                   AS chunk_text
+        FROM t, unnest(range(0, len(tok), {STRIDE})) AS u(s)
+    """,
+)
+def l6_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: sliding-window chunking — split each document into
+    {CHUNK}-token chunks every {STRIDE} tokens (16-token overlap), the
+    standard pre-embedding / pre-training windowing step.
+
+    Plan: one scan, chunk starts from ``sequence()`` + ``explode``
+    (map-side row expansion, no shuffle), chunk text via
+    ``slice``/``concat_ws`` on the token array. At 100 TB this is
+    embarrassingly parallel; output is ~(1 + overlap/stride)× input
+    tokens, and the explode never materializes a document's chunks
+    outside one task."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("tok")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "tok",
+            F.explode(
+                F.expr(f"sequence(0, size(tok) - 1, {STRIDE})")
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / STRIDE).cast("int").alias("chunk_idx"),
+            F.size(F.expr(f"slice(tok, s + 1, {CHUNK})"))
+            .cast("int")
+            .alias("n_tokens"),
+            F.concat_ws(" ", F.expr(f"slice(tok, s + 1, {CHUNK})")).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+@query(
+    "l6_pack_sequences",
+    oracle=f"""
+        WITH t AS (SELECT source, doc_id,
+                          len(string_split(trim(text), ' ')) AS n_tokens
+                   FROM documents)
+        SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST((sum(n_tokens) OVER w - n_tokens) // {CTX} AS INT)
+                   AS pack_id,
+               CAST((sum(n_tokens) OVER w - n_tokens) % {CTX} AS INT)
+                   AS pack_offset
+        FROM t
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def l6_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: sequence packing — assign each document a (pack_id,
+    pack_offset) in a concatenate-then-split-at-{CTX}-tokens layout,
+    the GPT-style packing that wastes no context window (documents may
+    span pack boundaries; the trainer splits at token level).
+
+    Plan: running token sum via a window partitioned BY SOURCE SHARD —
+    never a global order. A total-order cumsum would serialize the
+    corpus through one task at 100 TB; per-shard packing is how real
+    pipelines do it (each shard's packs are independent; shard id
+    rides along in pack addressing). One shuffle on the shard key."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return docs.select(
+        "source",
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (start / CTX).cast("int").alias("pack_id"),
+        (start % CTX).cast("int").alias("pack_offset"),
+    )
+
+
+# Per-language keep-rate (percent): downsample the dominant language to
+# balance the training mix. doc_id % 100 is the deterministic,
+# engine-portable "hash"; testdata doc_ids are dense so the modulus is
+# uniform.
+SAMPLE_RATES = {"en": 30, "de": 100, "es": 100, "fr": 100, "zh": 100}
+
+
+@query(
+    "l6_stratified_sample",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE doc_id % 100 < CASE lang
+            {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items()))}
+            ELSE 100 END
+    """,
+)
+def l6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: stratified sampling for language balance — keep doc_id %
+    100 < rate(lang), downsampling English to {SAMPLE_RATES['en']}%
+    and keeping minority languages whole.
+
+    The mod-of-id filter (rather than ``rand()`` or per-stratum
+    ``row_number``) is deliberate: it is deterministic across runs and
+    engines, needs NO shuffle and no per-stratum ordering (a
+    ``row_number`` stratified sample serializes each stratum through
+    one task at scale), and composes with incremental ingest — a doc's
+    keep/drop decision never changes as the corpus grows."""
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in sorted(SAMPLE_RATES.items())
+        ],
+        F.lit(100),
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 < rate)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# Java and RE2 dialect-portable patterns (no backreferences, no
+# lookaround): email, then North-American-style phone.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+
+@query(
+    "l6_pii_scrub",
+    oracle=f"""
+        WITH t AS (SELECT doc_id,
+                          text || ' contact user' || doc_id ||
+                          '@example.com or 555-' ||
+                          lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+                          '-0199' AS text
+                   FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) +
+               len(regexp_extract_all(text, '{PHONE_RE}')) AS n_hits
+        FROM t
+    """,
+)
+def l6_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: PII scrubbing — replace emails and phone numbers with typed
+    placeholder tokens, counting hits for audit metrics. The synthetic
+    corpus contains no PII, so both sides append a deterministic
+    contact line per doc first — the scrub is then non-vacuous by
+    construction (every row has ≥2 hits).
+
+    Plan: pure map (``regexp_replace`` / ``regexp_extract_all`` are
+    JVM codegen) — zero shuffle, linear at 100 TB. Patterns restricted
+    to the Java∩RE2 dialect so engine parity is exact."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ).alias("text"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+        (
+            F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0))
+            + F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0))
+        ).cast("long").alias("n_hits"),
+    )
+
+
+@query(
+    "l6_vocab_topk",
+    oracle="""
+        SELECT tok AS token, count(*) AS n
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+        ORDER BY n DESC, token
+        LIMIT 50
+    """,
+)
+def l6_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: corpus vocabulary top-k — the wordcount that sizes a
+    tokenizer's vocab and surfaces boilerplate. Explode is map-side;
+    the count groupBy partial-aggregates before its shuffle (token
+    cardinality, not token count, crosses the wire); top-50 is
+    ``TakeOrderedAndProject`` with a deterministic (count, token)
+    tiebreak."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )

@@ -58,6 +58,11 @@ PRIORITY: list[str] = [
     "u5b_pandas_grouped_agg",
     "l4_ann_ivf_probe",
     "l2_minhash_lsh_sigs",
+    "l6_chunk_docs",
+    "l6_pack_sequences",
+    "l6_stratified_sample",
+    "l6_pii_scrub",
+    "l6_vocab_topk",
     # untested in round 1 (registry positions 51-74)
     "p4_filter_and",
     "p5_null_filter",
