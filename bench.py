@@ -43,6 +43,7 @@ from dst_spark_k8_lakehouse_spark import get_session, registry
 HEADLINE = [
     "j8_star_join",
     "x1_q3_shipping",
+    "x2_q10_returns",
     "a5_groupby_agg",
     "a12_summary",
     "j1_inner_join",

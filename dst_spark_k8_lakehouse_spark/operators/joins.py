@@ -329,3 +329,71 @@ def x1_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "x2_q10_returns",
+    oracle=f"""
+        SELECT c_custkey, c_name, n_name AS nation,
+               {revenue_sql('l_extendedprice', 'l_discount')} AS revenue,
+               count(*) AS n_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def x2_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite workload #2 (TPC-H Q10 shape): which customers
+    returned the most revenue in a half-year — date-windowed fact
+    filter → fact-fact join → two dimension joins → group → top-20.
+
+    Plan: both fact filters push to the scans; the date-filtered
+    orders slice (≈8% of orders) broadcasts into lineitem so the big
+    fact never shuffles pre-aggregation; customer and nation broadcast;
+    partial agg before the single groupBy shuffle;
+    ``TakeOrderedAndProject`` for the top-20 with a c_custkey
+    tiebreak. At SF=1000 the orders slice outgrows the broadcast
+    threshold and AQE degrades it to a shuffle join on o_orderkey —
+    the same plan Q10 wants at that scale."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey
+        )
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(
+            revenue("l_extendedprice", "l_discount").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     "l6_stratified_sample",
     "l6_pii_scrub",
     "l6_vocab_topk",
+    "x2_q10_returns",
     # untested in round 1 (registry positions 51-74)
     "p4_filter_and",
     "p5_null_filter",

@@ -1,0 +1,120 @@
+"""Semantic invariants for the corpus-curation operators (llm/curation.py)
+— properties the DuckDB hash-match can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark import registry
+from dst_spark_k8_lakehouse_spark.llm import curation
+from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+registry.load_all()
+
+
+def test_chunks_cover_and_overlap(spark, sf_dir):
+    """Every token position is covered; consecutive chunks of a doc
+    overlap by CHUNK - STRIDE tokens; chunk 0 starts the document."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).alias("n_tok")
+    )
+    chunks = registry.QUERIES["l6_chunk_docs"](spark, sf_dir)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+            F.sum("n_tokens").alias("tok_in_chunks"),
+        )
+        .join(docs, "doc_id")
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        expected_chunks = (r.n_tok - 1) // curation.STRIDE + 1
+        assert r.n_chunks == expected_chunks, r
+        assert r.max_idx == expected_chunks - 1, r
+        # coverage: total chunked tokens ≥ document tokens (overlap ≥ 0)
+        assert r.tok_in_chunks >= r.n_tok, r
+    # spot-check reconstruction: stripping each chunk's overlap prefix
+    # (STRIDE tokens kept per chunk) rebuilds the document exactly
+    doc0 = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id = 0")
+        .head()
+        .text.strip()
+    )
+    parts = [
+        r.chunk_text.split(" ")
+        for r in chunks.filter("doc_id = 0").orderBy("chunk_idx").collect()
+    ]
+    rebuilt = parts[0] + [
+        t for p in parts[1:] for t in p[curation.CHUNK - curation.STRIDE :]
+    ]
+    assert " ".join(rebuilt) == doc0
+
+
+def test_packing_invariants(spark, sf_dir):
+    """Offsets stay inside the budget; packs fill contiguously within
+    each source shard (next start = previous start + previous length)."""
+    packed = registry.QUERIES["l6_pack_sequences"](spark, sf_dir)
+    rows = packed.orderBy("source", "doc_id").collect()
+    assert rows
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.pack_offset < curation.CTX, r
+        by_source.setdefault(r.source, []).append(r)
+    for seq in by_source.values():
+        start = 0
+        for r in seq:
+            assert r.pack_id == start // curation.CTX, r
+            assert r.pack_offset == start % curation.CTX, r
+            start += r.n_tokens
+
+
+def test_stratified_sample_balances(spark, sf_dir):
+    """Sampling keeps every minority-language doc and reduces English
+    to ~the configured rate, deterministically."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = registry.QUERIES["l6_stratified_sample"](spark, sf_dir)
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    after = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in before.items():
+        if curation.SAMPLE_RATES.get(lang, 100) == 100:
+            assert after[lang] == n, lang
+    en_rate = curation.SAMPLE_RATES["en"] / 100
+    assert after["en"] < before["en"]
+    assert abs(after["en"] / before["en"] - en_rate) < 0.15
+    # deterministic: second run identical
+    again = {r.lang: r.n for r in registry.QUERIES["l6_stratified_sample"](spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert again == after
+
+
+def test_pii_scrub_removes_all_hits(spark, sf_dir):
+    """After scrubbing, no email/phone pattern survives, every doc had
+    ≥2 planted hits, and placeholders appear."""
+    out = registry.QUERIES["l6_pii_scrub"](spark, sf_dir)
+    assert out.filter(F.col("n_hits") < 2).count() == 0
+    residue = out.filter(
+        F.col("scrubbed").rlike(curation.EMAIL_RE)
+        | F.col("scrubbed").rlike(curation.PHONE_RE)
+    )
+    assert residue.count() == 0
+    sample = out.head()
+    assert "<EMAIL>" in sample.scrubbed and "<PHONE>" in sample.scrubbed
+
+
+def test_vocab_topk_counts(spark, sf_dir):
+    """Top-k counts agree with a direct recount and are ordered."""
+    top = registry.QUERIES["l6_vocab_topk"](spark, sf_dir).collect()
+    assert top
+    ns = [r.n for r in top]
+    assert ns == sorted(ns, reverse=True)
+    docs = load_table(spark, sf_dir, "documents")
+    first = top[0]
+    recount = (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("t"))
+        .filter(F.col("t") == first.token)
+        .count()
+    )
+    assert recount == first.n
