@@ -126,3 +126,46 @@ def test_llm_ops_have_no_python_in_hot_path(spark, sf_dir, qid):
     regression at corpus scale."""
     plan = plan_of(registry.QUERIES[qid](spark, sf_dir))
     assert "EvalPython" not in plan
+
+
+def test_x2_q10_broadcasts_and_takeordered(spark, sf_dir):
+    """Q10 shape: lineitem must stream through broadcast joins (orders
+    slice, customer, nation all hinted) with no sort-merge join, and
+    the top-20 must lower to TakeOrderedAndProject, never a global
+    sort."""
+    plan = plan_of(registry.QUERIES["x2_q10_returns"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan  # map-side combine before the agg shuffle
+
+
+def test_curation_map_only_ops_have_no_shuffle(spark, sf_dir):
+    """Chunking, sampling, and PII scrubbing are pure map work — any
+    Exchange in their plans is a regression that turns a linear 100 TB
+    pass into a shuffle."""
+    for qid in ("l6_chunk_docs", "l6_stratified_sample", "l6_pii_scrub"):
+        plan = plan_of(registry.QUERIES[qid](spark, sf_dir))
+        assert "Exchange" not in plan, qid
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    """Packing shuffles exactly once, on the shard key — a second
+    exchange (or a partition-less window) would mean a global-order
+    cumsum that serializes the corpus through one task."""
+    import re
+
+    plan = plan_of(registry.QUERIES["l6_pack_sequences"](spark, sf_dir))
+    # formatted mode lists each node once in the tree and once in the
+    # detail section — count distinct numbered Exchange nodes
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(source" in plan
+
+
+def test_vocab_topk_partial_agg_and_takeordered(spark, sf_dir):
+    """Wordcount must partially aggregate before its shuffle (token
+    cardinality crosses the wire, not token count) and take the top-50
+    via TakeOrderedAndProject."""
+    plan = plan_of(registry.QUERIES["l6_vocab_topk"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
