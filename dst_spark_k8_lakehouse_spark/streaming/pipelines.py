@@ -43,6 +43,57 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
 
 
+# The exact frame shape spark.readStream.format("kafka") produces —
+# S13's wire contract. The broker connection is untestable in this
+# container; everything AFTER the source node (deserialize → typed
+# events → the window/watermark pipelines above) is real, tested code.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def kafka_events_source(
+    spark: SparkSession, bootstrap_servers: str, topic: str
+) -> DataFrame:
+    """S13: Kafka source wiring — returns the raw wire-schema stream.
+    Compose with ``parse_kafka_events`` and any pipeline above. (Needs
+    the spark-sql-kafka package and a reachable broker; the transform
+    layer is covered by tests via synthetic wire frames.)"""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+
+
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Deserialize a Kafka wire-schema frame (batch or streaming) into
+    the typed events stream: ``CAST(value AS STRING)`` → ``from_json``
+    with the explicit events schema → flatten. Malformed payloads
+    surface as a null ``event_id`` (from_json PERMISSIVE mode) so a
+    downstream filter can quarantine instead of killing the stream —
+    drop-late-and-malformed is a pipeline policy, not an engine crash.
+    """
+    return (
+        raw.select(
+            F.from_json(
+                F.col("value").cast("string"), EVENTS_STREAM_SCHEMA
+            ).alias("e")
+        )
+        .select("e.*")
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",

@@ -182,3 +182,41 @@ def test_stream_batch_retry_is_idempotent(spark, tmp_path):
     table = VersionedTable(spark, path)
     assert table.read().count() == 20
     assert table.history().count() == 2
+
+
+def test_kafka_wire_parse_roundtrip(spark, events_dir):
+    """S13 transform layer: events serialized into Kafka wire frames
+    (binary value = JSON payload) deserialize back to the exact typed
+    rows, and the parsed stream feeds the same window pipeline."""
+    events = spark.read.schema(pipelines.EVENTS_STREAM_SCHEMA).parquet(
+        events_dir
+    )
+    # serialize timestamps at full microsecond precision — to_json's
+    # default format truncates to millis, which would fail roundtrip
+    wire = events.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(*events.columns),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        ).cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    parsed = pipelines.parse_kafka_events(wire)
+    assert parsed.schema == pipelines.EVENTS_STREAM_SCHEMA
+    orig = {tuple(r) for r in events.collect()}
+    back = {tuple(r) for r in parsed.collect()}
+    assert back == orig
+    # malformed payload → nulls, not a crash
+    bad = spark.createDataFrame(
+        [(None, b"not json", "events", 0, 0, None, 0)],
+        pipelines.KAFKA_WIRE_SCHEMA,
+    )
+    row = pipelines.parse_kafka_events(bad).head()
+    assert row.event_id is None
+    # parsed (batch) frame composes with the windowed aggregation
+    windowed = pipelines.windowed_event_counts(parsed)
+    assert windowed.count() > 0
