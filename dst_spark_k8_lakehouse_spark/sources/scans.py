@@ -77,3 +77,39 @@ def s8_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.range(10).select(
         F.col("id"), (F.col("id") * 100).alias("amount")
     )
+
+
+def jdbc_table_source(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """S13: JDBC source wiring — the standard Spark surface the
+    reference would use against an external database. Untestable in
+    this container (no driver jar, no database); the parameters encode
+    the two things that matter at scale:
+
+    - ``partition_column``/bounds/``num_partitions``: without them the
+      whole table streams through ONE task; with them Spark issues
+      ``num_partitions`` bounded range queries in parallel.
+    - predicate pushdown is on by default (``pushDownPredicate``) so
+      ``.filter`` on the result compiles into the remote WHERE clause.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", table
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
