@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Batch job: incremental corpus ingest — the daily O(batch) flow.
+
+``jobs/curate_corpus.py`` builds the initial corpus plus its dedup
+state (signature table); this job ingests a NEW document batch against
+that state without rescanning corpus text:
+
+  batch → quality gate → exact dedup (vs persisted hash table + within
+  batch) → incremental near-dup (vs persisted signatures, band-join
+  touches only matched buckets) → append survivors + their state rows
+
+Cost is O(batch + matched buckets) — never O(corpus). Dedup policy:
+the existing corpus always wins (a batch doc near-duplicating any
+corpus doc is dropped); within the batch, smallest doc_id survives.
+Every layer logs pipeline metrics like the reference's medallion jobs
+(``06_pipeline_metrics_demo.ipynb:224-265``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from dst_spark_k8_lakehouse_spark import get_session  # noqa: E402
+from dst_spark_k8_lakehouse_spark.llm import dedup  # noqa: E402
+from dst_spark_k8_lakehouse_spark.metrics import MetricContext  # noqa: E402
+from dst_spark_k8_lakehouse_spark.plans import VersionedTable  # noqa: E402
+from jobs.curate_corpus import quality_gate  # noqa: E402
+
+
+def bootstrap_hashes(corpus: DataFrame) -> DataFrame:
+    """(doc_id, content_hash) state rows for a corpus. One-time
+    O(corpus) when migrating a corpus curated before hash-state
+    existed; steady-state ingest appends batch hashes only."""
+    return corpus.select(
+        "doc_id", F.sha2("text", 256).alias("content_hash")
+    )
+
+
+def exact_dedup_incremental(
+    batch: DataFrame, existing_hashes: DataFrame
+) -> DataFrame:
+    """Drop batch docs whose content hash exists in the corpus, then
+    keep the smallest doc_id per remaining hash (within-batch dedup).
+    One shuffle on the 32-byte hash; the corpus side contributes only
+    its hash column."""
+    from pyspark.sql import Window
+
+    hashed = batch.withColumn("content_hash", F.sha2("text", 256))
+    fresh = hashed.join(
+        existing_hashes.select("content_hash"), "content_hash", "left_anti"
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+    )
+
+
+def neardup_drop_set(pairs: DataFrame, batch_ids: DataFrame) -> DataFrame:
+    """Batch doc_ids to drop, from normalized (doc_a < doc_b) near-dup
+    pairs: corpus-vs-batch pairs drop the batch side regardless of id
+    order (existing corpus wins); batch-internal pairs drop the larger
+    id."""
+    b = batch_ids.select(F.col("doc_id").alias("bid"))
+    flagged = (
+        pairs.join(
+            b.withColumnRenamed("bid", "doc_a").withColumn(
+                "a_in_batch", F.lit(True)
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            b.withColumnRenamed("bid", "doc_b").withColumn(
+                "b_in_batch", F.lit(True)
+            ),
+            "doc_b",
+            "left",
+        )
+        .fillna(False, ["a_in_batch", "b_in_batch"])
+    )
+    drop = F.when(
+        F.col("a_in_batch") & F.col("b_in_batch"), F.col("doc_b")
+    ).otherwise(
+        F.when(F.col("a_in_batch"), F.col("doc_a")).otherwise(F.col("doc_b"))
+    )
+    return flagged.select(drop.alias("doc_id")).distinct()
+
+
+def run(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    threshold: float = 0.7,
+) -> dict[str, int]:
+    """Ingest ``batch`` against the state under ``state_dir`` (written
+    by curate_corpus: ``corpus`` + ``signatures`` tables; a ``hashes``
+    table is bootstrapped on first run). Returns per-layer counts."""
+    counts: dict[str, int] = {}
+    corpus_t = VersionedTable(spark, f"{state_dir}/corpus")
+    sigs_t = VersionedTable(spark, f"{state_dir}/signatures")
+    hashes_t = VersionedTable(spark, f"{state_dir}/hashes")
+
+    import os
+
+    if not os.path.exists(hashes_t._manifest_path()):
+        hashes_t.create(bootstrap_hashes(corpus_t.read()))
+
+    with MetricContext(
+        spark,
+        layer=3,
+        project="corpus",
+        dataset_year=2024,
+        description="incremental ingest",
+        job_name="ingest_batch",
+        table_path=f"{state_dir}/_activity_log",
+    ) as ctx:
+
+        def log(layer: int, desc: str, n: int) -> None:
+            counts[desc] = n
+            ctx.log_metric(
+                layer=layer,
+                project="corpus",
+                dataset_year=2024,
+                description=desc,
+                value=n,
+                unit="rows",
+                function="count",
+                source_path=state_dir,
+            )
+
+        log(1, "batch_docs", batch.count())
+
+        gated = quality_gate(batch)
+        exact = exact_dedup_incremental(gated, hashes_t.read()).drop(
+            "content_hash"
+        )
+        log(2, "batch_after_exact", exact.count())
+
+        pairs, new_sigs = dedup.incremental_neardup(
+            exact, sigs_t.read(), threshold=threshold
+        )
+        drops = neardup_drop_set(pairs, exact.select("doc_id"))
+        survivors = exact.join(drops, "doc_id", "left_anti")
+        # lineage gets deep here (pairs reuse new_sigs reuse survivors'
+        # parent); pin survivors so the three appends don't recompute
+        # the signature UDF
+        survivors = survivors.localCheckpoint(eager=True)
+        log(3, "batch_ingested", survivors.count())
+
+        corpus_t.append(survivors)
+        sigs_t.append(
+            new_sigs.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        )
+        hashes_t.append(bootstrap_hashes(survivors))
+    return counts
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-dir", required=True, help="parquet dir of new docs")
+    parser.add_argument("--state-dir", required=True)
+    args = parser.parse_args()
+    spark = get_session(app_name="ingest-batch")
+    counts = run(spark, spark.read.parquet(args.batch_dir), args.state_dir)
+    print(counts)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,3 +42,53 @@ def test_curate_corpus_job(spark, sf_dir, tmp_path):
     )
     stats = spark.read.parquet(f"{out}/stats")
     assert stats.count() > 0
+
+
+def test_ingest_batch_job(spark, sf_dir, tmp_path):
+    """Daily-increment flow against curated state: exact copies and
+    near-dups of corpus docs are dropped, fresh docs land, and every
+    state table grows by O(batch)."""
+    from pyspark.sql import functions as F
+
+    from jobs.curate_corpus import run as curate
+    from jobs.ingest_batch import run as ingest
+
+    state = str(tmp_path / "state")
+    curate(spark, sf_dir, state)
+    corpus = VersionedTable(spark, f"{state}/corpus")
+    n0 = corpus.read().count()
+
+    base = corpus.read()
+    fresh = base.limit(4).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        F.concat(F.lit("totally new the "), F.reverse("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    exact_copies = base.limit(3).select(
+        (F.col("doc_id") + 910_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    near_dups = base.limit(2).select(
+        (F.col("doc_id") + 920_000).alias("doc_id"),
+        F.concat("text", F.lit(" the end")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    batch = fresh.unionByName(exact_copies).unionByName(near_dups)
+
+    counts = ingest(spark, batch, state)
+    assert counts["batch_docs"] == 9
+    assert counts["batch_after_exact"] == 6  # 3 exact copies dropped
+    assert counts["batch_ingested"] == 4  # 2 near-dups dropped too
+
+    assert corpus.read().count() == n0 + 4
+    # state grew by exactly the ingested docs
+    assert (
+        VersionedTable(spark, f"{state}/hashes").read().count()
+        == n0 + 4
+    )
+    sigs = VersionedTable(spark, f"{state}/signatures").read()
+    assert sigs.join(corpus.read(), "doc_id", "left_anti").count() == 0
+
+    # idempotence of policy: re-ingesting the same batch drops everything
+    counts2 = ingest(spark, batch, state)
+    assert counts2["batch_ingested"] == 0
