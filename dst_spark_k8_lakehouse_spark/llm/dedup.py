@@ -300,16 +300,60 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_pairs_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     rows = bands → r = num_hashes/bands rows per band; two docs become
     candidates iff some band signature matches exactly. Shuffle cost:
     ``bands`` rows per doc keyed by a 1-band signature string — linear.
+
+    ``max_pairs_bucket`` is the 100 TB hot-bucket guard: a
+    boilerplate-heavy corpus puts thousands of near-identical docs in
+    one band bucket, and the all-pairs self-join inside it is
+    quadratic (10⁴ docs → 5·10⁷ pairs PER BUCKET). Buckets larger than
+    the cap switch to STAR edges — every member pairs with the
+    bucket's min doc_id only, linear in bucket size — and connected-
+    component clustering (``neardup_clusters``) restores the
+    transitive grouping downstream. The trade, stated honestly: if a
+    mega-bucket mixes two unrelated near-dup groups AND the hub fails
+    verification against one of them, that group must surface via its
+    own bucket in another band (probability the standard 1-(1-J^r)^b);
+    mega-buckets are near-identical boilerplate in practice, so the
+    hub verifies against essentially all members.
     """
     banded = banded_signatures(
         signature_table(docs, num_hashes, shingle_n), num_hashes, bands
     )
+    if max_pairs_bucket is not None:
+        stats = banded.groupBy("band", "sig").agg(
+            F.min("doc_id").alias("hub"), F.count("*").alias("n")
+        )
+        sized = banded.join(stats, ["band", "sig"])
+        small = sized.filter(F.col("n") <= max_pairs_bucket).drop("hub", "n")
+        star = (
+            sized.filter(
+                (F.col("n") > max_pairs_bucket)
+                & (F.col("doc_id") != F.col("hub"))
+            )
+            .select(
+                F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+        )
+        left, right = small.alias("l"), small.alias("r")
+        pairs = (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.sig") == F.col("r.sig"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+            )
+        )
+        return pairs.unionByName(star).distinct()
     left = banded.alias("l")
     right = banded.alias("r")
     return (

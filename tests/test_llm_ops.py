@@ -262,3 +262,40 @@ def test_full_neardup_dedup_on_corpus(spark, sf_dir):
         .collect()
     }
     assert not (planted & kept_ids)  # all copies dropped
+
+
+def test_hot_bucket_star_mode_caps_candidates(spark, sf_dir):
+    """A 60-copy boilerplate group would emit C(60,2)=1770 all-pairs
+    candidates; with the hot-bucket cap its buckets go star-shaped
+    (59 edges), yet cluster dedup still collapses the group to one
+    representative and normal-sized dup groups are unaffected."""
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 100")
+    boiler = (
+        docs.filter("doc_id = 0")
+        .select(F.explode(F.sequence(F.lit(1), F.lit(59))).alias("k"), "text",
+                "lang", "source", "n_chars")
+        .select((F.col("k") + 5_000_000).alias("doc_id"), "text", "lang",
+                "source", "n_chars")
+    )
+    corpus = docs.unionByName(boiler)
+
+    capped = dedup.minhash_lsh_candidates(corpus, max_pairs_bucket=10)
+    uncapped = dedup.minhash_lsh_candidates(corpus)
+    group_ids = {r.doc_id for r in boiler.select("doc_id").collect()} | {0}
+
+    def group_pairs(df):
+        return [
+            r for r in df.collect()
+            if r.doc_a in group_ids and r.doc_b in group_ids
+        ]
+
+    assert len(group_pairs(uncapped)) == 1770  # quadratic blowup
+    assert len(group_pairs(capped)) == 59  # linear star
+
+    # end-to-end: star candidates + verification + clustering still
+    # collapse the whole group to its hub (doc_id 0)
+    sigs = dedup.signature_table(corpus)
+    pairs = dedup.verified_pairs(capped, sigs, threshold=0.9)
+    kept = dedup.dedup_keep_representatives(corpus, pairs)
+    survivors = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert survivors & group_ids == {0}
