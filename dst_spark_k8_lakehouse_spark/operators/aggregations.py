@@ -310,3 +310,69 @@ def a11_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "a13_pivot",
+    oracle=f"""
+        SELECT o_orderpriority,
+               {", ".join(
+                   f"CAST(sum(CASE WHEN o_orderstatus = '{s}' "
+                   f"THEN CAST(round(o_totalprice * 100) AS BIGINT) "
+                   f"ELSE 0 END) AS DOUBLE) / 100 AS {s}"
+                   for s in ("F", "O", "P")
+               )}
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def a13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: pivot — order totals as a priority × status matrix.
+
+    The status values are passed EXPLICITLY to ``pivot()``: without
+    them Spark runs an extra distinct-collect job over the fact table
+    to discover columns, and the output schema becomes data-dependent
+    (a new status silently widens the table downstream). Explicit
+    values keep it one pass + one shuffle (partial agg on
+    (priority, status) before the exchange) and a fixed contract.
+    Cents-exact sums; absent cells are 0 (coalesced), matching the
+    oracle's CASE form."""
+    from dst_spark_k8_lakehouse_spark.exact import cents
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg((F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)) / 100).cast("double"))
+    )
+
+
+@query(
+    "a13_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, charge, amount
+        FROM (SELECT l_orderkey, l_linenumber,
+                     l_extendedprice AS price,
+                     l_discount AS discount,
+                     l_tax AS tax
+              FROM lineitem)
+        UNPIVOT (amount FOR charge IN (price, discount, tax))
+    """,
+)
+def a13_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: unpivot/melt — wide charge columns to long (charge, amount)
+    rows, the inverse reshape (``DataFrame.unpivot``, Spark ≥3.4).
+    Map-side Expand node: 3 output rows per input row, no shuffle, no
+    Python."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["price", "discount", "tax"],
+        "charge",
+        "amount",
+    )

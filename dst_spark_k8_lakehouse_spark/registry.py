@@ -64,6 +64,8 @@ PRIORITY: list[str] = [
     "l6_pii_scrub",
     "l6_vocab_topk",
     "x2_q10_returns",
+    "a13_pivot",
+    "a13_unpivot",
     # untested in round 1 (registry positions 51-74)
     "p4_filter_and",
     "p5_null_filter",
