@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the dedup layer: signature
+determinism under repartitioning, exact-dedup idempotence, and chunking
+coverage on arbitrary generated documents — invariants the fixed
+testdata can't probe."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark import registry
+from dst_spark_k8_lakehouse_spark.llm import curation, dedup
+
+registry.load_all()
+
+# words: lowercase tokens so the single-space/regex tokenizers agree
+word = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+doc = st.lists(word, min_size=0, max_size=30).map(" ".join)
+
+
+def _docs_df(spark, texts, n_parts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(n_parts)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(doc, min_size=1, max_size=12), n_parts=st.integers(1, 6))
+def test_minhash_signatures_partition_invariant(spark, texts, n_parts):
+    """Signatures must be a pure function of the text — identical for
+    any partitioning (the property that lets a cluster of any size
+    reproduce and incrementally extend a persisted signature table)."""
+    a = {
+        r.doc_id: (tuple(r.mh), tuple(r.shash))
+        for r in dedup.signature_table(_docs_df(spark, texts, 1)).collect()
+    }
+    b = {
+        r.doc_id: (tuple(r.mh), tuple(r.shash))
+        for r in dedup.signature_table(
+            _docs_df(spark, texts, n_parts)
+        ).collect()
+    }
+    assert a == b
+    # identical texts ⇒ identical signatures (dedup soundness)
+    by_text: dict[str, set] = {}
+    for i, t in enumerate(texts):
+        if i in a:
+            by_text.setdefault(t, set()).add(a[i])
+    assert all(len(sigs) == 1 for sigs in by_text.values())
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(doc, min_size=1, max_size=15))
+def test_exact_dedup_keeps_min_id_per_text(spark, texts):
+    """One survivor per distinct text, and it is always the smallest
+    doc_id (the deterministic keep rule dropDuplicates lacks)."""
+    df = _docs_df(spark, texts, 3)
+    hashed = df.select("doc_id", F.sha2("text", 256).alias("h"))
+    kept = hashed.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    expected = {}
+    for i, t in enumerate(texts):
+        expected.setdefault(t, i)  # first occurrence = min id
+    assert {r.keep for r in kept.collect()} == set(expected.values())
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None)
+@given(tokens=st.lists(word, min_size=1, max_size=200))
+def test_chunking_covers_any_length(spark, tokens):
+    """For any token count n: ceil-div chunk count, full coverage, and
+    concatenating stride-prefixes rebuilds the document."""
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    df.createOrReplaceTempView("_hyp_doc")
+    chunks = (
+        df.select(
+            "doc_id",
+            F.split(F.trim("text"), " ").alias("tok"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(0, size(tok) - 1, {curation.STRIDE})")
+            ).alias("s"),
+            "tok",
+        )
+        .select(
+            (F.col("s") / curation.STRIDE).cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.expr(f"slice(tok, s + 1, {curation.CHUNK})")
+            ).alias("chunk_text"),
+        )
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    n = len(tokens)
+    assert len(chunks) == (n - 1) // curation.STRIDE + 1
+    parts = [c.chunk_text.split(" ") for c in chunks]
+    rebuilt = parts[0] + [
+        t
+        for p in parts[1:]
+        for t in p[curation.CHUNK - curation.STRIDE :]
+    ]
+    assert rebuilt == tokens

@@ -47,3 +47,12 @@ def test_entry_contract_shape():
     oracles = entry_mod.oracle_sql()
     assert qs, "no queries registered"
     assert set(oracles) <= set(qs), "oracle without a matching query"
+
+
+def test_bench_headline_ids_resolve():
+    """Every bench HEADLINE id must exist in the registry — bench.py
+    exits loudly on a miss, which must never happen in a driver run."""
+    import bench
+
+    missing = [q for q in bench.HEADLINE if q not in registry.QUERIES]
+    assert not missing, missing
