@@ -584,6 +584,106 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed_norm() -> F.Column:
+    return F.expr(
+        "sqrt(aggregate(embedding, 0D, "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def _sign_bucket(table: int, n_planes: int) -> F.Column:
+    """Sign-LSH bucket id for one hash table: n_planes sign bits of
+    deterministic ±1 hyperplane projections. Table 0 uses the original
+    'plane{p}' salts (so single-table results are unchanged); extra
+    tables salt with the table index for independent plane families."""
+    prefix = "plane" if table == 0 else f"t{table}plane"
+    bits = [
+        F.expr(
+            "CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0D, "
+            f"(acc, i) -> acc + (CASE WHEN pmod(xxhash64('{prefix}{p}', "
+            "CAST(i AS STRING)), 2) = 0 THEN 1 ELSE -1 END) "
+            "* CAST(element_at(embedding, i + 1) AS DOUBLE)) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+        for p in range(n_planes)
+    ]
+    return sum(bits[1:], start=bits[0]).cast("int")
+
+
+def embed_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table sign-LSH with exact
+    cosine verification — ``(vec_id, embedding)`` in, ``(vec_a, vec_b,
+    cosine)`` out.
+
+    OR-amplification: a pair is a candidate if it collides in ANY of
+    the ``n_tables`` independent plane families. Per-plane collision
+    probability for angle θ is 1 − θ/π, so a cosine-0.95 pair survives
+    one 8-plane table ~43% of the time but ≥4 tables ~90% — the knob
+    for thresholds below ~0.99, at n_tables× bucketing cost (still
+    linear: explode n_tables rows/vector, equi-join per (table,
+    bucket), verify only within buckets; candidates dedup BEFORE the
+    cosine join so a pair colliding in several tables verifies once).
+    """
+    vecs = vectors.select("vec_id", "embedding", _embed_norm().alias("norm"))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _sign_bucket(t, n_planes).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = (
+        vecs.select("vec_id", F.explode(tables).alias("tb"))
+        .select("vec_id", "tb.tbl", "tb.bucket")
+        .localCheckpoint(eager=False)  # plane projections run once
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, "
+        "(acc, v) -> acc + v)"
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", dot / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            "vec_a", "vec_b", (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine")
+        )
+    )
+
+
 @query("l2_embed_neardup")  # rows-only: float cosine over planted copies
 def l2_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: embedding-cosine near-dup. Planted near-copies (every 10th
@@ -593,8 +693,9 @@ def l2_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plane coefficients derived from xxhash64(plane, dim) — no RNG
     state, so buckets are reproducible on any cluster). Exact cosine is
     evaluated only within buckets. With 8 planes, exact duplicates
-    always share a bucket (identical signs); lower thresholds would use
-    multiple LSH tables — documented trade-off, not needed for ≥0.99.
+    always share a bucket (identical signs); for thresholds below
+    ~0.99 use ``embed_neardup_pairs(n_tables=k)`` — multi-table
+    OR-amplification, recall-tested below 0.95.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     copies = (

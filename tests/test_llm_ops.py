@@ -299,3 +299,41 @@ def test_hot_bucket_star_mode_caps_candidates(spark, sf_dir):
     kept = dedup.dedup_keep_representatives(corpus, pairs)
     survivors = {r.doc_id for r in kept.select("doc_id").collect()}
     assert survivors & group_ids == {0}
+
+
+def test_multi_table_lsh_amplifies_recall(spark, sf_dir):
+    """OR-amplification: noisy copies (cosine ~0.9-0.98, below the
+    single-table sweet spot) are recovered at materially higher recall
+    with 4 independent plane families than with 1 — all deterministic
+    (fixed hyperplane hashes, fixed data)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    # noisy copy: x + 0.25 * reverse(x) → cosine(x, copy) ≈ 0.93-0.99
+    copies = emb.select(
+        (F.col("vec_id") + dedup.DUP_OFFSET).alias("vec_id"),
+        F.expr(
+            "zip_with(embedding, reverse(embedding), "
+            "(x, y) -> CAST(x + 0.25 * y AS FLOAT))"
+        ).alias("embedding"),
+    )
+    vecs = emb.select("vec_id", "embedding").unionByName(copies)
+
+    threshold = 0.9
+    planted = {
+        (r.vec_id, r.vec_id + dedup.DUP_OFFSET)
+        for r in emb.select("vec_id").collect()
+    }
+
+    def recall(n_tables):
+        found = {
+            (r.vec_a, r.vec_b)
+            for r in dedup.embed_neardup_pairs(
+                vecs, threshold=threshold, n_tables=n_tables
+            ).collect()
+        }
+        hits = found & planted
+        return len(hits) / len(planted)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.7, f"4-table recall too low: {r4:.2f} (1-table {r1:.2f})"
+    assert r4 - r1 >= 0.1, f"amplification had no effect: {r1:.2f}->{r4:.2f}"
