@@ -52,6 +52,9 @@ class Snapshot:
     # analog of Delta's `txn` action: appId + batch version recorded
     # with the commit so retried micro-batches are detectable).
     props: dict[str, Any] = field(default_factory=dict)
+    # Metadata-only dropped columns, hidden at read time (Iceberg
+    # drop-column semantics: zero data files rewritten).
+    drops: list[str] = field(default_factory=list)
 
 
 class VersionedTable:
@@ -98,6 +101,7 @@ class VersionedTable:
         rel = self._new_data_dir(version)
         df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
         prev_renames = snaps[-1].renames if snaps else []
+        prev_drops = snaps[-1].drops if snaps else []
         self._commit(
             Snapshot(
                 version=version,
@@ -106,6 +110,7 @@ class VersionedTable:
                 files=[*base_files, rel],
                 renames=list(prev_renames),
                 props=dict(props or {}),
+                drops=list(prev_drops),
             )
         )
         return version
@@ -210,6 +215,30 @@ class VersionedTable:
                 operation=f"RENAME {old}->{new}",
                 files=list(last.files),
                 renames=[*last.renames, [old, new]],
+                drops=list(last.drops),
+            )
+        )
+        return len(snaps)
+
+    def drop_column(self, col: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only like rename: the
+        column is hidden at read time (Iceberg drop semantics); zero
+        data files rewritten, and time travel to earlier versions
+        still shows it."""
+        snaps = self._load()
+        if not snaps:
+            raise ValueError("drop on empty table")
+        last = snaps[-1]
+        if col in last.drops:
+            raise ValueError(f"column already dropped: {col}")
+        self._commit(
+            Snapshot(
+                version=len(snaps),
+                timestamp_ms=int(time.time() * 1000),
+                operation=f"DROP COLUMN {col}",
+                files=list(last.files),
+                renames=list(last.renames),
+                drops=[*last.drops, col],
             )
         )
         return len(snaps)
@@ -236,6 +265,8 @@ class VersionedTable:
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         for old, new in snap.renames:
             df = df.withColumnRenamed(old, new)
+        if snap.drops:
+            df = df.drop(*[c for c in snap.drops if c in df.columns])
         return df
 
     def history(self) -> DataFrame:
@@ -254,6 +285,36 @@ class VersionedTable:
         return self.spark.createDataFrame(
             rows,
             schema="version int, timestamp_ms long, operation string, n_files int",
+        )
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """Iceberg ``.files`` metadata-table analog: one row per data
+        directory of the (current or time-travelled) snapshot with its
+        parquet file count and byte size — the inputs a planner or a
+        compaction policy would inspect."""
+        snaps = self._load()
+        if not snaps:
+            raise FileNotFoundError(f"no table at {self.path}")
+        snap = snaps[-1] if version is None else snaps[version]
+        rows: list[dict[str, Any]] = []
+        for rel in snap.files:
+            full = os.path.join(self.path, rel)
+            parts = [
+                f
+                for f in os.listdir(full)
+                if f.endswith(".parquet") and not f.startswith("_")
+            ]
+            rows.append(
+                {
+                    "data_dir": rel,
+                    "n_parquet_files": len(parts),
+                    "bytes": sum(
+                        os.path.getsize(os.path.join(full, f)) for f in parts
+                    ),
+                }
+            )
+        return self.spark.createDataFrame(
+            rows, schema="data_dir string, n_parquet_files int, bytes long"
         )
 
     def vacuum(self, retain_last: int = 1) -> list[str]:

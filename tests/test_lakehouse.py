@@ -197,3 +197,31 @@ def test_delta_backend_roundtrip(spark, tmp_path):
     t.append(batch, {"stream_batch_id": 7})
     t.append(batch, {"stream_batch_id": 7})
     assert t.read().count() == 11
+
+
+def test_drop_column_metadata_only_and_time_travel(spark, tmp_path):
+    """DROP COLUMN hides the column without rewriting data; time travel
+    to the pre-drop version still shows it; a post-drop append keeps
+    the drop in effect."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a", 10.0)], "id long, name string, secret double"))
+    v = t.drop_column("secret")
+    assert "secret" not in t.read().columns
+    assert "secret" in t.read(version=v - 1).columns  # time travel
+    t.append(spark.createDataFrame([(2, "b", 20.0)], "id long, name string, secret double"))
+    assert "secret" not in t.read().columns
+    assert t.read().count() == 2
+    with pytest.raises(ValueError):
+        t.drop_column("secret")
+
+
+def test_files_metadata_table(spark, tmp_path):
+    """files() lists one row per live data dir with real sizes, and
+    tracks time travel."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(10).coalesce(1))
+    t.append(spark.range(5).coalesce(1))
+    f = t.files().collect()
+    assert len(f) == 2  # create dir + append dir
+    assert all(r.n_parquet_files >= 1 and r.bytes > 0 for r in f)
+    assert len(t.files(version=0).collect()) == 1
