@@ -317,6 +317,16 @@ class VersionedTable:
             rows, schema="data_dir string, n_parquet_files int, bytes long"
         )
 
+    def compact(self) -> int:
+        """OPTIMIZE-style compaction: rewrite the current snapshot's
+        data directories (one per append — a streaming sink produces
+        one per micro-batch) into a single directory as a new
+        snapshot. Older versions stay time-travellable until
+        ``vacuum``; reads after compaction open one dir instead of N
+        (the small-files problem is a listing/open-cost problem at
+        100 TB, not a correctness one)."""
+        return self._write(self.read(), "COMPACT", [])
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """VACUUM (``03_delta_demo.ipynb:182-186``): drop data dirs not
         referenced by the ``retain_last`` most recent snapshots; those

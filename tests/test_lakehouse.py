@@ -225,3 +225,21 @@ def test_files_metadata_table(spark, tmp_path):
     assert len(f) == 2  # create dir + append dir
     assert all(r.n_parquet_files >= 1 and r.bytes > 0 for r in f)
     assert len(t.files(version=0).collect()) == 1
+
+
+def test_compact_collapses_snapshot_dirs(spark, tmp_path):
+    """Compaction rewrites N per-append dirs into one, preserving rows
+    and time travel; vacuum afterwards reclaims the old dirs."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(10).coalesce(1))
+    t.append(spark.range(10, 15).coalesce(1))
+    t.append(spark.range(15, 18).coalesce(1))
+    assert t.files().count() == 3
+    v = t.compact()
+    assert t.files().count() == 1
+    assert t.read().count() == 18
+    assert t.read(version=v - 1).count() == 18  # pre-compact still reads
+    assert "COMPACT" in {r.operation for r in t.history().collect()}
+    removed = t.vacuum(retain_last=1)
+    assert len(removed) == 3  # the pre-compaction dirs are reclaimed
+    assert t.read().count() == 18
