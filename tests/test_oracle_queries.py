@@ -56,3 +56,34 @@ def test_bench_headline_ids_resolve():
 
     missing = [q for q in bench.HEADLINE if q not in registry.QUERIES]
     assert not missing, missing
+
+
+SQL_PARITY_IDS = [
+    # oracles written in the ANSI subset BOTH engines parse — running
+    # them through spark.sql on registered views must reproduce the
+    # DataFrame-API result exactly (the reference's primary interface
+    # is spark.sql over catalog views, SURVEY §3.1)
+    "j8_star_join",
+    "x1_q3_shipping",
+    "x2_q10_returns",
+    "a1_count",
+    "a3_sum",
+    "a11_gsets",
+    "u5b_pandas_grouped_agg",
+]
+
+
+@pytest.mark.parametrize("qid", SQL_PARITY_IDS)
+def test_sql_entrypoint_parity(qid, spark, sf_dir):
+    from dst_spark_k8_lakehouse_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    via_sql = registry.ORACLES[qid]
+    a = registry.QUERIES[qid](spark, sf_dir).toPandas()
+    b = spark.sql(via_sql).toPandas()
+    a = a[sorted(a.columns)]
+    b = b[sorted(b.columns)]
+    assert sorted(a.columns) == sorted(b.columns)
+    ra = sorted(map(str, a.itertuples(index=False, name=None)))
+    rb = sorted(map(str, b.itertuples(index=False, name=None)))
+    assert ra == rb, f"{qid}: spark.sql result differs from DataFrame API"
