@@ -296,9 +296,10 @@ def x1_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite workload (TPC-H Q3 shape): selective dimension filter →
     two fact joins → group → top-k by revenue. The composition proof
     that the operator inventory works *together*: predicate pushdown on
-    three scans, broadcast of the filtered customer side, partial agg,
-    TakeOrderedAndProject for the top-20. Deterministic tiebreak on
-    l_orderkey keeps the cut hash-stable."""
+    three scans, stats-driven auto-broadcast of the filtered customer
+    side (no forced hint — it degrades to a shuffle join safely at
+    SF=1000), partial agg, TakeOrderedAndProject for the top-20.
+    Deterministic tiebreak on l_orderkey keeps the cut hash-stable."""
     customer = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -314,9 +315,14 @@ def x1_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > "1996-01-01")
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
+    # no broadcast HINT on the filtered customer side: a hint FORCES
+    # broadcast at any size (OOM at SF=1000, where one segment is
+    # ~30M rows); the static planner/AQE auto-broadcasts it locally
+    # from stats and degrades to shuffle when it outgrows the
+    # threshold — hints are reserved for guaranteed-small dims (j5)
     return (
         lineitem.join(
-            orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey),
+            orders.join(customer, orders.o_custkey == customer.c_custkey),
             lineitem.l_orderkey == orders.o_orderkey,
         )
         .groupBy(
@@ -355,13 +361,15 @@ def x2_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter → fact-fact join → two dimension joins → group → top-20.
 
     Plan: both fact filters push to the scans; the date-filtered
-    orders slice (≈8% of orders) broadcasts into lineitem so the big
-    fact never shuffles pre-aggregation; customer and nation broadcast;
-    partial agg before the single groupBy shuffle;
-    ``TakeOrderedAndProject`` for the top-20 with a c_custkey
-    tiebreak. At SF=1000 the orders slice outgrows the broadcast
-    threshold and AQE degrades it to a shuffle join on o_orderkey —
-    the same plan Q10 wants at that scale."""
+    orders slice (≈8% of orders) auto-broadcasts into lineitem from
+    stats so the big fact never shuffles pre-aggregation locally;
+    nation broadcasts by hint (guaranteed small at any SF); customer
+    auto-broadcasts. No hints on data-dependent sides — a hint FORCES
+    broadcast at any size, while the stats/AQE decision degrades the
+    orders and customer joins to shuffles at SF=1000, the plan Q10
+    wants at that scale. Partial agg before the single groupBy
+    shuffle; ``TakeOrderedAndProject`` for the top-20 with a
+    c_custkey tiebreak."""
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(
@@ -382,10 +390,8 @@ def x2_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", F.col("n_name").alias("nation")
     )
     return (
-        lineitem.join(
-            F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey
-        )
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
             F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
         )
