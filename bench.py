@@ -67,7 +67,9 @@ HEADLINE = [
     "l4_ann_ivf_probe",  # production path: probe a pre-built IVF index
     # (inline-rebuild variant l4_ann_ivf stays correctness-only)
     "j7_asof",
+    "u5b_pandas_grouped_agg",
     "t1_tumbling",
+    "t2_sliding",
     "t3_session",
 ]
 
