@@ -8,6 +8,7 @@ from dst_spark_k8_lakehouse_spark.operators import (  # noqa: F401
     joins,
     projections,
     setops,
+    skew,
     sorts,
     udfs,
     windows,

@@ -86,3 +86,81 @@ def salted_join(
         .drop("_salt")
         .select(key, *lcols, *[c for c in right.columns if c != key])
     )
+
+
+# -- driver-checkable queries: the rewrites must be RESULT-IDENTICAL to
+# the plain formulations, so each has the plain SQL as its oracle ------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from dst_spark_k8_lakehouse_spark.exact import cents  # noqa: E402
+from dst_spark_k8_lakehouse_spark.registry import query  # noqa: E402
+from dst_spark_k8_lakehouse_spark.sources.catalog import load_table  # noqa: E402
+
+
+@query(
+    "k1_salted_agg",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS total_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def k1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: skew-safe two-level aggregation — 600k rows funnel into
+    3 group keys (the hot-key shape AQE cannot split, because a single
+    KEY, not a single partition, is oversized). The salt stage caps any
+    reducer at ~1/16 of a hot key's rows; the refold stage is 48 rows.
+    Oracle = the plain GROUP BY: the rewrite must be result-identical.
+    """
+    return salted_agg(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        {
+            "n_items": (F.count("*"), F.sum),
+            "total_qty": (
+                F.sum(cents("l_quantity")),
+                lambda c: (F.sum(c) / 100).cast("double"),
+            ),
+        },
+        salt_source="l_orderkey",
+    )
+
+
+@query(
+    "k2_salted_join",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+)
+def k2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: left-salted shuffle join — lineitem keys salted by full-row
+    hash, orders exploded ×8 so every (key, salt) bucket matches; the
+    row multiset equals the plain join (asserted by the oracle's plain
+    JOIN). The shape for a hot-key fact-fact join where the right side
+    is too big to broadcast; right-side ×8 duplication buys left-side
+    reducer balance."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    return (
+        salted_join(li, od, "k", salt_buckets=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(cents("l_extendedprice")) / 100)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -66,6 +66,8 @@ PRIORITY: list[str] = [
     "x2_q10_returns",
     "a13_pivot",
     "a13_unpivot",
+    "k1_salted_agg",
+    "k2_salted_join",
     # untested in round 1 (registry positions 51-74)
     "p4_filter_and",
     "p5_null_filter",
