@@ -109,7 +109,14 @@ def _spread_for_python(df: DataFrame, key: str = "doc_id") -> DataFrame:
     at 100 TB the scan has thousands of splits and this adds nothing.
     Half the core count is the sweet spot locally: Python-worker
     round-trip overhead is per-task, and signature work per task is
-    small (32 tasks measured slower than 16)."""
+    small (32 tasks measured slower than 16).
+
+    CALLER BEWARE: the ``df.rdd`` partition probe eagerly executes any
+    upstream shuffle stages under AQE — only apply this to scan-shaped
+    inputs (callers with shuffle-heavy upstreams pass ``spread=False``
+    to ``signature_table``; post-shuffle partitioning is already
+    cluster-wide, so spreading would be a no-op bought at the price of
+    running the upstream twice)."""
     target = max(4, df.sparkSession.sparkContext.defaultParallelism // 2)
     if df.rdd.getNumPartitions() >= target:
         return df
@@ -197,14 +204,19 @@ def minhash_signature(tok_col: str, num_hashes: int = 32, shingle_n: int = 3):
 
 
 def signature_table(
-    docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3
+    docs: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """(doc_id, mh, shash) — the persistable dedup state. At corpus
     scale this is computed once per ingest batch and written as a table
     (see ``incremental_neardup``); signatures are deterministic, so
-    re-ingesting a doc reproduces its row exactly."""
+    re-ingesting a doc reproduces its row exactly. ``spread=False``
+    skips the local-parallelism repartition — REQUIRED when ``docs``
+    has shuffle stages upstream (see ``_spread_for_python``)."""
     return (
-        _spread_for_python(docs)
+        (_spread_for_python(docs) if spread else docs)
         .withColumn("tok", _tokens())
         .withColumn("ms", minhash_signature("tok", num_hashes, shingle_n))
         .filter(F.size("ms.shash") > 0)
@@ -275,7 +287,14 @@ def incremental_neardup(
     rows (40 numbers/doc) of the existing corpus are read, and the band
     join touches just the buckets the new docs land in.
     """
-    new_sigs = signature_table(new_docs, num_hashes)
+    # spread=False: ingest batches typically arrive post-transform with
+    # shuffle-wide partitioning, and the spread probe would re-execute
+    # that upstream. localCheckpoint: the signature UDF output feeds the
+    # band join AND is returned for the caller's state append — pin it
+    # so the Python stage runs once, not once per consumer.
+    new_sigs = signature_table(new_docs, num_hashes, spread=False).localCheckpoint(
+        eager=False
+    )
     all_sigs = existing_sigs.unionByName(new_sigs)
     new_banded = banded_signatures(new_sigs, num_hashes, bands).alias("r")
     all_banded = banded_signatures(all_sigs, num_hashes, bands).alias("l")
@@ -301,6 +320,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     max_pairs_bucket: int | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -323,7 +343,9 @@ def minhash_lsh_candidates(
     hub verifies against essentially all members.
     """
     banded = banded_signatures(
-        signature_table(docs, num_hashes, shingle_n), num_hashes, bands
+        signature_table(docs, num_hashes, shingle_n, spread=spread),
+        num_hashes,
+        bands,
     )
     if max_pairs_bucket is not None:
         stats = banded.groupBy("band", "sig").agg(
@@ -705,49 +727,8 @@ def l2_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", F.expr("transform(embedding, x -> x * CAST(1.01 AS FLOAT))")
         )
     )
-    vecs = emb.unionByName(copies).withColumn(
-        "norm",
-        F.expr(
-            "sqrt(aggregate(embedding, 0D, "
-            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-        ),
-    )
-    # plane p coefficient for dim d: ±1 from the hash parity — a valid
-    # (if coarse) random-hyperplane family, fully deterministic
-    sign_bits = [
-        F.expr(
-            "CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0D, "
-            f"(acc, i) -> acc + (CASE WHEN pmod(xxhash64('plane{p}', "
-            "CAST(i AS STRING)), 2) = 0 THEN 1 ELSE -1 END) "
-            "* CAST(element_at(embedding, i + 1) AS DOUBLE)) > 0 "
-            f"THEN {1 << p} ELSE 0 END"
-        )
-        for p in range(8)
-    ]
-    bucketed = vecs.withColumn(
-        "bucket", sum(sign_bits[1:], start=sign_bits[0]).cast("int")
-    ).localCheckpoint(eager=False)  # 8 HOF plane-projections run once
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.embedding, b.embedding, "
-        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, "
-        "(acc, v) -> acc + v)"
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
-        .filter(F.col("cosine") >= 0.99)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine"),
-        )
-    )
+    vecs = emb.unionByName(copies).select("vec_id", "embedding")
+    return embed_neardup_pairs(vecs, threshold=0.99, n_planes=8, n_tables=1)
 
 
 def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -335,15 +335,20 @@ def a13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a new status silently widens the table downstream). Explicit
     values keep it one pass + one shuffle (partial agg on
     (priority, status) before the exchange) and a fixed contract.
-    Cents-exact sums; absent cells are 0 (coalesced), matching the
-    oracle's CASE form."""
+    Cents-exact sums. Absent (priority, status) cells must be 0 like
+    the oracle's CASE…ELSE 0 — and a coalesce INSIDE ``agg()`` cannot
+    do that: Spark's PivotFirst rewrite fills missing cells with NULL
+    *after* the aggregate runs, so the fill has to happen post-pivot
+    (``na.fill`` on the pivoted columns)."""
     from dst_spark_k8_lakehouse_spark.exact import cents
 
+    statuses = ["F", "O", "P"]
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg((F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)) / 100).cast("double"))
+        .pivot("o_orderstatus", statuses)
+        .agg((F.sum(cents("o_totalprice")) / 100).cast("double"))
+        .na.fill(0.0, statuses)
     )
 
 

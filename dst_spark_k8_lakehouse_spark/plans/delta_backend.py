@@ -7,30 +7,51 @@ The reference's table layer is real Delta 3.2 / Iceberg 1.9
 ``VersionedTable`` with equivalent semantics — but when the jars ARE
 present (``session._lakehouse_extensions`` detects them and wires the
 Catalyst extension), ``open_table`` below returns a Delta-backed
-implementation of the same API instead, and every snapshot/time-travel/
-DML call maps onto the native Delta transaction log:
+implementation of the SAME call surface, and every snapshot/
+time-travel/DML call maps onto the native Delta transaction log:
 
 | VersionedTable            | Delta mapping                           |
 |---------------------------|-----------------------------------------|
 | create/append/overwrite   | ``write.format("delta").mode(...)``     |
 | read(version=N)           | ``option("versionAsOf", N)``            |
-| history()                 | ``DeltaTable.history()``                |
-| update/delete/merge       | ``DeltaTable.update/delete/merge``      |
-| vacuum()                  | ``DeltaTable.vacuum()``                 |
-| append props (stream txn) | ``option("txnAppId"/"txnVersion")``     |
+| history()                 | ``DeltaTable.history()``, ops mapped    |
+| update/delete             | ``DeltaTable.update/delete``            |
+| merge(source, on=[keys])  | ``DeltaTable.merge`` (condition built)  |
+| vacuum()                  | ``DeltaTable.vacuum()`` — see note      |
+| append props (stream txn) | ``txnAppId``/``txnVersion`` + sidecar   |
 
-Use ``open_table(spark, path)`` rather than naming a backend: callers
-get Delta semantics wherever the runtime provides them and the
-parquet-native fallback everywhere else, with identical call sites.
+API-compatibility notes (enforced, not aspirational):
+
+- ``merge`` takes the SAME ``(source, on: list[str],
+  update_when_matched, insert_when_not_matched)`` signature as
+  ``VersionedTable.merge`` and performs the same duplicate-source-key
+  check; the Delta join condition is built from the key list.
+- ``vacuum`` is the one semantic divergence the formats force:
+  snapshot-count retention (parquet manifest) vs hour-based retention
+  (Delta). Both are KEYWORD-ONLY (``retain_last=`` vs
+  ``retain_hours=``) so a call written for one backend fails loudly on
+  the other instead of silently reinterpreting a positional number.
+- ``committed_props("stream_batch_id")`` works on both backends: Delta
+  does NOT surface ``txn`` actions through DESCRIBE HISTORY, so this
+  backend also records stream batch ids in a ``_stream_txns.json``
+  sidecar (atomic rename, like the manifest). The native
+  ``txnAppId/txnVersion`` options are STILL set — Delta itself skips a
+  replayed (appId, version) commit, so idempotence holds even if the
+  sidecar is lost; the sidecar only answers the lookup.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
 from dst_spark_k8_lakehouse_spark.plans.table import VersionedTable
+
+_TXN_SIDECAR = "_stream_txns.json"
 
 
 def delta_available() -> bool:
@@ -60,19 +81,38 @@ class DeltaBackedTable:
 
         return DeltaTable.forPath(self.spark, self.path)
 
+    def _txn_path(self) -> str:
+        return os.path.join(self.path, _TXN_SIDECAR)
+
+    def _record_txn(self, batch_id: Any) -> None:
+        ids = sorted({*self._txn_ids(), batch_id})
+        tmp = self._txn_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(ids, f)
+        os.replace(tmp, self._txn_path())
+
+    def _txn_ids(self) -> set[Any]:
+        if not os.path.exists(self._txn_path()):
+            return set()
+        with open(self._txn_path()) as f:
+            return set(json.load(f))
+
     def _write(self, df: DataFrame, mode: str, props: dict[str, Any] | None) -> int:
         writer = df.write.format("delta").mode(mode)
         if mode == "append":
             writer = writer.option("mergeSchema", "true")
         else:
             writer = writer.option("overwriteSchema", "true")
-        if props and "stream_batch_id" in props:
+        batch_id = (props or {}).get("stream_batch_id")
+        if batch_id is not None:
             # Delta's idempotent-writes contract: same (appId, version)
-            # pair commits at most once — the native form of
-            # VersionedTable's stream_batch_id snapshot prop.
-            writer = writer.option("txnAppId", props.get("app_id", self.path))
-            writer = writer.option("txnVersion", int(props["stream_batch_id"]))
+            # commits at most once even on replay.
+            writer = writer.option(
+                "txnAppId", str((props or {}).get("app_id", self.path))
+            ).option("txnVersion", int(batch_id))
         writer.save(self.path)
+        if batch_id is not None:
+            self._record_txn(batch_id)
         return self._latest_version()
 
     def _latest_version(self) -> int:
@@ -105,51 +145,68 @@ class DeltaBackedTable:
     def merge(
         self,
         source: DataFrame,
-        on: str,
-        update_set: dict[str, str] | None = None,
-        insert_values: dict[str, str] | None = None,
+        on: list[str],
+        update_when_matched: bool = True,
+        insert_when_not_matched: bool = True,
     ) -> int:
-        m = self._dt().alias("t").merge(source.alias("s"), on)
-        m = (
-            m.whenMatchedUpdate(set=update_set)
-            if update_set
-            else m.whenMatchedUpdateAll()
+        """Same signature and semantics as ``VersionedTable.merge``:
+        key-list join, unique-source-key requirement, update-all /
+        insert-all behavior toggles."""
+        dup_keys = (
+            source.groupBy(*on).count().where("count > 1").limit(1).count()
         )
-        m = (
-            m.whenNotMatchedInsert(values=insert_values)
-            if insert_values
-            else m.whenNotMatchedInsertAll()
-        )
+        if dup_keys:
+            raise ValueError("MERGE source has duplicate keys")
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in on)
+        m = self._dt().alias("t").merge(source.alias("s"), cond)
+        if update_when_matched:
+            m = m.whenMatchedUpdateAll()
+        if insert_when_not_matched:
+            m = m.whenNotMatchedInsertAll()
         m.execute()
         return self._latest_version()
 
     def history(self) -> DataFrame:
-        return (
-            self._dt()
-            .history()
-            .selectExpr(
-                "CAST(version AS INT) AS version",
-                "CAST(timestamp AS LONG) * 1000 AS timestamp_ms",
-                "upper(operation) AS operation",
+        """Same shape as ``VersionedTable.history`` (version,
+        timestamp_ms, operation, n_files), with Delta operation names
+        mapped onto the manifest vocabulary (WRITE+Append → APPEND,
+        first WRITE → CREATE, …) and n_files from operationMetrics."""
+        from pyspark.sql import functions as F
+
+        hist = self._dt().history()
+        mode = F.col("operationParameters").getItem("mode")
+        op = (
+            F.when(
+                (F.col("operation") == "WRITE") & (mode == "Append"), "APPEND"
             )
+            .when(
+                (F.col("operation") == "WRITE") & (F.col("version") == 0),
+                "CREATE",
+            )
+            .when(F.col("operation") == "WRITE", "OVERWRITE")
+            .otherwise(F.upper(F.col("operation")))
+        )
+        return hist.select(
+            F.col("version").cast("int").alias("version"),
+            (F.col("timestamp").cast("long") * 1000).alias("timestamp_ms"),
+            op.alias("operation"),
+            F.col("operationMetrics")
+            .getItem("numFiles")
+            .cast("int")
+            .alias("n_files"),
         )
 
-    def vacuum(self, retain_hours: float = 168.0) -> list[str]:
+    def vacuum(self, *, retain_hours: float = 168.0) -> list[str]:
+        """Hour-based retention (the Delta contract) — keyword-only so a
+        parquet-backend ``vacuum(retain_last=…)`` call fails loudly here
+        rather than silently meaning something else."""
         self._dt().vacuum(retain_hours)
         return []  # Delta logs removed files itself; nothing to report
 
     def committed_props(self, key: str) -> set[Any]:
         if key != "stream_batch_id":
             return set()
-        from delta.tables import DeltaTable
-
-        hist = DeltaTable.forPath(self.spark, self.path).history()
-        # txnVersion surfaces in operationParameters for txn commits
-        return {
-            int(r["operationParameters"]["txnVersion"])
-            for r in hist.collect()
-            if (r["operationParameters"] or {}).get("txnVersion") is not None
-        }
+        return self._txn_ids()
 
 
 def open_table(

@@ -138,11 +138,11 @@ class VersionedTable:
             s.props[key] for s in self._load() if key in s.props
         }
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, props: dict[str, Any] | None = None) -> int:
         """INSERT OVERWRITE / ``mode("overwrite")`` (``demo.py:153``,
         ``03_delta_demo.ipynb:102-104``): new snapshot references only
         the new files; old files stay for time travel until VACUUM."""
-        return self._write(df, "OVERWRITE", [])
+        return self._write(df, "OVERWRITE", [], props)
 
     def update(self, condition: str, assignments: dict[str, str]) -> int:
         """Row-level UPDATE (``UPDATE t SET … WHERE …``,
@@ -327,11 +327,14 @@ class VersionedTable:
         100 TB, not a correctness one)."""
         return self._write(self.read(), "COMPACT", [])
 
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(self, *, retain_last: int = 1) -> list[str]:
         """VACUUM (``03_delta_demo.ipynb:182-186``): drop data dirs not
         referenced by the ``retain_last`` most recent snapshots; those
         older versions stop being time-travellable — same trade-off the
-        reference demos with ``RETAIN 0 HOURS``."""
+        reference demos with ``RETAIN 0 HOURS``. Keyword-only: the
+        Delta backend's retention unit is hours (``retain_hours=``),
+        so a positional number must not silently change meaning across
+        backends."""
         import shutil
 
         snaps = self._load()

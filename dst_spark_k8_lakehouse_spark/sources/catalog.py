@@ -49,7 +49,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     hit = _TABLE_CACHE.get((sf_dir, name))
     if hit is not None:
-        return hit
+        # guard against a cache populated by a stopped session: a
+        # DataFrame bound to a dead SparkContext fails far from the
+        # cause ("SparkContext has been shut down")
+        if hit.sparkSession is spark:
+            return hit
+        _TABLE_CACHE.pop((sf_dir, name), None)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(

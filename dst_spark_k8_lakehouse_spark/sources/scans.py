@@ -104,6 +104,11 @@ def jdbc_table_source(
         "dbtable", table
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound "
+                "(Spark issues numPartitions bounded range queries)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -61,9 +61,11 @@ def neardup_dedup(
     cluster (dropping the second doc of every pair independently would
     over-delete on chains a~b~c where a and c are NOT near-dups);
     returns (kept docs, signature table for incremental reuse)."""
-    sigs = dedup.signature_table(docs)
+    # spread=False: docs is the silver layer (window + filter upstream),
+    # already shuffle-wide; the spread probe would re-run that pipeline
+    sigs = dedup.signature_table(docs, spread=False)
     pairs = dedup.verified_pairs(
-        dedup.minhash_lsh_candidates(docs), sigs, threshold
+        dedup.minhash_lsh_candidates(docs, spread=False), sigs, threshold
     )
     kept = dedup.dedup_keep_representatives(docs, pairs)
     return kept, sigs.join(

@@ -166,16 +166,30 @@ def test_open_table_backend_selection(spark, tmp_path):
         open_table,
     )
 
+    import inspect
+
     t = open_table(spark, str(tmp_path / "t"))
     expected = DeltaBackedTable if delta_available() else VersionedTable
     assert isinstance(t, expected)
-    # API-compatible subset both backends must serve
+    # call-site compatibility: same parameter names for the shared
+    # surface (not just method existence) — a signature drift between
+    # backends breaks the open_table contract silently
     for method in (
         "create", "append", "overwrite", "read", "update", "delete",
-        "merge", "history", "vacuum", "committed_props",
+        "merge", "history", "committed_props",
     ):
-        assert callable(getattr(VersionedTable, method)), method
-        assert callable(getattr(DeltaBackedTable, method)), method
+        pv = list(inspect.signature(getattr(VersionedTable, method)).parameters)
+        pd_ = list(inspect.signature(getattr(DeltaBackedTable, method)).parameters)
+        assert pv == pd_, f"{method}: {pv} != {pd_}"
+    # vacuum diverges semantically (snapshot-count vs hours) — both
+    # must be keyword-only so a positional number cannot silently
+    # change meaning across backends
+    for cls in (VersionedTable, DeltaBackedTable):
+        params = inspect.signature(cls.vacuum).parameters
+        assert all(
+            p.kind == inspect.Parameter.KEYWORD_ONLY
+            for n, p in params.items() if n != "self"
+        ), cls
 
 
 def test_delta_backend_roundtrip(spark, tmp_path):

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dst_spark_k8_lakehouse_spark import registry
 
@@ -87,3 +88,25 @@ def test_sql_entrypoint_parity(qid, spark, sf_dir):
     ra = sorted(map(str, a.itertuples(index=False, name=None)))
     rb = sorted(map(str, b.itertuples(index=False, name=None)))
     assert ra == rb, f"{qid}: spark.sql result differs from DataFrame API"
+
+
+def test_pivot_absent_cell_is_zero(spark, sf_dir):
+    """A (priority, status) combination with no rows must pivot to 0.0,
+    not NULL — Spark fills missing pivot cells with NULL after the
+    aggregate, so the fill must be post-pivot (regression for the
+    coalesce-inside-agg bug, which only surfaced on data where some
+    combination is absent)."""
+    from dst_spark_k8_lakehouse_spark.exact import cents
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        ~((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "P"))
+    )
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg((F.sum(cents("o_totalprice")) / 100).cast("double"))
+        .na.fill(0.0, ["F", "O", "P"])
+    )
+    row = out.filter("o_orderpriority = '1-URGENT'").head()
+    assert row.P == 0.0  # absent cell: zero, never NULL
