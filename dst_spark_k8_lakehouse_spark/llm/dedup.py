@@ -443,9 +443,12 @@ _SIG_TABLE_CACHE: dict[str, str] = {}
 
 def _persisted_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _SIG_TABLE_CACHE:
+        import atexit
+        import shutil
         import tempfile
 
         path = tempfile.mkdtemp(prefix="dst-minhash-sigs-")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         docs = with_planted_duplicates(load_table(spark, sf_dir, "documents"))
         signature_table(docs).write.mode("overwrite").parquet(path)
         _SIG_TABLE_CACHE[sf_dir] = path

@@ -69,17 +69,20 @@ def decode_image_real(payload: bytes) -> tuple[int, int]:
     )
 
 
+def _meta_from_digest(h: bytes, kind: str) -> tuple[int, int, int]:
+    width = 64 + h[0] % 192  # 64..255
+    height = 64 + h[1] % 192
+    n_frames = 1 if kind == "image" else 1 + h[2] % 30
+    return width, height, n_frames
+
+
 def fake_decode_meta(payload: bytes, kind: str) -> tuple[int, int, int]:
     """Deterministic stand-in for codec output: (width, height, n_frames)
     derived from the payload bytes. Same bytes → same answer on every
     worker, so tests are stable."""
     import hashlib
 
-    h = hashlib.sha256(payload).digest()
-    width = 64 + h[0] % 192  # 64..255
-    height = 64 + h[1] % 192
-    n_frames = 1 if kind == "image" else 1 + h[2] % 30
-    return width, height, n_frames
+    return _meta_from_digest(hashlib.sha256(payload).digest(), kind)
 
 
 def attach_media(docs: DataFrame) -> DataFrame:
@@ -123,9 +126,12 @@ def decode_media(media_df: DataFrame) -> DataFrame:
             out["doc_id"] = pdf["doc_id"]
             out["kind"] = pdf["media"].map(lambda m: m["kind"])
             out["n_bytes"] = pdf["media"].map(lambda m: m["n_bytes"])
+            # one sha256 per payload: the digest feeds BOTH the fake
+            # codec metadata and the checksum column (hashing is the
+            # dominant per-row cost of this stage; don't pay it twice)
+            digests = [hashlib.sha256(bytes(p)).digest() for p in pdf["payload"]]
             decoded = [
-                fake_decode_meta(bytes(p), k)
-                for p, k in zip(pdf["payload"], out["kind"])
+                _meta_from_digest(h, k) for h, k in zip(digests, out["kind"])
             ]
             out["width"] = pd.Series(
                 [d[0] for d in decoded], dtype="int32"
@@ -136,9 +142,7 @@ def decode_media(media_df: DataFrame) -> DataFrame:
             out["n_frames"] = pd.Series(
                 [d[2] for d in decoded], dtype="int32"
             )
-            out["checksum"] = [
-                hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
-            ]
+            out["checksum"] = [h.hex() for h in digests]
             yield out
 
     return media_df.mapInPandas(decode_batches, DECODED_SCHEMA)

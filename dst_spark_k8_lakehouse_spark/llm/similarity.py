@@ -45,8 +45,15 @@ def norm(a: str) -> Column:
     return F.sqrt(F.expr(DOT.format(a=a, b=a)))
 
 
+def _safe_div(num: Column, den: Column) -> Column:
+    """0.0 on a zero denominator: a zero-norm embedding (padding row,
+    failed embed call) must score 0, not kill the job — Spark 4's
+    default ANSI mode raises on x/0 instead of returning inf."""
+    return F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+
+
 def cosine(a: str, b: str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return _safe_div(dot(a, b), norm(a) * norm(b))
 
 
 @query(
@@ -90,8 +97,10 @@ def l4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.floor(
                     1e6
-                    * dot("embedding", "qv")
-                    / (norm("embedding") * F.col("qn"))
+                    * _safe_div(
+                        dot("embedding", "qv"),
+                        norm("embedding") * F.col("qn"),
+                    )
                 )
                 / 1e6
             ).alias("cosine"),
@@ -152,8 +161,10 @@ def l4_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.floor(
                     1e6
-                    * dot("embedding", "qv")
-                    / (norm("embedding") * F.col("qn"))
+                    * _safe_div(
+                        dot("embedding", "qv"),
+                        norm("embedding") * F.col("qn"),
+                    )
                 )
                 / 1e6
             ).alias("cosine"),
@@ -209,7 +220,10 @@ def build_ivf_index(
         "norm", norm("embedding")
     )
     table = VersionedTable(vectors.sparkSession, index_path)
-    table.create(assigned)
+    # n_cells is INDEX state, not a query-time choice: persist it with
+    # the snapshot so queries cannot probe with a mismatched cell count
+    # (which would silently make some cells unreachable)
+    table.create(assigned, props={"ivf_n_cells": n_cells})
     return table
 
 
@@ -219,17 +233,27 @@ def query_ivf_index(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 2,
-    n_cells: int = 8,
     exclude_vec_id: int | None = None,
 ) -> DataFrame:
     """Probe-path ANN query against a persisted IVF index: rank cells by
     centroid similarity (tiny driver-side list), scan only the nprobe
     best cells (pushed-down cell filter), brute-force within them.
-    ``exclude_vec_id`` drops a known row (e.g. the query vector itself
-    when it came from the corpus) BEFORE the top-k cut."""
+    ``n_cells`` is read from the index's snapshot props (persisted by
+    ``build_ivf_index``) — a caller-supplied value could silently
+    desynchronize from the stored assignment and make cells
+    unreachable. ``exclude_vec_id`` drops a known row (e.g. the query
+    vector itself when it came from the corpus) BEFORE the top-k cut."""
     from dst_spark_k8_lakehouse_spark.plans import VersionedTable
 
-    index = VersionedTable(spark, index_path).read()
+    table = VersionedTable(spark, index_path)
+    stored = table.committed_props("ivf_n_cells")
+    if not stored:
+        raise ValueError(
+            f"no ivf_n_cells prop at {index_path} — not an IVF index "
+            "built by build_ivf_index"
+        )
+    n_cells = max(stored)
+    index = table.read()
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     cents = index.filter(F.col("vec_id") < n_cells).select(
         "cell", F.col("embedding").alias("cv")
@@ -250,8 +274,9 @@ def query_ivf_index(
         .select(
             "vec_id",
             "label",
-            (F.floor(1e6 * dot("embedding", "qv") / (F.col("norm") * norm("qv")))
-             / 1e6).alias("cosine"),
+            (F.floor(1e6 * _safe_div(
+                dot("embedding", "qv"), F.col("norm") * norm("qv")
+            )) / 1e6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
@@ -270,16 +295,21 @@ def _ivf_probe_setup(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, list[float]]:
     if sf_dir not in _IVF_PROBE_CACHE:
+        import atexit
+        import shutil
         import tempfile
 
         emb = load_table(spark, sf_dir, "embeddings")
+        row = emb.filter(F.col("vec_id") == 0).head()
+        if row is None:
+            raise ValueError(
+                f"embeddings at {sf_dir} has no vec_id=0 row to use as "
+                "the probe query vector"
+            )
         path = tempfile.mkdtemp(prefix="dst-ivf-index-")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         build_ivf_index(emb, path, n_cells=8)
-        qvec = [
-            float(x)
-            for x in emb.filter(F.col("vec_id") == 0).head().embedding
-        ]
-        _IVF_PROBE_CACHE[sf_dir] = (path, qvec)
+        _IVF_PROBE_CACHE[sf_dir] = (path, [float(x) for x in row.embedding])
     return _IVF_PROBE_CACHE[sf_dir]
 
 

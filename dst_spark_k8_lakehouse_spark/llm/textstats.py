@@ -76,9 +76,11 @@ def l3_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id, n_tokens,
-               CAST(floor(1e4 * n_stop / n_tokens) / 1e4 AS DOUBLE)
+               CAST(CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE floor(1e4 * n_stop / n_tokens) / 1e4 END AS DOUBLE)
                    AS stop_ratio,
-               CAST(floor(1e4 * n_alpha / n_chars_raw) / 1e4 AS DOUBLE)
+               CAST(CASE WHEN n_chars_raw = 0 THEN 0.0
+                    ELSE floor(1e4 * n_alpha / n_chars_raw) / 1e4 END AS DOUBLE)
                    AS alpha_ratio,
                CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000
                           AND n_stop > 0 THEN 1 ELSE 0 END AS INT)
@@ -89,7 +91,12 @@ def l3_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: per-document quality signals (length band, stopword ratio,
     alphabetic-character ratio) + a keep/drop gate — the C4/Gopher-style
-    rule filter, entirely in whole-stage-codegen'd built-ins."""
+    rule filter, entirely in whole-stage-codegen'd built-ins.
+
+    Zero denominators are guarded (ratio → 0.0): a quality filter's
+    whole job is to ingest junk like empty documents, and Spark 4's
+    default ANSI mode turns an unguarded x/0 into a job-killing
+    SparkArithmeticException, not an inf."""
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -101,15 +108,17 @@ def l3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_raw"),
         F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
     )
+
+    def ratio(num: str, den: str):
+        return F.when(F.col(den) == 0, F.lit(0.0)).otherwise(
+            F.floor(1e4 * F.col(num) / F.col(den)) / 1e4
+        )
+
     return docs.select(
         "doc_id",
         "n_tokens",
-        (F.floor(1e4 * F.col("n_stop") / F.col("n_tokens")) / 1e4).alias(
-            "stop_ratio"
-        ),
-        (F.floor(1e4 * F.col("n_alpha") / F.col("n_chars_raw")) / 1e4).alias(
-            "alpha_ratio"
-        ),
+        ratio("n_stop", "n_tokens").alias("stop_ratio"),
+        ratio("n_alpha", "n_chars_raw").alias("alpha_ratio"),
         F.when(
             F.col("n_tokens").between(20, 1000) & (F.col("n_stop") > 0), 1
         )

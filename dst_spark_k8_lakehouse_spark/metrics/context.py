@@ -58,5 +58,16 @@ class MetricContext:
             status="success" if exc_type is None else "failure",
             duration_ms=int((time.time() - self._start) * 1000),
         )
-        self.logger.flush()
+        if exc_type is None:
+            self.logger.flush()
+        else:
+            # exceptional unwind: the flush is a Spark write, and if the
+            # block failed because the session/cluster died, that write
+            # raises too — which would REPLACE the original exception
+            # with the metrics failure and lose the root cause. Metrics
+            # are best-effort on the failure path; the job error wins.
+            try:
+                self.logger.flush()
+            except Exception:  # noqa: BLE001
+                pass
         return False  # never suppress (reference context.py:53)

@@ -1,22 +1,34 @@
 """Skew mitigation for joins and aggregations.
 
 AQE's skew-join splitting (on in ``session.py``) handles most hot keys
-at runtime by splitting oversized shuffle partitions. Two cases it does
-NOT cover, provided here as explicit rewrites:
+at runtime by splitting oversized shuffle partitions. These rewrites
+cover what it does not — with their limits stated honestly:
 
-- **salted aggregation**: a groupBy where one key holds a large share of
-  all rows still funnels that key's rows into one reducer. Two-level
-  aggregation (salt → partial agg → unsalt → final agg) caps any
-  reducer's input at ~1/salt of the hot key. Only works for
-  decomposable aggregates (sum/count/min/max — avg via sum+count).
-- **salted join**: a shuffle join where the *left* side has hot keys and
-  the right side is too big to broadcast outright. Salt the left key
-  with ``pmod(hash(row), n)``, explode the right side ×n so every salt
-  bucket finds its match — right-side duplication buys left-side
-  balance (classic trade; n stays small, 8-16).
+- **salted aggregation** (two-level: salt → partial → unsalt → final).
+  For plainly decomposable aggregates (sum/count/min/max) Spark's
+  map-side partial aggregation ALREADY absorbs key skew — a hot key
+  reaches its reducer as ~one partial row per map task, so salting
+  buys nothing there and costs a second shuffle. The rewrite earns its
+  keep when the per-key aggregation STATE is heavy — high-cardinality
+  ``collect_set``/exact-distinct style state that partial aggregation
+  must materialize per task per key — where the salt bounds any single
+  task's state to ~1/salt of the hot key. ``k1_salted_agg`` registers
+  the pattern with decomposable aggregates purely so the driver can
+  verify the refold is result-identical to the plain groupBy.
+- **salted join**: a shuffle join where the *left* side has hot keys
+  and the right side is too big to broadcast. Salt the left key with
+  ``pmod(xxhash64(full row), n)``, explode the right side ×n so every
+  salt bucket finds its match — right-side duplication buys left-side
+  balance (n stays small, 8-16). Caveat: the salt is a function of the
+  whole row, so IDENTICAL duplicate rows of a hot key land in one
+  bucket and get no relief — if the left side is pre-projected down to
+  the key (or heavily duplicated), keep a distinguishing column in the
+  frame or the salt degenerates.
 
-Both rewrites are deterministic (salt comes from column hashes, not
-RNG), so results are reproducible across runs and cluster sizes.
+Results are salt-independent by construction (the refold/union is
+exact), so both rewrites reproduce the plain answers on any cluster;
+``salt_source`` additionally makes the intermediate partitioning
+content-deterministic rather than partition-id-dependent.
 """
 
 from __future__ import annotations
@@ -110,12 +122,14 @@ from dst_spark_k8_lakehouse_spark.sources.catalog import load_table  # noqa: E40
     """,
 )
 def k1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1: skew-safe two-level aggregation — 600k rows funnel into
-    3 group keys (the hot-key shape AQE cannot split, because a single
-    KEY, not a single partition, is oversized). The salt stage caps any
-    reducer at ~1/16 of a hot key's rows; the refold stage is 48 rows.
-    Oracle = the plain GROUP BY: the rewrite must be result-identical.
-    """
+    """K1: the two-level salted-aggregation pattern, driver-verified
+    result-identical to the plain GROUP BY (the oracle). NOTE on when
+    this rewrite actually pays (module docstring): for these
+    decomposable aggregates partial aggregation already absorbs the
+    600k-rows-into-3-keys skew map-side — the registered query exists
+    to prove refold CORRECTNESS; reach for the pattern in production
+    only when per-key aggregation state is heavy (collect_set /
+    exact-distinct shapes)."""
     return salted_agg(
         load_table(spark, sf_dir, "lineitem"),
         ["l_returnflag"],

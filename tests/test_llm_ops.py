@@ -337,3 +337,38 @@ def test_multi_table_lsh_amplifies_recall(spark, sf_dir):
     assert r4 >= r1
     assert r4 >= 0.7, f"4-table recall too low: {r4:.2f} (1-table {r1:.2f})"
     assert r4 - r1 >= 0.1, f"amplification had no effect: {r1:.2f}->{r4:.2f}"
+
+
+def test_quality_score_survives_empty_text(spark, tmp_path):
+    """Spark 4 ANSI mode raises on x/0 — an empty document must score
+    ratio 0.0, not kill the quality-gate job (the filter's whole point
+    is ingesting junk)."""
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "", "en", "s", 0), (1, "the quick brown fox the", "en", "s", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in registry.QUERIES["l3_quality_score"](spark, d).collect()}
+    assert out[0].alpha_ratio == 0.0 and out[0].quality_keep == 0
+    assert out[1].alpha_ratio > 0
+
+
+def test_cosine_survives_zero_norm_vector(spark):
+    """A zero embedding (padding row / failed embed call) scores 0.0
+    under ANSI mode instead of raising DIVIDE_BY_ZERO."""
+    from dst_spark_k8_lakehouse_spark.llm import similarity
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    ).crossJoin(
+        spark.createDataFrame([([1.0, 1.0, 0.0, 0.0],)], "qv array<float>")
+    )
+    out = {
+        r.vec_id: r.c
+        for r in df.select(
+            "vec_id", similarity.cosine("embedding", "qv").alias("c")
+        ).collect()
+    }
+    assert out[0] == 0.0
+    assert abs(out[1] - 0.7071) < 1e-3
