@@ -272,6 +272,7 @@ def incremental_neardup(
     threshold: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
+    shingle_n: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup: check an ingest batch against an existing
     corpus WITHOUT rescanning the corpus text.
@@ -292,9 +293,11 @@ def incremental_neardup(
     # that upstream. localCheckpoint: the signature UDF output feeds the
     # band join AND is returned for the caller's state append — pin it
     # so the Python stage runs once, not once per consumer.
-    new_sigs = signature_table(new_docs, num_hashes, spread=False).localCheckpoint(
-        eager=False
-    )
+    # shingle_n MUST match how existing_sigs was built — mismatched
+    # shingle sizes make even exact copies score Jaccard ~0 silently
+    new_sigs = signature_table(
+        new_docs, num_hashes, shingle_n, spread=False
+    ).localCheckpoint(eager=False)
     all_sigs = existing_sigs.unionByName(new_sigs)
     new_banded = banded_signatures(new_sigs, num_hashes, bands).alias("r")
     all_banded = banded_signatures(all_sigs, num_hashes, bands).alias("l")
@@ -342,11 +345,24 @@ def minhash_lsh_candidates(
     mega-buckets are near-identical boilerplate in practice, so the
     hub verifies against essentially all members.
     """
-    banded = banded_signatures(
+    return candidates_from_sigs(
         signature_table(docs, num_hashes, shingle_n, spread=spread),
         num_hashes,
         bands,
+        max_pairs_bucket,
     )
+
+
+def candidates_from_sigs(
+    sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_pairs_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs from an EXISTING signature frame — use this when
+    signatures are already materialized (persisted table, checkpoint)
+    so the expensive signature stage is not rebuilt per consumer."""
+    banded = banded_signatures(sigs, num_hashes, bands)
     if max_pairs_bucket is not None:
         stats = banded.groupBy("band", "sig").agg(
             F.min("doc_id").alias("hub"), F.count("*").alias("n")
@@ -577,6 +593,11 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_planted_duplicates(load_table(spark, sf_dir, "documents"))
     sigs = (
         _spread_for_python(docs)
+        # tokenless docs all hash to sig=0 and would pair with each
+        # other quadratically as hamming-0 "duplicates" (the hot-bucket
+        # blowup) — empty text is not duplicate content, drop it here
+        # like the MinHash path's size(shash) > 0 filter
+        .filter(F.length(F.trim("text")) > 0)
         .select("doc_id", simhash64("text").alias("sig"))
         .localCheckpoint(eager=False)  # UDF once; self-join reads both sides
     )

@@ -264,7 +264,18 @@ class VersionedTable:
         paths = [os.path.join(self.path, f) for f in snap.files]
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         for old, new in snap.renames:
-            df = df.withColumnRenamed(old, new)
+            if old in df.columns and new in df.columns:
+                # files written BEFORE the rename carry `old`, files
+                # appended AFTER it already carry `new`; mergeSchema
+                # surfaces both — fold them into one column (each file
+                # populates exactly one side, so coalesce is lossless)
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(
+                    new, F.coalesce(F.col(new), F.col(old))
+                ).drop(old)
+            elif old in df.columns:
+                df = df.withColumnRenamed(old, new)
         if snap.drops:
             df = df.drop(*[c for c in snap.drops if c in df.columns])
         return df
@@ -295,7 +306,14 @@ class VersionedTable:
         snaps = self._load()
         if not snaps:
             raise FileNotFoundError(f"no table at {self.path}")
-        snap = snaps[-1] if version is None else snaps[version]
+        if version is None:
+            snap = snaps[-1]
+        else:
+            if not 0 <= version < len(snaps):
+                raise ValueError(
+                    f"version {version} not in [0, {len(snaps) - 1}]"
+                )
+            snap = snaps[version]
         rows: list[dict[str, Any]] = []
         for rel in snap.files:
             full = os.path.join(self.path, rel)
@@ -337,6 +355,10 @@ class VersionedTable:
         backends."""
         import shutil
 
+        if retain_last < 1:
+            # snaps[-0:] would slice the WHOLE list — "retain zero
+            # versions" would silently retain everything
+            raise ValueError(f"retain_last must be >= 1, got {retain_last}")
         snaps = self._load()
         keep = {f for s in snaps[-retain_last:] for f in s.files}
         removed = []

@@ -62,10 +62,16 @@ def neardup_dedup(
     over-delete on chains a~b~c where a and c are NOT near-dups);
     returns (kept docs, signature table for incremental reuse)."""
     # spread=False: docs is the silver layer (window + filter upstream),
-    # already shuffle-wide; the spread probe would re-run that pipeline
-    sigs = dedup.signature_table(docs, spread=False)
+    # already shuffle-wide; the spread probe would re-run that pipeline.
+    # localCheckpoint: the signature frame feeds candidate generation
+    # (band self-join, 2 sides), verification (2 sides) and the
+    # persisted-signature output — materialize the pandas-UDF stage
+    # ONCE instead of ~5x (the l2_minhash_lsh pattern).
+    sigs = dedup.signature_table(docs, spread=False).localCheckpoint(
+        eager=False
+    )
     pairs = dedup.verified_pairs(
-        dedup.minhash_lsh_candidates(docs, spread=False), sigs, threshold
+        dedup.candidates_from_sigs(sigs), sigs, threshold
     )
     kept = dedup.dedup_keep_representatives(docs, pairs)
     return kept, sigs.join(

@@ -65,34 +65,35 @@ def exact_dedup_incremental(
 
 
 def neardup_drop_set(pairs: DataFrame, batch_ids: DataFrame) -> DataFrame:
-    """Batch doc_ids to drop, from normalized (doc_a < doc_b) near-dup
-    pairs: corpus-vs-batch pairs drop the batch side regardless of id
-    order (existing corpus wins); batch-internal pairs drop the larger
-    id."""
-    b = batch_ids.select(F.col("doc_id").alias("bid"))
-    flagged = (
-        pairs.join(
-            b.withColumnRenamed("bid", "doc_a").withColumn(
-                "a_in_batch", F.lit(True)
-            ),
-            "doc_a",
-            "left",
-        )
-        .join(
-            b.withColumnRenamed("bid", "doc_b").withColumn(
-                "b_in_batch", F.lit(True)
-            ),
-            "doc_b",
-            "left",
-        )
-        .fillna(False, ["a_in_batch", "b_in_batch"])
+    """Batch doc_ids to drop, resolved per CONNECTED COMPONENT (not
+    pairwise — pairwise drops under-delete on chains a~b, c~b where
+    a and c never paired directly): for each near-dup cluster, if any
+    member is an existing corpus doc the whole batch side drops
+    (corpus wins); an all-batch cluster keeps its smallest doc_id."""
+    labels = dedup.neardup_clusters(pairs)
+    flagged = labels.join(
+        batch_ids.withColumn("in_batch", F.lit(True)), "doc_id", "left"
+    ).fillna(False, ["in_batch"])
+    stats = flagged.groupBy("cluster_id").agg(
+        F.max(F.when(~F.col("in_batch"), 1).otherwise(0)).alias(
+            "has_existing"
+        ),
+        F.min(F.when(F.col("in_batch"), F.col("doc_id"))).alias(
+            "min_batch_id"
+        ),
     )
-    drop = F.when(
-        F.col("a_in_batch") & F.col("b_in_batch"), F.col("doc_b")
-    ).otherwise(
-        F.when(F.col("a_in_batch"), F.col("doc_a")).otherwise(F.col("doc_b"))
+    return (
+        flagged.join(stats, "cluster_id")
+        .filter(
+            F.col("in_batch")
+            & (
+                (F.col("has_existing") == 1)
+                | (F.col("doc_id") != F.col("min_batch_id"))
+            )
+        )
+        .select("doc_id")
+        .distinct()
     )
-    return flagged.select(drop.alias("doc_id")).distinct()
 
 
 def run(
@@ -140,27 +141,28 @@ def run(
         log(1, "batch_docs", batch.count())
 
         gated = quality_gate(batch)
-        exact = exact_dedup_incremental(gated, hashes_t.read()).drop(
-            "content_hash"
-        )
+        # content_hash rides along to the hashes-table append — the
+        # text is already hashed once in the exact-dedup pass
+        exact = exact_dedup_incremental(gated, hashes_t.read())
         log(2, "batch_after_exact", exact.count())
 
         pairs, new_sigs = dedup.incremental_neardup(
-            exact, sigs_t.read(), threshold=threshold
+            exact.drop("content_hash"), sigs_t.read(), threshold=threshold
         )
         drops = neardup_drop_set(pairs, exact.select("doc_id"))
-        survivors = exact.join(drops, "doc_id", "left_anti")
-        # lineage gets deep here (pairs reuse new_sigs reuse survivors'
-        # parent); pin survivors so the three appends don't recompute
-        # the signature UDF
-        survivors = survivors.localCheckpoint(eager=True)
+        # pin survivors so the appends below reuse one materialization
+        # of the gate/dedup pipeline (new_sigs is pinned inside
+        # incremental_neardup, so the signature UDF also runs once)
+        survivors = exact.join(drops, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
         log(3, "batch_ingested", survivors.count())
 
-        corpus_t.append(survivors)
+        corpus_t.append(survivors.drop("content_hash"))
         sigs_t.append(
             new_sigs.join(survivors.select("doc_id"), "doc_id", "left_semi")
         )
-        hashes_t.append(bootstrap_hashes(survivors))
+        hashes_t.append(survivors.select("doc_id", "content_hash"))
     return counts
 
 

@@ -92,3 +92,23 @@ def test_ingest_batch_job(spark, sf_dir, tmp_path):
     # idempotence of policy: re-ingesting the same batch drops everything
     counts2 = ingest(spark, batch, state)
     assert counts2["batch_ingested"] == 0
+
+
+def test_neardup_drop_set_resolves_chains_and_corpus_wins(spark):
+    """Cluster-level drop policy: a batch chain a~b, c~b collapses to
+    ONE survivor (smallest id), and any cluster touching an existing
+    corpus doc drops its entire batch side."""
+    from jobs.ingest_batch import neardup_drop_set
+
+    pairs = spark.createDataFrame(
+        # chain within batch: 10~11, 12~11 (10 and 12 never paired)
+        # corpus-wins: existing doc 1 ~ batch doc 20
+        [(10, 11, 0.9), (11, 12, 0.9), (1, 20, 0.95)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    batch = spark.createDataFrame(
+        [(10,), (11,), (12,), (20,), (99,)], "doc_id long"
+    )
+    drops = {r.doc_id for r in neardup_drop_set(pairs, batch).collect()}
+    # chain keeps 10 only; 20 loses to corpus doc 1; 99 untouched
+    assert drops == {11, 12, 20}

@@ -257,3 +257,28 @@ def test_compact_collapses_snapshot_dirs(spark, tmp_path):
     removed = t.vacuum(retain_last=1)
     assert len(removed) == 3  # the pre-compaction dirs are reclaimed
     assert t.read().count() == 18
+
+
+def test_rename_then_append_with_new_name(spark, tmp_path):
+    """A post-rename append naturally uses the CURRENT column name;
+    read() must fold old-name and new-name files into one column
+    rather than surfacing an ambiguous duplicate."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10.0)], "id long, bal double"))
+    t.rename_column("bal", "balance")
+    t.append(spark.createDataFrame([(2, 20.0)], "id long, balance double"))
+    df = t.read()
+    assert df.columns.count("balance") == 1 and "bal" not in df.columns
+    got = {r.id: r.balance for r in df.collect()}
+    assert got == {1: 10.0, 2: 20.0}
+
+
+def test_vacuum_and_files_validate_arguments(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(3))
+    with pytest.raises(ValueError):
+        t.vacuum(retain_last=0)
+    with pytest.raises(ValueError):
+        t.files(version=-2)
+    with pytest.raises(ValueError):
+        t.files(version=99)
