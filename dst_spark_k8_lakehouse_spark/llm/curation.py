@@ -39,8 +39,8 @@ CTX = 512  # pack budget (tokens per training sequence)
 )
 def l6_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6: sliding-window chunking — split each document into
-    {CHUNK}-token chunks every {STRIDE} tokens (16-token overlap), the
-    standard pre-embedding / pre-training windowing step.
+    CHUNK(=64)-token chunks every STRIDE(=48) tokens (16-token
+    overlap), the standard pre-embedding / pre-training windowing step.
 
     Plan: one scan, chunk starts from ``sequence()`` + ``explode``
     (map-side row expansion, no shuffle), chunk text via
@@ -90,7 +90,7 @@ def l6_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l6_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6: sequence packing — assign each document a (pack_id,
-    pack_offset) in a concatenate-then-split-at-{CTX}-tokens layout,
+    pack_offset) in a concatenate-then-split-at-CTX(=512)-tokens layout,
     the GPT-style packing that wastes no context window (documents may
     span pack boundaries; the trainer splits at token level).
 
@@ -138,7 +138,7 @@ SAMPLE_RATES = {"en": 30, "de": 100, "es": 100, "fr": 100, "zh": 100}
 )
 def l6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6: stratified sampling for language balance — keep doc_id %
-    100 < rate(lang), downsampling English to {SAMPLE_RATES['en']}%
+    100 < rate(lang), downsampling English to SAMPLE_RATES["en"] = 30%
     and keeping minority languages whole.
 
     The mod-of-id filter (rather than ``rand()`` or per-stratum

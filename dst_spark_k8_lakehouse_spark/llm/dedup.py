@@ -675,7 +675,14 @@ def embed_neardup_pairs(
     bucket), verify only within buckets; candidates dedup BEFORE the
     cosine join so a pair colliding in several tables verifies once).
     """
-    vecs = vectors.select("vec_id", "embedding", _embed_norm().alias("norm"))
+    # Zero-norm embeddings (padding rows, failed embed calls) are dropped
+    # up front: cosine is undefined for them (ANSI mode would raise
+    # DIVIDE_BY_ZERO in the verify stage), and — worse at scale — every
+    # all-zero vector projects to sign-bucket 0 of EVERY table, forming
+    # one quadratic hot bucket. Same policy as simhash's empty-text drop.
+    vecs = vectors.select(
+        "vec_id", "embedding", _embed_norm().alias("norm")
+    ).filter(F.col("norm") > 0)
     tables = F.array(
         *[
             F.struct(

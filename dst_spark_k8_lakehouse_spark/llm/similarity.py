@@ -246,13 +246,12 @@ def query_ivf_index(
     from dst_spark_k8_lakehouse_spark.plans import VersionedTable
 
     table = VersionedTable(spark, index_path)
-    stored = table.committed_props("ivf_n_cells")
-    if not stored:
+    n_cells = table.latest_prop("ivf_n_cells")
+    if n_cells is None:
         raise ValueError(
             f"no ivf_n_cells prop at {index_path} — not an IVF index "
             "built by build_ivf_index"
         )
-    n_cells = max(stored)
     index = table.read()
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     cents = index.filter(F.col("vec_id") < n_cells).select(

@@ -208,6 +208,13 @@ class DeltaBackedTable:
             return set()
         return self._txn_ids()
 
+    def latest_prop(self, key: str, default: Any = None) -> Any:
+        """API parity with ``VersionedTable.latest_prop``. Delta carries
+        arbitrary commit metadata only via ``commitInfo.userMetadata``,
+        which this backend doesn't write; stream txn ids live in `txn`
+        actions and are set-valued by design. So: no scalar props."""
+        return default
+
 
 def open_table(
     spark: SparkSession, path: str

@@ -138,6 +138,18 @@ class VersionedTable:
             s.props[key] for s in self._load() if key in s.props
         }
 
+    def latest_prop(self, key: str, default: Any = None) -> Any:
+        """The value of ``key`` in the MOST RECENT snapshot that set it.
+        Table-state properties (e.g. an index's cell count) must come
+        from here, not ``committed_props`` — aggregating over history
+        would resurrect values from snapshots that were since
+        overwritten (a rebuilt index with fewer cells must win over the
+        stale larger count)."""
+        for s in reversed(self._load()):
+            if key in s.props:
+                return s.props[key]
+        return default
+
     def overwrite(self, df: DataFrame, props: dict[str, Any] | None = None) -> int:
         """INSERT OVERWRITE / ``mode("overwrite")`` (``demo.py:153``,
         ``03_delta_demo.ipynb:102-104``): new snapshot references only
@@ -231,6 +243,16 @@ class VersionedTable:
         last = snaps[-1]
         if col in last.drops:
             raise ValueError(f"column already dropped: {col}")
+        # Validate against the CURRENT visible schema (Iceberg DROP
+        # COLUMN errors on unknown columns): a typo'd drop would commit
+        # silently and permanently hide any future column of that name
+        # arriving via schema-merging append.
+        current_cols = self.read().columns
+        if col not in current_cols:
+            raise ValueError(
+                f"cannot drop unknown column: {col} "
+                f"(table has {current_cols})"
+            )
         self._commit(
             Snapshot(
                 version=len(snaps),

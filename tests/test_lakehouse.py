@@ -176,7 +176,7 @@ def test_open_table_backend_selection(spark, tmp_path):
     # backends breaks the open_table contract silently
     for method in (
         "create", "append", "overwrite", "read", "update", "delete",
-        "merge", "history", "committed_props",
+        "merge", "history", "committed_props", "latest_prop",
     ):
         pv = list(inspect.signature(getattr(VersionedTable, method)).parameters)
         pd_ = list(inspect.signature(getattr(DeltaBackedTable, method)).parameters)
@@ -227,6 +227,22 @@ def test_drop_column_metadata_only_and_time_travel(spark, tmp_path):
     assert t.read().count() == 2
     with pytest.raises(ValueError):
         t.drop_column("secret")
+    # unknown column: must raise (Iceberg behavior), not commit a
+    # silent drop that would hide a future schema-merged column
+    with pytest.raises(ValueError, match="unknown column"):
+        t.drop_column("secrt")
+
+
+def test_latest_prop_wins_over_history(spark, tmp_path):
+    """Table-state props resolve to the NEWEST snapshot that set them:
+    a rebuild with a smaller value must not be shadowed by the old one
+    (the IVF n_cells desync case)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(3), props={"ivf_n_cells": 8})
+    t.overwrite(spark.range(2), props={"ivf_n_cells": 4})
+    assert t.latest_prop("ivf_n_cells") == 4
+    assert t.committed_props("ivf_n_cells") == {8, 4}
+    assert t.latest_prop("absent", default="d") == "d"
 
 
 def test_files_metadata_table(spark, tmp_path):

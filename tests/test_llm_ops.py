@@ -220,6 +220,50 @@ def test_persisted_ivf_index_query(spark, sf_dir, tmp_path):
     assert probe == inline
 
 
+def test_ivf_rebuild_uses_latest_n_cells(spark, sf_dir, tmp_path):
+    """Rebuilding an index at the same path with FEWER cells must make
+    the probe use the new count: with the old max-over-history lookup,
+    vec_id rows in [new_n, old_n) would be misread as centroids."""
+    from dst_spark_k8_lakehouse_spark.llm import similarity
+    from dst_spark_k8_lakehouse_spark.plans import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_cells=8)
+    similarity.build_ivf_index(emb, path, n_cells=4)
+    assert VersionedTable(spark, path).latest_prop("ivf_n_cells") == 4
+    qvec = emb.filter("vec_id = 0").collect()[0].embedding
+    out = similarity.query_ivf_index(spark, path, qvec, k=5).collect()
+    assert len(out) == 5
+    # all cell assignments in the live snapshot are < 4, so a probe
+    # resolving 8 cells would scan phantom cells; results must come
+    # from the 4-cell assignment only
+    cells = {
+        r.cell
+        for r in VersionedTable(spark, path).read().select("cell").distinct().collect()
+    }
+    assert cells <= {0, 1, 2, 3}
+
+
+def test_embed_neardup_drops_zero_norm_vectors(spark, sf_dir):
+    """All-zero embeddings (padding rows / failed embed calls) must be
+    dropped before bucketing: cosine is undefined for them (ANSI mode
+    raises DIVIDE_BY_ZERO) and they all collide in sign-bucket 0,
+    forming a quadratic hot bucket."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    dim = len(emb.first().embedding)
+    zeros = spark.range(900_000, 900_020).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), x -> CAST(0.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    vecs = emb.select("vec_id", "embedding").unionByName(zeros)
+    pairs = dedup.embed_neardup_pairs(vecs, threshold=0.5).collect()
+    ids = {r.vec_a for r in pairs} | {r.vec_b for r in pairs}
+    assert not any(i >= 900_000 for i in ids)
+
+
 def test_neardup_clusters_transitive(spark):
     """Chains must collapse: a~b, b~c, c~d → one cluster with the
     smallest id as representative; disjoint pairs stay separate."""
