@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -39,13 +40,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (S1): columnar, predicate-pushdown + column-pruning
     capable — filters/projections applied downstream reach the reader.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as a raw nanos LONG
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a microsecond
-    TIMESTAMP with exact integer division (a float division would lose
-    precision — epoch-nanos exceed a double's 53-bit mantissa).
-    Sub-microsecond residue is dropped; queries that emit event
-    timestamps truncate to seconds on both engine and oracle sides.
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader only accepts as a raw LONG via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and plain TIMESTAMP(MICROS)
+    (read natively as TIMESTAMP_NTZ). We adapt to whatever is on disk:
+
+    * LONG nanos → rebuild a microsecond TIMESTAMP with exact integer
+      division (a float division would lose precision — epoch-nanos
+      exceed a double's 53-bit mantissa). Sub-microsecond residue is
+      dropped; queries that emit event timestamps truncate to seconds
+      on both engine and oracle sides.
+    * TIMESTAMP / TIMESTAMP_NTZ → pass through unchanged. The session is
+      pinned UTC (``session.py:86``), so NTZ values are bit-identical to
+      the instants the old conversion produced, and NTZ matches the
+      DuckDB oracle's naive-timestamp semantics under any driver session
+      timezone.
     """
     hit = _TABLE_CACHE.get((sf_dir, name))
     if hit is not None:
@@ -57,9 +67,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _TABLE_CACHE.pop((sf_dir, name), None)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
