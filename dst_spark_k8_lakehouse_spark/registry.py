@@ -49,50 +49,61 @@ def query(query_id: str, oracle: str | None = None) -> Callable[[F], F]:
 
 # Driver-coverage rotation (COVERAGE.md "driver rotation"): the
 # per-round CORRECTNESS run checks queries in dict-iteration order and
-# may cap at ~50, so ids that still lack a green CORRECTNESS row in any
-# prior round are listed here to iterate FIRST. Round 1 covered registry
-# positions 1-50 (CORRECTNESS_r01.json); round 2 therefore fronts the 24
-# ids that were cut off, plus any ids new this round.
+# may cap at ~50, so each round this list fronts, in order: (a) ids that
+# FAILED last round, (b) ids whose implementation changed after their
+# last driver-green row, (c) ids new/changed this round, (d) backfill of
+# ids whose only green row is the oldest (round 1). Rotation log with
+# last-green round per id lives in COVERAGE.md.
 PRIORITY: list[str] = [
-    # new in round 2
-    "u5b_pandas_grouped_agg",
-    "l4_ann_ivf_probe",
-    "l2_minhash_lsh_sigs",
-    "l6_chunk_docs",
-    "l6_pack_sequences",
-    "l6_stratified_sample",
-    "l6_pii_scrub",
-    "l6_vocab_topk",
-    "x2_q10_returns",
-    "a13_pivot",
-    "a13_unpivot",
-    "k1_salted_agg",
-    "k2_salted_join",
-    # untested in round 1 (registry positions 51-74)
-    "p4_filter_and",
-    "p5_null_filter",
-    "p6_when",
-    "p8_cast",
-    "p11_fillna",
-    "p12_dedup_rows",
-    "p13_distinct",
-    "p14_concat",
-    "u1_union",
-    "u2_intersect",
-    "u3_except",
-    "o1_sort",
-    "o2_sort_limit",
-    "u4_udf",
-    "u5_pandas_udf",
-    "u6_grouped_map",
-    "u7_udtf",
-    "w1_rank",
-    "w2_lag",
-    "w3_running_sum",
-    "w4_topk_group",
+    # (a) failed in r03 — events.ts parquet encoding change, fixed in
+    # sources/catalog.py this round
     "t1_tumbling",
     "t2_sliding",
     "t3_session",
+    "f4_map",
+    "f5_json",
+    # (b) events-dependent / changed after last green (r01)
+    "j7_asof",
+    "x1_q3_shipping",
+    "l4_cosine_topk",
+    "l4_batch_topk",
+    # (c) touched this round
+    "l2_minhash_lsh",
+    "l2_minhash_lsh_sigs",
+    "a10_approx",
+    "l3_langid",
+    # (d) backfill: only green row is r01 — oldest evidence first
+    "p1_project",
+    "p2_selectexpr",
+    "p3_filter_eq",
+    "j1_inner_join",
+    "j3_left_join",
+    "j4_semi",
+    "j4_anti",
+    "j5_broadcast",
+    "j6_range_join",
+    "j8_star_join",
+    "a1_count",
+    "a2_avg",
+    "a3_sum",
+    "a4_filtered_count",
+    "a5_groupby_agg",
+    "a7_null_audit",
+    "a8_dup_count",
+    "a9_min_cdist",
+    "a10_percentile",
+    "a11_rollup",
+    "a11_cube",
+    "a11_gsets",
+    "a12_summary",
+    "l2_simhash",
+    "l2_embed_neardup",
+    "l3_text_stats",
+    "l3_quality_score",
+    "l3_token_count",
+    "l3_fingerprint",
+    "l4_ann_ivf",
+    "l5_multimodal",
 ]
 
 
