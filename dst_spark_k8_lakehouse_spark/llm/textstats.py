@@ -216,3 +216,30 @@ def l3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_max(scores).lang").alias("predicted_lang"),
         F.expr("array_max(scores).hits").cast("int").alias("stopword_hits"),
     )
+
+
+@query(
+    "l3_langid_eval",
+    oracle="""
+        SELECT count(*) AS n_docs, TRUE AS en_rate_ok FROM documents
+    """,
+)
+def l3_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: language-ID evaluation as an oracle-checked contract.
+
+    The fixture's ``lang`` column is a synthetic label uncorrelated
+    with the text (the corpus is English-ish word soup throughout —
+    see ``test_langid_beats_chance_on_english``), so labeled accuracy
+    would score the label generator, not the classifier. The checkable
+    invariant is the classifier's deterministic behavior on this
+    corpus: ≥90% of docs must score as English. ``n_docs`` rides along
+    so the oracle pins a real data value, not just the bound.
+    """
+    preds = l3_langid(spark, sf_dir)
+    return preds.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum((F.col("predicted_lang") == "en").cast("long"))
+            >= F.count("*") * 0.9
+        ).alias("en_rate_ok"),
+    )

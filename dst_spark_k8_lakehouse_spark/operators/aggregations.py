@@ -162,16 +162,75 @@ def a9_min_cdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a10_approx")  # rows-only: sketch outputs are estimator-specific
+@query(
+    "a10_approx",
+    oracle="""
+        SELECT count(DISTINCT l_partkey) AS exact_parts,
+               count(*) AS n_rows,
+               TRUE AS approx_distinct_ok,
+               TRUE AS median_rank_ok
+        FROM lineitem
+    """,
+)
 def a10_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: approximate distinct + approximate percentile — HLL++ and
-    KLL-style sketches whose exact outputs are engine-specific, hence
-    the weaker rows-only check. At 100 TB these replace exact
-    countDistinct (full shuffle of keys) with fixed-size mergeable
-    sketch state."""
-    return load_table(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_quantity", 0.5).alias("median_qty_approx"),
+    KLL-style sketches. At 100 TB these replace exact countDistinct
+    (full shuffle of keys) with fixed-size mergeable sketch state.
+
+    Sketch outputs are estimator-specific, so raw values can't be
+    hash-compared against another engine; what CAN be checked is the
+    documented error bound, and that is what this query emits — a
+    bounded-error contract, not a rows-only run:
+
+    - ``approx_distinct_ok``: |HLL estimate − exact| / exact ≤ 3·rsd
+      (rsd 0.05 ⇒ 15%; the estimate is deterministic for fixed data).
+    - ``median_rank_ok``: the true rank interval of the value
+      ``percentile_approx`` returns (accuracy 10000 ⇒ rank error
+      1/10000) intersects (0.5 ± 0.001)·n — 10× slack on the bound,
+      tie-aware via the [rank_lt+1, rank_le] interval.
+
+    The exact aggregates ride along, so the oracle cross-checks real
+    values (count distinct, row count), and TRUE/TRUE pins the bounds.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.approx_count_distinct("l_partkey", 0.05).alias("apx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx(
+            "l_quantity", F.lit(0.5), F.lit(10000)
+        ).alias("apx_med"),
+        F.count("*").alias("n_rows"),
+    )
+    # 1-row stats side broadcast against the fact scan: one extra pass
+    # to locate the approx median's true rank interval, no shuffle.
+    ranks = (
+        li.select("l_quantity")
+        .crossJoin(F.broadcast(stats))
+        .agg(
+            F.first("apx_parts").alias("apx_parts"),
+            F.first("exact_parts").alias("exact_parts"),
+            F.first("n_rows").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_quantity") < F.col("apx_med"), 1).otherwise(0)
+            ).alias("rank_lt"),
+            F.sum(
+                F.when(F.col("l_quantity") <= F.col("apx_med"), 1).otherwise(0)
+            ).alias("rank_le"),
+        )
+    )
+    eps = 0.001
+    return ranks.select(
+        "exact_parts",
+        "n_rows",
+        (
+            F.abs(F.col("apx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.15
+        ).alias("approx_distinct_ok"),
+        (
+            (F.col("rank_lt") + 1 <= (0.5 + eps) * F.col("n_rows"))
+            & (F.col("rank_le") >= (0.5 - eps) * F.col("n_rows"))
+        ).alias("median_rank_ok"),
     )
 
 

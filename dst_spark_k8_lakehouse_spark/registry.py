@@ -72,6 +72,9 @@ PRIORITY: list[str] = [
     "l2_minhash_lsh_sigs",
     "a10_approx",
     "l3_langid",
+    "l3_langid_eval",
+    "t4_watermark",
+    "t5_stateful_dedup",
     # (d) backfill: only green row is r01 — oldest evidence first
     "p1_project",
     "p2_selectexpr",

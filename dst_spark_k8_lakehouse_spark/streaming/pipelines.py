@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from dst_spark_k8_lakehouse_spark.registry import query
+from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -190,6 +193,171 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic driver-channel runs of the stateful pipelines (T4/T5).
+#
+# Late-data and dedup-state semantics are not batch-SQL-expressible, so
+# these register as rows-only queries — but the RESULT SET is fully
+# deterministic by construction: the events fixture is split into two
+# arrival files with pinned names and modification times, the stream
+# reads them with ``maxFilesPerTrigger=1`` (two micro-batches, fixed
+# boundaries), and ``availableNow`` runs a final flush batch after the
+# watermark advance (probed: emitted windows == the batch-computed
+# expectation). The pytest suite asserts exact equality against the
+# batch-computed accepted/dropped sets (``test_streaming.py``).
+# ---------------------------------------------------------------------------
+
+# Arrival cuts and watermark delay: the fixture spans 2024-01-01 ..
+# 2024-01-31, split into three in-order micro-batches (t4 thirds at the
+# _CUT_* points; t5 uses its own cuts below), 1-day watermark. THREE
+# batches are load-bearing for both queries (probed, not assumed): the
+# watermark advances per batch, but both window emission and state
+# eviction run at the END of the batch whose input they gate — so a
+# late row landing in batch N still merges into any window that batch N
+# itself will emit, and a duplicate key is still deduped against state
+# that batch N will evict. Only a row arriving one batch AFTER the
+# emission/eviction batch observes the closed-window / evicted-state
+# behavior deterministically.
+_CUT_A = "2024-01-11 00:00:00"
+_CUT_B = "2024-01-21 00:00:00"
+_WATERMARK = "1 day"
+
+
+def _arrival_stream(
+    spark: SparkSession, *files: DataFrame
+) -> tuple[DataFrame, str]:
+    """Write ``files`` as an n-file stream directory with pinned arrival
+    order (one micro-batch per file) and return (stream df, checkpoint
+    dir)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="dst-stream-run-")
+    sdir = os.path.join(base, "in")
+    os.makedirs(sdir)
+    for i, df in enumerate(files):
+        d = os.path.join(base, f"w{i}")
+        df.coalesce(1).write.parquet(d)
+        part = glob.glob(f"{d}/part-*.parquet")[0]
+        dst = os.path.join(sdir, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        # arrival order = modification time: pin it so batch 0/1
+        # boundaries never depend on filesystem timing
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    return stream, os.path.join(base, "ck")
+
+
+def _drain_to_memory(df: DataFrame, checkpoint: str) -> DataFrame:
+    """availableNow-drain ``df`` into a uniquely named memory sink and
+    return the sink table (repeat calls are independent runs)."""
+    import uuid
+
+    name = f"t_sink_{uuid.uuid4().hex[:12]}"
+    run_available_now(df, name, checkpoint)
+    return df.sparkSession.table(name)
+
+
+@query("t4_watermark")  # rows-only: late-data semantics, no batch-SQL twin
+def t4_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: watermarked tumbling windows over a deterministic 3-batch
+    arrival with planted late data.
+
+    The late set (``event_id % 29 == 0`` before Jan 8) is withheld from
+    batch 0 and arrives in batch 2. By then its 6-hour windows are
+    emitted and gone: batch 1's close (watermark ≈ Jan 10) locked every
+    window ending before Jan 10, so the batch-2 late rows are dropped
+    instead of merged — Spark's documented late-data contract,
+    observable here as exact window counts (a merge would surface as
+    either a higher count or a duplicate window emission; the
+    equals-batch pytest rules out both). Expected result,
+    batch-computable: 6-hour tumbling counts over (all events − late
+    set) restricted to windows with end ≤ final watermark
+    (``test_t4_watermark_matches_batch_expectation``)."""
+    ev = load_table(spark, sf_dir, "events")
+    cut_a = F.lit(_CUT_A).cast("timestamp")
+    cut_b = F.lit(_CUT_B).cast("timestamp")
+    is_late = (F.col("ts") < "2024-01-08") & (F.col("event_id") % 29 == 0)
+    file0 = ev.filter((F.col("ts") < cut_a) & ~is_late)
+    file1 = ev.filter((F.col("ts") >= cut_a) & (F.col("ts") < cut_b))
+    file2 = ev.filter(F.col("ts") >= cut_b).unionByName(ev.filter(is_late))
+    stream, ck = _arrival_stream(spark, file0, file1, file2)
+    agg = windowed_event_counts(stream, window="6 hours", watermark=_WATERMARK)
+    out = _drain_to_memory(agg, ck)
+    return out.select(
+        "window_start",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+# t5's three arrival batches: [.., Jan 8) / [Jan 8, Jan 24) / [Jan 24, ..).
+# State eviction is LAZY — it runs at the END of a batch with the
+# watermark in effect DURING that batch (probed: a 2-batch run never
+# evicts, and re-sent old keys are still deduped). Three batches make
+# both duplicate fates observable: batch 1 ends with watermark ≈ Jan 7
+# (from batch 0), evicting every key whose expiry ts+1d < Jan 7; batch 2
+# then re-accepts those keys, while keys from batch 1's tail are still
+# in state and keep deduping.
+_T5_CUT_A = "2024-01-08 00:00:00"
+_T5_CUT_B = "2024-01-24 00:00:00"
+
+
+@query("t5_stateful_dedup")  # rows-only: dedup-state semantics
+def t5_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: ``dropDuplicatesWithinWatermark`` over a deterministic
+    3-batch arrival with two planted duplicate classes.
+
+    Batch 2 carries (a) IN-STATE copies — events from [Jan 23, Jan 24)
+    (``event_id % 13 == 0``) re-sent 1 h later: their keys entered
+    state in batch 1 and are inside the 1-day horizon, so state filters
+    them → DROPPED; and (b) EVICTED-STATE copies — events from
+    [Jan 3, Jan 5) (``event_id % 17 == 0``) re-sent 20 days later
+    (arriving above the batch-2 watermark): their key state aged out
+    and was evicted at the end of batch 1, so they are accepted again →
+    KEPT. That asymmetry (bounded state, unlike a global distinct) is
+    exactly what the operator trades for O(watermark-window) memory at
+    100 TB. Expected result, batch-computable: original events ∪
+    class-(b) copies
+    (``test_t5_stateful_dedup_matches_batch_expectation``)."""
+    ev = load_table(spark, sf_dir, "events")
+    cut_a = F.lit(_T5_CUT_A).cast("timestamp")
+    cut_b = F.lit(_T5_CUT_B).cast("timestamp")
+    in_state = (
+        (F.col("ts") >= F.lit("2024-01-23 00:00:00").cast("timestamp"))
+        & (F.col("ts") < cut_b)
+        & (F.col("event_id") % 13 == 0)
+    )
+    evicted = (
+        (F.col("ts") >= F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("event_id") % 17 == 0)
+    )
+    dup_dropped = ev.filter(in_state).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    dup_kept = ev.filter(evicted).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 20 DAYS")
+    )
+    file0 = ev.filter(F.col("ts") < cut_a)
+    file1 = ev.filter((F.col("ts") >= cut_a) & (F.col("ts") < cut_b))
+    file2 = (
+        ev.filter(F.col("ts") >= cut_b)
+        .unionByName(dup_dropped)
+        .unionByName(dup_kept)
+    )
+    stream, ck = _arrival_stream(spark, file0, file1, file2)
+    deduped = dedup_within_watermark(stream, ["event_id"], _WATERMARK)
+    out = _drain_to_memory(deduped, ck)
+    return out.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 def foreach_batch_append(

@@ -220,3 +220,70 @@ def test_kafka_wire_parse_roundtrip(spark, events_dir):
     # parsed (batch) frame composes with the windowed aggregation
     windowed = pipelines.windowed_event_counts(parsed)
     assert windowed.count() > 0
+
+
+def test_t4_watermark_matches_batch_expectation(spark, sf_dir):
+    """The registered t4 driver query equals its batch-computed
+    accepted set: 6-hour tumbling counts over (all events − planted
+    late set), windows closed by the final watermark (max ts − 1 day).
+    The late set must be non-trivial, else the drop is vacuous."""
+    from datetime import timedelta
+
+    got = {
+        (r.window_start, r.n_events)
+        for r in pipelines.t4_watermark(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    is_late = (F.col("ts") < "2024-01-08") & (F.col("event_id") % 29 == 0)
+    assert ev.filter(is_late).count() > 0, "late set vacuous"
+    final_wm = ev.agg(F.max("ts")).collect()[0][0] - timedelta(days=1)
+    expected = {
+        (r.w.start, r.n)
+        for r in ev.filter(~is_late)
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("w.end") <= F.lit(final_wm))
+        .collect()
+    }
+    assert got == expected
+    # and the late rows were genuinely dropped: their windows count
+    # fewer events than an all-rows aggregation would give
+    with_late = {
+        (r.w.start, r.n)
+        for r in ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("w.end") <= F.lit(final_wm))
+        .collect()
+    }
+    assert got != with_late
+
+
+def test_t5_stateful_dedup_matches_batch_expectation(spark, sf_dir):
+    """The registered t5 driver query equals originals ∪ evicted-state
+    copies; in-state copies are deduped. Both planted classes must be
+    non-empty, else the respective behavior is vacuous."""
+    out = pipelines.t5_stateful_dedup(spark, sf_dir)
+    got = {(r.event_id, r.ts) for r in out.collect()}
+    ev = load_table(spark, sf_dir, "events")
+    evicted = (
+        (F.col("ts") >= "2024-01-03")
+        & (F.col("ts") < "2024-01-05")
+        & (F.col("event_id") % 17 == 0)
+    )
+    in_state = (
+        (F.col("ts") >= "2024-01-23")
+        & (F.col("ts") < "2024-01-24")
+        & (F.col("event_id") % 13 == 0)
+    )
+    n_kept_class = ev.filter(evicted).count()
+    n_dropped_class = ev.filter(in_state).count()
+    assert n_kept_class > 0, "evicted-state class vacuous"
+    assert n_dropped_class > 0, "in-state class vacuous"
+    orig = {(r.event_id, r.ts) for r in ev.collect()}
+    kept_copies = {
+        (r.event_id, r.ts)
+        for r in ev.filter(evicted)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 20 DAYS"))
+        .collect()
+    }
+    assert got == orig | kept_copies
