@@ -14,7 +14,10 @@ Delta tables unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def create_database(spark: SparkSession, name: str) -> None:
@@ -60,6 +63,74 @@ def create_table(
     if location:
         ddl += f" LOCATION '{location}'"
     spark.sql(ddl)
+
+
+_TRANSFORM_RE = re.compile(
+    r"^\s*(?:(?P<fn>years|months|days|hours)\s*\(\s*(?P<col>\w+)\s*\)"
+    r"|(?P<fn2>bucket|truncate)\s*\(\s*(?P<n>\d+)\s*,\s*(?P<col2>\w+)\s*\))"
+    r"\s*$",
+    re.IGNORECASE,
+)
+
+
+def partition_transform(
+    spec: str, df: DataFrame | None = None
+) -> tuple[str, Column]:
+    """D5 fallback: an Iceberg hidden-partition transform spec
+    (``days(ts)``, ``02_iceberg_demo.ipynb:54``; also ``years``/
+    ``months``/``hours``/``bucket(N, col)``/``truncate(W, col)``) as an
+    explicit derived column ``(name, expression)`` to partition plain
+    parquet by.
+
+    Semantic diff vs Iceberg, stated plainly: the partition column is
+    VISIBLE (Iceberg hides it), and pruning requires predicates on the
+    derived column (``ts_day >= DATE'…'``) — Iceberg rewrites raw
+    ``ts``-range predicates automatically. Values match Iceberg's
+    transform semantics (day/hour truncation, width-truncate); the
+    bucket transform matches in DISTRIBUTION ONLY (Spark's murmur3 over
+    the value vs Iceberg's murmur3 over a serialized form — same
+    32-bucket shape, different assignment), so bucket is for layout,
+    not for cross-engine file-level equality.
+    """
+    m = _TRANSFORM_RE.match(spec)
+    if not m:
+        raise ValueError(f"unsupported partition transform: {spec!r}")
+    if m["fn"]:
+        fn, col = m["fn"].lower(), m["col"]
+        name = f"{col}_{fn[:-1]}"
+        if fn == "years":
+            return name, F.year(col)
+        if fn == "months":
+            return name, F.date_format(col, "yyyy-MM")
+        if fn == "days":
+            return name, F.to_date(col)
+        return name, F.date_format(col, "yyyy-MM-dd-HH")
+    fn, n, col = m["fn2"].lower(), int(m["n"]), m["col2"]
+    if fn == "bucket":
+        return f"{col}_bucket", F.pmod(F.hash(col), F.lit(n))
+    # Iceberg truncate: width-truncate to multiples of W for numerics,
+    # W-char prefix for strings — type-resolved when a frame is given,
+    # string-prefix otherwise.
+    numeric = df is not None and df.schema[col].dataType.simpleString() in (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+    )
+    if numeric:
+        return f"{col}_trunc", F.col(col) - F.pmod(F.col(col), F.lit(n))
+    return f"{col}_trunc", F.substring(F.col(col), 1, n)
+
+
+def write_partitioned_by_transform(
+    df: DataFrame, path: str, spec: str, mode: str = "overwrite"
+) -> str:
+    """Write ``df`` partitioned by a transform spec (derived-column D5
+    fallback). Returns the derived partition column name — filter on it
+    for pruning."""
+    name, col = partition_transform(spec, df)
+    df.withColumn(name, col).write.mode(mode).partitionBy(name).parquet(path)
+    return name
 
 
 def insert_into(spark: SparkSession, name: str, values_sql: str) -> None:

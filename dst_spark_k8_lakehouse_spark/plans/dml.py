@@ -1,0 +1,169 @@
+"""SQL-string DML entry points over the versioned table layer.
+
+The reference's notebooks speak SQL DML against Iceberg/Delta tables
+(``UPDATE`` / ``DELETE``, ``02_iceberg_demo.ipynb:91,103``; upserts in
+the Delta demo). Without those format jars, the same statements have no
+executable home in vanilla Spark — parquet tables reject row-level DML.
+This module is the thin parser shim that keeps API parity honest: the
+statement text a reference user already has dispatches onto
+``VersionedTable.update`` / ``.delete`` / ``.merge``, which reproduce
+the semantics as copy-on-write snapshots.
+
+Deliberately a shim, not a SQL frontend: expressions inside SET /
+WHERE / ON travel VERBATIM into the DataFrame layer (Spark parses
+them); only the statement skeleton is recognized here. Anything the
+skeleton grammar doesn't cover raises ``ValueError`` loudly rather
+than mis-executing.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from dst_spark_k8_lakehouse_spark.plans.table import VersionedTable
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<table>[\w.]+)\s+SET\s+(?P<set>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>[\w.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<source>[\w.]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<on>.+?)\s*(?P<when>WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MATCHED_RE = re.compile(
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", re.IGNORECASE
+)
+_NOT_MATCHED_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
+)
+_ON_EQ_RE = re.compile(r"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$")
+
+
+def _split_assignments(set_clause: str) -> dict[str, str]:
+    """Split ``col = expr, col2 = expr2`` paren/quote-aware (a naive
+    comma split would break ``greatest(a, b)``)."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur: list[str] = []
+    for ch in set_clause:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    out: dict[str, str] = {}
+    for part in parts:
+        col, eq, expr = part.partition("=")
+        if not eq or not col.strip().replace(".", "").isidentifier():
+            raise ValueError(f"unparseable SET assignment: {part.strip()!r}")
+        out[col.strip().split(".")[-1]] = expr.strip()
+    return out
+
+
+def _merge_keys(on_clause: str, aliases: set[str]) -> list[str]:
+    """Equality-conjunct ON clause → merge key column list. Each
+    conjunct must be ``a.k = b.k`` (or unqualified) on the SAME column
+    name — the only shape ``VersionedTable.merge`` expresses."""
+    keys: list[str] = []
+    for conj in re.split(r"\s+AND\s+", on_clause, flags=re.IGNORECASE):
+        m = _ON_EQ_RE.match(conj)
+        if not m:
+            raise ValueError(f"unsupported MERGE ON conjunct: {conj.strip()!r}")
+        q1, c1, q2, c2 = m.groups()
+        for q in (q1, q2):
+            if q is not None and q not in aliases:
+                raise ValueError(f"unknown qualifier {q!r} in MERGE ON")
+        if c1 != c2:
+            raise ValueError(
+                f"MERGE ON must equate the same column on both sides, "
+                f"got {c1!r} = {c2!r}"
+            )
+        keys.append(c1)
+    return keys
+
+
+def execute_dml(
+    sql: str,
+    tables: dict[str, VersionedTable],
+    sources: dict[str, DataFrame] | None = None,
+) -> int:
+    """Execute one UPDATE / DELETE / MERGE statement against versioned
+    tables. ``tables`` maps statement table names to ``VersionedTable``
+    instances (the catalog shim); MERGE sources resolve from
+    ``sources`` first, then from ``tables`` (reading their latest
+    snapshot). Returns the new snapshot version.
+
+    Supported skeletons (expressions inside pass to Spark verbatim):
+
+    - ``UPDATE t SET c = expr[, ...] [WHERE cond]``
+    - ``DELETE FROM t [WHERE cond]``
+    - ``MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k [AND ...]
+      [WHEN MATCHED THEN UPDATE SET *]
+      [WHEN NOT MATCHED THEN INSERT *]``
+      (whole-row actions, matching Delta's ``UPDATE SET *`` /
+      ``INSERT *`` shorthand; at least one WHEN clause required)
+    """
+
+    def _table(name: str) -> VersionedTable:
+        if name not in tables:
+            raise ValueError(f"unknown table {name!r}; have {sorted(tables)}")
+        return tables[name]
+
+    if m := _UPDATE_RE.match(sql):
+        return _table(m["table"]).update(
+            m["where"] or "true", _split_assignments(m["set"])
+        )
+    if m := _DELETE_RE.match(sql):
+        return _table(m["table"]).delete(m["where"] or "true")
+    if m := _MERGE_RE.match(sql):
+        target = _table(m["target"])
+        src_name = m["source"]
+        if sources and src_name in sources:
+            source = sources[src_name]
+        else:
+            source = _table(src_name).read()
+        aliases = {
+            a
+            for a in (
+                m["talias"] or m["target"],
+                m["salias"] or m["source"],
+            )
+        }
+        when = m["when"]
+        update_matched = bool(_MATCHED_RE.search(when))
+        insert_unmatched = bool(_NOT_MATCHED_RE.search(when))
+        recognized = _MATCHED_RE.sub("", _NOT_MATCHED_RE.sub("", when))
+        if recognized.strip():
+            raise ValueError(
+                f"unsupported MERGE WHEN clause(s): {recognized.strip()!r}"
+            )
+        if not (update_matched or insert_unmatched):
+            raise ValueError("MERGE needs at least one WHEN clause")
+        return target.merge(
+            source,
+            on=_merge_keys(m["on"], aliases),
+            update_when_matched=update_matched,
+            insert_when_not_matched=insert_unmatched,
+        )
+    raise ValueError(f"not a supported DML statement: {sql.strip()[:80]!r}")

@@ -9,7 +9,7 @@ import os
 import pytest
 from pyspark.sql import Row, functions as F
 
-from dst_spark_k8_lakehouse_spark.plans import VersionedTable, ddl
+from dst_spark_k8_lakehouse_spark.plans import VersionedTable, ddl, dml
 
 
 @pytest.fixture()
@@ -298,3 +298,110 @@ def test_vacuum_and_files_validate_arguments(spark, tmp_path):
         t.files(version=-2)
     with pytest.raises(ValueError):
         t.files(version=99)
+
+
+# --- SQL-string DML shim (plans/dml.py) --------------------------------
+
+
+def test_sql_update_matches_api_call(spark, vt):
+    """The statement text from 02_iceberg_demo.ipynb:91 executes over
+    the versioned table and equals the direct API call."""
+    dml.execute_dml(
+        "UPDATE tbl SET bal = bal * 2, name = upper(name) WHERE id = 1",
+        {"tbl": vt},
+    )
+    rows = {r.id: (r.name, r.bal) for r in vt.read().collect()}
+    assert rows == {1: ("ALICE", 20.0), 2: ("bob", 20.0)}
+
+
+def test_sql_update_set_with_function_commas(spark, vt):
+    dml.execute_dml(
+        "UPDATE tbl SET bal = greatest(bal, 15.0)", {"tbl": vt}
+    )
+    rows = {r.id: r.bal for r in vt.read().collect()}
+    assert rows == {1: 15.0, 2: 20.0}
+
+
+def test_sql_delete(spark, vt):
+    dml.execute_dml("DELETE FROM tbl WHERE name = 'bob'", {"tbl": vt})
+    assert [r.id for r in vt.read().collect()] == [1]
+
+
+def test_sql_merge_upsert(spark, vt):
+    src = spark.createDataFrame(
+        [Row(id=2, name="bobby", bal=99.0), Row(id=3, name="carol", bal=30.0)]
+    )
+    dml.execute_dml(
+        """MERGE INTO tbl AS t USING src AS s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        {"tbl": vt},
+        sources={"src": src},
+    )
+    rows = {r.id: r.name for r in vt.read().collect()}
+    assert rows == {1: "alice", 2: "bobby", 3: "carol"}
+
+
+def test_sql_merge_source_from_versioned_table(spark, vt, tmp_path):
+    src_t = VersionedTable(spark, str(tmp_path / "src"))
+    src_t.create(spark.createDataFrame([Row(id=9, name="zed", bal=1.0)]))
+    dml.execute_dml(
+        "MERGE INTO tbl USING src ON id = id "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"tbl": vt, "src": src_t},
+    )
+    assert 9 in {r.id for r in vt.read().collect()}
+
+
+def test_sql_dml_rejects_unsupported(spark, vt):
+    for bad in (
+        "SELECT * FROM tbl",
+        "UPDATE tbl SET 1bad = 2",
+        "MERGE INTO tbl USING s ON t.id = s.other WHEN MATCHED THEN UPDATE SET *",
+        "MERGE INTO tbl USING s ON id < id WHEN MATCHED THEN UPDATE SET *",
+        "MERGE INTO tbl USING s ON id = id WHEN MATCHED THEN DELETE",
+    ):
+        with pytest.raises(ValueError):
+            dml.execute_dml(bad, {"tbl": vt}, sources={"s": vt.read()})
+
+
+# --- partition transforms (D5 fallback) --------------------------------
+
+
+def test_partition_transform_days_prunes(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, ts="2024-01-01 10:00:00"),
+            Row(event_id=2, ts="2024-01-02 11:00:00"),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "pt")
+    name = ddl.write_partitioned_by_transform(ev, path, "days(ts)")
+    assert name == "ts_day"
+    back = spark.read.parquet(path).filter(F.col("ts_day") == "2024-01-02")
+    assert [r.event_id for r in back.collect()] == [2]
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_partition_transform_shapes(spark):
+    df = spark.createDataFrame([Row(n=1234, s="abcdef", ts="2024-03-05")])
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    cases = {
+        "years(ts)": ("ts_year", 2024),
+        "months(ts)": ("ts_month", "2024-03"),
+        "hours(ts)": ("ts_hour", "2024-03-05-00"),
+        "truncate(3, s)": ("s_trunc", "abc"),
+        "truncate(100, n)": ("n_trunc", 1200),
+        "bucket(8, n)": ("n_bucket", None),
+    }
+    for spec, (name, expected) in cases.items():
+        got_name, col = ddl.partition_transform(spec, df)
+        assert got_name == name, spec
+        val = df.select(col.alias("v")).head().v
+        if expected is not None:
+            assert val == expected, (spec, val)
+        else:
+            assert 0 <= val < 8
+    with pytest.raises(ValueError):
+        ddl.partition_transform("identity(ts, 3)")
