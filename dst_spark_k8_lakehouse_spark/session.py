@@ -75,6 +75,17 @@ def get_session(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Local mode runs every executor thread inside the driver JVM,
+        # whose stock 1g heap GC-thrashes once ~32 tasks hold shuffle
+        # and cache blocks at once (observed: GCLocker retry warnings at
+        # the 6M-row sweep). 8g is still conservative for the 128 GiB
+        # class of box this targets; on a real cluster the executor/
+        # driver memory comes from spark-submit and this only sizes the
+        # coordinator. No-op if a session already exists.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         # AQE: runtime re-planning, auto-coalesce of small shuffle
         # partitions, skew-join splitting — the main 100 TB survival knobs.
         .config("spark.sql.adaptive.enabled", "true")
