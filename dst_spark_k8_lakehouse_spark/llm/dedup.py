@@ -849,3 +849,120 @@ def dedup_keep_representatives(
     clusters = neardup_clusters(pairs)
     losers = clusters.filter("doc_id <> cluster_id").select("doc_id")
     return docs.join(losers, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Recall contracts (r4): the LSH pipelines are not SQL-expressible, but
+# their recall ON THE PLANTED DUPLICATES is exactly 1.0 by construction
+# (identical text → identical signatures → every band/bucket matches),
+# and the planted-pair set IS SQL-expressible. Each eval below re-runs
+# the full pipeline and emits (n_planted, n_found, recall_ok) — an
+# oracle-checkable contract where the rows-only parent query can only
+# show "it ran". A pipeline regression that silently drops true
+# duplicates now hash-mismatches instead of passing unnoticed.
+# ---------------------------------------------------------------------------
+
+
+def _recall_row(expected: DataFrame, pairs: DataFrame) -> DataFrame:
+    hits = pairs.select("doc_a", "doc_b", F.lit(1).alias("hit")).distinct()
+    return (
+        expected.join(hits, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count("*").alias("n_planted"),
+            F.count("hit").alias("n_found"),
+            (F.count("*") == F.count("hit")).alias("recall_ok"),
+        )
+    )
+
+
+@query(
+    "l2_minhash_recall",
+    oracle=r"""
+        SELECT count(*) AS n_planted, count(*) AS n_found,
+               TRUE AS recall_ok
+        FROM documents
+        WHERE doc_id % 10 = 0
+          AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3
+    """,
+)
+def l2_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 recall contract: every planted duplicate pair (J = 1.0) must
+    surface from the full MinHash-LSH pipeline. Planted docs with fewer
+    than ``shingle_n`` tokens have no signature and are excluded on
+    both sides (the oracle's token-count predicate)."""
+    pairs = l2_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    expected = (
+        docs.filter(
+            (F.col("doc_id") % 10 == 0)
+            & (F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 3)
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + DUP_OFFSET).alias("doc_b"),
+        )
+    )
+    return _recall_row(expected, pairs)
+
+
+@query(
+    "l2_simhash_recall",
+    oracle="""
+        SELECT count(*) AS n_planted, count(*) AS n_found,
+               TRUE AS recall_ok
+        FROM documents
+        WHERE doc_id % 10 = 0 AND length(trim(text)) > 0
+    """,
+)
+def l2_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash recall contract: planted copies hash to the identical
+    64-bit signature (hamming 0), so the 16-bit chunk join must pair
+    every one of them; empty-text docs are dropped by the pipeline and
+    excluded on both sides."""
+    pairs = l2_simhash(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    expected = (
+        docs.filter(
+            (F.col("doc_id") % 10 == 0) & (F.length(F.trim("text")) > 0)
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + DUP_OFFSET).alias("doc_b"),
+        )
+    )
+    return _recall_row(expected, pairs)
+
+
+@query(
+    "l2_embed_recall",
+    oracle="""
+        SELECT count(*) AS n_planted, count(*) AS n_found,
+               TRUE AS recall_ok
+        FROM embeddings
+        WHERE vec_id % 10 = 0
+          AND list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+    """,
+)
+def l2_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup recall contract: a ×1.01-scaled copy has
+    cosine exactly 1.0 with its original and identical hyperplane
+    signs, so single-table sign-LSH at threshold 0.99 must pair every
+    planted copy; zero-norm vectors are dropped by the pipeline and
+    excluded on both sides."""
+    pairs = l2_embed_neardup(spark, sf_dir).withColumnsRenamed(
+        {"vec_a": "doc_a", "vec_b": "doc_b"}
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_sq = F.expr(
+        "aggregate(embedding, 0D, "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    expected = (
+        emb.filter((F.col("vec_id") % 10 == 0) & (norm_sq > 0))
+        .select(
+            F.col("vec_id").alias("doc_a"),
+            (F.col("vec_id") + DUP_OFFSET).alias("doc_b"),
+        )
+    )
+    return _recall_row(expected, pairs)

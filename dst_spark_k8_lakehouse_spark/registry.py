@@ -75,6 +75,11 @@ PRIORITY: list[str] = [
     "l3_langid_eval",
     "t4_watermark",
     "t5_stateful_dedup",
+    "l2_minhash_recall",
+    "l2_simhash_recall",
+    "l2_embed_recall",
+    "s2_csv_roundtrip",
+    "s5_append_sink",
     # (d) backfill: only green row is r01 — oldest evidence first
     "p1_project",
     "p2_selectexpr",

@@ -27,13 +27,21 @@ def s1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "region")
 
 
-@query("s2_csv_roundtrip")  # rows-only: CSV round-trip is an IO property
+@query(
+    "s2_csv_roundtrip",
+    oracle="""
+        SELECT count(*) AS n_back, count(*) AS n_src FROM nation
+    """,
+)
 def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S3: CSV sink with header then CSV scan with explicit schema.
 
     Reference reads CSV with header and later casts stringly columns
     (``demo.py:88,122``); we read back with an explicit schema instead
     (the survey's 'avoid inference' posture, ``spark_logger.py:14``).
+    The roundtrip result is deterministic — both counts must equal the
+    source cardinality — so since r4 the oracle pins it instead of a
+    rows-only run.
     """
     out = tempfile.mkdtemp(prefix="s2_csv_")
     try:
@@ -51,10 +59,14 @@ def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
-@query("s5_append_sink")  # rows-only: sink semantics, not a relational result
+@query(
+    "s5_append_sink",
+    oracle="SELECT 2 * count(*) AS n_appended FROM region",
+)
 def s5_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: append-mode lakehouse sink (``spark_logger.py:55-57``) —
-    two appends of the same 5-row table double the row count."""
+    two appends of the same 5-row table double the row count; the
+    doubled count is deterministic, so the oracle pins it (r4)."""
     out = tempfile.mkdtemp(prefix="s5_append_")
     try:
         region = load_table(spark, sf_dir, "region")
