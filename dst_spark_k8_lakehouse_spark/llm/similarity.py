@@ -361,3 +361,24 @@ def l4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "l4_ivf_recall",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_brute, TRUE AS overlap_ok",
+)
+def l4_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 recall contract: the IVF probe's top-10 must overlap the
+    brute-force top-10 in ≥7 positions — the bound the recall pytest
+    asserts, promoted to an oracle row. Everything is deterministic
+    (centroids are the first 8 vectors, scores floored at 1e-6,
+    vec_id tiebreaks), so a regression in cell assignment or probe
+    pruning flips the boolean instead of passing as rows-only. The
+    brute-force side itself is value-checked against DuckDB by
+    ``l4_cosine_topk``'s own oracle."""
+    approx = l4_ann_ivf(spark, sf_dir).select("vec_id")
+    brute = l4_cosine_topk(spark, sf_dir).select("vec_id")
+    overlap = brute.join(approx, "vec_id", "left_semi")
+    return brute.agg(F.count("*").alias("n_brute")).crossJoin(
+        overlap.agg((F.count("*") >= 7).alias("overlap_ok"))
+    )
