@@ -405,3 +405,47 @@ def test_partition_transform_shapes(spark):
             assert 0 <= val < 8
     with pytest.raises(ValueError):
         ddl.partition_transform("identity(ts, 3)")
+
+
+# --- OPTIMIZE ZORDER BY -------------------------------------------------
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """After zorder on (a, b), each output file's min-max span on BOTH
+    columns must be a small fraction of the full range — the property
+    file/row-group pruning needs. A linear sort would give tight 'a'
+    spans but full-range 'b' spans."""
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % n).alias("a"),
+        (F.col("id") * 40503 % n).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    t = VersionedTable(spark, str(tmp_path / "zt"))
+    t.create(df)
+    v = t.zorder(["a", "b"], n_files=8)
+    assert t.history().filter("operation = 'ZORDER'").count() == 1
+    back = t.read(v).select(
+        "a", "b", F.input_file_name().alias("f")
+    )
+    spans = back.groupBy("f").agg(
+        (F.max("a") - F.min("a")).alias("sa"),
+        (F.max("b") - F.min("b")).alias("sb"),
+    ).collect()
+    assert len(spans) >= 4  # actually split into multiple files
+    mean_sa = sum(r.sa for r in spans) / len(spans)
+    mean_sb = sum(r.sb for r in spans) / len(spans)
+    # 8 z-range files over 256x256 buckets → each file covers ~1/8 of
+    # the z-curve; both dims should span well under the full range
+    # (observed ~0.5; a linear sort gives sb ≈ n)
+    assert mean_sa < 0.75 * n, mean_sa
+    assert mean_sb < 0.75 * n, mean_sb
+    # rows preserved exactly
+    assert t.read(v).count() == n
+
+
+def test_zorder_rejects_bad_cols(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "zt2"))
+    t.create(spark.createDataFrame([Row(a=1)]))
+    with pytest.raises(ValueError):
+        t.zorder([])
