@@ -203,6 +203,17 @@ class DeltaBackedTable:
         self._dt().vacuum(retain_hours)
         return []  # Delta logs removed files itself; nothing to report
 
+    def zorder(self, cols: list[str], n_files: int = 8) -> int:
+        """API parity with ``VersionedTable.zorder``: delegate to
+        Delta's own ``OPTIMIZE … ZORDER BY`` (executeZOrderBy), which
+        owns the file-size targeting — ``n_files`` is accepted for
+        signature parity and ignored (Delta sizes output files from
+        ``optimize.maxFileSize``, the correct knob on that backend)."""
+        if not cols or len(cols) > 4:
+            raise ValueError("zorder needs 1-4 columns")
+        self._dt().optimize().executeZOrderBy(*cols)
+        return self._latest_version()
+
     def committed_props(self, key: str) -> set[Any]:
         if key != "stream_batch_id":
             return set()

@@ -176,7 +176,7 @@ def test_open_table_backend_selection(spark, tmp_path):
     # backends breaks the open_table contract silently
     for method in (
         "create", "append", "overwrite", "read", "update", "delete",
-        "merge", "history", "committed_props", "latest_prop",
+        "merge", "history", "committed_props", "latest_prop", "zorder",
     ):
         pv = list(inspect.signature(getattr(VersionedTable, method)).parameters)
         pd_ = list(inspect.signature(getattr(DeltaBackedTable, method)).parameters)
