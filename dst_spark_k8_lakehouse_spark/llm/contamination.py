@@ -1,0 +1,124 @@
+"""Benchmark-contamination detection (train/eval overlap).
+
+The standard pretraining hygiene check (GPT-3 appendix C shape): flag
+any training document sharing an exact token n-gram with a benchmark
+document. Expressed Spark-first:
+
+- n-grams are built map-only (``sequence`` + ``transform`` +
+  ``concat_ws`` — no Python),
+- the benchmark side is DISTINCT n-grams **broadcast** to the scan:
+  benchmarks are structurally small (MBs) against a corpus that is
+  not (TBs), so this is the one join in the engine where a broadcast
+  is safe BY CONSTRUCTION, not by data luck — the 100 TB plan is one
+  map-side pass over the corpus,
+- per-doc contamination = distinct grams hitting the benchmark set,
+  aggregated with a partial-agg groupBy on doc_id.
+
+Window size: 5 tokens here (the corpus averages ~50 tokens/doc; the
+classical 13-gram window is for web-scale documents — the operator
+takes ``n`` as a parameter).
+
+Evidence: the scan side includes the planted mirror copies
+(``with_planted_duplicates``), whose originals form the stand-in
+benchmark — every mirror must flag at 100% gram overlap, and the
+whole result value-matches a DuckDB oracle that computes the same
+n-gram join in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.llm.dedup import (
+    DUP_OFFSET,
+    with_planted_duplicates,
+)
+from dst_spark_k8_lakehouse_spark.registry import query
+from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+
+def _doc_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) — distinct token n-grams per doc, map-only."""
+    tok = F.split(F.trim(F.lower("text")), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, size(tok) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(tok, i, {n})))"
+    )
+    return (
+        docs.withColumn("tok", tok)
+        .filter(F.size("tok") >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    )
+
+
+def contamination_report(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """(doc_id, n_grams, n_hit) for every corpus doc sharing at least
+    one token n-gram with any benchmark doc. ``benchmark`` is
+    broadcast — see module docstring for why that is safe here."""
+    bench_grams = F.broadcast(
+        _doc_grams(benchmark, n).select("gram").distinct()
+    )
+    grams = _doc_grams(corpus, n)
+    return (
+        grams.join(
+            bench_grams.withColumn("hit", F.lit(1)), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > 0)
+    )
+
+
+@query(
+    "l7_contamination",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + {DUP_OFFSET}, text
+                FROM documents WHERE doc_id % 10 = 0
+            )
+        ),
+        g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(t[i.i:i.i + 4], ' ') AS gram
+            FROM tok,
+                 LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) i
+            WHERE len(t) >= 5
+        ),
+        bg AS (
+            SELECT DISTINCT gram FROM g
+            WHERE doc_id % 10 = 0 AND doc_id < {DUP_OFFSET}
+        )
+        SELECT g.doc_id,
+               count(*) AS n_grams,
+               CAST(count(bg.gram) AS BIGINT) AS n_hit
+        FROM g LEFT JOIN bg USING (gram)
+        WHERE g.doc_id % 10 <> 0 OR g.doc_id >= {DUP_OFFSET}
+        GROUP BY g.doc_id
+        HAVING count(bg.gram) > 0
+    """,
+)
+def l7_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: contamination scan of the corpus (with planted mirrors)
+    against the stand-in benchmark (every 10th original doc). Every
+    mirror copy must flag with n_hit == n_grams; any organic 5-gram
+    collision in the corpus flags too — both sides value-checked by
+    the oracle."""
+    docs = with_planted_duplicates(load_table(spark, sf_dir, "documents"))
+    benchmark = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < DUP_OFFSET)
+    )
+    corpus = docs.filter(
+        (F.col("doc_id") % 10 != 0) | (F.col("doc_id") >= DUP_OFFSET)
+    )
+    return contamination_report(corpus, benchmark, n=5)

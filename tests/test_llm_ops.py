@@ -416,3 +416,25 @@ def test_cosine_survives_zero_norm_vector(spark):
     }
     assert out[0] == 0.0
     assert abs(out[1] - 0.7071) < 1e-3
+
+
+def test_contamination_flags_every_mirror_fully(spark, sf_dir):
+    """Every planted mirror shares ALL its 5-grams with its benchmark
+    original, so it must flag with n_hit == n_grams; originals in the
+    benchmark set must not appear in the report at all."""
+    from dst_spark_k8_lakehouse_spark.llm.contamination import (
+        l7_contamination,
+    )
+
+    out = l7_contamination(spark, sf_dir).collect()
+    assert out, "contamination report empty — vacuous"
+    mirrors = [r for r in out if r.doc_id >= dedup.DUP_OFFSET]
+    assert mirrors, "no mirror rows — planted contamination missing"
+    assert all(r.n_hit == r.n_grams for r in mirrors)
+    docs = load_table(spark, sf_dir, "documents")
+    n_mirrors_expected = docs.filter(
+        (F.col("doc_id") % 10 == 0)
+        & (F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 5)
+    ).count()
+    assert len(mirrors) == n_mirrors_expected
+    assert all(r.doc_id % 10 != 0 for r in out if r.doc_id < dedup.DUP_OFFSET)
