@@ -63,6 +63,7 @@ HEADLINE = [
     "l3_text_stats",
     "l6_chunk_docs",
     "l6_vocab_topk",
+    "l7_contamination",
     "l4_cosine_topk",
     "l4_ann_ivf_probe",  # production path: probe a pre-built IVF index
     # (inline-rebuild variant l4_ann_ivf stays correctness-only)

@@ -97,8 +97,9 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spread_for_python(df: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Repartition a small-partition-count input so a downstream pandas
-    UDF uses the cluster, not the scan's partitioning. The testdata
+    """Repartition a small-partition-count input so a downstream Python
+    stage (mapInArrow / pandas UDF) uses the cluster, not the scan's
+    partitioning. The testdata
     parquet is 1-2 row groups → 2 scan tasks, which would run the
     Python signature stage on 2 of 32 cores (measured 1.06 s → 0.65 s
     at sf0.1). No-op when the input already has enough partitions —
