@@ -246,3 +246,83 @@ def l6_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(50)
     )
+
+
+# Epoch rates per source domain for the training-mixture query: >1
+# upsamples (repeat epochs), <1 downsamples, unlisted sources default
+# to 1.0. Fixed-point (rate × 1000) so Spark and the SQL oracle do the
+# same integer arithmetic — no float-boundary flakes.
+MIXTURE_MILLI: dict[str, int] = {
+    "src0": 2500,   # 2.5 epochs: high-quality domain repeated
+    "src1": 1500,
+    "src2": 400,    # 0.4 epochs: downweighted domain
+    "src3": 0,      # excluded entirely
+}
+
+
+def mixture_epochs(docs: DataFrame, milli_rates: dict[str, int]) -> DataFrame:
+    """(doc, epoch) rows realizing per-domain epoch rates — the
+    mixture-reweighting step of a training-data pipeline (domain
+    weights from a recipe like DoReMi; an epoch rate of 2.5 means the
+    whole domain twice plus a deterministic half).
+
+    Map-only and shuffle-free: every doc computes its copy count from
+    its own id — ``floor(rate)`` full epochs plus one more iff
+    ``doc_id % 1000 < rate mod 1000`` (the same deterministic mod-hash
+    posture as ``l6_stratified_sample``: stable across runs, engines,
+    and corpus growth; no ``rand()``, no per-domain ordering). The
+    fractional slice is id-stable, so incremental ingest never flips
+    an old doc's epoch count. Output carries ``epoch`` so a downstream
+    pack/shuffle can spread repeats across shards.
+    """
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == k, F.lit(v))
+            for k, v in sorted(milli_rates.items())
+        ],
+        F.lit(1000),
+    )
+    n_copies = (rate / 1000).cast("int") + (
+        (F.col("doc_id") % 1000) < (rate % 1000)
+    ).cast("int")
+    return (
+        docs.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1, __n)")).alias("epoch"),
+        )
+    )
+
+
+@query(
+    "l6_mixture_epochs",
+    oracle=f"""
+        WITH rated AS (
+            SELECT doc_id, source,
+                   CASE source
+                       {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIXTURE_MILLI.items()))}
+                       ELSE 1000 END AS rate,
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id, source,
+                   CAST(rate // 1000 AS INT)
+                   + CASE WHEN doc_id % 1000 < rate % 1000
+                          THEN 1 ELSE 0 END AS n
+            FROM rated
+        )
+        SELECT doc_id, source, CAST(e.epoch AS INT) AS epoch
+        FROM counted,
+             LATERAL (SELECT unnest(range(1, n + 1)) AS epoch) e
+        WHERE n > 0
+    """,
+)
+def l6_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: domain-mixture reweighting over the documents table with
+    the ``MIXTURE_MILLI`` recipe (upsample src0/src1, downsample src2,
+    drop src3, every other source one epoch)."""
+    return mixture_epochs(
+        load_table(spark, sf_dir, "documents"), MIXTURE_MILLI
+    )

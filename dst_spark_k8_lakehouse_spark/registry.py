@@ -80,6 +80,7 @@ PRIORITY: list[str] = [
     "l2_embed_recall",
     "l4_ivf_recall",
     "l7_contamination",
+    "l6_mixture_epochs",
     "s2_csv_roundtrip",
     "s5_append_sink",
     # (d) backfill: only green row is r01 — oldest evidence first

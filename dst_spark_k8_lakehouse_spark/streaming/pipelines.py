@@ -231,12 +231,14 @@ def _arrival_stream(
     """Write ``files`` as an n-file stream directory with pinned arrival
     order (one micro-batch per file) and return (stream df, checkpoint
     dir)."""
+    import atexit
     import glob
     import os
     import shutil
     import tempfile
 
     base = tempfile.mkdtemp(prefix="dst-stream-run-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     sdir = os.path.join(base, "in")
     os.makedirs(sdir)
     for i, df in enumerate(files):
