@@ -1,0 +1,109 @@
+"""Driver-channel queries for the lakehouse layer (D10-D12).
+
+The versioned-table semantics (copy-on-write DML, time travel) were
+previously pytest-only evidence; each query here drives the full
+stack — create a table from a fixture, mutate it through the SQL DML
+shim, read a version back — and returns a result the DuckDB oracle
+computes directly from the fixture, so the driver value-checks the
+whole write path, not just "it ran".
+
+Tables are built per call in a temp directory (cleaned at process
+exit — the returned DataFrame stays lazily readable until then, like
+the persisted-signature fixtures in ``llm/dedup.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.plans.dml import execute_dml
+from dst_spark_k8_lakehouse_spark.plans.table import VersionedTable
+from dst_spark_k8_lakehouse_spark.registry import query
+from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+
+def _temp_table(spark: SparkSession, df: DataFrame) -> VersionedTable:
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="dst-lakehouse-q-")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.create(df)
+    return t
+
+
+@query(
+    "d10_update_sql",
+    oracle="""
+        SELECT c_custkey,
+               round(CASE WHEN c_mktsegment = 'BUILDING'
+                          THEN c_acctbal * 2 ELSE c_acctbal END, 2)
+                   AS bal
+        FROM customer
+    """,
+)
+def d10_update_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 end-to-end: CTAS from the customer fixture, the reference's
+    UPDATE statement text through the DML shim (copy-on-write
+    snapshot), read back — every row value-checked against the oracle
+    computing the same mutation relationally."""
+    t = _temp_table(spark, load_table(spark, sf_dir, "customer"))
+    execute_dml(
+        "UPDATE t SET c_acctbal = c_acctbal * 2 "
+        "WHERE c_mktsegment = 'BUILDING'",
+        {"t": t},
+    )
+    return t.read().select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+
+
+@query(
+    "d11_delete_sql",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer WHERE c_mktsegment <> 'MACHINERY'
+    """,
+)
+def d11_delete_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 end-to-end: DELETE statement text → anti-filter rewrite →
+    read back; surviving keys value-checked."""
+    t = _temp_table(spark, load_table(spark, sf_dir, "customer"))
+    execute_dml("DELETE FROM t WHERE c_mktsegment = 'MACHINERY'", {"t": t})
+    return t.read().select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "d12_time_travel",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS v0_rows,
+               CAST(2 * count(*) AS BIGINT) AS v1_rows,
+               CAST(count(*) FILTER (WHERE c_acctbal > 0) AS BIGINT)
+                   AS v2_rows,
+               CAST(2 * count(*) AS BIGINT) AS v1_rows_after
+        FROM customer
+    """,
+)
+def d12_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 end-to-end: create → append (doubling) → overwrite (filter)
+    builds three snapshots; every historical version must still read
+    exactly — including after later snapshots were committed. The four
+    counts are all oracle-derivable from the fixture."""
+    cust = load_table(spark, sf_dir, "customer")
+    t = _temp_table(spark, cust)          # v0: fixture
+    t.append(cust)                        # v1: doubled
+    t.overwrite(cust.filter(F.col("c_acctbal") > 0))  # v2: filtered
+    counts = [
+        t.read(version=v).agg(F.count("*").alias(n))
+        for v, n in ((0, "v0_rows"), (1, "v1_rows"), (2, "v2_rows"))
+    ]
+    # read v1 AGAIN after v2 exists: time travel must be stable, not
+    # a latest-state alias
+    again = t.read(version=1).agg(F.count("*").alias("v1_rows_after"))
+    out = counts[0]
+    for df in (*counts[1:], again):
+        out = out.crossJoin(df)
+    return out

@@ -81,6 +81,9 @@ PRIORITY: list[str] = [
     "l4_ivf_recall",
     "l7_contamination",
     "l6_mixture_epochs",
+    "d10_update_sql",
+    "d11_delete_sql",
+    "d12_time_travel",
     "s2_csv_roundtrip",
     "s5_append_sink",
     # (d) backfill: only green row is r01 — oldest evidence first
@@ -134,5 +137,6 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from dst_spark_k8_lakehouse_spark import functions, llm, operators, streaming  # noqa: F401
     from dst_spark_k8_lakehouse_spark import sources  # noqa: F401
+    from dst_spark_k8_lakehouse_spark.plans import lakehouse_queries  # noqa: F401
 
     _apply_priority()
