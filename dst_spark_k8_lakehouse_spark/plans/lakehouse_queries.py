@@ -107,3 +107,67 @@ def d12_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in (*counts[1:], again):
         out = out.crossJoin(df)
     return out
+
+
+@query(
+    "d13_merge_sql",
+    oracle="""
+        SELECT c_custkey,
+               round(CASE WHEN c_custkey % 7 = 0
+                          THEN c_acctbal + 1000 ELSE c_acctbal END, 2)
+                   AS bal
+        FROM customer
+        UNION ALL
+        SELECT -1 AS c_custkey, round(42.0, 2) AS bal
+    """,
+)
+def d13_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE end-to-end: upsert a source of modified rows (every 7th
+    customer, +1000 balance) plus one brand-new key through the MERGE
+    statement text; matched rows replaced, unmatched inserted, result
+    value-checked."""
+    cust = load_table(spark, sf_dir, "customer")
+    t = _temp_table(spark, cust)
+    modified = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000
+    )
+    new_row = (
+        cust.limit(1)
+        .select(
+            F.lit(-1).cast("long").alias("c_custkey"),
+            F.lit("x").alias("c_name"),
+            F.lit(0).cast("int").alias("c_nationkey"),
+            F.lit(42.0).alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    execute_dml(
+        """MERGE INTO t USING s ON t.c_custkey = s.c_custkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        {"t": t},
+        sources={"s": modified.unionByName(new_row)},
+    )
+    return t.read().select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+
+
+@query(
+    "d15_zorder_preserves",
+    oracle="""
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+        FROM customer
+    """,
+)
+def d15_zorder_preserves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY end-to-end: the clustered rewrite must be a
+    pure reorganization — every row survives byte-identically. The
+    clustering property itself (per-file min/max spans) is asserted by
+    ``test_zorder_clusters_both_dimensions``; this query puts the
+    no-data-change contract in the driver channel."""
+    t = _temp_table(spark, load_table(spark, sf_dir, "customer"))
+    v = t.zorder(["c_nationkey", "c_acctbal"], n_files=4)
+    return t.read(v).select(
+        "c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("bal")
+    )

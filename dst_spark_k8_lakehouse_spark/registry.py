@@ -84,6 +84,8 @@ PRIORITY: list[str] = [
     "d10_update_sql",
     "d11_delete_sql",
     "d12_time_travel",
+    "d13_merge_sql",
+    "d15_zorder_preserves",
     "s2_csv_roundtrip",
     "s5_append_sink",
     # (d) backfill: only green row is r01 — oldest evidence first
