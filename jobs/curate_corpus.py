@@ -2,16 +2,21 @@
 """Batch job: LLM training-data curation pipeline.
 
 documents → quality gate → exact dedup → MinHash near-dup dedup →
-curated corpus + signature table + corpus stats, with pipeline metrics
-at every layer. The medallion flow (``06_pipeline_metrics_demo.ipynb``)
+benchmark decontamination → curated corpus + signature table +
+mixture manifest + corpus stats, with pipeline metrics at every
+layer. The medallion flow (``06_pipeline_metrics_demo.ipynb``)
 applied to corpus curation:
 
   bronze  raw documents
   silver  quality-filtered, exactly-deduplicated
-  gold    near-dup-free corpus + stats + persisted dedup state
+  gold    near-dup-free, decontaminated corpus + stats + persisted
+          dedup state + per-domain epoch manifest
 
 spark-submit-able like ``jobs/revenue_report.py``. Deterministic keep
-rules throughout: smallest doc_id survives any duplicate group.
+rules throughout: smallest doc_id survives any duplicate group;
+eval-set members and any doc sharing a 5-gram with them are excluded
+from training (``llm/contamination.py``); the mixture manifest
+realizes ``MIXTURE_MILLI`` epoch rates (``llm/curation.py``).
 """
 
 from __future__ import annotations
@@ -26,7 +31,11 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from dst_spark_k8_lakehouse_spark import get_session  # noqa: E402
-from dst_spark_k8_lakehouse_spark.llm import dedup  # noqa: E402
+from dst_spark_k8_lakehouse_spark.llm import (  # noqa: E402
+    contamination,
+    curation,
+    dedup,
+)
 from dst_spark_k8_lakehouse_spark.metrics import MetricContext  # noqa: E402
 from dst_spark_k8_lakehouse_spark.plans import VersionedTable  # noqa: E402
 from dst_spark_k8_lakehouse_spark.sources.catalog import load_table  # noqa: E402
@@ -111,12 +120,32 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
         log(2, "silver_docs", silver.count())
 
         gold, sigs = neardup_dedup(silver)
+
+        # decontamination: the stand-in eval set is every 97th bronze
+        # doc (production passes a real benchmark path); eval members
+        # self-flag at 100% gram overlap, so training never sees them
+        # OR any doc sharing a 5-gram with them
+        benchmark = bronze.filter(F.col("doc_id") % 97 == 0)
+        flagged = contamination.contamination_report(gold, benchmark, n=5)
+        clean = gold.join(flagged.select("doc_id"), "doc_id", "left_anti")
+        log(3, "contaminated_removed", flagged.count())
+
         gold_table = VersionedTable(spark, f"{out_dir}/corpus")
-        gold_table.create(gold)
-        VersionedTable(spark, f"{out_dir}/signatures").create(sigs)
+        gold_table.create(clean)
+        VersionedTable(spark, f"{out_dir}/signatures").create(
+            sigs.join(clean.select("doc_id"), "doc_id", "left_semi")
+        )
         log(3, "gold_docs", gold_table.read().count())
 
-        stats = gold.groupBy("lang").agg(
+        manifest = curation.mixture_epochs(clean, curation.MIXTURE_MILLI)
+        manifest.write.mode("overwrite").parquet(
+            f"{out_dir}/mixture_manifest"
+        )
+        log(3, "mixture_rows", spark.read.parquet(
+            f"{out_dir}/mixture_manifest"
+        ).count())
+
+        stats = clean.groupBy("lang").agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )

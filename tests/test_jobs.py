@@ -3,6 +3,8 @@ gold output written, metrics logged with a completion event."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from dst_spark_k8_lakehouse_spark.plans import VersionedTable
 from jobs.revenue_report import run
 
@@ -35,13 +37,37 @@ def test_curate_corpus_job(spark, sf_dir, tmp_path):
     assert sigs.count() == counts["gold_docs"]  # state matches corpus
 
     log = VersionedTable(spark, f"{out}/_activity_log").read()
-    assert log.count() == 4  # 3 layer counts + completion, one commit
+    assert log.count() == 6  # 5 layer counts + completion, one commit
     assert (
         log.filter("metric_function = 'completion'").collect()[0].status
         == "success"
     )
     stats = spark.read.parquet(f"{out}/stats")
     assert stats.count() > 0
+
+    # decontamination: no corpus doc may share a 5-gram with the
+    # stand-in eval set (every 97th bronze doc)
+    from dst_spark_k8_lakehouse_spark.llm.contamination import (
+        contamination_report,
+    )
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    bench = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 97 == 0
+    )
+    assert contamination_report(corpus, bench, n=5).count() == 0
+    assert counts["contaminated_removed"] > 0  # non-vacuous
+
+    # mixture manifest: excluded domain absent, upsampled domain has
+    # more rows than docs
+    manifest = spark.read.parquet(f"{out}/mixture_manifest")
+    assert counts["mixture_rows"] == manifest.count()
+    assert manifest.filter("source = 'src3'").count() == 0
+    n_src0_docs = corpus.filter("source = 'src0'").count()
+    if n_src0_docs:
+        assert (
+            manifest.filter("source = 'src0'").count() >= 2 * n_src0_docs
+        )
 
 
 def test_ingest_batch_job(spark, sf_dir, tmp_path):
