@@ -169,3 +169,50 @@ def test_vocab_topk_partial_agg_and_takeordered(spark, sf_dir):
     plan = plan_of(registry.QUERIES["l6_vocab_topk"](spark, sf_dir))
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """l7's benchmark gram set must broadcast — the corpus side is TBs
+    at scale and must never shuffle on the gram key. Gram construction
+    must be map-only up to the join."""
+    plan = plan_of(registry.QUERIES["l7_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_mixture_epochs_is_shuffle_free(spark, sf_dir):
+    """Mixture reweighting computes each doc's epoch count from its own
+    id: the plan must contain NO exchange at all — map-only, the shape
+    that runs as a pure pass-through stage at 100 TB."""
+    plan = plan_of(registry.QUERIES["l6_mixture_epochs"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_zorder_plan_is_single_range_shuffle(spark, tmp_path):
+    """The zorder rewrite must cost exactly one range exchange (plus
+    the quantile sketch passes) — not a global sort, not repeated
+    shuffles."""
+    from dst_spark_k8_lakehouse_spark.plans import VersionedTable
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 97).alias("a"), (F.col("id") % 89).alias("b")
+    )
+    t = VersionedTable(spark, str(tmp_path / "zp"))
+    t.create(df)
+    # reproduce the zorder read→cluster plan without writing
+    src = t.read()
+    probs = [i / 256 for i in range(1, 256)]
+    bounds_a = src.stat.approxQuantile("a", probs, 0.01)
+    arr = F.array(*[F.lit(float(x)) for x in bounds_a])
+    z = F.size(F.filter(arr, lambda bv: bv <= F.col("a").cast("double")))
+    clustered = (
+        src.withColumn("__z", z.cast("long"))
+        .repartitionByRange(4, "__z")
+        .sortWithinPartitions("__z")
+    )
+    plan = plan_of(clustered, "simple")
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert "Exchange hashpartitioning" not in plan
+    # the in-partition sort must be partition-local (global=false)
+    assert "Sort [__z" in plan and "], false, 0" in plan
