@@ -17,8 +17,9 @@ removal on a key (``06_pipeline_metrics_demo.ipynb:245-264``,
   pairs, and only within-bucket pairs ever materialize. Signatures are
   persistable (``signature_table``) for incremental ingest
   (``incremental_neardup``).
-- **SimHash**: 64-bit signature via Arrow-vectorized pandas UDF, near
-  pairs by 16-bit band join + ``bit_count(a XOR b)`` hamming filter.
+- **SimHash**: 64-bit signature via an Arrow-batch ``mapInArrow``
+  stage, near pairs by 16-bit band join + ``bit_count(a XOR b)``
+  hamming filter.
 - **n-gram Jaccard** (oracle-checked): the exact token-set Jaccard
   expression both engines can evaluate, on a deterministic pair set.
 - **embedding cosine near-dup**: sign-LSH over the embedding column,
@@ -34,10 +35,8 @@ from __future__ import annotations
 
 import warnings
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from dst_spark_k8_lakehouse_spark.registry import query
 from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
@@ -554,9 +553,9 @@ def l2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@F.pandas_udf(T.LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (Arrow-vectorized).
+def _simhash_batch_fn():
+    """Arrow-batch iterator computing 64-bit SimHash per doc, for
+    ``mapInArrow`` (same boundary rationale as ``_minhash_batch_fn``).
 
     Charikar's construction: per-token 64-bit hash votes ±1 on each bit;
     the signature is the sign vector. Token hash = first 8 bytes of
@@ -565,33 +564,46 @@ def simhash64(text: pd.Series) -> pd.Series:
     Zipfian, so the cache hit rate is near 1 and the per-doc cost
     collapses to lookups + one vector sum.
     """
-    import hashlib
 
-    import numpy as np
+    def gen(batches):
+        import hashlib
 
-    shifts = np.arange(64, dtype=np.uint64)
-    powers = np.uint64(1) << shifts
-    votes: dict[str, np.ndarray] = {}
+        import numpy as np
+        import pyarrow as pa
 
-    def token_votes(tok: str) -> np.ndarray:
-        v = votes.get(tok)
-        if v is None:
-            h = np.uint64(
-                int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big")
+        shifts = np.arange(64, dtype=np.uint64)
+        powers = np.uint64(1) << shifts
+        votes: dict[str, np.ndarray] = {}
+
+        def token_votes(tok: str) -> np.ndarray:
+            v = votes.get(tok)
+            if v is None:
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.sha256(tok.encode()).digest()[:8], "big"
+                    )
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                v = votes[tok] = 2 * bits - 1
+            return v
+
+        def one(t: str) -> int:
+            toks = (t or "").lower().split()
+            if not toks:
+                return 0
+            acc = np.sum([token_votes(tok) for tok in toks], axis=0)
+            sig = int((acc > 0).astype(np.uint64) @ powers)
+            # two's complement into int64
+            return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+        for batch in batches:
+            sigs = batch.column("text").to_pandas().map(one)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(sigs, pa.int64())],
+                names=["doc_id", "sig"],
             )
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            v = votes[tok] = 2 * bits - 1
-        return v
 
-    def one(t: str) -> int:
-        toks = (t or "").lower().split()
-        if not toks:
-            return 0
-        acc = np.sum([token_votes(tok) for tok in toks], axis=0)
-        sig = int((acc > 0).astype(np.uint64) @ powers)
-        return sig - (1 << 64) if sig >= (1 << 63) else sig  # two's complement
-
-    return text.map(one)
+    return gen
 
 
 @query("l2_simhash")  # rows-only: signature is not SQL-expressible
@@ -609,7 +621,8 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # blowup) — empty text is not duplicate content, drop it here
         # like the MinHash path's size(shash) > 0 filter
         .filter(F.length(F.trim("text")) > 0)
-        .select("doc_id", simhash64("text").alias("sig"))
+        .select("doc_id", "text")
+        .mapInArrow(_simhash_batch_fn(), "doc_id bigint, sig bigint")
         .localCheckpoint(eager=False)  # UDF once; self-join reads both sides
     )
     chunks = sigs.select(
