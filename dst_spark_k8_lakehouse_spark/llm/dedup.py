@@ -185,7 +185,10 @@ def _minhash_batch_fn(num_hashes: int, shingle_n: int):
             mhs: list = []
             shs: list = []
             for tk in toks:
-                if tk is None or len(tk) < shingle_n:
+                # isinstance guard: pandas returns NaN (a float), not
+                # None, for missing values on some versions — len(NaN)
+                # would raise inside the Arrow stage.
+                if not isinstance(tk, list) or len(tk) < shingle_n:
                     mhs.append([])
                     shs.append([])
                     continue

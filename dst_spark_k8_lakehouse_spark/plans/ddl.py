@@ -108,17 +108,32 @@ def partition_transform(
     fn, n, col = m["fn2"].lower(), int(m["n"]), m["col2"]
     if fn == "bucket":
         return f"{col}_bucket", F.pmod(F.hash(col), F.lit(n))
-    # Iceberg truncate: width-truncate to multiples of W for numerics,
-    # W-char prefix for strings — type-resolved when a frame is given,
-    # string-prefix otherwise.
-    numeric = df is not None and df.schema[col].dataType.simpleString() in (
-        "tinyint",
-        "smallint",
-        "int",
-        "bigint",
-    )
-    if numeric:
-        return f"{col}_trunc", F.col(col) - F.pmod(F.col(col), F.lit(n))
+    # Iceberg truncate: width-truncate to multiples of W for ints and
+    # decimals (v - (v mod W), scale-preserved), W-char prefix for
+    # strings; float/double have NO truncate in the Iceberg spec —
+    # raise instead of silently prefix-truncating their string form.
+    # Type-resolved when a frame is given, string-prefix otherwise.
+    if df is not None:
+        dtype = df.schema[col].dataType
+        dt = dtype.simpleString()
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            return f"{col}_trunc", F.col(col) - F.pmod(F.col(col), F.lit(n))
+        if dt.startswith("decimal"):
+            # Iceberg applies W in UNSCALED units: truncate[50] on a
+            # scale-2 decimal is v - (v mod 0.50)
+            from decimal import Decimal
+
+            w = F.lit(str(Decimal(n).scaleb(-dtype.scale))).cast(dtype)
+            return f"{col}_trunc", F.col(col) - F.pmod(F.col(col), w)
+        if dt in ("float", "double"):
+            raise ValueError(
+                f"truncate[{n}]({col}): Iceberg defines no truncate "
+                f"transform for {dt} columns"
+            )
+        if dt != "string":
+            raise ValueError(
+                f"truncate[{n}]({col}): unsupported column type {dt}"
+            )
     return f"{col}_trunc", F.substring(F.col(col), 1, n)
 
 

@@ -25,19 +25,17 @@ from pyspark.sql import DataFrame
 from dst_spark_k8_lakehouse_spark.plans.table import VersionedTable
 
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<table>[\w.]+)\s+SET\s+(?P<set>.+?)"
-    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    r"^\s*UPDATE\s+(?P<table>[\w.]+)\s+SET\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<table>[\w.]+)"
-    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+(?P<table>[\w.]+)(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
     r"\s+USING\s+(?P<source>[\w.]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
-    r"\s+ON\s+(?P<on>.+?)\s*(?P<when>WHEN\s+.+?)\s*;?\s*$",
+    r"\s+ON\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _MATCHED_RE = re.compile(
@@ -47,6 +45,32 @@ _NOT_MATCHED_RE = re.compile(
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
 )
 _ON_EQ_RE = re.compile(r"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$")
+
+
+def _split_top_keyword(text: str, keyword: str) -> tuple[str, str | None]:
+    """Split ``text`` at the first whole-word ``keyword`` that sits
+    outside quotes and parens (a bare regex split would mis-fire on
+    ``SET note = 'fixed where broken'``). Returns ``(before, after)``;
+    ``after`` is None when the keyword never appears at top level."""
+    pat = re.compile(rf"\b{keyword}\b", re.IGNORECASE)
+    depth = 0
+    quote: str | None = None
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and (m := pat.match(text, i)):
+            return text[:i], text[m.end() :]
+        i += 1
+    return text, None
 
 
 def _split_assignments(set_clause: str) -> dict[str, str]:
@@ -130,12 +154,19 @@ def execute_dml(
             raise ValueError(f"unknown table {name!r}; have {sorted(tables)}")
         return tables[name]
 
+    sql = sql.strip().rstrip(";").strip()
     if m := _UPDATE_RE.match(sql):
+        set_clause, where = _split_top_keyword(m["rest"], "WHERE")
         return _table(m["table"]).update(
-            m["where"] or "true", _split_assignments(m["set"])
+            where or "true", _split_assignments(set_clause)
         )
     if m := _DELETE_RE.match(sql):
-        return _table(m["table"]).delete(m["where"] or "true")
+        before, where = _split_top_keyword(m["rest"], "WHERE")
+        if before.strip():
+            raise ValueError(
+                f"unexpected text after DELETE FROM table: {before.strip()!r}"
+            )
+        return _table(m["table"]).delete(where or "true")
     if m := _MERGE_RE.match(sql):
         target = _table(m["target"])
         src_name = m["source"]
@@ -150,7 +181,10 @@ def execute_dml(
                 m["salias"] or m["source"],
             )
         }
-        when = m["when"]
+        on_clause, when = _split_top_keyword(m["rest"], "WHEN")
+        if when is None:
+            raise ValueError("MERGE needs at least one WHEN clause")
+        when = "WHEN" + when
         update_matched = bool(_MATCHED_RE.search(when))
         insert_unmatched = bool(_NOT_MATCHED_RE.search(when))
         recognized = _MATCHED_RE.sub("", _NOT_MATCHED_RE.sub("", when))
@@ -162,7 +196,7 @@ def execute_dml(
             raise ValueError("MERGE needs at least one WHEN clause")
         return target.merge(
             source,
-            on=_merge_keys(m["on"], aliases),
+            on=_merge_keys(on_clause, aliases),
             update_when_matched=update_matched,
             insert_when_not_matched=insert_unmatched,
         )

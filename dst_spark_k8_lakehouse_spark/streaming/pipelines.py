@@ -26,6 +26,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from dst_spark_k8_lakehouse_spark.registry import query
 from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
 
+# ts must be TimestampType (LTZ): Spark rejects watermarks on
+# TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the NTZ
+# encoding the batch fixtures carry cannot flow into the streaming
+# layer unchanged. _arrival_stream casts ts to this exact type BEFORE
+# writing its micro-batch files, so the parquet round-trip is
+# write-LTZ → read-LTZ on any driver host (writing NTZ bytes under an
+# LTZ read schema would shift on a non-UTC driver — ADVICE r4).
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -243,6 +250,10 @@ def _arrival_stream(
     os.makedirs(sdir)
     for i, df in enumerate(files):
         d = os.path.join(base, f"w{i}")
+        # normalize ts to the stream schema's LTZ type so the written
+        # encoding matches the read schema exactly — otherwise NTZ
+        # bytes re-read under an LTZ schema shift on a non-UTC driver
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         df.coalesce(1).write.parquet(d)
         part = glob.glob(f"{d}/part-*.parquet")[0]
         dst = os.path.join(sdir, f"{i:02d}.parquet")

@@ -14,7 +14,11 @@ value-identical to what the driver's generator would emit at sfN:
   consistency (lineitem→orders/part/supplier, orders→customer,
   events.user_id→customer), so join selectivities and per-key group
   sizes are EXACTLY those of sf0.1 — a query's work grows 10× because
-  the data does, not because the data got weirder.
+  the data does, not because the data got weirder. int32 key columns
+  are overflow-checked (K ≤ 21 for a 100M offset) and fail loudly.
+- ``events.ts`` shifts by one year per replica, so time-windowed
+  queries see K-times-more windows with sf0.1-sized groups per window
+  (matching the per-key invariant above), not K-times-larger groups.
 - ``documents.text`` gets a per-replica token bijection (every token
   prefixed with ``r{replica}·``): within-replica similarity structure
   (shingle-set sizes, Jaccard values, near-dup pairs) is preserved
@@ -44,9 +48,34 @@ OFFSET = 100_000_000
 def _shift(tbl: pa.Table, cols: list[str], r: int) -> pa.Table:
     for c in cols:
         idx = tbl.schema.get_field_index(c)
+        field_t = tbl.schema.field(c).type
         shifted = pc.add(tbl.column(c), pa.scalar(r * OFFSET, pa.int64()))
-        tbl = tbl.set_column(idx, c, shifted.cast(tbl.schema.field(c).type))
+        # int32 key columns overflow at replica*OFFSET ≈ 2^31 (K > 21):
+        # fail loudly instead of wrapping into duplicate/negative keys
+        if pa.types.is_integer(field_t) and field_t.bit_width <= 32:
+            hi = pc.max(shifted).as_py()
+            if hi is not None and hi > 2 ** (field_t.bit_width - 1) - 1:
+                raise ValueError(
+                    f"{c} is {field_t}: replica {r} shift overflows "
+                    f"(max shifted value {hi}); reduce K or widen the column"
+                )
+        tbl = tbl.set_column(idx, c, shifted.cast(field_t))
     return tbl
+
+
+def _shift_events_ts(tbl: pa.Table, r: int) -> pa.Table:
+    """Shift events.ts by one year per replica so time-windowed queries
+    see K-times-MORE windows with sf0.1-sized groups per window (the
+    workload-preserving shape), not K-times-larger groups in the same
+    windows."""
+    idx = tbl.schema.get_field_index("ts")
+    ts = tbl.column("ts")
+    unit = ts.type.unit
+    per_unit = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    shifted = pc.add(
+        ts, pa.scalar(r * 365 * 86_400 * per_unit, pa.duration(unit))
+    )
+    return tbl.set_column(idx, "ts", shifted.cast(ts.type))
 
 
 def _salt_documents(tbl: pa.Table, r: int) -> pa.Table:
@@ -91,6 +120,8 @@ def main(out_dir: str, k: int) -> None:
         replicas = []
         for r in range(k):
             t = _shift(src, keys, r) if r else src
+            if name == "events" and r:
+                t = _shift_events_ts(t, r)
             if name == "documents" and r:
                 t = _salt_documents(t, r)
             if name == "embeddings" and r:

@@ -10,6 +10,7 @@ from hypothesis import given, strategies as st
 from dst_spark_k8_lakehouse_spark.plans.dml import (
     _merge_keys,
     _split_assignments,
+    _split_top_keyword,
 )
 
 ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
@@ -62,3 +63,24 @@ def test_merge_keys_rejects_wrong_shapes():
                    "x.a = s.a"):
         with pytest.raises(ValueError):
             _merge_keys(bad_on, {"t", "s"})
+
+
+def test_split_top_keyword_ignores_quoted_and_nested():
+    # keyword inside a string literal must NOT split (ADVICE r4)
+    before, after = _split_top_keyword(
+        "note = 'fixed where broken' WHERE id = 1", "WHERE"
+    )
+    assert before.strip() == "note = 'fixed where broken'"
+    assert after.strip() == "id = 1"
+    # keyword inside parens (subexpression) must not split either
+    before, after = _split_top_keyword(
+        "x = coalesce(y, 'where') WHERE z > 0", "WHERE"
+    )
+    assert before.strip() == "x = coalesce(y, 'where')"
+    assert after.strip() == "z > 0"
+    # no top-level keyword → after is None
+    before, after = _split_top_keyword("x = 'a where b'", "WHERE")
+    assert after is None
+    # whole-word only: 'whereabouts' is not WHERE
+    before, after = _split_top_keyword("x = whereabouts", "WHERE")
+    assert after is None

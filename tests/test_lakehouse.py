@@ -353,6 +353,30 @@ def test_sql_merge_source_from_versioned_table(spark, vt, tmp_path):
     assert 9 in {r.id for r in vt.read().collect()}
 
 
+def test_sql_update_literal_containing_where(spark, vt):
+    """A SET literal containing the word 'where' must not mis-split the
+    statement (ADVICE r4: the old regex split was quote-unaware)."""
+    dml.execute_dml(
+        "UPDATE tbl SET name = 'fixed where broken' WHERE id = 2",
+        {"tbl": vt},
+    )
+    rows = {r.id: r.name for r in vt.read().collect()}
+    assert rows == {1: "alice", 2: "fixed where broken"}
+
+
+def test_sql_merge_literal_containing_when(spark, vt):
+    src = spark.createDataFrame([Row(id=3, name="x when y", bal=1.0)])
+    dml.execute_dml(
+        "MERGE INTO tbl USING src ON id = id "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"tbl": vt},
+        sources={"src": src},
+    )
+    assert {r.name for r in vt.read().collect()} == {
+        "alice", "bob", "x when y",
+    }
+
+
 def test_sql_dml_rejects_unsupported(spark, vt):
     for bad in (
         "SELECT * FROM tbl",
@@ -405,6 +429,23 @@ def test_partition_transform_shapes(spark):
             assert 0 <= val < 8
     with pytest.raises(ValueError):
         ddl.partition_transform("identity(ts, 3)")
+
+
+def test_partition_transform_truncate_decimal_and_float(spark):
+    """Iceberg defines truncate for decimals (v - v%W, scale kept);
+    float/double have no truncate transform and must raise, not fall
+    through to a string prefix (ADVICE r4)."""
+    df = spark.createDataFrame([Row(d="123.45", f=1.5)]).withColumn(
+        "d", F.col("d").cast("decimal(10,2)")
+    )
+    name, col = ddl.partition_transform("truncate(50, d)", df)
+    assert name == "d_trunc"
+    from decimal import Decimal
+
+    # Iceberg spec example shape: W=50 on scale 2 → mod 0.50
+    assert df.select(col.alias("v")).head().v == Decimal("123.00")
+    with pytest.raises(ValueError, match="no truncate"):
+        ddl.partition_transform("truncate(10, f)", df)
 
 
 # --- OPTIMIZE ZORDER BY -------------------------------------------------
