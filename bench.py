@@ -63,7 +63,8 @@ HEADLINE = [
     "l3_text_stats",
     "l6_chunk_docs",
     "l6_vocab_topk",
-    "l7_contamination",
+    "l7_contamination",  # inline: benchmark grams rebuilt per pass
+    "l7_contamination_scan",  # production: persisted gram set, marginal pass
     "l4_cosine_topk",
     "l4_ann_ivf_probe",  # production path: probe a pre-built IVF index
     # (inline-rebuild variant l4_ann_ivf stays correctness-only)

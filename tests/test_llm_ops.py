@@ -438,3 +438,20 @@ def test_contamination_flags_every_mirror_fully(spark, sf_dir):
     ).count()
     assert len(mirrors) == n_mirrors_expected
     assert all(r.doc_id % 10 != 0 for r in out if r.doc_id < dedup.DUP_OFFSET)
+
+
+def test_contamination_scan_matches_inline_report(spark, sf_dir):
+    """The persisted-gram-set production path must produce EXACTLY the
+    inline report's rows (gram hashing is deterministic and the hash
+    join preserves distinct-gram counts), and repeat calls must reuse
+    the persisted set deterministically."""
+    from dst_spark_k8_lakehouse_spark.llm.contamination import (
+        l7_contamination,
+        l7_contamination_scan,
+    )
+
+    inline = sorted(map(tuple, l7_contamination(spark, sf_dir).collect()))
+    scan = sorted(map(tuple, l7_contamination_scan(spark, sf_dir).collect()))
+    assert scan == inline
+    again = sorted(map(tuple, l7_contamination_scan(spark, sf_dir).collect()))
+    assert again == scan

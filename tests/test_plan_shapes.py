@@ -181,6 +181,16 @@ def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
     assert "ShuffledHashJoin" not in plan
 
 
+def test_contamination_scan_broadcasts_persisted_grams(spark, sf_dir):
+    """The production scan must keep the same broadcast shape with the
+    persisted gram set on the build side — one map-side pass over the
+    corpus at 100 TB."""
+    plan = plan_of(registry.QUERIES["l7_contamination_scan"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_mixture_epochs_is_shuffle_free(spark, sf_dir):
     """Mixture reweighting computes each doc's epoch count from its own
     id: the plan must contain NO exchange at all — map-only, the shape
