@@ -140,6 +140,11 @@ def l4_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``WindowGroupLimit`` (rank ≤ k applied map-side before the shuffle).
     Corpus is scanned once regardless of batch size — at 100 TB the
     scan dominates, so batching divides its cost across all queries.
+
+    Size-switched scoring: small corpora score with the JVM HOF fold
+    (no Python boundary); above ``ARROW_GEMM_MIN_BYTES`` the scorer
+    flips to ``batch_topk_arrow`` (one numpy GEMM per Arrow batch),
+    which amortizes the Arrow round-trip and wins at sf≥1.
     """
     from pyspark.sql import Window
 
@@ -152,6 +157,8 @@ def l4_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm("embedding").alias("qn"),
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
+    if _plan_size_bytes(corpus) >= ARROW_GEMM_MIN_BYTES:
+        return batch_topk_arrow(corpus, q, k=3)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         corpus.crossJoin(F.broadcast(q))
@@ -171,6 +178,113 @@ def l4_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
+# Corpus-size switch for the batched-similarity scorer: below this
+# estimated plan size, the 64-term HOF fold wins (no Arrow transfer,
+# no Python workers — ~0.15 s at sf0.1's 0.5 MB); above it, the
+# per-row interpreted fold loses to one numpy GEMM per Arrow batch
+# (the ~0.6 s Arrow round-trip floor amortizes; measured crossover
+# between sf0.1 and sf1 — VERDICT r2/r4 measurements).
+ARROW_GEMM_MIN_BYTES = 2 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame — no job, deterministic."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def _gemm_topk_gen(qids, qmat, qnorms, k: int):
+    """mapInArrow generator: per Arrow batch, score corpus rows against
+    the whole query matrix with one float64 GEMM, then emit only each
+    query's per-batch top-k (the map-side partial cut — k·m rows per
+    batch cross the shuffle, mirroring WindowGroupLimit)."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        Q = np.asarray(qmat, dtype=np.float64)  # m × d
+        qn = np.asarray(qnorms, dtype=np.float64)  # m
+        qid_arr = np.asarray(qids, dtype=np.int64)  # m
+        m = Q.shape[0]
+        for batch in batches:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            col = batch.column("embedding")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            if len(widths) and (widths != widths[0]).any():
+                raise ValueError("ragged embedding column in GEMM scorer")
+            d = int(widths[0]) if len(widths) else 0
+            C = (
+                col.values.to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(-1, d)
+            )
+            cn = np.sqrt((C * C).sum(axis=1))  # n
+            scores = C @ Q.T  # n × m
+            den = cn[:, None] * qn[None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(den == 0, 0.0, scores / den)
+            cos = np.floor(1e6 * cos) / 1e6
+            n = C.shape[0]
+            kk = min(k, n)
+            out_qid: list = []
+            out_vid: list = []
+            out_cos: list = []
+            for j in range(m):
+                # order by (-cosine, vec_id): lexsort keys are applied
+                # last-key-primary
+                order = np.lexsort((vid, -cos[:, j]))[:kk]
+                out_qid.append(np.full(kk, qid_arr[j], dtype=np.int64))
+                out_vid.append(vid[order].astype(np.int64))
+                out_cos.append(cos[order, j])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_qid), type=pa.int64()),
+                    pa.array(np.concatenate(out_vid), type=pa.int64()),
+                    pa.array(np.concatenate(out_cos), type=pa.float64()),
+                ],
+                names=["qid", "vec_id", "cosine"],
+            )
+
+    return gen
+
+
+def batch_topk_arrow(
+    corpus: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Arrow-GEMM formulation of batched top-k: the query batch (tiny
+    by contract — it broadcasts in the HOF path too) is collected to a
+    numpy matrix, each corpus Arrow batch is scored with one float64
+    GEMM, and only per-batch top-k survivors reach the final
+    per-query cut. Same result as the HOF path: float64 scoring,
+    1e-6 floor truncation, (cosine DESC, vec_id ASC) tiebreak.
+
+    The one numerical caveat: numpy's pairwise summation can differ
+    from a left-to-right fold in the last ulp; the 1e-6 floor
+    truncation absorbs it everywhere a boundary isn't hit exactly
+    (value-hash-checked against the same oracle as the HOF path)."""
+    from pyspark.sql import Window
+
+    qrows = queries.select("qid", "qv", "qn").collect()
+    gen = _gemm_topk_gen(
+        [r.qid for r in qrows],
+        [list(r.qv) for r in qrows],
+        [r.qn for r in qrows],
+        k,
+    )
+    scored = corpus.select("vec_id", "embedding").mapInArrow(
+        gen, "qid bigint, vec_id bigint, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
         .drop("rk")
     )
 
