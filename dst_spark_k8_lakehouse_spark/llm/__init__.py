@@ -5,6 +5,7 @@ Importing this package registers every LLM-ops query in the registry.
 """
 
 from dst_spark_k8_lakehouse_spark.llm import (  # noqa: F401
+    bpe,
     contamination,
     curation,
     dedup,
