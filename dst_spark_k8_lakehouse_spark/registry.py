@@ -55,61 +55,29 @@ def query(query_id: str, oracle: str | None = None) -> Callable[[F], F]:
 # ids whose only green row is the oldest (round 1). Rotation log with
 # last-green round per id lives in COVERAGE.md.
 PRIORITY: list[str] = [
-    # (a) failed in r03 — events.ts parquet encoding change, fixed in
-    # sources/catalog.py this round
-    "t1_tumbling",
-    "t2_sliding",
-    "t3_session",
-    "f4_map",
-    "f5_json",
-    # (b) events-dependent / changed after last green (r01)
-    "j7_asof",
-    "x1_q3_shipping",
-    "l4_cosine_topk",
-    "l4_batch_topk",
-    # (c) touched this round
+    # (a) failed in r04: none — 0 CORRECTNESS_r04 failures.
+    # (b) implementation changed this round after their last green row:
+    # minhash pair (dedup.py null-token guard), lakehouse DML trio
+    # (dml.py quote-aware splitter), streaming pair (pipelines.py ts
+    # normalization), contamination (hashed-gram rewrite of the module)
     "l2_minhash_lsh",
     "l2_minhash_lsh_sigs",
-    "a10_approx",
-    "l3_langid",
-    "l3_langid_eval",
-    "t4_watermark",
-    "t5_stateful_dedup",
-    "l2_minhash_recall",
-    "l2_simhash_recall",
-    "l2_embed_recall",
-    "l4_ivf_recall",
-    "l7_contamination",
-    "l6_mixture_epochs",
     "d10_update_sql",
     "d11_delete_sql",
-    "d12_time_travel",
     "d13_merge_sql",
-    "d15_zorder_preserves",
-    "s2_csv_roundtrip",
-    "s5_append_sink",
-    # (d) backfill: only green row is r01 — oldest evidence first
-    "p1_project",
-    "p2_selectexpr",
-    "p3_filter_eq",
-    "j1_inner_join",
-    "j3_left_join",
-    "j4_semi",
-    "j4_anti",
-    "j5_broadcast",
-    "j6_range_join",
-    "j8_star_join",
-    "a1_count",
-    "a2_avg",
-    "a3_sum",
-    "a4_filtered_count",
-    "a5_groupby_agg",
-    "a7_null_audit",
-    "a8_dup_count",
-    "a9_min_cdist",
-    "a10_percentile",
-    "a11_rollup",
-    "a11_cube",
+    "t4_watermark",
+    "t5_stateful_dedup",
+    "l7_contamination",
+    # (c) new this round
+    "l7_contamination_scan",
+    "l3_bpe_token_count",
+    "l6_pack_sequences_bpe",
+    "l6_chunk_docs_bpe",
+    # (d) backfill, oldest evidence first (VERDICT r4 item 2): first
+    # the ids cut by the r04 ~50-query cap (still r01-green-only),
+    "l3_fingerprint",
+    "l4_ann_ivf",
+    "l5_multimodal",
     "a11_gsets",
     "a12_summary",
     "l2_simhash",
@@ -117,9 +85,48 @@ PRIORITY: list[str] = [
     "l3_text_stats",
     "l3_quality_score",
     "l3_token_count",
-    "l3_fingerprint",
-    "l4_ann_ivf",
-    "l5_multimodal",
+    # then every id whose newest green row is r02,
+    "p4_filter_and",
+    "p5_null_filter",
+    "p6_when",
+    "p8_cast",
+    "p11_fillna",
+    "p12_dedup_rows",
+    "p13_distinct",
+    "p14_concat",
+    "w1_rank",
+    "w2_lag",
+    "w3_running_sum",
+    "w4_topk_group",
+    "o1_sort",
+    "o2_sort_limit",
+    "u1_union",
+    "u2_intersect",
+    "u3_except",
+    "u4_udf",
+    "u5_pandas_udf",
+    "u5b_pandas_grouped_agg",
+    "u6_grouped_map",
+    "u7_udtf",
+    "a13_pivot",
+    "a13_unpivot",
+    "k1_salted_agg",
+    "k2_salted_join",
+    "x2_q10_returns",
+    "l6_chunk_docs",
+    "l6_pack_sequences",
+    "l6_stratified_sample",
+    "l6_pii_scrub",
+    "l6_vocab_topk",
+    # then the r03 greens (newest-but-one evidence; cap may cut here)
+    "f1_string",
+    "f2_date",
+    "f3_math",
+    "f6_array",
+    "s1_parquet_scan",
+    "s8_range",
+    "l1_exact_dedup",
+    "l2_ngram_jaccard",
 ]
 
 
