@@ -287,3 +287,135 @@ def test_t5_stateful_dedup_matches_batch_expectation(spark, sf_dir):
         .collect()
     }
     assert got == orig | kept_copies
+
+
+# --- round-5 soak: state eviction bound + idempotent sink under retry ---
+#
+# Both soak tests run at sf0.1 (100k events over a month) regardless of
+# the unit-test SF: state-store behavior at a handful of rows is
+# vacuous. The month streams as ~10 contiguous 3-day micro-batches via
+# the pinned-arrival-order helper.
+
+_SOAK_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _soak_arrival(spark, n_days: int = 3):
+    ev = load_table(spark, _SOAK_SF_DIR, "events")
+    cuts = [f"2024-01-{d:02d}" for d in range(1 + n_days, 32, n_days)]
+    lo = None
+    files = []
+    for cut in cuts + [None]:
+        f = ev
+        if lo is not None:
+            f = f.filter(F.col("ts") >= lo)
+        if cut is not None:
+            f = f.filter(F.col("ts") < cut)
+        files.append(f)
+        lo = cut
+    return ev, pipelines._arrival_stream(spark, *files)
+
+
+def test_soak_dedup_state_stays_bounded(spark):
+    """A 10-micro-batch dedup run keyed on the unique event_id: without
+    eviction, state grows to the full corpus (100k rows); with the
+    1-day watermark horizon it must stay near one horizon's worth of
+    keys. recentProgress is the evidence: numRowsRemoved > 0 and the
+    per-batch state total stays a small fraction of the corpus."""
+    ev, (stream, ck) = _soak_arrival(spark)
+    total = ev.count()
+    dedup = pipelines.dedup_within_watermark(stream, ["event_id"], "1 day")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("soak_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(prog) >= 8, f"expected ~10 micro-batches, saw {len(prog)}"
+    state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in prog]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in prog)
+    # event_id is unique → nothing dropped, all rows pass through
+    assert spark.table("soak_dedup").count() == total
+    assert removed > 0, "no state eviction observed across the soak"
+    # bound: batches span 3 days, horizon 1 day → live state ≤ ~4 days
+    # of keys at the eviction points; corpus spans ~30 days
+    bound = 0.35 * total
+    assert max(state_rows) < bound, (max(state_rows), bound)
+    # cumulative removals must account for almost all corpus keys —
+    # state that never evicts would show removals ≪ total
+    assert removed > 0.5 * total, (removed, total)
+
+
+def test_soak_sink_idempotent_under_forced_retry(spark, tmp_path):
+    """foreachBatch writing per-batch-id directories with overwrite is
+    the documented idempotent-sink pattern: a micro-batch that fails
+    AFTER its write lands must, on checkpoint restart, re-run with the
+    same batch id and overwrite the same directory — the final sink
+    equals a clean run's, no duplicates, no gaps."""
+    import os
+
+    _, (stream, ck) = _soak_arrival(spark, n_days=5)
+    agg = pipelines.windowed_event_counts(
+        stream, window="6 hours", watermark="1 day"
+    )
+    out = str(tmp_path / "sink")
+    flag = str(tmp_path / "fail_once")
+    open(flag, "w").close()
+
+    def write_batch(df, bid):
+        df.write.mode("overwrite").parquet(f"{out}/batch={bid}")
+        if bid == 2 and os.path.exists(flag):
+            os.remove(flag)
+            raise RuntimeError("injected failure after batch-2 write")
+
+    def start():
+        return (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = start()
+    with pytest.raises(StreamingQueryException, match="injected failure"):
+        q.awaitTermination()
+    q2 = start()  # same checkpoint: batch 2 re-runs, then the rest
+    q2.awaitTermination()
+    got = {
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(out).select(
+            "window_start", "n_events"
+        ).collect()
+    }
+    # clean-run reference: same pipeline, fresh checkpoint + sink
+    _, (stream2, ck2) = _soak_arrival(spark, n_days=5)
+    agg2 = pipelines.windowed_event_counts(
+        stream2, window="6 hours", watermark="1 day"
+    )
+    out2 = str(tmp_path / "sink_clean")
+
+    def write_batch_clean(df, bid):
+        df.write.mode("overwrite").parquet(f"{out2}/batch={bid}")
+
+    qc = (
+        agg2.writeStream.foreachBatch(write_batch_clean)
+        .outputMode("append")
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qc.awaitTermination()
+    clean = {
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(out2).select(
+            "window_start", "n_events"
+        ).collect()
+    }
+    assert got == clean
+    assert len(got) > 50, "soak window set vacuous"
