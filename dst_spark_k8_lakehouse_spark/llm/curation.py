@@ -326,3 +326,91 @@ def l6_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_epochs(
         load_table(spark, sf_dir, "documents"), MIXTURE_MILLI
     )
+
+
+# Knuth multiplicative hashes (odd multipliers → bijections mod 2^32,
+# so sequential doc_ids scatter without collisions). Two DIFFERENT
+# multipliers keep the split assignment and the shuffle order
+# statistically independent; both are plain int64 arithmetic, so Spark
+# and DuckDB compute bit-identical values (no engine hash functions,
+# which never agree across engines).
+SPLIT_HASH_MULT = 2654435761
+SHUFFLE_HASH_MULT = 2246822519
+_HASH_MOD = 4294967296  # 2^32
+SHUFFLE_SHARDS = 64
+
+
+@query(
+    "l6_split_assign",
+    oracle=f"""
+        SELECT doc_id,
+               CAST((doc_id * {SPLIT_HASH_MULT}) % {_HASH_MOD} % 100
+                    AS INT) AS bucket,
+               CASE WHEN (doc_id * {SPLIT_HASH_MULT}) % {_HASH_MOD} % 100 < 90
+                    THEN 'train'
+                    WHEN (doc_id * {SPLIT_HASH_MULT}) % {_HASH_MOD} % 100 < 95
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+)
+def l6_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: deterministic train/val/test assignment (90/5/5) from a
+    multiplicative hash of the stable doc_id — the property a real
+    pipeline needs is that re-running curation NEVER migrates a doc
+    across splits (no RNG, no row order dependence, no engine hash).
+    Map-only, shuffle-free; at 100 TB it's a free column on any scan.
+    """
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id") * SPLIT_HASH_MULT, F.lit(_HASH_MOD)),
+        F.lit(100),
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "l6_global_shuffle",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   (doc_id * {SHUFFLE_HASH_MULT}) % {_HASH_MOD} AS hv
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(hv % {SHUFFLE_SHARDS} AS INT) AS shard,
+               CAST(row_number() OVER (PARTITION BY hv % {SHUFFLE_SHARDS}
+                                       ORDER BY hv, doc_id) AS INT) AS pos
+        FROM h
+    """,
+)
+def l6_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: deterministic corpus shuffle for training order — every doc
+    gets a (shard, pos) address from a multiplicative hash, scrambling
+    any ingest/source locality so a trainer reading shards in order
+    sees a pseudo-random document sequence that is REPRODUCIBLE across
+    runs and engines.
+
+    Plan shape is the 100 TB-safe one: shard first (hash mod k, one
+    bounded shuffle), order WITHIN shards (per-partition sort) — never
+    a global row_number, which would serialize the corpus through one
+    task. Shard count is the parallelism knob; readers interleave
+    shards."""
+    hv = F.pmod(F.col("doc_id") * SHUFFLE_HASH_MULT, F.lit(_HASH_MOD))
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            hv.alias("hv"),
+            F.pmod(hv, F.lit(SHUFFLE_SHARDS)).cast("int").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shard", "pos")
+    )

@@ -88,8 +88,21 @@ def l4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), norm("embedding").alias("qn")
     )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    # above the size switch (1 query × corpus bytes), flip to the
+    # Arrow GEMV path: the per-row interpreted fold is the known
+    # 17×-vs-native compute gap (VERDICT r2/r4) and one numpy GEMM per
+    # batch amortizes it once the corpus is large enough to bury the
+    # Arrow round-trip
+    if _plan_size_bytes(corpus) * 1 >= ARROW_GEMM_MIN_QUERY_BYTES:
+        return batch_topk_arrow(
+            corpus,
+            q.select(F.lit(0).cast("bigint").alias("qid"), "qv", "qn"),
+            k=10,
+            carry=("label",),
+        ).select("vec_id", "label", "cosine")
     return (
-        emb.filter(F.col("vec_id") != 0)
+        corpus
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -142,9 +155,10 @@ def l4_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan dominates, so batching divides its cost across all queries.
 
     Size-switched scoring: small corpora score with the JVM HOF fold
-    (no Python boundary); above ``ARROW_GEMM_MIN_BYTES`` the scorer
-    flips to ``batch_topk_arrow`` (one numpy GEMM per Arrow batch),
-    which amortizes the Arrow round-trip and wins at sf≥1.
+    (no Python boundary); above ``ARROW_GEMM_MIN_QUERY_BYTES`` (in
+    corpus bytes × batch queries) the scorer flips to
+    ``batch_topk_arrow`` (one numpy GEMM per Arrow batch), which
+    amortizes the Arrow round-trip and wins at sf≥1.
     """
     from pyspark.sql import Window
 
@@ -157,7 +171,7 @@ def l4_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm("embedding").alias("qn"),
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
-    if _plan_size_bytes(corpus) >= ARROW_GEMM_MIN_BYTES:
+    if _plan_size_bytes(corpus) * 10 >= ARROW_GEMM_MIN_QUERY_BYTES:
         return batch_topk_arrow(corpus, q, k=3)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -182,13 +196,16 @@ def l4_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Corpus-size switch for the batched-similarity scorer: below this
-# estimated plan size, the 64-term HOF fold wins (no Arrow transfer,
-# no Python workers — ~0.15 s at sf0.1's 0.5 MB); above it, the
-# per-row interpreted fold loses to one numpy GEMM per Arrow batch
-# (the ~0.6 s Arrow round-trip floor amortizes; measured crossover
-# between sf0.1 and sf1 — VERDICT r2/r4 measurements).
-ARROW_GEMM_MIN_BYTES = 2 << 20
+# Switch for the Arrow-GEMM scorer, in CORPUS BYTES × QUERY COUNT:
+# HOF fold cost scales with both the corpus size and the number of
+# queries scored per row, while the Arrow path's dominant cost (the
+# corpus round-trip through Python) scales with corpus size only — so
+# the honest predicate is their product. Calibrated from measured
+# crossovers (sf1 = 5.76 MB estimated corpus): m=10 queries → GEMM
+# 0.41 s vs HOF 0.45 s (57.6 MB·q, above → GEMM wins); m=1 → GEMM
+# 0.50 s vs HOF 0.21 s (5.76 MB·q, below → HOF wins); sf0.1 m=10 →
+# 8 MB·q, below, HOF 0.15 s wins.
+ARROW_GEMM_MIN_QUERY_BYTES = 32 << 20
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
@@ -196,11 +213,12 @@ def _plan_size_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
-def _gemm_topk_gen(qids, qmat, qnorms, k: int):
+def _gemm_topk_gen(qids, qmat, qnorms, k: int, carry: tuple[str, ...] = ()):
     """mapInArrow generator: per Arrow batch, score corpus rows against
     the whole query matrix with one float64 GEMM, then emit only each
     query's per-batch top-k (the map-side partial cut — k·m rows per
-    batch cross the shuffle, mirroring WindowGroupLimit)."""
+    batch cross the shuffle, mirroring WindowGroupLimit). ``carry``
+    names corpus columns to pass through alongside (vec_id, cosine)."""
 
     def gen(batches):
         import numpy as np
@@ -233,6 +251,7 @@ def _gemm_topk_gen(qids, qmat, qnorms, k: int):
             cos = np.floor(1e6 * cos) / 1e6
             n = C.shape[0]
             kk = min(k, n)
+            orders = []
             out_qid: list = []
             out_vid: list = []
             out_cos: list = []
@@ -240,23 +259,37 @@ def _gemm_topk_gen(qids, qmat, qnorms, k: int):
                 # order by (-cosine, vec_id): lexsort keys are applied
                 # last-key-primary
                 order = np.lexsort((vid, -cos[:, j]))[:kk]
+                orders.append(order)
                 out_qid.append(np.full(kk, qid_arr[j], dtype=np.int64))
                 out_vid.append(vid[order].astype(np.int64))
                 out_cos.append(cos[order, j])
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.concatenate(out_qid), type=pa.int64()),
-                    pa.array(np.concatenate(out_vid), type=pa.int64()),
-                    pa.array(np.concatenate(out_cos), type=pa.float64()),
-                ],
-                names=["qid", "vec_id", "cosine"],
+            arrays = [
+                pa.array(np.concatenate(out_qid), type=pa.int64()),
+                pa.array(np.concatenate(out_vid), type=pa.int64()),
+            ]
+            names = ["qid", "vec_id"]
+            take = pa.array(
+                np.concatenate(orders).astype(np.int64)
+                if orders
+                else np.array([], dtype=np.int64)
             )
+            for c in carry:
+                arrays.append(batch.column(c).take(take))
+                names.append(c)
+            arrays.append(
+                pa.array(np.concatenate(out_cos), type=pa.float64())
+            )
+            names.append("cosine")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return gen
 
 
 def batch_topk_arrow(
-    corpus: DataFrame, queries: DataFrame, k: int
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow-GEMM formulation of batched top-k: the query batch (tiny
     by contract — it broadcasts in the HOF path too) is collected to a
@@ -277,9 +310,13 @@ def batch_topk_arrow(
         [list(r.qv) for r in qrows],
         [r.qn for r in qrows],
         k,
+        carry,
     )
-    scored = corpus.select("vec_id", "embedding").mapInArrow(
-        gen, "qid bigint, vec_id bigint, cosine double"
+    carry_schema = "".join(
+        f", {c} {corpus.schema[c].dataType.simpleString()}" for c in carry
+    )
+    scored = corpus.select("vec_id", "embedding", *carry).mapInArrow(
+        gen, f"qid bigint, vec_id bigint{carry_schema}, cosine double"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -243,3 +243,107 @@ def l3_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.count("*") * 0.9
         ).alias("en_rate_ok"),
     )
+
+
+@query(
+    "l3_repetition_stats",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS tok
+            FROM documents
+        ),
+        wc AS (
+            SELECT doc_id, w, count(*) AS n
+            FROM (SELECT doc_id, unnest(tok) AS w FROM t)
+            GROUP BY doc_id, w
+        ),
+        wstat AS (
+            SELECT doc_id,
+                   CAST(sum(n) AS INT) AS n_tokens,
+                   floor(1e6 * max(n) / sum(n)) / 1e6 AS top_word_frac
+            FROM wc GROUP BY doc_id
+        ),
+        gc AS (
+            SELECT doc_id, g, count(*) AS n
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(tok)),
+                                             i -> tok[i] || ' ' || tok[i + 1]))
+                           AS g
+                FROM t WHERE len(tok) >= 2
+            )
+            GROUP BY doc_id, g
+        ),
+        gstat AS (
+            SELECT doc_id,
+                   floor(1e6 * max(n) / sum(n)) / 1e6 AS top_2gram_frac,
+                   floor(1e6 * sum(CASE WHEN n > 1 THEN n ELSE 0 END)
+                         / sum(n)) / 1e6 AS dup_2gram_frac
+            FROM gc GROUP BY doc_id
+        )
+        SELECT w.doc_id, w.n_tokens,
+               CAST(w.top_word_frac AS DOUBLE) AS top_word_frac,
+               CAST(COALESCE(g.top_2gram_frac, 0.0) AS DOUBLE)
+                   AS top_2gram_frac,
+               CAST(COALESCE(g.dup_2gram_frac, 0.0) AS DOUBLE)
+                   AS dup_2gram_frac
+        FROM wstat w LEFT JOIN gstat g ON w.doc_id = g.doc_id
+    """,
+)
+def l3_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: repetition-based quality signals (the Gopher/MassiveText
+    repetition filters): most-frequent-word fraction, most-frequent-
+    2-gram fraction, and the fraction of 2-gram occurrences that are
+    repeats — the standard signals for machine-generated / boilerplate
+    text.
+
+    Plan: two partial-agg shuffles (word counts, 2-gram counts), both
+    keyed (doc_id, term) then (doc_id) — classic map-side-combine
+    shapes — and one co-partitioned join on doc_id. No Python, no
+    per-row loops; at 100 TB each agg is the wordcount pattern.
+    Fractions are exact integer-count divisions (floor-truncated to
+    1e-6 for cross-engine hash parity)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("tok")
+    )
+    wc = (
+        docs.select("doc_id", F.explode("tok").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    wstat = wc.groupBy("doc_id").agg(
+        F.sum("n").cast("int").alias("n_tokens"),
+        (F.floor(1e6 * F.max("n") / F.sum("n")) / 1e6).alias(
+            "top_word_frac"
+        ),
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(tok) - 1), "
+        "i -> concat_ws(' ', tok[i - 1], tok[i]))"
+    )
+    gc = (
+        docs.filter(F.size("tok") >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+    )
+    gstat = gc.groupBy("doc_id").agg(
+        (F.floor(1e6 * F.max("n") / F.sum("n")) / 1e6).alias(
+            "top_2gram_frac"
+        ),
+        (
+            F.floor(
+                1e6
+                * F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+                / F.sum("n")
+            )
+            / 1e6
+        ).alias("dup_2gram_frac"),
+    )
+    return wstat.join(gstat, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "top_word_frac",
+        F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        F.coalesce("dup_2gram_frac", F.lit(0.0)).alias("dup_2gram_frac"),
+    )

@@ -73,6 +73,14 @@ PRIORITY: list[str] = [
     "l3_bpe_token_count",
     "l6_pack_sequences_bpe",
     "l6_chunk_docs_bpe",
+    "l3_repetition_stats",
+    "l6_split_assign",
+    "l6_global_shuffle",
+    # l4_cosine_topk / l4_batch_topk gained the Arrow-GEMM switch this
+    # round (changed-after-green at sfs ABOVE the switch; the driver's
+    # sf0.01 run exercises the unchanged HOF path, pytest covers GEMM)
+    "l4_cosine_topk",
+    "l4_batch_topk",
     # (d) backfill, oldest evidence first (VERDICT r4 item 2): first
     # the ids cut by the r04 ~50-query cap (still r01-green-only),
     "l3_fingerprint",

@@ -118,3 +118,65 @@ def test_vocab_topk_counts(spark, sf_dir):
         .count()
     )
     assert recount == first.n
+
+
+def test_split_assign_fractions_and_determinism(spark, sf_dir):
+    from dst_spark_k8_lakehouse_spark.llm.curation import l6_split_assign
+
+    out = l6_split_assign(spark, sf_dir)
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    # 90/5/5 within sampling tolerance of the multiplicative hash
+    assert 0.84 <= counts["train"] / total <= 0.96
+    assert counts["val"] / total <= 0.10
+    assert counts["test"] / total <= 0.10
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, l6_split_assign(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_global_shuffle_is_a_permutation(spark, sf_dir):
+    """Every doc gets exactly one (shard, pos); positions are
+    contiguous 1..n_shard within each shard; repeat calls identical."""
+    from dst_spark_k8_lakehouse_spark.llm.curation import (
+        SHUFFLE_SHARDS,
+        l6_global_shuffle,
+    )
+
+    rows = l6_global_shuffle(spark, sf_dir).collect()
+    n_docs = len(rows)
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < SHUFFLE_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # the order must scramble ingest order: the first positions across
+    # shards must not simply be the lowest doc_ids
+    firsts = {r.doc_id for r in rows if r.pos == 1}
+    lowest = {r.doc_id for r in sorted(rows, key=lambda r: r.doc_id)[:len(firsts)]}
+    assert firsts != lowest
+
+
+def test_repetition_stats_bounds(spark, sf_dir):
+    from dst_spark_k8_lakehouse_spark.llm.textstats import (
+        l3_repetition_stats,
+    )
+
+    rows = l3_repetition_stats(spark, sf_dir).collect()
+    assert rows
+    nontrivial = 0
+    for r in rows:
+        assert r.n_tokens >= 1
+        assert 0.0 < r.top_word_frac <= 1.0
+        assert 0.0 <= r.top_2gram_frac <= 1.0
+        assert 0.0 <= r.dup_2gram_frac <= 1.0
+        if r.dup_2gram_frac > 0:
+            nontrivial += 1
+        # the most frequent word can be no rarer than uniform (1e-6
+        # slack: fractions are floor-truncated for hash parity)
+        assert r.top_word_frac >= 1.0 / r.n_tokens - 1e-6
+    assert nontrivial > 0, "no doc with repeated 2-grams — vacuous fixture"

@@ -132,6 +132,29 @@ def test_batch_topk_arrow_matches_hof(spark, sf_dir):
     )
     assert arrow == hof
     assert len(arrow) == 30
+    # the single-query GEMV shape with a carried passthrough column
+    # must equal l4_cosine_topk's HOF result (also below the switch)
+    q1 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("bigint").alias("qid"),
+        F.col("embedding").alias("qv"),
+        S.norm("embedding").alias("qn"),
+    )
+    gemv = sorted(
+        map(
+            tuple,
+            S.batch_topk_arrow(
+                emb.filter(F.col("vec_id") != 0), q1, 10, carry=("label",)
+            )
+            .select("vec_id", "label", "cosine")
+            .collect(),
+        )
+    )
+    cos_hof = sorted(
+        map(
+            tuple, registry.QUERIES["l4_cosine_topk"](spark, sf_dir).collect()
+        )
+    )
+    assert gemv == cos_hof
 
 
 def test_langid_beats_chance_on_english(spark, sf_dir):
