@@ -97,6 +97,18 @@ def main() -> None:
     # keeps AQE ON: at cluster scale its skew-splitting and runtime
     # coalescing matter and the per-stage round trip amortizes.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # With AQE off, replicate statically the one AQE decision that
+    # matters at small SF: partition-count coalescing. The engine
+    # default (32) targets cluster-scale inputs; at sf0.1 the largest
+    # shuffle moves a few MB, so 32 sub-100 KB tasks are pure
+    # scheduling overhead (measured: x1 0.62 s @32 → 0.25 s @8).
+    # SCALING.md's sizing rule (partitions ~ data volume / 64 MB,
+    # floor 8) gives 8 at sf≤0.25 and the engine default from sf1 up —
+    # the same coalesce AQE (engine default ON) performs from runtime
+    # stats.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(int(max(8, min(32, 32 * sf))))
+    )
 
     # Warm-up: pin every table as a repartitioned in-memory cache — the
     # local stand-in for a cluster's parallel multi-split scan (the
