@@ -15,6 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dst_spark_k8_lakehouse_spark.llm.dedup import (
+    PLANTED_SQL,
+    with_planted_duplicates,
+)
 from dst_spark_k8_lakehouse_spark.registry import query
 from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
 
@@ -413,4 +417,88 @@ def l6_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("pos", F.row_number().over(w).cast("int"))
         .select("doc_id", "shard", "pos")
+    )
+
+
+PASSAGE = 10  # tokens per aligned passage (C4-style dedup unit)
+PASSAGE_DF = 2  # passage is boilerplate once seen in >= this many docs
+
+
+@query(
+    "l6_passage_dedup",
+    oracle=f"""
+        WITH bronze AS ({PLANTED_SQL}),
+        t AS (SELECT doc_id, string_split(trim(text), ' ') AS tok
+              FROM bronze),
+        p AS (SELECT doc_id, CAST(s // {PASSAGE} AS INT) AS pidx,
+                     array_to_string(
+                         list_slice(tok, s + 1, s + {PASSAGE}), ' ')
+                         AS passage
+              FROM t, unnest(range(0, len(tok), {PASSAGE})) AS u(s)),
+        f AS (SELECT passage, count(DISTINCT doc_id) AS df
+              FROM p GROUP BY 1)
+        SELECT p.doc_id,
+               CAST(count(*) AS INT) AS n_passages,
+               CAST(sum(CASE WHEN f.df >= {PASSAGE_DF} THEN 1 ELSE 0 END)
+                    AS INT) AS n_dup_passages,
+               COALESCE(string_agg(
+                   CASE WHEN f.df < {PASSAGE_DF} THEN p.passage END,
+                   ' ' ORDER BY p.pidx), '') AS clean_text
+        FROM p JOIN f USING (passage)
+        GROUP BY p.doc_id
+    """,
+)
+def l6_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: repeated-passage removal (the C4 pipeline's line-dedup step,
+    adapted to this corpus's newline-free text): documents split into
+    aligned PASSAGE(=10)-token windows; any passage occurring in >=
+    PASSAGE_DF(=2) distinct documents is boilerplate and is removed
+    from EVERY document carrying it; the cleaned text is reassembled
+    from the surviving passages in order. Runs over the planted-mirror
+    corpus so removal is non-vacuous (mirror passages occur twice).
+
+    Plan: passages are built map-only (``sequence``+``slice``+
+    ``posexplode``, no shuffle); document frequency is one wordcount-
+    shape partial agg keyed by passage; flagging is a join back on
+    passage; reassembly is one groupBy(doc_id) with an order-restoring
+    ``array_sort(collect_list(struct(pidx, …)))`` — bounded per doc.
+    At 100 TB the frequency agg and flag join would key on
+    ``xxhash64(passage)`` (8-byte shuffle keys instead of passage
+    text, collision odds ~n²/2⁶⁴) and the hot boilerplate passages
+    (exactly the ones this op exists to find) are the skewed keys —
+    AQE skew-join or the star-edge guard from the LSH path applies.
+    The oracle keeps exact passage strings so both engines compare
+    identical values."""
+    docs = with_planted_duplicates(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", F.split(F.trim("text"), " ").alias("tok"))
+    passages = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tok) - 1, {PASSAGE}), "
+                f"s -> concat_ws(' ', slice(tok, s + 1, {PASSAGE})))"
+            )
+        ).alias("pidx", "passage"),
+    )
+    freq = passages.groupBy("passage").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        passages.join(freq, "passage")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_passages"),
+            F.sum((F.col("df") >= PASSAGE_DF).cast("int"))
+            .cast("int")
+            .alias("n_dup_passages"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    f"CASE WHEN df < {PASSAGE_DF} "
+                    "THEN struct(pidx, passage) END)), x -> x.passage)"
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
     )

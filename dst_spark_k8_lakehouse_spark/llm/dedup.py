@@ -119,8 +119,17 @@ def _spread_for_python(df: DataFrame, key: str = "doc_id") -> DataFrame:
     return df.repartition(target, key)
 
 
-# Mersenne prime for the universal-hash permutation family
-_MINHASH_P = (1 << 61) - 1
+# Mersenne prime for the universal-hash permutation family. MUST sit
+# just ABOVE the (reduced) shingle-hash domain, not far above it:
+# with the original P = 2^61-1 and 32-bit crc inputs, a·x + b < 2^62
+# wrapped the modulus at most once, so every "permutation" was nearly
+# MONOTONE in x — all num_hashes argmins collapsed onto the same
+# extreme shingle, and near-dup pairs at J ≈ 0.7 measured ~0/32
+# signature agreement instead of ≈ J (exact copies, J = 1.0, have
+# identical sets and masked this). Inputs are reduced mod P first
+# (2^-31 extra collision odds, same class as the accepted crc32
+# collisions); a·x < 2^31·2^31 = 2^62 stays inside int64.
+_MINHASH_P = (1 << 31) - 1
 
 
 def _perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
@@ -129,8 +138,8 @@ def _perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
     import random
 
     rng = random.Random(42)
-    a = [rng.randrange(1, 1 << 30) for _ in range(num_hashes)]
-    b = [rng.randrange(0, 1 << 30) for _ in range(num_hashes)]
+    a = [rng.randrange(1, _MINHASH_P) for _ in range(num_hashes)]
+    b = [rng.randrange(0, _MINHASH_P) for _ in range(num_hashes)]
     return a, b
 
 
@@ -203,8 +212,10 @@ def _minhash_batch_fn(num_hashes: int, shingle_n: int):
                         dtype=np.int64,
                     )
                 )
-                # a < 2^30, h < 2^32 → a·h < 2^62: no int64 overflow
-                mhs.append(((A * hv[None, :] + B) % _MINHASH_P).min(axis=1))
+                # reduce to the hash domain first (see _MINHASH_P);
+                # a < P < 2^31, x < P → a·x + b < 2^62: no overflow
+                hr = hv % _MINHASH_P
+                mhs.append(((A * hr[None, :] + B) % _MINHASH_P).min(axis=1))
                 shs.append(hv)
             yield pa.RecordBatch.from_arrays(
                 [

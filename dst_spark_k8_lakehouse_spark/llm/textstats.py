@@ -347,3 +347,68 @@ def l3_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
         F.coalesce("dup_2gram_frac", F.lit(0.0)).alias("dup_2gram_frac"),
     )
+
+
+@query(
+    "l3_unigram_logprob",
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+            FROM documents
+        ),
+        v AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
+        SELECT w.doc_id,
+               CAST(count(*) AS INT) AS n_tokens,
+               floor(1e6 * sum(length(to_base(t.total, 2))
+                               - length(to_base(v.cnt, 2)))
+                     / count(*)) / 1e6 AS avg_surprisal_bits,
+               CAST(min(v.cnt) AS BIGINT) AS min_tok_count
+        FROM w JOIN v USING (w), t
+        GROUP BY w.doc_id
+    """,
+)
+def l3_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: unigram-LM quality score — per document, the mean surprisal
+    of its tokens under the corpus's own unigram distribution (the
+    poor man's KenLM filter: fluent text scores low, rare-token noise
+    scores high), plus the corpus count of its rarest token.
+
+    Surprisal is quantized to INTEGER bits — ``bits(total) -
+    bits(count)`` where ``bits(n)`` is the binary-representation
+    length (= floor(log2 n) + 1) — so both engines compute identical
+    integers and the single final division is exact IEEE; a float
+    ``ln()`` here would hash-diverge across engines at the ulp level.
+    Production would swap in ``ln`` one-lined; the ranking the filter
+    acts on is unchanged (log2-floor is monotone in count).
+
+    Plan: one wordcount partial agg builds the vocab; scoring joins
+    exploded tokens back to the vocab — the classic zipf-skewed join
+    (stopwords are hot keys). The vocab is broadcast here and in any
+    deployment that caps it top-K (every real tokenizer does); an
+    uncapped 100 TB vocab join instead relies on AQE skew splitting,
+    noted in SCALING.md. The corpus total rides in as a 1-row
+    broadcast cross join, not a collect."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    bits = lambda c: F.length(F.expr(f"bin({c})"))  # noqa: E731
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            (
+                F.floor(
+                    1e6
+                    * F.sum(bits("total") - bits("cnt"))
+                    / F.count("*")
+                )
+                / 1e6
+            ).alias("avg_surprisal_bits"),
+            F.min("cnt").alias("min_tok_count"),
+        )
+    )

@@ -69,6 +69,12 @@ PRIORITY: list[str] = [
     "t5_stateful_dedup",
     "l7_contamination",
     # (c) new this round
+    "l6_passage_dedup",
+    "l3_unigram_logprob",
+    "l7_fuzzy_decontam",
+    "l7_fuzzy_recall",
+    "l2_minhash_recall",  # re-front: signature family fixed this round
+    "l2_simhash_recall",
     "l7_contamination_scan",
     "l3_bpe_token_count",
     "l6_pack_sequences_bpe",

@@ -502,3 +502,114 @@ def test_contamination_scan_matches_inline_report(spark, sf_dir):
     assert scan == inline
     again = sorted(map(tuple, l7_contamination_scan(spark, sf_dir).collect()))
     assert again == scan
+
+
+def test_passage_dedup_strips_mirror_passages(spark, sf_dir):
+    """Planted mirrors share every aligned passage with their original,
+    so both must lose all shared passages; a cleaned doc never keeps a
+    passage that any other doc also carries."""
+    out = (
+        registry.QUERIES["l6_passage_dedup"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    mirrored = docs[docs.doc_id % 10 == 0]
+    for d in mirrored.doc_id:
+        # mirror and original flag identically and are fully stripped
+        assert out.loc[d].n_dup_passages == out.loc[d].n_passages
+        assert out.loc[d + dedup.DUP_OFFSET].clean_text == ""
+        assert out.loc[d].clean_text == ""
+    # surviving passages are globally unique
+    from collections import Counter
+
+    survivors = Counter()
+    for txt in out.clean_text:
+        if txt:
+            toks = txt.split(" ")
+            # clean_text concatenates surviving 10-token passages
+            for i in range(0, len(toks), 10):
+                survivors[" ".join(toks[i : i + 10])] += 1
+    # a passage kept twice would mean df-counting missed a duplicate
+    dup_kept = [p for p, c in survivors.items() if c > 1]
+    assert not dup_kept, dup_kept[:3]
+
+
+def test_unigram_logprob_orders_rare_above_common(spark, sf_dir):
+    """A doc's surprisal must grow when its tokens are rarer: the doc
+    holding the corpus's rarest tokens must outscore the doc holding
+    the most common ones (and every score is a non-negative number of
+    bits)."""
+    out = registry.QUERIES["l3_unigram_logprob"](spark, sf_dir).toPandas()
+    assert (out.avg_surprisal_bits >= 0).all()
+    assert (out.min_tok_count >= 1).all()
+    rarest = out.sort_values("min_tok_count").iloc[0]
+    commonest = out.sort_values("min_tok_count").iloc[-1]
+    if rarest.min_tok_count < commonest.min_tok_count:
+        assert rarest.avg_surprisal_bits > commonest.avg_surprisal_bits
+
+
+def test_minhash_positional_agreement_tracks_jaccard(spark, sf_dir):
+    """REGRESSION (round 5): per-permutation signature agreement on a
+    near-dup pair must approximate the pair's true Jaccard. With the
+    original P = 2^61-1 modulus the affine maps never wrapped for
+    32-bit shingle hashes, every permutation ranked shingles almost
+    monotonically, and J ≈ 0.7 pairs measured 0/32 agreement — LSH
+    recall on anything but exact copies was silently far below the
+    S-curve. Guard: mean |agreement − J| over perturbed planted pairs
+    must stay small."""
+    from dst_spark_k8_lakehouse_spark.llm.contamination import (
+        _fuzzy_inputs,
+    )
+
+    corpus, benchmark = _fuzzy_inputs(spark, sf_dir)
+    sig_c = dedup.signature_table(corpus).select(
+        F.col("doc_id").alias("mdoc"),
+        F.col("mh").alias("mh_c"),
+        F.col("shash").alias("sh_c"),
+    )
+    sig_b = dedup.signature_table(benchmark).select(
+        F.col("doc_id").alias("bdoc"),
+        F.col("mh").alias("mh_b"),
+        F.col("shash").alias("sh_b"),
+    )
+    pairs = sig_b.withColumn(
+        "mdoc", F.col("bdoc") + dedup.DUP_OFFSET
+    ).join(sig_c, "mdoc")
+    stats = (
+        pairs.select(
+            (
+                F.size(F.array_intersect("sh_c", "sh_b"))
+                / F.size(F.array_union("sh_c", "sh_b"))
+            ).alias("jac"),
+            F.expr(
+                "size(filter(zip_with(mh_c, mh_b, (a, b) -> a = b),"
+                " x -> x)) / size(mh_c)"
+            ).alias("agree"),
+        )
+        .agg(
+            F.avg(F.abs(F.col("agree") - F.col("jac"))).alias("mad"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    assert stats.n >= 40
+    assert stats.mad < 0.15, f"agreement diverges from Jaccard: {stats}"
+
+
+def test_fuzzy_decontam_flags_only_near_duplicates(spark, sf_dir):
+    """Flagged pairs carry a verified Jaccard >= 0.5, every planted
+    perturbed mirror is flagged against its own original, and clean
+    originals (non-benchmark docs) flag at most via organic overlap."""
+    flagged = registry.QUERIES["l7_fuzzy_decontam"](
+        spark, sf_dir
+    ).toPandas()
+    assert (flagged.jaccard >= 0.5).all()
+    planted = set(
+        flagged[flagged.doc_id == flagged.bench_doc + dedup.DUP_OFFSET]
+        .bench_doc
+    )
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    expected = set(docs[docs.doc_id % 10 == 0].doc_id)
+    missed = expected - planted
+    assert len(missed) <= max(1, len(expected) // 10), sorted(missed)[:5]
