@@ -69,7 +69,9 @@ HEADLINE = [
     "l2_minhash_lsh",  # inline: signature UDF + band join + verify
     "l2_minhash_lsh_sigs",  # production: persisted sigs, marginal pass cost
     "l3_text_stats",
+    "l3_unigram_logprob",
     "l6_chunk_docs",
+    "l6_passage_dedup",
     "l6_vocab_topk",
     "l7_contamination",  # inline: benchmark grams rebuilt per pass
     "l7_contamination_scan",  # production: persisted gram set, marginal pass
