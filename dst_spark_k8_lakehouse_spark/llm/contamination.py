@@ -262,6 +262,7 @@ def fuzzy_decontamination(
     num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """(doc_id, bench_doc, jaccard) — corpus documents that are NEAR
     duplicates of a benchmark document (exact shingle Jaccard >=
@@ -284,8 +285,8 @@ def fuzzy_decontamination(
         signature_table,
     )
 
-    sig_c = signature_table(corpus, num_hashes, shingle_n)
-    sig_b = signature_table(benchmark, num_hashes, shingle_n)
+    sig_c = signature_table(corpus, num_hashes, shingle_n, spread=spread)
+    sig_b = signature_table(benchmark, num_hashes, shingle_n, spread=spread)
     bands_c = banded_signatures(sig_c, num_hashes, bands)
     bands_b = F.broadcast(
         banded_signatures(sig_b, num_hashes, bands).withColumnRenamed(

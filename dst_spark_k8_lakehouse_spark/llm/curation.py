@@ -469,10 +469,19 @@ def l6_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE skew-join or the star-edge guard from the LSH path applies.
     The oracle keeps exact passage strings so both engines compare
     identical values."""
-    docs = with_planted_duplicates(
-        load_table(spark, sf_dir, "documents")
-    ).select("doc_id", F.split(F.trim("text"), " ").alias("tok"))
-    passages = docs.select(
+    return passage_dedup_report(
+        with_planted_duplicates(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def passage_dedup_report(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_passages, n_dup_passages, clean_text) for any
+    (doc_id, text) frame — the reusable core of ``l6_passage_dedup``
+    (plan notes there)."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), " ").alias("tok")
+    )
+    passages = toks.select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -500,5 +509,27 @@ def l6_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 " ",
             ).alias("clean_text"),
+        )
+    )
+
+
+def passage_scrub(docs: DataFrame) -> DataFrame:
+    """Rewrite each document's text with corpus-repeated passages
+    removed (and drop documents that were boilerplate end-to-end —
+    empty cleaned text would otherwise collapse into one giant
+    "duplicate" group at the exact-dedup stage). Schema-preserving:
+    n_chars is recomputed for the cleaned text."""
+    report = passage_dedup_report(docs).select(
+        "doc_id", "clean_text", "n_dup_passages"
+    )
+    return (
+        docs.join(report, "doc_id")
+        .filter(F.length("clean_text") > 0)
+        .select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            "lang",
+            "source",
+            F.length("clean_text").alias("n_chars"),
         )
     )

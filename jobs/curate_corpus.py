@@ -1,10 +1,10 @@
 #!/usr/bin/env python
 """Batch job: LLM training-data curation pipeline.
 
-documents → quality gate → exact dedup → MinHash near-dup dedup →
-benchmark decontamination → curated corpus + signature table +
-mixture manifest + corpus stats, with pipeline metrics at every
-layer. The medallion flow (``06_pipeline_metrics_demo.ipynb``)
+documents → quality gate → exact dedup → repeated-passage scrub →
+MinHash near-dup dedup → benchmark decontamination (exact 5-gram +
+fuzzy Jaccard) → curated corpus + signature table + mixture manifest
++ corpus stats, with pipeline metrics at every layer. The medallion flow (``06_pipeline_metrics_demo.ipynb``)
 applied to corpus curation:
 
   bronze  raw documents
@@ -119,7 +119,15 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
         silver = exact_dedup(quality_gate(bronze))
         log(2, "silver_docs", silver.count())
 
-        gold, sigs = neardup_dedup(silver)
+        # C4-style boilerplate removal AFTER exact dedup (before it,
+        # exact-duplicate docs would raise every own passage's df to 2
+        # and gut themselves); docs left with no unique content drop,
+        # and the rewritten text must RE-qualify the gate (a scrub can
+        # leave a stub too short to near-dup-fingerprint downstream)
+        scrubbed = quality_gate(curation.passage_scrub(silver))
+        log(2, "passage_scrubbed_docs", scrubbed.count())
+
+        gold, sigs = neardup_dedup(scrubbed)
 
         # decontamination: the stand-in eval set is every 97th bronze
         # doc (production passes a real benchmark path); eval members
@@ -127,8 +135,16 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
         # OR any doc sharing a 5-gram with them
         benchmark = bronze.filter(F.col("doc_id") % 97 == 0)
         flagged = contamination.contamination_report(gold, benchmark, n=5)
-        clean = gold.join(flagged.select("doc_id"), "doc_id", "left_anti")
-        log(3, "contaminated_removed", flagged.count())
+        # fuzzy pass: paraphrase-level leaks (Jaccard >= 0.5) that
+        # share no exact 5-gram; spread=False — gold is shuffle-wide
+        fuzzy = contamination.fuzzy_decontamination(
+            gold, benchmark, spread=False
+        )
+        drop_ids = flagged.select("doc_id").union(
+            fuzzy.select("doc_id")
+        ).distinct()
+        clean = gold.join(drop_ids, "doc_id", "left_anti")
+        log(3, "contaminated_removed", drop_ids.count())
 
         gold_table = VersionedTable(spark, f"{out_dir}/corpus")
         gold_table.create(clean)

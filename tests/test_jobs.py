@@ -37,7 +37,7 @@ def test_curate_corpus_job(spark, sf_dir, tmp_path):
     assert sigs.count() == counts["gold_docs"]  # state matches corpus
 
     log = VersionedTable(spark, f"{out}/_activity_log").read()
-    assert log.count() == 6  # 5 layer counts + completion, one commit
+    assert log.count() == 7  # 6 layer counts + completion, one commit
     assert (
         log.filter("metric_function = 'completion'").collect()[0].status
         == "success"
