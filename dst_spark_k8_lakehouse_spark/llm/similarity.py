@@ -533,3 +533,133 @@ def l4_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute.agg(F.count("*").alias("n_brute")).crossJoin(
         overlap.agg((F.count("*") >= 7).alias("overlap_ok"))
     )
+
+
+QUANT_LEVELS = 127  # symmetric int8: codes in [-127, 127]
+
+
+def quantize_embeddings(vectors: DataFrame) -> DataFrame:
+    """(vec_id, scale, codes) — per-vector symmetric int8 quantization,
+    the 100 TB storage path for embedding corpora (4× smaller than
+    float32, 8× smaller than the double math, and the form a GPU/ANN
+    service ingests). Map-only; zero-norm vectors are dropped (no
+    scale exists, same policy as the sign-LSH path).
+
+    Codes use floor(x/scale) clamped to ±QUANT_LEVELS rather than
+    round(): floor of an exact IEEE division is bit-reproducible
+    across engines (round() half-tie rules differ), which is what
+    makes the oracle below a value-match instead of a tolerance
+    check. The reconstruction error bound is one code unit (< scale)
+    instead of half a unit — immaterial for retrieval (see
+    ``l4_quant_recall``) and a fair trade for a testable quantizer."""
+    scale = (
+        F.expr(
+            "array_max(transform(embedding,"
+            " x -> abs(CAST(x AS DOUBLE))))"
+        )
+        / QUANT_LEVELS
+    )
+    return (
+        vectors.withColumn("scale", scale)
+        .filter(F.col("scale") > 0)
+        .withColumn(
+            "codes",
+            F.expr(
+                "transform(embedding, x -> CAST(least(greatest("
+                f"floor(CAST(x AS DOUBLE) / scale), {-QUANT_LEVELS}D),"
+                f" {QUANT_LEVELS}D) AS INT))"
+            ),
+        )
+        .select("vec_id", "scale", "codes")
+    )
+
+
+@query(
+    "l4_embed_quantize",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / {QUANT_LEVELS}
+                       AS scale
+            FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id, scale,
+                   list_transform(embedding, x -> CAST(least(greatest(
+                       floor(CAST(x AS DOUBLE) / scale),
+                       {-QUANT_LEVELS}), {QUANT_LEVELS}) AS INT))
+                       AS codes
+            FROM v WHERE scale > 0
+        )
+        SELECT vec_id,
+               CAST(len(codes) AS INT) AS n_dims,
+               floor(1e9 * scale) / 1e9 AS scale_q,
+               CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+               CAST(list_max(codes) AS INT) AS max_code,
+               CAST(list_min(codes) AS INT) AS min_code
+        FROM c
+    """,
+)
+def l4_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: int8 quantization audit — per vector, the quantization
+    scale plus integer summaries of the code vector (dimension count,
+    code sum / max / min). The summaries are scalars so the oracle
+    value-matches without array-stringification ambiguity; the codes
+    themselves are exercised end-to-end by ``l4_quant_recall``."""
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.size("codes").cast("int").alias("n_dims"),
+        (F.floor(1e9 * F.col("scale")) / 1e9).alias("scale_q"),
+        F.expr("CAST(aggregate(codes, 0L, (acc, v) -> acc + v) AS BIGINT)")
+        .alias("sum_codes"),
+        F.array_max("codes").cast("int").alias("max_code"),
+        F.array_min("codes").cast("int").alias("min_code"),
+    )
+
+
+@query(
+    "l4_quant_recall",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_brute, TRUE AS overlap_ok",
+)
+def l4_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 recall contract: retrieval over DEQUANTIZED int8 vectors
+    (full-precision query, the standard asymmetric setup) must overlap
+    the exact top-10 in ≥8 positions. Everything is deterministic
+    (floor-quantized codes, floored scores, vec_id tiebreaks), so a
+    quantizer regression flips the boolean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    deq = quantize_embeddings(emb.filter(F.col("vec_id") != 0)).select(
+        "vec_id",
+        F.expr(
+            "transform(codes, c -> CAST(c AS DOUBLE) * scale)"
+        ).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), norm("embedding").alias("qn")
+    )
+    approx = (
+        deq.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.floor(
+                    1e6
+                    * _safe_div(
+                        dot("embedding", "qv"),
+                        norm("embedding") * F.col("qn"),
+                    )
+                )
+                / 1e6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    brute = l4_cosine_topk(spark, sf_dir).select("vec_id")
+    overlap = brute.join(approx, "vec_id", "left_semi")
+    return brute.agg(F.count("*").alias("n_brute")).crossJoin(
+        overlap.agg((F.count("*") >= 8).alias("overlap_ok"))
+    )

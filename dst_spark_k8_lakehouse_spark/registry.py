@@ -73,6 +73,8 @@ PRIORITY: list[str] = [
     "l3_unigram_logprob",
     "l7_fuzzy_decontam",
     "l7_fuzzy_recall",
+    "l4_embed_quantize",
+    "l4_quant_recall",
     "l2_minhash_recall",  # re-front: signature family fixed this round
     "l2_simhash_recall",
     "l7_contamination_scan",

@@ -613,3 +613,33 @@ def test_fuzzy_decontam_flags_only_near_duplicates(spark, sf_dir):
     expected = set(docs[docs.doc_id % 10 == 0].doc_id)
     missed = expected - planted
     assert len(missed) <= max(1, len(expected) // 10), sorted(missed)[:5]
+
+
+def test_quantization_reconstruction_error_bounded(spark, sf_dir):
+    """Every dequantized element must sit within one code unit
+    (< scale) of the original, and codes must fill the int8 range
+    envelope (some vector must actually reach ±QUANT_LEVELS edge —
+    otherwise the scale is wrong)."""
+    from dst_spark_k8_lakehouse_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb)
+    err = (
+        q.join(emb, "vec_id")
+        .select(
+            F.expr(
+                "array_max(zip_with(codes, embedding, (c, x) ->"
+                " abs(CAST(c AS DOUBLE) * scale - CAST(x AS DOUBLE))"
+                " / scale))"
+            ).alias("max_err_units")
+        )
+        .agg(F.max("max_err_units").alias("worst"))
+        .collect()[0]
+        .worst
+    )
+    assert err < 1.0 + 1e-9, err
+    edges = q.filter(
+        (F.array_max("codes") == similarity.QUANT_LEVELS)
+        | (F.array_min("codes") == -similarity.QUANT_LEVELS)
+    ).count()
+    assert edges > 0

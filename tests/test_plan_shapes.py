@@ -226,3 +226,35 @@ def test_zorder_plan_is_single_range_shuffle(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan
     # the in-partition sort must be partition-local (global=false)
     assert "Sort [__z" in plan and "], false, 0" in plan
+
+
+def test_passage_dedup_map_side_explode_no_python(spark, sf_dir):
+    """Passage construction must be a map-side Generate (explode) with
+    no Python stage anywhere; the frequency agg must be partial-then-
+    final (HashAggregate before the exchange). The freq↔passages join
+    may broadcast locally (tiny aggregate estimate) but must never put
+    the PASSAGES side on the build side — at 100 TB the frequency
+    table is corpus-sized and the plan degrades to a keyed join."""
+    plan = plan_of(registry.QUERIES["l6_passage_dedup"](spark, sf_dir))
+    assert "Generate" in plan and "Python" not in plan
+    assert "partial_count" in plan  # map-side combine on the freq agg
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """The token→vocab join must broadcast the vocab (explicitly hinted
+    — bounded in any top-K-capped deployment) and stay JVM-side."""
+    plan = plan_of(registry.QUERIES["l3_unigram_logprob"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_fuzzy_decontam_broadcasts_benchmark_bands(spark, sf_dir):
+    """Candidate generation must probe broadcast BENCHMARK bands (small
+    by construction) — the corpus band table must never shuffle on the
+    band key; the only Python stages are the two mapInArrow signature
+    computations."""
+    plan = plan_of(registry.QUERIES["l7_fuzzy_decontam"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInArrow" in plan  # signatures are Arrow-vectorized…
+    assert "BatchEvalPython" not in plan  # …never row-at-a-time Python
