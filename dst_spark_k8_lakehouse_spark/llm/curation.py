@@ -530,6 +530,9 @@ def passage_scrub(docs: DataFrame) -> DataFrame:
             F.col("clean_text").alias("text"),
             "lang",
             "source",
-            F.length("clean_text").alias("n_chars"),
+            # cast: length() is INT; the documents schema carries
+            # n_chars BIGINT and a silent narrowing breaks schema-merge
+            # appends downstream (caught by the stream-ingest test)
+            F.length("clean_text").cast("long").alias("n_chars"),
         )
     )

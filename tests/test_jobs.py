@@ -138,3 +138,67 @@ def test_neardup_drop_set_resolves_chains_and_corpus_wins(spark):
     drops = {r.doc_id for r in neardup_drop_set(pairs, batch).collect()}
     # chain keeps 10 only; 20 loses to corpus doc 1; 99 untouched
     assert drops == {11, 12, 20}
+
+
+def test_stream_ingest_resumes_and_stays_idempotent(spark, sf_dir, tmp_path):
+    """File-source streaming ingest: each arrival file becomes one
+    micro-batch through the incremental ingest; the checkpoint skips
+    already-processed files on restart; and re-delivering identical
+    content (the micro-batch-retry shape) ingests nothing — content
+    dedup turns at-least-once execution into exactly-once corpus
+    state."""
+    from pyspark.sql import functions as F
+
+    from jobs.curate_corpus import run as curate
+    from jobs.stream_ingest import run_stream
+
+    state = str(tmp_path / "state")
+    curate(spark, sf_dir, state)
+    corpus = VersionedTable(spark, f"{state}/corpus")
+    n0 = corpus.read().count()
+    base = corpus.read()
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    fresh1 = base.limit(3).select(
+        (F.col("doc_id") + 800_000).alias("doc_id"),
+        F.concat(F.lit("stream batch one the "), F.reverse("text")).alias(
+            "text"
+        ),
+        "lang", "source", "n_chars",
+    )
+    fresh1.coalesce(1).write.parquet(str(arrivals / "b1"))
+    # batch 2: 2 fresh docs + 2 exact copies of batch-1 docs
+    # fresh relative to batch 1 too: different base rows (reversing
+    # the SAME base docs again would near-duplicate batch 1 and be
+    # correctly dropped)
+    fresh2 = base.orderBy(F.desc("doc_id")).limit(2).select(
+        (F.col("doc_id") + 810_000).alias("doc_id"),
+        F.concat(F.lit("stream batch two the "), F.reverse("text")).alias(
+            "text"
+        ),
+        "lang", "source", "n_chars",
+    )
+    copies = fresh1.limit(2).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    fresh2.unionByName(copies).coalesce(1).write.parquet(str(arrivals / "b2"))
+
+    counts = run_stream(spark, str(arrivals) + "/*", state)
+    assert [c["batch_ingested"] for c in counts] == [3, 2]
+    assert corpus.read().count() == n0 + 5
+
+    # restart with the same checkpoint: nothing new to process
+    assert run_stream(spark, str(arrivals) + "/*", state) == []
+    assert corpus.read().count() == n0 + 5
+
+    # retry shape: the same content re-arrives as a NEW file (new ids);
+    # the source processes it, the ingest drops every doc
+    fresh1.select(
+        (F.col("doc_id") + 30_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    ).coalesce(1).write.parquet(str(arrivals / "b3"))
+    counts3 = run_stream(spark, str(arrivals) + "/*", state)
+    assert [c["batch_ingested"] for c in counts3] == [0]
+    assert corpus.read().count() == n0 + 5
