@@ -250,8 +250,10 @@ def _perturbed_mirrors(docs: DataFrame) -> DataFrame:
             F.concat_ws(" ", kept).alias("text"),
             "lang",
             F.lit("fuzzy-mirror").alias("source"),
-            "n_chars",
         )
+        # recompute: the rebuilt text is shorter and lowercased — a
+        # carried-over n_chars would silently disagree with text
+        .withColumn("n_chars", F.length("text").cast("long"))
     )
 
 
@@ -263,6 +265,7 @@ def fuzzy_decontamination(
     bands: int = 16,
     shingle_n: int = 3,
     spread: bool = True,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, bench_doc, jaccard) — corpus documents that are NEAR
     duplicates of a benchmark document (exact shingle Jaccard >=
@@ -283,9 +286,17 @@ def fuzzy_decontamination(
     from dst_spark_k8_lakehouse_spark.llm.dedup import (
         banded_signatures,
         signature_table,
+        verified_pairs,
     )
 
-    sig_c = signature_table(corpus, num_hashes, shingle_n, spread=spread)
+    # corpus_sigs: reuse an existing (checkpointed) signature frame —
+    # the signature stage is the dominant cost and a curation run has
+    # already computed it for the near-dup pass (same params)
+    sig_c = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else signature_table(corpus, num_hashes, shingle_n, spread=spread)
+    )
     sig_b = signature_table(benchmark, num_hashes, shingle_n, spread=spread)
     bands_c = banded_signatures(sig_c, num_hashes, bands)
     bands_b = F.broadcast(
@@ -295,29 +306,22 @@ def fuzzy_decontamination(
     )
     cand = (
         bands_c.join(bands_b, ["band", "sig"])
-        .select("doc_id", "bench_doc")
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("bench_doc").alias("doc_b"),
+        )
         .distinct()
     )
-    sh_c = sig_c.select("doc_id", F.col("shash").alias("sh_c"))
-    sh_b = F.broadcast(
-        sig_b.select(
-            F.col("doc_id").alias("bench_doc"), F.col("shash").alias("sh_b")
-        )
-    )
-    return (
-        cand.join(sh_c, "doc_id")
-        .join(sh_b, "bench_doc")
-        .withColumn(
-            "jaccard",
-            F.floor(
-                1e6
-                * F.size(F.array_intersect("sh_c", "sh_b"))
-                / F.size(F.array_union("sh_c", "sh_b"))
-            )
-            / 1e6,
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_id", "bench_doc", "jaccard")
+    # exact-Jaccard verification shares dedup.verified_pairs (ONE
+    # source of truth for the truncation + threshold semantics);
+    # corpus and benchmark ids are disjoint by construction, so the
+    # unioned signature frame is id-unique
+    return verified_pairs(
+        cand, sig_c.unionByName(sig_b), threshold
+    ).select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("bench_doc"),
+        "jaccard",
     )
 
 

@@ -131,6 +131,15 @@ def _spread_for_python(df: DataFrame, key: str = "doc_id") -> DataFrame:
 # collisions); a·x < 2^31·2^31 = 2^62 stays inside int64.
 _MINHASH_P = (1 << 31) - 1
 
+# Version stamp for PERSISTED signature state. Bumped to 2 with the
+# round-5 permutation-family fix above: signatures computed under the
+# old P = 2^61-1 family share zero positions with new ones, so a
+# band-join of new batch signatures against old persisted state would
+# SILENTLY match nothing (near-dups admitted as new content). Writers
+# (curate_corpus / ingest_batch) stamp this; readers refuse mismatched
+# state with a rebuild instruction instead of degrading silently.
+SIG_VERSION = 2
+
 
 def _perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
     """Fixed (a, b) pairs for h_i(x) = (a_i·x + b_i) mod P — seeded once,

@@ -138,7 +138,7 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
         # fuzzy pass: paraphrase-level leaks (Jaccard >= 0.5) that
         # share no exact 5-gram; spread=False — gold is shuffle-wide
         fuzzy = contamination.fuzzy_decontamination(
-            gold, benchmark, spread=False
+            gold, benchmark, spread=False, corpus_sigs=sigs
         )
         drop_ids = flagged.select("doc_id").union(
             fuzzy.select("doc_id")
@@ -150,6 +150,7 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
         gold_table.create(clean)
         VersionedTable(spark, f"{out_dir}/signatures").create(
             sigs.join(clean.select("doc_id"), "doc_id", "left_semi")
+            .withColumn("sig_v", F.lit(dedup.SIG_VERSION))
         )
         log(3, "gold_docs", gold_table.read().count())
 

@@ -115,6 +115,24 @@ def run(
     if not os.path.exists(hashes_t._manifest_path()):
         hashes_t.create(bootstrap_hashes(corpus_t.read()))
 
+    existing_sigs = sigs_t.read()
+    # refuse state from an incompatible signature family (the r5
+    # minhash-modulus fix changed every signature value; a band-join
+    # against old state would SILENTLY match nothing and admit dups)
+    if (
+        "sig_v" not in existing_sigs.columns
+        or existing_sigs.filter(
+            F.col("sig_v") != dedup.SIG_VERSION
+        ).limit(1).count()
+        > 0
+    ):
+        raise ValueError(
+            "signature state at "
+            f"{state_dir}/signatures was built by an incompatible "
+            f"minhash family (need sig_v = {dedup.SIG_VERSION}); "
+            "re-run curate_corpus to rebuild dedup state"
+        )
+
     with MetricContext(
         spark,
         layer=3,
@@ -147,7 +165,9 @@ def run(
         log(2, "batch_after_exact", exact.count())
 
         pairs, new_sigs = dedup.incremental_neardup(
-            exact.drop("content_hash"), sigs_t.read(), threshold=threshold
+            exact.drop("content_hash"),
+            existing_sigs.drop("sig_v"),  # stamp checked above
+            threshold=threshold,
         )
         drops = neardup_drop_set(pairs, exact.select("doc_id"))
         # pin survivors so the appends below reuse one materialization
@@ -161,6 +181,7 @@ def run(
         corpus_t.append(survivors.drop("content_hash"))
         sigs_t.append(
             new_sigs.join(survivors.select("doc_id"), "doc_id", "left_semi")
+            .withColumn("sig_v", F.lit(dedup.SIG_VERSION))
         )
         hashes_t.append(survivors.select("doc_id", "content_hash"))
     return counts

@@ -202,3 +202,75 @@ def test_stream_ingest_resumes_and_stays_idempotent(spark, sf_dir, tmp_path):
     counts3 = run_stream(spark, str(arrivals) + "/*", state)
     assert [c["batch_ingested"] for c in counts3] == [0]
     assert corpus.read().count() == n0 + 5
+
+
+def test_ingest_refuses_incompatible_signature_state(spark, sf_dir, tmp_path):
+    """State written by an older minhash family (no sig_v stamp) must
+    be refused loudly — a band-join against it would silently match
+    nothing and admit duplicates."""
+    import pytest
+
+    from jobs.curate_corpus import run as curate
+    from jobs.ingest_batch import run as ingest
+
+    state = str(tmp_path / "state")
+    curate(spark, sf_dir, state)
+    sigs_t = VersionedTable(spark, f"{state}/signatures")
+    # simulate pre-fix state: strip the version stamp
+    sigs_t.overwrite(sigs_t.read().drop("sig_v"))
+    batch = spark.createDataFrame(
+        [(999_999, "the quick brown fox jumps over the lazy dog", "en",
+          "src0", 43)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        ingest(spark, batch, state)
+
+
+def test_stream_ingest_reconciles_partial_state(spark, sf_dir, tmp_path):
+    """Crash-window recovery: corpus rows whose hash/signature state
+    never landed (crash between the three appends) are healed on
+    stream start, so re-delivered content still ingests nothing."""
+    from pyspark.sql import functions as F
+
+    from jobs.curate_corpus import run as curate
+    from jobs.stream_ingest import run_stream
+
+    state = str(tmp_path / "state")
+    curate(spark, sf_dir, state)
+    corpus = VersionedTable(spark, f"{state}/corpus")
+    base = corpus.read()
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    fresh = base.limit(2).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"),
+        F.concat(F.lit("recovery probe the "), F.reverse("text")).alias(
+            "text"
+        ),
+        "lang", "source", "n_chars",
+    )
+    fresh.coalesce(1).write.parquet(str(arrivals / "b1"))
+    assert [c["batch_ingested"] for c in run_stream(
+        spark, str(arrivals) + "/*", state
+    )] == [2]
+    n1 = corpus.read().count()
+
+    # simulate the crash window: corpus rows landed, state rows did not
+    hashes_t = VersionedTable(spark, f"{state}/hashes")
+    sigs_t = VersionedTable(spark, f"{state}/signatures")
+    hashes_t.overwrite(
+        hashes_t.read().filter(F.col("doc_id") < 700_000)
+    )
+    sigs_t.overwrite(sigs_t.read().filter(F.col("doc_id") < 700_000))
+
+    # the same content re-arrives as a new file with new ids: without
+    # reconciliation the missing state rows would let it duplicate
+    fresh.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    ).coalesce(1).write.parquet(str(arrivals / "b2"))
+    assert [c["batch_ingested"] for c in run_stream(
+        spark, str(arrivals) + "/*", state
+    )] == [0]
+    assert corpus.read().count() == n1
