@@ -75,6 +75,7 @@ PRIORITY: list[str] = [
     "l7_fuzzy_recall",
     "l4_embed_quantize",
     "l4_quant_recall",
+    "l3_bpe_learn",
     "l2_minhash_recall",  # re-front: signature family fixed this round
     "l2_simhash_recall",
     "l7_contamination_scan",

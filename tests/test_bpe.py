@@ -120,3 +120,52 @@ def test_bpe_queries_deterministic_on_repeat(spark, sf_dir):
     a = sorted(map(tuple, bpe.l3_bpe_token_count(spark, sf_dir).collect()))
     b = sorted(map(tuple, bpe.l3_bpe_token_count(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_learn_bpe_first_merge_is_most_frequent_pair(spark, sf_dir):
+    """The first learned rule must equal the most frequent adjacent
+    character pair, computed independently in pandas (count desc,
+    pair asc tiebreak)."""
+    import re
+    from collections import Counter
+
+    from dst_spark_k8_lakehouse_spark.llm.bpe import learn_bpe_merges
+    from dst_spark_k8_lakehouse_spark.llm.textstats import BPE_REGEX
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    learned = learn_bpe_merges(docs, n_merges=3)
+    assert len(learned) == 3
+
+    pairs: Counter = Counter()
+    for txt in docs.select("text").toPandas().text:
+        for w in re.findall(BPE_REGEX, (txt or "").lower()):
+            for i in range(len(w) - 1):
+                pairs[(w[i], w[i + 1])] += 1
+    expected = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert learned[0] == expected
+
+    # repeat-call determinism (collect order, checkpoint, tiebreaks)
+    assert learn_bpe_merges(docs, n_merges=3) == learned
+
+
+def test_learn_bpe_merges_greedy_nonoverlapping(spark):
+    """'aaaa' under pair (a,a) must merge to (aa, aa) — greedy
+    left-to-right, non-overlapping (3 overlapping pairs collapse to
+    2 merges) — and the next round must then learn (aa, aa)."""
+    from dst_spark_k8_lakehouse_spark.llm.bpe import (
+        bpe_token_counts,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa"), (2, "aaaa")], "doc_id long, text string"
+    )
+    learned = learn_bpe_merges(docs, n_merges=2)
+    assert learned == [("a", "a"), ("aa", "aa")]
+    # applying the learned table: each 'aaaa' becomes one 'aaaa' token
+    counts = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_token_counts(docs, ["doc_id"], merges=learned).collect()
+    }
+    assert counts == {1: 2, 2: 1}
