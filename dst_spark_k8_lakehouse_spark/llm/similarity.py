@@ -663,3 +663,61 @@ def l4_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute.agg(F.count("*").alias("n_brute")).crossJoin(
         overlap.agg((F.count("*") >= 8).alias("overlap_ok"))
     )
+
+
+def append_to_ivf_index(new_vectors: DataFrame, index_path: str):
+    """Incremental IVF maintenance: assign a batch of NEW vectors to
+    the index's EXISTING centroids and append them — O(batch), never a
+    rebuild. The ANN twin of ``incremental_neardup``: state is built
+    once, daily ingest extends it.
+
+    Centroids stay fixed (the standard serving-time policy; drifted
+    cells are rebalanced by an offline rebuild, same as any IVF
+    service). New vec_ids must not collide with existing rows — a
+    reused id would shadow a stored vector — so collisions raise
+    (checked with one pushed-down id filter over the index; the id
+    list is batch-sized by construction)."""
+    from dst_spark_k8_lakehouse_spark.plans import VersionedTable
+
+    spark = new_vectors.sparkSession
+    table = VersionedTable(spark, index_path)
+    n_cells = table.latest_prop("ivf_n_cells")
+    if n_cells is None:
+        raise ValueError(
+            f"no ivf_n_cells prop at {index_path} — not an IVF index "
+            "built by build_ivf_index"
+        )
+    index = table.read()
+    new_ids = [r.vec_id for r in new_vectors.select("vec_id").collect()]
+    if index.filter(F.col("vec_id").isin(new_ids)).limit(1).count():
+        raise ValueError(
+            "vec_id collision: the batch reuses ids already in the "
+            f"index at {index_path}"
+        )
+    cents = index.filter(F.col("vec_id") < n_cells).select(
+        F.col("cell"), F.col("embedding").alias("cv")
+    )
+    from pyspark.sql import Window
+
+    assigned = (
+        new_vectors.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine("embedding", "cv"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("sim"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "cell",
+            norm("embedding").alias("norm"),
+        )
+    )
+    table.append(assigned)
+    return table

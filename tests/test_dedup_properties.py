@@ -105,3 +105,69 @@ def test_chunking_covers_any_length(spark, tokens):
         for t in p[curation.CHUNK - curation.STRIDE :]
     ]
     assert rebuilt == tokens
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(doc, min_size=1, max_size=12))
+def test_passage_dedup_preserves_unique_content(spark, texts):
+    """On arbitrary generated docs: the passage count matches the
+    aligned windowing, and clean_text is always the in-order concat
+    of a subset of the doc's own passages (never reordered, never
+    text from another doc)."""
+    df = _docs_df(spark, texts, 3)
+    out = {
+        r.doc_id: r
+        for r in curation.passage_dedup_report(df).collect()
+    }
+    P = curation.PASSAGE
+    for i, t in enumerate(texts):
+        toks = t.strip().split(" ")
+        passages = [
+            " ".join(toks[s : s + P]) for s in range(0, len(toks), P)
+        ]
+        r = out[i]
+        assert r.n_passages == len(passages)
+        # clean_text must be the in-order concat of a subset of the
+        # doc's passages: walk passages, consuming clean_text
+        ct = r.clean_text
+        pos = 0
+        for p in passages:
+            if ct[pos : pos + len(p)] == p and (
+                pos + len(p) == len(ct) or ct[pos + len(p)] == " "
+            ):
+                pos += len(p) + 1
+        assert pos >= len(ct), (ct, passages)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=10,
+    )
+)
+def test_quantization_roundtrip_error_bound_property(spark, vecs):
+    """For arbitrary float vectors: every dequantized element is
+    within one code unit of the original and codes stay in
+    [-QUANT_LEVELS, QUANT_LEVELS]."""
+    from dst_spark_k8_lakehouse_spark.llm import similarity
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.quantize_embeddings(df).collect()
+    originals = {i: v for i, v in enumerate(vecs)}
+    for r in rows:
+        assert r.scale > 0
+        for c, x in zip(r.codes, originals[r.vec_id]):
+            assert -similarity.QUANT_LEVELS <= c <= similarity.QUANT_LEVELS
+            assert abs(c * r.scale - float(x)) <= r.scale * (1 + 1e-9)

@@ -647,3 +647,50 @@ def test_quantization_reconstruction_error_bounded(spark, sf_dir):
         | (F.array_min("codes") == -similarity.QUANT_LEVELS)
     ).count()
     assert edges > 0
+
+
+def test_ivf_append_extends_index_without_rebuild(spark, sf_dir, tmp_path):
+    """Incremental IVF: appended vectors join the cell their embedding
+    is nearest to (same rule as the initial build), become findable by
+    the probe path, and id collisions are refused."""
+    import pytest
+
+    from dst_spark_k8_lakehouse_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    initial = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400).limit(20)
+    path = str(tmp_path / "ivf")
+    table = similarity.build_ivf_index(initial, path, n_cells=8)
+    n0 = table.read().count()
+
+    similarity.append_to_ivf_index(batch, path)
+    idx = table.read()
+    assert idx.count() == n0 + batch.count()
+
+    # appended assignment equals the build rule under the same
+    # centroids (full rebuild over the union must agree on the batch)
+    rebuilt = similarity.ivf_assign(
+        initial.unionByName(batch), n_cells=8
+    ).select("vec_id", "cell")
+    appended = idx.join(batch.select("vec_id"), "vec_id", "left_semi")
+    mismatch = (
+        appended.select("vec_id", "cell")
+        .exceptAll(rebuilt.join(
+            batch.select("vec_id"), "vec_id", "left_semi"
+        ))
+        .count()
+    )
+    assert mismatch == 0
+
+    # an appended vector is findable through the probe path
+    probe_row = batch.orderBy("vec_id").head()
+    hits = similarity.query_ivf_index(
+        spark, path, [float(x) for x in probe_row.embedding],
+        k=5, nprobe=2,
+    ).collect()
+    assert probe_row.vec_id in {r.vec_id for r in hits}
+
+    # id reuse is refused
+    with pytest.raises(ValueError, match="collision"):
+        similarity.append_to_ivf_index(batch, path)
