@@ -52,6 +52,7 @@ HEADLINE = [
     "j8_star_join",
     "x1_q3_shipping",
     "x2_q10_returns",
+    "x3_corpus_health",
     "a5_groupby_agg",
     "a12_summary",
     "j1_inner_join",

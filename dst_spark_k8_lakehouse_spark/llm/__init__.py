@@ -9,6 +9,7 @@ from dst_spark_k8_lakehouse_spark.llm import (  # noqa: F401
     contamination,
     curation,
     dedup,
+    health,
     multimodal,
     similarity,
     textstats,

@@ -76,6 +76,7 @@ PRIORITY: list[str] = [
     "l4_embed_quantize",
     "l4_quant_recall",
     "l3_bpe_learn",
+    "x3_corpus_health",
     "l2_minhash_recall",  # re-front: signature family fixed this round
     "l2_simhash_recall",
     "l7_contamination_scan",

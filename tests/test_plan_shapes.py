@@ -258,3 +258,15 @@ def test_fuzzy_decontam_broadcasts_benchmark_bands(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "MapInArrow" in plan  # signatures are Arrow-vectorized…
     assert "BatchEvalPython" not in plan  # …never row-at-a-time Python
+
+
+def test_x3_health_composite_stays_jvm_and_broadcasts_benchmark(
+    spark, sf_dir
+):
+    """The composite must inherit each branch's audited shape: no
+    Python anywhere, the contamination branch's benchmark grams
+    broadcast, and the dup branch keyed by hash (no text-keyed
+    SortMergeJoin)."""
+    plan = plan_of(registry.QUERIES["x3_corpus_health"](spark, sf_dir))
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
