@@ -1003,3 +1003,102 @@ def l2_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _recall_row(expected, pairs)
+
+
+@query(
+    "l2_simhash_sensitivity",
+    oracle=r"""
+        SELECT count(*) AS n_planted, TRUE AS sensitivity_ok
+        FROM documents
+        WHERE doc_id % 10 = 0 AND length(trim(text)) > 0
+    """,
+)
+def l2_simhash_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 FUZZY contract for SimHash (round-5 lesson: exact-copy
+    fixtures mask hash-family defects — the minhash modulus bug sat
+    invisible behind J=1.0 plants). Mirrors drop their FIRST token;
+    a healthy Charikar family puts such pairs at small hamming
+    (measured median 2) while a degenerate one would sit at the
+    random-pair expectation (~32 of 64 bits). Pinned: ≥90% of planted
+    one-token-dropped pairs within hamming ≤ 8. The ≤3 query
+    threshold intentionally stays stricter — this contract checks the
+    FAMILY, not the dedup cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.trim(F.lower("text")), r"\s+")
+    mirrors = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("tok", tok)
+        .select(
+            (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+            F.concat_ws(" ", F.expr("slice(tok, 2, size(tok))")).alias(
+                "text"
+            ),
+        )
+    )
+    both = docs.select("doc_id", F.lower("text").alias("text")).unionByName(
+        mirrors
+    )
+    sigs = (
+        _spread_for_python(both)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+        .mapInArrow(_simhash_batch_fn(), "doc_id bigint, sig bigint")
+    )
+    a = sigs.filter(F.col("doc_id") < DUP_OFFSET).select(
+        F.col("doc_id").alias("k"), F.col("sig").alias("sa")
+    )
+    b = sigs.filter(F.col("doc_id") >= DUP_OFFSET).select(
+        (F.col("doc_id") - DUP_OFFSET).alias("k"), F.col("sig").alias("sb")
+    )
+    return (
+        a.join(b, "k")
+        .select(F.expr("bit_count(sa ^ sb)").alias("h"))
+        .agg(
+            F.count("*").alias("n_planted"),
+            (
+                F.sum((F.col("h") <= 8).cast("long"))
+                >= F.count("*") * 0.9
+            ).alias("sensitivity_ok"),
+        )
+    )
+
+
+@query(
+    "l2_embed_fuzzy_recall",
+    oracle="""
+        SELECT count(*) AS n_planted, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id % 10 = 0
+    """,
+)
+def l2_embed_fuzzy_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 FUZZY contract for sign-LSH (same round-5 lesson): planted
+    near-copies perturb dim 0 by +0.05 (cosine ≈ 0.9987, NOT 1.0 —
+    signatures genuinely differ), and the 4-table OR-amplified
+    pipeline at threshold 0.98 must flag ≥90% of them (measured
+    100%)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"),
+        "label",
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x AS FLOAT)"
+            " + CASE WHEN i = 0 THEN 0.05F ELSE 0.0F END)"
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "label", "embedding").unionByName(pert)
+    pairs = embed_neardup_pairs(
+        both, threshold=0.98, n_planes=8, n_tables=4
+    )
+    hits = (
+        pairs.filter(F.col("vec_b") == F.col("vec_a") + DUP_OFFSET)
+        .select("vec_a")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    expected = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("vec_a")
+    )
+    return expected.join(hits, "vec_a", "left").agg(
+        F.count("*").alias("n_planted"),
+        (F.count("hit") >= F.count("*") * 0.9).alias("recall_ok"),
+    )

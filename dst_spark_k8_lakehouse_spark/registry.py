@@ -77,6 +77,8 @@ PRIORITY: list[str] = [
     "l4_quant_recall",
     "l3_bpe_learn",
     "x3_corpus_health",
+    "l2_simhash_sensitivity",
+    "l2_embed_fuzzy_recall",
     "l2_minhash_recall",  # re-front: signature family fixed this round
     "l2_simhash_recall",
     "l7_contamination_scan",
