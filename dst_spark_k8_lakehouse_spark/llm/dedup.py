@@ -879,12 +879,32 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def dedup_keep_representatives(
-    docs: DataFrame, pairs: DataFrame
+    docs: DataFrame, pairs: DataFrame, quality: DataFrame | None = None
 ) -> DataFrame:
     """Drop every near-dup except one representative per connected
-    cluster (the smallest doc_id). Docs in no pair pass through."""
+    cluster. Docs in no pair pass through.
+
+    Keeper policy: smallest doc_id by default (stable under
+    re-ingest); pass ``quality`` — ``(doc_id, quality)``, higher is
+    better — to keep the BEST member instead (what production
+    pipelines do: near-dup groups often contain one clean original
+    and several mangled scrapes). Quality ties break on smallest
+    doc_id, so the choice stays deterministic either way."""
     clusters = neardup_clusters(pairs)
-    losers = clusters.filter("doc_id <> cluster_id").select("doc_id")
+    if quality is None:
+        losers = clusters.filter("doc_id <> cluster_id").select("doc_id")
+        return docs.join(losers, "doc_id", "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ranked = (
+        clusters.join(quality, "doc_id", "left")
+        .withColumn("quality", F.coalesce("quality", F.lit(float("-inf"))))
+        .withColumn("_rk", F.row_number().over(w))
+    )
+    losers = ranked.filter("_rk > 1").select("doc_id")
     return docs.join(losers, "doc_id", "left_anti")
 
 

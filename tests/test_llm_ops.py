@@ -694,3 +694,36 @@ def test_ivf_append_extends_index_without_rebuild(spark, sf_dir, tmp_path):
     # id reuse is refused
     with pytest.raises(ValueError, match="collision"):
         similarity.append_to_ivf_index(batch, path)
+
+
+def test_keep_representatives_quality_policy(spark):
+    """With a quality frame, each cluster keeps its highest-quality
+    member (ties → smallest id); without one, the smallest id — and
+    unpaired docs always pass through."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        # cluster A: 1~2, 2~3 (chain); cluster B: 10~11
+        [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 0.8)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5)],
+        "doc_id long, quality double",
+    )
+    kept_default = {
+        r.doc_id for r in dedup.dedup_keep_representatives(
+            docs, pairs
+        ).collect()
+    }
+    assert kept_default == {1, 10, 99}
+    kept_q = {
+        r.doc_id for r in dedup.dedup_keep_representatives(
+            docs, pairs, quality=quality
+        ).collect()
+    }
+    # cluster A: 2 and 3 tie at 0.9 → 2 wins (smaller id), 1 loses
+    # cluster B: 10 and 11 tie → 10; 99 unpaired
+    assert kept_q == {2, 10, 99}
