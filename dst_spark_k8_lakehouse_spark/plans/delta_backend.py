@@ -231,7 +231,38 @@ def open_table(
     spark: SparkSession, path: str
 ) -> VersionedTable | DeltaBackedTable:
     """The backend-agnostic entry point: native Delta when the runtime
-    has the jars, parquet+manifest ``VersionedTable`` otherwise."""
+    has the jars, parquet+manifest ``VersionedTable`` otherwise.
+
+    Jar-less sessions can still SELECT from an EXISTING Delta table
+    (one written by a real Delta runtime elsewhere): use
+    ``read_existing_delta`` — ``open_table`` stays a read-write
+    surface and refuses to silently wrap a Delta table it cannot
+    write."""
     if delta_available():
         return DeltaBackedTable(spark, path)
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader
+
+    if delta_reader.is_delta_table(path):
+        raise ValueError(
+            f"{path} is a Delta table but the Delta runtime is not "
+            "installed — use read_existing_delta(spark, path) for "
+            "read-only access, or install delta-spark to write"
+        )
     return VersionedTable(spark, path)
+
+
+def read_existing_delta(
+    spark: SparkSession, path: str, version: int | None = None
+):
+    """Read-only SELECT (optionally time travel) from a Delta table
+    without the Delta runtime — the pure-Python log reader
+    (``delta_reader.read_delta``); with jars present, the native
+    reader path."""
+    if delta_available():
+        reader = spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", version)
+        return reader.load(path)
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader
+
+    return delta_reader.read_delta(spark, path, version)
