@@ -1,0 +1,332 @@
+"""Row-level DML on NATIVE Delta logs — jar-free copy-on-write.
+
+Closes most of the jar-only surface left by ``delta_writer``: UPDATE /
+DELETE / MERGE against a table whose ``_delta_log`` was written by
+``delta_writer`` or by any real Delta 3.x runtime (reference tables run
+on Delta per ``scripts/download-jars.sh:84-91`` and
+``getting_started.py:130-151``). The physical strategy is the same
+file-granular copy-on-write real Delta uses:
+
+1. ONE scan over the active file set computes per-file matching and
+   total row counts (``_metadata.file_path`` — a codegen'd metadata
+   column, not the ``input_file_name()`` escape hatch);
+2. files with zero matching rows are left alone (their ``add`` actions
+   survive untouched); DELETE drops fully-matching files with a bare
+   ``remove`` and NO rewrite — the partition-aligned-delete shape that
+   makes retention deletes at 100 TB metadata-only; partially-matching
+   files are rewritten;
+3. one commit publishes the ``remove`` + ``add`` actions atomically
+   (put-if-absent hard link, the single-writer pattern documented in
+   ``delta_writer``).
+
+Rewrite cost is therefore proportional to TOUCHED bytes, not table
+bytes — the property that matters when a predicate hits 3 files out of
+30k. Partitioned tables are supported for UPDATE/DELETE (partition
+columns are injected from ``partitionValues`` before predicate
+evaluation and preserved on rewrite); updating a partition column
+raises (it would move rows across files — real Delta rewrites in the
+same way but re-partitions; out of single-writer scope here, loudly).
+
+API mirrors ``VersionedTable.update/delete/merge`` (plans/table.py) so
+``plans/dml.execute_dml`` statement routing works on both backends.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dst_spark_k8_lakehouse_spark.plans import delta_reader, delta_writer
+
+_FILE_COL = "__delta_dml_file"
+
+
+def _schema(state: dict) -> T.StructType:
+    import json
+
+    return T.StructType.fromJson(
+        json.loads(state["metaData"]["schemaString"])
+    )
+
+
+def _groups(
+    state: dict, table: str
+) -> dict[tuple, list[tuple[str, str]]]:
+    """Active files grouped by partition-value tuple:
+    {pv_key: [(abs_path, rel_path), ...]}."""
+    part_cols = state["metaData"].get("partitionColumns") or []
+    out: dict[tuple, list[tuple[str, str]]] = defaultdict(list)
+    for rel, a in state["files"].items():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        absp = rel if os.path.isabs(rel) else os.path.join(table, rel)
+        out[key].append((absp, rel))
+    return out
+
+
+def _scan_group(
+    spark: SparkSession,
+    schema: T.StructType,
+    part_cols: list[str],
+    pv_key: tuple,
+    paths: list[str],
+) -> DataFrame:
+    """Read one partition group with injected partition literals and
+    the physical file path (for per-file classification)."""
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    by_name = {f.name: f for f in schema.fields}
+    df = (
+        spark.read.schema(T.StructType(data_fields))
+        .parquet(*paths)
+        .withColumn(_FILE_COL, F.col("_metadata.file_path"))
+    )
+    for c, raw in zip(part_cols, pv_key):
+        lit = F.lit(raw).cast(by_name[c].dataType) if raw is not None \
+            else F.lit(None).cast(by_name[c].dataType)
+        df = df.withColumn(c, lit)
+    return df.select(*[f.name for f in schema.fields], _FILE_COL)
+
+
+def _classify(
+    df: DataFrame, condition: str
+) -> list[tuple[str, int, int]]:
+    """Per physical file: (file_uri, matching_rows, total_rows) — one
+    aggregated pass, never a per-file job."""
+    rows = (
+        df.groupBy(_FILE_COL)
+        .agg(
+            F.count(F.when(F.expr(condition), F.lit(1))).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    return [(r[_FILE_COL], r["m"], r["n"]) for r in rows]
+
+
+def _uri_to_rel(uri: str, by_abs: dict[str, str]) -> str:
+    """_metadata.file_path is a file: URI; map back to the log's
+    relative path."""
+    from urllib.parse import unquote
+
+    p = unquote(uri)
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    p = os.path.normpath(p)
+    if p in by_abs:
+        return by_abs[p]
+    raise ValueError(f"scanned file {uri} not in the active set")
+
+
+def _pv_dict(part_cols: list[str], pv_key: tuple) -> dict[str, str]:
+    return dict(zip(part_cols, pv_key))
+
+
+def _rewrite_and_commit(
+    spark: SparkSession,
+    table: str,
+    state: dict,
+    removes: list[str],
+    new_files: list[tuple[DataFrame, dict[str, str]]],
+    operation: str,
+) -> int:
+    """Publish one commit: removes + adds from writing each (df,
+    partitionValues) group. Returns the committed version."""
+    import time
+
+    now = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+        }
+        for rel in removes
+    ]
+    part_cols = state["metaData"].get("partitionColumns") or []
+    for df, pv in new_files:
+        out = df.drop(_FILE_COL, *part_cols) if part_cols else df.drop(
+            _FILE_COL
+        )
+        adds = delta_writer._write_data_files(out, table)
+        for a in adds:
+            a["add"]["partitionValues"] = pv
+        actions += adds
+    actions.append(delta_writer._commit_info(operation))
+    version = delta_writer._next_version(table)
+    delta_writer._commit(table, version, actions)
+    return version
+
+
+def update_delta(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    assignments: dict[str, str],
+) -> int:
+    """``UPDATE table SET … WHERE condition`` on a native Delta log.
+    Only files containing matching rows are rewritten. Returns the
+    committed version."""
+    state = delta_reader._replay(spark, table, None)
+    schema = _schema(state)
+    part_cols = state["metaData"].get("partitionColumns") or []
+    bad = sorted(set(assignments) & set(part_cols))
+    if bad:
+        raise NotImplementedError(
+            f"UPDATE on partition column(s) {bad} would move rows "
+            "across files; rewrite the table instead"
+        )
+    unknown = sorted(set(assignments) - {f.name for f in schema.fields})
+    if unknown:
+        raise ValueError(f"UPDATE SET references unknown column(s) {unknown}")
+    exprs = [
+        f"CASE WHEN ({condition}) THEN CAST(({assignments[c.name]}) AS "
+        f"{c.dataType.simpleString()}) ELSE {c.name} END AS {c.name}"
+        if c.name in assignments
+        else c.name
+        for c in schema.fields
+    ]
+    removes: list[str] = []
+    rewrites: list[tuple[DataFrame, dict[str, str]]] = []
+    for pv_key, files in _groups(state, table).items():
+        by_abs = {os.path.normpath(a): r for a, r in files}
+        df = _scan_group(spark, schema, part_cols, pv_key, [a for a, _ in files])
+        touched = [
+            _uri_to_rel(uri, by_abs)
+            for uri, m, _ in _classify(df, condition)
+            if m > 0
+        ]
+        if not touched:
+            continue
+        touched_abs = {
+            os.path.normpath(a) for a, r in files if r in set(touched)
+        }
+        # one selectExpr over only the touched files of this group
+        scoped = _scan_group(
+            spark, schema, part_cols, pv_key, sorted(touched_abs)
+        ).selectExpr(*exprs, _FILE_COL)
+        removes += touched
+        rewrites.append((scoped, _pv_dict(part_cols, pv_key)))
+    if not removes:
+        return delta_writer._next_version(table) - 1  # no-op: no commit
+    return _rewrite_and_commit(
+        spark, table, state, removes, rewrites, "UPDATE"
+    )
+
+
+def delete_delta(
+    spark: SparkSession, table: str, condition: str
+) -> int:
+    """``DELETE FROM table WHERE condition``. Fully-matching files are
+    dropped with a bare ``remove`` (no data job at all); partial files
+    are rewritten without the matching rows."""
+    state = delta_reader._replay(spark, table, None)
+    schema = _schema(state)
+    part_cols = state["metaData"].get("partitionColumns") or []
+    removes: list[str] = []
+    rewrites: list[tuple[DataFrame, dict[str, str]]] = []
+    for pv_key, files in _groups(state, table).items():
+        by_abs = {os.path.normpath(a): r for a, r in files}
+        df = _scan_group(spark, schema, part_cols, pv_key, [a for a, _ in files])
+        partial_abs: list[str] = []
+        for uri, m, n in _classify(df, condition):
+            rel = _uri_to_rel(uri, by_abs)
+            if m == 0:
+                continue
+            removes.append(rel)
+            if m < n:  # partially matching: rewrite survivors
+                partial_abs.append(
+                    rel if os.path.isabs(rel) else os.path.join(table, rel)
+                )
+        if partial_abs:
+            kept = _scan_group(
+                spark, schema, part_cols, pv_key, sorted(partial_abs)
+            ).where(f"NOT ({condition}) OR ({condition}) IS NULL")
+            rewrites.append((kept, _pv_dict(part_cols, pv_key)))
+    if not removes:
+        return delta_writer._next_version(table) - 1  # no-op: no commit
+    return _rewrite_and_commit(
+        spark, table, state, removes, rewrites, "DELETE"
+    )
+
+
+def merge_delta(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: list[str],
+    update_when_matched: bool = True,
+    insert_when_not_matched: bool = True,
+) -> int:
+    """MERGE INTO a native Delta log (upsert, SURVEY §7.4 semantics —
+    matched target rows replaced wholesale by source rows, unmatched
+    source rows inserted). Only files containing matched keys are
+    rewritten; unmatched-insert rows land in new files.
+
+    Unpartitioned targets only (the jar-free writer never partitions;
+    partitioned MERGE would need partition-aware placement of source
+    rows — raises loudly rather than mis-placing them)."""
+    state = delta_reader._replay(spark, table, None)
+    schema = _schema(state)
+    part_cols = state["metaData"].get("partitionColumns") or []
+    if part_cols:
+        raise NotImplementedError(
+            "MERGE on a partitioned native Delta table is not supported "
+            "by the single-writer path"
+        )
+    if source.columns != [f.name for f in schema.fields]:
+        source = source.select(*[f.name for f in schema.fields])
+    dup = source.groupBy(*on).count().where("count > 1").limit(1).count()
+    if dup:
+        raise ValueError("MERGE source has duplicate keys")
+    files = _groups(state, table).get((), [])
+    by_abs = {os.path.normpath(a): r for a, r in files}
+    if not files:  # empty table: MERGE degenerates to an insert
+        if not insert_when_not_matched:
+            return delta_writer._next_version(table) - 1
+        return _rewrite_and_commit(
+            spark, table, state, [],
+            [(source.withColumn(_FILE_COL, F.lit("")), {})], "MERGE",
+        )
+    df = _scan_group(spark, schema, [], (), [a for a, _ in files])
+    keys = source.select(*on)
+    # per-file matched-key counts: one broadcast semi-join pass
+    matched = (
+        df.join(F.broadcast(keys), on, "left_semi")
+        .groupBy(_FILE_COL)
+        .count()
+        .collect()
+    )
+    touched = [_uri_to_rel(r[_FILE_COL], by_abs) for r in matched]
+    removes: list[str] = []
+    rewrites: list[tuple[DataFrame, dict[str, str]]] = []
+    if update_when_matched and touched:
+        removes = touched
+        touched_abs = sorted(
+            a for a, r in files if r in set(touched)
+        )
+        kept = _scan_group(spark, schema, [], (), touched_abs).join(
+            F.broadcast(keys), on, "left_anti"
+        )
+        rewrites.append((kept, {}))
+        incoming = source
+    else:
+        incoming = source.join(df.select(*on), on, "left_anti")
+    if not insert_when_not_matched:
+        incoming = incoming.join(df.select(*on), on, "left_semi")
+    n_in = incoming.limit(1).count()
+    if n_in:
+        rewrites.append((incoming.withColumn(_FILE_COL, F.lit("")), {}))
+    if not removes and not n_in:
+        return delta_writer._next_version(table) - 1
+    return _rewrite_and_commit(
+        spark, table, state, removes, rewrites, "MERGE"
+    )

@@ -115,10 +115,11 @@ def _apply_action(state: dict[str, Any], action: dict[str, Any]) -> None:
                 "Delta reader features beyond this reader: "
                 f"{sorted(feats - _READER_FEATURES_OK) or p}"
             )
+        state["protocol"] = p  # retained so checkpoints can carry it
 
 
 def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
-    state: dict[str, Any] = {"files": {}, "metaData": None}
+    state: dict[str, Any] = {"files": {}, "metaData": None, "protocol": None}
     commits = _commit_files(path)
     if not commits and _checkpoint(path) is None:
         raise ValueError(f"no Delta log at {path}")

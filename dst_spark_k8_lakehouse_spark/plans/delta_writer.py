@@ -129,8 +129,16 @@ def _commit(table: str, version: int, actions: list[dict[str, Any]]) -> None:
 
 
 def _next_version(table: str) -> int:
+    """Max of the last JSON commit and the last checkpoint, plus one —
+    a log whose pre-checkpoint JSON commits were cleaned up must not
+    reuse a version at or below the checkpoint (the reader replays
+    from the checkpoint and would never see it)."""
     commits = delta_reader._commit_files(table)
-    return commits[-1][0] + 1 if commits else 0
+    last = commits[-1][0] if commits else -1
+    cp = delta_reader._checkpoint(table)
+    if cp is not None:
+        last = max(last, cp[0])
+    return last + 1
 
 
 def _commit_info(operation: str) -> dict[str, Any]:
@@ -180,6 +188,155 @@ def append_delta(df: DataFrame, table: str) -> None:
     actions = _write_data_files(df, table)
     actions.append(_commit_info("WRITE"))
     _commit(table, _next_version(table), actions)
+
+
+_CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "protocol",
+            T.StructType(
+                [
+                    T.StructField("minReaderVersion", T.IntegerType()),
+                    T.StructField("minWriterVersion", T.IntegerType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "metaData",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType()),
+                    T.StructField("name", T.StringType()),
+                    T.StructField("description", T.StringType()),
+                    T.StructField(
+                        "format",
+                        T.StructType(
+                            [
+                                T.StructField("provider", T.StringType()),
+                                T.StructField(
+                                    "options",
+                                    T.MapType(T.StringType(), T.StringType()),
+                                ),
+                            ]
+                        ),
+                    ),
+                    T.StructField("schemaString", T.StringType()),
+                    T.StructField(
+                        "partitionColumns", T.ArrayType(T.StringType())
+                    ),
+                    T.StructField(
+                        "configuration",
+                        T.MapType(T.StringType(), T.StringType()),
+                    ),
+                    T.StructField("createdTime", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "add",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField(
+                        "partitionValues",
+                        T.MapType(T.StringType(), T.StringType()),
+                    ),
+                    T.StructField("size", T.LongType()),
+                    T.StructField("modificationTime", T.LongType()),
+                    T.StructField("dataChange", T.BooleanType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "remove",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("deletionTimestamp", T.LongType()),
+                    T.StructField("dataChange", T.BooleanType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def write_checkpoint(spark: SparkSession, table: str) -> int:
+    """Write a classic single-file parquet checkpoint of the CURRENT
+    log state (protocol + metaData + one reconstructed ``add`` per
+    live file, ``dataChange: false`` per the spec) and point
+    ``_last_checkpoint`` at it. Readers — ours and real Delta — then
+    replay from the checkpoint instead of every JSON commit: the move
+    that keeps log replay O(live files), not O(history), on a table
+    taking thousands of commits. Returns the checkpointed version."""
+    state = delta_reader._replay(spark, table, None)
+    commits = delta_reader._commit_files(table)
+    if not commits:
+        raise ValueError(f"nothing to checkpoint at {table}")
+    version = commits[-1][0]
+    proto = state.get("protocol") or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    md = state["metaData"]
+    rows: list[tuple] = [
+        (
+            (proto["minReaderVersion"], proto["minWriterVersion"]),
+            None,
+            None,
+            None,
+        ),
+        (
+            None,
+            (
+                md.get("id"),
+                md.get("name"),
+                md.get("description"),
+                (
+                    (md.get("format") or {}).get("provider", "parquet"),
+                    (md.get("format") or {}).get("options") or {},
+                ),
+                md["schemaString"],
+                md.get("partitionColumns") or [],
+                md.get("configuration") or {},
+                md.get("createdTime"),
+            ),
+            None,
+            None,
+        ),
+    ]
+    for path, a in sorted(state["files"].items()):
+        rows.append(
+            (
+                None,
+                None,
+                (
+                    path,
+                    a.get("partitionValues") or {},
+                    int(a["size"]),
+                    int(a.get("modificationTime") or 0),
+                    False,  # spec: checkpoint adds carry dataChange=false
+                ),
+                None,
+            )
+        )
+    log = os.path.join(table, "_delta_log")
+    staging = os.path.join(log, f".cp-{uuid.uuid4().hex}")
+    spark.createDataFrame(rows, _CHECKPOINT_SCHEMA).coalesce(1) \
+        .write.parquet(staging)
+    part = next(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    final = os.path.join(log, f"{version:020d}.checkpoint.parquet")
+    os.replace(os.path.join(staging, part), final)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    tmp = os.path.join(log, f".lc-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    os.replace(tmp, os.path.join(log, "_last_checkpoint"))
+    return version
 
 
 def overwrite_delta(df: DataFrame, table: str) -> None:

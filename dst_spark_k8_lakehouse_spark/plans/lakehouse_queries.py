@@ -154,6 +154,77 @@ def d13_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d16_delta_native_dml",
+    oracle="""
+        WITH post AS (
+            SELECT c_custkey, c_mktsegment,
+                   CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                        THEN c_acctbal + 100 ELSE c_acctbal END AS bal
+            FROM customer
+            WHERE c_mktsegment <> 'FURNITURE'
+        ), src AS (
+            SELECT c_custkey, c_mktsegment, -5.0 AS bal
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT CAST(-7 AS BIGINT), 'NEW', 42.0
+        )
+        SELECT c_custkey, c_mktsegment, round(bal, 2) AS bal
+        FROM post
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, round(bal, 2) AS bal FROM src
+    """,
+)
+def d16_delta_native_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE-Delta-log DML stack end-to-end, jar-free: create a
+    real ``_delta_log`` table from the customer fixture
+    (``plans/delta_writer.py``), UPDATE + DELETE through the
+    file-granular copy-on-write path (``plans/delta_dml.py``), write a
+    classic parquet checkpoint, MERGE an upsert source on top of the
+    checkpointed log, and read the final state back through the
+    protocol replay reader (``plans/delta_reader.py``). Every surviving
+    row is value-checked against the oracle computing the same
+    mutations relationally — the driver-channel proof for the surface
+    the reference runs on Delta jars (``scripts/download-jars.sh:84``,
+    ``getting_started.py:130-151``)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_dml,
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-delta-native-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").alias("bal")
+    )
+    delta_writer.create_delta(cust.repartition(4), table)
+    delta_dml.update_delta(
+        spark, table, "c_mktsegment = 'AUTOMOBILE'", {"bal": "bal + 100"}
+    )
+    delta_dml.delete_delta(spark, table, "c_mktsegment = 'FURNITURE'")
+    delta_writer.write_checkpoint(spark, table)
+    src = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "bal", F.lit(-5.0)
+    )
+    new_row = spark.createDataFrame(
+        [(-7, "NEW", 42.0)], "c_custkey long, c_mktsegment string, bal double"
+    )
+    delta_dml.merge_delta(
+        spark, table, src.unionByName(new_row), on=["c_custkey"]
+    )
+    return delta_reader.read_delta(spark, table).select(
+        "c_custkey", "c_mktsegment", F.round("bal", 2).alias("bal")
+    )
+
+
+@query(
     "d15_zorder_preserves",
     oracle="""
         SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal

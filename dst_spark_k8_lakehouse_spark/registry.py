@@ -69,6 +69,7 @@ PRIORITY: list[str] = [
     "t5_stateful_dedup",
     "l7_contamination",
     # (c) new this round
+    "d16_delta_native_dml",
     "l6_passage_dedup",
     "l3_unigram_logprob",
     "l7_fuzzy_decontam",
