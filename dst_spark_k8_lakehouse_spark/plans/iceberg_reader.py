@@ -84,12 +84,19 @@ def _avro_records(spark: SparkSession, path: str):
         reader.close()
 
 
+def _get(rec, name: str):
+    """Null-safe field access on a GenericRecord: Avro's ``get`` RAISES
+    on a field absent from the writer schema (e.g. ``content`` in a
+    genuine v1 manifest list), unlike a dict."""
+    return rec.get(name) if rec.getSchema().getField(name) else None
+
+
 def _live_data_files(
     spark: SparkSession, table_path: str, snapshot: dict[str, Any]
 ) -> list[str]:
     files: list[str] = []
     for mf in _avro_records(spark, snapshot["manifest-list"]):
-        content = mf.get("content")
+        content = _get(mf, "content")
         if content is not None and int(str(content)) != 0:
             raise NotImplementedError(
                 "Iceberg v2 delete manifests (merge-on-read) need the "

@@ -1,0 +1,410 @@
+"""Single-writer Apache Iceberg table writer — pure Python + the JVM
+Avro library ALREADY BUNDLED with pyspark (no Iceberg runtime jar).
+
+Counterpart of ``delta_writer`` for the reference's other table format
+(Iceberg 1.9, ``scripts/download-jars.sh:84-85``,
+``02_iceberg_demo.ipynb:45-54``): CREATE / APPEND / OVERWRITE commits
+producing the documented v1 metadata chain —
+
+  data parquet → manifest (Avro) → manifest list (Avro)
+    → ``metadata/v{N}.metadata.json`` + ``version-hint.text``
+
+so a table created here is SELECT-able (including snapshot time
+travel) by ``iceberg_reader`` and laid out the way the spec describes
+for real runtimes. Spec-conformance posture, stated honestly:
+
+- the metadata JSON carries the full v1 required set (schema with
+  field ids, partition-specs, sort-orders, snapshot-log,
+  last-column-id) — unpartitioned spec only;
+- manifest / manifest-list Avro files carry the required field subset
+  (path/length/spec-id/added-snapshot-id; status/snapshot-id/
+  data_file{file_path,file_format,partition,record_count,
+  file_size_in_bytes}) with Iceberg ``field-id`` properties in the
+  Avro schemas. A real runtime additionally expects column-level
+  stats and split offsets in manifests — OPTIONAL per spec, omitted
+  here; and it discovers tables through a catalog, so point it at the
+  metadata file directly.
+
+Concurrency is single-writer, the same put-if-absent hard-link commit
+``delta_writer`` documents: the new ``v{N}.metadata.json`` is the
+commit file; a lost race raises ``FileExistsError`` instead of
+clobbering (Iceberg's own commit is an atomic swap of exactly this
+pointer via the catalog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from dst_spark_k8_lakehouse_spark.plans import iceberg_reader
+
+MANIFEST_LIST_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        ],
+    }
+)
+
+MANIFEST_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {
+                            "name": "file_path",
+                            "type": "string",
+                            "field-id": 100,
+                        },
+                        {
+                            "name": "file_format",
+                            "type": "string",
+                            "field-id": 101,
+                        },
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [],
+                            },
+                        },
+                        {
+                            "name": "record_count",
+                            "type": "long",
+                            "field-id": 103,
+                        },
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                            "field-id": 104,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+)
+
+
+def write_avro(spark: SparkSession, path: str, schema_json: str, rows) -> None:
+    """Write GenericRecords through pyspark's bundled JVM Avro library
+    (the write half of ``iceberg_reader._avro_records``). Nested dict
+    values become sub-records; ``["null", T]`` unions take the value
+    directly."""
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.create(schema, jvm.java.io.File(path))
+    try:
+        for row in rows:
+            writer.append(_record(jvm, schema, row))
+    finally:
+        writer.close()
+
+
+def _record(jvm, schema, row: dict[str, Any]):
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    for k, v in row.items():
+        field_schema = schema.getField(k).schema()
+        # unwrap ["null", X] unions to X for nested record values
+        if field_schema.getType().getName() == "union":
+            for t in field_schema.getTypes():
+                if t.getType().getName() != "null":
+                    field_schema = t
+                    break
+        if isinstance(v, dict):
+            rec.put(k, _record(jvm, field_schema, v))
+        else:
+            rec.put(k, v)
+    return rec
+
+
+class _FieldIds:
+    def __init__(self, start: int = 0) -> None:
+        self.last = start
+
+    def next(self) -> int:
+        self.last += 1
+        return self.last
+
+
+def _iceberg_type(dt: T.DataType, ids: _FieldIds) -> Any:
+    simple = {
+        T.LongType: "long", T.IntegerType: "int",
+        T.ShortType: "int", T.ByteType: "int",
+        T.DoubleType: "double", T.FloatType: "float",
+        T.StringType: "string", T.BooleanType: "boolean",
+        T.DateType: "date", T.TimestampType: "timestamptz",
+        T.TimestampNTZType: "timestamp", T.BinaryType: "binary",
+    }
+    for cls, name in simple.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": ids.next(),
+            "element": _iceberg_type(dt.elementType, ids),
+            "element-required": not dt.containsNull,
+        }
+    raise NotImplementedError(f"no Iceberg schema mapping for {dt}")
+
+
+def _iceberg_schema(schema: T.StructType) -> tuple[dict, int]:
+    ids = _FieldIds()
+    fields = []
+    for f in schema.fields:
+        fid = ids.next()
+        fields.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType, ids),
+            }
+        )
+    return (
+        {"schema-id": 0, "type": "struct", "fields": fields},
+        ids.last,
+    )
+
+
+def _write_data_files(
+    df: DataFrame, table: str
+) -> list[tuple[str, int, int]]:
+    """Write df as parquet under ``data/``; return
+    (abs_path, record_count, size_bytes) per file. Row counts come
+    from the parquet footers (no extra count job)."""
+    import pyarrow.parquet as pq
+
+    data = os.path.join(table, "data")
+    os.makedirs(data, exist_ok=True)
+    staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
+    df.write.parquet(staging)
+    out = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        dst = os.path.join(data, f"{uuid.uuid4().hex}.parquet")
+        os.replace(os.path.join(staging, f), dst)
+        out.append(
+            (dst, pq.ParquetFile(dst).metadata.num_rows,
+             os.path.getsize(dst))
+        )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def _prev_manifests(spark: SparkSession, meta: dict) -> list[dict]:
+    """Manifest-list entries of the current snapshot (carried forward
+    by an append)."""
+    cur = meta.get("current-snapshot-id")
+    if cur is None or cur == -1:
+        return []
+    snap = next(
+        s for s in meta["snapshots"] if int(s["snapshot-id"]) == int(cur)
+    )
+    return [
+        {
+            "manifest_path": str(r.get("manifest_path")),
+            "manifest_length": int(str(r.get("manifest_length"))),
+            "partition_spec_id": int(str(r.get("partition_spec_id") or 0)),
+            "added_snapshot_id": int(str(r.get("added_snapshot_id") or 0)),
+        }
+        for r in iceberg_reader._avro_records(spark, snap["manifest-list"])
+    ]
+
+
+def _commit_metadata(table: str, meta: dict, version: int) -> None:
+    """Put-if-absent publish of v{version}.metadata.json, then move the
+    version hint (the catalog-pointer swap, single-writer)."""
+    md = iceberg_reader._metadata_dir(table)
+    os.makedirs(md, exist_ok=True)
+    tmp = os.path.join(md, f".{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    final = os.path.join(md, f"v{version}.metadata.json")
+    try:
+        os.link(tmp, final)  # EEXIST on a lost race — never overwrite
+    finally:
+        os.unlink(tmp)
+    hint_tmp = os.path.join(md, f".hint-{uuid.uuid4().hex}.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+
+
+def _snapshot_commit(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    meta: dict,
+    operation: str,
+    version: int,
+) -> int:
+    """Write data + manifest + manifest list, append the snapshot to
+    ``meta``, publish metadata ``version``. Returns the snapshot id."""
+    md = iceberg_reader._metadata_dir(table)
+    os.makedirs(md, exist_ok=True)
+    snap_id = int(time.time() * 1000) * 1000 + version  # unique, sortable
+    files = _write_data_files(df, table)
+    manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
+    write_avro(
+        spark,
+        manifest,
+        MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": int(n),
+                    "file_size_in_bytes": int(sz),
+                },
+            }
+            for p, n, sz in files
+        ],
+    )
+    entries = [] if operation == "overwrite" else _prev_manifests(spark, meta)
+    entries.append(
+        {
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snap_id,
+        }
+    )
+    mlist = os.path.join(md, f"snap-{snap_id}.avro")
+    write_avro(spark, mlist, MANIFEST_LIST_SCHEMA, entries)
+    now = int(time.time() * 1000)
+    meta.setdefault("snapshots", []).append(
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": now,
+            "manifest-list": mlist,
+            "summary": {
+                "operation": operation,
+                "added-data-files": str(len(files)),
+                "added-records": str(sum(n for _, n, _ in files)),
+            },
+        }
+    )
+    meta.setdefault("snapshot-log", []).append(
+        {"timestamp-ms": now, "snapshot-id": snap_id}
+    )
+    meta["current-snapshot-id"] = snap_id
+    meta["last-updated-ms"] = now
+    _commit_metadata(table, meta, version)
+    return snap_id
+
+
+def create_iceberg(df: DataFrame, table: str) -> int:
+    """CREATE TABLE AS SELECT: v1 metadata + first snapshot. Returns
+    the snapshot id."""
+    if iceberg_reader.is_iceberg_table(table):
+        raise ValueError(f"Iceberg table already exists at {table}")
+    schema, last_col = _iceberg_schema(df.schema)
+    meta: dict[str, Any] = {
+        "format-version": 1,
+        "table-uuid": str(uuid.uuid4()),
+        "location": table,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": last_col,
+        "schema": schema,  # v1 single-schema field
+        "schemas": [schema],
+        "current-schema-id": 0,
+        "partition-spec": [],  # v1: unpartitioned
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    return _snapshot_commit(
+        df.sparkSession, df, table, meta, "append", version=1
+    )
+
+
+def _load_meta(table: str) -> tuple[dict, int]:
+    path = iceberg_reader._current_metadata_file(table)
+    import re
+
+    v = int(re.search(r"v(\d+)\.metadata\.json$", path).group(1))
+    with open(path) as fh:
+        return json.load(fh), v
+
+
+def _check_schema(df: DataFrame, meta: dict) -> None:
+    expected = [f["name"] for f in meta["schema"]["fields"]]
+    if df.columns != expected:
+        raise ValueError(
+            f"write schema {df.columns} != table schema {expected}"
+        )
+
+
+def append_iceberg(df: DataFrame, table: str) -> int:
+    """APPEND: new snapshot carrying the previous manifests plus one
+    for the added files."""
+    meta, v = _load_meta(table)
+    _check_schema(df, meta)
+    meta["metadata-log"] = (meta.get("metadata-log") or []) + [
+        {
+            "timestamp-ms": meta.get("last-updated-ms"),
+            "metadata-file": iceberg_reader._current_metadata_file(table),
+        }
+    ]
+    return _snapshot_commit(
+        df.sparkSession, df, table, meta, "append", version=v + 1
+    )
+
+
+def overwrite_iceberg(df: DataFrame, table: str) -> int:
+    """OVERWRITE: new snapshot whose manifest list references ONLY the
+    new manifest (the prior files stay on disk for time travel)."""
+    meta, v = _load_meta(table)
+    _check_schema(df, meta)
+    return _snapshot_commit(
+        df.sparkSession, df, table, meta, "overwrite", version=v + 1
+    )

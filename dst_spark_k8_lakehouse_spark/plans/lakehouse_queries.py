@@ -225,6 +225,76 @@ def d16_delta_native_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d17_iceberg_native",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS v1_rows,
+               CAST(2 * count(*) AS BIGINT) AS v2_rows,
+               CAST(count(*) FILTER (WHERE c_acctbal > 0) AS BIGINT)
+                   AS v3_rows,
+               CAST(2 * count(*) AS BIGINT) AS v2_rows_after,
+               CAST(sum(CASE WHEN c_acctbal > 0
+                             THEN CAST(round(c_acctbal * 100) AS BIGINT)
+                             ELSE 0 END) / 100 AS DOUBLE) AS v3_bal
+        FROM customer
+    """,
+)
+def d17_iceberg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE-Iceberg metadata chain end-to-end, jar-free: CTAS →
+    append (doubling) → overwrite (filter) through
+    ``plans/iceberg_writer.py`` builds three snapshots (metadata JSON +
+    Avro manifests via pyspark's bundled Avro lib); every snapshot is
+    re-read through the spec-replay reader — including the superseded
+    append AFTER the overwrite exists — and the counts plus a value
+    aggregate are oracle-checked. The driver-channel proof for the
+    format the reference runs via Iceberg 1.9 jars
+    (``scripts/download-jars.sh:84-85``, ``02_iceberg_demo.ipynb``)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-iceberg-native-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    s1 = iceberg_writer.create_iceberg(cust.repartition(2), table)
+    s2 = iceberg_writer.append_iceberg(cust, table)
+    s3 = iceberg_writer.overwrite_iceberg(
+        cust.filter(F.col("c_acctbal") > 0), table
+    )
+    v1 = iceberg_reader.read_iceberg(spark, table, snapshot_id=s1).agg(
+        F.count("*").alias("v1_rows")
+    )
+    v2 = iceberg_reader.read_iceberg(spark, table, snapshot_id=s2).agg(
+        F.count("*").alias("v2_rows")
+    )
+    cur = iceberg_reader.read_iceberg(spark, table)
+    from dst_spark_k8_lakehouse_spark.exact import exact_sum
+
+    v3 = cur.agg(
+        F.count("*").alias("v3_rows"),
+        exact_sum("c_acctbal").alias("v3_bal"),
+    )
+    again = iceberg_reader.read_iceberg(spark, table, snapshot_id=s2).agg(
+        F.count("*").alias("v2_rows_after")
+    )
+    out = (
+        v1.crossJoin(v2)
+        .crossJoin(v3.select("v3_rows"))
+        .crossJoin(again)
+        .crossJoin(v3.select("v3_bal"))
+    )
+    return out
+
+
+@query(
     "d15_zorder_preserves",
     oracle="""
         SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal

@@ -70,6 +70,7 @@ PRIORITY: list[str] = [
     "l7_contamination",
     # (c) new this round
     "d16_delta_native_dml",
+    "d17_iceberg_native",
     "l6_passage_dedup",
     "l3_unigram_logprob",
     "l7_fuzzy_decontam",
