@@ -4,26 +4,33 @@ Avro library ALREADY BUNDLED with pyspark (no Iceberg runtime jar).
 Counterpart of ``delta_writer`` for the reference's other table format
 (Iceberg 1.9, ``scripts/download-jars.sh:84-85``,
 ``02_iceberg_demo.ipynb:45-54``): CREATE / APPEND / OVERWRITE commits
-producing the documented v1 metadata chain —
+producing the documented metadata chain —
 
   data parquet → manifest (Avro) → manifest list (Avro)
     → ``metadata/v{N}.metadata.json`` + ``version-hint.text``
 
 so a table created here is SELECT-able (including snapshot time
 travel) by ``iceberg_reader`` and laid out the way the spec describes
-for real runtimes. Spec-conformance posture, stated honestly:
+for real runtimes. ``format_version=2`` tables additionally carry the
+v2 sequence-number machinery (``last-sequence-number``, per-snapshot
+``sequence-number``, manifest-list ``content``/``sequence_number``/
+``min_sequence_number`` + file/row counts, nullable-inherited
+manifest-entry sequence numbers) so merge-on-read row-level deletes
+(``iceberg_dml``) commit position/equality delete manifests the way
+the spec defines them. Spec-conformance posture, stated honestly:
 
-- the metadata JSON carries the full v1 required set (schema with
-  field ids, partition-specs, sort-orders, snapshot-log,
-  last-column-id) — unpartitioned spec only;
+- the metadata JSON carries the full required set per format version
+  (schema with field ids, partition-specs, sort-orders, snapshot-log,
+  last-column-id[, last-sequence-number]) — unpartitioned spec only;
 - manifest / manifest-list Avro files carry the required field subset
-  (path/length/spec-id/added-snapshot-id; status/snapshot-id/
-  data_file{file_path,file_format,partition,record_count,
-  file_size_in_bytes}) with Iceberg ``field-id`` properties in the
-  Avro schemas. A real runtime additionally expects column-level
-  stats and split offsets in manifests — OPTIONAL per spec, omitted
-  here; and it discovers tables through a catalog, so point it at the
-  metadata file directly.
+  (path/length/spec-id/added-snapshot-id[, content/sequence numbers/
+  counts]; status/snapshot-id/data_file{[content,]file_path,
+  file_format,partition,record_count,file_size_in_bytes
+  [,equality_ids]}) with Iceberg ``field-id`` properties in the Avro
+  schemas. A real runtime additionally expects column-level stats and
+  split offsets in manifests — OPTIONAL per spec, omitted here; and
+  it discovers tables through a catalog, so point it at the metadata
+  file directly.
 
 Concurrency is single-writer, the same put-if-absent hard-link commit
 ``delta_writer`` documents: the new ``v{N}.metadata.json`` is the
@@ -58,60 +65,105 @@ MANIFEST_LIST_SCHEMA = json.dumps(
     }
 )
 
-MANIFEST_SCHEMA = json.dumps(
+# v2 manifest list: content distinguishes data (0) from delete (1)
+# manifests; sequence numbers drive delete applicability and are
+# PRESERVED on carry-forward (spec: a re-listed manifest keeps its
+# original sequence_number). Field ids per the spec's appendix.
+MANIFEST_LIST_SCHEMA_V2 = json.dumps(
     {
         "type": "record",
-        "name": "manifest_entry",
+        "name": "manifest_file",
         "fields": [
-            {"name": "status", "type": "int", "field-id": 0},
-            {
-                "name": "snapshot_id",
-                "type": ["null", "long"],
-                "default": None,
-                "field-id": 1,
-            },
-            {
-                "name": "data_file",
-                "field-id": 2,
-                "type": {
-                    "type": "record",
-                    "name": "r2",
-                    "fields": [
-                        {
-                            "name": "file_path",
-                            "type": "string",
-                            "field-id": 100,
-                        },
-                        {
-                            "name": "file_format",
-                            "type": "string",
-                            "field-id": 101,
-                        },
-                        {
-                            "name": "partition",
-                            "field-id": 102,
-                            "type": {
-                                "type": "record",
-                                "name": "r102",
-                                "fields": [],
-                            },
-                        },
-                        {
-                            "name": "record_count",
-                            "type": "long",
-                            "field-id": 103,
-                        },
-                        {
-                            "name": "file_size_in_bytes",
-                            "type": "long",
-                            "field-id": 104,
-                        },
-                    ],
-                },
-            },
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_files_count", "type": "int", "field-id": 505},
+            {"name": "deleted_files_count", "type": "int", "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long", "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
         ],
     }
 )
+
+
+def _manifest_schema(v2: bool) -> str:
+    """Manifest-entry Avro schema. v2 adds nullable entry sequence
+    numbers (null = inherited from the manifest list for ADDED
+    entries) and data_file.content / equality_ids for delete files."""
+    data_file_fields = [
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "field-id": 102,
+            "type": {"type": "record", "name": "r102", "fields": []},
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ]
+    if v2:
+        data_file_fields.insert(
+            0, {"name": "content", "type": "int", "field-id": 134}
+        )
+        data_file_fields.append(
+            {
+                "name": "equality_ids",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": "int",
+                        "element-id": 136,
+                    },
+                ],
+                "default": None,
+                "field-id": 135,
+            }
+        )
+    fields = [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 1,
+        },
+    ]
+    if v2:
+        fields += [
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+        ]
+    fields.append(
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {"type": "record", "name": "r2", "fields": data_file_fields},
+        }
+    )
+    return json.dumps(
+        {"type": "record", "name": "manifest_entry", "fields": fields}
+    )
+
+
+MANIFEST_SCHEMA = _manifest_schema(v2=False)
+MANIFEST_SCHEMA_V2 = _manifest_schema(v2=True)
 
 
 def write_avro(spark: SparkSession, path: str, schema_json: str, rows) -> None:
