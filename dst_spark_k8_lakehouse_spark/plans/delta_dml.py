@@ -45,6 +45,19 @@ from dst_spark_k8_lakehouse_spark.plans import delta_reader, delta_writer
 
 _FILE_COL = "__delta_dml_file"
 
+# Hive partition-dir escaping (the chars Spark/Hive %-encode in
+# partition directory names); must round-trip through urllib unquote
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]}\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _hive_seg(col: str, val: str | None) -> str:
+    if val is None:
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    enc = "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in val
+    )
+    return f"{col}={enc}"
+
 
 def _schema(state: dict) -> T.StructType:
     import json
@@ -52,6 +65,18 @@ def _schema(state: dict) -> T.StructType:
     return T.StructType.fromJson(
         json.loads(state["metaData"]["schemaString"])
     )
+
+
+def _check_unmapped(state: dict, op: str) -> None:
+    """Row-level DML reads data files by LOGICAL column name; a
+    column-mapped table (post-RENAME) stores physical names — raise
+    loudly instead of matching the wrong columns."""
+    mode, _ = delta_reader._mapping(state["metaData"])
+    if mode != "none":
+        raise NotImplementedError(
+            f"{op} on a column-mapped native Delta table is not "
+            "supported by the jar-free DML path (rename-free tables only)"
+        )
 
 
 def _groups(
@@ -137,7 +162,12 @@ def _rewrite_and_commit(
     operation: str,
 ) -> int:
     """Publish one commit: removes + adds from writing each (df,
-    partitionValues) group. Returns the committed version."""
+    partitionValues) group. Rewritten files of a partitioned table are
+    placed back into their Hive partition directory so the reader's
+    single-scan layout survives DML. A lost commit race retries at the
+    next version IFF the table state is unchanged (anything else is a
+    real write conflict — raise, the caller re-runs the DML). Returns
+    the committed version."""
     import time
 
     now = int(time.time() * 1000)
@@ -157,13 +187,33 @@ def _rewrite_and_commit(
             _FILE_COL
         )
         adds = delta_writer._write_data_files(out, table)
+        prefix = "/".join(_hive_seg(c, pv.get(c)) for c in part_cols)
         for a in adds:
             a["add"]["partitionValues"] = pv
+            if prefix:
+                rel = f"{prefix}/{a['add']['path']}"
+                dst = os.path.join(table, *rel.split("/"))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(table, a["add"]["path"]), dst)
+                a["add"]["path"] = rel
         actions += adds
     actions.append(delta_writer._commit_info(operation))
-    version = delta_writer._next_version(table)
-    delta_writer._commit(table, version, actions)
-    return version
+    for _ in range(delta_writer._MAX_COMMIT_RETRIES):
+        version = delta_writer._next_version(table)
+        try:
+            delta_writer._commit(table, version, actions)
+            return version
+        except FileExistsError:
+            fresh = delta_reader._replay(spark, table, None)
+            if (
+                fresh["files"] != state["files"]
+                or fresh["metaData"] != state["metaData"]
+            ):
+                raise ValueError(
+                    f"concurrent modification of {table} during "
+                    f"{operation}; re-run the statement"
+                ) from None
+    raise RuntimeError(f"{operation} on {table} lost too many commit races")
 
 
 def update_delta(
@@ -176,6 +226,7 @@ def update_delta(
     Only files containing matching rows are rewritten. Returns the
     committed version."""
     state = delta_reader._replay(spark, table, None)
+    _check_unmapped(state, "UPDATE")
     schema = _schema(state)
     part_cols = state["metaData"].get("partitionColumns") or []
     bad = sorted(set(assignments) & set(part_cols))
@@ -229,6 +280,7 @@ def delete_delta(
     dropped with a bare ``remove`` (no data job at all); partial files
     are rewritten without the matching rows."""
     state = delta_reader._replay(spark, table, None)
+    _check_unmapped(state, "DELETE")
     schema = _schema(state)
     part_cols = state["metaData"].get("partitionColumns") or []
     removes: list[str] = []
@@ -275,6 +327,7 @@ def merge_delta(
     partitioned MERGE would need partition-aware placement of source
     rows — raises loudly rather than mis-placing them)."""
     state = delta_reader._replay(spark, table, None)
+    _check_unmapped(state, "MERGE")
     schema = _schema(state)
     part_cols = state["metaData"].get("partitionColumns") or []
     if part_cols:

@@ -15,12 +15,26 @@ from it — including time travel — with no Delta runtime:
   present), keeping the last ``metaData`` and the add-minus-remove
   active file set;
 - data files are read with ``spark.read.parquet`` against the
-  resolved file list, with Hive-style ``partitionValues`` injected as
-  literal columns (Delta stores partition columns in the log, NOT in
-  the data files);
+  resolved file list. Partition columns live in the log's
+  ``partitionValues``, NOT in the data files. When every active file
+  sits in a consistent Hive-style layout (``col=val/…``, the layout
+  both this engine's writer and real Delta produce), the whole table
+  is ONE parquet scan with ``basePath``-driven partition columns —
+  partition predicates become scan-level PartitionFilters and the
+  plan stays O(1) in partition count. Files in a nonstandard layout
+  fall back to per-partition-group literal injection (fine at tens of
+  groups, the reason the Hive path exists for 100k-partition tables);
+- ``partition_filter`` prunes the FILE LIST driver-side (the same
+  place Delta's own log replay prunes) before any scan is built, so
+  a one-partition read of a 100k-partition table lists one
+  partition's files;
 - ``version=N`` replays only commits ``<= N`` (a checkpoint above N
   is ignored and the JSON commits replayed from 0 — correctness over
-  speed for the time-travel path).
+  speed for the time-travel path);
+- column mapping in ``name`` mode (what ``delta_writer.rename_column``
+  and real Delta's ALTER ... RENAME produce) is applied: data files
+  are read by each column's ``delta.columnMapping.physicalName`` and
+  aliased to the logical name; ``id`` mode raises.
 
 Write paths still raise toward ``VersionedTable`` / the jar-guarded
 backend; this module never mutates ``_delta_log``.
@@ -28,20 +42,28 @@ backend; this module never mutates ``_delta_log``.
 Scale note: log replay is driver-side file-list work (the same place
 Delta's own Scala reader does it); the data read is an ordinary
 parquet scan, so pushdown/pruning behave like any other scan. Reader
-feature gaps are LOUD: deletion vectors or column mapping in
-``protocol``/``metaData`` raise ``NotImplementedError`` instead of
+feature gaps are LOUD: deletion vectors, ``id``-mode column mapping
+or unknown reader features raise ``NotImplementedError`` instead of
 returning wrong rows.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
-from typing import Any
+from typing import Any, Callable
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# partition_filter: {col: value-or-list} equality (compared against the
+# log's string representation) or a predicate over {col: str|None}
+PartitionFilter = dict[str, Any] | Callable[[dict[str, str | None]], bool]
 
 
 def _log_dir(path: str) -> str:
@@ -58,7 +80,6 @@ def is_delta_table(path: str) -> bool:
         f.endswith(".json") or f.endswith(".checkpoint.parquet")
         for f in os.listdir(d)
     )
-
 
 def _commit_files(path: str) -> list[tuple[int, str]]:
     if not os.path.isdir(_log_dir(path)):
@@ -96,7 +117,8 @@ def _checkpoint(path: str) -> tuple[int, list[str]] | None:
 
 
 _READER_FEATURES_OK = {"appendOnly", "invariants", "checkConstraints",
-                       "timestampNtz", "vacuumProtocolCheck"}
+                       "timestampNtz", "vacuumProtocolCheck",
+                       "columnMapping"}
 
 
 def _apply_action(state: dict[str, Any], action: dict[str, Any]) -> None:
@@ -155,36 +177,190 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
     return state
 
 
+def _mapping(meta: dict[str, Any]) -> tuple[str, dict[str, str]]:
+    """(column-mapping mode, {logical name: physical name}).
+
+    ``name`` mode reads each field's ``delta.columnMapping.physicalName``
+    from the schemaString metadata; ``id`` mode (parquet-field-id based)
+    needs machinery this reader doesn't have and raises rather than
+    returning all-null columns.
+    """
+    conf = meta.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode not in ("none", "name"):
+        raise NotImplementedError(
+            f"Delta column mapping mode {mode!r}: only 'none' and 'name' "
+            "are supported by this reader"
+        )
+    phys: dict[str, str] = {}
+    if mode == "name":
+        sc = json.loads(meta["schemaString"])
+        for f in sc["fields"]:
+            md = f.get("metadata") or {}
+            phys[f["name"]] = md.get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+    return mode, phys
+
+
+def _partition_cols(
+    meta: dict[str, Any], schema: T.StructType, phys: dict[str, str]
+) -> list[str]:
+    """metaData.partitionColumns resolved to LOGICAL names (real Delta
+    stores physical names there once column mapping is on; this writer
+    stores logical — accept both)."""
+    logical = {f.name for f in schema.fields}
+    rev = {p: l for l, p in phys.items()}
+    out = []
+    for c in meta.get("partitionColumns") or []:
+        if c in logical:
+            out.append(c)
+        elif c in rev:
+            out.append(rev[c])
+        else:
+            raise ValueError(
+                f"partition column {c!r} not in table schema "
+                f"{sorted(logical)}"
+            )
+    return out
+
+
+def _pv(add: dict[str, Any], part_cols: list[str],
+        phys: dict[str, str]) -> dict[str, str | None]:
+    """One add action's partition values keyed by LOGICAL name
+    (partitionValues keys are physical names under column mapping)."""
+    raw = add.get("partitionValues") or {}
+    return {
+        c: raw.get(phys.get(c, c), raw.get(c)) for c in part_cols
+    }
+
+
+def _pv_str(v: Any) -> str | None:
+    """Python value → Delta's string partition-value representation."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) \
+            else v.isoformat()
+    return str(v)
+
+
+def _pv_pass(
+    pv: dict[str, str | None], flt: PartitionFilter
+) -> bool:
+    if callable(flt):
+        return bool(flt(dict(pv)))
+    for col, want in flt.items():
+        if col not in pv:
+            raise ValueError(f"partition_filter column {col!r} is not a "
+                             f"partition column ({sorted(pv)})")
+        wants = want if isinstance(want, (list, tuple, set)) else [want]
+        if pv[col] not in {_pv_str(w) for w in wants}:
+            return False
+    return True
+
+
+def _hive_consistent(
+    files: dict[str, Any], part_cols: list[str], phys: dict[str, str]
+) -> bool:
+    """True iff every active file's relative path is exactly
+    ``p1=v1/…/pn=vn/<file>`` AND the encoded values agree with its
+    logged partitionValues — the precondition for the single-scan
+    ``basePath`` read (a mismatch would let directory names override
+    the log, so we verify rather than assume)."""
+    for rel, a in files.items():
+        if os.path.isabs(rel):
+            return False
+        segs = rel.split("/")
+        if len(segs) != len(part_cols) + 1:
+            return False
+        pv = _pv(a, part_cols, phys)
+        for c, seg in zip(part_cols, segs):
+            k, eq, v = seg.partition("=")
+            if not eq or unquote(k) != phys.get(c, c):
+                return False
+            val = None if v == _HIVE_NULL else unquote(v)
+            if val != pv[c] and not (val == "" and pv[c] is None):
+                return False
+    return True
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filter: PartitionFilter | None = None,
 ) -> DataFrame:
     """SELECT from a Delta table directory (optionally ``versionAsOf``
     = ``version``) without the Delta runtime. Partition columns come
-    from the log's ``partitionValues``, cast to the schema's types;
-    an empty active set returns an empty frame with the table
-    schema."""
+    from the log's ``partitionValues``; ``partition_filter`` prunes
+    the file list driver-side before the scan exists. An empty active
+    set returns an empty frame with the table schema."""
     state = _replay(spark, path, version)
     meta = state["metaData"]
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = meta.get("partitionColumns") or []
-    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    mode, phys = _mapping(meta)
+    part_cols = _partition_cols(meta, schema, phys)
     files = state["files"]
+    if partition_filter is not None:
+        if not part_cols:
+            raise ValueError("partition_filter on an unpartitioned table")
+        files = {
+            rel: a
+            for rel, a in files.items()
+            if _pv_pass(_pv(a, part_cols, phys), partition_filter)
+        }
     if not files:
         return spark.createDataFrame([], schema)
-    # group files by their partition values so literals inject per group
-    groups: dict[tuple, list[str]] = {}
-    for relpath, a in files.items():
-        pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(
-            relpath
-            if os.path.isabs(relpath)
-            else os.path.join(path, relpath)
-        )
-    parts: list[DataFrame] = []
     by_name = {f.name: f for f in schema.fields}
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    read_fields = [
+        T.StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+        for f in data_fields
+    ]
+    abspaths = {
+        rel: rel if os.path.isabs(rel) else os.path.join(path, rel)
+        for rel in files
+    }
+    logical = [
+        F.col(phys.get(f.name, f.name)).alias(f.name)
+        for f in schema.fields
+    ]
+    if not part_cols:
+        df = spark.read.schema(T.StructType(read_fields)).parquet(
+            *abspaths.values()
+        )
+        return df.select(*logical)
+    if _hive_consistent(files, part_cols, phys):
+        # ONE scan for any partition count: basePath partition
+        # discovery over the explicit (pruned) file list, partition
+        # column types taken from the user schema
+        full = T.StructType(
+            read_fields
+            + [
+                T.StructField(phys.get(c, c), by_name[c].dataType, True)
+                for c in part_cols
+            ]
+        )
+        df = (
+            spark.read.option("basePath", path)
+            .schema(full)
+            .parquet(*abspaths.values())
+        )
+        return df.select(*logical)
+    # fallback: group files by partition values, inject literals per
+    # group (plan grows with group count — acceptable only off the
+    # standard layout)
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in files.items():
+        pv = _pv(a, part_cols, phys)
+        key = tuple(pv[c] for c in part_cols)
+        groups.setdefault(key, []).append(abspaths[rel])
+    parts: list[DataFrame] = []
     for key, paths in groups.items():
-        df = spark.read.schema(T.StructType(data_fields)).parquet(*paths)
+        df = spark.read.schema(T.StructType(read_fields)).parquet(*paths)
         for c, raw in zip(part_cols, key):
             lit = (
                 F.lit(None).cast(by_name[c].dataType)
@@ -192,7 +368,16 @@ def read_delta(
                 else F.lit(raw).cast(by_name[c].dataType)
             )
             df = df.withColumn(c, lit)
-        parts.append(df.select(*[f.name for f in schema.fields]))
+        parts.append(
+            df.select(
+                *[
+                    F.col(phys.get(f.name, f.name)).alias(f.name)
+                    if f.name not in part_cols
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

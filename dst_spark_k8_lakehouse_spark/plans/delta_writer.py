@@ -1,27 +1,45 @@
-"""Minimal single-writer Delta Lake writer — pure Python over the
+"""Single-writer-first Delta Lake writer — pure Python over the
 PUBLIC Delta commit protocol (no jars).
 
-Completes ``delta_reader``'s half of the story for the simple cases:
-``create`` / ``append`` / ``overwrite`` commits whose logs any real
-Delta 3.x runtime (or our reader) can consume. Protocol per commit:
-write the data files as ordinary parquet, then atomically publish ONE
-``_delta_log/{version:020d}.json`` with the actions:
+Completes ``delta_reader``'s half of the story: ``create`` /
+``append`` / ``overwrite`` commits whose logs any real Delta 3.x
+runtime (or our reader) can consume, now including the reference's
+actual write patterns (``modules/dst_metrics/spark_logger.py:55-57``
+appends with ``mergeSchema``; ``02_iceberg_demo.ipynb:45-54`` creates
+partitioned tables; ``02_iceberg_demo.ipynb:122-123`` runs
+ALTER TABLE ADD/RENAME COLUMN):
 
-- v0: ``protocol`` (minReader 1 / minWriter 2 — no table features
-  needed for plain appends), ``metaData`` (schema as Delta's JSON
-  struct, partition columns), ``add`` per file, ``commitInfo``;
-- append: ``add`` actions only;
-- overwrite: ``remove`` for every live file + ``add`` for the new.
+- v0: ``protocol`` + ``metaData`` (schema as Delta's JSON struct,
+  partition columns) + ``add`` per file + ``commitInfo``;
+- append: ``add`` actions only — plus a new ``metaData`` action first
+  when ``merge_schema=True`` widened the schema (new columns append as
+  nullable; a same-name type change is REFUSED — the classic
+  mergeSchema contract);
+- overwrite: ``remove`` for every live file + ``add`` for the new;
+- ``add_column``: a metaData-only commit (old files simply read the
+  new column as null — no data job, the property that makes wide-table
+  evolution free at 100 TB);
+- ``rename_column``: enables column mapping in ``name`` mode on first
+  use (each field keeps its parquet ``physicalName``; the logical name
+  in the schemaString changes) — the same mechanism real Delta uses,
+  so NO data file is touched and old snapshots stay readable.
+
+Partitioned tables use Hive-style data layout (``col=val/file``) with
+the values recorded in each ``add``'s ``partitionValues`` per the
+spec — data files do NOT contain partition columns. ``delta_reader``
+turns that layout into a single partition-discovering scan.
 
 Atomicity/concurrency, stated honestly: Delta's optimistic protocol
 needs put-if-absent on the commit file. Local/HDFS rename gives that
 (``os.link`` + unlink here: hard-link-as-commit fails with EEXIST if
 the version was taken, the documented single-cluster pattern); object
 stores need a coordination service (the reason the real writer has a
-LogStore abstraction) — so this writer declares SINGLE-WRITER use.
-A lost race raises ``FileExistsError`` and the commit can be retried
-at the next version; data files are uniquely named so an abandoned
-attempt leaves garbage, never corruption.
+LogStore abstraction). A lost race on an APPEND is retried
+automatically at the next version after re-replaying and re-validating
+against the winner's state (blind appends never conflict logically —
+the same rule real Delta's conflict checker applies); overwrites
+recompute their remove set on retry. Data files are uniquely named so
+an abandoned attempt leaves garbage, never corruption.
 
 Type mapping covers the engine's scalar surface (long/int/double/
 float/string/boolean/date/timestamp/decimal/binary + arrays); an
@@ -33,14 +51,19 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from typing import Any
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dst_spark_k8_lakehouse_spark.plans import delta_reader
+
+_MAX_COMMIT_RETRIES = 10
 
 
 def _delta_type(dt: T.DataType) -> Any:
@@ -66,49 +89,72 @@ def _delta_type(dt: T.DataType) -> Any:
     raise NotImplementedError(f"no Delta schema mapping for {dt}")
 
 
+def _field_json(f: T.StructField, metadata: dict | None = None) -> dict:
+    return {
+        "name": f.name,
+        "type": _delta_type(f.dataType),
+        "nullable": f.nullable,
+        "metadata": metadata or {},
+    }
+
+
 def _schema_string(schema: T.StructType) -> str:
     return json.dumps(
-        {
-            "type": "struct",
-            "fields": [
-                {
-                    "name": f.name,
-                    "type": _delta_type(f.dataType),
-                    "nullable": f.nullable,
-                    "metadata": {},
-                }
-                for f in schema.fields
-            ],
-        }
+        {"type": "struct", "fields": [_field_json(f) for f in schema.fields]}
     )
 
 
-def _write_data_files(df: DataFrame, table: str) -> list[dict[str, Any]]:
-    """Write df as parquet files directly under the table dir with
-    unique names; return their add actions."""
-    staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
-    df.write.parquet(staging)
-    adds = []
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
-            continue
-        name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-        src = os.path.join(staging, f)
-        dst = os.path.join(table, name)
-        os.replace(src, dst)
-        adds.append(
-            {
-                "add": {
-                    "path": name,
-                    "partitionValues": {},
-                    "size": os.path.getsize(dst),
-                    "modificationTime": int(time.time() * 1000),
-                    "dataChange": True,
-                }
-            }
+def _parse_hive_dir(rel_dir: str) -> dict[str, str | None]:
+    """``a=1/b=__HIVE_DEFAULT_PARTITION__`` → {"a": "1", "b": None}."""
+    out: dict[str, str | None] = {}
+    if rel_dir in ("", "."):
+        return out
+    for seg in rel_dir.split(os.sep):
+        k, eq, v = seg.partition("=")
+        if not eq:
+            raise ValueError(f"non-Hive partition dir segment {seg!r}")
+        out[unquote(k)] = (
+            None if v == delta_reader._HIVE_NULL else unquote(v)
         )
-    import shutil
+    return out
 
+
+def _write_data_files(
+    df: DataFrame, table: str, partition_phys: list[str] | None = None
+) -> list[dict[str, Any]]:
+    """Write df as parquet files under the table dir with unique
+    names; return their add actions. With ``partition_phys`` the data
+    is written ``partitionBy`` (Hive layout, partition columns NOT in
+    the files) and each add carries its parsed ``partitionValues``."""
+    staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
+    w = df.write
+    if partition_phys:
+        w = w.partitionBy(*partition_phys)
+    w.parquet(staging)
+    adds = []
+    for root, _dirs, fs in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(root, staging)
+        for f in sorted(fs):
+            if not f.endswith(".parquet"):
+                continue
+            pv = _parse_hive_dir(rel_dir)
+            name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel = name if rel_dir in ("", ".") else \
+                "/".join(rel_dir.split(os.sep) + [name])
+            dst = os.path.join(table, *rel.split("/"))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(root, f), dst)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(dst),
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 
@@ -151,10 +197,17 @@ def _commit_info(operation: str) -> dict[str, Any]:
     }
 
 
-def create_delta(df: DataFrame, table: str) -> None:
-    """CREATE: version-0 commit (protocol + metaData + adds)."""
+def create_delta(
+    df: DataFrame, table: str, partition_by: list[str] | None = None
+) -> None:
+    """CREATE: version-0 commit (protocol + metaData + adds),
+    optionally Hive-partitioned by ``partition_by``."""
     if delta_reader.is_delta_table(table):
         raise ValueError(f"Delta table already exists at {table}")
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition column(s) {missing} not in {df.columns}")
     os.makedirs(table, exist_ok=True)
     actions: list[dict[str, Any]] = [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
@@ -163,31 +216,252 @@ def create_delta(df: DataFrame, table: str) -> None:
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": _schema_string(df.schema),
-                "partitionColumns": [],
+                "partitionColumns": partition_by,
                 "configuration": {},
                 "createdTime": int(time.time() * 1000),
             }
         },
     ]
-    actions += _write_data_files(df, table)
+    actions += _write_data_files(df, table, partition_by or None)
     actions.append(_commit_info("CREATE TABLE AS SELECT"))
     _commit(table, 0, actions)
 
 
-def append_delta(df: DataFrame, table: str) -> None:
-    """APPEND: adds only; schema must match the table's metaData."""
-    state = delta_reader._replay(df.sparkSession, table, None)
-    expected = T.StructType.fromJson(
-        json.loads(state["metaData"]["schemaString"])
+def _reconcile_schema(
+    df: DataFrame,
+    meta: dict[str, Any],
+    merge_schema: bool,
+) -> tuple[DataFrame, dict[str, Any] | None, list[str], dict[str, str]]:
+    """Align ``df`` with the table schema. Returns
+    ``(aligned_df, metaData action or None, logical partition cols,
+    {logical: physical})``.
+
+    - columns missing from df: filled with typed nulls when nullable
+      (refused for partition or non-nullable columns);
+    - columns new in df: appended as nullable fields when
+      ``merge_schema`` (a new metaData action carries the widened
+      schemaString), refused otherwise;
+    - same-name type mismatch: always refused — mergeSchema adds
+      columns, it never rewrites history to a different type.
+    """
+    schema_json = json.loads(meta["schemaString"])
+    table_schema = T.StructType.fromJson(schema_json)
+    mode, phys = delta_reader._mapping(meta)
+    part_cols = delta_reader._partition_cols(meta, table_schema, phys)
+    by_name = {f.name: f for f in table_schema.fields}
+    df_types = {f.name: f.dataType for f in df.schema.fields}
+
+    mismatched = sorted(
+        n for n, dt in df_types.items()
+        if n in by_name and by_name[n].dataType != dt
     )
-    if [f.name for f in expected.fields] != df.columns:
+    if mismatched:
+        detail = {
+            n: (df_types[n].simpleString(),
+                by_name[n].dataType.simpleString())
+            for n in mismatched
+        }
         raise ValueError(
-            f"append schema {df.columns} != table schema "
-            f"{[f.name for f in expected.fields]}"
+            f"append column type(s) differ from the table's: {detail} "
+            "(mergeSchema adds columns; it never changes a column's type)"
         )
-    actions = _write_data_files(df, table)
-    actions.append(_commit_info("WRITE"))
-    _commit(table, _next_version(table), actions)
+
+    missing = [f for f in table_schema.fields if f.name not in df_types]
+    bad = [f.name for f in missing
+           if f.name in part_cols or not f.nullable]
+    if bad:
+        raise ValueError(
+            f"append schema is missing required column(s) {bad} "
+            "(partition or non-nullable columns cannot be null-filled)"
+        )
+    for f in missing:
+        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+    new = [f for f in df.schema.fields
+           if f.name not in by_name and f.name in df_types]
+    meta_action = None
+    if new:
+        if not merge_schema:
+            raise ValueError(
+                f"append schema adds column(s) {[f.name for f in new]} "
+                f"not in the table schema "
+                f"{[f.name for f in table_schema.fields]}; pass "
+                "merge_schema=True to evolve the table"
+            )
+        new_meta = dict(meta)
+        conf = dict(new_meta.get("configuration") or {})
+        fields = list(schema_json["fields"])
+        if mode == "name":
+            max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
+            for f in new:
+                max_id += 1
+                fields.append(
+                    _field_json(
+                        T.StructField(f.name, f.dataType, True),
+                        {
+                            "delta.columnMapping.id": max_id,
+                            "delta.columnMapping.physicalName": f.name,
+                        },
+                    )
+                )
+                phys[f.name] = f.name
+            conf["delta.columnMapping.maxColumnId"] = str(max_id)
+        else:
+            fields += [
+                _field_json(T.StructField(f.name, f.dataType, True))
+                for f in new
+            ]
+        new_meta["schemaString"] = json.dumps(
+            {"type": "struct", "fields": fields}
+        )
+        new_meta["configuration"] = conf
+        meta_action = {"metaData": new_meta}
+        order = [f["name"] for f in fields]
+    else:
+        order = [f.name for f in table_schema.fields]
+    return df.select(*order), meta_action, part_cols, phys
+
+
+def append_delta(
+    df: DataFrame, table: str, merge_schema: bool = False
+) -> int:
+    """APPEND: adds only (plus a widened ``metaData`` when
+    ``merge_schema`` evolved the schema). A lost commit race is
+    retried at the winner's next version after re-validating the
+    reconciliation against the fresh state. Returns the committed
+    version."""
+    adds: list[dict[str, Any]] | None = None
+    written_cols: list[str] | None = None
+    for _ in range(_MAX_COMMIT_RETRIES):
+        state = delta_reader._replay(df.sparkSession, table, None)
+        aligned, meta_action, part_cols, phys = _reconcile_schema(
+            df, state["metaData"], merge_schema
+        )
+        if adds is None:
+            # data files are written once; physical column names go in
+            # the files, partition columns go in the directory layout
+            out = aligned.select(
+                *[
+                    F.col(c).alias(phys.get(c, c))
+                    for c in aligned.columns
+                    if c not in part_cols
+                ],
+                *[F.col(c).alias(phys.get(c, c)) for c in part_cols],
+            )
+            adds = _write_data_files(
+                out, table, [phys.get(c, c) for c in part_cols] or None
+            )
+            written_cols = aligned.columns
+        elif aligned.columns != written_cols:
+            raise RuntimeError(
+                "concurrent schema change during append retry: table now "
+                f"expects {aligned.columns}, data was written as "
+                f"{written_cols}; re-run the append"
+            )
+        actions = ([meta_action] if meta_action else []) + adds
+        actions.append(_commit_info("WRITE"))
+        version = _next_version(table)
+        try:
+            _commit(table, version, actions)
+            return version
+        except FileExistsError:
+            continue
+    raise RuntimeError(
+        f"append to {table} lost {_MAX_COMMIT_RETRIES} commit races"
+    )
+
+
+def add_column(
+    spark: SparkSession, table: str, name: str, dtype: T.DataType | str
+) -> int:
+    """ALTER TABLE ADD COLUMN (nullable) — a metaData-only commit; no
+    data job, old files read the column as null. Returns the committed
+    version."""
+    if isinstance(dtype, str):
+        dtype = T._parse_datatype_string(dtype)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        state = delta_reader._replay(spark, table, None)
+        meta = dict(state["metaData"])
+        schema_json = json.loads(meta["schemaString"])
+        if any(f["name"] == name for f in schema_json["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        mode, _phys = delta_reader._mapping(meta)
+        conf = dict(meta.get("configuration") or {})
+        md: dict[str, Any] = {}
+        if mode == "name":
+            max_id = int(conf.get("delta.columnMapping.maxColumnId", 0)) + 1
+            md = {
+                "delta.columnMapping.id": max_id,
+                "delta.columnMapping.physicalName": name,
+            }
+            conf["delta.columnMapping.maxColumnId"] = str(max_id)
+        schema_json["fields"].append(
+            _field_json(T.StructField(name, dtype, True), md)
+        )
+        meta["schemaString"] = json.dumps(schema_json)
+        meta["configuration"] = conf
+        version = _next_version(table)
+        try:
+            _commit(
+                table,
+                version,
+                [{"metaData": meta}, _commit_info("ADD COLUMNS")],
+            )
+            return version
+        except FileExistsError:
+            continue
+    raise RuntimeError(f"add_column on {table} lost too many commit races")
+
+
+def rename_column(
+    spark: SparkSession, table: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN — metadata-only via column mapping in
+    ``name`` mode (enabled on first rename: every field is pinned to
+    its current parquet name as ``physicalName``, the protocol is
+    upgraded to (2, 5) per the spec). No data file is touched; old
+    versions stay readable. Returns the committed version."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        state = delta_reader._replay(spark, table, None)
+        meta = dict(state["metaData"])
+        schema_json = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema_json["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        conf = dict(meta.get("configuration") or {})
+        actions: list[dict[str, Any]] = []
+        if conf.get("delta.columnMapping.mode", "none") == "none":
+            for i, f in enumerate(schema_json["fields"]):
+                md = dict(f.get("metadata") or {})
+                md.setdefault("delta.columnMapping.id", i + 1)
+                md.setdefault("delta.columnMapping.physicalName", f["name"])
+                f["metadata"] = md
+            conf["delta.columnMapping.mode"] = "name"
+            conf["delta.columnMapping.maxColumnId"] = str(
+                len(schema_json["fields"])
+            )
+            actions.append(
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+        for f in schema_json["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        meta["partitionColumns"] = [
+            new if c == old else c
+            for c in meta.get("partitionColumns") or []
+        ]
+        meta["schemaString"] = json.dumps(schema_json)
+        meta["configuration"] = conf
+        actions += [{"metaData": meta}, _commit_info("RENAME COLUMN")]
+        version = _next_version(table)
+        try:
+            _commit(table, version, actions)
+            return version
+        except FileExistsError:
+            continue
+    raise RuntimeError(f"rename_column on {table} lost too many commit races")
 
 
 _CHECKPOINT_SCHEMA = T.StructType(
@@ -329,8 +603,6 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
     )
     final = os.path.join(log, f"{version:020d}.checkpoint.parquet")
     os.replace(os.path.join(staging, part), final)
-    import shutil
-
     shutil.rmtree(staging, ignore_errors=True)
     tmp = os.path.join(log, f".lc-{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
@@ -339,20 +611,53 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
     return version
 
 
-def overwrite_delta(df: DataFrame, table: str) -> None:
-    """OVERWRITE: remove every live file, add the new set, one commit."""
-    state = delta_reader._replay(df.sparkSession, table, None)
-    now = int(time.time() * 1000)
-    actions: list[dict[str, Any]] = [
-        {
-            "remove": {
-                "path": p,
-                "deletionTimestamp": now,
-                "dataChange": True,
+def overwrite_delta(df: DataFrame, table: str) -> int:
+    """OVERWRITE: remove every live file, add the new set, one commit.
+    A lost commit race recomputes the remove set against the winner's
+    state and retries. Returns the committed version."""
+    adds: list[dict[str, Any]] | None = None
+    written_cols: list[str] | None = None
+    for _ in range(_MAX_COMMIT_RETRIES):
+        state = delta_reader._replay(df.sparkSession, table, None)
+        aligned, meta_action, part_cols, phys = _reconcile_schema(
+            df, state["metaData"], merge_schema=False
+        )
+        if meta_action is not None:  # unreachable with merge_schema=False
+            raise AssertionError("overwrite must not evolve the schema")
+        if adds is None:
+            out = aligned.select(
+                *[
+                    F.col(c).alias(phys.get(c, c))
+                    for c in aligned.columns
+                ]
+            )
+            adds = _write_data_files(
+                out, table, [phys.get(c, c) for c in part_cols] or None
+            )
+            written_cols = aligned.columns
+        elif aligned.columns != written_cols:
+            raise RuntimeError(
+                "concurrent schema change during overwrite retry; re-run"
+            )
+        now = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
             }
-        }
-        for p in state["files"]
-    ]
-    actions += _write_data_files(df, table)
-    actions.append(_commit_info("WRITE"))
-    _commit(table, _next_version(table), actions)
+            for p in state["files"]
+        ]
+        actions += adds
+        actions.append(_commit_info("WRITE"))
+        version = _next_version(table)
+        try:
+            _commit(table, version, actions)
+            return version
+        except FileExistsError:
+            continue
+    raise RuntimeError(
+        f"overwrite of {table} lost {_MAX_COMMIT_RETRIES} commit races"
+    )

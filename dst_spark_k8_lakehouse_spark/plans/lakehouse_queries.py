@@ -295,6 +295,115 @@ def d17_iceberg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d19_delta_schema_merge",
+    oracle="""
+        SELECT c_custkey, round(c_acctbal, 2) AS bal,
+               'NONE' AS seg, '-' AS flag
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 5000000, round(c_acctbal, 2) AS bal,
+               c_mktsegment AS seg, '-' AS flag
+        FROM customer
+    """,
+)
+def d19_delta_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a NATIVE Delta log end-to-end, jar-free —
+    the reference's single most-run write pattern
+    (``modules/dst_metrics/spark_logger.py:55-57`` mergeSchema append;
+    ``02_iceberg_demo.ipynb:122-123`` ALTER TABLE ADD/RENAME COLUMN):
+    create → mergeSchema-append a WIDER batch (new ``c_mktsegment``
+    column; old rows read it as null) → ADD COLUMN (metadata-only) →
+    RENAME COLUMN (column mapping ``name`` mode, no data rewrite) →
+    read the final state through the protocol replay reader. Every row
+    of both generations is value-checked against the oracle."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader, delta_writer
+
+    base = tempfile.mkdtemp(prefix="dst-delta-evolve-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer")
+    delta_writer.create_delta(
+        cust.select("c_custkey", "c_acctbal").repartition(2), table
+    )
+    delta_writer.append_delta(
+        cust.select(
+            (F.col("c_custkey") + 5000000).alias("c_custkey"),
+            "c_acctbal",
+            "c_mktsegment",
+        ),
+        table,
+        merge_schema=True,
+    )
+    delta_writer.add_column(spark, table, "flag", "string")
+    delta_writer.rename_column(spark, table, "c_acctbal", "bal")
+    return delta_reader.read_delta(spark, table).select(
+        "c_custkey",
+        F.round("bal", 2).alias("bal"),
+        F.coalesce("c_mktsegment", F.lit("NONE")).alias("seg"),
+        F.coalesce("flag", F.lit("-")).alias("flag"),
+    )
+
+
+@query(
+    "d20_delta_partitioned",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+        FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        UNION ALL
+        SELECT c_custkey + 5000000, c_mktsegment, round(c_acctbal, 2)
+        FROM customer WHERE c_mktsegment <> 'MACHINERY'
+    """,
+)
+def d20_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned NATIVE Delta tables end-to-end, jar-free
+    (reference anchor: partitioned lakehouse tables,
+    ``02_iceberg_demo.ipynb:45-54``): CTAS ``partition_by`` (Hive
+    layout, values in the log's ``partitionValues``) → partitioned
+    append → partition-aligned DELETE (whole-partition files dropped
+    with bare removes, no data job) → read back both through a
+    driver-side ``partition_filter`` (pruned file list) and the
+    single-scan full path. Union of the two reads is value-checked."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_dml,
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-delta-part-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    delta_writer.create_delta(
+        cust, table, partition_by=["c_mktsegment"]
+    )
+    delta_writer.append_delta(
+        cust.withColumn("c_custkey", F.col("c_custkey") + 5000000), table
+    )
+    delta_dml.delete_delta(spark, table, "c_mktsegment = 'MACHINERY'")
+    pruned = delta_reader.read_delta(
+        spark, table, partition_filter={"c_mktsegment": "BUILDING"}
+    )
+    rest = delta_reader.read_delta(spark, table).where(
+        "c_mktsegment <> 'BUILDING'"
+    )
+    return pruned.unionByName(rest).select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+    )
+
+
+@query(
     "d15_zorder_preserves",
     oracle="""
         SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal

@@ -55,68 +55,20 @@ def query(query_id: str, oracle: str | None = None) -> Callable[[F], F]:
 # ids whose only green row is the oldest (round 1). Rotation log with
 # last-green round per id lives in COVERAGE.md.
 PRIORITY: list[str] = [
-    # (a) failed in r04: none — 0 CORRECTNESS_r04 failures.
+    # (a) failed in r05: none — 0 CORRECTNESS_r05 failures.
     # (b) implementation changed this round after their last green row:
-    # minhash pair (dedup.py null-token guard), lakehouse DML trio
-    # (dml.py quote-aware splitter), streaming pair (pipelines.py ts
-    # normalization), contamination (hashed-gram rewrite of the module)
-    "l2_minhash_lsh",
-    "l2_minhash_lsh_sigs",
-    "d10_update_sql",
-    "d11_delete_sql",
-    "d13_merge_sql",
-    "t4_watermark",
-    "t5_stateful_dedup",
-    "l7_contamination",
-    # (c) new this round
+    # the native-Delta stack (delta_reader/writer/dml rewritten for
+    # schema evolution, column mapping, partitioning, commit retries)
     "d16_delta_native_dml",
-    "d17_iceberg_native",
-    "l6_passage_dedup",
-    "l3_unigram_logprob",
-    "l7_fuzzy_decontam",
-    "l7_fuzzy_recall",
-    "l4_embed_quantize",
-    "l4_quant_recall",
-    "l3_bpe_learn",
-    "x3_corpus_health",
-    "l2_simhash_sensitivity",
-    "l2_embed_fuzzy_recall",
-    "l2_minhash_recall",  # re-front: signature family fixed this round
-    "l2_simhash_recall",
-    "l7_contamination_scan",
-    "l3_bpe_token_count",
-    "l6_pack_sequences_bpe",
-    "l6_chunk_docs_bpe",
-    "l3_repetition_stats",
-    "l6_split_assign",
-    "l6_global_shuffle",
-    # l4_cosine_topk / l4_batch_topk gained the Arrow-GEMM switch this
-    # round (changed-after-green at sfs ABOVE the switch; the driver's
-    # sf0.01 run exercises the unchanged HOF path, pytest covers GEMM)
-    "l4_cosine_topk",
-    "l4_batch_topk",
-    # (d) backfill, oldest evidence first (VERDICT r4 item 2): first
-    # the ids cut by the r04 ~50-query cap (still r01-green-only),
-    "l3_fingerprint",
-    "l4_ann_ivf",
-    "l5_multimodal",
-    "a11_gsets",
-    "a12_summary",
-    "l2_simhash",
-    "l2_embed_neardup",
-    "l3_text_stats",
-    "l3_quality_score",
-    "l3_token_count",
-    # then every id whose newest green row is r02,
-    "p4_filter_and",
-    "p5_null_filter",
-    "p6_when",
-    "p8_cast",
-    "p11_fillna",
-    "p12_dedup_rows",
-    "p13_distinct",
-    "p14_concat",
-    "w1_rank",
+    "d17_iceberg_native",  # iceberg_writer docstring/v2 work this round
+    # (c) new this round
+    "d19_delta_schema_merge",
+    "d20_delta_partitioned",
+    "l6_passage_dedup",  # perf pass this round (same oracle)
+    "l5_multimodal",  # real decode path this round
+    # (d) backfill, oldest evidence first (VERDICT r5 item 3): ids
+    # whose newest driver-green is r02/r03 and which the r05 ~50-cap
+    # cut — first the r02-only block,
     "w2_lag",
     "w3_running_sum",
     "w4_topk_group",
@@ -140,7 +92,7 @@ PRIORITY: list[str] = [
     "l6_stratified_sample",
     "l6_pii_scrub",
     "l6_vocab_topk",
-    # then the r03 greens (newest-but-one evidence; cap may cut here)
+    # then the r03 greens,
     "f1_string",
     "f2_date",
     "f3_math",
@@ -149,6 +101,27 @@ PRIORITY: list[str] = [
     "s8_range",
     "l1_exact_dedup",
     "l2_ngram_jaccard",
+    # then the oldest r04 greens (cap may cut here; all remain
+    # SELFCHECK-covered)
+    "j1_inner_join",
+    "j3_left_join",
+    "j4_semi",
+    "j4_anti",
+    "j5_broadcast",
+    "j6_range_join",
+    "j7_asof",
+    "j8_star_join",
+    "a1_count",
+    "a2_avg",
+    "a3_sum",
+    "a4_filtered_count",
+    "a5_groupby_agg",
+    "x1_q3_shipping",
+    "t1_tumbling",
+    "t2_sliding",
+    "t3_session",
+    "f4_map",
+    "f5_json",
 ]
 
 
