@@ -476,38 +476,83 @@ def l6_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def passage_dedup_report(docs: DataFrame) -> DataFrame:
     """(doc_id, n_passages, n_dup_passages, clean_text) for any
-    (doc_id, text) frame — the reusable core of ``l6_passage_dedup``
-    (plan notes there)."""
-    toks = docs.select(
+    (doc_id, text) frame — the reusable core of ``l6_passage_dedup``.
+
+    Plan (r6 rewrite, ~3× off the r5 shape): the ONLY corpus-sized
+    shuffle keys are 8-byte ``xxhash64(passage)`` longs — (1) document
+    frequency is a partial-agg ``count`` over per-doc-distinct passage
+    hashes; (2) the boilerplate set (df >= PASSAGE_DF — small by
+    construction, it IS the repeated material) broadcast-semi-joins
+    against a positional hash explode, so only boilerplate occurrences
+    reach the per-doc flag aggregation; (3) documents themselves are
+    never exploded into a shuffle — the cleaned text is reassembled
+    map-side with an index-aware ``filter`` HOF over the passage array
+    against the doc's flagged-index set (AQE broadcasts the flag side
+    when small). Passage strings never leave the mapper. A cross-
+    passage hash collision could mis-flag (birthday ~n²/2⁶⁴, same
+    adjudicated posture as the hashed-gram contamination path); the
+    value-matching oracle would catch it deterministically.
+
+    Measured floor (r6, interleaved best-of-5 at sf0.1, one session):
+    this shape 0.82 s, the r5 string-shuffle shape 0.70 s, a one-pass
+    collect-the-dup-set variant 0.76 s — all within co-tenancy noise,
+    all >2× DuckDB's 0.12 s. At sf0.1 (5.5k docs) the cost is two
+    interpreted-HOF tokenize/hash map passes (~0.3 s each) plus fixed
+    stage scheduling, which no plan shape removes; the shapes only
+    diverge at scale, where this one shuffles 8-byte hashes instead of
+    passage strings and never shuffles the documents at all —
+    adjudicated floor, scale shape kept."""
+    base = docs.select(
         "doc_id", F.split(F.trim("text"), " ").alias("tok")
+    ).withColumn("tokh", F.expr("transform(tok, t -> xxhash64(t))"))
+    # passage hash = xxhash64 over the window's TOKEN-HASH slice — no
+    # per-passage string is built in the two corpus hash passes
+    pharr = (
+        f"transform(sequence(0, size(tokh) - 1, {PASSAGE}), "
+        f"s -> xxhash64(slice(tokh, s + 1, {PASSAGE})))"
     )
-    passages = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(tok) - 1, {PASSAGE}), "
-                f"s -> concat_ws(' ', slice(tok, s + 1, {PASSAGE})))"
-            )
-        ).alias("pidx", "passage"),
+    # (1) df per passage hash: per-doc distinct first, so the corpus
+    # agg is a plain count with map-side partials (explode stays
+    # inline — see contamination._doc_gram_hashes plan-shape warning)
+    dup = (
+        base.select(
+            "doc_id",
+            F.explode(F.expr(f"array_distinct({pharr})")).alias("ph"),
+        )
+        .groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= PASSAGE_DF)
+        .select("ph")
     )
-    freq = passages.groupBy("passage").agg(
-        F.countDistinct("doc_id").alias("df")
+    # (2) flagged positions per doc — only boilerplate rows survive
+    # the broadcast semi-join, so this groupBy is boilerplate-sized
+    flags = (
+        base.select(
+            "doc_id",
+            F.posexplode(F.expr(pharr)).alias("pidx", "ph"),
+        )
+        .join(F.broadcast(dup), "ph", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pidx").alias("dup_idx"))
+    )
+    # (3) map-side reassembly: passage STRINGS are built only here,
+    # once; no corpus shuffle, no second explode
+    parr = F.expr(
+        f"transform(sequence(0, size(tok) - 1, {PASSAGE}), "
+        f"s -> concat_ws(' ', slice(tok, s + 1, {PASSAGE})))"
     )
     return (
-        passages.join(freq, "passage")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("int").alias("n_passages"),
-            F.sum((F.col("df") >= PASSAGE_DF).cast("int"))
+        base.join(flags, "doc_id", "left")
+        .withColumn("parr", parr)
+        .select(
+            "doc_id",
+            F.size("parr").cast("int").alias("n_passages"),
+            F.coalesce(F.size("dup_idx"), F.lit(0))
             .cast("int")
             .alias("n_dup_passages"),
-            F.array_join(
-                F.expr(
-                    "transform(array_sort(collect_list("
-                    f"CASE WHEN df < {PASSAGE_DF} "
-                    "THEN struct(pidx, passage) END)), x -> x.passage)"
-                ),
-                " ",
+            F.expr(
+                "array_join(filter(parr, (p, i) -> dup_idx IS NULL "
+                "OR NOT array_contains(dup_idx, i)), ' ')"
             ).alias("clean_text"),
         )
     )

@@ -8,13 +8,19 @@ interprets bytes except inside explicitly vectorized decode stages.
 Decode/feature-extraction runs through ``mapInPandas``: Arrow batches
 in, Arrow batches out, one Python worker per input partition, constant
 memory (iterator of batches — never a whole partition materialized).
-The actual codec calls (Pillow/torchaudio/ffmpeg) are NOT available in
-this container, so the codec boundary is a stub:
-``decode_image_real`` raises ``NotImplementedError`` and tests/queries
-inject ``fake_decode_meta`` — a deterministic stand-in that derives
-"decoded" properties from the payload bytes. The Spark-side plumbing
-(schemas, batch iteration, partitioning, UDF signatures) is real and
-exercised.
+
+Codecs, stated honestly: Pillow/torchaudio/ffmpeg are NOT in this
+container, so compressed formats (PNG/JPEG/audio/video) stay behind a
+loud ``NotImplementedError`` and the 3-kind plumbing pass
+(``l5_multimodal``) uses ``fake_decode_meta``. But uncompressed
+raster images need no codec library: ``decode_image`` is a REAL
+stdlib-only decoder for 24-bit uncompressed BMP (bottom-up and
+top-down, row padding) and binary PPM (P6, header comments) — and
+``l5_image_decode`` runs a full synthesize→decode→value-check pass
+where the decoded dimensions and mean channel values are
+oracle-checked against SQL recomputing them from ``doc_id``
+arithmetic. The Spark-side plumbing (schemas, batch iteration,
+partitioning, UDF signatures) is identical for both paths.
 """
 
 from __future__ import annotations
@@ -60,13 +66,105 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real image decode (Pillow). STUB: the codec libraries are not in
-    this container; swap this in on a cluster image that ships them."""
-    raise NotImplementedError(
-        "image codecs unavailable in this environment; "
-        "use fake_decode_meta for plumbing tests"
+def encode_bmp(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal 24-bit uncompressed bottom-up BMP of a solid color
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, rows padded to 4 bytes)."""
+    import struct
+
+    r, g, b = rgb
+    rowsize = (w * 3 + 3) // 4 * 4
+    row = bytes((b, g, r)) * w + b"\x00" * (rowsize - 3 * w)
+    data = row * h
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
+    return header + info + data
+
+
+def encode_ppm(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal binary PPM (P6, maxval 255) of a solid color."""
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb) * (w * h)
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
+    import struct
+
+    offset, = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_raw, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"BMP variant beyond this decoder (header {hdr_size}, "
+            f"{bpp} bpp, compression {comp}); 24-bit uncompressed only"
+        )
+    h = abs(h_raw)  # negative height = top-down row order; means are
+    # row-order-independent but bounds still must hold
+    rowsize = (w * 3 + 3) // 4 * 4
+    if len(payload) < offset + rowsize * h:
+        raise ValueError("truncated BMP pixel data")
+    sb = sg = sr = 0
+    for y in range(h):
+        row = payload[offset + y * rowsize: offset + y * rowsize + 3 * w]
+        sb += sum(row[0::3])
+        sg += sum(row[1::3])
+        sr += sum(row[2::3])
+    n = w * h
+    return w, h, sr / n, sg / n, sb / n
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, float, float, float]:
+    # header: magic, width, height, maxval as whitespace-separated
+    # ASCII tokens; '#' starts a comment running to end of line
+    pos, tokens = 0, []
+    while len(tokens) < 4:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    if tokens[0] != b"P6":
+        raise NotImplementedError(f"PPM magic {tokens[0]!r}; P6 only")
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval {maxval}; 255 only")
+    pos += 1  # exactly one whitespace byte after maxval per the spec
+    data = payload[pos:pos + 3 * w * h]
+    if len(data) < 3 * w * h:
+        raise ValueError("truncated PPM pixel data")
+    n = w * h
+    return w, h, sum(data[0::3]) / n, sum(data[1::3]) / n, sum(data[2::3]) / n
+
+
+def decode_image(payload: bytes) -> tuple[str, int, int, float, float, float]:
+    """REAL stdlib-only image decode: (format, width, height, mean_r,
+    mean_g, mean_b). 24-bit BMP and binary PPM; anything else —
+    including every compressed format — raises loudly (no codec
+    library in this container)."""
+    if payload[:2] == b"BM":
+        return ("bmp", *_decode_bmp(payload))
+    if payload[:2] == b"P6":
+        return ("ppm", *_decode_ppm(payload))
+    raise NotImplementedError(
+        f"image format with magic {payload[:4]!r} needs a codec library "
+        "(Pillow) not present in this environment; BMP/PPM decode here"
+    )
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """(width, height) via the stdlib decoder — kept as the original
+    codec-boundary entry point; compressed formats still raise."""
+    _fmt, w, h, *_ = decode_image(payload)
+    return w, h
 
 
 def _meta_from_digest(h: bytes, kind: str) -> tuple[int, int, int]:
@@ -146,6 +244,103 @@ def decode_media(media_df: DataFrame) -> DataFrame:
             yield out
 
     return media_df.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def attach_image_payloads(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL image files per doc — (doc_id, payload binary):
+    even doc_ids become 24-bit BMPs, odd ones binary PPMs, with
+    dimensions and a solid fill color derived from ``doc_id``
+    arithmetic (so an oracle can recompute the expected decode output
+    in SQL). Runs as ``mapInPandas`` like any payload-producing
+    ingest stage."""
+    ensure_shipped(docs.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w = 8 + d % 16
+                h = 8 + (d // 16) % 16
+                rgb = (d % 256, (d * 7) % 256, (d * 13) % 256)
+                payloads.append(
+                    encode_bmp(w, h, rgb) if d % 2 == 0
+                    else encode_ppm(w, h, rgb)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+def decode_images(media_df: DataFrame) -> DataFrame:
+    """REAL decode stage: parse each payload's actual bytes (format
+    sniffed from the magic, never from metadata) into dimensions and
+    mean channel values — same iterator-of-batches memory contract as
+    ``decode_media``."""
+    ensure_shipped(media_df.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_image(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [r[0] for r in rows],
+                    "width": pd.Series([r[1] for r in rows], dtype="int32"),
+                    "height": pd.Series([r[2] for r in rows], dtype="int32"),
+                    "mean_r": [r[3] for r in rows],
+                    "mean_g": [r[4] for r in rows],
+                    "mean_b": [r[5] for r in rows],
+                }
+            )
+
+    return media_df.mapInPandas(run, IMAGE_SCHEMA)
+
+
+@query(
+    "l5_image_decode",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+               CAST(8 + doc_id % 16 AS INT) AS width,
+               CAST(8 + (doc_id // 16) % 16 AS INT) AS height,
+               CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+               CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+               CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+        FROM documents
+    """,
+)
+def l5_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 REAL decode path, no codec stub: synthesize one genuine
+    image file per document (BMP or PPM, stdlib encoders), then parse
+    the actual payload bytes back — header fields, row padding, pixel
+    channels — in a vectorized ``mapInPandas`` stage. Every decoded
+    dimension and mean channel value is value-checked against the
+    oracle recomputing them from ``doc_id`` arithmetic, so a decoder
+    bug (stride, BGR order, padding) is a driver-channel failure, not
+    a silent skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(attach_image_payloads(docs))
 
 
 @query("l5_multimodal")  # rows-only: fake-codec output is not SQL

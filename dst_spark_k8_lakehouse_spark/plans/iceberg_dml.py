@@ -1,0 +1,261 @@
+"""Row-level DML on NATIVE Iceberg tables — jar-free COPY-ON-WRITE.
+
+Counterpart of ``delta_dml`` for the reference's other table format
+(Iceberg 1.9 via jars, ``scripts/download-jars.sh:84-85``,
+``02_iceberg_demo.ipynb`` runs UPDATE/DELETE through the runtime):
+UPDATE / DELETE against a v1 table whose metadata chain was written by
+``iceberg_writer``. The physical strategy is the v1 copy-on-write
+overwrite real engines use when merge-on-read is off:
+
+1. ONE scan over the current snapshot's data files computes per-file
+   matching and total row counts (``_metadata.file_path``) — Iceberg
+   data files contain every column, so no partition-value injection
+   is needed;
+2. files with zero matching rows are carried forward as EXISTING
+   (status 0) manifest entries; fully-matching files on DELETE are
+   dropped with a DELETED (status 2) bookkeeping entry and NO data
+   job; partially-matching files are rewritten (ADDED, status 1);
+3. one new manifest + manifest list + metadata version publishes the
+   snapshot atomically (put-if-absent ``v{N}.metadata.json``,
+   ``iceberg_writer._commit_metadata``). Prior snapshots stay
+   readable — time travel to the pre-DML state keeps working.
+
+Rewrite cost is proportional to TOUCHED bytes, not table bytes.
+Merge-on-read delete manifests (format v2) are intentionally NOT
+produced; the reader raises loudly on them.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.plans import iceberg_reader, iceberg_writer
+
+_FILE_COL = "__iceberg_dml_file"
+
+
+def _live_entries(
+    spark: SparkSession, snapshot: dict[str, Any]
+) -> list[dict[str, Any]]:
+    """Live data-file entries of a snapshot with the fields a carried
+    manifest entry needs: path, record_count, file_size_in_bytes."""
+    out = []
+    for mf in iceberg_reader._avro_records(
+        spark, snapshot["manifest-list"]
+    ):
+        content = iceberg_reader._get(mf, "content")
+        if content is not None and int(str(content)) != 0:
+            raise NotImplementedError(
+                "Iceberg v2 delete manifests need the runtime"
+            )
+        manifest = iceberg_reader._strip_uri(str(mf.get("manifest_path")))
+        for e in iceberg_reader._avro_records(spark, manifest):
+            if int(str(e.get("status"))) == 2:
+                continue
+            d = e.get("data_file")
+            out.append(
+                {
+                    "file_path": iceberg_reader._strip_uri(
+                        str(d.get("file_path"))
+                    ),
+                    "record_count": int(str(d.get("record_count"))),
+                    "file_size_in_bytes": int(
+                        str(d.get("file_size_in_bytes"))
+                    ),
+                }
+            )
+    return out
+
+
+def _classify(
+    spark: SparkSession, paths: list[str], condition: str
+) -> dict[str, tuple[int, int]]:
+    """{abs_path: (matching_rows, total_rows)} — one aggregated scan,
+    never a per-file job."""
+    from urllib.parse import unquote
+
+    rows = (
+        spark.read.parquet(*paths)
+        .withColumn(_FILE_COL, F.col("_metadata.file_path"))
+        .groupBy(_FILE_COL)
+        .agg(
+            F.count(F.when(F.expr(condition), F.lit(1))).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    by_norm = {os.path.normpath(p): p for p in paths}
+    out = {}
+    for r in rows:
+        p = unquote(r[_FILE_COL])
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        p = os.path.normpath(p)
+        out[by_norm[p]] = (r["m"], r["n"])
+    return out
+
+
+def _entry(status: int, snap_id: int | None, path: str,
+           n: int, size: int) -> dict[str, Any]:
+    return {
+        "status": status,
+        "snapshot_id": snap_id,
+        "data_file": {
+            "file_path": path,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": int(n),
+            "file_size_in_bytes": int(size),
+        },
+    }
+
+
+def _cow_commit(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    rewrite,
+    operation: str,
+    full_match_needs_rewrite: bool = True,
+) -> int:
+    """Shared copy-on-write skeleton: classify files against
+    ``condition``, keep untouched ones as EXISTING entries, feed the
+    touched ones to ``rewrite(df) -> DataFrame`` and commit one
+    overwrite snapshot. With ``full_match_needs_rewrite=False``
+    (DELETE) a file whose every row matches is dropped with NO data
+    job. Returns the new snapshot id (or the current one unchanged
+    when nothing matched)."""
+    import time
+
+    meta, v = iceberg_writer._load_meta(table)
+    cur = meta.get("current-snapshot-id")
+    snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+    entries_now = _live_entries(spark, snaps[int(cur)]) if cur and int(
+        cur
+    ) != -1 else []
+    if not entries_now:
+        return int(cur)
+    counts = _classify(
+        spark, [e["file_path"] for e in entries_now], condition
+    )
+    touched = [
+        e for e in entries_now if counts.get(e["file_path"], (0, 0))[0] > 0
+    ]
+    if not touched:
+        return int(cur)  # no-op: no commit, like delta_dml
+    touched_paths = {e["file_path"] for e in touched}
+    untouched = [
+        e for e in entries_now if e["file_path"] not in touched_paths
+    ]
+    rewrite_paths = [
+        e["file_path"]
+        for e in touched
+        if full_match_needs_rewrite
+        or counts[e["file_path"]][0] < counts[e["file_path"]][1]
+    ]
+    snap_id = int(time.time() * 1000) * 1000 + v + 1
+    new_entries = [
+        _entry(0, None, e["file_path"], e["record_count"],
+               e["file_size_in_bytes"])
+        for e in untouched
+    ] + [
+        _entry(2, snap_id, e["file_path"], e["record_count"],
+               e["file_size_in_bytes"])
+        for e in touched
+    ]
+    added = 0
+    if rewrite_paths:
+        out = rewrite(spark.read.parquet(*rewrite_paths))
+        files = iceberg_writer._write_data_files(out, table, meta)
+        new_entries += [
+            _entry(1, snap_id, p, n, sz) for p, n, sz in files
+        ]
+        added = len(files)
+    md = iceberg_reader._metadata_dir(table)
+    manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
+    iceberg_writer.write_avro(
+        spark, manifest, iceberg_writer.MANIFEST_SCHEMA, new_entries
+    )
+    mlist = os.path.join(md, f"snap-{snap_id}.avro")
+    iceberg_writer.write_avro(
+        spark,
+        mlist,
+        iceberg_writer.MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    iceberg_writer._bump_metadata_log(table, meta)
+    iceberg_writer._register_snapshot(
+        meta,
+        snap_id,
+        mlist,
+        {
+            "operation": "overwrite",
+            "added-data-files": str(added),
+            "deleted-data-files": str(len(touched)),
+        },
+    )
+    iceberg_writer._commit_metadata(table, meta, v + 1)
+    return snap_id
+
+
+def delete_iceberg(
+    spark: SparkSession, table: str, condition: str
+) -> int:
+    """``DELETE FROM table WHERE condition`` — fully-matching files
+    are dropped with no data job; partial files are rewritten without
+    the matching rows."""
+
+    def rewrite(df: DataFrame) -> DataFrame:
+        return df.where(f"NOT ({condition}) OR ({condition}) IS NULL")
+
+    return _cow_commit(
+        spark, table, condition, rewrite, "DELETE",
+        full_match_needs_rewrite=False,
+    )
+
+
+def update_iceberg(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    assignments: dict[str, str],
+) -> int:
+    """``UPDATE table SET … WHERE condition`` — only files containing
+    matching rows are rewritten."""
+    meta, _ = iceberg_writer._load_meta(table)
+    names = [f["name"] for f in meta["schema"]["fields"]]
+    unknown = sorted(set(assignments) - set(names))
+    if unknown:
+        raise ValueError(
+            f"UPDATE SET references unknown column(s) {unknown}"
+        )
+    types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
+    exprs = []
+    for c in names:
+        if c in assignments:
+            target = iceberg_reader._spark_type(types[c]).simpleString()
+            exprs.append(
+                f"CASE WHEN ({condition}) THEN CAST(({assignments[c]}) "
+                f"AS {target}) ELSE {c} END AS {c}"
+            )
+        else:
+            exprs.append(c)
+
+    def rewrite(df: DataFrame) -> DataFrame:
+        return df.selectExpr(*exprs)
+
+    return _cow_commit(spark, table, condition, rewrite, "UPDATE")

@@ -18,12 +18,19 @@ walking is driver-side metadata work (exactly where Iceberg's own
 reader does it); the data read is an ordinary parquet scan with
 pushdown.
 
+Schema resolution: when the data files embed Iceberg field ids
+(``parquet.field.id`` — always true for files written by real
+runtimes and by ``iceberg_writer``), the scan matches columns BY ID
+against the current schema, so renamed columns (metadata-only
+``ALTER TABLE RENAME COLUMN``) and later-added columns resolve
+correctly with no runtime jar. Id-less files fall back to name
+matching with a cross-check.
+
 LOUD limits (raise, never wrong rows): format-version > 2; v2
 row-level deletes (a manifest-list entry with content != 0 — merge-
-on-read tables need the runtime); schema evolution that renamed
-columns (data read trusts the parquet column names — Iceberg's
-field-id remapping needs the runtime; the CURRENT schema's names are
-cross-checked against the scan and a mismatch raises).
+on-read tables need the runtime); renamed columns over data files
+that DON'T carry field ids (a name-matched read would silently
+null the column; the cross-check raises instead).
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 
 def _strip_uri(p: str) -> str:
@@ -118,13 +126,69 @@ def _live_data_files(
     return files
 
 
+def _spark_type(t: Any) -> T.DataType:
+    """Iceberg type (spec JSON) → Spark type — inverse of
+    ``iceberg_writer._iceberg_type``."""
+    if isinstance(t, str):
+        simple = {
+            "long": T.LongType(), "int": T.IntegerType(),
+            "double": T.DoubleType(), "float": T.FloatType(),
+            "string": T.StringType(), "boolean": T.BooleanType(),
+            "date": T.DateType(), "timestamptz": T.TimestampType(),
+            "timestamp": T.TimestampNTZType(), "binary": T.BinaryType(),
+        }
+        if t in simple:
+            return simple[t]
+        m = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    elif isinstance(t, dict) and t.get("type") == "list":
+        return T.ArrayType(
+            _spark_type(t["element"]),
+            not t.get("element-required", False),
+        )
+    raise NotImplementedError(f"no Spark mapping for Iceberg type {t}")
+
+
+def _schema_struct(schema: dict) -> T.StructType:
+    """Current Iceberg schema → Spark schema with each field's id in
+    ``parquet.field.id`` metadata (what Spark's field-id resolution
+    reads)."""
+    return T.StructType(
+        [
+            T.StructField(
+                f["name"],
+                _spark_type(f["type"]),
+                not f.get("required", False),
+                metadata={"parquet.field.id": int(f["id"])},
+            )
+            for f in schema["fields"]
+        ]
+    )
+
+
+def _files_have_field_ids(files: list[str], sample: int = 16) -> bool:
+    """True iff the (sampled) data files embed parquet field ids —
+    the precondition for id-based column resolution."""
+    import pyarrow.parquet as pq
+
+    for f in files[:sample]:
+        sch = pq.ParquetFile(f).schema_arrow
+        for field in sch:
+            md = field.metadata or {}
+            if b"PARQUET:field_id" not in md:
+                return False
+    return True
+
+
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """SELECT from an Iceberg table directory, optionally time-
-    travelling to ``snapshot_id``. Current-schema column names are
-    cross-checked against the resolved scan (renamed-column tables
-    need the runtime's field-id mapping and raise here)."""
+    travelling to ``snapshot_id``. Columns resolve by embedded
+    parquet field id when the files carry them (rename-tolerant);
+    id-less files resolve by name with a cross-check that raises on a
+    renamed column rather than returning nulls."""
     with open(_current_metadata_file(path)) as fh:
         meta = json.load(fh)
     if int(meta.get("format-version", 1)) > 2:
@@ -146,23 +210,30 @@ def read_iceberg(
             schema = s
     if schema is None:
         schema = meta.get("schema")  # v1 single-schema layout
-    if not files:
-        names = [f["name"] for f in (schema or {}).get("fields", [])]
-        return spark.createDataFrame(
-            [], "STRUCT<" + ", ".join(f"{n}: STRING" for n in names) + ">"
-        ) if names else spark.createDataFrame([], "STRUCT<>")
-    df = spark.read.parquet(*files)
     if schema is not None:
+        struct = _schema_struct(schema)
+        if not files:
+            return spark.createDataFrame([], struct)
+        if _files_have_field_ids(files):
+            # id-based resolution: renames and added columns both
+            # resolve; the conf only affects scans whose requested
+            # schema carries parquet.field.id metadata
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            return spark.read.schema(struct).parquet(*files)
+        df = spark.read.parquet(*files)
         expected = [f["name"] for f in schema["fields"]]
         missing = set(expected) - set(df.columns)
         if missing:
             raise NotImplementedError(
                 "current Iceberg schema names "
-                f"{sorted(missing)} absent from the data files — "
-                "renamed columns need the runtime's field-id mapping"
+                f"{sorted(missing)} absent from the data files, which "
+                "carry no parquet field ids — a name-matched read would "
+                "silently null a renamed column"
             )
-        df = df.select(*expected)
-    return df
+        return df.select(*expected)
+    if not files:
+        return spark.createDataFrame([], "STRUCT<>")
+    return spark.read.parquet(*files)
 
 
 def iceberg_snapshots(path: str) -> list[dict[str, Any]]:

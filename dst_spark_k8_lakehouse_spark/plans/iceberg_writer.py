@@ -11,26 +11,29 @@ producing the documented metadata chain —
 
 so a table created here is SELECT-able (including snapshot time
 travel) by ``iceberg_reader`` and laid out the way the spec describes
-for real runtimes. ``format_version=2`` tables additionally carry the
-v2 sequence-number machinery (``last-sequence-number``, per-snapshot
-``sequence-number``, manifest-list ``content``/``sequence_number``/
-``min_sequence_number`` + file/row counts, nullable-inherited
-manifest-entry sequence numbers) so merge-on-read row-level deletes
-(``iceberg_dml``) commit position/equality delete manifests the way
-the spec defines them. Spec-conformance posture, stated honestly:
+for real runtimes. Row-level UPDATE / DELETE are COPY-ON-WRITE
+snapshots committed by ``iceberg_dml`` (file-granular manifest
+rewrite — the v1 strategy real engines use when merge-on-read is off);
+v2 merge-on-read delete manifests are NOT written, and the reader
+raises loudly when it meets them. Spec-conformance posture, stated
+honestly — FORMAT VERSION 1 ONLY:
 
-- the metadata JSON carries the full required set per format version
-  (schema with field ids, partition-specs, sort-orders, snapshot-log,
-  last-column-id[, last-sequence-number]) — unpartitioned spec only;
+- the metadata JSON carries v1's required set (schema with field ids,
+  partition-specs, sort-orders, snapshot-log, last-column-id) —
+  unpartitioned spec only;
 - manifest / manifest-list Avro files carry the required field subset
-  (path/length/spec-id/added-snapshot-id[, content/sequence numbers/
-  counts]; status/snapshot-id/data_file{[content,]file_path,
-  file_format,partition,record_count,file_size_in_bytes
-  [,equality_ids]}) with Iceberg ``field-id`` properties in the Avro
-  schemas. A real runtime additionally expects column-level stats and
-  split offsets in manifests — OPTIONAL per spec, omitted here; and
-  it discovers tables through a catalog, so point it at the metadata
-  file directly.
+  (path/length/spec-id/added-snapshot-id; status/snapshot-id/
+  data_file{file_path,file_format,partition,record_count,
+  file_size_in_bytes}) with Iceberg ``field-id`` properties in the
+  Avro schemas. A real runtime additionally expects column-level
+  stats and split offsets in manifests — OPTIONAL per spec, omitted
+  here; and it discovers tables through a catalog, so point it at the
+  metadata file directly;
+- data parquet files embed each column's Iceberg field id
+  (``parquet.field.id``), which is what makes RENAME COLUMN
+  (``rename_column``: a metadata-only commit; ids never change)
+  readable afterwards — ``iceberg_reader`` falls back to field-id
+  matching when names moved.
 
 Concurrency is single-writer, the same put-if-absent hard-link commit
 ``delta_writer`` documents: the new ``v{N}.metadata.json`` is the
@@ -65,105 +68,48 @@ MANIFEST_LIST_SCHEMA = json.dumps(
     }
 )
 
-# v2 manifest list: content distinguishes data (0) from delete (1)
-# manifests; sequence numbers drive delete applicability and are
-# PRESERVED on carry-forward (spec: a re-listed manifest keeps its
-# original sequence_number). Field ids per the spec's appendix.
-MANIFEST_LIST_SCHEMA_V2 = json.dumps(
+# v1 manifest entry: status 0=EXISTING / 1=ADDED / 2=DELETED (readers
+# scan 0 and 1; 2 is the bookkeeping row a copy-on-write rewrite
+# leaves for incremental consumers). Field ids per the spec appendix.
+MANIFEST_SCHEMA = json.dumps(
     {
         "type": "record",
-        "name": "manifest_file",
+        "name": "manifest_entry",
         "fields": [
-            {"name": "manifest_path", "type": "string", "field-id": 500},
-            {"name": "manifest_length", "type": "long", "field-id": 501},
-            {"name": "partition_spec_id", "type": "int", "field-id": 502},
-            {"name": "content", "type": "int", "field-id": 517},
-            {"name": "sequence_number", "type": "long", "field-id": 515},
-            {"name": "min_sequence_number", "type": "long", "field-id": 516},
-            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
-            {"name": "added_files_count", "type": "int", "field-id": 504},
-            {"name": "existing_files_count", "type": "int", "field-id": 505},
-            {"name": "deleted_files_count", "type": "int", "field-id": 506},
-            {"name": "added_rows_count", "type": "long", "field-id": 512},
-            {"name": "existing_rows_count", "type": "long", "field-id": 513},
-            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string",
+                         "field-id": 100},
+                        {"name": "file_format", "type": "string",
+                         "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {"type": "record", "name": "r102",
+                                     "fields": []},
+                        },
+                        {"name": "record_count", "type": "long",
+                         "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long",
+                         "field-id": 104},
+                    ],
+                },
+            },
         ],
     }
 )
-
-
-def _manifest_schema(v2: bool) -> str:
-    """Manifest-entry Avro schema. v2 adds nullable entry sequence
-    numbers (null = inherited from the manifest list for ADDED
-    entries) and data_file.content / equality_ids for delete files."""
-    data_file_fields = [
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        {
-            "name": "partition",
-            "field-id": 102,
-            "type": {"type": "record", "name": "r102", "fields": []},
-        },
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-    ]
-    if v2:
-        data_file_fields.insert(
-            0, {"name": "content", "type": "int", "field-id": 134}
-        )
-        data_file_fields.append(
-            {
-                "name": "equality_ids",
-                "type": [
-                    "null",
-                    {
-                        "type": "array",
-                        "items": "int",
-                        "element-id": 136,
-                    },
-                ],
-                "default": None,
-                "field-id": 135,
-            }
-        )
-    fields = [
-        {"name": "status", "type": "int", "field-id": 0},
-        {
-            "name": "snapshot_id",
-            "type": ["null", "long"],
-            "default": None,
-            "field-id": 1,
-        },
-    ]
-    if v2:
-        fields += [
-            {
-                "name": "sequence_number",
-                "type": ["null", "long"],
-                "default": None,
-                "field-id": 3,
-            },
-            {
-                "name": "file_sequence_number",
-                "type": ["null", "long"],
-                "default": None,
-                "field-id": 4,
-            },
-        ]
-    fields.append(
-        {
-            "name": "data_file",
-            "field-id": 2,
-            "type": {"type": "record", "name": "r2", "fields": data_file_fields},
-        }
-    )
-    return json.dumps(
-        {"type": "record", "name": "manifest_entry", "fields": fields}
-    )
-
-
-MANIFEST_SCHEMA = _manifest_schema(v2=False)
-MANIFEST_SCHEMA_V2 = _manifest_schema(v2=True)
 
 
 def write_avro(spark: SparkSession, path: str, schema_json: str, rows) -> None:
@@ -253,14 +199,35 @@ def _iceberg_schema(schema: T.StructType) -> tuple[dict, int]:
     )
 
 
+def _with_field_ids(df: DataFrame, meta: dict) -> DataFrame:
+    """Stamp each column with its Iceberg field id so Spark embeds
+    ``parquet.field.id`` in the data files (write support is on by
+    default) — the property that keeps renamed-column tables readable
+    by field-id matching."""
+    fids = {f["name"]: int(f["id"]) for f in meta["schema"]["fields"]}
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": fids[c]})
+            if c in fids
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def _write_data_files(
-    df: DataFrame, table: str
+    df: DataFrame, table: str, meta: dict | None = None
 ) -> list[tuple[str, int, int]]:
     """Write df as parquet under ``data/``; return
     (abs_path, record_count, size_bytes) per file. Row counts come
-    from the parquet footers (no extra count job)."""
+    from the parquet footers (no extra count job). With ``meta`` the
+    columns carry their Iceberg field ids into the parquet footers."""
     import pyarrow.parquet as pq
 
+    if meta is not None:
+        df = _with_field_ids(df, meta)
     data = os.path.join(table, "data")
     os.makedirs(data, exist_ok=True)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
@@ -333,7 +300,7 @@ def _snapshot_commit(
     md = iceberg_reader._metadata_dir(table)
     os.makedirs(md, exist_ok=True)
     snap_id = int(time.time() * 1000) * 1000 + version  # unique, sortable
-    files = _write_data_files(df, table)
+    files = _write_data_files(df, table, meta)
     manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
     write_avro(
         spark,
@@ -365,17 +332,31 @@ def _snapshot_commit(
     )
     mlist = os.path.join(md, f"snap-{snap_id}.avro")
     write_avro(spark, mlist, MANIFEST_LIST_SCHEMA, entries)
+    _register_snapshot(
+        meta,
+        snap_id,
+        mlist,
+        {
+            "operation": operation,
+            "added-data-files": str(len(files)),
+            "added-records": str(sum(n for _, n, _ in files)),
+        },
+    )
+    _commit_metadata(table, meta, version)
+    return snap_id
+
+
+def _register_snapshot(
+    meta: dict, snap_id: int, mlist: str, summary: dict[str, str]
+) -> None:
+    """Append a snapshot + snapshot-log entry and make it current."""
     now = int(time.time() * 1000)
     meta.setdefault("snapshots", []).append(
         {
             "snapshot-id": snap_id,
             "timestamp-ms": now,
             "manifest-list": mlist,
-            "summary": {
-                "operation": operation,
-                "added-data-files": str(len(files)),
-                "added-records": str(sum(n for _, n, _ in files)),
-            },
+            "summary": summary,
         }
     )
     meta.setdefault("snapshot-log", []).append(
@@ -383,8 +364,6 @@ def _snapshot_commit(
     )
     meta["current-snapshot-id"] = snap_id
     meta["last-updated-ms"] = now
-    _commit_metadata(table, meta, version)
-    return snap_id
 
 
 def create_iceberg(df: DataFrame, table: str) -> int:
@@ -460,3 +439,68 @@ def overwrite_iceberg(df: DataFrame, table: str) -> int:
     return _snapshot_commit(
         df.sparkSession, df, table, meta, "overwrite", version=v + 1
     )
+
+
+def _bump_metadata_log(table: str, meta: dict) -> None:
+    meta["metadata-log"] = (meta.get("metadata-log") or []) + [
+        {
+            "timestamp-ms": meta.get("last-updated-ms"),
+            "metadata-file": iceberg_reader._current_metadata_file(table),
+        }
+    ]
+
+
+def _set_schema(meta: dict, fields: list[dict]) -> None:
+    schema = dict(meta["schema"])
+    schema["fields"] = fields
+    meta["schema"] = schema
+    meta["schemas"] = [schema]
+
+
+def rename_column(table: str, old: str, new: str) -> None:
+    """ALTER TABLE RENAME COLUMN (``02_iceberg_demo.ipynb:123``) —
+    metadata-only: the field keeps its id, only the name in the
+    current schema changes. Data files are matched back by their
+    embedded ``parquet.field.id`` (``iceberg_reader``), so no data is
+    rewritten and no snapshot is added."""
+    meta, v = _load_meta(table)
+    names = [f["name"] for f in meta["schema"]["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    fields = [
+        {**f, "name": new} if f["name"] == old else f
+        for f in meta["schema"]["fields"]
+    ]
+    _bump_metadata_log(table, meta)
+    _set_schema(meta, fields)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
+
+
+def add_column(table: str, name: str, dtype) -> None:
+    """ALTER TABLE ADD COLUMN (``02_iceberg_demo.ipynb:122``) —
+    metadata-only: the new optional field takes the next field id;
+    files written before it simply read it as null."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, str):
+        dtype = T._parse_datatype_string(dtype)
+    meta, v = _load_meta(table)
+    names = [f["name"] for f in meta["schema"]["fields"]]
+    if name in names:
+        raise ValueError(f"column {name!r} already exists")
+    ids = _FieldIds(int(meta["last-column-id"]))
+    fid = ids.next()
+    field = {
+        "id": fid,
+        "name": name,
+        "required": False,
+        "type": _iceberg_type(dtype, ids),
+    }
+    _bump_metadata_log(table, meta)
+    _set_schema(meta, meta["schema"]["fields"] + [field])
+    meta["last-column-id"] = ids.last
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)

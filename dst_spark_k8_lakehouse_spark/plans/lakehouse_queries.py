@@ -295,6 +295,56 @@ def d17_iceberg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d21_iceberg_dml",
+    oracle="""
+        SELECT c_custkey,
+               round(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                          THEN c_acctbal + 100 ELSE c_acctbal END, 2)
+                   AS bal,
+               c_mktsegment AS seg
+        FROM customer
+        WHERE c_mktsegment <> 'FURNITURE'
+    """,
+)
+def d21_iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level DML on a NATIVE Iceberg v1 table,
+    jar-free (``plans/iceberg_dml.py``): CTAS → UPDATE (file-granular
+    rewrite) → DELETE (full-file drops + partial rewrites) → RENAME
+    COLUMN (metadata-only; the read resolves by embedded parquet
+    field ids) → read back through the spec-replay reader. Every
+    surviving row is value-checked against the oracle computing the
+    same mutations relationally — the driver-channel counterpart of
+    ``d16`` for the reference's other table format
+    (``02_iceberg_demo.ipynb`` cells 88-96, 122-123)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_dml,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-iceberg-dml-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").alias("bal")
+    )
+    iceberg_writer.create_iceberg(cust.repartition(4), table)
+    iceberg_dml.update_iceberg(
+        spark, table, "c_mktsegment = 'AUTOMOBILE'", {"bal": "bal + 100"}
+    )
+    iceberg_dml.delete_iceberg(spark, table, "c_mktsegment = 'FURNITURE'")
+    iceberg_writer.rename_column(table, "c_mktsegment", "seg")
+    return iceberg_reader.read_iceberg(spark, table).select(
+        "c_custkey", F.round("bal", 2).alias("bal"), "seg"
+    )
+
+
+@query(
     "d19_delta_schema_merge",
     oracle="""
         SELECT c_custkey, round(c_acctbal, 2) AS bal,

@@ -64,8 +64,10 @@ PRIORITY: list[str] = [
     # (c) new this round
     "d19_delta_schema_merge",
     "d20_delta_partitioned",
+    "d21_iceberg_dml",
     "l6_passage_dedup",  # perf pass this round (same oracle)
-    "l5_multimodal",  # real decode path this round
+    "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked
+    "l5_multimodal",  # plumbing pass re-check
     # (d) backfill, oldest evidence first (VERDICT r5 item 3): ids
     # whose newest driver-green is r02/r03 and which the r05 ~50-cap
     # cut — first the r02-only block,

@@ -1,0 +1,90 @@
+"""The stdlib BMP/PPM decoders parse real bytes correctly — padding,
+row order, channel order, header comments — and the synth→decode
+image pass is exact end-to-end."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from dst_spark_k8_lakehouse_spark.llm import multimodal as mm
+
+
+def _gradient_bmp(w: int, h: int, top_down: bool = False) -> tuple[bytes, tuple]:
+    """Hand-built gradient BMP; returns (payload, (mean_r, mean_g,
+    mean_b)). Pixel (x, y) = (x*10, y*20, x+y), y indexed from the TOP
+    of the image regardless of storage order."""
+    rowsize = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = x * 10, y * 20, x + y
+            row += bytes((b, g, r))
+        row += b"\x00" * (rowsize - 3 * w)
+        rows.append(bytes(row))
+    data = b"".join(rows if top_down else reversed(rows))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data) , 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    n = w * h
+    means = (
+        sum(x * 10 for x in range(w)) * h / n,
+        sum(y * 20 for y in range(h)) * w / n,
+        sum(x + y for x in range(w) for y in range(h)) / n,
+    )
+    return header + info + data, means
+
+
+def test_bmp_gradient_padding_and_both_row_orders():
+    for w, h, td in [(3, 2, False), (3, 2, True), (5, 4, False), (4, 3, True)]:
+        payload, means = _gradient_bmp(w, h, top_down=td)
+        fmt, W, H, mr, mg, mb = mm.decode_image(payload)
+        assert (fmt, W, H) == ("bmp", w, h)
+        assert (mr, mg, mb) == pytest.approx(means)
+
+
+def test_bmp_solid_roundtrip():
+    p = mm.encode_bmp(7, 5, (200, 100, 50))  # w=7 → 1 pad byte per row
+    assert mm.decode_image(p) == ("bmp", 7, 5, 200.0, 100.0, 50.0)
+
+
+def test_ppm_roundtrip_and_comments():
+    p = mm.encode_ppm(6, 3, (9, 8, 7))
+    assert mm.decode_image(p) == ("ppm", 6, 3, 9.0, 8.0, 7.0)
+    # comments inside the header must be skipped
+    with_comment = b"P6\n# a comment\n6 3\n# more\n255\n" + bytes((9, 8, 7)) * 18
+    assert mm.decode_image(with_comment) == ("ppm", 6, 3, 9.0, 8.0, 7.0)
+
+
+def test_unknown_and_unsupported_variants_raise():
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(NotImplementedError):  # ASCII PPM not sniffed as P6
+        mm.decode_image(b"P3\n1 1\n255\n1 2 3\n")
+    # 8-bit BMP refused, never mis-read
+    p = bytearray(mm.encode_bmp(2, 2, (1, 2, 3)))
+    struct.pack_into("<H", p, 28, 8)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        mm.decode_image(bytes(p))
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_image(mm.encode_bmp(4, 4, (1, 2, 3))[:-8])
+
+
+def test_synth_decode_pass_is_exact(spark):
+    docs = spark.range(0, 40).selectExpr("id AS doc_id")
+    out = {
+        r.doc_id: r
+        for r in mm.decode_images(mm.attach_image_payloads(docs)).collect()
+    }
+    assert len(out) == 40
+    for d in range(40):
+        r = out[d]
+        assert r.fmt == ("bmp" if d % 2 == 0 else "ppm")
+        assert (r.width, r.height) == (8 + d % 16, 8 + (d // 16) % 16)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (
+            float(d % 256), float(d * 7 % 256), float(d * 13 % 256)
+        )
