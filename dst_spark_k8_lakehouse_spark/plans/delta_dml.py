@@ -45,18 +45,6 @@ from dst_spark_k8_lakehouse_spark.plans import delta_reader, delta_writer
 
 _FILE_COL = "__delta_dml_file"
 
-# Hive partition-dir escaping (the chars Spark/Hive %-encode in
-# partition directory names); must round-trip through urllib unquote
-_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]}\x7f') | {chr(c) for c in range(0x20)}
-
-
-def _hive_seg(col: str, val: str | None) -> str:
-    if val is None:
-        return f"{col}=__HIVE_DEFAULT_PARTITION__"
-    enc = "".join(
-        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in val
-    )
-    return f"{col}={enc}"
 
 
 def _schema(state: dict) -> T.StructType:
@@ -187,7 +175,7 @@ def _rewrite_and_commit(
             _FILE_COL
         )
         adds = delta_writer._write_data_files(out, table)
-        prefix = "/".join(_hive_seg(c, pv.get(c)) for c in part_cols)
+        prefix = "/".join(delta_writer._hive_seg_w(c, pv.get(c)) for c in part_cols)
         for a in adds:
             a["add"]["partitionValues"] = pv
             if prefix:

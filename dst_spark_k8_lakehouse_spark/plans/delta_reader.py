@@ -129,6 +129,12 @@ def _apply_action(state: dict[str, Any], action: dict[str, Any]) -> None:
         state["files"][a["path"]] = a
     elif "remove" in action:
         state["files"].pop(action["remove"]["path"], None)
+    elif "txn" in action:
+        # SetTransaction (spec): highest committed version per appId —
+        # the idempotence handle streaming sinks replay against
+        t = action["txn"]
+        cur = state["txns"].get(t["appId"], -1)
+        state["txns"][t["appId"]] = max(cur, int(t["version"]))
     elif "protocol" in action:
         p = action["protocol"]
         feats = set(p.get("readerFeatures") or [])
@@ -141,7 +147,9 @@ def _apply_action(state: dict[str, Any], action: dict[str, Any]) -> None:
 
 
 def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
-    state: dict[str, Any] = {"files": {}, "metaData": None, "protocol": None}
+    state: dict[str, Any] = {
+        "files": {}, "metaData": None, "protocol": None, "txns": {},
+    }
     commits = _commit_files(path)
     if not commits and _checkpoint(path) is None:
         raise ValueError(f"no Delta log at {path}")
@@ -151,7 +159,7 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
         cp_v, cp_files = cp
         for row in spark.read.parquet(*cp_files).collect():
             d = row.asDict(recursive=True)
-            for key in ("metaData", "add", "remove", "protocol"):
+            for key in ("metaData", "add", "remove", "protocol", "txn"):
                 if d.get(key) is not None:
                     _apply_action(state, {key: d[key]})
         start = cp_v + 1
@@ -287,17 +295,50 @@ def _hive_consistent(
     return True
 
 
+def version_at_timestamp(path: str, ts_millis: int) -> int:
+    """``timestampAsOf`` resolution per the Delta contract: the latest
+    version whose commit timestamp is <= the requested time (raises if
+    the table's first commit is later)."""
+    best = None
+    for v, f in _commit_files(path):
+        info_ts = None
+        with open(f) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    d = json.loads(line)
+                    if "commitInfo" in d:
+                        info_ts = d["commitInfo"].get("timestamp")
+        if info_ts is None:
+            info_ts = int(os.path.getmtime(f) * 1000)  # spec fallback
+        if info_ts <= ts_millis:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit at or before timestamp {ts_millis} in {path}"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
+    timestamp: int | datetime.datetime | None = None,
     partition_filter: PartitionFilter | None = None,
 ) -> DataFrame:
     """SELECT from a Delta table directory (optionally ``versionAsOf``
-    = ``version``) without the Delta runtime. Partition columns come
+    = ``version`` or ``timestampAsOf`` = ``timestamp``, epoch millis
+    or datetime) without the Delta runtime. Partition columns come
     from the log's ``partitionValues``; ``partition_filter`` prunes
     the file list driver-side before the scan exists. An empty active
     set returns an empty frame with the table schema."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        if isinstance(timestamp, datetime.datetime):
+            timestamp = int(timestamp.timestamp() * 1000)
+        version = version_at_timestamp(path, int(timestamp))
     state = _replay(spark, path, version)
     meta = state["metaData"]
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))

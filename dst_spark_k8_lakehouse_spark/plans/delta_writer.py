@@ -323,17 +323,30 @@ def _reconcile_schema(
 
 
 def append_delta(
-    df: DataFrame, table: str, merge_schema: bool = False
+    df: DataFrame,
+    table: str,
+    merge_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """APPEND: adds only (plus a widened ``metaData`` when
     ``merge_schema`` evolved the schema). A lost commit race is
     retried at the winner's next version after re-validating the
-    reconciliation against the fresh state. Returns the committed
-    version."""
+    reconciliation against the fresh state.
+
+    ``txn=(app_id, version)`` makes the append IDEMPOTENT via the
+    spec's ``SetTransaction`` action: if the log already records this
+    app at >= this version the append is a no-op — the contract a
+    streaming ``foreachBatch`` sink replays against so a retried
+    micro-batch lands exactly once (re-checked inside the retry loop,
+    so a racing duplicate writer cannot double-commit either).
+
+    Returns the committed version (-1 for an idempotent skip)."""
     adds: list[dict[str, Any]] | None = None
     written_cols: list[str] | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
         state = delta_reader._replay(df.sparkSession, table, None)
+        if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
+            return -1  # this batch already committed
         aligned, meta_action, part_cols, phys = _reconcile_schema(
             df, state["metaData"], merge_schema
         )
@@ -359,6 +372,16 @@ def append_delta(
                 f"{written_cols}; re-run the append"
             )
         actions = ([meta_action] if meta_action else []) + adds
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": int(txn[1]),
+                        "lastUpdated": int(time.time() * 1000),
+                    }
+                }
+            )
         actions.append(_commit_info("WRITE"))
         version = _next_version(table)
         try:
@@ -531,6 +554,15 @@ _CHECKPOINT_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        T.StructField(
+            "txn",
+            T.StructType(
+                [
+                    T.StructField("appId", T.StringType()),
+                    T.StructField("version", T.LongType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -559,6 +591,7 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
             None,
             None,
             None,
+            None,
         ),
         (
             None,
@@ -577,8 +610,13 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
             ),
             None,
             None,
+            None,
         ),
     ]
+    # txn watermarks survive checkpointing (the idempotent streaming
+    # sink replays them; losing one would double-apply a micro-batch)
+    for app_id, tv in sorted(state.get("txns", {}).items()):
+        rows.append((None, None, None, None, (app_id, int(tv))))
     for path, a in sorted(state["files"].items()):
         rows.append(
             (
@@ -591,6 +629,7 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
                     int(a.get("modificationTime") or 0),
                     False,  # spec: checkpoint adds carry dataChange=false
                 ),
+                None,
                 None,
             )
         )
@@ -609,6 +648,161 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
         json.dump({"version": version, "size": len(rows)}, fh)
     os.replace(tmp, os.path.join(log, "_last_checkpoint"))
     return version
+
+
+def compact_delta(
+    spark: SparkSession,
+    table: str,
+    target_files: int | None = None,
+    min_files: int = 2,
+) -> int:
+    """OPTIMIZE (bin-packing compaction) on a native log: rewrite each
+    partition's small files into ``target_files`` (default: sized from
+    total bytes at ~128 MiB per file), committing ``remove`` + ``add``
+    with ``dataChange: false`` per the spec — a pure reorganization
+    streams and time travel see through. The natural companion of the
+    per-micro-batch streaming sink (many small appends). Partitions
+    with fewer than ``min_files`` files are left alone. Returns the
+    committed version, or -1 if nothing needed compacting."""
+    state = delta_reader._replay(spark, table, None)
+    meta = state["metaData"]
+    mode, phys = delta_reader._mapping(meta)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = delta_reader._partition_cols(meta, schema, phys)
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for rel, a in state["files"].items():
+        pv = delta_reader._pv(a, part_cols, phys)
+        groups.setdefault(
+            tuple(pv[c] for c in part_cols), []
+        ).append((rel, a))
+    now = int(time.time() * 1000)
+    removes: list[dict[str, Any]] = []
+    adds: list[dict[str, Any]] = []
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    read_fields = [
+        T.StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+        for f in data_fields
+    ]
+    for key, files in groups.items():
+        if len(files) < min_files:
+            continue
+        total = sum(int(a["size"]) for _, a in files)
+        n_out = target_files or max(1, total // (128 << 20))
+        if n_out >= len(files):
+            continue
+        paths = [
+            rel if os.path.isabs(rel) else os.path.join(table, rel)
+            for rel, _ in files
+        ]
+        df = spark.read.schema(T.StructType(read_fields)).parquet(
+            *paths
+        ).coalesce(n_out)
+        new = _write_data_files(df, table)
+        pv = {
+            phys.get(c, c): v for c, v in zip(part_cols, key)
+        }
+        prefix = "/".join(
+            _hive_seg_w(phys.get(c, c), v) for c, v in zip(part_cols, key)
+        )
+        for a in new:
+            a["add"]["partitionValues"] = pv
+            a["add"]["dataChange"] = False
+            if prefix:
+                rel = f"{prefix}/{a['add']['path']}"
+                dst = os.path.join(table, *rel.split("/"))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(table, a["add"]["path"]), dst)
+                a["add"]["path"] = rel
+        adds += new
+        removes += [
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                }
+            }
+            for rel, _ in files
+        ]
+    if not removes:
+        return -1
+    for _ in range(_MAX_COMMIT_RETRIES):
+        version = _next_version(table)
+        try:
+            _commit(
+                table,
+                version,
+                removes + adds + [_commit_info("OPTIMIZE")],
+            )
+            return version
+        except FileExistsError:
+            fresh = delta_reader._replay(spark, table, None)
+            if fresh["files"] != state["files"]:
+                raise ValueError(
+                    f"concurrent modification of {table} during "
+                    "OPTIMIZE; re-run"
+                ) from None
+    raise RuntimeError(f"OPTIMIZE on {table} lost too many commit races")
+
+
+# Hive partition-dir escaping shared with the DML rewrite placement
+_HIVE_ESCAPE_W = set('"#%\'*/:=?\\{[]}\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _hive_seg_w(col: str, val: str | None) -> str:
+    if val is None:
+        return f"{col}={delta_reader._HIVE_NULL}"
+    enc = "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE_W else ch for ch in val
+    )
+    return f"{col}={enc}"
+
+
+def vacuum_delta(
+    spark: SparkSession,
+    table: str,
+    retain_versions: int = 1,
+    dry_run: bool = False,
+) -> list[str]:
+    """VACUUM on a native log: delete data files referenced by NONE of
+    the ``retain_versions`` most recent versions (tombstoned files
+    past retention, plus garbage left by abandoned commit attempts).
+    Older versions stop being time-travellable — the same trade-off
+    real Delta's ``VACUUM ... RETAIN`` makes (its retention unit is
+    hours; version-count retention is the deterministic analogue for
+    a single-writer log). ``dry_run`` lists without deleting. Returns
+    the (to-be-)deleted paths relative to the table root."""
+    if retain_versions < 1:
+        raise ValueError(
+            f"retain_versions must be >= 1, got {retain_versions}"
+        )
+    commits = delta_reader._commit_files(table)
+    if not commits:
+        raise ValueError(f"no Delta log at {table}")
+    referenced: set[str] = set()
+    for v, _ in commits[-retain_versions:]:
+        try:
+            state = delta_reader._replay(spark, table, v)
+        except ValueError:
+            continue  # version predates a cleaned-up log prefix
+        referenced |= set(state["files"])
+    removed = []
+    for root, dirs, fs in os.walk(table):
+        dirs[:] = [
+            d for d in dirs
+            if d != "_delta_log" and not d.startswith("_staging")
+        ]
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), table).replace(
+                os.sep, "/"
+            )
+            if rel not in referenced:
+                removed.append(rel)
+                if not dry_run:
+                    os.unlink(os.path.join(root, f))
+    return sorted(removed)
 
 
 def overwrite_delta(df: DataFrame, table: str) -> int:

@@ -40,10 +40,13 @@ _FILE_COL = "__iceberg_dml_file"
 
 
 def _live_entries(
-    spark: SparkSession, snapshot: dict[str, Any]
+    spark: SparkSession,
+    snapshot: dict[str, Any],
+    spec_fields: list[dict] | None = None,
 ) -> list[dict[str, Any]]:
     """Live data-file entries of a snapshot with the fields a carried
-    manifest entry needs: path, record_count, file_size_in_bytes."""
+    manifest entry needs: path, record_count, file_size_in_bytes and
+    (partitioned tables) the typed partition record."""
     out = []
     for mf in iceberg_reader._avro_records(
         spark, snapshot["manifest-list"]
@@ -67,20 +70,24 @@ def _live_entries(
                     "file_size_in_bytes": int(
                         str(d.get("file_size_in_bytes"))
                     ),
+                    "partition": iceberg_reader._partition_values(
+                        d, spec_fields or []
+                    ),
                 }
             )
     return out
 
 
 def _classify(
-    spark: SparkSession, paths: list[str], condition: str
+    spark: SparkSession, paths: list[str], condition: str, schema: dict
 ) -> dict[str, tuple[int, int]]:
-    """{abs_path: (matching_rows, total_rows)} — one aggregated scan,
-    never a per-file job."""
+    """{abs_path: (matching_rows, total_rows)} — one aggregated scan
+    under the CURRENT schema (field-id resolved, so predicates see
+    post-rename logical names), never a per-file job."""
     from urllib.parse import unquote
 
     rows = (
-        spark.read.parquet(*paths)
+        iceberg_reader.read_data_files(spark, paths, schema)
         .withColumn(_FILE_COL, F.col("_metadata.file_path"))
         .groupBy(_FILE_COL)
         .agg(
@@ -103,14 +110,14 @@ def _classify(
 
 
 def _entry(status: int, snap_id: int | None, path: str,
-           n: int, size: int) -> dict[str, Any]:
+           n: int, size: int, pv: dict | None = None) -> dict[str, Any]:
     return {
         "status": status,
         "snapshot_id": snap_id,
         "data_file": {
             "file_path": path,
             "file_format": "PARQUET",
-            "partition": {},
+            "partition": pv or {},
             "record_count": int(n),
             "file_size_in_bytes": int(size),
         },
@@ -135,15 +142,17 @@ def _cow_commit(
     import time
 
     meta, v = iceberg_writer._load_meta(table)
+    spec_fields = iceberg_writer._spec_fields(meta)
     cur = meta.get("current-snapshot-id")
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
-    entries_now = _live_entries(spark, snaps[int(cur)]) if cur and int(
-        cur
-    ) != -1 else []
+    entries_now = _live_entries(
+        spark, snaps[int(cur)], spec_fields
+    ) if cur and int(cur) != -1 else []
     if not entries_now:
         return int(cur)
     counts = _classify(
-        spark, [e["file_path"] for e in entries_now], condition
+        spark, [e["file_path"] for e in entries_now], condition,
+        meta["schema"],
     )
     touched = [
         e for e in entries_now if counts.get(e["file_path"], (0, 0))[0] > 0
@@ -163,26 +172,47 @@ def _cow_commit(
     snap_id = int(time.time() * 1000) * 1000 + v + 1
     new_entries = [
         _entry(0, None, e["file_path"], e["record_count"],
-               e["file_size_in_bytes"])
+               e["file_size_in_bytes"], e["partition"])
         for e in untouched
     ] + [
         _entry(2, snap_id, e["file_path"], e["record_count"],
-               e["file_size_in_bytes"])
+               e["file_size_in_bytes"], e["partition"])
         for e in touched
     ]
     added = 0
     if rewrite_paths:
-        out = rewrite(spark.read.parquet(*rewrite_paths))
-        files = iceberg_writer._write_data_files(out, table, meta)
-        new_entries += [
-            _entry(1, snap_id, p, n, sz) for p, n, sz in files
-        ]
-        added = len(files)
+        out = rewrite(
+            iceberg_reader.read_data_files(
+                spark, rewrite_paths, meta["schema"]
+            )
+        )
+        if spec_fields:
+            # identity values live in the rows, so the partitioned
+            # writer re-derives each rewritten file's partition record
+            files4 = iceberg_writer._write_partitioned_data_files(
+                out, table, meta
+            )
+            new_entries += [
+                _entry(1, snap_id, p, n, sz, pv)
+                for p, n, sz, pv in files4
+            ]
+            added = len(files4)
+        else:
+            files = iceberg_writer._write_data_files(out, table, meta)
+            new_entries += [
+                _entry(1, snap_id, p, n, sz) for p, n, sz in files
+            ]
+            added = len(files)
     md = iceberg_reader._metadata_dir(table)
     manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
-    iceberg_writer.write_avro(
-        spark, manifest, iceberg_writer.MANIFEST_SCHEMA, new_entries
+    mschema = (
+        iceberg_writer.manifest_schema(
+            iceberg_writer._partition_avro_fields(meta)
+        )
+        if spec_fields
+        else iceberg_writer.MANIFEST_SCHEMA
     )
+    iceberg_writer.write_avro(spark, manifest, mschema, new_entries)
     mlist = os.path.join(md, f"snap-{snap_id}.avro")
     iceberg_writer.write_avro(
         spark,

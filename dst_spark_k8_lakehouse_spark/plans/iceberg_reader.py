@@ -99,9 +99,54 @@ def _get(rec, name: str):
     return rec.get(name) if rec.getSchema().getField(name) else None
 
 
+def _pyval(x: Any) -> Any:
+    """Avro GenericRecord field value → plain Python (Utf8 → str)."""
+    if x is None or isinstance(x, (int, bool, float, str)):
+        return x
+    return str(x)
+
+
+def _partition_values(
+    data_file, spec_fields: list[dict]
+) -> dict[str, Any]:
+    pr = _get(data_file, "partition")
+    out: dict[str, Any] = {}
+    for sf in spec_fields:
+        name = sf["name"]
+        if pr is not None and pr.getSchema().getField(name):
+            out[name] = _pyval(pr.get(name))
+        else:
+            out[name] = None
+    return out
+
+
+def _pv_pass(pv: dict[str, Any], flt) -> bool:
+    if callable(flt):
+        return bool(flt(dict(pv)))
+    for col, want in flt.items():
+        if col not in pv:
+            raise ValueError(
+                f"partition_filter column {col!r} is not a partition "
+                f"field ({sorted(pv)})"
+            )
+        wants = want if isinstance(want, (list, tuple, set)) else [want]
+        if pv[col] not in set(wants):
+            return False
+    return True
+
+
 def _live_data_files(
-    spark: SparkSession, table_path: str, snapshot: dict[str, Any]
+    spark: SparkSession,
+    table_path: str,
+    snapshot: dict[str, Any],
+    spec_fields: list[dict] | None = None,
+    partition_filter=None,
 ) -> list[str]:
+    """Live data-file paths; with ``partition_filter`` (dict equality
+    over typed identity values, or a predicate) files are pruned
+    DRIVER-SIDE from the manifests' partition records — the same
+    place Iceberg's own planner prunes, so a one-partition read never
+    lists the other partitions' files."""
     files: list[str] = []
     for mf in _avro_records(spark, snapshot["manifest-list"]):
         content = _get(mf, "content")
@@ -122,6 +167,11 @@ def _live_data_files(
                 raise NotImplementedError(
                     f"Iceberg data file format {fmt}; parquet only"
                 )
+            if partition_filter is not None and not _pv_pass(
+                _partition_values(data_file, spec_fields or []),
+                partition_filter,
+            ):
+                continue
             files.append(_strip_uri(str(data_file.get("file_path"))))
     return files
 
@@ -181,20 +231,36 @@ def _files_have_field_ids(files: list[str], sample: int = 16) -> bool:
     return True
 
 
+def _default_spec_fields(meta: dict) -> list[dict]:
+    for spec in meta.get("partition-specs") or []:
+        if spec.get("spec-id") == meta.get("default-spec-id", 0):
+            return spec.get("fields") or []
+    return meta.get("partition-spec") or []
+
+
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    partition_filter=None,
 ) -> DataFrame:
     """SELECT from an Iceberg table directory, optionally time-
-    travelling to ``snapshot_id``. Columns resolve by embedded
-    parquet field id when the files carry them (rename-tolerant);
-    id-less files resolve by name with a cross-check that raises on a
-    renamed column rather than returning nulls."""
+    travelling to ``snapshot_id`` and/or pruning the file list with
+    ``partition_filter`` (dict of typed identity values, or a
+    predicate over them) against the manifests' partition records.
+    Columns resolve by embedded parquet field id when the files carry
+    them (rename-tolerant); id-less files resolve by name with a
+    cross-check that raises on a renamed column rather than returning
+    nulls."""
     with open(_current_metadata_file(path)) as fh:
         meta = json.load(fh)
     if int(meta.get("format-version", 1)) > 2:
         raise NotImplementedError(
             f"Iceberg format-version {meta['format-version']} > 2"
         )
+    spec_fields = _default_spec_fields(meta)
+    if partition_filter is not None and not spec_fields:
+        raise ValueError("partition_filter on an unpartitioned table")
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
     if snapshot_id is None:
         snapshot_id = int(meta["current-snapshot-id"])
@@ -203,7 +269,9 @@ def read_iceberg(
             f"snapshot {snapshot_id} not in table (has "
             f"{sorted(snaps)[:5]}…)"
         )
-    files = _live_data_files(spark, path, snaps[snapshot_id])
+    files = _live_data_files(
+        spark, path, snaps[snapshot_id], spec_fields, partition_filter
+    )
     schema = None
     for s in meta.get("schemas", []):
         if s.get("schema-id") == meta.get("current-schema-id"):
@@ -211,29 +279,39 @@ def read_iceberg(
     if schema is None:
         schema = meta.get("schema")  # v1 single-schema layout
     if schema is not None:
-        struct = _schema_struct(schema)
-        if not files:
-            return spark.createDataFrame([], struct)
-        if _files_have_field_ids(files):
-            # id-based resolution: renames and added columns both
-            # resolve; the conf only affects scans whose requested
-            # schema carries parquet.field.id metadata
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-            return spark.read.schema(struct).parquet(*files)
-        df = spark.read.parquet(*files)
-        expected = [f["name"] for f in schema["fields"]]
-        missing = set(expected) - set(df.columns)
-        if missing:
-            raise NotImplementedError(
-                "current Iceberg schema names "
-                f"{sorted(missing)} absent from the data files, which "
-                "carry no parquet field ids — a name-matched read would "
-                "silently null a renamed column"
-            )
-        return df.select(*expected)
+        return read_data_files(spark, files, schema)
     if not files:
         return spark.createDataFrame([], "STRUCT<>")
     return spark.read.parquet(*files)
+
+
+def read_data_files(
+    spark: SparkSession, files: list[str], schema: dict
+) -> DataFrame:
+    """Scan a list of Iceberg data files under the CURRENT schema:
+    by embedded parquet field id when the files carry ids (renames
+    and added columns resolve), by name with a loud cross-check
+    otherwise. Shared by ``read_iceberg`` and the DML scans so a
+    post-rename predicate sees the logical column names."""
+    struct = _schema_struct(schema)
+    if not files:
+        return spark.createDataFrame([], struct)
+    if _files_have_field_ids(files):
+        # the conf only affects scans whose requested schema carries
+        # parquet.field.id metadata
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        return spark.read.schema(struct).parquet(*files)
+    df = spark.read.parquet(*files)
+    expected = [f["name"] for f in schema["fields"]]
+    missing = set(expected) - set(df.columns)
+    if missing:
+        raise NotImplementedError(
+            "current Iceberg schema names "
+            f"{sorted(missing)} absent from the data files, which "
+            "carry no parquet field ids — a name-matched read would "
+            "silently null a renamed column"
+        )
+    return df.select(*expected)
 
 
 def iceberg_snapshots(path: str) -> list[dict[str, Any]]:

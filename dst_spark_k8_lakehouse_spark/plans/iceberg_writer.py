@@ -68,48 +68,115 @@ MANIFEST_LIST_SCHEMA = json.dumps(
     }
 )
 
-# v1 manifest entry: status 0=EXISTING / 1=ADDED / 2=DELETED (readers
-# scan 0 and 1; 2 is the bookkeeping row a copy-on-write rewrite
-# leaves for incremental consumers). Field ids per the spec appendix.
-MANIFEST_SCHEMA = json.dumps(
-    {
-        "type": "record",
-        "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int", "field-id": 0},
-            {
-                "name": "snapshot_id",
-                "type": ["null", "long"],
-                "default": None,
-                "field-id": 1,
-            },
-            {
-                "name": "data_file",
-                "field-id": 2,
-                "type": {
-                    "type": "record",
-                    "name": "r2",
-                    "fields": [
-                        {"name": "file_path", "type": "string",
-                         "field-id": 100},
-                        {"name": "file_format", "type": "string",
-                         "field-id": 101},
-                        {
-                            "name": "partition",
-                            "field-id": 102,
-                            "type": {"type": "record", "name": "r102",
-                                     "fields": []},
-                        },
-                        {"name": "record_count", "type": "long",
-                         "field-id": 103},
-                        {"name": "file_size_in_bytes", "type": "long",
-                         "field-id": 104},
-                    ],
+def manifest_schema(partition_fields: list[dict] | None = None) -> str:
+    """v1 manifest-entry Avro schema: status 0=EXISTING / 1=ADDED /
+    2=DELETED (readers scan 0 and 1; 2 is the bookkeeping row a
+    copy-on-write rewrite leaves for incremental consumers). The
+    ``partition`` record carries one nullable field per partition-spec
+    field (identity values for pruning). Field ids per the spec
+    appendix."""
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {
+                    "name": "snapshot_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                    "field-id": 1,
                 },
-            },
-        ],
-    }
-)
+                {
+                    "name": "data_file",
+                    "field-id": 2,
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "file_path", "type": "string",
+                             "field-id": 100},
+                            {"name": "file_format", "type": "string",
+                             "field-id": 101},
+                            {
+                                "name": "partition",
+                                "field-id": 102,
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": list(partition_fields or []),
+                                },
+                            },
+                            {"name": "record_count", "type": "long",
+                             "field-id": 103},
+                            {"name": "file_size_in_bytes", "type": "long",
+                             "field-id": 104},
+                        ],
+                    },
+                },
+            ],
+        }
+    )
+
+
+MANIFEST_SCHEMA = manifest_schema()
+
+# identity-partition value types this writer can carry in manifest
+# partition records (avro type per iceberg type); others raise
+_PARTITION_AVRO = {
+    "long": "long", "int": "int", "string": "string", "boolean": "boolean",
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
+def _spec_fields(meta: dict) -> list[dict]:
+    for spec in meta.get("partition-specs") or []:
+        if spec.get("spec-id") == meta.get("default-spec-id", 0):
+            return spec.get("fields") or []
+    return meta.get("partition-spec") or []
+
+
+def _partition_avro_fields(meta: dict) -> list[dict]:
+    by_id = {f["id"]: f for f in meta["schema"]["fields"]}
+    out = []
+    for sf in _spec_fields(meta):
+        if sf.get("transform") != "identity":
+            raise NotImplementedError(
+                f"partition transform {sf.get('transform')!r}: this "
+                "writer supports identity partitioning only"
+            )
+        src = by_id[sf["source-id"]]
+        t = src["type"]
+        if not isinstance(t, str) or t not in _PARTITION_AVRO:
+            raise NotImplementedError(
+                f"identity partition on type {t}: supported source "
+                f"types are {sorted(_PARTITION_AVRO)}"
+            )
+        out.append(
+            {
+                "name": sf["name"],
+                "type": ["null", _PARTITION_AVRO[t]],
+                "default": None,
+                "field-id": sf["field-id"],
+            }
+        )
+    return out
+
+
+def _typed_partition_value(raw: str | None, iceberg_type: str):
+    if raw is None:
+        return None
+    if iceberg_type in ("long", "int"):
+        return int(raw)
+    if iceberg_type == "boolean":
+        return raw == "true"
+    if iceberg_type == "date":
+        import datetime
+
+        return (
+            datetime.date.fromisoformat(raw) - datetime.date(1970, 1, 1)
+        ).days
+    return raw
 
 
 def write_avro(spark: SparkSession, path: str, schema_json: str, rows) -> None:
@@ -248,6 +315,64 @@ def _write_data_files(
     return out
 
 
+def _write_partitioned_data_files(
+    df: DataFrame, table: str, meta: dict
+) -> list[tuple[str, int, int, dict]]:
+    """Identity-partitioned write: rows are grouped into files by the
+    partition source columns (via ``partitionBy`` on COPY columns, so
+    the data files keep every column — Iceberg identity partition
+    values live IN the files, unlike Hive/Delta), and each returned
+    tuple carries the file's typed partition values for its manifest
+    entry."""
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote
+
+    by_id = {f["id"]: f for f in meta["schema"]["fields"]}
+    spec = _spec_fields(meta)
+    src_names = [by_id[sf["source-id"]]["name"] for sf in spec]
+    src_types = [by_id[sf["source-id"]]["type"] for sf in spec]
+    copies = [f"__p_{sf['name']}" for sf in spec]
+    out_df = _with_field_ids(df, meta)
+    for c, s in zip(copies, src_names):
+        from pyspark.sql import functions as F
+
+        out_df = out_df.withColumn(c, F.col(s))
+    data = os.path.join(table, "data")
+    os.makedirs(data, exist_ok=True)
+    staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
+    out_df.write.partitionBy(*copies).parquet(staging)
+    out = []
+    for root, _dirs, fs in sorted(os.walk(staging)):
+        rel = os.path.relpath(root, staging)
+        for f in sorted(fs):
+            if not f.endswith(".parquet"):
+                continue
+            raw: dict[str, str | None] = {}
+            for seg in rel.split(os.sep):
+                k, eq, v = seg.partition("=")
+                if eq:
+                    raw[unquote(k)] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(v)
+                    )
+            pv = {
+                sf["name"]: _typed_partition_value(
+                    raw.get(f"__p_{sf['name']}"), t
+                )
+                for sf, t in zip(spec, src_types)
+            }
+            dst = os.path.join(data, f"{uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(root, f), dst)
+            out.append(
+                (dst, pq.ParquetFile(dst).metadata.num_rows,
+                 os.path.getsize(dst), pv)
+            )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
 def _prev_manifests(spark: SparkSession, meta: dict) -> list[dict]:
     """Manifest-list entries of the current snapshot (carried forward
     by an append)."""
@@ -300,13 +425,27 @@ def _snapshot_commit(
     md = iceberg_reader._metadata_dir(table)
     os.makedirs(md, exist_ok=True)
     snap_id = int(time.time() * 1000) * 1000 + version  # unique, sortable
-    files = _write_data_files(df, table, meta)
-    manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
-    write_avro(
-        spark,
-        manifest,
-        MANIFEST_SCHEMA,
-        [
+    if _spec_fields(meta):
+        files4 = _write_partitioned_data_files(df, table, meta)
+        files = [(p, n, sz) for p, n, sz, _pv in files4]
+        entries_new = [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": pv,
+                    "record_count": int(n),
+                    "file_size_in_bytes": int(sz),
+                },
+            }
+            for p, n, sz, pv in files4
+        ]
+        mschema = manifest_schema(_partition_avro_fields(meta))
+    else:
+        files = _write_data_files(df, table, meta)
+        entries_new = [
             {
                 "status": 1,  # ADDED
                 "snapshot_id": snap_id,
@@ -319,8 +458,10 @@ def _snapshot_commit(
                 },
             }
             for p, n, sz in files
-        ],
-    )
+        ]
+        mschema = MANIFEST_SCHEMA
+    manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
+    write_avro(spark, manifest, mschema, entries_new)
     entries = [] if operation == "overwrite" else _prev_manifests(spark, meta)
     entries.append(
         {
@@ -366,12 +507,32 @@ def _register_snapshot(
     meta["last-updated-ms"] = now
 
 
-def create_iceberg(df: DataFrame, table: str) -> int:
-    """CREATE TABLE AS SELECT: v1 metadata + first snapshot. Returns
-    the snapshot id."""
+def create_iceberg(
+    df: DataFrame, table: str, partition_by: list[str] | None = None
+) -> int:
+    """CREATE TABLE AS SELECT: v1 metadata + first snapshot,
+    optionally identity-partitioned by ``partition_by``
+    (``02_iceberg_demo.ipynb:45-54`` creates partitioned tables; the
+    richer transforms — days/bucket/truncate — exist on the catalog
+    surface in ``plans/ddl.py``). Returns the snapshot id."""
     if iceberg_reader.is_iceberg_table(table):
         raise ValueError(f"Iceberg table already exists at {table}")
     schema, last_col = _iceberg_schema(df.schema)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    missing = [c for c in partition_by or [] if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"partition column(s) {missing} not in {sorted(by_name)}"
+        )
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": by_name[c]["id"],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_by or [])
+    ]
     meta: dict[str, Any] = {
         "format-version": 1,
         "table-uuid": str(uuid.uuid4()),
@@ -381,10 +542,10 @@ def create_iceberg(df: DataFrame, table: str) -> int:
         "schema": schema,  # v1 single-schema field
         "schemas": [schema],
         "current-schema-id": 0,
-        "partition-spec": [],  # v1: unpartitioned
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
-        "last-partition-id": 999,
+        "last-partition-id": 999 + len(spec_fields),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {},
@@ -393,6 +554,8 @@ def create_iceberg(df: DataFrame, table: str) -> int:
         "snapshot-log": [],
         "metadata-log": [],
     }
+    if spec_fields:
+        _partition_avro_fields(meta)  # validate types before any write
     return _snapshot_commit(
         df.sparkSession, df, table, meta, "append", version=1
     )
@@ -439,6 +602,69 @@ def overwrite_iceberg(df: DataFrame, table: str) -> int:
     return _snapshot_commit(
         df.sparkSession, df, table, meta, "overwrite", version=v + 1
     )
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    table: str,
+    retain_last: int = 1,
+    dry_run: bool = False,
+) -> list[str]:
+    """EXPIRE SNAPSHOTS on a native table: keep the ``retain_last``
+    most recent snapshots, drop the rest from the metadata (one new
+    metadata version), and delete every data file / manifest /
+    manifest list referenced ONLY by expired snapshots — the GC half
+    of the snapshot story (real Iceberg's ``expireSnapshots`` +
+    ``deleteOrphanFiles``). Returns the (to-be-)deleted absolute
+    paths; ``dry_run`` lists and leaves metadata untouched."""
+    if retain_last < 1:
+        raise ValueError(f"retain_last must be >= 1, got {retain_last}")
+    meta, v = _load_meta(table)
+    snaps = meta.get("snapshots") or []
+    keep, drop = snaps[-retain_last:], snaps[:-retain_last]
+    if not drop:
+        return []
+
+    def _refs(snapshot: dict) -> tuple[set[str], set[str]]:
+        manifests: set[str] = set()
+        data: set[str] = set()
+        for mf in iceberg_reader._avro_records(
+            spark, snapshot["manifest-list"]
+        ):
+            m = iceberg_reader._strip_uri(str(mf.get("manifest_path")))
+            manifests.add(m)
+            for e in iceberg_reader._avro_records(spark, m):
+                d = e.get("data_file")
+                data.add(iceberg_reader._strip_uri(str(d.get("file_path"))))
+        return manifests, data
+
+    keep_manifests: set[str] = set()
+    keep_data: set[str] = set()
+    for s in keep:
+        m, d = _refs(s)
+        keep_manifests |= m
+        keep_data |= d
+    doomed: set[str] = set()
+    for s in drop:
+        m, d = _refs(s)
+        doomed |= {s["manifest-list"]}
+        doomed |= m - keep_manifests
+        doomed |= d - keep_data
+    if dry_run:
+        return sorted(doomed)
+    kept_ids = {int(s["snapshot-id"]) for s in keep}
+    _bump_metadata_log(table, meta)
+    meta["snapshots"] = keep
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log") or []
+        if int(e["snapshot-id"]) in kept_ids
+    ]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
+    for p in sorted(doomed):
+        if os.path.exists(p):
+            os.unlink(p)
+    return sorted(doomed)
 
 
 def _bump_metadata_log(table: str, meta: dict) -> None:

@@ -345,6 +345,59 @@ def d21_iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d22_iceberg_partitioned",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+        FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        UNION ALL
+        SELECT c_custkey + 5000000, c_mktsegment, round(c_acctbal, 2)
+        FROM customer WHERE c_mktsegment <> 'MACHINERY'
+    """,
+)
+def d22_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-partitioned NATIVE Iceberg end-to-end, jar-free
+    (``02_iceberg_demo.ipynb:45-54``): CTAS ``partition_by`` (typed
+    partition records in the Avro manifests) → partitioned append →
+    whole-partition DELETE through copy-on-write DML (file drops, no
+    data job) → read back through BOTH a manifest-pruned
+    ``partition_filter`` read and the full scan. Union value-checked;
+    the Delta twin is ``d20_delta_partitioned``."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_dml,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-iceberg-part-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    iceberg_writer.create_iceberg(
+        cust, table, partition_by=["c_mktsegment"]
+    )
+    iceberg_writer.append_iceberg(
+        cust.withColumn("c_custkey", F.col("c_custkey") + 5000000), table
+    )
+    iceberg_dml.delete_iceberg(spark, table, "c_mktsegment = 'MACHINERY'")
+    pruned = iceberg_reader.read_iceberg(
+        spark, table, partition_filter={"c_mktsegment": "BUILDING"}
+    )
+    rest = iceberg_reader.read_iceberg(spark, table).where(
+        "c_mktsegment <> 'BUILDING'"
+    )
+    return pruned.unionByName(rest).select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+    )
+
+
+@query(
     "d19_delta_schema_merge",
     oracle="""
         SELECT c_custkey, round(c_acctbal, 2) AS bal,

@@ -65,6 +65,8 @@ PRIORITY: list[str] = [
     "d19_delta_schema_merge",
     "d20_delta_partitioned",
     "d21_iceberg_dml",
+    "d22_iceberg_partitioned",
+    "t6_stream_to_delta",
     "l6_passage_dedup",  # perf pass this round (same oracle)
     "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked
     "l5_multimodal",  # plumbing pass re-check

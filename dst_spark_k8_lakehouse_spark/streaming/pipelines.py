@@ -443,3 +443,57 @@ def foreach_batch_to_table(
         .start()
     )
     q.awaitTermination()
+
+
+@query(
+    "t6_stream_to_delta",
+    oracle="""
+        SELECT event_id, user_id, event_type, round(value, 2) AS val
+        FROM events
+    """,
+)
+def t6_stream_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: Structured Streaming → NATIVE Delta log, exactly-once.
+    The events fixture arrives as a 3-micro-batch file stream; each
+    batch appends through ``streaming/delta_sink.stream_to_delta``
+    (foreachBatch + the spec's SetTransaction idempotence watermark);
+    then a deliberate DUPLICATE re-append of batch 0 is attempted with
+    the same (app, batch) — if the skip logic failed, the duplicated
+    rows would break the oracle's exact row-set match. Result = the
+    Delta table read back through the protocol replay reader: every
+    event exactly once."""
+    import os
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader, delta_writer
+    from dst_spark_k8_lakehouse_spark.streaming.delta_sink import (
+        stream_to_delta,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    third = F.col("event_id") % 3
+    stream, ckpt = _arrival_stream(
+        spark,
+        ev.filter(third == 0),
+        ev.filter(third == 1),
+        ev.filter(third == 2),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="dst-t6-delta-"), "t")
+    delta_writer.create_delta(
+        spark.createDataFrame([], EVENTS_STREAM_SCHEMA), table
+    )
+    app = "t6-stream"
+    q = stream_to_delta(stream, table, ckpt, app_id=app)
+    q.awaitTermination()
+    # at-least-once delivery simulation: batch 0 retried after the run
+    delta_writer.append_delta(
+        ev.filter(third == 0).withColumn(
+            "ts", F.col("ts").cast(T.TimestampType())
+        ),
+        table,
+        txn=(app, 0),
+    )
+    return delta_reader.read_delta(spark, table).select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 2).alias("val"),
+    )

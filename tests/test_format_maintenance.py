@@ -1,0 +1,178 @@
+"""Maintenance on native-format tables: Delta VACUUM (unreferenced
+data-file GC) and Iceberg EXPIRE SNAPSHOTS (metadata prune + orphan
+file GC) — the reference demos both (``03_delta_demo.ipynb:182-186``
+VACUUM RETAIN; snapshot expiry is the Iceberg runtime's
+counterpart)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.plans import delta_reader as dr
+from dst_spark_k8_lakehouse_spark.plans import delta_writer as dw
+from dst_spark_k8_lakehouse_spark.plans import iceberg_reader as ir
+from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as iw
+
+
+def _ids(df):
+    return {r.id for r in df.select("id").collect()}
+
+
+def test_delta_vacuum_removes_tombstoned_files(spark, tmp_path):
+    table = str(tmp_path / "vac")
+    dw.create_delta(spark.range(5), table)
+    dw.overwrite_delta(spark.range(10, 15), table)  # v0 files tombstoned
+    listed = dw.vacuum_delta(spark, table, dry_run=True)
+    assert listed  # the v0 files are unreferenced by the latest version
+    # dry run deleted nothing: v0 still time-travels
+    assert _ids(dr.read_delta(spark, table, version=0)) == set(range(5))
+    removed = dw.vacuum_delta(spark, table)
+    assert removed == listed
+    assert _ids(dr.read_delta(spark, table)) == set(range(10, 15))
+    # the expired version's data is gone — reading it now fails
+    with pytest.raises(Exception):
+        dr.read_delta(spark, table, version=0).collect()
+
+
+def test_delta_vacuum_retain_versions_keeps_time_travel(spark, tmp_path):
+    table = str(tmp_path / "vac2")
+    dw.create_delta(spark.range(3), table)
+    dw.overwrite_delta(spark.range(3, 6), table)
+    dw.overwrite_delta(spark.range(6, 9), table)
+    dw.vacuum_delta(spark, table, retain_versions=2)
+    # last two versions still read; the first is gone
+    assert _ids(dr.read_delta(spark, table, version=1)) == {3, 4, 5}
+    assert _ids(dr.read_delta(spark, table, version=2)) == {6, 7, 8}
+    with pytest.raises(Exception):
+        dr.read_delta(spark, table, version=0).collect()
+    with pytest.raises(ValueError, match=">= 1"):
+        dw.vacuum_delta(spark, table, retain_versions=0)
+
+
+def test_delta_vacuum_reclaims_abandoned_commit_garbage(spark, tmp_path):
+    table = str(tmp_path / "vac3")
+    dw.create_delta(spark.range(3), table)
+    # simulate an abandoned commit attempt: data files written, commit
+    # never published
+    dw._write_data_files(spark.range(100, 105), table)
+    orphans = dw.vacuum_delta(spark, table, dry_run=True)
+    assert len(orphans) >= 1
+    dw.vacuum_delta(spark, table)
+    assert _ids(dr.read_delta(spark, table)) == {0, 1, 2}
+    assert dw.vacuum_delta(spark, table, dry_run=True) == []
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    table = str(tmp_path / "exp")
+    s1 = iw.create_iceberg(spark.range(4), table)
+    s2 = iw.append_iceberg(spark.range(4, 8), table)
+    s3 = iw.overwrite_iceberg(spark.range(20, 24), table)
+    listed = iw.expire_snapshots(spark, table, retain_last=1, dry_run=True)
+    assert listed
+    # dry run: all three snapshots still readable
+    assert _ids(ir.read_iceberg(spark, table, snapshot_id=s1)) == {0, 1, 2, 3}
+    removed = iw.expire_snapshots(spark, table, retain_last=1)
+    assert removed == listed
+    assert all(not os.path.exists(p) for p in removed)
+    # current snapshot intact, expired ones rejected by snapshot lookup
+    assert _ids(ir.read_iceberg(spark, table)) == {20, 21, 22, 23}
+    snaps = ir.iceberg_snapshots(table)
+    assert [s["snapshot_id"] for s in snaps] == [s3]
+    with pytest.raises(ValueError, match="not in table"):
+        ir.read_iceberg(spark, table, snapshot_id=s2)
+    # second expiry is a no-op
+    assert iw.expire_snapshots(spark, table, retain_last=1) == []
+
+
+def test_iceberg_expire_keeps_shared_files(spark, tmp_path):
+    """An append snapshot shares the create snapshot's files; expiring
+    the create snapshot must NOT delete files the retained append
+    still references."""
+    table = str(tmp_path / "exp2")
+    iw.create_iceberg(spark.range(4), table)
+    iw.append_iceberg(spark.range(4, 8), table)
+    iw.expire_snapshots(spark, table, retain_last=1)
+    assert _ids(ir.read_iceberg(spark, table)) == set(range(8))
+
+
+def test_delta_compact_bin_packs_small_files(spark, tmp_path):
+    table = str(tmp_path / "opt")
+    dw.create_delta(spark.range(0, 0), table)
+    for i in range(6):  # six tiny single-file appends (streaming shape)
+        dw.append_delta(spark.range(i * 10, i * 10 + 10).coalesce(1), table)
+    before = len(dr._replay(spark, table, None)["files"])
+    assert before == 7  # 6 appends + the empty create's schema-only file
+    v = dw.compact_delta(spark, table, target_files=2)
+    assert v > 0
+    state = dr._replay(spark, table, None)
+    assert len(state["files"]) == 2
+    # pure reorganization: the row set is untouched...
+    assert _ids(dr.read_delta(spark, table)) == set(range(0, 60))
+    # ...and the commit is dataChange=false per the spec
+    import json
+    import os
+
+    last = dr._commit_files(table)[-1][1]
+    with open(last) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    for a in actions:
+        if "add" in a:
+            assert a["add"]["dataChange"] is False
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is False
+    # pre-compaction versions still time travel
+    assert _ids(dr.read_delta(spark, table, version=1)) == set(range(10))
+    # idempotent: nothing left to compact at the target
+    assert dw.compact_delta(spark, table, target_files=2) == -1
+
+
+def test_delta_compact_partitioned_keeps_layout(spark, tmp_path):
+    table = str(tmp_path / "optp")
+    df = spark.range(40).select(
+        "id", (F.col("id") % 2).cast("int").alias("p")
+    )
+    dw.create_delta(df.repartition(4), table, partition_by=["p"])
+    dw.append_delta(df.withColumn("id", F.col("id") + 100), table)
+    dw.compact_delta(spark, table, target_files=1)
+    state = dr._replay(spark, table, None)
+    assert len(state["files"]) == 2  # one file per partition
+    assert all(rel.startswith("p=") for rel in state["files"])
+    got = _ids(dr.read_delta(spark, table))
+    assert got == set(range(40)) | {i + 100 for i in range(40)}
+    # single-scan layout survives compaction
+    plan = (
+        dr.read_delta(spark, table)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Union" not in plan
+
+
+def test_delta_timestamp_time_travel(spark, tmp_path):
+    import json
+    import os
+
+    table = str(tmp_path / "tt")
+    dw.create_delta(spark.range(3), table)
+    dw.overwrite_delta(spark.range(10, 13), table)
+    # pin distinct commit timestamps directly in the log
+    for v, f in dr._commit_files(table):
+        lines = []
+        with open(f) as fh:
+            for ln in fh:
+                if ln.strip():
+                    d = json.loads(ln)
+                    if "commitInfo" in d:
+                        d["commitInfo"]["timestamp"] = 1_000_000 + v * 1000
+                    lines.append(json.dumps(d))
+        os.unlink(f)
+        with open(f, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    assert _ids(dr.read_delta(spark, table, timestamp=1_000_500)) == {0, 1, 2}
+    assert _ids(dr.read_delta(spark, table, timestamp=1_001_000)) == {10, 11, 12}
+    with pytest.raises(ValueError, match="no commit at or before"):
+        dr.read_delta(spark, table, timestamp=999)
+    with pytest.raises(ValueError, match="not both"):
+        dr.read_delta(spark, table, version=0, timestamp=1_000_500)
