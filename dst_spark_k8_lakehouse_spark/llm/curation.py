@@ -500,8 +500,11 @@ def passage_dedup_report(docs: DataFrame) -> DataFrame:
     interpreted-HOF tokenize/hash map passes (~0.3 s each) plus fixed
     stage scheduling, which no plan shape removes; the shapes only
     diverge at scale, where this one shuffles 8-byte hashes instead of
-    passage strings and never shuffles the documents at all —
-    adjudicated floor, scale shape kept."""
+    passage strings and never shuffles the documents at all. And
+    diverge they do — measured on the replicated-sf1 sweep
+    (``scripts/make_scaled_testdata.py``): this shape is FLAT
+    sf0.1→sf1 (0.38 s → 0.31 s for 10× the docs, output verified
+    10×), where the r5 string-shuffle shape measured 3.6× for 10×."""
     base = docs.select(
         "doc_id", F.split(F.trim("text"), " ").alias("tok")
     ).withColumn("tokh", F.expr("transform(tok, t -> xxhash64(t))"))
@@ -579,5 +582,93 @@ def passage_scrub(docs: DataFrame) -> DataFrame:
             # n_chars BIGINT and a silent narrowing breaks schema-merge
             # appends downstream (caught by the stream-ingest test)
             F.length("clean_text").cast("long").alias("n_chars"),
+        )
+    )
+
+
+@query(
+    "l6_dsir_select",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(trim(text), ' ')) AS w
+            FROM documents
+        ),
+        raw AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+        tgt AS (SELECT w, count(*) AS c FROM w WHERE lang = 'en'
+                GROUP BY 1),
+        tot AS (
+            SELECT (SELECT CAST(sum(c) AS BIGINT) FROM raw) AS tc,
+                   (SELECT CAST(sum(c) AS BIGINT) FROM tgt) AS tt,
+                   (SELECT CAST(count(*) AS BIGINT) FROM raw) AS v
+        ),
+        wb AS (
+            SELECT raw.w,
+                   (length(to_base(COALESCE(tgt.c, 0) + 1, 2))
+                    - length(to_base(tt + v, 2)))
+                   - (length(to_base(raw.c + 1, 2))
+                      - length(to_base(tc + v, 2))) AS b
+            FROM raw LEFT JOIN tgt USING (w), tot
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_tokens,
+               CAST(sum(b) AS BIGINT) AS dsir_bits,
+               CAST(CASE WHEN sum(b) >= 0 THEN 1 ELSE 0 END AS INT)
+                   AS selected
+        FROM w JOIN wb USING (w)
+        GROUP BY doc_id
+    """,
+)
+def l6_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: DSIR-style data selection (Xie et al. 2023, public method) —
+    per-document importance weight log(p_target / p_raw) summed over
+    token occurrences, where p_target is the unigram distribution of
+    the TARGET domain (here: the ``lang = 'en'`` slice) and p_raw the
+    whole corpus's, both add-one smoothed; documents scoring >= 0 are
+    selected as target-resembling. The log is quantized to INTEGER
+    bits (binary-representation lengths, the ``l3_unigram_logprob``
+    trick) so both engines compute identical integers — production
+    swaps in ``ln`` one-lined, ranking unchanged.
+
+    Plan: two wordcount partial aggs (target + raw) build a joined
+    per-word weight table that is BROADCAST; scoring is then one
+    map-side join over the exploded tokens and a per-doc sum — no
+    corpus-sized shuffle except the doc_id agg. The paper buckets
+    hashed n-grams to 10k buckets instead of words; at 100 TB this
+    vocabulary becomes that fixed-width bucket table (swap the word
+    key for ``xxhash64(w) % B`` — the broadcast stays tiny either
+    way), exactly how the hashed-gram contamination path already
+    works."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim("text"), " ")).alias("w"),
+    )
+    raw = toks.groupBy("w").agg(F.count("*").alias("c_raw"))
+    tgt = toks.filter(F.col("lang") == "en").groupBy("w").agg(
+        F.count("*").alias("c_tgt")
+    )
+    totals = raw.agg(
+        F.sum("c_raw").alias("tc"), F.count("*").alias("v")
+    ).crossJoin(tgt.agg(F.sum("c_tgt").alias("tt")))
+    bits = lambda c: F.length(F.expr(f"bin({c})"))  # noqa: E731
+    weights = (
+        raw.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w",
+            (
+                (bits("coalesce(c_tgt, 0) + 1") - bits("tt + v"))
+                - (bits("c_raw + 1") - bits("tc + v"))
+            ).alias("b"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(weights), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum("b").cast("long").alias("dsir_bits"),
+            (F.sum("b") >= 0).cast("int").alias("selected"),
         )
     )

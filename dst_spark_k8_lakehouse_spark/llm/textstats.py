@@ -412,3 +412,114 @@ def l3_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cnt").alias("min_tok_count"),
         )
     )
+
+
+_GOPHER_STOPWORDS = "'the','be','to','of','and','that','have','with'"
+
+
+@query(
+    "l3_gopher_gate",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, trim(text) AS tx,
+                   string_split(trim(text), ' ') AS tok
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(tok) AS INT) AS n_words,
+                   floor(1e6 * len(replace(tx, ' ', '')) / len(tok))
+                       / 1e6 AS mean_word_len,
+                   floor(1e6 * ((len(tx) - len(replace(tx, '#', '')))
+                                + (len(tx) - len(replace(tx, '...', '')))
+                                  / 3)
+                         / len(tok)) / 1e6 AS symbol_ratio,
+                   floor(1e6 * len(list_filter(tok,
+                             x -> regexp_matches(x, '[A-Za-z]')))
+                         / len(tok)) / 1e6 AS alpha_word_frac,
+                   CAST(len(list_filter(tok,
+                            x -> list_contains([{_GOPHER_STOPWORDS}],
+                                               lower(x)))) AS INT)
+                       AS n_stopwords
+            FROM t
+        )
+        SELECT *,
+               CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                          AND mean_word_len BETWEEN 3 AND 10
+                          AND symbol_ratio <= 0.1
+                          AND alpha_word_frac > 0.8
+                          AND n_stopwords >= 2
+                     THEN 1 ELSE 0 END AS INT) AS passes
+        FROM s
+    """,
+)
+def l3_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: the Gopher/MassiveText document quality gate (Rae et al.
+    2021, public rules) — word-count bounds [50, 100k], mean word
+    length [3, 10], symbol-to-word ratio (# and …) <= 0.1, fraction of
+    words containing an alphabetic character > 0.8, and >= 2 of the
+    paper's eight stopwords. The two LINE-level rules (bullet-start /
+    ellipsis-end fractions) are inapplicable to this corpus's
+    newline-free text and are documented out. Ratios are floor(1e6)
+    quantized so both engines compare identical doubles.
+
+    Plan: entirely map-side (string fns + HOF filters over the token
+    array; no shuffle, no UDF) — at 100 TB this is a pure scan
+    pipeline that AQE never has to think about."""
+    docs = load_table(spark, sf_dir, "documents")
+    tx = F.trim("text")
+    base = docs.select(
+        "doc_id",
+        tx.alias("tx"),
+        F.split(tx, " ").alias("tok"),
+    ).select(
+        "doc_id",
+        F.size("tok").cast("int").alias("n_words"),
+        (
+            F.floor(
+                1e6
+                * F.length(F.regexp_replace("tx", " ", ""))
+                / F.size("tok")
+            )
+            / 1e6
+        ).alias("mean_word_len"),
+        (
+            F.floor(
+                1e6
+                * (
+                    (
+                        F.length("tx")
+                        - F.length(F.regexp_replace("tx", "#", ""))
+                    )
+                    + (
+                        F.length("tx")
+                        - F.length(F.replace(F.col("tx"), F.lit("...")))
+                    )
+                    / 3
+                )
+                / F.size("tok")
+            )
+            / 1e6
+        ).alias("symbol_ratio"),
+        (
+            F.floor(
+                1e6
+                * F.expr("size(filter(tok, x -> x rlike '[A-Za-z]'))")
+                / F.size("tok")
+            )
+            / 1e6
+        ).alias("alpha_word_frac"),
+        F.expr(
+            f"size(filter(tok, x -> lower(x) IN ({_GOPHER_STOPWORDS})))"
+        ).cast("int").alias("n_stopwords"),
+    )
+    return base.withColumn(
+        "passes",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("symbol_ratio") <= 0.1)
+            & (F.col("alpha_word_frac") > 0.8)
+            & (F.col("n_stopwords") >= 2)
+        ).cast("int"),
+    )

@@ -67,6 +67,8 @@ PRIORITY: list[str] = [
     "d21_iceberg_dml",
     "d22_iceberg_partitioned",
     "t6_stream_to_delta",
+    "l3_gopher_gate",
+    "l6_dsir_select",
     "l6_passage_dedup",  # perf pass this round (same oracle)
     "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked
     "l5_multimodal",  # plumbing pass re-check
