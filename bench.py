@@ -84,6 +84,9 @@ HEADLINE = [
     "t1_tumbling",
     "t2_sliding",
     "t3_session",
+    # r6 curation additions (coverage-driven, like the r5 additions)
+    "l3_gopher_gate",
+    "l6_dsir_select",
 ]
 
 

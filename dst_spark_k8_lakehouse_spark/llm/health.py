@@ -106,24 +106,34 @@ def x3_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = docs.withColumn("thash", F.sha2("text", 256))
     dup = hashed.groupBy("thash").agg(F.count("*").alias("n_copies"))
     # boilerplate flag only — no clean-text reassembly (that is
-    # l6_passage_dedup's job); one map-side explode + wordcount-shape
-    # agg + flag join, then an any() per doc
-    passages = docs.select(
+    # l6_passage_dedup's job); the r6 hash-keyed shape: passage hashes
+    # from TOKEN-hash slices (no per-passage string), per-doc-distinct
+    # so document frequency is a plain partial-agg count, boilerplate
+    # set broadcast back (8-byte keys end to end — see
+    # curation.passage_dedup_report for the measured rationale)
+    ph = docs.select(
+        "doc_id",
+        F.split(F.trim("text"), " ").alias("tok"),
+    ).withColumn(
+        "tokh", F.expr("transform(tok, t -> xxhash64(t))")
+    ).select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, size(split(trim(text), ' ')) - 1,"
-                f" {PASSAGE}), s -> concat_ws(' ',"
-                f" slice(split(trim(text), ' '), s + 1, {PASSAGE})))"
+                f"array_distinct(transform("
+                f"sequence(0, size(tokh) - 1, {PASSAGE}), "
+                f"s -> xxhash64(slice(tokh, s + 1, {PASSAGE}))))"
             )
-        ).alias("passage"),
+        ).alias("ph"),
     )
-    pfreq = passages.groupBy("passage").agg(
-        F.countDistinct("doc_id").alias("df")
+    pdup = (
+        ph.groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= PASSAGE_DF)
+        .select("ph")
     )
     boiler = (
-        passages.join(pfreq, "passage")
-        .filter(F.col("df") >= PASSAGE_DF)
+        ph.join(F.broadcast(pdup), "ph", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("is_boiler", F.lit(1))

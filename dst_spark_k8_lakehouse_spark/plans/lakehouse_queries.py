@@ -398,6 +398,47 @@ def d22_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d24_delta_source",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+def d24_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``format("delta_native")`` Python DataSource end-to-end: a
+    partitioned native Delta table read back through
+    ``spark.read.format(...)`` — Arrow-batch executor reads, partition
+    values injected from the log, and the partition predicate pushed
+    into the source's file-list pruning (``pushFilters``). Value-
+    checked against the oracle; the streaming face of the same source
+    is pytest-covered (``test_delta_source.py``)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import delta_writer
+    from dst_spark_k8_lakehouse_spark.sources import delta_source
+
+    delta_source.register(spark)
+    base = tempfile.mkdtemp(prefix="dst-delta-source-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    delta_writer.create_delta(cust, table, partition_by=["c_mktsegment"])
+    return (
+        spark.read.format("delta_native")
+        .load(table)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+        )
+    )
+
+
+@query(
     "d19_delta_schema_merge",
     oracle="""
         SELECT c_custkey, round(c_acctbal, 2) AS bal,

@@ -69,6 +69,7 @@ PRIORITY: list[str] = [
     "t6_stream_to_delta",
     "l3_gopher_gate",
     "l6_dsir_select",
+    "d24_delta_source",
     "l6_passage_dedup",  # perf pass this round (same oracle)
     "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked
     "l5_multimodal",  # plumbing pass re-check

@@ -1,0 +1,341 @@
+"""``format("delta_native")`` — a Spark 4 Python DataSource exposing
+the jar-free native Delta stack as a FIRST-CLASS Spark source, batch
+and streaming:
+
+    spark.dataSource.register(DeltaNativeDataSource)
+    spark.read.format("delta_native").load(path)          # batch
+    spark.readStream.format("delta_native").load(path)    # micro-batch
+
+This is the idiomatic-Spark face of ``plans/delta_reader``: instead of
+a library call, the table plugs into any DataFrame/SQL pipeline and
+any Structured Streaming query. Design:
+
+- **Batch**: one ``InputPartition`` per live data file; ``read`` runs
+  EXECUTOR-side with pyarrow and yields Arrow ``RecordBatch``es (the
+  API's vectorized path — no Python row loop), with column-mapping
+  physical→logical renames applied and Hive partition values injected
+  as constant columns, then cast to the table schema's Arrow form.
+- **Filter pushdown**: ``pushFilters`` handles ``EqualTo``/``In`` on
+  partition columns by pruning the FILE LIST driver-side (the same
+  pruning ``delta_reader.read_delta(partition_filter=…)`` does);
+  everything else is returned to Spark to evaluate.
+- **Streaming**: offsets are log versions. ``partitions(start, end)``
+  parses exactly the commit files in ``(start, end]`` and emits their
+  ``dataChange: true`` add actions — so OPTIMIZE/compaction commits
+  (``dataChange: false``) are invisible to the stream, and a
+  ``dataChange: true`` remove (UPDATE/DELETE/overwrite) raises: the
+  documented append-only streaming contract (real Delta's source
+  behaves the same without ignoreChanges).
+
+Options: ``path`` (table root), ``versionAsOf`` (batch time travel).
+
+Scale: log replay is driver-side metadata work; data reads are
+per-file executor tasks over Arrow batches — the same physical shape
+as a parquet scan, one task per file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
+
+from dst_spark_k8_lakehouse_spark.plans import delta_reader
+
+
+def _replay_arrow(path: str, version: int | None = None) -> dict:
+    """``delta_reader._replay`` without a SparkSession: checkpoint
+    parquet is read with pyarrow so DataSource planning never needs a
+    Spark context."""
+    state: dict[str, Any] = {
+        "files": {}, "metaData": None, "protocol": None, "txns": {},
+    }
+    commits = delta_reader._commit_files(path)
+    cp = delta_reader._checkpoint(path)
+    if not commits and cp is None:
+        raise ValueError(f"no Delta log at {path}")
+    start = 0
+    if cp is not None and (version is None or cp[0] <= version):
+        import pyarrow.parquet as pq
+
+        cp_v, cp_files = cp
+        for f in cp_files:
+            for row in pq.read_table(f).to_pylist():
+                for key in ("metaData", "add", "remove", "protocol",
+                            "txn"):
+                    if row.get(key) is not None:
+                        delta_reader._apply_action(state, {key: row[key]})
+        start = cp_v + 1
+    for v, f in commits:
+        if v < start or (version is not None and v > version):
+            continue
+        with open(f) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    delta_reader._apply_action(state, json.loads(line))
+    if state["metaData"] is None:
+        raise ValueError(f"no metaData action in Delta log at {path}")
+    return state
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    """Self-contained (picklable) description of one data file."""
+
+    path: str
+    # [(physical name in the file, logical name)] in schema order for
+    # DATA columns; partition columns ride in `values`
+    columns: list = field(default_factory=list)
+    # {logical partition column: raw string value or None}
+    values: dict = field(default_factory=dict)
+    # logical schema DDL (for executor-side Arrow casting)
+    schema_json: str = ""
+    order: list = field(default_factory=list)
+
+
+def _read_file_partition(p: _FilePartition) -> Iterator["Any"]:
+    """Executor-side: one parquet file → logical-schema RecordBatches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    logical = T.StructType.fromJson(json.loads(p.schema_json))
+    target = to_arrow_schema(logical)
+    by_name = {f.name: f for f in logical.fields}
+    tbl = pq.read_table(p.path, columns=[phys for phys, _ in p.columns])
+    n = tbl.num_rows
+    cols = {}
+    for phys, logi in p.columns:
+        cols[logi] = tbl.column(phys)
+    for c, raw in p.values.items():
+        pa_type = target.field(c).type
+        if raw is None:
+            arr = pa.nulls(n, type=pa_type)
+        else:
+            dt = by_name[c].dataType
+            if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
+                               T.ByteType)):
+                v: Any = int(raw)
+            elif isinstance(dt, (T.DoubleType, T.FloatType)):
+                v = float(raw)
+            elif isinstance(dt, T.BooleanType):
+                v = raw == "true"
+            elif isinstance(dt, T.DateType):
+                import datetime
+
+                v = datetime.date.fromisoformat(raw)
+            else:
+                v = raw
+            arr = pa.array([v] * n).cast(pa_type)
+        cols[c] = arr
+    out = pa.table(
+        {name: cols[name] for name in p.order}
+    ).cast(target)
+    yield from out.to_batches()
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, table: str, version: int | None) -> None:
+        self.table = table
+        state = _replay_arrow(table, version)
+        meta = state["metaData"]
+        self.schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"])
+        )
+        self.mode, self.phys = delta_reader._mapping(meta)
+        self.part_cols = delta_reader._partition_cols(
+            meta, self.schema, self.phys
+        )
+        self.files = dict(state["files"])
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        remaining = []
+        for f in filters:
+            eq_one = (
+                isinstance(f, EqualTo)
+                and len(f.attribute) == 1
+                and f.attribute[0] in self.part_cols
+            )
+            in_one = (
+                isinstance(f, In)
+                and len(f.attribute) == 1
+                and f.attribute[0] in self.part_cols
+            )
+            if eq_one or in_one:
+                col = f.attribute[0]
+                # In.value is the tuple of values; EqualTo.value a scalar
+                wanted = {
+                    delta_reader._pv_str(v)
+                    for v in (f.value if in_one else [f.value])
+                }
+                self.files = {
+                    rel: a
+                    for rel, a in self.files.items()
+                    if delta_reader._pv(a, self.part_cols, self.phys)[col]
+                    in wanted
+                }
+                # spark may re-apply the filter; that is harmless
+            remaining.append(f)
+        return iter(remaining)
+
+    def partitions(self):
+        data_fields = [
+            f for f in self.schema.fields if f.name not in self.part_cols
+        ]
+        columns = [
+            (self.phys.get(f.name, f.name), f.name) for f in data_fields
+        ]
+        out = []
+        for rel, a in sorted(self.files.items()):
+            absp = rel if os.path.isabs(rel) else os.path.join(
+                self.table, rel
+            )
+            pv = delta_reader._pv(a, self.part_cols, self.phys)
+            out.append(
+                _FilePartition(
+                    path=absp,
+                    columns=columns,
+                    values=pv,
+                    schema_json=self.schema.json(),
+                    order=[f.name for f in self.schema.fields],
+                )
+            )
+        return out
+
+    def read(self, partition: _FilePartition):
+        return _read_file_partition(partition)
+
+
+class _StreamReader(DataSourceStreamReader):
+    def __init__(self, table: str) -> None:
+        self.table = table
+        state = _replay_arrow(table, None)
+        meta = state["metaData"]
+        self.schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"])
+        )
+        self.mode, self.phys = delta_reader._mapping(meta)
+        self.part_cols = delta_reader._partition_cols(
+            meta, self.schema, self.phys
+        )
+
+    def initialOffset(self):  # noqa: N802
+        return {"version": -1}
+
+    def latestOffset(self):  # noqa: N802
+        commits = delta_reader._commit_files(self.table)
+        last = commits[-1][0] if commits else -1
+        cp = delta_reader._checkpoint(self.table)
+        if cp is not None:
+            last = max(last, cp[0])
+        return {"version": last}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        data_fields = [
+            f for f in self.schema.fields if f.name not in self.part_cols
+        ]
+        columns = [
+            (self.phys.get(f.name, f.name), f.name) for f in data_fields
+        ]
+        out = []
+        by_version = dict(delta_reader._commit_files(self.table))
+        for v in range(lo + 1, hi + 1):
+            f = by_version.get(v)
+            if f is None:
+                continue  # pre-checkpoint cleanup; nothing to emit
+            with open(f) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    d = json.loads(line)
+                    if "remove" in d and d["remove"].get(
+                        "dataChange", True
+                    ):
+                        raise ValueError(
+                            f"version {v} of {self.table} removed data "
+                            "(UPDATE/DELETE/overwrite); the delta_native "
+                            "stream supports append-only history"
+                        )
+                    if "add" in d and d["add"].get("dataChange", True):
+                        a = d["add"]
+                        rel = a["path"]
+                        out.append(
+                            _FilePartition(
+                                path=rel
+                                if os.path.isabs(rel)
+                                else os.path.join(self.table, rel),
+                                columns=columns,
+                                values=delta_reader._pv(
+                                    a, self.part_cols, self.phys
+                                ),
+                                schema_json=self.schema.json(),
+                                order=[
+                                    fl.name for fl in self.schema.fields
+                                ],
+                            )
+                        )
+        return out
+
+    def read(self, partition: _FilePartition):
+        return _read_file_partition(partition)
+
+    def commit(self, end) -> None:
+        pass
+
+
+class DeltaNativeDataSource(DataSource):
+    """``spark.dataSource.register(DeltaNativeDataSource)`` then use
+    ``format("delta_native")`` for batch and streaming reads."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_native"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_native needs .load(<table path>)")
+        return path
+
+    def schema(self) -> T.StructType:
+        state = _replay_arrow(self._path(), None)
+        return T.StructType.fromJson(
+            json.loads(state["metaData"]["schemaString"])
+        )
+
+    def reader(self, schema: T.StructType) -> _BatchReader:
+        v = self.options.get("versionasof")
+        return _BatchReader(
+            self._path(), int(v) if v is not None else None
+        )
+
+    def streamReader(self, schema: T.StructType) -> _StreamReader:  # noqa: N802
+        return _StreamReader(self._path())
+
+
+def register(spark) -> None:
+    """Register the source (idempotent) and ship the package so
+    executor-side ``read`` can unpickle the partition functions."""
+    from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    # required whenever a Python source implements pushFilters
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DeltaNativeDataSource)

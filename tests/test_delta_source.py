@@ -1,0 +1,130 @@
+"""format("delta_native") — the Spark Python DataSource over native
+Delta logs: batch reads (schema, column mapping, partitions, time
+travel), partition-filter pushdown pruning, and micro-batch streaming
+that skips compaction commits and refuses data-removing history."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.plans import delta_writer as dw
+from dst_spark_k8_lakehouse_spark.sources import delta_source
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    delta_source.register(spark)
+    return spark
+
+
+def _ids(df):
+    return {r.id for r in df.select("id").collect()}
+
+
+def test_batch_read_matches_library_reader(registered, tmp_path):
+    spark = registered
+    table = str(tmp_path / "t")
+    df = spark.range(50).select(
+        "id", (F.col("id") % 4).cast("int").alias("bucket"),
+        (F.col("id") * 1.5).alias("x"),
+    )
+    dw.create_delta(df, table, partition_by=["bucket"])
+    got = spark.read.format("delta_native").load(table)
+    # the table schema's own order is preserved (partition columns do
+    # NOT migrate to the end as in Hive-style discovery)
+    assert [f.name for f in got.schema.fields] == ["id", "bucket", "x"]
+    assert {(r.id, r.bucket, r.x) for r in got.collect()} == {
+        (i, i % 4, i * 1.5) for i in range(50)
+    }
+
+
+def test_batch_time_travel_option(registered, tmp_path):
+    spark = registered
+    table = str(tmp_path / "tt")
+    dw.create_delta(spark.range(3), table)
+    dw.overwrite_delta(spark.range(10, 13), table)
+    cur = spark.read.format("delta_native").load(table)
+    assert _ids(cur) == {10, 11, 12}
+    v0 = spark.read.format("delta_native").option("versionAsOf", 0).load(
+        table
+    )
+    assert _ids(v0) == {0, 1, 2}
+
+
+def test_batch_read_after_rename_column_mapping(registered, tmp_path):
+    spark = registered
+    table = str(tmp_path / "rn")
+    dw.create_delta(
+        spark.range(4).select("id", (F.col("id") * 2).alias("x")), table
+    )
+    dw.rename_column(spark, table, "x", "doubled")
+    got = spark.read.format("delta_native").load(table)
+    assert got.columns == ["id", "doubled"]
+    assert {r.doubled for r in got.collect()} == {0, 2, 4, 6}
+
+
+def test_push_filters_prunes_partition_files(registered, tmp_path):
+    spark = registered
+    table = str(tmp_path / "pf")
+    df = spark.range(40).select(
+        "id", (F.col("id") % 4).cast("int").alias("b")
+    )
+    dw.create_delta(df, table, partition_by=["b"])
+    # unit-level: the reader's pushFilters must shrink its file list
+    from pyspark.sql.datasource import EqualTo
+
+    r = delta_source._BatchReader(table, None)
+    n_all = len(r.partitions())
+    rest = list(r.pushFilters([EqualTo(("b",), 2)]))
+    assert len(rest) == 1  # returned for Spark to re-apply (harmless)
+    n_pruned = len(r.partitions())
+    assert 0 < n_pruned < n_all
+    # end to end the filtered read is correct
+    got = spark.read.format("delta_native").load(table).where("b = 2")
+    assert _ids(got) == {i for i in range(40) if i % 4 == 2}
+
+
+def test_stream_reads_appends_and_skips_compaction(
+    registered, tmp_path
+):
+    spark = registered
+    table = str(tmp_path / "st")
+    ck = str(tmp_path / "ck")
+    dw.create_delta(spark.range(5).coalesce(1), table)
+    dw.append_delta(spark.range(5, 10).coalesce(1), table)
+
+    out = str(tmp_path / "out")
+    seen: list[set] = []
+
+    def drain():
+        batches: set = set()
+
+        def sink(batch_df, _bid):
+            batches.update(r.id for r in batch_df.select("id").collect())
+
+        q = (
+            spark.readStream.format("delta_native")
+            .load(table)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception():
+            raise q.exception()
+        return batches
+
+    assert drain() == set(range(10))
+    # compaction between micro-batches: dataChange=false — invisible
+    dw.compact_delta(spark, table, target_files=1)
+    dw.append_delta(spark.range(10, 13).coalesce(1), table)
+    assert drain() == {10, 11, 12}  # only the new rows, no re-emits
+    # a data-removing commit breaks the append-only contract loudly
+    from dst_spark_k8_lakehouse_spark.plans import delta_dml
+
+    delta_dml.delete_delta(spark, table, "id = 11")
+    dw.append_delta(spark.range(13, 14).coalesce(1), table)
+    with pytest.raises(Exception, match="append-only|removed data"):
+        drain()
