@@ -1,0 +1,152 @@
+"""Minimal pure-Python Avro object-container READER for Iceberg
+metadata files (public Avro 1.x spec, container format + binary
+encoding). Scope: exactly the subset Iceberg manifests / manifest
+lists use — records, strings, bytes, int/long (zigzag varint), float,
+double, boolean, null, unions, arrays, maps, fixed, enums — with
+``null`` and ``deflate`` block codecs (what real Iceberg writers emit).
+
+Why it exists: ``iceberg_reader._avro_records`` goes through the JVM
+Avro library via py4j, which costs a py4j round-trip PER FIELD ACCESS
+and requires a live SparkSession — unusable inside Python DataSource
+planning. This decoder reads the same files driver-side in plain
+Python (a manifest is metadata-sized: KBs to a few MB), returning
+plain dicts.
+
+Not a general Avro implementation (no logical-type coercion — Iceberg
+readers interpret raw values; no schema resolution against a reader
+schema — container files are self-describing and we read with the
+writer schema, which is exactly how manifest readers work).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from typing import Any, BinaryIO
+
+_MAGIC = b"Obj\x01"
+
+
+def _read_long(buf: BinaryIO) -> int:
+    """Zigzag varint (Avro int/long share the encoding)."""
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated varint")
+        byte = b[0]
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_bytes(buf: BinaryIO) -> bytes:
+    n = _read_long(buf)
+    out = buf.read(n)
+    if len(out) != n:
+        raise EOFError("truncated bytes")
+    return out
+
+
+def _read_blocks(buf: BinaryIO, read_item) -> list:
+    """Array/map block sequence: count [size] items..., 0-terminated;
+    negative count = block byte size follows (skippable form)."""
+    out = []
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            return out
+        if n < 0:
+            n = -n
+            _read_long(buf)  # block byte size, unused
+        for _ in range(n):
+            out.append(read_item())
+
+
+def _decode(schema: Any, buf: BinaryIO, names: dict[str, Any]) -> Any:
+    if isinstance(schema, list):  # union: varint branch index
+        idx = _read_long(buf)
+        return _decode(schema[idx], buf, names)
+    if isinstance(schema, str):
+        t = schema
+        if t in names:
+            return _decode(names[t], buf, names)
+    else:
+        t = schema["type"]
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return _read_long(buf)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return _read_bytes(buf)
+    if t == "string":
+        return _read_bytes(buf).decode("utf-8")
+    if t == "record":
+        _register(schema, names)
+        return {
+            f["name"]: _decode(f["type"], buf, names)
+            for f in schema["fields"]
+        }
+    if t == "array":
+        return _read_blocks(buf, lambda: _decode(schema["items"], buf, names))
+    if t == "map":
+        def kv():
+            k = _read_bytes(buf).decode("utf-8")
+            return (k, _decode(schema["values"], buf, names))
+
+        return dict(_read_blocks(buf, kv))
+    if t == "fixed":
+        _register(schema, names)
+        return buf.read(int(schema["size"]))
+    if t == "enum":
+        _register(schema, names)
+        return schema["symbols"][_read_long(buf)]
+    raise NotImplementedError(f"Avro type {t!r} beyond this reader")
+
+
+def _register(schema: dict, names: dict[str, Any]) -> None:
+    if isinstance(schema, dict) and "name" in schema:
+        ns = schema.get("namespace")
+        full = f"{ns}.{schema['name']}" if ns else schema["name"]
+        names.setdefault(full, schema)
+        names.setdefault(schema["name"], schema)
+
+
+def read_avro_file(path: str) -> list[dict[str, Any]]:
+    """All records of an Avro container file as plain dicts."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    buf = io.BytesIO(data)
+    if buf.read(4) != _MAGIC:
+        raise ValueError(f"{path} is not an Avro container file")
+    meta_schema = {"type": "map", "values": "bytes"}
+    meta = _decode(meta_schema, buf, {})
+    sync = buf.read(16)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"Avro codec {codec!r}; null/deflate only")
+    names: dict[str, Any] = {}
+    out: list[dict[str, Any]] = []
+    while buf.tell() < len(data):
+        n_records = _read_long(buf)
+        block = _read_bytes(buf)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)  # raw deflate per spec
+        bbuf = io.BytesIO(block)
+        for _ in range(n_records):
+            out.append(_decode(schema, bbuf, names))
+        if buf.read(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch")
+    return out

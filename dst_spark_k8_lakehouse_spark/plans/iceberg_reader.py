@@ -79,45 +79,28 @@ def _current_metadata_file(path: str) -> str:
 
 
 def _avro_records(spark: SparkSession, path: str):
-    """Yield Java GenericRecords from an Avro file (bundled JVM avro)."""
-    jvm = spark._jvm
-    reader = jvm.org.apache.avro.file.DataFileReader(
-        jvm.java.io.File(_strip_uri(path)),
-        jvm.org.apache.avro.generic.GenericDatumReader(),
-    )
-    try:
-        while reader.hasNext():
-            yield reader.next()
-    finally:
-        reader.close()
+    """Yield manifest records as plain dicts via the pure-Python Avro
+    container decoder (``plans/avro_codec.py``) — no py4j round-trips,
+    no SparkSession needed (``spark`` is kept in the signature for
+    call-site compatibility and ignored). Fields absent from a file's
+    writer schema are simply absent from the dict, which is what the
+    ``_get`` null-safe accessor expects."""
+    from dst_spark_k8_lakehouse_spark.plans import avro_codec
+
+    yield from avro_codec.read_avro_file(_strip_uri(path))
 
 
-def _get(rec, name: str):
-    """Null-safe field access on a GenericRecord: Avro's ``get`` RAISES
-    on a field absent from the writer schema (e.g. ``content`` in a
-    genuine v1 manifest list), unlike a dict."""
-    return rec.get(name) if rec.getSchema().getField(name) else None
-
-
-def _pyval(x: Any) -> Any:
-    """Avro GenericRecord field value → plain Python (Utf8 → str)."""
-    if x is None or isinstance(x, (int, bool, float, str)):
-        return x
-    return str(x)
+def _get(rec: dict, name: str):
+    """Null-safe field access (absent = None, e.g. ``content`` in a
+    genuine v1 manifest list)."""
+    return rec.get(name)
 
 
 def _partition_values(
-    data_file, spec_fields: list[dict]
+    data_file: dict, spec_fields: list[dict]
 ) -> dict[str, Any]:
-    pr = _get(data_file, "partition")
-    out: dict[str, Any] = {}
-    for sf in spec_fields:
-        name = sf["name"]
-        if pr is not None and pr.getSchema().getField(name):
-            out[name] = _pyval(pr.get(name))
-        else:
-            out[name] = None
-    return out
+    pr = data_file.get("partition") or {}
+    return {sf["name"]: pr.get(sf["name"]) for sf in spec_fields}
 
 
 def _pv_pass(pv: dict[str, Any], flt) -> bool:

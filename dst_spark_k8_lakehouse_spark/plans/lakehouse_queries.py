@@ -439,6 +439,51 @@ def d24_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d25_iceberg_source",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+        FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
+    """,
+)
+def d25_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``format("iceberg_native")`` Python DataSource end-to-end:
+    an identity-partitioned native Iceberg table read back through
+    ``spark.read.format(...)`` with the partition predicate pushed
+    into manifest-record file pruning and columns resolved by embedded
+    parquet field id (the RENAME beforehand proves it — a name-matched
+    read would return nulls). Planning is pure Python (metadata JSON +
+    the ``avro_codec`` manifest decoder); value-checked against the
+    oracle."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_writer
+    from dst_spark_k8_lakehouse_spark.sources import iceberg_source
+
+    iceberg_source.register(spark)
+    base = tempfile.mkdtemp(prefix="dst-iceberg-source-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").alias("acct")
+    )
+    iceberg_writer.create_iceberg(
+        cust, table, partition_by=["c_mktsegment"]
+    )
+    iceberg_writer.rename_column(table, "acct", "bal0")
+    return (
+        spark.read.format("iceberg_native")
+        .load(table)
+        .where(F.col("c_mktsegment") == "HOUSEHOLD")
+        .select(
+            "c_custkey", "c_mktsegment", F.round("bal0", 2).alias("bal")
+        )
+    )
+
+
+@query(
     "d19_delta_schema_merge",
     oracle="""
         SELECT c_custkey, round(c_acctbal, 2) AS bal,

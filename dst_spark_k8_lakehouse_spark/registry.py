@@ -70,6 +70,8 @@ PRIORITY: list[str] = [
     "l3_gopher_gate",
     "l6_dsir_select",
     "d24_delta_source",
+    "s13_jdbc_roundtrip",
+    "d25_iceberg_source",
     "l6_passage_dedup",  # perf pass this round (same oracle)
     "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked
     "l5_multimodal",  # plumbing pass re-check

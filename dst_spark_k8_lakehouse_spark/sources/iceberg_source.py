@@ -1,0 +1,214 @@
+"""``format("iceberg_native")`` — Spark 4 Python DataSource over the
+jar-free native Iceberg stack (batch; snapshot time travel via
+``.option("snapshotId", …)``).
+
+Planning is pure Python end to end: metadata JSON + Avro manifests
+decode through ``plans/avro_codec`` (no JVM, no SparkSession), so the
+source can enumerate live files and their typed identity-partition
+values at plan time. Execution mirrors ``delta_source``: one
+``InputPartition`` per data file, executor-side pyarrow reads yielding
+Arrow RecordBatches, columns resolved BY EMBEDDED PARQUET FIELD ID
+against the current schema (renamed columns read correctly; id-less
+files fall back to name matching and raise on a mismatch rather than
+nulling a column). ``pushFilters`` prunes the file list on partition
+``EqualTo``/``In`` from the manifests' partition records.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
+
+from dst_spark_k8_lakehouse_spark.plans import avro_codec, iceberg_reader
+
+
+def _load_meta(path: str) -> dict:
+    with open(iceberg_reader._current_metadata_file(path)) as fh:
+        meta = json.load(fh)
+    if int(meta.get("format-version", 1)) > 2:
+        raise NotImplementedError(
+            f"Iceberg format-version {meta['format-version']} > 2"
+        )
+    return meta
+
+
+def _current_schema(meta: dict) -> dict:
+    for s in meta.get("schemas", []):
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            return s
+    return meta["schema"]
+
+
+def _live_entries(meta: dict, snapshot_id: int | None) -> list[dict]:
+    """(file_path, partition values) per live data file — pure-Python
+    manifest walk."""
+    snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+    if snapshot_id is None:
+        snapshot_id = int(meta["current-snapshot-id"])
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table (has {sorted(snaps)[:5]}…)"
+        )
+    spec_fields = iceberg_reader._default_spec_fields(meta)
+    out = []
+    mlist = iceberg_reader._strip_uri(
+        snaps[snapshot_id]["manifest-list"]
+    )
+    for mf in avro_codec.read_avro_file(mlist):
+        content = mf.get("content")
+        if content is not None and int(content) != 0:
+            raise NotImplementedError(
+                "Iceberg v2 delete manifests need the runtime"
+            )
+        manifest = iceberg_reader._strip_uri(str(mf["manifest_path"]))
+        for e in avro_codec.read_avro_file(manifest):
+            if int(e["status"]) == 2:
+                continue
+            d = e["data_file"]
+            if str(d["file_format"]).upper() != "PARQUET":
+                raise NotImplementedError("parquet data files only")
+            out.append(
+                {
+                    "path": iceberg_reader._strip_uri(str(d["file_path"])),
+                    "pv": iceberg_reader._partition_values(d, spec_fields),
+                }
+            )
+    return out
+
+
+@dataclass
+class _IcePartition(InputPartition):
+    path: str
+    # [(field id, logical name)] in schema order
+    ids: list = field(default_factory=list)
+    schema_json: str = ""
+
+
+def _read_ice_partition(p: _IcePartition) -> Iterator[Any]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    logical = T.StructType.fromJson(json.loads(p.schema_json))
+    target = to_arrow_schema(logical)
+    tbl = pq.read_table(p.path)
+    by_id: dict[int, str] = {}
+    for f in tbl.schema:
+        md = f.metadata or {}
+        if b"PARQUET:field_id" in md:
+            by_id[int(md[b"PARQUET:field_id"])] = f.name
+    cols = {}
+    n = tbl.num_rows
+    for fid, logi in p.ids:
+        if by_id:
+            # id resolution: a missing id = column added after this
+            # file was written → typed nulls
+            src = by_id.get(fid)
+        elif logi in tbl.schema.names:
+            src = logi  # id-less external file, name match
+        else:
+            raise NotImplementedError(
+                f"column {logi!r} absent from id-less data file "
+                f"{p.path} — a name-matched read would silently null "
+                "a renamed column"
+            )
+        if src is not None:
+            cols[logi] = tbl.column(src)
+        else:
+            cols[logi] = pa.nulls(n, type=target.field(logi).type)
+    yield from pa.table(cols).cast(target).to_batches()
+
+
+class _IceReader(DataSourceReader):
+    def __init__(self, table: str, snapshot_id: int | None) -> None:
+        meta = _load_meta(table)
+        self.schema_dict = _current_schema(meta)
+        self.schema = iceberg_reader._schema_struct(self.schema_dict)
+        self.part_names = [
+            sf["name"]
+            for sf in iceberg_reader._default_spec_fields(meta)
+        ]
+        self.entries = _live_entries(meta, snapshot_id)
+
+    def pushFilters(self, filters):  # noqa: N802
+        remaining = []
+        for f in filters:
+            handled = (
+                isinstance(f, (EqualTo, In))
+                and len(f.attribute) == 1
+                and f.attribute[0] in self.part_names
+            )
+            if handled:
+                col = f.attribute[0]
+                wanted = set(
+                    f.value if isinstance(f, In) else [f.value]
+                )
+                self.entries = [
+                    e for e in self.entries if e["pv"].get(col) in wanted
+                ]
+            remaining.append(f)
+        return iter(remaining)
+
+    def partitions(self):
+        ids = [
+            (int(fl["id"]), fl["name"])
+            for fl in self.schema_dict["fields"]
+        ]
+        return [
+            _IcePartition(
+                path=e["path"],
+                ids=ids,
+                schema_json=self.schema.json(),
+            )
+            for e in self.entries
+        ]
+
+    def read(self, partition: _IcePartition):
+        return _read_ice_partition(partition)
+
+
+class IcebergNativeDataSource(DataSource):
+    """``spark.dataSource.register(IcebergNativeDataSource)`` then
+    ``spark.read.format("iceberg_native").load(path)`` (optionally
+    ``.option("snapshotId", id)``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_native"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("iceberg_native needs .load(<table path>)")
+        return path
+
+    def schema(self) -> T.StructType:
+        return iceberg_reader._schema_struct(
+            _current_schema(_load_meta(self._path()))
+        )
+
+    def reader(self, schema: T.StructType) -> _IceReader:
+        sid = self.options.get("snapshotid")
+        return _IceReader(
+            self._path(), int(sid) if sid is not None else None
+        )
+
+
+def register(spark) -> None:
+    from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(IcebergNativeDataSource)

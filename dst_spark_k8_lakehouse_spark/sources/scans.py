@@ -102,9 +102,11 @@ def jdbc_table_source(
     **options: str,
 ) -> DataFrame:
     """S13: JDBC source wiring — the standard Spark surface the
-    reference would use against an external database. Untestable in
-    this container (no driver jar, no database); the parameters encode
-    the two things that matter at scale:
+    reference would use against an external database. No NETWORK
+    database exists in this container, but Spark's bundled embedded
+    Derby jars make a LIVE in-process round-trip testable
+    (``s13_jdbc_roundtrip`` below writes and reads through real JDBC);
+    the parameters encode the two things that matter at scale:
 
     - ``partition_column``/bounds/``num_partitions``: without them the
       whole table streams through ONE task; with them Spark issues
@@ -130,3 +132,58 @@ def jdbc_table_source(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@query(
+    "s13_jdbc_roundtrip",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+        FROM customer WHERE c_custkey <= 500
+    """,
+)
+def s13_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 LIVE: a real JDBC round-trip through the embedded Derby
+    database Spark bundles (``jars/derby-*.jar`` ship with every Spark
+    distribution for the Hive metastore) — ``df.write.jdbc`` creates
+    the table and inserts, ``jdbc_table_source`` reads it back as a
+    PARTITIONED parallel scan (4 bounded range queries on
+    ``c_custkey``). This upgrades the S13 JDBC surface from API wiring
+    to an executed, value-checked path; a production deployment swaps
+    the URL + driver for its network database, everything else is the
+    same call (embedded in-memory Derby is per-JVM, which is exactly
+    the local[...] test story).
+
+    The predicate in the query text pushes into the remote WHERE
+    clause (``pushDownPredicate`` default) — plan-asserted in
+    ``test_jdbc_roundtrip_pushdown``."""
+    import uuid as _uuid
+
+    url = f"jdbc:derby:memory:s13db{_uuid.uuid4().hex};create=true"
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    (
+        cust.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "cust")
+        .option("driver", _DERBY_DRIVER)
+        .save()
+    )
+    back = jdbc_table_source(
+        spark,
+        url,
+        "cust",
+        partition_column="c_custkey",
+        lower_bound=1,
+        upper_bound=501,
+        num_partitions=4,
+        driver=_DERBY_DRIVER,
+    )
+    return back.select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+    )

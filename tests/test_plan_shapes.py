@@ -270,3 +270,37 @@ def test_x3_health_composite_stays_jvm_and_broadcasts_benchmark(
     plan = plan_of(registry.QUERIES["x3_corpus_health"](spark, sf_dir))
     assert "Python" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_jdbc_roundtrip_pushdown(spark, sf_dir):
+    """S13 live path: the partitioned JDBC read issues 4 bounded range
+    queries (RDD partition count) and filters compile into the remote
+    WHERE clause (PushedFilters in the scan)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dst_spark_k8_lakehouse_spark.sources import scans
+
+    url = f"jdbc:derby:memory:planshape{uuid.uuid4().hex};create=true"
+    (
+        load_table(spark, sf_dir, "customer")
+        .limit(200)
+        .select("c_custkey", "c_acctbal")
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "cust")
+        .option("driver", scans._DERBY_DRIVER)
+        .save()
+    )
+    back = scans.jdbc_table_source(
+        spark, url, "cust",
+        partition_column="c_custkey", lower_bound=1, upper_bound=201,
+        num_partitions=4, driver=scans._DERBY_DRIVER,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    plan = (
+        back.filter(F.col("c_acctbal") > 0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "c_acctbal" in plan
