@@ -405,13 +405,14 @@ def d22_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d24_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``format("delta_native")`` Python DataSource end-to-end: a
-    partitioned native Delta table read back through
-    ``spark.read.format(...)`` — Arrow-batch executor reads, partition
-    values injected from the log, and the partition predicate pushed
-    into the source's file-list pruning (``pushFilters``). Value-
-    checked against the oracle; the streaming face of the same source
-    is pytest-covered (``test_delta_source.py``)."""
+    """The ``format("delta_native")`` Python DataSource end-to-end,
+    BOTH faces: the customer fixture is WRITTEN through
+    ``df.write.format("delta_native")`` (executor-side Arrow parquet +
+    one atomic driver log commit, Hive-partitioned) into a pre-created
+    empty table, then READ back through ``spark.read.format(...)``
+    with the partition predicate pushed into the source's file-list
+    pruning (``pushFilters``). Value-checked against the oracle; the
+    streaming faces are pytest-covered (``test_delta_source.py``)."""
     import atexit
     import os
     import shutil
@@ -427,7 +428,10 @@ def d24_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    delta_writer.create_delta(cust, table, partition_by=["c_mktsegment"])
+    delta_writer.create_delta(
+        cust.limit(0), table, partition_by=["c_mktsegment"]
+    )
+    cust.write.format("delta_native").mode("append").save(table)
     return (
         spark.read.format("delta_native")
         .load(table)

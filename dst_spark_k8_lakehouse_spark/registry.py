@@ -60,7 +60,8 @@ PRIORITY: list[str] = [
     # the native-Delta stack (delta_reader/writer/dml rewritten for
     # schema evolution, column mapping, partitioning, commit retries)
     "d16_delta_native_dml",
-    "d17_iceberg_native",  # iceberg_writer docstring/v2 work this round
+    "d17_iceberg_native",  # iceberg_writer field-id stamping this round
+    "x3_corpus_health",  # boilerplate branch moved to hash-keyed shape
     # (c) new this round
     "d19_delta_schema_merge",
     "d20_delta_partitioned",

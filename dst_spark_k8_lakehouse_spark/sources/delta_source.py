@@ -3,8 +3,10 @@ the jar-free native Delta stack as a FIRST-CLASS Spark source, batch
 and streaming:
 
     spark.dataSource.register(DeltaNativeDataSource)
-    spark.read.format("delta_native").load(path)          # batch
-    spark.readStream.format("delta_native").load(path)    # micro-batch
+    spark.read.format("delta_native").load(path)          # batch read
+    spark.readStream.format("delta_native").load(path)    # stream read
+    df.write.format("delta_native").mode("append").save(path)  # write
+    df.writeStream.format("delta_native").start(path)     # stream write
 
 This is the idiomatic-Spark face of ``plans/delta_reader``: instead of
 a library call, the table plugs into any DataFrame/SQL pipeline and
@@ -26,8 +28,18 @@ any Structured Streaming query. Design:
   ``dataChange: true`` remove (UPDATE/DELETE/overwrite) raises: the
   documented append-only streaming contract (real Delta's source
   behaves the same without ignoreChanges).
+- **Writes** are the protocol's own two-phase commit: executors write
+  uniquely-named parquet files (Hive-partitioned, physical column
+  names) and return their add actions as commit messages; the driver
+  publishes ONE atomic put-if-absent log commit (``mode("append")`` /
+  ``mode("overwrite")``; schema must match — evolution goes through
+  ``delta_writer.append_delta(merge_schema=True)``). Stream writes
+  commit each epoch with a ``SetTransaction`` watermark
+  (``.option("txnAppId", …)``), so replayed micro-batches are
+  exactly-once in the TABLE, not just in the checkpoint.
 
-Options: ``path`` (table root), ``versionAsOf`` (batch time travel).
+Options: ``path`` (table root), ``versionAsOf`` (batch time travel),
+``txnAppId`` (stream-write idempotence key).
 
 Scale: log replay is driver-side metadata work; data reads are
 per-file executor tasks over Arrow batches — the same physical shape
@@ -44,11 +56,14 @@ from typing import Any, Iterator
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     EqualTo,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from dst_spark_k8_lakehouse_spark.plans import delta_reader
@@ -300,9 +315,223 @@ class _StreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    adds: list = field(default_factory=list)
+
+
+def _hive_escape(val: str) -> str:
+    from dst_spark_k8_lakehouse_spark.plans import delta_writer
+
+    return delta_writer._hive_seg_w("x", val).split("=", 1)[1]
+
+
+class _DeltaWriter(DataSourceArrowWriter):
+    """Two-phase commit onto the native log, the protocol's own shape:
+    executors write uniquely-named parquet files straight into the
+    table (one per task × partition value) and report their add
+    actions as commit messages; the DRIVER publishes them in ONE
+    atomic put-if-absent log commit (retried on lost races), so
+    readers never see a partial write and an aborted job leaves only
+    unreferenced garbage for ``vacuum_delta``."""
+
+    def __init__(self, table: str, overwrite: bool,
+                 df_schema: T.StructType) -> None:
+        self.table = table
+        self.overwrite = overwrite
+        state = _replay_arrow(table, None)
+        meta = state["metaData"]
+        table_schema = T.StructType.fromJson(
+            json.loads(meta["schemaString"])
+        )
+        self.mode, self.phys = delta_reader._mapping(meta)
+        self.part_cols = delta_reader._partition_cols(
+            meta, table_schema, self.phys
+        )
+        expected = [f.name for f in table_schema.fields]
+        if sorted(df_schema.fieldNames()) != sorted(expected):
+            raise ValueError(
+                f"write schema {df_schema.fieldNames()} != table "
+                f"schema {expected} (use delta_writer.append_delta("
+                "merge_schema=True) to evolve the table)"
+            )
+        for f in df_schema.fields:
+            t = table_schema[f.name].dataType
+            if f.dataType != t:
+                raise ValueError(
+                    f"column {f.name!r} type {f.dataType.simpleString()} "
+                    f"!= table type {t.simpleString()}"
+                )
+        self.order = expected
+
+    def write(self, batches) -> _WriteMessage:
+        import time
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        blist = list(batches)
+        if not blist:  # empty input partition: nothing to add
+            return _WriteMessage(adds=[])
+        tbl = pa.Table.from_batches(blist).select(self.order)
+        adds = []
+        if self.part_cols:
+            import pyarrow.compute as pc
+
+            keys = tbl.select(self.part_cols)
+            groups = keys.group_by(self.part_cols).aggregate([])
+            combos = groups.to_pylist()
+        else:
+            combos = [{}]
+        data_cols = [c for c in self.order if c not in self.part_cols]
+        for combo in combos:
+            part = tbl
+            if combo:
+                import pyarrow.compute as pc
+
+                mask = None
+                for c, v in combo.items():
+                    m = (
+                        pc.is_null(part.column(c))
+                        if v is None
+                        else pc.equal(part.column(c), pa.scalar(v))
+                    )
+                    mask = m if mask is None else pc.and_(mask, m)
+                part = part.filter(mask)
+            out = part.select(data_cols).rename_columns(
+                [self.phys.get(c, c) for c in data_cols]
+            )
+            pv = {
+                self.phys.get(c, c): delta_reader._pv_str(combo.get(c))
+                for c in self.part_cols
+            }
+            name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            segs = [
+                f"{self.phys.get(c, c)}="
+                + (
+                    delta_reader._HIVE_NULL
+                    if combo.get(c) is None
+                    else _hive_escape(delta_reader._pv_str(combo.get(c)))
+                )
+                for c in self.part_cols
+            ]
+            rel = "/".join(segs + [name]) if segs else name
+            dst = os.path.join(self.table, *rel.split("/"))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            pq.write_table(out, dst, compression="snappy")
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(dst),
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+        return _WriteMessage(adds=adds)
+
+    def _all_adds(self, messages) -> list:
+        return [a for m in messages if m is not None for a in m.adds]
+
+    def commit(self, messages) -> None:
+        from dst_spark_k8_lakehouse_spark.plans import delta_writer
+
+        adds = self._all_adds(messages)
+        for _ in range(delta_writer._MAX_COMMIT_RETRIES):
+            actions: list = []
+            if self.overwrite:
+                import time
+
+                state = _replay_arrow(self.table, None)
+                now = int(time.time() * 1000)
+                actions += [
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                        }
+                    }
+                    for p in state["files"]
+                ]
+            actions += adds
+            actions.append(delta_writer._commit_info("WRITE"))
+            try:
+                delta_writer._commit(
+                    self.table, delta_writer._next_version(self.table),
+                    actions,
+                )
+                return
+            except FileExistsError:
+                continue
+        raise RuntimeError(f"write to {self.table} lost too many races")
+
+    def abort(self, messages) -> None:
+        for a in self._all_adds(messages):
+            try:
+                os.unlink(os.path.join(self.table, *a["add"]["path"].split("/")))
+            except OSError:
+                pass
+
+
+class _DeltaStreamWriter(_DeltaWriter, DataSourceStreamWriter):
+    """Streaming epochs commit with the spec's SetTransaction action:
+    a replayed micro-batch whose (app, batchId) watermark is already
+    in the log is NOT re-committed — exactly-once table state under
+    foreachBatch-style retries, same contract as
+    ``streaming/delta_sink.stream_to_delta``."""
+
+    def __init__(self, table: str, overwrite: bool,
+                 df_schema: T.StructType, app_id: str) -> None:
+        _DeltaWriter.__init__(self, table, overwrite, df_schema)
+        self.app_id = app_id
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import time
+
+        from dst_spark_k8_lakehouse_spark.plans import delta_writer
+
+        adds = self._all_adds(messages)
+        for _ in range(delta_writer._MAX_COMMIT_RETRIES):
+            state = _replay_arrow(self.table, None)
+            if state["txns"].get(self.app_id, -1) >= batchId:
+                return  # replayed batch: already committed
+            actions = list(adds)
+            actions.append(
+                {
+                    "txn": {
+                        "appId": self.app_id,
+                        "version": int(batchId),
+                        "lastUpdated": int(time.time() * 1000),
+                    }
+                }
+            )
+            actions.append(delta_writer._commit_info("STREAMING UPDATE"))
+            try:
+                delta_writer._commit(
+                    self.table, delta_writer._next_version(self.table),
+                    actions,
+                )
+                return
+            except FileExistsError:
+                continue
+        raise RuntimeError(
+            f"stream write to {self.table} lost too many races"
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        _DeltaWriter.abort(self, messages)
+
+
 class DeltaNativeDataSource(DataSource):
     """``spark.dataSource.register(DeltaNativeDataSource)`` then use
-    ``format("delta_native")`` for batch and streaming reads."""
+    ``format("delta_native")`` for batch and streaming reads AND
+    writes (``df.write.format("delta_native").mode("append"|
+    "overwrite").save(path)``; ``writeStream`` commits each epoch with
+    a SetTransaction idempotence watermark)."""
 
     @classmethod
     def name(cls) -> str:
@@ -328,6 +557,17 @@ class DeltaNativeDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> _StreamReader:  # noqa: N802
         return _StreamReader(self._path())
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> _DeltaWriter:
+        return _DeltaWriter(self._path(), overwrite, schema)
+
+    def streamWriter(  # noqa: N802
+        self, schema: T.StructType, overwrite: bool
+    ) -> _DeltaStreamWriter:
+        app = self.options.get(
+            "txnappid", f"delta_native-stream:{self._path()}"
+        )
+        return _DeltaStreamWriter(self._path(), overwrite, schema, app)
 
 
 def register(spark) -> None:

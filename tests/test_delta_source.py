@@ -128,3 +128,102 @@ def test_stream_reads_appends_and_skips_compaction(
     dw.append_delta(spark.range(13, 14).coalesce(1), table)
     with pytest.raises(Exception, match="append-only|removed data"):
         drain()
+
+
+def test_batch_write_append_and_overwrite(registered, tmp_path):
+    spark = registered
+    table = str(tmp_path / "w")
+    dw.create_delta(spark.range(3), table)
+    spark.range(3, 6).write.format("delta_native").mode("append").save(
+        table
+    )
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader as dr
+
+    assert _ids(dr.read_delta(spark, table)) == set(range(6))
+    spark.range(50, 53).write.format("delta_native").mode(
+        "overwrite"
+    ).save(table)
+    assert _ids(dr.read_delta(spark, table)) == {50, 51, 52}
+    # prior versions still travel (overwrite is a logical remove)
+    assert _ids(dr.read_delta(spark, table, version=1)) == set(range(6))
+
+
+def test_batch_write_partitioned_keeps_single_scan_layout(
+    registered, tmp_path
+):
+    spark = registered
+    table = str(tmp_path / "wp")
+    df = spark.range(0, 0).select(
+        "id", (F.col("id") % 3).cast("int").alias("b")
+    )
+    dw.create_delta(df, table, partition_by=["b"])
+    spark.range(30).select(
+        "id", (F.col("id") % 3).cast("int").alias("b")
+    ).write.format("delta_native").mode("append").save(table)
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader as dr
+
+    state = dr._replay(spark, table, None)
+    assert all(rel.startswith("b=") for rel in state["files"])
+    cur = dr.read_delta(spark, table)
+    assert {(r.id, r.b) for r in cur.collect()} == {
+        (i, i % 3) for i in range(30)
+    }
+    plan = cur._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    pruned = dr.read_delta(spark, table, partition_filter={"b": 1})
+    assert pruned.inputFiles() and all(
+        "b=1" in f for f in pruned.inputFiles()
+    )
+
+
+def test_batch_write_schema_mismatch_refused(registered, tmp_path):
+    spark = registered
+    table = str(tmp_path / "ws")
+    dw.create_delta(spark.range(2), table)
+    with pytest.raises(Exception, match="table"):
+        spark.range(2).select(
+            F.col("id").alias("renamed")
+        ).write.format("delta_native").mode("append").save(table)
+
+
+def test_stream_write_exactly_once(registered, tmp_path):
+    spark = registered
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "wt")
+    ck = str(tmp_path / "wck")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 4).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    dw.create_delta(spark.createDataFrame([], "id long"), table)
+
+    def run():
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(src + "/*")
+            .writeStream.format("delta_native")
+            .option("checkpointLocation", ck)
+            .option("txnAppId", "wtest")
+            .trigger(availableNow=True)
+            .start(table)
+        )
+        q.awaitTermination(120)
+        if q.exception():
+            raise q.exception()
+
+    run()
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader as dr
+
+    expected = {i * 10 + j for i in range(3) for j in range(4)}
+    assert _ids(dr.read_delta(spark, table)) == expected
+    # restart over the same checkpoint: no duplicates
+    run()
+    assert _ids(dr.read_delta(spark, table)) == expected
+    # the txn watermark is in the log (exactly-once evidence, not
+    # just checkpoint dedup)
+    state = dr._replay(spark, table, None)
+    assert state["txns"].get("wtest", -1) >= 0
+    # new file → only the new rows land
+    spark.range(100, 102).coalesce(1).write.parquet(f"{src}/f9")
+    run()
+    assert _ids(dr.read_delta(spark, table)) == expected | {100, 101}
