@@ -94,9 +94,6 @@ def test_stream_reads_appends_and_skips_compaction(
     dw.create_delta(spark.range(5).coalesce(1), table)
     dw.append_delta(spark.range(5, 10).coalesce(1), table)
 
-    out = str(tmp_path / "out")
-    seen: list[set] = []
-
     def drain():
         batches: set = set()
 
