@@ -273,7 +273,15 @@ class _StreamReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             f = by_version.get(v)
             if f is None:
-                continue  # pre-checkpoint cleanup; nothing to emit
+                # a missing commit in the requested range means the log
+                # prefix was checkpoint-cleaned: emitting nothing would
+                # silently DROP those versions' rows from the stream
+                raise ValueError(
+                    f"commit {v} of {self.table} is no longer in the "
+                    "log (cleaned up past a checkpoint); this stream "
+                    "cannot resume exactly — restart it from a fresh "
+                    "checkpoint"
+                )
             with open(f) as fh:
                 for line in fh:
                     line = line.strip()

@@ -224,3 +224,24 @@ def test_stream_write_exactly_once(registered, tmp_path):
     spark.range(100, 102).coalesce(1).write.parquet(f"{src}/f9")
     run()
     assert _ids(dr.read_delta(spark, table)) == expected | {100, 101}
+
+
+def test_stream_raises_on_cleaned_log_range(registered, tmp_path):
+    """A stream whose offset range was checkpoint-cleaned must FAIL,
+    never silently skip the vanished versions' rows."""
+    import os
+
+    spark = registered
+    table = str(tmp_path / "cl")
+    dw.create_delta(spark.range(3).coalesce(1), table)
+    dw.append_delta(spark.range(3, 6).coalesce(1), table)
+    dw.write_checkpoint(spark, table)
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader as dr
+
+    for _v, f in dr._commit_files(table):
+        os.unlink(f)
+    r = delta_source._StreamReader(table)
+    with pytest.raises(ValueError, match="no longer in the log"):
+        r.partitions({"version": -1}, r.latestOffset())
+    # a stream that starts AT the checkpoint is fine (empty range)
+    assert r.partitions(r.latestOffset(), r.latestOffset()) == []
