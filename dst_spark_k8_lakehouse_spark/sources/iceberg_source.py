@@ -1,6 +1,8 @@
 """``format("iceberg_native")`` — Spark 4 Python DataSource over the
-jar-free native Iceberg stack (batch; snapshot time travel via
-``.option("snapshotId", …)``).
+jar-free native Iceberg stack: batch (snapshot time travel via
+``.option("snapshotId", …)``) and micro-batch STREAMING (snapshot-id
+offsets over an append-only history; overwrite/DML snapshots and
+expired resume offsets raise rather than dropping rows).
 
 Planning is pure Python end to end: metadata JSON + Avro manifests
 decode through ``plans/avro_codec`` (no JVM, no SparkSession), so the
@@ -25,6 +27,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     In,
     InputPartition,
@@ -179,6 +182,95 @@ class _IceReader(DataSourceReader):
         return _read_ice_partition(partition)
 
 
+class _IceStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming over an append-only snapshot history:
+    offsets are SNAPSHOT IDS (not list ordinals — ``expire_snapshots``
+    truncates the front of the list). Each batch emits the files the
+    in-range snapshots ADDED (manifest entries with status 1 belonging
+    to that snapshot); an overwrite/DML snapshot in range raises the
+    append-only contract, and a start offset whose snapshot was
+    expired raises rather than silently skipping rows — both mirror
+    ``delta_source``'s stream semantics."""
+
+    def __init__(self, table: str) -> None:
+        self.table = table
+        meta = _load_meta(table)
+        self.schema_dict = _current_schema(meta)
+        self.schema = iceberg_reader._schema_struct(self.schema_dict)
+
+    def initialOffset(self):  # noqa: N802
+        return {"snapshot_id": -1}
+
+    def latestOffset(self):  # noqa: N802
+        meta = _load_meta(self.table)
+        cur = meta.get("current-snapshot-id")
+        return {"snapshot_id": int(cur) if cur is not None else -1}
+
+    def _range(self, start_id: int, end_id: int) -> list[dict]:
+        meta = _load_meta(self.table)
+        snaps = meta.get("snapshots") or []
+        ids = [int(s["snapshot-id"]) for s in snaps]
+        if end_id == -1 or end_id == start_id:
+            return []
+        lo = 0
+        if start_id != -1:
+            if start_id not in ids:
+                raise ValueError(
+                    f"snapshot {start_id} of {self.table} was expired; "
+                    "this stream cannot resume exactly — restart it "
+                    "from a fresh checkpoint"
+                )
+            lo = ids.index(start_id) + 1
+        return snaps[lo: ids.index(end_id) + 1]
+
+    def partitions(self, start, end):
+        out = []
+        ids_cols = [
+            (int(fl["id"]), fl["name"])
+            for fl in self.schema_dict["fields"]
+        ]
+        for snap in self._range(
+            int(start["snapshot_id"]), int(end["snapshot_id"])
+        ):
+            op = (snap.get("summary") or {}).get("operation")
+            if op != "append":
+                raise ValueError(
+                    f"snapshot {snap['snapshot-id']} of {self.table} is "
+                    f"a {op!r} (overwrite/DML); the iceberg_native "
+                    "stream supports append-only history"
+                )
+            snap_id = int(snap["snapshot-id"])
+            mlist = iceberg_reader._strip_uri(snap["manifest-list"])
+            for mf in avro_codec.read_avro_file(mlist):
+                if int(mf.get("added_snapshot_id") or -1) != snap_id:
+                    continue
+                manifest = iceberg_reader._strip_uri(
+                    str(mf["manifest_path"])
+                )
+                for e in avro_codec.read_avro_file(manifest):
+                    if int(e["status"]) != 1:
+                        continue
+                    if int(e.get("snapshot_id") or snap_id) != snap_id:
+                        continue
+                    d = e["data_file"]
+                    out.append(
+                        _IcePartition(
+                            path=iceberg_reader._strip_uri(
+                                str(d["file_path"])
+                            ),
+                            ids=ids_cols,
+                            schema_json=self.schema.json(),
+                        )
+                    )
+        return out
+
+    def read(self, partition: _IcePartition):
+        return _read_ice_partition(partition)
+
+    def commit(self, end) -> None:
+        pass
+
+
 class IcebergNativeDataSource(DataSource):
     """``spark.dataSource.register(IcebergNativeDataSource)`` then
     ``spark.read.format("iceberg_native").load(path)`` (optionally
@@ -204,6 +296,9 @@ class IcebergNativeDataSource(DataSource):
         return _IceReader(
             self._path(), int(sid) if sid is not None else None
         )
+
+    def streamReader(self, schema: T.StructType) -> _IceStreamReader:  # noqa: N802
+        return _IceStreamReader(self._path())
 
 
 def register(spark) -> None:

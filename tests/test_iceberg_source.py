@@ -93,3 +93,51 @@ def test_read_after_copy_on_write_dml(registered, tmp_path):
     assert {(r.id, r.w) for r in got.collect()} == {
         (i, 9.0 if i == 3 else 1.0) for i in range(15)
     }
+
+
+def test_stream_reads_appends_exactly_once(registered, tmp_path):
+    spark = registered
+    table = str(tmp_path / "st")
+    ck = str(tmp_path / "ck")
+    iw.create_iceberg(spark.range(4).coalesce(1), table)
+    iw.append_iceberg(spark.range(4, 8).coalesce(1), table)
+
+    def drain():
+        got: set = set()
+
+        def sink(batch_df, _bid):
+            got.update(r.id for r in batch_df.select("id").collect())
+
+        q = (
+            spark.readStream.format("iceberg_native")
+            .load(table)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception():
+            raise q.exception()
+        return got
+
+    assert drain() == set(range(8))
+    iw.append_iceberg(spark.range(8, 10).coalesce(1), table)
+    assert drain() == {8, 9}  # only the new snapshot's rows
+    # an overwrite snapshot breaks the append-only contract loudly
+    iw.overwrite_iceberg(spark.range(50, 52).coalesce(1), table)
+    with pytest.raises(Exception, match="append-only"):
+        drain()
+
+
+def test_stream_raises_on_expired_start(registered, tmp_path):
+    spark = registered
+    table = str(tmp_path / "ex")
+    iw.create_iceberg(spark.range(3).coalesce(1), table)
+    iw.append_iceberg(spark.range(3, 6).coalesce(1), table)
+    r = iceberg_source._IceStreamReader(table)
+    # a resume offset pointing at a snapshot that no longer exists
+    with pytest.raises(ValueError, match="expired"):
+        r.partitions({"snapshot_id": 12345}, r.latestOffset())
+    # empty range at the current snapshot is fine
+    assert r.partitions(r.latestOffset(), r.latestOffset()) == []
