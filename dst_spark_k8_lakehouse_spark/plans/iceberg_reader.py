@@ -11,12 +11,11 @@ walking the documented metadata chain:
     → snapshot → ``manifest-list`` (Avro)
     → manifests (Avro) → live data files (parquet) → one scan.
 
-Avro manifests are read through the JVM Avro library ALREADY BUNDLED
-with pyspark (``jars/avro-1.12.1.jar``) via py4j generic records —
-field access by name, no JSON round-trip, no pip install. Manifest
-walking is driver-side metadata work (exactly where Iceberg's own
-reader does it); the data read is an ordinary parquet scan with
-pushdown.
+Avro manifests decode through the pure-Python container reader
+(``plans/avro_codec`` — no JVM, no py4j, no pip install; null and
+deflate codecs). Manifest walking is driver-side metadata work
+(exactly where Iceberg's own reader does it); the data read is an
+ordinary parquet scan with pushdown.
 
 Schema resolution: when the data files embed Iceberg field ids
 (``parquet.field.id`` — always true for files written by real

@@ -1,5 +1,7 @@
-"""Single-writer Apache Iceberg table writer — pure Python + the JVM
-Avro library ALREADY BUNDLED with pyspark (no Iceberg runtime jar).
+"""Single-writer Apache Iceberg table writer — PURE PYTHON end to
+end (no Iceberg runtime jar, and since r6 no JVM Avro either: the
+manifest files encode through ``plans/avro_codec``, whose output the
+JVM Avro reader parses byte-for-byte — conformance-tested).
 
 Counterpart of ``delta_writer`` for the reference's other table format
 (Iceberg 1.9, ``scripts/download-jars.sh:84-85``,
@@ -180,38 +182,15 @@ def _typed_partition_value(raw: str | None, iceberg_type: str):
 
 
 def write_avro(spark: SparkSession, path: str, schema_json: str, rows) -> None:
-    """Write GenericRecords through pyspark's bundled JVM Avro library
-    (the write half of ``iceberg_reader._avro_records``). Nested dict
-    values become sub-records; ``["null", T]`` unions take the value
-    directly."""
-    jvm = spark._jvm
-    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
-    writer = jvm.org.apache.avro.file.DataFileWriter(
-        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
-    )
-    writer.create(schema, jvm.java.io.File(path))
-    try:
-        for row in rows:
-            writer.append(_record(jvm, schema, row))
-    finally:
-        writer.close()
+    """Write an Avro container file through the pure-Python encoder
+    (``plans/avro_codec.write_avro_file`` — JVM-conformance-tested in
+    ``test_avro_codec.py``; the write half of
+    ``iceberg_reader._avro_records``). ``spark`` is kept in the
+    signature for call-site compatibility and ignored — manifest
+    writing needs no JVM and no session."""
+    from dst_spark_k8_lakehouse_spark.plans import avro_codec
 
-
-def _record(jvm, schema, row: dict[str, Any]):
-    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
-    for k, v in row.items():
-        field_schema = schema.getField(k).schema()
-        # unwrap ["null", X] unions to X for nested record values
-        if field_schema.getType().getName() == "union":
-            for t in field_schema.getTypes():
-                if t.getType().getName() != "null":
-                    field_schema = t
-                    break
-        if isinstance(v, dict):
-            rec.put(k, _record(jvm, field_schema, v))
-        else:
-            rec.put(k, v)
-    return rec
+    avro_codec.write_avro_file(path, schema_json, list(rows))
 
 
 class _FieldIds:

@@ -128,3 +128,60 @@ def test_not_avro_raises(tmp_path):
         fh.write(b"PAR1 not avro")
     with pytest.raises(ValueError, match="not an Avro container"):
         avro_codec.read_avro_file(p)
+
+
+def test_python_writer_roundtrips_through_python_reader(tmp_path):
+    p = str(tmp_path / "w.avro")
+    rows = [
+        {
+            "i": i, "l": (i + 1) * 10_000_000_000, "f": i / 2.0,
+            "d": i / 3.0, "b": i % 2 == 0, "s": f"s{i}·π",
+            "by": bytes([i % 256] * 3),
+            "u": None if i % 3 == 0 else i,
+            "arr": list(range(i % 4)), "m": {f"k{i}": f"v{i}"},
+            "fx": bytes([1, 2, 3, i % 256]),
+            "e": ["RED", "GREEN", "BLUE"][i % 3],
+            "nested": {"x": i * 7}, "again": {"x": i * 11},
+        }
+        for i in range(2500)  # > one 1000-record block
+    ]
+    avro_codec.write_avro_file(p, json.dumps(SCHEMA), rows)
+    back = avro_codec.read_avro_file(p)
+    assert len(back) == 2500
+    for i in (0, 999, 1000, 2499):
+        want = dict(rows[i])
+        want["f"] = pytest.approx(want["f"], rel=1e-6)
+        assert back[i] == want
+
+
+def test_python_writer_readable_by_jvm(spark, tmp_path):
+    """Cross-engine conformance in the OTHER direction: files this
+    writer produces must parse in the reference implementation."""
+    p = str(tmp_path / "w2.avro")
+    rows = [
+        {
+            "i": i, "l": (i + 1) * 10_000_000_000, "f": 0.5, "d": 0.25,
+            "b": True, "s": f"x{i}", "by": b"ab",
+            "u": i if i % 2 else None, "arr": [1, 2], "m": {"a": "b"},
+            "fx": b"\x01\x02\x03\x04", "e": "GREEN",
+            "nested": {"x": 1}, "again": {"x": 2},
+        }
+        for i in range(50)
+    ]
+    avro_codec.write_avro_file(p, json.dumps(SCHEMA), rows)
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    n = 0
+    while reader.hasNext():
+        rec = reader.next()
+        i = int(str(rec.get("i")))
+        assert str(rec.get("s")) == f"x{i}"
+        assert int(str(rec.get("l"))) == (i + 1) * 10_000_000_000
+        assert str(rec.get("e")) == "GREEN"
+        assert int(str(rec.get("nested").get("x"))) == 1
+        n += 1
+    reader.close()
+    assert n == 50
