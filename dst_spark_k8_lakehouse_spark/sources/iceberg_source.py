@@ -1,8 +1,11 @@
 """``format("iceberg_native")`` — Spark 4 Python DataSource over the
-jar-free native Iceberg stack: batch (snapshot time travel via
-``.option("snapshotId", …)``) and micro-batch STREAMING (snapshot-id
-offsets over an append-only history; overwrite/DML snapshots and
-expired resume offsets raise rather than dropping rows).
+jar-free native Iceberg stack: batch reads (snapshot time travel via
+``.option("snapshotId", …)``), micro-batch STREAMING reads
+(snapshot-id offsets over an append-only history; overwrite/DML
+snapshots and expired resume offsets raise rather than dropping
+rows), and batch WRITES (``mode("append"|"overwrite")`` — executors
+write field-id-stamped parquet, the driver publishes one snapshot
+with put-if-absent metadata commit).
 
 Planning is pure Python end to end: metadata JSON + Avro manifests
 decode through ``plans/avro_codec`` (no JVM, no SparkSession), so the
@@ -26,11 +29,13 @@ from typing import Any, Iterator
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from dst_spark_k8_lakehouse_spark.plans import avro_codec, iceberg_reader
@@ -271,6 +276,210 @@ class _IceStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _IceWriteMessage(WriterCommitMessage):
+    files: list = field(default_factory=list)  # (path, rows, size, pv)
+
+
+class _IceWriter(DataSourceArrowWriter):
+    """Batch writes through the DataSource: executors write parquet
+    files with EMBEDDED FIELD IDS (the property every other part of
+    the stack relies on) straight under ``data/`` and report
+    (path, row count, size, typed partition values); the driver
+    publishes ONE snapshot — new manifest + manifest list + metadata
+    version via put-if-absent, with lost-race retry. Append carries
+    the previous snapshot's manifests; overwrite references only the
+    new one (prior snapshots stay time-travellable). Abort deletes
+    the written files."""
+
+    def __init__(self, table: str, overwrite: bool,
+                 df_schema: T.StructType) -> None:
+        self.table = table
+        self.overwrite = overwrite
+        meta = _load_meta(table)
+        schema_dict = _current_schema(meta)
+        expected = [f["name"] for f in schema_dict["fields"]]
+        if sorted(df_schema.fieldNames()) != sorted(expected):
+            raise ValueError(
+                f"write schema {df_schema.fieldNames()} != table "
+                f"schema {expected}"
+            )
+        self.order = expected
+        self.field_ids = {
+            f["name"]: int(f["id"]) for f in schema_dict["fields"]
+        }
+        from dst_spark_k8_lakehouse_spark.plans import iceberg_writer
+
+        spec = iceberg_writer._spec_fields(meta)
+        by_id = {f["id"]: f for f in schema_dict["fields"]}
+        self.part_srcs = [by_id[sf["source-id"]]["name"] for sf in spec]
+        self.part_names = [sf["name"] for sf in spec]
+        self.part_types = [by_id[sf["source-id"]]["type"] for sf in spec]
+        if spec:
+            iceberg_writer._partition_avro_fields(meta)  # validate
+
+    def write(self, batches) -> _IceWriteMessage:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        blist = list(batches)
+        if not blist:
+            return _IceWriteMessage(files=[])
+        tbl = pa.Table.from_batches(blist).select(self.order)
+        # stamp field ids into the arrow schema so pyarrow writes
+        # PARQUET:field_id into the footers
+        fields = [
+            tbl.schema.field(i).with_metadata(
+                {b"PARQUET:field_id": str(
+                    self.field_ids[tbl.schema.field(i).name]
+                ).encode()}
+            )
+            for i in range(len(tbl.schema))
+        ]
+        tbl = tbl.cast(pa.schema(fields))
+        data = os.path.join(self.table, "data")
+        os.makedirs(data, exist_ok=True)
+        if self.part_srcs:
+            combos = (
+                tbl.select(self.part_srcs)
+                .group_by(self.part_srcs)
+                .aggregate([])
+                .to_pylist()
+            )
+        else:
+            combos = [{}]
+        files = []
+        for combo in combos:
+            part = tbl
+            if combo:
+                import pyarrow.compute as pc
+
+                mask = None
+                for c, v in combo.items():
+                    m = (
+                        pc.is_null(part.column(c))
+                        if v is None
+                        else pc.equal(part.column(c), pa.scalar(v))
+                    )
+                    mask = m if mask is None else pc.and_(mask, m)
+                part = part.filter(mask)
+            dst = os.path.join(data, f"{uuid.uuid4().hex}.parquet")
+            pq.write_table(part, dst, compression="snappy")
+            pv = {
+                name: _avro_partition_value(combo.get(src), t)
+                for name, src, t in zip(
+                    self.part_names, self.part_srcs, self.part_types
+                )
+            }
+            files.append(
+                (dst, part.num_rows, os.path.getsize(dst), pv)
+            )
+        return _IceWriteMessage(files=files)
+
+    def _all_files(self, messages) -> list:
+        return [f for m in messages if m is not None for f in m.files]
+
+    def commit(self, messages) -> None:
+        import time
+        import uuid
+
+        from dst_spark_k8_lakehouse_spark.plans import (
+            avro_codec,
+            iceberg_writer,
+        )
+
+        files = self._all_files(messages)
+        for _ in range(10):
+            meta, v = iceberg_writer._load_meta(self.table)
+            spec = iceberg_writer._spec_fields(meta)
+            mschema = (
+                iceberg_writer.manifest_schema(
+                    iceberg_writer._partition_avro_fields(meta)
+                )
+                if spec
+                else iceberg_writer.MANIFEST_SCHEMA
+            )
+            md = iceberg_reader._metadata_dir(self.table)
+            snap_id = int(time.time() * 1000) * 1000 + v + 1
+            manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
+            avro_codec.write_avro_file(
+                manifest,
+                mschema,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": snap_id,
+                        "data_file": {
+                            "file_path": p,
+                            "file_format": "PARQUET",
+                            "partition": pv,
+                            "record_count": int(n),
+                            "file_size_in_bytes": int(sz),
+                        },
+                    }
+                    for p, n, sz, pv in files
+                ],
+            )
+            entries = (
+                []
+                if self.overwrite
+                else iceberg_writer._prev_manifests(None, meta)
+            )
+            entries.append(
+                {
+                    "manifest_path": manifest,
+                    "manifest_length": os.path.getsize(manifest),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": snap_id,
+                }
+            )
+            mlist = os.path.join(md, f"snap-{snap_id}.avro")
+            avro_codec.write_avro_file(
+                mlist, iceberg_writer.MANIFEST_LIST_SCHEMA, entries
+            )
+            iceberg_writer._bump_metadata_log(self.table, meta)
+            iceberg_writer._register_snapshot(
+                meta,
+                snap_id,
+                mlist,
+                {
+                    "operation": "overwrite" if self.overwrite
+                    else "append",
+                    "added-data-files": str(len(files)),
+                    "added-records": str(sum(n for _, n, _, _ in files)),
+                },
+            )
+            try:
+                iceberg_writer._commit_metadata(self.table, meta, v + 1)
+                return
+            except FileExistsError:
+                continue
+        raise RuntimeError(
+            f"write to {self.table} lost too many commit races"
+        )
+
+    def abort(self, messages) -> None:
+        for p, _n, _sz, _pv in self._all_files(messages):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+
+def _avro_partition_value(v: Any, iceberg_type: str) -> Any:
+    """Arrow group value → the manifest partition record's Avro value
+    (dates become epoch days per the logical type)."""
+    if v is None:
+        return None
+    import datetime
+
+    if iceberg_type == "date" and isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    return v
+
+
 class IcebergNativeDataSource(DataSource):
     """``spark.dataSource.register(IcebergNativeDataSource)`` then
     ``spark.read.format("iceberg_native").load(path)`` (optionally
@@ -299,6 +508,9 @@ class IcebergNativeDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> _IceStreamReader:  # noqa: N802
         return _IceStreamReader(self._path())
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> _IceWriter:
+        return _IceWriter(self._path(), overwrite, schema)
 
 
 def register(spark) -> None:
