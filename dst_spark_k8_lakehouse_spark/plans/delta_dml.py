@@ -21,11 +21,14 @@ file-granular copy-on-write real Delta uses:
 
 Rewrite cost is therefore proportional to TOUCHED bytes, not table
 bytes — the property that matters when a predicate hits 3 files out of
-30k. Partitioned tables are supported for UPDATE/DELETE (partition
-columns are injected from ``partitionValues`` before predicate
-evaluation and preserved on rewrite); updating a partition column
-raises (it would move rows across files — real Delta rewrites in the
-same way but re-partitions; out of single-writer scope here, loudly).
+30k. Partitioned tables are supported for UPDATE/DELETE/MERGE
+(partition columns are injected from ``partitionValues`` before
+predicate evaluation and preserved on rewrite; MERGE writes incoming
+rows through the partitionBy path, so inserts and partition-moving
+replacements land in the right directory). UPDATE of a partition
+column still raises (it would move rows across files under a
+fixed-partition rewrite; route such changes through MERGE, which
+re-partitions).
 
 API mirrors ``VersionedTable.update/delete/merge`` (plans/table.py) so
 ``plans/dml.execute_dml`` statement routing works on both backends.
@@ -171,6 +174,15 @@ def _rewrite_and_commit(
     ]
     part_cols = state["metaData"].get("partitionColumns") or []
     for df, pv in new_files:
+        if pv is None:
+            # partition-spanning rows (MERGE inserts / moved rows):
+            # the writer's partitionBy path derives each file's
+            # partitionValues from the Hive layout itself
+            adds = delta_writer._write_data_files(
+                df.drop(_FILE_COL), table, part_cols or None
+            )
+            actions += adds
+            continue
         out = df.drop(_FILE_COL, *part_cols) if part_cols else df.drop(
             _FILE_COL
         )
@@ -311,61 +323,84 @@ def merge_delta(
     source rows inserted). Only files containing matched keys are
     rewritten; unmatched-insert rows land in new files.
 
-    Unpartitioned targets only (the jar-free writer never partitions;
-    partitioned MERGE would need partition-aware placement of source
-    rows — raises loudly rather than mis-placing them)."""
+    Partitioned targets are fully supported (r6): matched-file
+    rewrites stay inside their partition directory, and incoming
+    source rows — inserts AND rows whose replacement moved them to a
+    different partition value — are written through the partitionBy
+    path, which derives each new file's partitionValues from the Hive
+    layout. The classification scan unions one branch per live
+    partition group (like the reader's nonstandard-layout fallback:
+    fine at the partition counts DML predicates touch; a 100k-
+    partition MERGE should pre-filter the target by the source's
+    partition values first)."""
     state = delta_reader._replay(spark, table, None)
     _check_unmapped(state, "MERGE")
     schema = _schema(state)
     part_cols = state["metaData"].get("partitionColumns") or []
-    if part_cols:
-        raise NotImplementedError(
-            "MERGE on a partitioned native Delta table is not supported "
-            "by the single-writer path"
-        )
     if source.columns != [f.name for f in schema.fields]:
         source = source.select(*[f.name for f in schema.fields])
     dup = source.groupBy(*on).count().where("count > 1").limit(1).count()
     if dup:
         raise ValueError("MERGE source has duplicate keys")
-    files = _groups(state, table).get((), [])
-    by_abs = {os.path.normpath(a): r for a, r in files}
-    if not files:  # empty table: MERGE degenerates to an insert
+    insert_pv: dict | None = None if part_cols else {}
+    groups = _groups(state, table)
+    if not any(groups.values()):  # empty table: MERGE = insert
         if not insert_when_not_matched:
             return delta_writer._next_version(table) - 1
         return _rewrite_and_commit(
             spark, table, state, [],
-            [(source.withColumn(_FILE_COL, F.lit("")), {})], "MERGE",
+            [(source.withColumn(_FILE_COL, F.lit("")), insert_pv)],
+            "MERGE",
         )
-    df = _scan_group(spark, schema, [], (), [a for a, _ in files])
+    scans = {
+        pv_key: _scan_group(
+            spark, schema, part_cols, pv_key, [a for a, _ in files]
+        )
+        for pv_key, files in groups.items()
+        if files
+    }
+    full = None
+    for df in scans.values():
+        full = df if full is None else full.unionByName(df)
     keys = source.select(*on)
-    # per-file matched-key counts: one broadcast semi-join pass
+    # per-file matched-key counts: ONE broadcast semi-join pass over
+    # every partition group
     matched = (
-        df.join(F.broadcast(keys), on, "left_semi")
+        full.join(F.broadcast(keys), on, "left_semi")
         .groupBy(_FILE_COL)
         .count()
         .collect()
     )
-    touched = [_uri_to_rel(r[_FILE_COL], by_abs) for r in matched]
+    by_abs_all = {
+        os.path.normpath(a): r
+        for files in groups.values()
+        for a, r in files
+    }
+    touched = {_uri_to_rel(r[_FILE_COL], by_abs_all) for r in matched}
     removes: list[str] = []
-    rewrites: list[tuple[DataFrame, dict[str, str]]] = []
+    rewrites: list[tuple[DataFrame, dict[str, str] | None]] = []
     if update_when_matched and touched:
-        removes = touched
-        touched_abs = sorted(
-            a for a, r in files if r in set(touched)
-        )
-        kept = _scan_group(spark, schema, [], (), touched_abs).join(
-            F.broadcast(keys), on, "left_anti"
-        )
-        rewrites.append((kept, {}))
+        removes = sorted(touched)
+        for pv_key, files in groups.items():
+            touched_abs = sorted(
+                a for a, r in files if r in touched
+            )
+            if not touched_abs:
+                continue
+            kept = _scan_group(
+                spark, schema, part_cols, pv_key, touched_abs
+            ).join(F.broadcast(keys), on, "left_anti")
+            rewrites.append((kept, _pv_dict(part_cols, pv_key)))
         incoming = source
     else:
-        incoming = source.join(df.select(*on), on, "left_anti")
+        incoming = source.join(full.select(*on), on, "left_anti")
     if not insert_when_not_matched:
-        incoming = incoming.join(df.select(*on), on, "left_semi")
+        incoming = incoming.join(full.select(*on), on, "left_semi")
     n_in = incoming.limit(1).count()
     if n_in:
-        rewrites.append((incoming.withColumn(_FILE_COL, F.lit("")), {}))
+        rewrites.append(
+            (incoming.withColumn(_FILE_COL, F.lit("")), insert_pv)
+        )
     if not removes and not n_in:
         return delta_writer._next_version(table) - 1
     return _rewrite_and_commit(

@@ -322,3 +322,55 @@ def test_dml_race_against_noop_commit_retries(spark, tmp_path, monkeypatch):
     dml.delete_delta(spark, table, "id >= 5")
     monkeypatch.setattr(dw, "_commit", orig)
     assert _ids(dr.read_delta(spark, table)) == set(range(5))
+
+
+def test_partitioned_merge_upserts_and_moves_partitions(spark, tmp_path):
+    table = str(tmp_path / "pm")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(12)], "id long, p int, v double"
+    )
+    dw.create_delta(df, table, partition_by=["p"])
+    # source: replace id 4 in place, MOVE id 5 to partition 0, insert
+    # id 100 into a partition and id 200 into a brand-new partition
+    src = spark.createDataFrame(
+        [(4, 1, 44.0), (5, 0, 55.0), (100, 2, 1.0), (200, 9, 2.0)],
+        "id long, p int, v double",
+    )
+    dml.merge_delta(spark, table, src, on=["id"])
+    got = {(r.id, r.p, r.v)
+           for r in dr.read_delta(spark, table).collect()}
+    expected = {(i, i % 3, float(i)) for i in range(12) if i not in (4, 5)}
+    expected |= {(4, 1, 44.0), (5, 0, 55.0), (100, 2, 1.0), (200, 9, 2.0)}
+    assert got == expected
+    # every file still lives in a Hive partition dir matching its log
+    # values — the single-scan read path survives the MERGE
+    state = dr._replay(spark, table, None)
+    for rel, a in state["files"].items():
+        assert rel.split("/")[0] == f"p={a['partitionValues']['p']}"
+    plan = (
+        dr.read_delta(spark, table)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Union" not in plan
+    # moved row is visible under its NEW partition filter
+    assert 5 in {
+        r.id for r in dr.read_delta(
+            spark, table, partition_filter={"p": 0}
+        ).collect()
+    }
+
+
+def test_partitioned_merge_not_matched_only(spark, tmp_path):
+    table = str(tmp_path / "pm2")
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 1, 2.0)], "id long, p int, v double"
+    )
+    dw.create_delta(df, table, partition_by=["p"])
+    src = spark.createDataFrame(
+        [(2, 1, 99.0), (3, 0, 3.0)], "id long, p int, v double"
+    )
+    dml.merge_delta(
+        spark, table, src, on=["id"], update_when_matched=False
+    )
+    got = {(r.id, r.v) for r in dr.read_delta(spark, table).collect()}
+    assert got == {(1, 1.0), (2, 2.0), (3, 3.0)}  # 2 NOT updated
