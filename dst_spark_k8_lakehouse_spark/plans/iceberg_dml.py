@@ -3,8 +3,8 @@
 Counterpart of ``delta_dml`` for the reference's other table format
 (Iceberg 1.9 via jars, ``scripts/download-jars.sh:84-85``,
 ``02_iceberg_demo.ipynb`` runs UPDATE/DELETE through the runtime):
-UPDATE / DELETE against a v1 table whose metadata chain was written by
-``iceberg_writer``. The physical strategy is the v1 copy-on-write
+UPDATE / DELETE / MERGE against a v1 table whose metadata chain was
+written by ``iceberg_writer``. The physical strategy is the v1 copy-on-write
 overwrite real engines use when merge-on-read is off:
 
 1. ONE scan over the current snapshot's data files computes per-file
@@ -289,3 +289,148 @@ def update_iceberg(
         return df.selectExpr(*exprs)
 
     return _cow_commit(spark, table, condition, rewrite, "UPDATE")
+
+
+def merge_iceberg(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: list[str],
+    update_when_matched: bool = True,
+    insert_when_not_matched: bool = True,
+) -> int:
+    """MERGE INTO a native Iceberg v1 table (upsert, the same
+    semantics as ``delta_dml.merge_delta``): matched target rows are
+    replaced wholesale by source rows, unmatched source rows are
+    inserted; only files containing matched keys are rewritten, in
+    one copy-on-write overwrite snapshot. Partitioned targets work —
+    identity values live in the rows, so rewritten and incoming files
+    alike re-derive their partition records through the partitioned
+    writer (a replacement that changes a partition value moves the
+    row correctly). Returns the new snapshot id (or the current one
+    unchanged on a no-op)."""
+    import time
+
+    meta, v = iceberg_writer._load_meta(table)
+    spec_fields = iceberg_writer._spec_fields(meta)
+    names = [f["name"] for f in meta["schema"]["fields"]]
+    if source.columns != names:
+        source = source.select(*names)
+    dup = source.groupBy(*on).count().where("count > 1").limit(1).count()
+    if dup:
+        raise ValueError("MERGE source has duplicate keys")
+    cur = meta.get("current-snapshot-id")
+    snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+    entries_now = _live_entries(
+        spark, snaps[int(cur)], spec_fields
+    ) if cur and int(cur) != -1 else []
+    keys = source.select(*on)
+    touched_paths: set[str] = set()
+    target = None
+    if entries_now:
+        target = iceberg_reader.read_data_files(
+            spark, [e["file_path"] for e in entries_now], meta["schema"]
+        ).withColumn(_FILE_COL, F.col("_metadata.file_path"))
+        from urllib.parse import unquote
+
+        by_norm = {
+            os.path.normpath(e["file_path"]): e["file_path"]
+            for e in entries_now
+        }
+        for r in (
+            target.join(F.broadcast(keys), on, "left_semi")
+            .groupBy(_FILE_COL)
+            .count()
+            .collect()
+        ):
+            p = unquote(r[_FILE_COL])
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+                while p.startswith("//"):
+                    p = p[1:]
+            touched_paths.add(by_norm[os.path.normpath(p)])
+    if update_when_matched and touched_paths:
+        kept = iceberg_reader.read_data_files(
+            spark, sorted(touched_paths), meta["schema"]
+        ).join(F.broadcast(keys), on, "left_anti")
+        incoming = (
+            source
+            if insert_when_not_matched or target is None
+            else source.join(target.select(*on), on, "left_semi")
+        )
+        out = kept.unionByName(incoming)
+    else:
+        touched_paths = set()
+        if not insert_when_not_matched:
+            out = source.limit(0)  # neither clause applies: no-op
+        elif target is not None:
+            out = source.join(target.select(*on), on, "left_anti")
+        else:
+            out = source
+    n_out = out.limit(1).count()
+    if not touched_paths and not n_out:
+        return int(cur)
+    snap_id = int(time.time() * 1000) * 1000 + v + 1
+    new_entries = [
+        _entry(0, None, e["file_path"], e["record_count"],
+               e["file_size_in_bytes"], e["partition"])
+        for e in entries_now if e["file_path"] not in touched_paths
+    ] + [
+        _entry(2, snap_id, e["file_path"], e["record_count"],
+               e["file_size_in_bytes"], e["partition"])
+        for e in entries_now if e["file_path"] in touched_paths
+    ]
+    added = 0
+    if n_out:
+        if spec_fields:
+            files4 = iceberg_writer._write_partitioned_data_files(
+                out, table, meta
+            )
+            new_entries += [
+                _entry(1, snap_id, p, n, sz, pv)
+                for p, n, sz, pv in files4
+            ]
+            added = len(files4)
+        else:
+            files = iceberg_writer._write_data_files(out, table, meta)
+            new_entries += [
+                _entry(1, snap_id, p, n, sz) for p, n, sz in files
+            ]
+            added = len(files)
+    md = iceberg_reader._metadata_dir(table)
+    mschema = (
+        iceberg_writer.manifest_schema(
+            iceberg_writer._partition_avro_fields(meta)
+        )
+        if spec_fields
+        else iceberg_writer.MANIFEST_SCHEMA
+    )
+    manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
+    iceberg_writer.write_avro(spark, manifest, mschema, new_entries)
+    mlist = os.path.join(md, f"snap-{snap_id}.avro")
+    iceberg_writer.write_avro(
+        spark,
+        mlist,
+        iceberg_writer.MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    iceberg_writer._bump_metadata_log(table, meta)
+    iceberg_writer._register_snapshot(
+        meta,
+        snap_id,
+        mlist,
+        {
+            "operation": "overwrite",
+            "added-data-files": str(added),
+            "deleted-data-files": str(len(touched_paths)),
+        },
+    )
+    iceberg_writer._commit_metadata(table, meta, v + 1)
+    return snap_id

@@ -142,3 +142,66 @@ def test_idless_files_rename_raises_not_nulls(spark, tmp_path):
     iw.rename_column(table, "x", "y")
     with pytest.raises(NotImplementedError, match="field ids"):
         ir.read_iceberg(spark, table).collect()
+
+
+def test_merge_upserts_and_moves_partitions(spark, tmp_path):
+    table = str(tmp_path / "im")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(12)], "id long, p int, v double"
+    )
+    s1 = iw.create_iceberg(df, table, partition_by=["p"])
+    src = spark.createDataFrame(
+        [(4, 1, 44.0), (5, 0, 55.0), (100, 2, 1.0), (200, 9, 2.0)],
+        "id long, p int, v double",
+    )
+    idml.merge_iceberg(spark, table, src, on=["id"])
+    got = {(r.id, r.p, r.v) for r in ir.read_iceberg(spark, table).collect()}
+    expected = {(i, i % 3, float(i)) for i in range(12) if i not in (4, 5)}
+    expected |= {(4, 1, 44.0), (5, 0, 55.0), (100, 2, 1.0), (200, 9, 2.0)}
+    assert got == expected
+    # the moved row answers a manifest-pruned read in its NEW partition
+    assert 5 in _ids(
+        ir.read_iceberg(spark, table, partition_filter={"p": 0})
+    )
+    assert 200 in _ids(
+        ir.read_iceberg(spark, table, partition_filter={"p": 9})
+    )
+    # pre-merge snapshot unchanged
+    assert _ids(ir.read_iceberg(spark, table, snapshot_id=s1)) == set(
+        range(12)
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        idml.merge_iceberg(
+            spark, table,
+            spark.createDataFrame(
+                [(1, 0, 1.0), (1, 0, 2.0)], "id long, p int, v double"
+            ),
+            on=["id"],
+        )
+
+
+def test_merge_clause_flags(spark, tmp_path):
+    table = str(tmp_path / "imf")
+    iw.create_iceberg(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id long, v double"
+        ),
+        table,
+    )
+    src = spark.createDataFrame(
+        [(2, 99.0), (3, 3.0)], "id long, v double"
+    )
+    # insert-only
+    idml.merge_iceberg(
+        spark, table, src, on=["id"], update_when_matched=False
+    )
+    got = {(r.id, r.v) for r in ir.read_iceberg(spark, table).collect()}
+    assert got == {(1, 1.0), (2, 2.0), (3, 3.0)}
+    # update-only: 3 already exists now; update it, do NOT insert 7
+    idml.merge_iceberg(
+        spark, table,
+        spark.createDataFrame([(3, 33.0), (7, 7.0)], "id long, v double"),
+        on=["id"], insert_when_not_matched=False,
+    )
+    got = {(r.id, r.v) for r in ir.read_iceberg(spark, table).collect()}
+    assert got == {(1, 1.0), (2, 2.0), (3, 33.0)}
