@@ -297,13 +297,24 @@ def d17_iceberg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d21_iceberg_dml",
     oracle="""
-        SELECT c_custkey,
-               round(CASE WHEN c_mktsegment = 'AUTOMOBILE'
-                          THEN c_acctbal + 100 ELSE c_acctbal END, 2)
-                   AS bal,
-               c_mktsegment AS seg
-        FROM customer
-        WHERE c_mktsegment <> 'FURNITURE'
+        WITH post AS (
+            SELECT c_custkey,
+                   CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                        THEN c_acctbal + 100 ELSE c_acctbal END AS bal,
+                   c_mktsegment AS seg
+            FROM customer
+            WHERE c_mktsegment <> 'FURNITURE'
+        ), src AS (
+            SELECT c_custkey, -5.0 AS bal, c_mktsegment AS seg
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT CAST(-7 AS BIGINT), 42.0, 'NEW'
+        )
+        SELECT c_custkey, round(bal, 2) AS bal, seg
+        FROM post
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        UNION ALL
+        SELECT c_custkey, round(bal, 2) AS bal, seg FROM src
     """,
 )
 def d21_iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,6 +350,17 @@ def d21_iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     iceberg_dml.delete_iceberg(spark, table, "c_mktsegment = 'FURNITURE'")
     iceberg_writer.rename_column(table, "c_mktsegment", "seg")
+    src = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(-5.0).alias("bal"),
+    )
+    new_row = spark.createDataFrame(
+        [(-7, "NEW", 42.0)], "c_custkey long, seg string, bal double"
+    )
+    iceberg_dml.merge_iceberg(
+        spark, table, src.unionByName(new_row), on=["c_custkey"]
+    )
     return iceberg_reader.read_iceberg(spark, table).select(
         "c_custkey", F.round("bal", 2).alias("bal"), "seg"
     )
