@@ -185,3 +185,44 @@ def test_python_writer_readable_by_jvm(spark, tmp_path):
         n += 1
     reader.close()
     assert n == 50
+
+
+def test_property_roundtrip_random_records(tmp_path):
+    """Property: arbitrary values of the manifest-relevant types
+    survive a python-write → python-read round trip exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    schema = {
+        "type": "record",
+        "name": "prop",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "u", "type": ["null", "string"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "b", "type": "boolean"},
+            {"name": "d", "type": "double"},
+        ],
+    }
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    rec = st.fixed_dictionaries(
+        {
+            "l": longs,
+            "s": st.text(max_size=40),
+            "u": st.none() | st.text(max_size=10),
+            "arr": st.lists(longs, max_size=5),
+            "m": st.dictionaries(st.text(max_size=8), longs, max_size=4),
+            "b": st.booleans(),
+            "d": st.floats(allow_nan=False),
+        }
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(rec, max_size=20))
+    def roundtrip(rows):
+        p = str(tmp_path / "prop.avro")
+        avro_codec.write_avro_file(p, json.dumps(schema), rows)
+        assert avro_codec.read_avro_file(p) == rows
+
+    roundtrip()
