@@ -176,3 +176,38 @@ def test_delta_timestamp_time_travel(spark, tmp_path):
         dr.read_delta(spark, table, timestamp=999)
     with pytest.raises(ValueError, match="not both"):
         dr.read_delta(spark, table, version=0, timestamp=1_000_500)
+
+
+def test_delta_maintenance_job_shrinks_streamed_table(spark, tmp_path):
+    """The nightly triad over a streaming-shaped table: many one-file
+    commits → checkpoint + compact + vacuum leaves few files, few
+    reclaimable bytes, and a checkpoint the reader replays from —
+    while the CURRENT data is untouched."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from delta_maintenance import run_maintenance, table_health
+
+    table = str(tmp_path / "mt")
+    dw.create_delta(spark.range(0, 0), table)
+    for i in range(8):  # the per-micro-batch sink shape
+        dw.append_delta(
+            spark.range(i * 5, i * 5 + 5).coalesce(1), table,
+            txn=("stream", i),
+        )
+    before = table_health(spark, table)
+    assert before["n_files"] >= 8 and before["txn_apps"] == ["stream"]
+    report = run_maintenance(spark, table, retain_versions=1,
+                             target_files=2)
+    after = report["after"]
+    assert after["n_files"] <= 3  # bin-packed (+ the empty create file)
+    assert after["checkpoint_version"] is not None
+    assert report["n_vacuumed"] > 0  # pre-compaction files reclaimed
+    assert _ids(dr.read_delta(spark, table)) == set(range(40))
+    # the txn watermark survived the triad: a replayed batch still skips
+    assert dw.append_delta(spark.range(99), table, txn=("stream", 7)) == -1
+    # idempotent: an immediate second run has nothing to do
+    report2 = run_maintenance(spark, table, retain_versions=1,
+                              target_files=2)
+    assert report2["compacted_version"] == -1
+    assert report2["n_vacuumed"] == 0
