@@ -636,3 +636,88 @@ def d15_zorder_preserves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(v).select(
         "c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("bal")
     )
+
+
+from dst_spark_k8_lakehouse_spark.exact import exact_sum, sum_sql  # noqa: E402
+
+
+@query(
+    "x4_lakehouse_composite",
+    oracle=f"""
+        WITH cust AS (
+            SELECT c_custkey, c_mktsegment AS seg,
+                   CASE WHEN c_custkey % 10 = 0 THEN -5.0
+                        ELSE c_acctbal END AS bal
+            FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        ),
+        a AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS n_cust,
+                   {sum_sql('bal')} AS total_bal
+            FROM cust GROUP BY seg
+        ),
+        b AS (
+            SELECT c.seg, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM cust c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.seg
+        )
+        SELECT a.seg, a.n_cust, b.n_orders, a.total_bal
+        FROM a JOIN b USING (seg)
+    """,
+)
+def x4_lakehouse_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: the lakehouse stack COMPOSED with the relational engine in
+    one value-checked flow — the composite proof that the jar-free
+    format layer is a real table substrate, not a side feature:
+
+    create a PARTITIONED native Delta table from the customer fixture
+    → partition-aligned DELETE (whole-partition file drops) → MERGE an
+    upsert source (every 10th surviving customer's balance reset) →
+    OPTIMIZE/compact (dataChange=false bin-packing) → VACUUM past
+    retention → read the table back through ``format("delta_native")``
+    (Arrow-batch executor reads) → broadcast-join ORDERS onto it →
+    per-segment aggregate with exact integer-cent sums. The oracle
+    recomputes the whole composition relationally from the fixtures,
+    so a defect in ANY layer — DML, compaction, GC, the DataSource,
+    or the join/agg — breaks the value hash."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import delta_dml, delta_writer
+    from dst_spark_k8_lakehouse_spark.sources import delta_source
+
+    delta_source.register(spark)
+    base = tempfile.mkdtemp(prefix="dst-x4-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    delta_writer.create_delta(cust, table, partition_by=["seg"])
+    delta_dml.delete_delta(spark, table, "seg = 'MACHINERY'")
+    src = (
+        cust.filter(
+            (F.col("c_custkey") % 10 == 0) & (F.col("seg") != "MACHINERY")
+        )
+        .withColumn("bal", F.lit(-5.0))
+    )
+    delta_dml.merge_delta(spark, table, src, on=["c_custkey"])
+    delta_writer.compact_delta(spark, table, target_files=1)
+    delta_writer.vacuum_delta(spark, table, retain_versions=1)
+    t = spark.read.format("delta_native").load(table)
+    orders = load_table(spark, sf_dir, "orders")
+    per_seg = t.groupBy("seg").agg(
+        F.count("*").alias("n_cust"),
+        exact_sum("bal").alias("total_bal"),
+    )
+    order_counts = (
+        t.join(orders, orders.o_custkey == t.c_custkey, "left")
+        .groupBy("seg")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_seg.join(order_counts, "seg").select(
+        "seg", "n_cust", "n_orders", "total_bal"
+    )
