@@ -130,11 +130,16 @@ def _read_file_partition(p: _FilePartition) -> Iterator["Any"]:
     logical = T.StructType.fromJson(json.loads(p.schema_json))
     target = to_arrow_schema(logical)
     by_name = {f.name: f for f in logical.fields}
-    tbl = pq.read_table(p.path, columns=[phys for phys, _ in p.columns])
+    tbl = pq.read_table(p.path)
     n = tbl.num_rows
     cols = {}
     for phys, logi in p.columns:
-        cols[logi] = tbl.column(phys)
+        if phys in tbl.schema.names:
+            cols[logi] = tbl.column(phys)
+        else:
+            # column added (mergeSchema/ADD COLUMN) after this file
+            # was written: the spec reads it as null
+            cols[logi] = pa.nulls(n, type=target.field(logi).type)
     for c, raw in p.values.items():
         pa_type = target.field(c).type
         if raw is None:

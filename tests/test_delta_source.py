@@ -245,3 +245,23 @@ def test_stream_raises_on_cleaned_log_range(registered, tmp_path):
         r.partitions({"version": -1}, r.latestOffset())
     # a stream that starts AT the checkpoint is fine (empty range)
     assert r.partitions(r.latestOffset(), r.latestOffset()) == []
+
+
+def test_batch_read_schema_evolved_table(registered, tmp_path):
+    """Files written before a mergeSchema append / ADD COLUMN read the
+    new columns as typed nulls through the format — previously this
+    crashed the pyarrow scan on the missing column."""
+    spark = registered
+    table = str(tmp_path / "ev")
+    dw.create_delta(spark.range(3), table)
+    dw.append_delta(
+        spark.range(3, 5).select("id", F.lit("x").alias("tag")),
+        table, merge_schema=True,
+    )
+    dw.add_column(spark, table, "note", "string")
+    got = {
+        (r.id, r.tag, r.note)
+        for r in spark.read.format("delta_native").load(table).collect()
+    }
+    assert got == {(0, None, None), (1, None, None), (2, None, None),
+                   (3, "x", None), (4, "x", None)}
