@@ -21,8 +21,13 @@ overwrite real engines use when merge-on-read is off:
    readable — time travel to the pre-DML state keeps working.
 
 Rewrite cost is proportional to TOUCHED bytes, not table bytes.
-Merge-on-read delete manifests (format v2) are intentionally NOT
-produced; the reader raises loudly on them.
+When even that is too much (point deletes across many files at
+100 TB), v2 MERGE-ON-READ deletes cost only the matched rows —
+``plans/iceberg_mor``. On a v2 table the copy-on-write commits here
+stay sequence-correct (EXISTING entries carry their original data
+sequence; ADDED entries inherit the new commit's), and they refuse
+to run while un-compacted delete files exist (a rewrite that ignored
+them would resurrect deleted rows — ``compact_mor`` first).
 """
 
 from __future__ import annotations
@@ -54,13 +59,22 @@ def _live_entries(
         content = iceberg_reader._get(mf, "content")
         if content is not None and int(str(content)) != 0:
             raise NotImplementedError(
-                "Iceberg v2 delete manifests need the runtime"
+                "table has merge-on-read delete files; copy-on-write "
+                "DML would resurrect deleted rows — compact first "
+                "(plans.iceberg_mor.compact_mor)"
             )
+        ml_seq = int(str(iceberg_reader._get(mf, "sequence_number") or 0))
         manifest = iceberg_reader._strip_uri(str(mf.get("manifest_path")))
         for e in iceberg_reader._avro_records(spark, manifest):
             if int(str(e.get("status"))) == 2:
                 continue
             d = e.get("data_file")
+            if int(str(iceberg_reader._get(d, "content") or 0)) != 0:
+                raise NotImplementedError(
+                    "table has merge-on-read delete files; compact "
+                    "first (plans.iceberg_mor.compact_mor)"
+                )
+            e_seq = iceberg_reader._get(e, "sequence_number")
             out.append(
                 {
                     "file_path": iceberg_reader._strip_uri(
@@ -73,6 +87,8 @@ def _live_entries(
                     "partition": iceberg_reader._partition_values(
                         d, spec_fields or []
                     ),
+                    "seq": int(str(e_seq)) if e_seq is not None
+                    else ml_seq,
                 }
             )
     return out
@@ -110,8 +126,9 @@ def _classify(
 
 
 def _entry(status: int, snap_id: int | None, path: str,
-           n: int, size: int, pv: dict | None = None) -> dict[str, Any]:
-    return {
+           n: int, size: int, pv: dict | None = None,
+           v2: bool = False, seq: int | None = None) -> dict[str, Any]:
+    e: dict[str, Any] = {
         "status": status,
         "snapshot_id": snap_id,
         "data_file": {
@@ -122,6 +139,14 @@ def _entry(status: int, snap_id: int | None, path: str,
             "file_size_in_bytes": int(size),
         },
     }
+    if v2:
+        # ADDED rows inherit the commit's sequence (null); EXISTING /
+        # DELETED rows must carry their original data sequence
+        e["sequence_number"] = seq
+        e["file_sequence_number"] = seq
+        e["data_file"]["content"] = 0
+        e["data_file"]["equality_ids"] = None
+    return e
 
 
 def _cow_commit(
@@ -170,13 +195,17 @@ def _cow_commit(
         or counts[e["file_path"]][0] < counts[e["file_path"]][1]
     ]
     snap_id = int(time.time() * 1000) * 1000 + v + 1
+    v2 = iceberg_writer._fmt(meta) >= 2
+    seq = iceberg_writer._next_seq(meta) if v2 else 0
     new_entries = [
         _entry(0, None, e["file_path"], e["record_count"],
-               e["file_size_in_bytes"], e["partition"])
+               e["file_size_in_bytes"], e["partition"],
+               v2=v2, seq=e.get("seq", 0))
         for e in untouched
     ] + [
         _entry(2, snap_id, e["file_path"], e["record_count"],
-               e["file_size_in_bytes"], e["partition"])
+               e["file_size_in_bytes"], e["partition"],
+               v2=v2, seq=e.get("seq", 0))
         for e in touched
     ]
     added = 0
@@ -193,38 +222,33 @@ def _cow_commit(
                 out, table, meta
             )
             new_entries += [
-                _entry(1, snap_id, p, n, sz, pv)
+                _entry(1, snap_id, p, n, sz, pv, v2=v2)
                 for p, n, sz, pv in files4
             ]
             added = len(files4)
         else:
             files = iceberg_writer._write_data_files(out, table, meta)
             new_entries += [
-                _entry(1, snap_id, p, n, sz) for p, n, sz in files
+                _entry(1, snap_id, p, n, sz, v2=v2) for p, n, sz in files
             ]
             added = len(files)
     md = iceberg_reader._metadata_dir(table)
     manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
-    mschema = (
-        iceberg_writer.manifest_schema(
-            iceberg_writer._partition_avro_fields(meta)
-        )
-        if spec_fields
-        else iceberg_writer.MANIFEST_SCHEMA
+    mschema = iceberg_writer.manifest_schema(
+        iceberg_writer._partition_avro_fields(meta)
+        if spec_fields else None,
+        fmt=iceberg_writer._fmt(meta),
     )
     iceberg_writer.write_avro(spark, manifest, mschema, new_entries)
     mlist = os.path.join(md, f"snap-{snap_id}.avro")
     iceberg_writer.write_avro(
         spark,
         mlist,
-        iceberg_writer.MANIFEST_LIST_SCHEMA,
+        iceberg_writer.mlist_schema(meta),
         [
-            {
-                "manifest_path": manifest,
-                "manifest_length": os.path.getsize(manifest),
-                "partition_spec_id": 0,
-                "added_snapshot_id": snap_id,
-            }
+            iceberg_writer._mlist_entry(
+                meta, manifest, snap_id, seq, 0, new_entries
+            )
         ],
     )
     iceberg_writer._bump_metadata_log(table, meta)
@@ -371,13 +395,17 @@ def merge_iceberg(
     if not touched_paths and not n_out:
         return int(cur)
     snap_id = int(time.time() * 1000) * 1000 + v + 1
+    v2 = iceberg_writer._fmt(meta) >= 2
+    seq = iceberg_writer._next_seq(meta) if v2 else 0
     new_entries = [
         _entry(0, None, e["file_path"], e["record_count"],
-               e["file_size_in_bytes"], e["partition"])
+               e["file_size_in_bytes"], e["partition"],
+               v2=v2, seq=e.get("seq", 0))
         for e in entries_now if e["file_path"] not in touched_paths
     ] + [
         _entry(2, snap_id, e["file_path"], e["record_count"],
-               e["file_size_in_bytes"], e["partition"])
+               e["file_size_in_bytes"], e["partition"],
+               v2=v2, seq=e.get("seq", 0))
         for e in entries_now if e["file_path"] in touched_paths
     ]
     added = 0
@@ -387,23 +415,21 @@ def merge_iceberg(
                 out, table, meta
             )
             new_entries += [
-                _entry(1, snap_id, p, n, sz, pv)
+                _entry(1, snap_id, p, n, sz, pv, v2=v2)
                 for p, n, sz, pv in files4
             ]
             added = len(files4)
         else:
             files = iceberg_writer._write_data_files(out, table, meta)
             new_entries += [
-                _entry(1, snap_id, p, n, sz) for p, n, sz in files
+                _entry(1, snap_id, p, n, sz, v2=v2) for p, n, sz in files
             ]
             added = len(files)
     md = iceberg_reader._metadata_dir(table)
-    mschema = (
-        iceberg_writer.manifest_schema(
-            iceberg_writer._partition_avro_fields(meta)
-        )
-        if spec_fields
-        else iceberg_writer.MANIFEST_SCHEMA
+    mschema = iceberg_writer.manifest_schema(
+        iceberg_writer._partition_avro_fields(meta)
+        if spec_fields else None,
+        fmt=iceberg_writer._fmt(meta),
     )
     manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
     iceberg_writer.write_avro(spark, manifest, mschema, new_entries)
@@ -411,14 +437,11 @@ def merge_iceberg(
     iceberg_writer.write_avro(
         spark,
         mlist,
-        iceberg_writer.MANIFEST_LIST_SCHEMA,
+        iceberg_writer.mlist_schema(meta),
         [
-            {
-                "manifest_path": manifest,
-                "manifest_length": os.path.getsize(manifest),
-                "partition_spec_id": 0,
-                "added_snapshot_id": snap_id,
-            }
+            iceberg_writer._mlist_entry(
+                meta, manifest, snap_id, seq, 0, new_entries
+            )
         ],
     )
     iceberg_writer._bump_metadata_log(table, meta)

@@ -25,11 +25,16 @@ against the current schema, so renamed columns (metadata-only
 correctly with no runtime jar. Id-less files fall back to name
 matching with a cross-check.
 
-LOUD limits (raise, never wrong rows): format-version > 2; v2
-row-level deletes (a manifest-list entry with content != 0 — merge-
-on-read tables need the runtime); renamed columns over data files
-that DON'T carry field ids (a name-matched read would silently
-null the column; the cross-check raises instead).
+v2 MERGE-ON-READ tables read correctly: position-delete and
+equality-delete files (manifest-list ``content=1``) are applied at
+scan time by ``_apply_deletes`` — sequence-number-ordered anti-joins
+on ``(_metadata.file_path, _metadata.row_index)`` / the equality
+columns. Write side: ``plans/iceberg_mor``.
+
+LOUD limits (raise, never wrong rows): format-version > 2; renamed
+columns over data files that DON'T carry field ids (a name-matched
+read would silently null the column; the cross-check raises
+instead); non-parquet data/delete files.
 """
 
 from __future__ import annotations
@@ -117,6 +122,78 @@ def _pv_pass(pv: dict[str, Any], flt) -> bool:
     return True
 
 
+def _snapshot_entries(
+    spark: SparkSession,
+    snapshot: dict[str, Any],
+    spec_fields: list[dict] | None = None,
+    partition_filter=None,
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Walk a snapshot's manifest list into three entry lists —
+    ``(data, position_deletes, equality_deletes)`` — each entry a dict
+    with ``path``, ``seq`` (data sequence number; 0 on v1 metadata,
+    which has none) and, for equality deletes, ``equality_ids``.
+
+    Sequence resolution per the spec: a manifest entry with a null
+    ``sequence_number`` inherits the manifest-list entry's (ADDED-row
+    inheritance); v1 manifests have neither field and resolve to 0.
+    With ``partition_filter`` (dict equality over typed identity
+    values, or a predicate) data files are pruned DRIVER-SIDE from the
+    manifests' partition records — the same place Iceberg's own
+    planner prunes. Delete files are NOT partition-pruned (a global
+    equality delete in an unpartitioned spec applies everywhere)."""
+    data: list[dict] = []
+    pos_dels: list[dict] = []
+    eq_dels: list[dict] = []
+    for mf in _avro_records(spark, snapshot["manifest-list"]):
+        ml_content = int(str(_get(mf, "content") or 0))
+        ml_seq = int(str(_get(mf, "sequence_number") or 0))
+        manifest_path = _strip_uri(str(mf.get("manifest_path")))
+        for entry in _avro_records(spark, manifest_path):
+            status = int(str(entry.get("status")))
+            if status == 2:  # DELETED
+                continue
+            e_seq = _get(entry, "sequence_number")
+            seq = int(str(e_seq)) if e_seq is not None else ml_seq
+            data_file = entry.get("data_file")
+            fmt = str(data_file.get("file_format")).upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"Iceberg data/delete file format {fmt}; parquet only"
+                )
+            path = _strip_uri(str(data_file.get("file_path")))
+            df_content = int(str(_get(data_file, "content") or ml_content))
+            if df_content == 0:
+                if partition_filter is not None and not _pv_pass(
+                    _partition_values(data_file, spec_fields or []),
+                    partition_filter,
+                ):
+                    continue
+                data.append({"path": path, "seq": seq})
+            elif df_content == 1:
+                pos_dels.append({"path": path, "seq": seq})
+            elif df_content == 2:
+                ids = _get(data_file, "equality_ids")
+                if not ids:
+                    raise ValueError(
+                        f"equality delete file {path} carries no "
+                        "equality_ids"
+                    )
+                eq_dels.append(
+                    {
+                        "path": path,
+                        "seq": seq,
+                        "equality_ids": tuple(
+                            sorted(int(str(i)) for i in ids)
+                        ),
+                    }
+                )
+            else:
+                raise NotImplementedError(
+                    f"Iceberg file content {df_content} (0/1/2 only)"
+                )
+    return data, pos_dels, eq_dels
+
+
 def _live_data_files(
     spark: SparkSession,
     table_path: str,
@@ -124,38 +201,144 @@ def _live_data_files(
     spec_fields: list[dict] | None = None,
     partition_filter=None,
 ) -> list[str]:
-    """Live data-file paths; with ``partition_filter`` (dict equality
-    over typed identity values, or a predicate) files are pruned
-    DRIVER-SIDE from the manifests' partition records — the same
-    place Iceberg's own planner prunes, so a one-partition read never
-    lists the other partitions' files."""
-    files: list[str] = []
-    for mf in _avro_records(spark, snapshot["manifest-list"]):
-        content = _get(mf, "content")
-        if content is not None and int(str(content)) != 0:
-            raise NotImplementedError(
-                "Iceberg v2 delete manifests (merge-on-read) need the "
-                "Iceberg runtime; this reader handles copy-on-write "
-                "tables only"
-            )
-        manifest_path = _strip_uri(str(mf.get("manifest_path")))
-        for entry in _avro_records(spark, manifest_path):
-            status = int(str(entry.get("status")))
-            if status == 2:  # DELETED
-                continue
-            data_file = entry.get("data_file")
-            fmt = str(data_file.get("file_format")).upper()
-            if fmt != "PARQUET":
-                raise NotImplementedError(
-                    f"Iceberg data file format {fmt}; parquet only"
+    """Live data-file paths of a snapshot that has NO merge-on-read
+    delete files (the copy-on-write fast path; DML and maintenance
+    call this and must not silently ignore deletes)."""
+    data, pos_dels, eq_dels = _snapshot_entries(
+        spark, snapshot, spec_fields, partition_filter
+    )
+    if pos_dels or eq_dels:
+        raise NotImplementedError(
+            "snapshot carries merge-on-read delete files; use "
+            "read_iceberg (which applies them) or compact the table "
+            "first (plans.iceberg_mor.compact_mor)"
+        )
+    return [e["path"] for e in data]
+
+
+_NORM_FILE = (
+    "regexp_replace(regexp_replace({col}, '^file:', ''), '^/+', '/')"
+)
+
+
+def _apply_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    data: list[dict],
+    pos_dels: list[dict],
+    eq_dels: list[dict],
+    schema: dict | None,
+) -> DataFrame:
+    """Apply v2 merge-on-read deletes to a data scan — distributed,
+    jar-free:
+
+    - every data row gets its ``(file, pos)`` identity from the scan's
+      ``_metadata.file_path`` / ``_metadata.row_index`` (exactly the
+      spec's ``pos``: ordinal row position in the data file) plus its
+      file's data sequence number via a tiny broadcast map;
+    - POSITION deletes anti-join on ``(file, pos)`` where the delete's
+      sequence >= the row's (a position delete applies to data written
+      at or before it);
+    - EQUALITY deletes anti-join null-safely on the equality columns
+      (resolved from field ids against the current schema) where the
+      delete's sequence > the row's (strictly older data only — a row
+      re-inserted AFTER the delete survives).
+
+    Scale: the anti-joins key on the delete sets, which are
+    matched-row-sized, not table-sized; AQE broadcasts them when
+    small. The seq map is one row per live data file (metadata-sized,
+    explicitly broadcast)."""
+    from pyspark.sql import functions as F
+
+    file_norm = F.expr(_NORM_FILE.format(col="_metadata.file_path"))
+    df = (
+        df.withColumn("__if_file", file_norm)
+        .withColumn("__if_pos", F.col("_metadata.row_index"))
+    )
+    seq_df = F.broadcast(
+        spark.createDataFrame(
+            [(os.path.normpath(e["path"]), e["seq"]) for e in data],
+            "__if_file string, __if_seq long",
+        )
+    )
+    df = df.join(seq_df, "__if_file", "left").withColumn(
+        "__if_seq", F.coalesce("__if_seq", F.lit(0))
+    )
+    if pos_dels:
+        import pyarrow.parquet as pq
+
+        for e in pos_dels:
+            have = set(pq.ParquetFile(e["path"]).schema_arrow.names)
+            if not {"file_path", "pos"} <= have:
+                raise ValueError(
+                    f"position-delete file {e['path']} lacks the "
+                    f"spec's file_path/pos columns (has {sorted(have)})"
+                    " — a schema-forced read would silently delete "
+                    "nothing"
                 )
-            if partition_filter is not None and not _pv_pass(
-                _partition_values(data_file, spec_fields or []),
-                partition_filter,
-            ):
-                continue
-            files.append(_strip_uri(str(data_file.get("file_path"))))
-    return files
+        dels = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*[e["path"] for e in pos_dels])
+            .withColumn(
+                "__del_src",
+                F.expr(_NORM_FILE.format(col="_metadata.file_path")),
+            )
+        )
+        del_seq = F.broadcast(
+            spark.createDataFrame(
+                [(os.path.normpath(e["path"]), e["seq"])
+                 for e in pos_dels],
+                "__del_src string, __del_seq long",
+            )
+        )
+        dels = dels.join(del_seq, "__del_src").select(
+            F.expr(_NORM_FILE.format(col="file_path")).alias("__df"),
+            F.col("pos").alias("__dp"),
+            "__del_seq",
+        )
+        df = df.join(
+            dels,
+            (df["__if_file"] == dels["__df"])
+            & (df["__if_pos"] == dels["__dp"])
+            & (dels["__del_seq"] >= df["__if_seq"]),
+            "left_anti",
+        )
+    for ids in sorted({e["equality_ids"] for e in eq_dels}):
+        if schema is None:
+            raise NotImplementedError(
+                "equality deletes need the table schema for field-id "
+                "resolution"
+            )
+        by_id = {int(f["id"]): f["name"] for f in schema["fields"]}
+        missing = [i for i in ids if i not in by_id]
+        if missing:
+            raise ValueError(
+                f"equality_ids {missing} not in the current schema"
+            )
+        cols = [by_id[i] for i in ids]
+        paths = [e["path"] for e in eq_dels if e["equality_ids"] == ids]
+        eq = (
+            spark.read.parquet(*paths)
+            .withColumn(
+                "__del_src",
+                F.expr(_NORM_FILE.format(col="_metadata.file_path")),
+            )
+        )
+        eq_seq = F.broadcast(
+            spark.createDataFrame(
+                [(os.path.normpath(e["path"]), e["seq"])
+                 for e in eq_dels if e["equality_ids"] == ids],
+                "__del_src string, __del_seq long",
+            )
+        )
+        eq = eq.join(eq_seq, "__del_src").select(
+            *[F.col(c).alias(f"__eq_{c}") for c in cols], "__del_seq"
+        )
+        cond = eq["__del_seq"] > df["__if_seq"]
+        for c in cols:
+            cond = cond & df[c].eqNullSafe(eq[f"__eq_{c}"])
+        df = df.join(eq, cond, "left_anti")
+    return df.drop("__if_file", "__if_pos", "__if_seq")
 
 
 def _spark_type(t: Any) -> T.DataType:
@@ -251,9 +434,10 @@ def read_iceberg(
             f"snapshot {snapshot_id} not in table (has "
             f"{sorted(snaps)[:5]}…)"
         )
-    files = _live_data_files(
-        spark, path, snaps[snapshot_id], spec_fields, partition_filter
+    data, pos_dels, eq_dels = _snapshot_entries(
+        spark, snaps[snapshot_id], spec_fields, partition_filter
     )
+    files = [e["path"] for e in data]
     schema = None
     for s in meta.get("schemas", []):
         if s.get("schema-id") == meta.get("current-schema-id"):
@@ -261,10 +445,14 @@ def read_iceberg(
     if schema is None:
         schema = meta.get("schema")  # v1 single-schema layout
     if schema is not None:
-        return read_data_files(spark, files, schema)
-    if not files:
+        df = read_data_files(spark, files, schema)
+    elif not files:
         return spark.createDataFrame([], "STRUCT<>")
-    return spark.read.parquet(*files)
+    else:
+        df = spark.read.parquet(*files)
+    if files and (pos_dels or eq_dels):
+        df = _apply_deletes(spark, df, data, pos_dels, eq_dels, schema)
+    return df
 
 
 def read_data_files(

@@ -22,7 +22,8 @@ honestly — FORMAT VERSION 1 ONLY:
 
 - the metadata JSON carries v1's required set (schema with field ids,
   partition-specs, sort-orders, snapshot-log, last-column-id) —
-  unpartitioned spec only;
+  unpartitioned or IDENTITY-partitioned specs (non-identity
+  transforms raise loudly in ``_partition_avro_fields``);
 - manifest / manifest-list Avro files carry the required field subset
   (path/length/spec-id/added-snapshot-id; status/snapshot-id/
   data_file{file_path,file_format,partition,record_count,
@@ -70,58 +71,140 @@ MANIFEST_LIST_SCHEMA = json.dumps(
     }
 )
 
-def manifest_schema(partition_fields: list[dict] | None = None) -> str:
-    """v1 manifest-entry Avro schema: status 0=EXISTING / 1=ADDED /
+# v2 manifest-list entry: v1's four fields plus the v2-required set —
+# content (0 data / 1 deletes), the sequence numbers that order delete
+# applicability against data files, and the file/row counts (required
+# in v2; real planners use them to skip all-deleted manifests). Field
+# ids per the spec appendix.
+MANIFEST_LIST_SCHEMA_V2 = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long",
+             "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_files_count", "type": "int",
+             "field-id": 505},
+            {"name": "deleted_files_count", "type": "int",
+             "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long",
+             "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long",
+             "field-id": 514},
+        ],
+    }
+)
+
+def manifest_schema(
+    partition_fields: list[dict] | None = None, fmt: int = 1
+) -> str:
+    """Manifest-entry Avro schema: status 0=EXISTING / 1=ADDED /
     2=DELETED (readers scan 0 and 1; 2 is the bookkeeping row a
     copy-on-write rewrite leaves for incremental consumers). The
     ``partition`` record carries one nullable field per partition-spec
     field (identity values for pruning). Field ids per the spec
-    appendix."""
+    appendix.
+
+    ``fmt=2`` adds the v2 fields: per-entry ``sequence_number``
+    (null = inherit the manifest-list entry's, the spec's ADDED-row
+    inheritance; EXISTING/DELETED rows carry their original data
+    sequence explicitly), ``data_file.content`` (0 data / 1 position
+    deletes / 2 equality deletes) and ``data_file.equality_ids``."""
+    data_file_fields = [
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "field-id": 102,
+            "type": {
+                "type": "record",
+                "name": "r102",
+                "fields": list(partition_fields or []),
+            },
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ]
+    entry_fields = [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 1,
+        },
+    ]
+    if fmt >= 2:
+        entry_fields += [
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+        ]
+        data_file_fields.insert(
+            0, {"name": "content", "type": "int", "field-id": 134}
+        )
+        data_file_fields.append(
+            {
+                "name": "equality_ids",
+                "type": [
+                    "null",
+                    {"type": "array", "items": "int", "element-id": 136},
+                ],
+                "default": None,
+                "field-id": 135,
+            }
+        )
+    entry_fields.append(
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": data_file_fields,
+            },
+        }
+    )
     return json.dumps(
         {
             "type": "record",
             "name": "manifest_entry",
-            "fields": [
-                {"name": "status", "type": "int", "field-id": 0},
-                {
-                    "name": "snapshot_id",
-                    "type": ["null", "long"],
-                    "default": None,
-                    "field-id": 1,
-                },
-                {
-                    "name": "data_file",
-                    "field-id": 2,
-                    "type": {
-                        "type": "record",
-                        "name": "r2",
-                        "fields": [
-                            {"name": "file_path", "type": "string",
-                             "field-id": 100},
-                            {"name": "file_format", "type": "string",
-                             "field-id": 101},
-                            {
-                                "name": "partition",
-                                "field-id": 102,
-                                "type": {
-                                    "type": "record",
-                                    "name": "r102",
-                                    "fields": list(partition_fields or []),
-                                },
-                            },
-                            {"name": "record_count", "type": "long",
-                             "field-id": 103},
-                            {"name": "file_size_in_bytes", "type": "long",
-                             "field-id": 104},
-                        ],
-                    },
-                },
-            ],
+            "fields": entry_fields,
         }
     )
 
 
 MANIFEST_SCHEMA = manifest_schema()
+
+
+def _fmt(meta: dict) -> int:
+    return int(meta.get("format-version", 1))
+
+
+def _next_seq(meta: dict) -> int:
+    """Bump and return the table's data sequence number (v2 only —
+    v1 has no sequence numbers; callers pass 0 there)."""
+    meta["last-sequence-number"] = int(
+        meta.get("last-sequence-number", 0)
+    ) + 1
+    return meta["last-sequence-number"]
 
 # identity-partition value types this writer can carry in manifest
 # partition records (avro type per iceberg type); others raise
@@ -354,22 +437,86 @@ def _write_partitioned_data_files(
 
 def _prev_manifests(spark: SparkSession, meta: dict) -> list[dict]:
     """Manifest-list entries of the current snapshot (carried forward
-    by an append)."""
+    by an append). On a v2 table the carry-forward PRESERVES content,
+    sequence numbers and the count fields — dropping ``content`` would
+    silently re-classify delete manifests as data manifests on the
+    next append."""
     cur = meta.get("current-snapshot-id")
     if cur is None or cur == -1:
         return []
     snap = next(
         s for s in meta["snapshots"] if int(s["snapshot-id"]) == int(cur)
     )
-    return [
-        {
+    out = []
+    v2 = _fmt(meta) >= 2
+    for r in iceberg_reader._avro_records(spark, snap["manifest-list"]):
+        e = {
             "manifest_path": str(r.get("manifest_path")),
             "manifest_length": int(str(r.get("manifest_length"))),
             "partition_spec_id": int(str(r.get("partition_spec_id") or 0)),
             "added_snapshot_id": int(str(r.get("added_snapshot_id") or 0)),
         }
-        for r in iceberg_reader._avro_records(spark, snap["manifest-list"])
-    ]
+        if v2:
+            e["content"] = int(str(r.get("content") or 0))
+            e["sequence_number"] = int(str(r.get("sequence_number") or 0))
+            e["min_sequence_number"] = int(
+                str(r.get("min_sequence_number") or 0)
+            )
+            for k in ("added_files_count", "existing_files_count",
+                      "deleted_files_count"):
+                e[k] = int(str(r.get(k) or 0))
+            for k in ("added_rows_count", "existing_rows_count",
+                      "deleted_rows_count"):
+                e[k] = int(str(r.get(k) or 0))
+        out.append(e)
+    return out
+
+
+def _mlist_entry(
+    meta: dict,
+    manifest: str,
+    snap_id: int,
+    seq: int,
+    content: int = 0,
+    entries: list[dict] | None = None,
+) -> dict:
+    """One manifest-list row; on v2 the count fields are derived from
+    the manifest's entries (status 1=ADDED / 0=EXISTING / 2=DELETED)."""
+    e = {
+        "manifest_path": manifest,
+        "manifest_length": os.path.getsize(manifest),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snap_id,
+    }
+    if _fmt(meta) >= 2:
+        rows = entries or []
+        by_status = lambda s: [r for r in rows if int(r["status"]) == s]
+        e["content"] = content
+        e["sequence_number"] = seq
+        # min over live entries' data sequences (None = inherits seq)
+        live_seqs = [
+            int(r["sequence_number"]) if r.get("sequence_number")
+            is not None else seq
+            for r in rows if int(r["status"]) != 2
+        ]
+        e["min_sequence_number"] = min(live_seqs) if live_seqs else seq
+        e["added_files_count"] = len(by_status(1))
+        e["existing_files_count"] = len(by_status(0))
+        e["deleted_files_count"] = len(by_status(2))
+        nrows = lambda rs: sum(
+            int(r["data_file"]["record_count"]) for r in rs
+        )
+        e["added_rows_count"] = nrows(by_status(1))
+        e["existing_rows_count"] = nrows(by_status(0))
+        e["deleted_rows_count"] = nrows(by_status(2))
+    return e
+
+
+def mlist_schema(meta: dict) -> str:
+    return (
+        MANIFEST_LIST_SCHEMA_V2 if _fmt(meta) >= 2
+        else MANIFEST_LIST_SCHEMA
+    )
 
 
 def _commit_metadata(table: str, meta: dict, version: int) -> None:
@@ -404,54 +551,47 @@ def _snapshot_commit(
     md = iceberg_reader._metadata_dir(table)
     os.makedirs(md, exist_ok=True)
     snap_id = int(time.time() * 1000) * 1000 + version  # unique, sortable
+    v2 = _fmt(meta) >= 2
+    seq = _next_seq(meta) if v2 else 0
+
+    def _added(p: str, n: int, sz: int, pv: dict) -> dict:
+        e = {
+            "status": 1,  # ADDED
+            "snapshot_id": snap_id,
+            "data_file": {
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": pv,
+                "record_count": int(n),
+                "file_size_in_bytes": int(sz),
+            },
+        }
+        if v2:
+            e["sequence_number"] = None  # inherit: the mlist entry's
+            e["file_sequence_number"] = None
+            e["data_file"]["content"] = 0
+            e["data_file"]["equality_ids"] = None
+        return e
+
     if _spec_fields(meta):
         files4 = _write_partitioned_data_files(df, table, meta)
         files = [(p, n, sz) for p, n, sz, _pv in files4]
-        entries_new = [
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snap_id,
-                "data_file": {
-                    "file_path": p,
-                    "file_format": "PARQUET",
-                    "partition": pv,
-                    "record_count": int(n),
-                    "file_size_in_bytes": int(sz),
-                },
-            }
-            for p, n, sz, pv in files4
-        ]
-        mschema = manifest_schema(_partition_avro_fields(meta))
+        entries_new = [_added(p, n, sz, pv) for p, n, sz, pv in files4]
+        mschema = manifest_schema(
+            _partition_avro_fields(meta), fmt=_fmt(meta)
+        )
     else:
         files = _write_data_files(df, table, meta)
-        entries_new = [
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snap_id,
-                "data_file": {
-                    "file_path": p,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": int(n),
-                    "file_size_in_bytes": int(sz),
-                },
-            }
-            for p, n, sz in files
-        ]
-        mschema = MANIFEST_SCHEMA
+        entries_new = [_added(p, n, sz, {}) for p, n, sz in files]
+        mschema = manifest_schema(fmt=_fmt(meta))
     manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
     write_avro(spark, manifest, mschema, entries_new)
     entries = [] if operation == "overwrite" else _prev_manifests(spark, meta)
     entries.append(
-        {
-            "manifest_path": manifest,
-            "manifest_length": os.path.getsize(manifest),
-            "partition_spec_id": 0,
-            "added_snapshot_id": snap_id,
-        }
+        _mlist_entry(meta, manifest, snap_id, seq, 0, entries_new)
     )
     mlist = os.path.join(md, f"snap-{snap_id}.avro")
-    write_avro(spark, mlist, MANIFEST_LIST_SCHEMA, entries)
+    write_avro(spark, mlist, mlist_schema(meta), entries)
     _register_snapshot(
         meta,
         snap_id,
@@ -469,16 +609,19 @@ def _snapshot_commit(
 def _register_snapshot(
     meta: dict, snap_id: int, mlist: str, summary: dict[str, str]
 ) -> None:
-    """Append a snapshot + snapshot-log entry and make it current."""
+    """Append a snapshot + snapshot-log entry and make it current.
+    On v2 the snapshot records its sequence-number (the value
+    ``_next_seq`` already advanced for this commit)."""
     now = int(time.time() * 1000)
-    meta.setdefault("snapshots", []).append(
-        {
-            "snapshot-id": snap_id,
-            "timestamp-ms": now,
-            "manifest-list": mlist,
-            "summary": summary,
-        }
-    )
+    snap = {
+        "snapshot-id": snap_id,
+        "timestamp-ms": now,
+        "manifest-list": mlist,
+        "summary": summary,
+    }
+    if _fmt(meta) >= 2:
+        snap["sequence-number"] = int(meta.get("last-sequence-number", 0))
+    meta.setdefault("snapshots", []).append(snap)
     meta.setdefault("snapshot-log", []).append(
         {"timestamp-ms": now, "snapshot-id": snap_id}
     )
@@ -487,13 +630,18 @@ def _register_snapshot(
 
 
 def create_iceberg(
-    df: DataFrame, table: str, partition_by: list[str] | None = None
+    df: DataFrame, table: str, partition_by: list[str] | None = None,
+    format_version: int = 1,
 ) -> int:
-    """CREATE TABLE AS SELECT: v1 metadata + first snapshot,
+    """CREATE TABLE AS SELECT: metadata + first snapshot,
     optionally identity-partitioned by ``partition_by``
     (``02_iceberg_demo.ipynb:45-54`` creates partitioned tables; the
     richer transforms — days/bucket/truncate — exist on the catalog
-    surface in ``plans/ddl.py``). Returns the snapshot id."""
+    surface in ``plans/ddl.py``). ``format_version=2`` creates a
+    sequence-numbered table that can take merge-on-read deletes
+    (``plans/iceberg_mor``). Returns the snapshot id."""
+    if format_version not in (1, 2):
+        raise ValueError(f"format_version {format_version}: 1 or 2")
     if iceberg_reader.is_iceberg_table(table):
         raise ValueError(f"Iceberg table already exists at {table}")
     schema, last_col = _iceberg_schema(df.schema)
@@ -513,7 +661,7 @@ def create_iceberg(
         for i, c in enumerate(partition_by or [])
     ]
     meta: dict[str, Any] = {
-        "format-version": 1,
+        "format-version": format_version,
         "table-uuid": str(uuid.uuid4()),
         "location": table,
         "last-updated-ms": int(time.time() * 1000),
@@ -533,11 +681,29 @@ def create_iceberg(
         "snapshot-log": [],
         "metadata-log": [],
     }
+    if format_version >= 2:
+        meta["last-sequence-number"] = 0
     if spec_fields:
         _partition_avro_fields(meta)  # validate types before any write
     return _snapshot_commit(
         df.sparkSession, df, table, meta, "append", version=1
     )
+
+
+def upgrade_to_v2(table: str) -> None:
+    """Metadata-only commit raising ``format-version`` 1 → 2 (the
+    spec's upgrade path: existing snapshots have no sequence numbers
+    and are treated as sequence 0, which ``last-sequence-number: 0``
+    encodes; pre-upgrade manifest lists keep their v1 schema and read
+    null-safely as seq 0 / content 0)."""
+    meta, v = _load_meta(table)
+    if _fmt(meta) >= 2:
+        return
+    meta["format-version"] = 2
+    meta.setdefault("last-sequence-number", 0)
+    _bump_metadata_log(table, meta)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
 
 
 def _load_meta(table: str) -> tuple[dict, int]:

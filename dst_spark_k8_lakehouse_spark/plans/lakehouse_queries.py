@@ -721,3 +721,80 @@ def x4_lakehouse_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_seg.join(order_counts, "seg").select(
         "seg", "n_cust", "n_orders", "total_bal"
     )
+
+
+@query(
+    "d26_iceberg_mor",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        ), after_pos AS (          -- position-delete by condition
+            SELECT * FROM base WHERE c_mktsegment <> 'FURNITURE'
+        ), after_eq AS (           -- equality-delete by key
+            SELECT * FROM after_pos WHERE c_custkey % 100 <> 0
+        ), reinserted AS (         -- appended AFTER the deletes:
+            SELECT * FROM base     -- higher data sequence, survives
+            WHERE c_custkey % 1000 = 0
+        ), visible AS (
+            SELECT * FROM after_eq UNION ALL SELECT * FROM reinserted
+        )
+        SELECT c_custkey, c_mktsegment,
+               round(c_acctbal, 2) AS bal
+        FROM visible WHERE c_mktsegment <> 'HOUSEHOLD'
+    """,
+)
+def d26_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes on a NATIVE Iceberg v2 table, jar-free
+    (``plans/iceberg_mor.py``; the runtime mode the reference's
+    Iceberg 1.9 jars call ``write.delete.mode=merge-on-read``,
+    ``scripts/download-jars.sh:84-85``): CTAS format-version 2 →
+    POSITION-delete by condition (no data file rewritten, the commit
+    writes only (file_path, pos) rows) → EQUALITY-delete by key (the
+    CDC shape: the table is never scanned) → append rows carrying
+    previously-deleted keys (the spec's sequence-number rule makes
+    them survive the OLDER equality delete) → ``compact_mor`` folds
+    the delete files back into data → copy-on-write DELETE proves COW
+    DML applies again post-compaction. Every surviving row is
+    value-checked against the oracle computing the same delete
+    algebra relationally."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_dml,
+        iceberg_mor,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-iceberg-mor-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    iceberg_writer.create_iceberg(
+        cust.repartition(4), table, format_version=2
+    )
+    iceberg_mor.delete_where_mor(
+        spark, table, "c_mktsegment = 'FURNITURE'"
+    )
+    iceberg_mor.delete_keys_mor(
+        spark, table,
+        cust.where("c_custkey % 100 = 0").select("c_custkey"),
+    )
+    iceberg_writer.append_iceberg(
+        cust.where("c_custkey % 1000 = 0"), table
+    )
+    stats = iceberg_mor.mor_file_stats(spark, table)
+    assert stats["position_delete_files"] >= 1
+    assert stats["equality_delete_files"] >= 1
+    iceberg_mor.compact_mor(spark, table)
+    iceberg_dml.delete_iceberg(
+        spark, table, "c_mktsegment = 'HOUSEHOLD'"
+    )
+    return iceberg_reader.read_iceberg(spark, table).select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+    )

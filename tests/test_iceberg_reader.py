@@ -152,11 +152,19 @@ def test_snapshots_listing(iceberg_table):
     assert snaps[0]["operation"] == "append"
 
 
-def test_delete_manifests_raise(spark, iceberg_table, tmp_path):
+def test_malformed_delete_manifest_raises(spark, iceberg_table, tmp_path):
+    """Delete manifests are READ now (merge-on-read,
+    ``test_iceberg_mor.py``) — but a content=1 entry whose file lacks
+    the spec's file_path/pos columns must raise, not silently apply
+    zero deletes (a schema-forced read would return all nulls)."""
     md = os.path.join(iceberg_table, "metadata")
     ml3 = os.path.join(md, "snap-300.avro")
     _write_avro(spark, ml3, MANIFEST_LIST_SCHEMA, [
         {"manifest_path": os.path.join(md, "m2.avro"),
+         "manifest_length": 2},
+        # a "delete manifest" whose entries point at ordinary data
+        # parquet (no file_path/pos columns)
+        {"manifest_path": os.path.join(md, "m1.avro"),
          "manifest_length": 1, "content": 1}])
     with open(os.path.join(md, "v2.metadata.json")) as fh:
         meta = json.load(fh)
@@ -168,5 +176,5 @@ def test_delete_manifests_raise(spark, iceberg_table, tmp_path):
         json.dump(meta, fh)
     with open(os.path.join(md, "version-hint.text"), "w") as fh:
         fh.write("3")
-    with pytest.raises(NotImplementedError, match="delete manifests"):
+    with pytest.raises(ValueError, match="file_path/pos"):
         ir.read_iceberg(spark, iceberg_table)
