@@ -78,6 +78,13 @@ def _groups(
     part_cols = state["metaData"].get("partitionColumns") or []
     out: dict[tuple, list[tuple[str, str]]] = defaultdict(list)
     for rel, a in state["files"].items():
+        if a.get("deletionVector"):
+            raise NotImplementedError(
+                "table has deletion vectors; a raw-file rewrite would "
+                "resurrect deleted rows — materialize first "
+                "(plans.delta_dv.materialize_dvs) or delete through "
+                "plans.delta_dv.delete_where_dv"
+            )
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in part_cols)
         absp = rel if os.path.isabs(rel) else os.path.join(table, rel)

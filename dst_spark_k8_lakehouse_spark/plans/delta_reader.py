@@ -39,11 +39,17 @@ from it — including time travel — with no Delta runtime:
 Write paths still raise toward ``VersionedTable`` / the jar-guarded
 backend; this module never mutates ``_delta_log``.
 
+DELETION VECTORS (the protocol's merge-on-read deletes, reader
+feature ``deletionVectors``) are applied: each vectored add's bitmap
+decodes driver-side (``plans/delta_dv`` / ``plans/roaring``) and the
+deleted ``(file, row_index)`` pairs are anti-joined out of the scan.
+Write side: ``plans/delta_dv.delete_where_dv``.
+
 Scale note: log replay is driver-side file-list work (the same place
 Delta's own Scala reader does it); the data read is an ordinary
-parquet scan, so pushdown/pruning behave like any other scan. Reader
-feature gaps are LOUD: deletion vectors, ``id``-mode column mapping
-or unknown reader features raise ``NotImplementedError`` instead of
+parquet scan, so pushdown/pruning behave like any other scan.
+Remaining reader feature gaps are LOUD: ``id``-mode column mapping
+and unknown reader features raise ``NotImplementedError`` instead of
 returning wrong rows.
 """
 
@@ -118,7 +124,55 @@ def _checkpoint(path: str) -> tuple[int, list[str]] | None:
 
 _READER_FEATURES_OK = {"appendOnly", "invariants", "checkConstraints",
                        "timestampNtz", "vacuumProtocolCheck",
-                       "columnMapping"}
+                       "columnMapping", "deletionVectors"}
+
+
+# row-identity columns a scan can expose (read_delta
+# with_row_identity=True keeps them; the DV write path keys on them)
+ROW_FILE = "__delta_row_file"
+ROW_POS = "__delta_row_pos"
+
+
+def _add_row_identity(df: DataFrame) -> DataFrame:
+    """Attach each row's (normalized file path, row index) as REGULAR
+    columns — must happen while the plan still resolves ``_metadata``
+    (before any join breaks metadata propagation)."""
+    norm = F.expr(
+        "regexp_replace(regexp_replace(_metadata.file_path,"
+        " '^file:', ''), '^/+', '/')"
+    )
+    return df.withColumn(ROW_FILE, norm).withColumn(
+        ROW_POS, F.col("_metadata.row_index")
+    )
+
+
+def _dv_row_filter(
+    spark: SparkSession, df: DataFrame, table: str,
+    files: dict[str, Any],
+) -> DataFrame:
+    """Subtract deletion-vector rows from a scan carrying the
+    ``ROW_FILE``/``ROW_POS`` identity columns: decode each vectored
+    add's bitmap driver-side (``plans/delta_dv`` — DV blobs are
+    metadata-sized) and anti-join — exactly the protocol's row-index
+    space. No-op when no scanned file carries a descriptor."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_dv
+
+    rows: list[tuple[str, int]] = []
+    for rel, a in files.items():
+        d = a.get("deletionVector")
+        if not d:
+            continue
+        absp = rel if os.path.isabs(rel) else os.path.join(table, rel)
+        nrm = os.path.normpath(absp)
+        rows += [
+            (nrm, int(p)) for p in delta_dv.dv_positions(table, d)
+        ]
+    if not rows:
+        return df
+    dels = F.broadcast(
+        spark.createDataFrame(rows, f"{ROW_FILE} string, {ROW_POS} long")
+    )
+    return df.join(dels, [ROW_FILE, ROW_POS], "left_anti")
 
 
 def _apply_action(state: dict[str, Any], action: dict[str, Any]) -> None:
@@ -326,13 +380,18 @@ def read_delta(
     version: int | None = None,
     timestamp: int | datetime.datetime | None = None,
     partition_filter: PartitionFilter | None = None,
+    with_row_identity: bool = False,
 ) -> DataFrame:
     """SELECT from a Delta table directory (optionally ``versionAsOf``
     = ``version`` or ``timestampAsOf`` = ``timestamp``, epoch millis
     or datetime) without the Delta runtime. Partition columns come
     from the log's ``partitionValues``; ``partition_filter`` prunes
     the file list driver-side before the scan exists. An empty active
-    set returns an empty frame with the table schema."""
+    set returns an empty frame with the table schema. Deletion-vector
+    rows are subtracted (``_dv_row_filter``).
+    ``with_row_identity=True`` additionally exposes each row's
+    ``ROW_FILE``/``ROW_POS`` physical identity (post-DV-subtraction —
+    what ``delta_dv.delete_where_dv`` builds its bitmaps from)."""
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
@@ -353,8 +412,23 @@ def read_delta(
             for rel, a in files.items()
             if _pv_pass(_pv(a, part_cols, phys), partition_filter)
         }
+    need_id = with_row_identity or any(
+        a.get("deletionVector") for a in files.values()
+    )
+
+    def _finish(df: DataFrame) -> DataFrame:
+        if not need_id:
+            return df
+        df = _dv_row_filter(spark, _add_row_identity(df), path, files)
+        return df if with_row_identity else df.drop(ROW_FILE, ROW_POS)
+
     if not files:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        if with_row_identity:
+            empty = empty.withColumn(
+                ROW_FILE, F.lit(None).cast("string")
+            ).withColumn(ROW_POS, F.lit(None).cast("long"))
+        return empty
     by_name = {f.name: f for f in schema.fields}
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     read_fields = [
@@ -373,7 +447,7 @@ def read_delta(
         df = spark.read.schema(T.StructType(read_fields)).parquet(
             *abspaths.values()
         )
-        return df.select(*logical)
+        return _finish(df.select(*logical))
     if _hive_consistent(files, part_cols, phys):
         # ONE scan for any partition count: basePath partition
         # discovery over the explicit (pruned) file list, partition
@@ -390,18 +464,28 @@ def read_delta(
             .schema(full)
             .parquet(*abspaths.values())
         )
-        return df.select(*logical)
+        return _finish(df.select(*logical))
     # fallback: group files by partition values, inject literals per
     # group (plan grows with group count — acceptable only off the
     # standard layout)
-    groups: dict[tuple, list[str]] = {}
+    groups: dict[tuple, list[tuple[str, str]]] = {}
     for rel, a in files.items():
         pv = _pv(a, part_cols, phys)
         key = tuple(pv[c] for c in part_cols)
-        groups.setdefault(key, []).append(abspaths[rel])
+        groups.setdefault(key, []).append((abspaths[rel], rel))
     parts: list[DataFrame] = []
-    for key, paths in groups.items():
+    for key, group in groups.items():
+        paths = [absp for absp, _rel in group]
         df = spark.read.schema(T.StructType(read_fields)).parquet(*paths)
+        extra: list[str] = []
+        if need_id:
+            df = _dv_row_filter(
+                spark,
+                _add_row_identity(df),
+                path,
+                {rel: files[rel] for _absp, rel in group},
+            )
+            extra = [ROW_FILE, ROW_POS] if with_row_identity else []
         for c, raw in zip(part_cols, key):
             lit = (
                 F.lit(None).cast(by_name[c].dataType)
@@ -416,7 +500,8 @@ def read_delta(
                     if f.name not in part_cols
                     else F.col(f.name)
                     for f in schema.fields
-                ]
+                ],
+                *extra,
             )
         )
     out = parts[0]

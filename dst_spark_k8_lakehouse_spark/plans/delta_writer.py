@@ -495,6 +495,12 @@ _CHECKPOINT_SCHEMA = T.StructType(
                 [
                     T.StructField("minReaderVersion", T.IntegerType()),
                     T.StructField("minWriterVersion", T.IntegerType()),
+                    T.StructField(
+                        "readerFeatures", T.ArrayType(T.StringType())
+                    ),
+                    T.StructField(
+                        "writerFeatures", T.ArrayType(T.StringType())
+                    ),
                 ]
             ),
         ),
@@ -541,6 +547,28 @@ _CHECKPOINT_SCHEMA = T.StructType(
                     T.StructField("size", T.LongType()),
                     T.StructField("modificationTime", T.LongType()),
                     T.StructField("dataChange", T.BooleanType()),
+                    # a checkpoint that dropped descriptors would
+                    # resurrect DV-deleted rows on replay
+                    T.StructField(
+                        "deletionVector",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "storageType", T.StringType()
+                                ),
+                                T.StructField(
+                                    "pathOrInlineDv", T.StringType()
+                                ),
+                                T.StructField("offset", T.IntegerType()),
+                                T.StructField(
+                                    "sizeInBytes", T.IntegerType()
+                                ),
+                                T.StructField(
+                                    "cardinality", T.LongType()
+                                ),
+                            ]
+                        ),
+                    ),
                 ]
             ),
         ),
@@ -587,7 +615,12 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
     md = state["metaData"]
     rows: list[tuple] = [
         (
-            (proto["minReaderVersion"], proto["minWriterVersion"]),
+            (
+                proto["minReaderVersion"],
+                proto["minWriterVersion"],
+                proto.get("readerFeatures"),
+                proto.get("writerFeatures"),
+            ),
             None,
             None,
             None,
@@ -618,6 +651,7 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
     for app_id, tv in sorted(state.get("txns", {}).items()):
         rows.append((None, None, None, None, (app_id, int(tv))))
     for path, a in sorted(state["files"].items()):
+        d = a.get("deletionVector")
         rows.append(
             (
                 None,
@@ -628,6 +662,15 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
                     int(a["size"]),
                     int(a.get("modificationTime") or 0),
                     False,  # spec: checkpoint adds carry dataChange=false
+                    (
+                        d["storageType"],
+                        d["pathOrInlineDv"],
+                        int(d.get("offset") or 0),
+                        int(d["sizeInBytes"]),
+                        int(d["cardinality"]),
+                    )
+                    if d
+                    else None,
                 ),
                 None,
                 None,
@@ -671,6 +714,12 @@ def compact_delta(
     part_cols = delta_reader._partition_cols(meta, schema, phys)
     groups: dict[tuple, list[tuple[str, dict]]] = {}
     for rel, a in state["files"].items():
+        if a.get("deletionVector"):
+            raise NotImplementedError(
+                "table has deletion vectors; raw-file compaction "
+                "would resurrect deleted rows — run "
+                "plans.delta_dv.materialize_dvs first"
+            )
         pv = delta_reader._pv(a, part_cols, phys)
         groups.setdefault(
             tuple(pv[c] for c in part_cols), []
@@ -780,12 +829,21 @@ def vacuum_delta(
     if not commits:
         raise ValueError(f"no Delta log at {table}")
     referenced: set[str] = set()
+    referenced_bins: set[str] = set()
     for v, _ in commits[-retain_versions:]:
         try:
             state = delta_reader._replay(spark, table, v)
         except ValueError:
             continue  # version predates a cleaned-up log prefix
         referenced |= set(state["files"])
+        for a in state["files"].values():
+            d = a.get("deletionVector")
+            if d and d.get("storageType") != "i":
+                from dst_spark_k8_lakehouse_spark.plans import delta_dv
+
+                referenced_bins.add(
+                    os.path.normpath(delta_dv.dv_file_path(table, d))
+                )
     removed = []
     for root, dirs, fs in os.walk(table):
         dirs[:] = [
@@ -793,15 +851,24 @@ def vacuum_delta(
             if d != "_delta_log" and not d.startswith("_staging")
         ]
         for f in fs:
+            full = os.path.join(root, f)
+            if f.startswith("deletion_vector_") and f.endswith(".bin"):
+                # DV bins of expired versions are garbage like their
+                # data files
+                if os.path.normpath(full) not in referenced_bins:
+                    removed.append(
+                        os.path.relpath(full, table).replace(os.sep, "/")
+                    )
+                    if not dry_run:
+                        os.unlink(full)
+                continue
             if not f.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(root, f), table).replace(
-                os.sep, "/"
-            )
+            rel = os.path.relpath(full, table).replace(os.sep, "/")
             if rel not in referenced:
                 removed.append(rel)
                 if not dry_run:
-                    os.unlink(os.path.join(root, f))
+                    os.unlink(full)
     return sorted(removed)
 
 

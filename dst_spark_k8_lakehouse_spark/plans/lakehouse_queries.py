@@ -798,3 +798,59 @@ def d26_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_reader.read_iceberg(spark, table).select(
         "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
     )
+
+
+@query(
+    "d27_delta_dv",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               round(c_acctbal, 2) AS bal
+        FROM customer
+        WHERE c_mktsegment <> 'FURNITURE'  -- first DV delete
+          AND c_custkey % 100 <> 0         -- second DV delete (merged)
+          AND c_mktsegment <> 'HOUSEHOLD'  -- post-materialize COW delete
+    """,
+)
+def d27_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR deletes on a NATIVE Delta table, jar-free
+    (``plans/delta_dv.py`` + the ``plans/roaring.py`` bitmap codec,
+    conformance-tested against org.roaringbitmap; the protocol
+    feature the reference's Delta 4.0 jars call ``deletionVectors``):
+    CTAS → DV DELETE by condition (no data file rewritten; the commit
+    writes per-file RoaringBitmapArray blobs + re-adds with
+    descriptors) → second DV DELETE whose bitmaps MERGE into the
+    first's → parquet CHECKPOINT (descriptors must survive checkpoint
+    replay) → ``materialize_dvs`` folds the bitmaps into plain files
+    (dataChange=false) → copy-on-write DELETE proves the raw-file DML
+    path applies again. Every surviving row value-checked against the
+    oracle computing the same delete algebra relationally — the
+    Delta-side twin of ``d26_iceberg_mor``."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_dml,
+        delta_dv,
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-delta-dv-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    delta_writer.create_delta(cust.repartition(4), table)
+    delta_dv.delete_where_dv(spark, table, "c_mktsegment = 'FURNITURE'")
+    delta_dv.delete_where_dv(spark, table, "c_custkey % 100 = 0")
+    assert delta_dv.dv_stats(spark, table)["vectored_files"] >= 1
+    delta_writer.write_checkpoint(spark, table)
+    delta_dv.materialize_dvs(spark, table)
+    assert delta_dv.dv_stats(spark, table)["vectored_files"] == 0
+    delta_dml.delete_delta(spark, table, "c_mktsegment = 'HOUSEHOLD'")
+    return delta_reader.read_delta(spark, table).select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+    )

@@ -118,6 +118,12 @@ class _FilePartition(InputPartition):
     # logical schema DDL (for executor-side Arrow casting)
     schema_json: str = ""
     order: list = field(default_factory=list)
+    # deletion-vector descriptor of this add action (None = no DVs);
+    # applied EXECUTOR-SIDE: each task decodes its own file's bitmap
+    # (KB-scale) and drops rows by position — the distributed DV read
+    dv: dict | None = None
+    # table root, needed to resolve "u"-storage DV file names
+    table: str = ""
 
 
 def _read_file_partition(p: _FilePartition) -> Iterator["Any"]:
@@ -164,6 +170,14 @@ def _read_file_partition(p: _FilePartition) -> Iterator["Any"]:
     out = pa.table(
         {name: cols[name] for name in p.order}
     ).cast(target)
+    if p.dv:
+        import numpy as np
+
+        from dst_spark_k8_lakehouse_spark.plans import delta_dv
+
+        mask = np.ones(n, dtype=bool)
+        mask[delta_dv.dv_positions(p.table, p.dv)] = False
+        out = out.filter(pa.array(mask))
     yield from out.to_batches()
 
 
@@ -231,6 +245,8 @@ class _BatchReader(DataSourceReader):
                     values=pv,
                     schema_json=self.schema.json(),
                     order=[f.name for f in self.schema.fields],
+                    dv=a.get("deletionVector"),
+                    table=self.table,
                 )
             )
         return out

@@ -122,15 +122,17 @@ def test_history_newest_first(delta_table):
 
 
 def test_unsupported_reader_feature_raises(spark, tmp_path):
-    table = str(tmp_path / "dv")
+    # deletionVectors moved to the supported set (test_delta_dv.py);
+    # v2Checkpoint remains beyond this reader and must stay loud
+    table = str(tmp_path / "v2cp")
     os.makedirs(table)
     _write_commit(
         table, 0,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["deletionVectors"]}},
+                       "readerFeatures": ["v2Checkpoint"]}},
          _meta_action()],
     )
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         dr.read_delta(spark, table)
 
 
