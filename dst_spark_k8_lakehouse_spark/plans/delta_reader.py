@@ -31,10 +31,13 @@ from it — including time travel — with no Delta runtime:
 - ``version=N`` replays only commits ``<= N`` (a checkpoint above N
   is ignored and the JSON commits replayed from 0 — correctness over
   speed for the time-travel path);
-- column mapping in ``name`` mode (what ``delta_writer.rename_column``
-  and real Delta's ALTER ... RENAME produce) is applied: data files
-  are read by each column's ``delta.columnMapping.physicalName`` and
-  aliased to the logical name; ``id`` mode raises.
+- column mapping is applied in BOTH modes: ``name`` mode (what
+  ``delta_writer.rename_column`` and real Delta's ALTER ... RENAME
+  produce) reads data files by each column's
+  ``delta.columnMapping.physicalName`` and aliases to the logical
+  name; ``id`` mode matches file columns by embedded parquet field id
+  against ``delta.columnMapping.id`` (Spark's field-id resolution),
+  with a loud guard when the files carry no ids.
 
 Write paths still raise toward ``VersionedTable`` / the jar-guarded
 backend; this module never mutates ``_delta_log``.
@@ -48,9 +51,9 @@ Write side: ``plans/delta_dv.delete_where_dv``.
 Scale note: log replay is driver-side file-list work (the same place
 Delta's own Scala reader does it); the data read is an ordinary
 parquet scan, so pushdown/pruning behave like any other scan.
-Remaining reader feature gaps are LOUD: ``id``-mode column mapping
-and unknown reader features raise ``NotImplementedError`` instead of
-returning wrong rows.
+Remaining reader feature gaps are LOUD: unknown reader features and
+id-mode tables whose files lack field ids raise
+``NotImplementedError`` instead of returning wrong rows.
 """
 
 from __future__ import annotations
@@ -242,20 +245,24 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
 def _mapping(meta: dict[str, Any]) -> tuple[str, dict[str, str]]:
     """(column-mapping mode, {logical name: physical name}).
 
-    ``name`` mode reads each field's ``delta.columnMapping.physicalName``
-    from the schemaString metadata; ``id`` mode (parquet-field-id based)
-    needs machinery this reader doesn't have and raises rather than
-    returning all-null columns.
+    Both mapping modes read each field's
+    ``delta.columnMapping.physicalName`` from the schemaString
+    metadata (the spec requires it whenever mapping is enabled —
+    partition values and the Hive layout are keyed by physical name
+    in either mode). What differs is how DATA FILE columns match:
+    ``name`` mode by physical name; ``id`` mode by the parquet field
+    id stamped from ``delta.columnMapping.id`` (``_mapping_ids`` +
+    Spark's field-id resolution in ``read_delta``).
     """
     conf = meta.get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode", "none")
-    if mode not in ("none", "name"):
+    if mode not in ("none", "name", "id"):
         raise NotImplementedError(
-            f"Delta column mapping mode {mode!r}: only 'none' and 'name' "
-            "are supported by this reader"
+            f"Delta column mapping mode {mode!r}: 'none', 'name' and "
+            "'id' are supported by this reader"
         )
     phys: dict[str, str] = {}
-    if mode == "name":
+    if mode in ("name", "id"):
         sc = json.loads(meta["schemaString"])
         for f in sc["fields"]:
             md = f.get("metadata") or {}
@@ -263,6 +270,36 @@ def _mapping(meta: dict[str, Any]) -> tuple[str, dict[str, str]]:
                 "delta.columnMapping.physicalName", f["name"]
             )
     return mode, phys
+
+
+def _mapping_ids(meta: dict[str, Any]) -> dict[str, int]:
+    """{logical name: delta.columnMapping.id} — the field ids an
+    ``id``-mode scan matches data-file columns by."""
+    sc = json.loads(meta["schemaString"])
+    out: dict[str, int] = {}
+    for f in sc["fields"]:
+        md = f.get("metadata") or {}
+        if "delta.columnMapping.id" not in md:
+            raise ValueError(
+                f"column-mapping mode 'id' but field {f['name']!r} "
+                "carries no delta.columnMapping.id"
+            )
+        out[f["name"]] = int(md["delta.columnMapping.id"])
+    return out
+
+
+def _files_have_field_ids(paths, sample: int = 16) -> bool:
+    """True iff the (sampled) data files embed parquet field ids —
+    the precondition for id-based matching; an id-mode read over
+    id-less files would otherwise silently return nulls."""
+    import pyarrow.parquet as pq
+
+    for p in list(paths)[:sample]:
+        sch = pq.ParquetFile(p).schema_arrow
+        for field in sch:
+            if b"PARQUET:field_id" not in (field.metadata or {}):
+                return False
+    return True
 
 
 def _partition_cols(
@@ -431,16 +468,46 @@ def read_delta(
         return empty
     by_name = {f.name: f for f in schema.fields}
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    read_fields = [
-        T.StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
-        for f in data_fields
-    ]
+    id_mode = mode == "id"
+    if id_mode:
+        # id mode: request LOGICAL names stamped with each column's
+        # delta.columnMapping.id; Spark's parquet field-id resolution
+        # matches file columns by embedded id regardless of their
+        # (physical) names — the same machinery iceberg_reader uses
+        ids = _mapping_ids(meta)
+        read_fields = [
+            T.StructField(
+                f.name, f.dataType, f.nullable,
+                metadata={"parquet.field.id": ids[f.name]},
+            )
+            for f in data_fields
+        ]
+    else:
+        read_fields = [
+            T.StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+            for f in data_fields
+        ]
     abspaths = {
         rel: rel if os.path.isabs(rel) else os.path.join(path, rel)
         for rel in files
     }
+    if id_mode:
+        if not _files_have_field_ids(abspaths.values()):
+            raise NotImplementedError(
+                "column-mapping mode 'id' but the data files embed no "
+                "parquet field ids — an id-matched read would silently "
+                "return nulls"
+            )
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # a file genuinely missing a requested id = column added after
+        # the file was written; the spec reads it as null
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
+        )
     logical = [
-        F.col(phys.get(f.name, f.name)).alias(f.name)
+        F.col(f.name)
+        if id_mode and f.name not in part_cols
+        else F.col(phys.get(f.name, f.name)).alias(f.name)
         for f in schema.fields
     ]
     if not part_cols:

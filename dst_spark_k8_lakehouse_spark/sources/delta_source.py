@@ -190,6 +190,12 @@ class _BatchReader(DataSourceReader):
             json.loads(meta["schemaString"])
         )
         self.mode, self.phys = delta_reader._mapping(meta)
+        if self.mode == "id":
+            raise NotImplementedError(
+                "delta_native matches file columns by physical name "
+                "and writes id-less files; use "
+                "plans.delta_reader.read_delta for id-mode tables"
+            )
         self.part_cols = delta_reader._partition_cols(
             meta, self.schema, self.phys
         )
@@ -264,6 +270,12 @@ class _StreamReader(DataSourceStreamReader):
             json.loads(meta["schemaString"])
         )
         self.mode, self.phys = delta_reader._mapping(meta)
+        if self.mode == "id":
+            raise NotImplementedError(
+                "delta_native matches file columns by physical name "
+                "and writes id-less files; use "
+                "plans.delta_reader.read_delta for id-mode tables"
+            )
         self.part_cols = delta_reader._partition_cols(
             meta, self.schema, self.phys
         )
@@ -374,6 +386,12 @@ class _DeltaWriter(DataSourceArrowWriter):
             json.loads(meta["schemaString"])
         )
         self.mode, self.phys = delta_reader._mapping(meta)
+        if self.mode == "id":
+            raise NotImplementedError(
+                "delta_native matches file columns by physical name "
+                "and writes id-less files; use "
+                "plans.delta_reader.read_delta for id-mode tables"
+            )
         self.part_cols = delta_reader._partition_cols(
             meta, table_schema, self.phys
         )
