@@ -151,6 +151,26 @@ def _pv_dict(part_cols: list[str], pv_key: tuple) -> dict[str, str]:
     return dict(zip(part_cols, pv_key))
 
 
+def _cdc(
+    state: dict, changes: list[tuple[DataFrame, str]], table: str
+) -> list[dict[str, Any]]:
+    """When the table has CDF enabled, land the operation's change
+    rows (each df tagged with its ``_change_type``) under
+    ``_change_data/`` and return their ``cdc`` actions; [] otherwise.
+    Cost: one changed-rows-sized write per DML commit."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_cdf
+
+    if not delta_cdf.cdf_enabled(state["metaData"]) or not changes:
+        return []
+    tagged = None
+    for df, kind in changes:
+        piece = df.drop(_FILE_COL).withColumn(
+            delta_cdf.CHANGE_TYPE, F.lit(kind)
+        )
+        tagged = piece if tagged is None else tagged.unionByName(piece)
+    return delta_cdf.write_cdc_files(tagged, table)
+
+
 def _rewrite_and_commit(
     spark: SparkSession,
     table: str,
@@ -158,6 +178,7 @@ def _rewrite_and_commit(
     removes: list[str],
     new_files: list[tuple[DataFrame, dict[str, str]]],
     operation: str,
+    cdc_actions: list[dict[str, Any]] | None = None,
 ) -> int:
     """Publish one commit: removes + adds from writing each (df,
     partitionValues) group. Rewritten files of a partitioned table are
@@ -204,6 +225,7 @@ def _rewrite_and_commit(
                 os.replace(os.path.join(table, a["add"]["path"]), dst)
                 a["add"]["path"] = rel
         actions += adds
+    actions += cdc_actions or []
     actions.append(delta_writer._commit_info(operation))
     for _ in range(delta_writer._MAX_COMMIT_RETRIES):
         version = delta_writer._next_version(table)
@@ -252,8 +274,16 @@ def update_delta(
         else c.name
         for c in schema.fields
     ]
+    set_exprs = [
+        f"CAST(({assignments[c.name]}) AS {c.dataType.simpleString()}) "
+        f"AS {c.name}"
+        if c.name in assignments
+        else c.name
+        for c in schema.fields
+    ]
     removes: list[str] = []
     rewrites: list[tuple[DataFrame, dict[str, str]]] = []
+    changes: list[tuple[DataFrame, str]] = []
     for pv_key, files in _groups(state, table).items():
         by_abs = {os.path.normpath(a): r for a, r in files}
         df = _scan_group(spark, schema, part_cols, pv_key, [a for a, _ in files])
@@ -273,10 +303,21 @@ def update_delta(
         ).selectExpr(*exprs, _FILE_COL)
         removes += touched
         rewrites.append((scoped, _pv_dict(part_cols, pv_key)))
+        matched = _scan_group(
+            spark, schema, part_cols, pv_key, sorted(touched_abs)
+        ).where(condition)
+        changes.append((matched, "update_preimage"))
+        changes.append(
+            (
+                matched.selectExpr(*set_exprs, _FILE_COL),
+                "update_postimage",
+            )
+        )
     if not removes:
         return delta_writer._next_version(table) - 1  # no-op: no commit
+    cdc = _cdc(state, changes, table)
     return _rewrite_and_commit(
-        spark, table, state, removes, rewrites, "UPDATE"
+        spark, table, state, removes, rewrites, "UPDATE", cdc
     )
 
 
@@ -292,15 +333,20 @@ def delete_delta(
     part_cols = state["metaData"].get("partitionColumns") or []
     removes: list[str] = []
     rewrites: list[tuple[DataFrame, dict[str, str]]] = []
+    changes: list[tuple[DataFrame, str]] = []
     for pv_key, files in _groups(state, table).items():
         by_abs = {os.path.normpath(a): r for a, r in files}
         df = _scan_group(spark, schema, part_cols, pv_key, [a for a, _ in files])
         partial_abs: list[str] = []
+        group_removed: list[str] = []
         for uri, m, n in _classify(df, condition):
             rel = _uri_to_rel(uri, by_abs)
             if m == 0:
                 continue
             removes.append(rel)
+            group_removed.append(
+                rel if os.path.isabs(rel) else os.path.join(table, rel)
+            )
             if m < n:  # partially matching: rewrite survivors
                 partial_abs.append(
                     rel if os.path.isabs(rel) else os.path.join(table, rel)
@@ -310,10 +356,21 @@ def delete_delta(
                 spark, schema, part_cols, pv_key, sorted(partial_abs)
             ).where(f"NOT ({condition}) OR ({condition}) IS NULL")
             rewrites.append((kept, _pv_dict(part_cols, pv_key)))
+        if group_removed:
+            changes.append(
+                (
+                    _scan_group(
+                        spark, schema, part_cols, pv_key,
+                        sorted(group_removed),
+                    ).where(condition),
+                    "delete",
+                )
+            )
     if not removes:
         return delta_writer._next_version(table) - 1  # no-op: no commit
+    cdc = _cdc(state, changes, table)
     return _rewrite_and_commit(
-        spark, table, state, removes, rewrites, "DELETE"
+        spark, table, state, removes, rewrites, "DELETE", cdc
     )
 
 
@@ -358,6 +415,7 @@ def merge_delta(
             spark, table, state, [],
             [(source.withColumn(_FILE_COL, F.lit("")), insert_pv)],
             "MERGE",
+            _cdc(state, [(source, "insert")], table),
         )
     scans = {
         pv_key: _scan_group(
@@ -410,6 +468,19 @@ def merge_delta(
         )
     if not removes and not n_in:
         return delta_writer._next_version(table) - 1
+    changes: list[tuple[DataFrame, str]] = []
+    t_keys = full.select(*on)
+    if update_when_matched and touched:
+        pre = full.join(F.broadcast(keys), on, "left_semi")
+        changes.append((pre, "update_preimage"))
+        changes.append(
+            (source.join(t_keys, on, "left_semi"), "update_postimage")
+        )
+    if insert_when_not_matched:
+        changes.append(
+            (source.join(t_keys, on, "left_anti"), "insert")
+        )
+    cdc = _cdc(state, changes, table)
     return _rewrite_and_commit(
-        spark, table, state, removes, rewrites, "MERGE"
+        spark, table, state, removes, rewrites, "MERGE", cdc
     )

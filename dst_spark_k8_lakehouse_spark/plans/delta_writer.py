@@ -848,7 +848,11 @@ def vacuum_delta(
     for root, dirs, fs in os.walk(table):
         dirs[:] = [
             d for d in dirs
-            if d != "_delta_log" and not d.startswith("_staging")
+            # _change_data (CDF) has its own retention story: its
+            # files are referenced by cdc actions, not adds, and
+            # read_change_feed raises cleanly when history is gone
+            if d not in ("_delta_log", "_change_data")
+            and not d.startswith("_staging")
         ]
         for f in fs:
             full = os.path.join(root, f)

@@ -854,3 +854,74 @@ def d27_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_reader.read_delta(spark, table).select(
         "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
     )
+
+
+@query(
+    "d28_delta_cdf",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, round(c_acctbal, 2) AS bal,
+                   c_mktsegment AS seg
+            FROM customer
+        )
+        SELECT c_custkey, bal, seg,
+               'insert' AS _change_type, 0 AS _commit_version
+        FROM base
+        UNION ALL                      -- v2 UPDATE: pre + post images
+        SELECT c_custkey, bal, seg, 'update_preimage', 2
+        FROM base WHERE seg = 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, round(bal + 10, 2), seg,
+               'update_postimage', 2
+        FROM base WHERE seg = 'BUILDING'
+        UNION ALL                      -- v3 DELETE
+        SELECT c_custkey,
+               round(CASE WHEN seg = 'BUILDING'
+                          THEN bal + 10 ELSE bal END, 2),
+               seg, 'delete', 3
+        FROM base WHERE c_custkey % 50 = 0
+    """,
+)
+def d28_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED on a native Delta table, jar-free
+    (``plans/delta_cdf.py``; the CDC surface the reference's Delta
+    4.0 jars expose as ``readChangeFeed``): CTAS → enable CDF →
+    UPDATE (cdc actions carry pre/postimages into ``_change_data/``)
+    → DELETE (deleted rows recorded) → ``read_change_feed`` over the
+    whole version range, value-checked against the oracle
+    reconstructing the identical change log relationally (creation
+    inserts read straight from the add actions — no cdc files needed
+    for appends)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_cdf,
+        delta_dml,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-delta-cdf-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    delta_writer.create_delta(cust.repartition(4), table)   # v0
+    delta_cdf.enable_cdf(spark, table)                      # v1
+    delta_dml.update_delta(                                 # v2
+        spark, table, "seg = 'BUILDING'", {"bal": "round(bal + 10, 2)"}
+    )
+    delta_dml.delete_delta(spark, table, "c_custkey % 50 = 0")  # v3
+    feed = delta_cdf.read_change_feed(spark, table, 0, 3)
+    return feed.select(
+        "c_custkey",
+        F.round("bal", 2).alias("bal"),
+        "seg",
+        "_change_type",
+        F.col("_commit_version").cast("int").alias("_commit_version"),
+    )
