@@ -925,3 +925,68 @@ def d28_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_change_type",
         F.col("_commit_version").cast("int").alias("_commit_version"),
     )
+
+
+@query(
+    "d29_uniform",
+    oracle="""
+        SELECT 'delta_as_iceberg' AS via, c_custkey,
+               c_mktsegment AS seg, round(c_acctbal, 2) AS bal
+        FROM customer WHERE c_mktsegment <> 'FURNITURE'
+        UNION ALL
+        SELECT 'iceberg_as_delta', c_custkey,
+               c_mktsegment, round(c_acctbal, 2)
+        FROM customer WHERE c_acctbal > 0
+    """,
+)
+def d29_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT BRIDGE (``plans/uniform.py``) driven both ways, the
+    jar-free equivalent of Delta UniForm for the reference's
+    dual-format stack (Delta 4.0 + Iceberg 1.9 jars loaded side by
+    side, ``scripts/download-jars.sh:80-85``): (a) a native Delta
+    table takes a copy-on-write DELETE, exports its Iceberg metadata,
+    and is read back through the ICEBERG reader; (b) a native Iceberg
+    table exports its Delta log and is read back through the DELTA
+    reader. One copy of parquet, two formats, zero data movement —
+    both views value-checked against the oracle."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_dml,
+        delta_reader,
+        delta_writer,
+        iceberg_reader,
+        iceberg_writer,
+        uniform,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-uniform-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    # (a) Delta-native table, mutated, read as Iceberg
+    t1 = os.path.join(base, "d2i")
+    delta_writer.create_delta(cust.repartition(4), t1)
+    delta_dml.delete_delta(spark, t1, "seg = 'FURNITURE'")
+    uniform.export_iceberg_metadata(spark, t1)
+    via_iceberg = iceberg_reader.read_iceberg(spark, t1).select(
+        F.lit("delta_as_iceberg").alias("via"),
+        "c_custkey", "seg", "bal",
+    )
+    # (b) Iceberg-native table, read as Delta
+    t2 = os.path.join(base, "i2d")
+    iceberg_writer.create_iceberg(
+        cust.where("bal > 0").repartition(3), t2
+    )
+    uniform.export_delta_log(spark, t2)
+    via_delta = delta_reader.read_delta(spark, t2).select(
+        F.lit("iceberg_as_delta").alias("via"),
+        "c_custkey", "seg", "bal",
+    )
+    return via_iceberg.unionByName(via_delta)

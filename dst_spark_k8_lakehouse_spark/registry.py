@@ -76,6 +76,7 @@ PRIORITY: list[str] = [
     "d26_iceberg_mor",
     "d27_delta_dv",
     "d28_delta_cdf",
+    "d29_uniform",
     "x4_lakehouse_composite",
     "l6_passage_dedup",  # perf pass this round (same oracle)
     "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked

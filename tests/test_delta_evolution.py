@@ -152,14 +152,17 @@ def test_rename_column_via_column_mapping(spark, tmp_path):
         dml.delete_delta(spark, table, "id = 1")
 
 
-def test_reader_raises_on_id_mapping_mode(spark, tmp_path):
+def test_reader_raises_on_malformed_id_mapping(spark, tmp_path):
+    """id mode is READ now (test_delta_id_mapping.py) — but a table
+    declaring it whose schema carries no delta.columnMapping.id must
+    raise, not guess."""
     table = str(tmp_path / "idm")
     dw.create_delta(spark.range(2), table)
     state = dr._replay(spark, table, None)
     meta = dict(state["metaData"])
     meta["configuration"] = {"delta.columnMapping.mode": "id"}
     dw._commit(table, 1, [{"metaData": meta}, dw._commit_info("SET")])
-    with pytest.raises(NotImplementedError, match="column mapping"):
+    with pytest.raises(ValueError, match="delta.columnMapping.id"):
         dr.read_delta(spark, table)
 
 
