@@ -403,20 +403,49 @@ def _default_spec_fields(meta: dict) -> list[dict]:
     return meta.get("partition-spec") or []
 
 
+def snapshot_at_timestamp(path: str, ts_ms: int) -> int:
+    """The snapshot current AS OF ``ts_ms`` (epoch millis) — the last
+    snapshot-log entry at or before it; the Iceberg counterpart of
+    ``delta_reader.version_at_timestamp``."""
+    with open(_current_metadata_file(path)) as fh:
+        meta = json.load(fh)
+    log = sorted(
+        meta.get("snapshot-log") or [],
+        key=lambda e: int(e["timestamp-ms"]),
+    )
+    chosen = None
+    for e in log:
+        if int(e["timestamp-ms"]) <= ts_ms:
+            chosen = int(e["snapshot-id"])
+    if chosen is None:
+        raise ValueError(
+            f"no snapshot at or before timestamp {ts_ms} in {path}"
+        )
+    return chosen
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     partition_filter=None,
+    timestamp_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """SELECT from an Iceberg table directory, optionally time-
-    travelling to ``snapshot_id`` and/or pruning the file list with
-    ``partition_filter`` (dict of typed identity values, or a
-    predicate over them) against the manifests' partition records.
-    Columns resolve by embedded parquet field id when the files carry
-    them (rename-tolerant); id-less files resolve by name with a
-    cross-check that raises on a renamed column rather than returning
-    nulls."""
+    travelling — by ``snapshot_id``, by ``timestamp_ms`` (as-of the
+    snapshot log) or by named ``ref`` (a tag/branch from the
+    metadata's ``refs`` map, ``iceberg_writer.create_tag``) — and/or
+    pruning the file list with ``partition_filter`` (dict of typed
+    identity values, or a predicate over them) against the manifests'
+    partition records. Columns resolve by embedded parquet field id
+    when the files carry them (rename-tolerant); id-less files
+    resolve by name with a cross-check that raises on a renamed
+    column rather than returning nulls."""
+    if sum(x is not None for x in (snapshot_id, timestamp_ms, ref)) > 1:
+        raise ValueError(
+            "pass at most one of snapshot_id / timestamp_ms / ref"
+        )
     with open(_current_metadata_file(path)) as fh:
         meta = json.load(fh)
     if int(meta.get("format-version", 1)) > 2:
@@ -427,6 +456,15 @@ def read_iceberg(
     if partition_filter is not None and not spec_fields:
         raise ValueError("partition_filter on an unpartitioned table")
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+    if timestamp_ms is not None:
+        snapshot_id = snapshot_at_timestamp(path, timestamp_ms)
+    elif ref is not None:
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"ref {ref!r} not in table (has {sorted(refs)})"
+            )
+        snapshot_id = int(refs[ref]["snapshot-id"])
     if snapshot_id is None:
         snapshot_id = int(meta["current-snapshot-id"])
     if snapshot_id not in snaps:

@@ -15,10 +15,12 @@ so a table created here is SELECT-able (including snapshot time
 travel) by ``iceberg_reader`` and laid out the way the spec describes
 for real runtimes. Row-level UPDATE / DELETE are COPY-ON-WRITE
 snapshots committed by ``iceberg_dml`` (file-granular manifest
-rewrite — the v1 strategy real engines use when merge-on-read is off);
-v2 merge-on-read delete manifests are NOT written, and the reader
-raises loudly when it meets them. Spec-conformance posture, stated
-honestly — FORMAT VERSION 1 ONLY:
+rewrite — the v1 strategy real engines use when merge-on-read is
+off); FORMAT VERSION 2 tables (``create_iceberg(format_version=2)``
+or ``upgrade_to_v2``) carry sequence numbers on every commit and
+additionally take MERGE-ON-READ position/equality delete files
+through ``plans/iceberg_mor``. Spec-conformance posture, stated
+honestly:
 
 - the metadata JSON carries v1's required set (schema with field ids,
   partition-specs, sort-orders, snapshot-log, last-column-id) —
@@ -873,5 +875,47 @@ def add_column(table: str, name: str, dtype) -> None:
     _bump_metadata_log(table, meta)
     _set_schema(meta, meta["schema"]["fields"] + [field])
     meta["last-column-id"] = ids.last
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
+
+
+def create_tag(table: str, name: str, snapshot_id: int | None = None,
+               ref_type: str = "tag") -> None:
+    """Record a named ref — TAG (immutable label) or BRANCH pointer —
+    in the metadata's ``refs`` map (the spec's snapshot-ref structure;
+    what real Iceberg's ``ALTER TABLE ... CREATE TAG/BRANCH`` writes).
+    Defaults to the current snapshot. One metadata-only commit;
+    readers travel to it via ``read_iceberg(ref=...)``."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type {ref_type!r}: 'tag' or 'branch'")
+    meta, v = _load_meta(table)
+    snaps = {int(s["snapshot-id"]) for s in meta.get("snapshots", [])}
+    if snapshot_id is None:
+        snapshot_id = int(meta.get("current-snapshot-id") or -1)
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table (has "
+            f"{sorted(snaps)[:5]}…)"
+        )
+    refs = dict(meta.get("refs") or {})
+    if name in refs and refs[name].get("type") == "tag":
+        raise ValueError(f"tag {name!r} already exists (tags are "
+                         "immutable; drop_ref first)")
+    refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+    meta["refs"] = refs
+    _bump_metadata_log(table, meta)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
+
+
+def drop_ref(table: str, name: str) -> None:
+    """Remove a named ref (metadata-only)."""
+    meta, v = _load_meta(table)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"ref {name!r} not in table")
+    del refs[name]
+    meta["refs"] = refs
+    _bump_metadata_log(table, meta)
     meta["last-updated-ms"] = int(time.time() * 1000)
     _commit_metadata(table, meta, v + 1)

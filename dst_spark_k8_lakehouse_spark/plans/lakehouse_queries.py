@@ -990,3 +990,62 @@ def d29_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "seg", "bal",
     )
     return via_iceberg.unionByName(via_delta)
+
+
+@query(
+    "d30_convert",
+    oracle="""
+        SELECT 'delta' AS via, c_custkey, round(c_acctbal, 2) AS bal
+        FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        UNION ALL
+        SELECT 'iceberg_tag', c_custkey, round(c_acctbal, 2)
+        FROM customer
+    """,
+)
+def d30_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-PLACE MIGRATION (``plans/convert.py``): plain parquet
+    directories become native tables with zero data movement — the
+    jar-free ``CONVERT TO DELTA`` / Iceberg ``migrate`` procedures a
+    lakehouse onboarding runs first. (a) a parquet dump of customer
+    converts to Delta and immediately takes copy-on-write DELETE;
+    (b) a second dump converts to Iceberg, gets a TAG
+    (``create_tag``; the spec's refs map), takes an append, and is
+    read back AT THE TAG — proving refs pin the pre-append snapshot.
+    Both views value-checked."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        convert,
+        delta_dml,
+        delta_reader,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-convert-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    t1 = os.path.join(base, "d")
+    cust.repartition(3).write.parquet(t1)
+    convert.convert_to_delta(spark, t1)
+    delta_dml.delete_delta(spark, t1, "c_mktsegment = 'MACHINERY'")
+    via_delta = delta_reader.read_delta(spark, t1).select(
+        F.lit("delta").alias("via"), "c_custkey", "bal"
+    )
+    t2 = os.path.join(base, "i")
+    cust.repartition(2).write.parquet(t2)
+    convert.convert_to_iceberg(spark, t2)
+    iceberg_writer.create_tag(t2, "initial")
+    iceberg_writer.append_iceberg(
+        cust.withColumn("c_custkey", F.col("c_custkey") + 5000000), t2
+    )
+    via_tag = iceberg_reader.read_iceberg(
+        spark, t2, ref="initial"
+    ).select(F.lit("iceberg_tag").alias("via"), "c_custkey", "bal")
+    return via_delta.unionByName(via_tag)

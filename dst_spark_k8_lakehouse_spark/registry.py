@@ -77,6 +77,7 @@ PRIORITY: list[str] = [
     "d27_delta_dv",
     "d28_delta_cdf",
     "d29_uniform",
+    "d30_convert",
     "x4_lakehouse_composite",
     "l6_passage_dedup",  # perf pass this round (same oracle)
     "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked
