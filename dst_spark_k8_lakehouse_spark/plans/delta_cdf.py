@@ -146,6 +146,131 @@ def _inject_pv(
     return df
 
 
+def change_units(
+    table: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> list[dict[str, Any]]:
+    """THE CHANGE PLANNER — pure Python, no SparkSession: walk the
+    commit log and emit one unit per change source in the requested
+    range. Shared by the batch ``read_change_feed`` and the
+    ``delta_native`` CDF stream reader (whose ``partitions()`` runs
+    in DataSource planning where no session exists).
+
+    Unit: ``{"version", "ts", "kind": "cdc"|"insert"|"delete",
+    "path" (as stored in the log), "pv" (the file's partitionValues —
+    resolved from its ADD action even for bare removes, which don't
+    carry them), "positions" (explicit row indexes, None = all)}``.
+
+    Per-version precedence (the module docstring's rules 1-5): cdc
+    actions win; else pure adds = inserts; pure removes = deletes
+    (minus rows an earlier DV already reported); DV-grown re-adds =
+    the bitmap diff; other rewrites raise."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_dv
+
+    commits = dict(delta_reader._commit_files(table))
+    if ending_version is None:
+        ending_version = max(commits) if commits else -1
+    prev_dv: dict[str, dict] = {}   # path -> DV descriptor so far
+    live_pv: dict[str, dict] = {}   # path -> partitionValues of its add
+    units: list[dict[str, Any]] = []
+    for v in sorted(commits):
+        f = commits[v]
+        actions = _commit_actions(f)
+        in_range = starting_version <= v <= ending_version
+        ts = None
+        for a in actions:
+            if "commitInfo" in a:
+                ts = a["commitInfo"].get("timestamp")
+        if ts is None:
+            ts = int(os.path.getmtime(f) * 1000)
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        adds = [
+            a["add"] for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"] for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        if in_range:
+            if cdcs:
+                units += [
+                    {"version": v, "ts": ts, "kind": "cdc",
+                     "path": c["path"], "pv": {}, "positions": None}
+                    for c in cdcs
+                ]
+            elif adds and not removes:
+                units += [
+                    {"version": v, "ts": ts, "kind": "insert",
+                     "path": a["path"],
+                     "pv": a.get("partitionValues") or {},
+                     "positions": None}
+                    for a in adds
+                ]
+            elif removes and not adds:
+                for r in removes:
+                    old = prev_dv.get(r["path"])
+                    positions = None
+                    if old:
+                        # rows the old DV had already deleted were
+                        # reported in THEIR commit, not this one
+                        kept = set(delta_dv.dv_positions(table, old))
+                        positions = sorted(
+                            set(range(_row_count(table, r["path"])))
+                            - kept
+                        )
+                    units.append(
+                        {"version": v, "ts": ts, "kind": "delete",
+                         "path": r["path"],
+                         "pv": r.get("partitionValues")
+                         or live_pv.get(r["path"]) or {},
+                         "positions": positions}
+                    )
+            elif adds and removes:
+                re_added = {a["path"]: a for a in adds}
+                ok = len(adds) == len(removes) and all(
+                    re_added.get(r["path"], {}).get("deletionVector")
+                    for r in removes
+                )
+                if not ok:
+                    raise ValueError(
+                        f"version {v} of {table} rewrote data without "
+                        "cdc actions (pre-CDF DML?) — its change set "
+                        "is not reconstructible; enable CDF before "
+                        "mutating"
+                    )
+                for r in removes:
+                    a = re_added[r["path"]]
+                    new_pos = set(
+                        delta_dv.dv_positions(table, a["deletionVector"])
+                    )
+                    old = prev_dv.get(r["path"])
+                    old_pos = (
+                        set(delta_dv.dv_positions(table, old))
+                        if old else set()
+                    )
+                    fresh = sorted(new_pos - old_pos)
+                    if fresh:
+                        units.append(
+                            {"version": v, "ts": ts, "kind": "delete",
+                             "path": a["path"],
+                             "pv": a.get("partitionValues") or {},
+                             "positions": fresh}
+                        )
+        # track DV + partition state across ALL versions, also outside
+        # the range, so an in-range unit sees the true prior state
+        for a0 in actions:
+            if "add" in a0:
+                ad = a0["add"]
+                live_pv[ad["path"]] = ad.get("partitionValues") or {}
+                if ad.get("deletionVector"):
+                    prev_dv[ad["path"]] = ad["deletionVector"]
+                else:
+                    prev_dv.pop(ad["path"], None)
+    return units
+
+
 def _file_rows(
     spark: SparkSession,
     table: str,
@@ -217,11 +342,7 @@ def read_change_feed(
         )
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = delta_reader._partition_cols(meta, schema, phys)
-    commits = dict(delta_reader._commit_files(table))
-    if ending_version is None:
-        ending_version = max(commits) if commits else -1
     pieces: list[DataFrame] = []
-    prev_dv: dict[str, dict] = {}  # path -> DV descriptor so far
 
     def _stamp(df: DataFrame, kind: str | None, v: int, ts: int):
         if kind is not None:
@@ -232,137 +353,41 @@ def read_change_feed(
                 (F.lit(ts) / 1000).cast("timestamp"),
             )
 
-    for v in sorted(commits):
-        f = commits[v]
-        actions = _commit_actions(f)
-        in_range = starting_version <= v <= ending_version
-        ts = None
-        for a in actions:
-            if "commitInfo" in a:
-                ts = a["commitInfo"].get("timestamp")
-        if ts is None:
-            ts = int(os.path.getmtime(f) * 1000)
-        cdcs = [a["cdc"] for a in actions if "cdc" in a]
-        adds = [
-            a["add"] for a in actions
-            if "add" in a and a["add"].get("dataChange", True)
-        ]
-        removes = [
-            a["remove"] for a in actions
-            if "remove" in a and a["remove"].get("dataChange", True)
-        ]
-        if in_range:
-            if cdcs:
-                cdc_paths = [
-                    os.path.join(table, *c["path"].split("/"))
-                    for c in cdcs
+    for u in change_units(table, starting_version, ending_version):
+        if u["kind"] == "cdc":
+            cdc_path = os.path.join(table, *u["path"].split("/"))
+            cdf_schema = T.StructType(
+                [
+                    T.StructField(
+                        phys.get(fl.name, fl.name),
+                        fl.dataType,
+                        fl.nullable,
+                    )
+                    for fl in schema.fields
                 ]
-                cdf_schema = T.StructType(
-                    [
-                        T.StructField(
-                            phys.get(fl.name, fl.name),
-                            fl.dataType,
-                            fl.nullable,
-                        )
-                        for fl in schema.fields
-                    ]
-                    + [T.StructField(CHANGE_TYPE, T.StringType(), False)]
+                + [T.StructField(CHANGE_TYPE, T.StringType(), False)]
+            )
+            df = spark.read.schema(cdf_schema).parquet(cdc_path)
+            df = df.select(
+                *[
+                    F.col(phys.get(fl.name, fl.name)).alias(fl.name)
+                    for fl in schema.fields
+                ],
+                CHANGE_TYPE,
+            )
+            pieces.append(_stamp(df, None, u["version"], u["ts"]))
+        else:
+            pieces.append(
+                _stamp(
+                    _file_rows(
+                        spark, table,
+                        {"path": u["path"], "partitionValues": u["pv"]},
+                        schema, part_cols, phys,
+                        positions=u["positions"],
+                    ),
+                    u["kind"], u["version"], u["ts"],
                 )
-                df = spark.read.schema(cdf_schema).parquet(*cdc_paths)
-                df = df.select(
-                    *[
-                        F.col(phys.get(fl.name, fl.name)).alias(fl.name)
-                        for fl in schema.fields
-                    ],
-                    CHANGE_TYPE,
-                )
-                pieces.append(_stamp(df, None, v, ts))
-            elif adds and not removes:
-                for a in adds:
-                    pieces.append(
-                        _stamp(
-                            _file_rows(
-                                spark, table, a, schema, part_cols, phys
-                            ),
-                            "insert", v, ts,
-                        )
-                    )
-            elif removes and not adds:
-                for r in removes:
-                    old = prev_dv.get(r["path"])
-                    kept = (
-                        set(delta_dv.dv_positions(table, old))
-                        if old else None
-                    )
-                    df = _file_rows(
-                        spark, table, r, schema, part_cols, phys
-                    )
-                    if kept:
-                        # rows the old DV had already deleted were
-                        # reported in THEIR commit, not this one
-                        df = _file_rows(
-                            spark, table, r, schema, part_cols, phys,
-                            positions=sorted(
-                                set(
-                                    range(
-                                        _row_count(table, r["path"])
-                                    )
-                                )
-                                - kept
-                            ),
-                        )
-                    pieces.append(_stamp(df, "delete", v, ts))
-            elif adds and removes:
-                re_added = {a["path"]: a for a in adds}
-                ok = True
-                for r in removes:
-                    a = re_added.get(r["path"])
-                    new_d = (a or {}).get("deletionVector")
-                    if a is None or not new_d:
-                        ok = False
-                        break
-                if not ok or len(adds) != len(removes):
-                    raise ValueError(
-                        f"version {v} of {table} rewrote data without "
-                        "cdc actions (pre-CDF DML?) — its change set "
-                        "is not reconstructible; enable CDF before "
-                        "mutating"
-                    )
-                for r in removes:
-                    a = re_added[r["path"]]
-                    new_pos = set(
-                        delta_dv.dv_positions(
-                            table, a["deletionVector"]
-                        )
-                    )
-                    old = prev_dv.get(r["path"])
-                    old_pos = (
-                        set(delta_dv.dv_positions(table, old))
-                        if old else set()
-                    )
-                    fresh = sorted(new_pos - old_pos)
-                    if fresh:
-                        pieces.append(
-                            _stamp(
-                                _file_rows(
-                                    spark, table, a, schema,
-                                    part_cols, phys, positions=fresh,
-                                ),
-                                "delete", v, ts,
-                            )
-                        )
-        # track DV state across ALL versions (also outside the range,
-        # so an in-range DV diff sees the true prior bitmap)
-        for a0 in actions:
-            if "add" in a0:
-                ad = a0["add"]
-                if ad.get("deletionVector"):
-                    prev_dv[ad["path"]] = ad["deletionVector"]
-                else:
-                    prev_dv.pop(ad["path"], None)
-            elif "remove" in a0 and a0["remove"]["path"] in prev_dv:
-                # re-add in the same commit restores it above
-                pass
+            )
     if not pieces:
         empty = T.StructType(
             list(schema.fields)

@@ -78,6 +78,7 @@ PRIORITY: list[str] = [
     "d28_delta_cdf",
     "d29_uniform",
     "d30_convert",
+    "t7_stream_cdf",
     "x4_lakehouse_composite",
     "l6_passage_dedup",  # perf pass this round (same oracle)
     "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked

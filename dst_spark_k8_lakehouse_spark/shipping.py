@@ -37,4 +37,25 @@ def ensure_shipped(spark: SparkSession) -> None:
             for py in sorted(pkg_dir.rglob("*.py")):
                 zf.write(py, f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
     spark.sparkContext.addPyFile(zip_path)
+    # The driver-side Python-DataSource STREAMING runner is special:
+    # the JVM hands it `<spark files root>/streaming_job` as its files
+    # dir and sends ZERO python includes (probed empirically — batch
+    # planner workers get the includes, the streaming runner does
+    # not), so addPyFile never reaches it and a stream read from an
+    # arbitrary cwd dies with ModuleNotFoundError. The runner always
+    # executes on the DRIVER host, so a driver-local copy of the
+    # package into that exact directory (which the runner add_path()s)
+    # makes it importable — correct in local mode and on a cluster.
+    import shutil
+
+    from pyspark import SparkFiles
+
+    stream_dir = os.path.join(
+        SparkFiles.getRootDirectory(), "streaming_job", pkg_dir.name
+    )
+    if not os.path.isdir(stream_dir):
+        shutil.copytree(
+            pkg_dir, stream_dir,
+            ignore=shutil.ignore_patterns("__pycache__"),
+        )
     _SHIPPED.add(app_id)

@@ -181,6 +181,239 @@ def _read_file_partition(p: _FilePartition) -> Iterator["Any"]:
     yield from out.to_batches()
 
 
+def _literal_array(raw, dt: T.DataType, pa_type, n: int):
+    """One partition-value literal as an Arrow array of length n."""
+    import pyarrow as pa
+
+    if raw is None:
+        return pa.nulls(n, type=pa_type)
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
+                       T.ByteType)):
+        v: Any = int(raw)
+    elif isinstance(dt, (T.DoubleType, T.FloatType)):
+        v = float(raw)
+    elif isinstance(dt, T.BooleanType):
+        v = raw == "true"
+    elif isinstance(dt, T.DateType):
+        import datetime
+
+        v = datetime.date.fromisoformat(raw)
+    else:
+        v = raw
+    return pa.array([v] * n).cast(pa_type)
+
+
+@dataclass
+class _CDFPartition(InputPartition):
+    """One change unit of the CHANGE DATA FEED read (cdc file /
+    insert file / delete file+positions), self-contained for
+    executor-side Arrow reading."""
+
+    kind: str = ""          # "cdc" | "insert" | "delete"
+    path: str = ""          # absolute parquet path
+    positions: list | None = None   # explicit row indexes, None = all
+    values: dict = field(default_factory=dict)  # {logical part col: raw}
+    columns: list = field(default_factory=list)  # [(phys, logical)]
+    schema_json: str = ""   # FULL output schema incl. the CDF columns
+    order: list = field(default_factory=list)   # table columns, logical
+    version: int = 0
+    ts: int = 0             # commit timestamp, epoch millis
+
+
+def _read_cdf_partition(p: _CDFPartition) -> Iterator["Any"]:
+    """Executor-side: one change unit → RecordBatches carrying
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from dst_spark_k8_lakehouse_spark.plans.delta_cdf import (
+        CHANGE_TYPE,
+        COMMIT_TS,
+        COMMIT_VERSION,
+    )
+
+    logical = T.StructType.fromJson(json.loads(p.schema_json))
+    target = to_arrow_schema(logical)
+    by_name = {f.name: f for f in logical.fields}
+    tbl = pq.read_table(p.path)
+    n = tbl.num_rows
+    cols = {}
+    for phys, logi in p.columns:
+        if phys in tbl.schema.names:
+            cols[logi] = tbl.column(phys)
+        else:
+            cols[logi] = pa.nulls(n, type=target.field(logi).type)
+    for c, raw in p.values.items():
+        cols[c] = _literal_array(
+            raw, by_name[c].dataType, target.field(c).type, n
+        )
+    if p.kind == "cdc":
+        cols[CHANGE_TYPE] = tbl.column(CHANGE_TYPE)
+    else:
+        cols[CHANGE_TYPE] = pa.array([p.kind] * n)
+    cols[COMMIT_VERSION] = pa.array([p.version] * n, type=pa.int64())
+    cols[COMMIT_TS] = pa.array(
+        np.full(n, p.ts * 1000, dtype="int64"), type=pa.timestamp("us")
+    )
+    out = pa.table(
+        {name: cols[name]
+         for name in [*p.order, CHANGE_TYPE, COMMIT_VERSION, COMMIT_TS]}
+    ).cast(target)
+    if p.positions is not None:
+        mask = np.zeros(n, dtype=bool)
+        mask[p.positions] = True
+        out = out.filter(pa.array(mask))
+    yield from out.to_batches()
+
+
+class _CDFPlanner:
+    """Shared planning state for the batch and streaming CDF readers:
+    resolves schema / column mapping once and turns
+    ``delta_cdf.change_units`` into ``_CDFPartition``s."""
+
+    def __init__(self, table: str) -> None:
+        from dst_spark_k8_lakehouse_spark.plans.delta_cdf import (
+            CHANGE_TYPE,
+            COMMIT_TS,
+            COMMIT_VERSION,
+        )
+
+        self.table = table
+        state = _replay_arrow(table, None)
+        meta = state["metaData"]
+        self.mode, self.phys = delta_reader._mapping(meta)
+        if self.mode == "id":
+            raise NotImplementedError(
+                "change feed over id-mode column mapping is not "
+                "supported"
+            )
+        base = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        self.base = base
+        self.part_cols = delta_reader._partition_cols(
+            meta, base, self.phys
+        )
+        self.out_schema = T.StructType(
+            list(base.fields)
+            + [
+                T.StructField(CHANGE_TYPE, T.StringType(), False),
+                T.StructField(COMMIT_VERSION, T.LongType(), False),
+                T.StructField(COMMIT_TS, T.TimestampType(), False),
+            ]
+        )
+
+    def to_partitions(self, units: list[dict]) -> list[_CDFPartition]:
+        data_cols = [
+            (self.phys.get(f.name, f.name), f.name)
+            for f in self.base.fields
+            if f.name not in self.part_cols
+        ]
+        all_cols = [
+            (self.phys.get(f.name, f.name), f.name)
+            for f in self.base.fields
+        ]
+        out = []
+        for u in units:
+            absp = (
+                u["path"]
+                if os.path.isabs(u["path"])
+                else os.path.join(self.table, *u["path"].split("/"))
+            )
+            if not os.path.exists(absp):
+                raise ValueError(
+                    f"change-feed source file {u['path']} no longer "
+                    "exists (vacuumed) — CDF reaches only as far back "
+                    "as retention"
+                )
+            is_cdc = u["kind"] == "cdc"
+            pv_raw = u["pv"] or {}
+            out.append(
+                _CDFPartition(
+                    kind=u["kind"],
+                    path=absp,
+                    positions=u["positions"],
+                    values={} if is_cdc else {
+                        c: pv_raw.get(self.phys.get(c, c))
+                        for c in self.part_cols
+                    },
+                    columns=all_cols if is_cdc else data_cols,
+                    schema_json=self.out_schema.json(),
+                    order=[f.name for f in self.base.fields],
+                    version=u["version"],
+                    ts=u["ts"],
+                )
+            )
+        return out
+
+
+class _CDFBatchReader(DataSourceReader):
+    def __init__(self, table: str, starting: int,
+                 ending: int | None) -> None:
+        self.planner = _CDFPlanner(table)
+        self.starting = starting
+        self.ending = ending
+
+    def partitions(self):
+        from dst_spark_k8_lakehouse_spark.plans import delta_cdf
+
+        return self.planner.to_partitions(
+            delta_cdf.change_units(
+                self.planner.table, self.starting, self.ending
+            )
+        )
+
+    def read(self, partition: _CDFPartition):
+        return _read_cdf_partition(partition)
+
+
+class _CDFStreamReader(DataSourceStreamReader):
+    """Streaming CHANGE DATA FEED: offsets are log versions; each
+    micro-batch carries the change rows of the commits in
+    ``(start, end]`` — the incremental-CDC shape downstream sync
+    pipelines consume. DML commits that a plain ``delta_native``
+    stream refuses (data-changing removes) stream here as their
+    change sets."""
+
+    def __init__(self, table: str, starting: int) -> None:
+        self.planner = _CDFPlanner(table)
+        self.starting = starting
+
+    def initialOffset(self):  # noqa: N802
+        return {"version": self.starting - 1}
+
+    def latestOffset(self):  # noqa: N802
+        commits = delta_reader._commit_files(self.planner.table)
+        return {"version": commits[-1][0] if commits else -1}
+
+    def partitions(self, start, end):
+        from dst_spark_k8_lakehouse_spark.plans import delta_cdf
+
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        have = dict(
+            delta_reader._commit_files(self.planner.table)
+        )
+        for v in range(lo + 1, hi + 1):
+            if v not in have:
+                raise ValueError(
+                    f"commit {v} of {self.planner.table} is no longer "
+                    "in the log (cleaned up past a checkpoint); this "
+                    "CDF stream cannot resume exactly — restart it"
+                )
+        return self.planner.to_partitions(
+            delta_cdf.change_units(self.planner.table, lo + 1, hi)
+        )
+
+    def read(self, partition: _CDFPartition):
+        return _read_cdf_partition(partition)
+
+    def commit(self, end) -> None:
+        pass
+
+
 class _BatchReader(DataSourceReader):
     def __init__(self, table: str, version: int | None) -> None:
         self.table = table
@@ -590,19 +823,37 @@ class DeltaNativeDataSource(DataSource):
             raise ValueError("delta_native needs .load(<table path>)")
         return path
 
+    def _cdf(self) -> bool:
+        return str(
+            self.options.get("readchangefeed", "false")
+        ).lower() == "true"
+
     def schema(self) -> T.StructType:
+        if self._cdf():
+            return _CDFPlanner(self._path()).out_schema
         state = _replay_arrow(self._path(), None)
         return T.StructType.fromJson(
             json.loads(state["metaData"]["schemaString"])
         )
 
-    def reader(self, schema: T.StructType) -> _BatchReader:
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        if self._cdf():
+            s = int(self.options.get("startingversion", 0))
+            e = self.options.get("endingversion")
+            return _CDFBatchReader(
+                self._path(), s, int(e) if e is not None else None
+            )
         v = self.options.get("versionasof")
         return _BatchReader(
             self._path(), int(v) if v is not None else None
         )
 
-    def streamReader(self, schema: T.StructType) -> _StreamReader:  # noqa: N802
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:  # noqa: N802
+        if self._cdf():
+            return _CDFStreamReader(
+                self._path(),
+                int(self.options.get("startingversion", 0)),
+            )
         return _StreamReader(self._path())
 
     def writer(self, schema: T.StructType, overwrite: bool) -> _DeltaWriter:

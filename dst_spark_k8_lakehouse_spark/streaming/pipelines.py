@@ -497,3 +497,100 @@ def t6_stream_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type",
         F.round("value", 2).alias("val"),
     )
+
+
+@query(
+    "t7_stream_cdf",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+        )
+        SELECT c_custkey, bal,
+               'insert' AS _change_type, 0 AS _commit_version
+        FROM base
+        UNION ALL                     -- drained in run 1 (v2 UPDATE)
+        SELECT c_custkey, bal, 'update_preimage', 2
+        FROM base WHERE c_custkey % 100 = 0
+        UNION ALL
+        SELECT c_custkey, round(bal + 1, 2), 'update_postimage', 2
+        FROM base WHERE c_custkey % 100 = 0
+        UNION ALL                     -- drained in run 2 (v3 DELETE)
+        SELECT c_custkey,
+               round(CASE WHEN c_custkey % 100 = 0
+                          THEN bal + 1 ELSE bal END, 2),
+               'delete', 3
+        FROM base WHERE c_custkey % 10 = 0
+    """,
+)
+def t7_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: STREAMING CHANGE DATA FEED — ``readStream.format(
+    "delta_native").option("readChangeFeed", "true")``
+    (``sources/delta_source._CDFStreamReader``; the CDC pipeline
+    shape the reference's Delta 4.0 jars expose): a native Delta
+    table takes an UPDATE; a first availableNow stream drains the
+    creation inserts plus the update's pre/postimages to a collected
+    sink; a DELETE lands AFTER that run; a second stream run on the
+    SAME checkpoint drains exactly the delete's change set — no
+    re-emits, no gaps. Result = union of both drains, value-checked
+    against the oracle's full relational change log (version offsets
+    prove the incremental contract: duplicated or missed commits
+    would break the exact row-set match)."""
+    import os
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_cdf,
+        delta_dml,
+        delta_writer,
+    )
+    from dst_spark_k8_lakehouse_spark.sources import delta_source
+
+    delta_source.register(spark)
+    base = tempfile.mkdtemp(prefix="dst-t7-cdf-")
+    table = os.path.join(base, "t")
+    ck = os.path.join(base, "ck")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    delta_writer.create_delta(cust.repartition(4), table)     # v0
+    delta_cdf.enable_cdf(spark, table)                        # v1
+    delta_dml.update_delta(                                   # v2
+        spark, table, "c_custkey % 100 = 0",
+        {"bal": "round(bal + 1, 2)"},
+    )
+    collected: list[tuple] = []
+
+    def drain() -> None:
+        def sink(batch_df: DataFrame, _bid: int) -> None:
+            collected.extend(
+                (r.c_custkey, r.bal, r._change_type,
+                 int(r._commit_version))
+                for r in batch_df.collect()
+            )
+
+        q = (
+            spark.readStream.format("delta_native")
+            .option("readChangeFeed", "true")
+            .load(table)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if q.exception():
+            raise q.exception()
+
+    drain()
+    n_first = len(collected)
+    delta_dml.delete_delta(spark, table, "c_custkey % 10 = 0")  # v3
+    drain()
+    # the second drain must contain ONLY the delete's change set
+    assert all(
+        kind == "delete" for _, _, kind, _ in collected[n_first:]
+    )
+    return spark.createDataFrame(
+        collected,
+        "c_custkey long, bal double, _change_type string, "
+        "_commit_version int",
+    )
