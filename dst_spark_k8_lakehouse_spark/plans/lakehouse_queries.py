@@ -1049,3 +1049,82 @@ def d30_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, t2, ref="initial"
     ).select(F.lit("iceberg_tag").alias("via"), "c_custkey", "bal")
     return via_delta.unionByName(via_tag)
+
+
+@query(
+    "d31_iceberg_meta",
+    oracle="""
+        SELECT c_mktsegment AS seg, count(*) AS record_count
+        FROM customer GROUP BY c_mktsegment
+    """,
+)
+def d31_iceberg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg METADATA TABLES (``plans/iceberg_meta.py``; the
+    ``tbl.partitions`` / ``.files`` / ``.snapshots`` surface
+    ``02_iceberg_demo.ipynb:143`` queries through the runtime): a
+    partitioned native table's ``.partitions`` row counts — built
+    ENTIRELY from manifest record_count sums, no data scan — must
+    equal the relational GROUP BY. The operator dashboard for
+    skew / small-file pressure at 100 TB, value-checked."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_meta,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-iceberg-meta-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    iceberg_writer.create_iceberg(
+        cust, table, partition_by=["c_mktsegment"]
+    )
+    return iceberg_meta.partitions_table(spark, table).select(
+        F.col("c_mktsegment").alias("seg"), "record_count"
+    )
+
+
+@query(
+    "d32_iceberg_incremental",
+    oracle="""
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM customer WHERE c_custkey % 2 = 1
+    """,
+)
+def d32_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL APPEND SCAN on a native Iceberg table
+    (``plans/iceberg_meta.read_iceberg_incremental``; real Iceberg's
+    ``start-snapshot-id`` read): even keys land in the create
+    snapshot, odd keys in a later append — the scan over
+    ``(create, append]`` must return EXACTLY the appended rows, the
+    feed an incremental consumer tails instead of re-scanning 100 TB.
+    Value-checked against the odd-key relational half."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_meta,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-iceberg-inc-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    s1 = iceberg_writer.create_iceberg(
+        cust.where("c_custkey % 2 = 0").repartition(2), table
+    )
+    s2 = iceberg_writer.append_iceberg(
+        cust.where("c_custkey % 2 = 1").repartition(2), table
+    )
+    return iceberg_meta.read_iceberg_incremental(spark, table, s1, s2)

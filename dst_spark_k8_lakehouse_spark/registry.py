@@ -79,6 +79,8 @@ PRIORITY: list[str] = [
     "d29_uniform",
     "d30_convert",
     "t7_stream_cdf",
+    "d31_iceberg_meta",
+    "d32_iceberg_incremental",
     "x4_lakehouse_composite",
     "l6_passage_dedup",  # perf pass this round (same oracle)
     "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked
