@@ -296,8 +296,11 @@ def _apply_deletes(
             F.col("pos").alias("__dp"),
             "__del_seq",
         )
+        # the delete set is matched-rows-sized: broadcast it rather
+        # than let the mixed equi/range condition fall back to a
+        # table-wide sort-merge shuffle (compact_mor bounds its growth)
         df = df.join(
-            dels,
+            F.broadcast(dels),
             (df["__if_file"] == dels["__df"])
             & (df["__if_pos"] == dels["__dp"])
             & (dels["__del_seq"] >= df["__if_seq"]),
@@ -337,7 +340,7 @@ def _apply_deletes(
         cond = eq["__del_seq"] > df["__if_seq"]
         for c in cols:
             cond = cond & df[c].eqNullSafe(eq[f"__eq_{c}"])
-        df = df.join(eq, cond, "left_anti")
+        df = df.join(F.broadcast(eq), cond, "left_anti")
     return df.drop("__if_file", "__if_pos", "__if_seq")
 
 

@@ -304,3 +304,46 @@ def test_jdbc_roundtrip_pushdown(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "c_acctbal" in plan
+
+
+def test_delta_dv_read_broadcasts_delete_set(spark, tmp_path):
+    """A DV-table read must subtract deletions with a BROADCAST
+    anti-join keyed on the (KB-scale) deleted set — a shuffled
+    anti-join here would move the full table by (file, pos) at
+    100 TB."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_dv,
+        delta_reader,
+        delta_writer,
+    )
+
+    t = str(tmp_path / "dvplan")
+    delta_writer.create_delta(spark.range(1000).coalesce(2), t)
+    delta_dv.delete_where_dv(spark, t, "id % 97 = 0")
+    plan = plan_of(delta_reader.read_delta(spark, t))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # one scan of the data files, not per-file branches (formatted
+    # output names each scan twice: once in the tree, once in detail)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_iceberg_mor_read_joins_stay_small_side(spark, tmp_path):
+    """Merge-on-read subtraction: the position-delete set and the
+    per-file sequence map must sit on the build side (broadcast),
+    never force a table-wide shuffle."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_mor,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    t = str(tmp_path / "morplan")
+    iceberg_writer.create_iceberg(
+        spark.range(1000).coalesce(2), t, format_version=2
+    )
+    iceberg_mor.delete_where_mor(spark, t, "id % 97 = 0")
+    plan = plan_of(iceberg_reader.read_iceberg(spark, t))
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
