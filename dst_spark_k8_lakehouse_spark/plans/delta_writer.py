@@ -926,3 +926,74 @@ def overwrite_delta(df: DataFrame, table: str) -> int:
     raise RuntimeError(
         f"overwrite of {table} lost {_MAX_COMMIT_RETRIES} commit races"
     )
+
+
+def restore_delta(spark: SparkSession, table: str, version: int) -> int:
+    """``RESTORE TABLE t TO VERSION AS OF version`` — one commit that
+    returns the LIVE STATE to an earlier version while preserving
+    history (time travel to the pre-restore state keeps working, and
+    the restore itself is just another version): files added since
+    ``version`` are removed, files removed since are re-added (their
+    original add actions verbatim — partitionValues, deletion-vector
+    descriptors and all), and the old metaData is re-emitted when the
+    schema/configuration drifted. Restoring past VACUUMed data raises
+    up front (the re-added files must still exist). Returns the
+    committed version."""
+    cur = delta_reader._replay(spark, table, None)
+    old = delta_reader._replay(spark, table, version)
+    now = int(time.time() * 1000)
+    cur_files, old_files = cur["files"], old["files"]
+    missing = [
+        rel for rel in old_files
+        if not os.path.exists(
+            rel if os.path.isabs(rel) else os.path.join(table, rel)
+        )
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot RESTORE {table} to {version}: {len(missing)} "
+            f"file(s) were vacuumed (first: {missing[0]})"
+        )
+    actions: list[dict[str, Any]] = []
+    if old["metaData"] != cur["metaData"]:
+        actions.append({"metaData": old["metaData"]})
+    for rel in sorted(set(cur_files) - set(old_files)):
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel, a in sorted(old_files.items()):
+        if cur_files.get(rel) != a:
+            # re-add (or replace a descriptor-drifted add) verbatim
+            if rel in cur_files:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            actions.append({"add": dict(a)})
+    if not actions:
+        return _next_version(table) - 1  # already at that state
+    actions.append(_commit_info("RESTORE"))
+    for _ in range(_MAX_COMMIT_RETRIES):
+        v = _next_version(table)
+        try:
+            _commit(table, v, actions)
+            return v
+        except FileExistsError:
+            fresh = delta_reader._replay(spark, table, None)
+            if fresh["files"] != cur["files"]:
+                raise ValueError(
+                    f"concurrent modification of {table} during "
+                    "RESTORE; re-run"
+                ) from None
+    raise RuntimeError(f"RESTORE of {table} lost too many commit races")

@@ -919,3 +919,35 @@ def drop_ref(table: str, name: str) -> None:
     _bump_metadata_log(table, meta)
     meta["last-updated-ms"] = int(time.time() * 1000)
     _commit_metadata(table, meta, v + 1)
+
+
+def rollback_iceberg(spark: SparkSession, table: str,
+                     snapshot_id: int) -> None:
+    """``rollback_to_snapshot`` — a metadata-only commit making an
+    EARLIER snapshot current again (what real Iceberg's
+    ``ALTER TABLE ... EXECUTE rollback(...)`` does: the pointer moves,
+    every snapshot stays time-travelable, and the rollback lands in
+    the snapshot log). Raises when the target's files were expired."""
+    meta, v = _load_meta(table)
+    snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table "
+            f"(has {sorted(snaps)[:5]}…)"
+        )
+    for p in iceberg_reader._live_data_files(
+        spark, table, snaps[snapshot_id], _spec_fields(meta)
+    ):
+        if not os.path.exists(p):
+            raise ValueError(
+                f"cannot roll back {table} to {snapshot_id}: data "
+                f"file {p} was expired"
+            )
+    _bump_metadata_log(table, meta)
+    now = int(time.time() * 1000)
+    meta["current-snapshot-id"] = snapshot_id
+    meta.setdefault("snapshot-log", []).append(
+        {"timestamp-ms": now, "snapshot-id": snapshot_id}
+    )
+    meta["last-updated-ms"] = now
+    _commit_metadata(table, meta, v + 1)

@@ -1128,3 +1128,65 @@ def d32_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.where("c_custkey % 2 = 1").repartition(2), table
     )
     return iceberg_meta.read_iceberg_incremental(spark, table, s1, s2)
+
+
+@query(
+    "d33_restore",
+    oracle="""
+        SELECT 'delta_restored' AS via, c_custkey,
+               round(c_acctbal, 2) AS bal
+        FROM customer
+        UNION ALL
+        SELECT 'iceberg_rolled_back', c_custkey, round(c_acctbal, 2)
+        FROM customer WHERE c_acctbal > 0
+    """,
+)
+def d33_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE / ROLLBACK on the native formats (the recovery half of
+    table maintenance; real surface: Delta ``RESTORE TABLE ... TO
+    VERSION AS OF``, Iceberg ``rollback_to_snapshot``): a Delta table
+    takes a DELETE and is RESTORED to version 0 in one
+    history-preserving commit (``delta_writer.restore_delta`` — the
+    pre-restore state stays time-travelable); an Iceberg table is
+    overwritten with junk and ROLLED BACK by metadata pointer move
+    (``iceberg_writer.rollback_iceberg`` — both snapshots stay
+    listed). Both recovered states value-checked against the
+    untouched relational baselines."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_dml,
+        delta_reader,
+        delta_writer,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-restore-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal"),
+        "c_mktsegment",
+    )
+    t1 = os.path.join(base, "d")
+    delta_writer.create_delta(cust.repartition(3), t1)          # v0
+    delta_dml.delete_delta(spark, t1, "c_mktsegment = 'FURNITURE'")
+    delta_writer.restore_delta(spark, t1, 0)
+    via_delta = delta_reader.read_delta(spark, t1).select(
+        F.lit("delta_restored").alias("via"), "c_custkey", "bal"
+    )
+    t2 = os.path.join(base, "i")
+    s1 = iceberg_writer.create_iceberg(
+        cust.where("bal > 0").repartition(2), t2
+    )
+    iceberg_writer.overwrite_iceberg(
+        cust.limit(1).withColumn("c_custkey", F.lit(-1)), t2
+    )
+    iceberg_writer.rollback_iceberg(spark, t2, s1)
+    via_iceberg = iceberg_reader.read_iceberg(spark, t2).select(
+        F.lit("iceberg_rolled_back").alias("via"), "c_custkey", "bal"
+    )
+    return via_delta.unionByName(via_iceberg)

@@ -81,6 +81,7 @@ PRIORITY: list[str] = [
     "t7_stream_cdf",
     "d31_iceberg_meta",
     "d32_iceberg_incremental",
+    "d33_restore",
     "x4_lakehouse_composite",
     "l6_passage_dedup",  # perf pass this round (same oracle)
     "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked
