@@ -997,3 +997,112 @@ def restore_delta(spark: SparkSession, table: str, version: int) -> int:
                     "RESTORE; re-run"
                 ) from None
     raise RuntimeError(f"RESTORE of {table} lost too many commit races")
+
+
+def zorder_delta(
+    spark: SparkSession,
+    table: str,
+    cols: list[str],
+    n_files: int | None = None,
+) -> int:
+    """``OPTIMIZE t ZORDER BY (cols…)`` on a NATIVE log: rewrite each
+    partition group clustered on the interleaved-bit order of
+    ``cols`` (the shared quantile-bucket kernel,
+    ``plans.table.zorder_cluster`` — one range shuffle per group, no
+    global raw-value sort), committing ``remove``+``add`` with
+    ``dataChange: false`` like any OPTIMIZE: a pure reorganization
+    streams and time travel see through, after which a selective
+    predicate on ANY listed column prunes most files/row groups.
+    Partition columns stay put (clustering happens within each
+    group). Refuses over live deletion vectors (materialize first)
+    and column-mapped tables. Returns the committed version."""
+    from dst_spark_k8_lakehouse_spark.plans.table import zorder_cluster
+
+    state = delta_reader._replay(spark, table, None)
+    meta = state["metaData"]
+    mode, phys = delta_reader._mapping(meta)
+    if mode != "none":
+        raise NotImplementedError(
+            "ZORDER on a column-mapped native table is not supported "
+            "by the jar-free path"
+        )
+    if any(a.get("deletionVector") for a in state["files"].values()):
+        raise NotImplementedError(
+            "table has deletion vectors; ZORDER's raw-file rewrite "
+            "would resurrect deleted rows — run "
+            "plans.delta_dv.materialize_dvs first"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    bad = sorted(set(cols) & set(part_cols))
+    if bad:
+        raise ValueError(
+            f"ZORDER column(s) {bad} are partition columns"
+        )
+    data_fields = [
+        f for f in schema.fields if f.name not in part_cols
+    ]
+    groups: dict[tuple, list[str]] = {}
+    pvs: dict[tuple, dict] = {}
+    for rel, a in state["files"].items():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(rel)
+        pvs[key] = pv
+    now = int(time.time() * 1000)
+    removes: list[dict[str, Any]] = []
+    adds: list[dict[str, Any]] = []
+    for key, rels in groups.items():
+        paths = [
+            rel if os.path.isabs(rel) else os.path.join(table, rel)
+            for rel in rels
+        ]
+        df = spark.read.schema(T.StructType(data_fields)).parquet(
+            *paths
+        )
+        total = sum(int(state["files"][rel]["size"]) for rel in rels)
+        n_out = n_files or max(1, total // (128 << 20))
+        clustered = zorder_cluster(df, cols, n_out)
+        new = _write_data_files(clustered, table)
+        pv = pvs[key]
+        prefix = "/".join(
+            _hive_seg_w(c, pv.get(c)) for c in part_cols
+        )
+        for a in new:
+            a["add"]["partitionValues"] = pv
+            a["add"]["dataChange"] = False
+            if prefix:
+                nrel = f"{prefix}/{a['add']['path']}"
+                dst = os.path.join(table, *nrel.split("/"))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(table, a["add"]["path"]), dst)
+                a["add"]["path"] = nrel
+        adds += new
+        removes += [
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                }
+            }
+            for rel in rels
+        ]
+    if not removes:
+        return _next_version(table) - 1
+    for _ in range(_MAX_COMMIT_RETRIES):
+        version = _next_version(table)
+        try:
+            _commit(
+                table, version,
+                removes + adds + [_commit_info("OPTIMIZE ZORDER")],
+            )
+            return version
+        except FileExistsError:
+            fresh = delta_reader._replay(spark, table, None)
+            if fresh["files"] != state["files"]:
+                raise ValueError(
+                    f"concurrent modification of {table} during "
+                    "ZORDER; re-run"
+                ) from None
+    raise RuntimeError(f"ZORDER on {table} lost too many commit races")

@@ -1190,3 +1190,42 @@ def d33_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("iceberg_rolled_back").alias("via"), "c_custkey", "bal"
     )
     return via_delta.unionByName(via_iceberg)
+
+
+@query(
+    "d34_zorder_native",
+    oracle="""
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+        FROM customer
+    """,
+)
+def d34_zorder_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``OPTIMIZE t ZORDER BY`` on a NATIVE Delta log
+    (``delta_writer.zorder_delta``, the shared quantile-bucket /
+    bit-interleave kernel of D15): the rewrite is committed with
+    ``dataChange: false`` and must be a PURE REORGANIZATION — every
+    row value-checked unchanged against the fixture (the clustering
+    quality itself is pinned by ``test_zorder_native.py``'s per-file
+    min/max span assertions; pre-reorg version stays travelable)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-zorder-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    delta_writer.create_delta(cust.repartition(6), table)
+    delta_writer.zorder_delta(
+        spark, table, ["c_nationkey", "bal"], n_files=6
+    )
+    return delta_reader.read_delta(spark, table)
