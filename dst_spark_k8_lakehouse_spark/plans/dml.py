@@ -201,3 +201,198 @@ def execute_dml(
             insert_when_not_matched=insert_unmatched,
         )
     raise ValueError(f"not a supported DML statement: {sql.strip()[:80]!r}")
+
+
+# ------------------------------------------------- native-table SQL
+
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<table>[\w.]+)"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?\s*$",
+    re.IGNORECASE,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<table>[\w.]+)"
+    r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<table>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF"
+    r"\s+(?P<v>\d+)\s*$",
+    re.IGNORECASE,
+)
+_ADD_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+COLUMNS?\s*"
+    r"\(?\s*(?P<col>\w+)\s+(?P<type>\w+(?:\(\d+(?:,\s*\d+)?\))?)\s*\)?\s*$",
+    re.IGNORECASE,
+)
+_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
+    re.IGNORECASE,
+)
+_SET_CDF_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+SET\s+TBLPROPERTIES\s*\(\s*"
+    r"['\"]?delta\.enableChangeDataFeed['\"]?\s*=\s*['\"]?true['\"]?"
+    r"\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def execute_native_sql(
+    spark,
+    sql: str,
+    tables: dict[str, str],
+    sources: dict[str, DataFrame] | None = None,
+) -> int:
+    """The statement-text surface of the reference's notebooks routed
+    onto NATIVE-format tables (jar-free): ``tables`` maps statement
+    names to table DIRECTORIES; the format (Delta log vs Iceberg
+    metadata) is detected per table and the call dispatches to the
+    matching native implementation. Same shim philosophy as
+    ``execute_dml``: only the statement SKELETON is parsed here;
+    expressions travel verbatim to Spark, and unrecognized shapes
+    raise instead of mis-executing.
+
+    Supported: UPDATE / DELETE / MERGE (both formats, copy-on-write),
+    ``VACUUM t [RETAIN k VERSIONS]`` (Delta vacuum / Iceberg
+    expire_snapshots), ``OPTIMIZE t [ZORDER BY (a, b)]`` (Delta
+    compaction / z-ordering), ``RESTORE TABLE t TO VERSION AS OF v``
+    (Delta), ``ALTER TABLE t ADD COLUMN c type`` / ``RENAME COLUMN a
+    TO b`` (both formats, metadata-only), ``ALTER TABLE t SET
+    TBLPROPERTIES (delta.enableChangeDataFeed=true)``. Returns the
+    committed version / snapshot id (0 for metadata-only ops without
+    one). A directory carrying BOTH formats (the UniForm bridge)
+    mutates through its Delta log — re-sync the export afterwards."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_cdf,
+        delta_dml,
+        delta_reader,
+        delta_writer,
+        iceberg_dml,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    def _path(name: str) -> str:
+        if name not in tables:
+            raise ValueError(
+                f"unknown table {name!r}; have {sorted(tables)}"
+            )
+        return tables[name]
+
+    def _fmt(path: str) -> str:
+        if delta_reader.is_delta_table(path):
+            return "delta"
+        if iceberg_reader.is_iceberg_table(path):
+            return "iceberg"
+        raise ValueError(f"{path} is neither a Delta nor Iceberg table")
+
+    sql = sql.strip().rstrip(";").strip()
+    if m := _VACUUM_RE.match(sql):
+        p = _path(m["table"])
+        n = int(m["n"] or 1)
+        if _fmt(p) == "delta":
+            delta_writer.vacuum_delta(spark, p, retain_versions=n)
+        else:
+            iceberg_writer.expire_snapshots(spark, p, retain_last=n)
+        return 0
+    if m := _OPTIMIZE_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) != "delta":
+            raise NotImplementedError(
+                "OPTIMIZE on native Iceberg: use "
+                "iceberg_mor.compact_mor (v2) or overwrite_iceberg"
+            )
+        if m["cols"]:
+            cols = [c.strip() for c in m["cols"].split(",")]
+            return delta_writer.zorder_delta(spark, p, cols)
+        v = delta_writer.compact_delta(spark, p, min_files=2)
+        return v if v >= 0 else 0
+    if m := _RESTORE_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) != "delta":
+            raise NotImplementedError(
+                "RESTORE syntax is Delta's; roll Iceberg back with "
+                "iceberg_writer.rollback_iceberg"
+            )
+        return delta_writer.restore_delta(spark, p, int(m["v"]))
+    if m := _ADD_COL_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) == "delta":
+            delta_writer.add_column(spark, p, m["col"], m["type"])
+        else:
+            iceberg_writer.add_column(p, m["col"], m["type"])
+        return 0
+    if m := _RENAME_COL_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) == "delta":
+            delta_writer.rename_column(spark, p, m["old"], m["new"])
+        else:
+            iceberg_writer.rename_column(p, m["old"], m["new"])
+        return 0
+    if m := _SET_CDF_RE.match(sql):
+        return delta_cdf.enable_cdf(spark, _path(m["table"]))
+    if m := _UPDATE_RE.match(sql):
+        p = _path(m["table"])
+        set_clause, where = _split_top_keyword(m["rest"], "WHERE")
+        assigns = _split_assignments(set_clause)
+        if _fmt(p) == "delta":
+            return delta_dml.update_delta(
+                spark, p, where or "true", assigns
+            )
+        return iceberg_dml.update_iceberg(
+            spark, p, where or "true", assigns
+        )
+    if m := _DELETE_RE.match(sql):
+        p = _path(m["table"])
+        before, where = _split_top_keyword(m["rest"], "WHERE")
+        if before.strip():
+            raise ValueError(
+                f"unexpected text after DELETE FROM table: "
+                f"{before.strip()!r}"
+            )
+        if _fmt(p) == "delta":
+            return delta_dml.delete_delta(spark, p, where or "true")
+        return iceberg_dml.delete_iceberg(spark, p, where or "true")
+    if m := _MERGE_RE.match(sql):
+        p = _path(m["target"])
+        src_name = m["source"]
+        if sources and src_name in sources:
+            source = sources[src_name]
+        elif src_name in tables:
+            sp = tables[src_name]
+            source = (
+                delta_reader.read_delta(spark, sp)
+                if delta_reader.is_delta_table(sp)
+                else iceberg_reader.read_iceberg(spark, sp)
+            )
+        else:
+            raise ValueError(f"unknown MERGE source {src_name!r}")
+        aliases = {
+            m["talias"] or m["target"], m["salias"] or m["source"]
+        }
+        on_clause, when = _split_top_keyword(m["rest"], "WHEN")
+        if when is None:
+            raise ValueError("MERGE needs at least one WHEN clause")
+        when = "WHEN" + when
+        update_matched = bool(_MATCHED_RE.search(when))
+        insert_unmatched = bool(_NOT_MATCHED_RE.search(when))
+        recognized = _MATCHED_RE.sub("", _NOT_MATCHED_RE.sub("", when))
+        if recognized.strip():
+            raise ValueError(
+                f"unsupported MERGE WHEN clause(s): "
+                f"{recognized.strip()!r}"
+            )
+        keys = _merge_keys(on_clause, aliases)
+        if _fmt(p) == "delta":
+            return delta_dml.merge_delta(
+                spark, p, source, on=keys,
+                update_when_matched=update_matched,
+                insert_when_not_matched=insert_unmatched,
+            )
+        return iceberg_dml.merge_iceberg(
+            spark, p, source, on=keys,
+            update_when_matched=update_matched,
+            insert_when_not_matched=insert_unmatched,
+        )
+    raise ValueError(f"not a supported statement: {sql.strip()[:80]!r}")

@@ -1229,3 +1229,81 @@ def d34_zorder_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, table, ["c_nationkey", "bal"], n_files=6
     )
     return delta_reader.read_delta(spark, table)
+
+
+@query(
+    "d35_sql_native",
+    oracle="""
+        WITH d AS (
+            SELECT c_custkey,
+                   CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN round(c_acctbal + 5, 2)
+                        ELSE round(c_acctbal, 2) END AS bal,
+                   c_mktsegment AS seg
+            FROM customer
+            WHERE c_mktsegment <> 'FURNITURE'
+        ), i AS (
+            SELECT c_custkey, round(c_acctbal, 2) AS bal,
+                   c_mktsegment AS seg
+            FROM customer
+            WHERE c_custkey % 7 <> 0
+        )
+        SELECT 'delta' AS fmt, * FROM d
+        UNION ALL
+        SELECT 'iceberg', * FROM i
+    """,
+)
+def d35_sql_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEMENT-TEXT parity on NATIVE tables
+    (``plans/dml.execute_native_sql``): the exact SQL shapes the
+    reference notebooks run through the format jars
+    (``02_iceberg_demo.ipynb:91,103``, ``03_delta_demo.ipynb:96-189``)
+    — UPDATE / DELETE / OPTIMIZE ZORDER BY / VACUUM — dispatch onto
+    the jar-free Delta log and Iceberg metadata by format detection.
+    Both mutated tables read back value-checked; the maintenance
+    statements must be row-invisible (pure reorganization / GC)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        delta_writer,
+        iceberg_reader,
+        iceberg_writer,
+    )
+    from dst_spark_k8_lakehouse_spark.plans.dml import execute_native_sql
+
+    base = tempfile.mkdtemp(prefix="dst-sqlnative-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    td = os.path.join(base, "d")
+    ti = os.path.join(base, "i")
+    delta_writer.create_delta(cust.repartition(4), td)
+    iceberg_writer.create_iceberg(cust.repartition(3), ti)
+    tabs = {"dt": td, "it": ti}
+    execute_native_sql(
+        spark,
+        "UPDATE dt SET bal = round(bal + 5, 2) "
+        "WHERE seg = 'BUILDING'",
+        tabs,
+    )
+    execute_native_sql(
+        spark, "DELETE FROM dt WHERE seg = 'FURNITURE';", tabs
+    )
+    execute_native_sql(spark, "OPTIMIZE dt ZORDER BY (bal)", tabs)
+    execute_native_sql(spark, "VACUUM dt RETAIN 1 VERSIONS", tabs)
+    execute_native_sql(
+        spark, "DELETE FROM it WHERE c_custkey % 7 = 0", tabs
+    )
+    via_d = delta_reader.read_delta(spark, td).select(
+        F.lit("delta").alias("fmt"), "c_custkey", "bal", "seg"
+    )
+    via_i = iceberg_reader.read_iceberg(spark, ti).select(
+        F.lit("iceberg").alias("fmt"), "c_custkey", "bal", "seg"
+    )
+    return via_d.unionByName(via_i)

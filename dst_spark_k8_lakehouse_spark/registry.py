@@ -83,6 +83,7 @@ PRIORITY: list[str] = [
     "d32_iceberg_incremental",
     "d33_restore",
     "d34_zorder_native",
+    "d35_sql_native",
     "x4_lakehouse_composite",
     "l6_passage_dedup",  # perf pass this round (same oracle)
     "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked
