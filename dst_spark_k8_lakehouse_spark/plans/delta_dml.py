@@ -202,6 +202,11 @@ def _rewrite_and_commit(
     ]
     part_cols = state["metaData"].get("partitionColumns") or []
     for df, pv in new_files:
+        # DML rewrites must also satisfy the table's CHECK
+        # constraints (an UPDATE can introduce a violating value)
+        delta_writer.check_constraints(
+            df.drop(_FILE_COL), state["metaData"]
+        )
         if pv is None:
             # partition-spanning rows (MERGE inserts / moved rows):
             # the writer's partitionBy path derives each file's

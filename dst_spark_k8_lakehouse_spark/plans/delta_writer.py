@@ -351,6 +351,7 @@ def append_delta(
             df, state["metaData"], merge_schema
         )
         if adds is None:
+            check_constraints(aligned, state["metaData"])
             # data files are written once; physical column names go in
             # the files, partition columns go in the directory layout
             out = aligned.select(
@@ -890,6 +891,7 @@ def overwrite_delta(df: DataFrame, table: str) -> int:
         if meta_action is not None:  # unreachable with merge_schema=False
             raise AssertionError("overwrite must not evolve the schema")
         if adds is None:
+            check_constraints(aligned, state["metaData"])
             out = aligned.select(
                 *[
                     F.col(c).alias(phys.get(c, c))
@@ -1106,3 +1108,114 @@ def zorder_delta(
                     "ZORDER; re-run"
                 ) from None
     raise RuntimeError(f"ZORDER on {table} lost too many commit races")
+
+
+# ------------------------------------------------ CHECK constraints
+
+def constraints_of(meta: dict[str, Any]) -> dict[str, str]:
+    """{constraint name: SQL expr} from the metaData configuration
+    (the protocol's ``delta.constraints.<name>`` keys)."""
+    conf = meta.get("configuration") or {}
+    pre = "delta.constraints."
+    return {
+        k[len(pre):]: v for k, v in conf.items() if k.startswith(pre)
+    }
+
+
+def check_constraints(df: DataFrame, meta: dict[str, Any]) -> None:
+    """Enforce the table's CHECK constraints on ``df`` before a
+    write — one combined filter job; the FIRST violating row is
+    reported. NULL results violate (the spec: a constraint must
+    evaluate to true)."""
+    from pyspark.sql import functions as F
+
+    cons = constraints_of(meta)
+    if not cons:
+        return
+    bad = None
+    for name, expr in cons.items():
+        viol = F.when(
+            F.expr(expr).isNull() | ~F.expr(expr), F.lit(name)
+        )
+        bad = viol if bad is None else F.coalesce(bad, viol)
+    hit = (
+        df.withColumn("__violated", bad)
+        .where(F.col("__violated").isNotNull())
+        .limit(1)
+        .collect()
+    )
+    if hit:
+        r = hit[0].asDict()
+        name = r.pop("__violated")
+        raise ValueError(
+            f"CHECK constraint {name!r} ({cons[name]}) violated by "
+            f"row {r}"
+        )
+
+
+def add_check_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`` — verifies
+    EXISTING rows first (the spec's semantics: a constraint can only
+    be added when the table already satisfies it), then records it in
+    the metaData configuration and raises ``minWriterVersion`` to 3
+    (the legacy checkConstraints writer requirement). Library writes
+    (append/overwrite/DML) enforce it from then on; the delta_native
+    DataSource write path does NOT yet and real engines would — route
+    constrained writes through ``append_delta``. Returns the
+    committed version."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader as _dr
+
+    state = _dr._replay(spark, table, None)
+    meta = dict(state["metaData"])
+    key = f"delta.constraints.{name}"
+    conf = dict(meta.get("configuration") or {})
+    if key in conf:
+        raise ValueError(f"constraint {name!r} already exists")
+    probe = dict(meta)
+    probe["configuration"] = {key: expr}
+    check_constraints(_dr.read_delta(spark, table), probe)
+    conf[key] = expr
+    meta["configuration"] = conf
+    proto = state.get("protocol") or {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    actions: list[dict[str, Any]] = []
+    if proto.get("minWriterVersion", 2) < 3 and not proto.get(
+        "writerFeatures"
+    ):
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": 3,
+                }
+            }
+        )
+    actions += [{"metaData": meta}, _commit_info("ADD CONSTRAINT")]
+    version = _next_version(table)
+    _commit(table, version, actions)
+    return version
+
+
+def drop_check_constraint(
+    spark: SparkSession, table: str, name: str
+) -> int:
+    """``ALTER TABLE t DROP CONSTRAINT name`` (metadata-only)."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader as _dr
+
+    state = _dr._replay(spark, table, None)
+    meta = dict(state["metaData"])
+    conf = dict(meta.get("configuration") or {})
+    key = f"delta.constraints.{name}"
+    if key not in conf:
+        raise ValueError(f"constraint {name!r} not on table")
+    del conf[key]
+    meta["configuration"] = conf
+    version = _next_version(table)
+    _commit(
+        table, version,
+        [{"metaData": meta}, _commit_info("DROP CONSTRAINT")],
+    )
+    return version
