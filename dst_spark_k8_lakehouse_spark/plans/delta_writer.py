@@ -1123,13 +1123,22 @@ def constraints_of(meta: dict[str, Any]) -> dict[str, str]:
 
 
 def check_constraints(df: DataFrame, meta: dict[str, Any]) -> None:
-    """Enforce the table's CHECK constraints on ``df`` before a
-    write — one combined filter job; the FIRST violating row is
-    reported. NULL results violate (the spec: a constraint must
+    """Enforce the table's write invariants on ``df``: CHECK
+    constraints (``delta.constraints.*``) AND the schema's
+    ``nullable: false`` columns (the protocol's NOT NULL invariant).
+    One combined filter job; the FIRST violating row is reported.
+    NULL constraint results violate (the spec: a constraint must
     evaluate to true)."""
     from pyspark.sql import functions as F
 
-    cons = constraints_of(meta)
+    cons = dict(constraints_of(meta))
+    sc = json.loads(meta["schemaString"])
+    for fld in sc.get("fields", []):
+        if not fld.get("nullable", True) and fld["name"] in df.columns:
+            cons.setdefault(
+                f"NOT NULL {fld['name']}",
+                f"{fld['name']} IS NOT NULL",
+            )
     if not cons:
         return
     bad = None

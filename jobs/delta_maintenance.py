@@ -38,6 +38,11 @@ def table_health(spark: SparkSession, table: str) -> dict[str, Any]:
     files = state["files"]
     commits = delta_reader._commit_files(table)
     cp = delta_reader._checkpoint(table)
+    dvs = [
+        a["deletionVector"]
+        for a in files.values()
+        if a.get("deletionVector")
+    ]
     return {
         "n_files": len(files),
         "total_bytes": sum(int(a["size"]) for a in files.values()),
@@ -49,6 +54,8 @@ def table_health(spark: SparkSession, table: str) -> dict[str, Any]:
         "txn_apps": sorted(state["txns"]),
         "partition_columns": state["metaData"].get("partitionColumns")
         or [],
+        "vectored_files": len(dvs),
+        "dv_deleted_rows": sum(int(d["cardinality"]) for d in dvs),
     }
 
 
@@ -64,6 +71,13 @@ def run_maintenance(
     subsequent vacuum can reclaim the pre-compaction files once they
     leave the retention window."""
     before = table_health(spark, table)
+    # deletion vectors must fold into plain files before a raw-file
+    # compaction is legal (compact_delta refuses over live DVs)
+    materialized_version = -1
+    if before["vectored_files"]:
+        from dst_spark_k8_lakehouse_spark.plans import delta_dv
+
+        materialized_version = delta_dv.materialize_dvs(spark, table)
     cp1 = delta_writer.write_checkpoint(spark, table)
     compacted_version = delta_writer.compact_delta(
         spark, table, target_files=target_files
@@ -78,6 +92,7 @@ def run_maintenance(
         "before": before,
         "after": after,
         "checkpointed_version": cp1,
+        "materialized_version": materialized_version,
         "compacted_version": compacted_version,
         "n_vacuumed": len(removed),
     }

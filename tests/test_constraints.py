@@ -77,3 +77,29 @@ def test_drop_constraint(spark, tmp_path):
     assert 100 in {r.id for r in dr.read_delta(spark, t).collect()}
     with pytest.raises(ValueError, match="not on table"):
         dw.drop_check_constraint(spark, t, "cap")
+
+
+def test_not_null_invariant_enforced(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    t = str(tmp_path / "nn")
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("x", T.DoubleType(), True),
+    ])
+    dw.create_delta(
+        spark.createDataFrame([(1, 1.0)], schema), t
+    )
+    dw.append_delta(
+        spark.createDataFrame([(2, None)], schema), t
+    )  # nullable x: fine
+    with pytest.raises(ValueError, match="NOT NULL id"):
+        bad = spark.createDataFrame(
+            [(None, 3.0)],
+            T.StructType([
+                T.StructField("id", T.LongType(), True),
+                T.StructField("x", T.DoubleType(), True),
+            ]),
+        )
+        dw.append_delta(bad, t)
+    assert {r.id for r in dr.read_delta(spark, t).collect()} == {1, 2}

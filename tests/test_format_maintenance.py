@@ -211,3 +211,30 @@ def test_delta_maintenance_job_shrinks_streamed_table(spark, tmp_path):
                               target_files=2)
     assert report2["compacted_version"] == -1
     assert report2["n_vacuumed"] == 0
+
+
+def test_delta_maintenance_materializes_dvs_first(spark, tmp_path):
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "jobs")
+    )
+    from delta_maintenance import run_maintenance, table_health
+
+    from dst_spark_k8_lakehouse_spark.plans import delta_dv
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader as dr
+    from dst_spark_k8_lakehouse_spark.plans import delta_writer as dw
+
+    table = str(tmp_path / "dvmaint")
+    dw.create_delta(spark.range(100).repartition(4), table)
+    delta_dv.delete_where_dv(spark, table, "id % 10 = 0")
+    assert table_health(spark, table)["vectored_files"] >= 1
+    report = run_maintenance(
+        spark, table, retain_versions=1, target_files=1
+    )
+    assert report["materialized_version"] >= 0
+    assert report["after"]["vectored_files"] == 0
+    got = {r.id for r in dr.read_delta(spark, table).collect()}
+    assert got == {i for i in range(100) if i % 10}
