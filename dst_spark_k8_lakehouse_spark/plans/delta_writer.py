@@ -1133,8 +1133,14 @@ def check_constraints(df: DataFrame, meta: dict[str, Any]) -> None:
 
     cons = dict(constraints_of(meta))
     sc = json.loads(meta["schemaString"])
+    df_nullable = {f.name: f.nullable for f in df.schema.fields}
     for fld in sc.get("fields", []):
-        if not fld.get("nullable", True) and fld["name"] in df.columns:
+        # when the incoming frame's own schema already guarantees
+        # non-null, Spark enforced it upstream — no job needed
+        if (
+            not fld.get("nullable", True)
+            and df_nullable.get(fld["name"], False)
+        ):
             cons.setdefault(
                 f"NOT NULL {fld['name']}",
                 f"{fld['name']} IS NOT NULL",
