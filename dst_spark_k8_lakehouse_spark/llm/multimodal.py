@@ -358,3 +358,138 @@ def l5_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(1e2 * F.avg("height")) / 1e2).alias("avg_height"),
         F.max("n_frames").alias("max_frames"),
     )
+
+
+# ---------------------------------------------------- REAL audio path
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_amp", T.DoubleType()),
+    ]
+)
+
+
+def encode_wav(n_samples: int, rate: int, amp: int) -> bytes:
+    """One genuine RIFF/WAVE file (16-bit PCM mono, stdlib ``wave``
+    writer) holding ``n_samples`` constant-amplitude samples."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{n_samples}h", *([amp] * n_samples)))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """Parse actual WAV bytes (stdlib reader — RIFF chunks, fmt, PCM
+    frames) into (sample_rate, n_samples, channels, mean amplitude).
+    Non-PCM-16 formats raise loudly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"sample width {w.getsampwidth()} bytes; 16-bit PCM only"
+            )
+        n = w.getnframes()
+        frames = np.frombuffer(w.readframes(n), dtype="<i2")
+        return (
+            w.getframerate(),
+            n,
+            w.getnchannels(),
+            float(frames.astype("float64").mean()) if n else 0.0,
+        )
+
+
+def attach_audio_payloads(docs: DataFrame) -> DataFrame:
+    """Synthesize one REAL WAV file per doc — parameters derived from
+    ``doc_id`` arithmetic so an oracle recomputes the decode output in
+    SQL (the audio twin of ``attach_image_payloads``)."""
+    ensure_shipped(docs.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                payloads.append(
+                    encode_wav(
+                        n_samples=100 + d % 50,
+                        rate=8000 + (d % 4) * 4000,
+                        amp=(d % 2000) - 1000,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
+
+
+def decode_audio(media_df: DataFrame) -> DataFrame:
+    """REAL audio decode stage over ``mapInPandas`` — same batch
+    memory contract as ``decode_images``."""
+    ensure_shipped(media_df.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(
+                        [r[0] for r in rows], dtype="int32"
+                    ),
+                    "n_samples": pd.Series(
+                        [r[1] for r in rows], dtype="int32"
+                    ),
+                    "channels": pd.Series(
+                        [r[2] for r in rows], dtype="int32"
+                    ),
+                    "mean_amp": [r[3] for r in rows],
+                }
+            )
+
+    return media_df.mapInPandas(run, AUDIO_SCHEMA)
+
+
+@query(
+    "l5_audio_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+               CAST(100 + doc_id % 50 AS INT) AS n_samples,
+               1 AS channels,
+               CAST((doc_id % 2000) - 1000 AS DOUBLE) AS mean_amp
+        FROM documents
+    """,
+)
+def l5_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 REAL audio decode, no codec stub: one genuine RIFF/WAVE
+    file per document (16-bit PCM, stdlib writer), parsed back from
+    its actual bytes — RIFF chunks, fmt header, PCM frames — in a
+    vectorized ``mapInPandas`` stage. Sample rate, frame count,
+    channel count and mean amplitude all value-checked against the
+    oracle recomputing them from ``doc_id`` arithmetic; with
+    ``l5_image_decode`` this makes two of the three multimodal kinds
+    REAL decoders (video framing stays the one documented
+    deterministic stub — no container parser in stdlib)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio(attach_audio_payloads(docs))

@@ -87,6 +87,7 @@ PRIORITY: list[str] = [
     "x4_lakehouse_composite",
     "l6_passage_dedup",  # perf pass this round (same oracle)
     "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked
+    "l5_audio_decode",  # new: REAL WAV decode, oracle-checked
     "l5_multimodal",  # plumbing pass re-check
     # (d) backfill, oldest evidence first (VERDICT r5 item 3): ids
     # whose newest driver-green is r02/r03 and which the r05 ~50-cap

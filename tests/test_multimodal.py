@@ -88,3 +88,34 @@ def test_synth_decode_pass_is_exact(spark):
         assert (r.mean_r, r.mean_g, r.mean_b) == (
             float(d % 256), float(d * 7 % 256), float(d * 13 % 256)
         )
+
+
+def test_wav_roundtrip_real_bytes():
+    from dst_spark_k8_lakehouse_spark.llm.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    payload = encode_wav(n_samples=120, rate=16000, amp=-42)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    rate, n, ch, mean = decode_wav(payload)
+    assert (rate, n, ch, mean) == (16000, 120, 1, -42.0)
+    # empty audio decodes to 0 mean, not NaN
+    assert decode_wav(encode_wav(0, 8000, 0))[3] == 0.0
+
+
+def test_decode_audio_distributed(spark, sf_dir):
+    from dst_spark_k8_lakehouse_spark.llm.multimodal import (
+        attach_audio_payloads,
+        decode_audio,
+    )
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = decode_audio(attach_audio_payloads(docs)).collect()
+    assert len(out) == 20
+    for r in out:
+        d = r.doc_id
+        assert r.sample_rate == 8000 + (d % 4) * 4000
+        assert r.n_samples == 100 + d % 50
+        assert r.mean_amp == float((d % 2000) - 1000)
