@@ -163,12 +163,12 @@ def _snapshot_entries(
             path = _strip_uri(str(data_file.get("file_path")))
             df_content = int(str(_get(data_file, "content") or ml_content))
             if df_content == 0:
+                pv = _partition_values(data_file, spec_fields or [])
                 if partition_filter is not None and not _pv_pass(
-                    _partition_values(data_file, spec_fields or []),
-                    partition_filter,
+                    pv, partition_filter
                 ):
                     continue
-                data.append({"path": path, "seq": seq})
+                data.append({"path": path, "seq": seq, "pv": pv})
             elif df_content == 1:
                 pos_dels.append({"path": path, "seq": seq})
             elif df_content == 2:

@@ -59,8 +59,13 @@ def _current_schema(meta: dict) -> dict:
 
 
 def _live_entries(meta: dict, snapshot_id: int | None) -> list[dict]:
-    """(file_path, partition values) per live data file — pure-Python
-    manifest walk."""
+    """(file_path, partition values[, deleted positions]) per live
+    data file — pure-Python manifest walk via the reader's shared
+    ``_snapshot_entries``. v2 POSITION deletes are resolved here at
+    planning time (delete files are matched-rows-sized; pyarrow read,
+    sequence rule applied) and ride into each file's partition as an
+    executor-side row mask; EQUALITY deletes need value comparisons
+    and raise toward ``read_iceberg``, which applies them."""
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
     if snapshot_id is None:
         snapshot_id = int(meta["current-snapshot-id"])
@@ -69,30 +74,50 @@ def _live_entries(meta: dict, snapshot_id: int | None) -> list[dict]:
             f"snapshot {snapshot_id} not in table (has {sorted(snaps)[:5]}…)"
         )
     spec_fields = iceberg_reader._default_spec_fields(meta)
-    out = []
-    mlist = iceberg_reader._strip_uri(
-        snaps[snapshot_id]["manifest-list"]
+    data, pos_dels, eq_dels = iceberg_reader._snapshot_entries(
+        None, snaps[snapshot_id], spec_fields
     )
-    for mf in avro_codec.read_avro_file(mlist):
-        content = mf.get("content")
-        if content is not None and int(content) != 0:
-            raise NotImplementedError(
-                "Iceberg v2 delete manifests need the runtime"
+    if eq_dels:
+        raise NotImplementedError(
+            "iceberg_native over equality-delete files: use "
+            "plans.iceberg_reader.read_iceberg (value-comparing "
+            "anti-joins need the engine)"
+        )
+    deleted: dict[str, set[int]] = {}
+    if pos_dels:
+        import os
+
+        import pyarrow.parquet as pq
+
+        by_norm = {os.path.normpath(e["path"]): e for e in data}
+        for de in pos_dels:
+            t = pq.read_table(
+                de["path"], columns=["file_path", "pos"]
             )
-        manifest = iceberg_reader._strip_uri(str(mf["manifest_path"]))
-        for e in avro_codec.read_avro_file(manifest):
-            if int(e["status"]) == 2:
-                continue
-            d = e["data_file"]
-            if str(d["file_format"]).upper() != "PARQUET":
-                raise NotImplementedError("parquet data files only")
-            out.append(
-                {
-                    "path": iceberg_reader._strip_uri(str(d["file_path"])),
-                    "pv": iceberg_reader._partition_values(d, spec_fields),
-                }
-            )
-    return out
+            for f, p in zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            ):
+                key = os.path.normpath(
+                    iceberg_reader._strip_uri(str(f))
+                )
+                e = by_norm.get(key)
+                # spec: a position delete applies to data written at
+                # or before its sequence number
+                if e is not None and de["seq"] >= e["seq"]:
+                    deleted.setdefault(key, set()).add(int(p))
+    import os as _os
+
+    return [
+        {
+            "path": e["path"],
+            "pv": e["pv"],
+            "positions": sorted(
+                deleted.get(_os.path.normpath(e["path"]), ())
+            ) or None,
+        }
+        for e in data
+    ]
 
 
 @dataclass
@@ -101,6 +126,9 @@ class _IcePartition(InputPartition):
     # [(field id, logical name)] in schema order
     ids: list = field(default_factory=list)
     schema_json: str = ""
+    # v2 position-delete row indexes of THIS file (None = none);
+    # applied executor-side as a row mask
+    positions: list | None = None
 
 
 def _read_ice_partition(p: _IcePartition) -> Iterator[Any]:
@@ -136,7 +164,14 @@ def _read_ice_partition(p: _IcePartition) -> Iterator[Any]:
             cols[logi] = tbl.column(src)
         else:
             cols[logi] = pa.nulls(n, type=target.field(logi).type)
-    yield from pa.table(cols).cast(target).to_batches()
+    out = pa.table(cols).cast(target)
+    if p.positions:
+        import numpy as np
+
+        mask = np.ones(n, dtype=bool)
+        mask[p.positions] = False
+        out = out.filter(pa.array(mask))
+    yield from out.to_batches()
 
 
 class _IceReader(DataSourceReader):
@@ -179,6 +214,7 @@ class _IceReader(DataSourceReader):
                 path=e["path"],
                 ids=ids,
                 schema_json=self.schema.json(),
+                positions=e.get("positions"),
             )
             for e in self.entries
         ]

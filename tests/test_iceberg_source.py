@@ -193,3 +193,38 @@ def test_batch_write_schema_mismatch_refused(registered, tmp_path):
         spark.range(2).select(
             F.col("id").alias("nope")
         ).write.format("iceberg_native").mode("append").save(table)
+
+
+def test_batch_read_applies_position_deletes(registered, tmp_path):
+    """A v2 merge-on-read table reads correctly through the
+    DataSource: each file's deleted positions resolve at planning and
+    mask rows executor-side."""
+    spark = registered
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_mor
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as iw
+
+    t = str(tmp_path / "mor")
+    iw.create_iceberg(
+        spark.range(40).repartition(3), t, format_version=2
+    )
+    iceberg_mor.delete_where_mor(spark, t, "id % 4 = 0")
+    iceberg_mor.delete_where_mor(spark, t, "id = 1")
+    got = {
+        r.id
+        for r in spark.read.format("iceberg_native").load(t).collect()
+    }
+    assert got == {i for i in range(40) if i % 4 and i != 1}
+
+
+def test_batch_read_refuses_equality_deletes(registered, tmp_path):
+    spark = registered
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_mor
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as iw
+
+    t = str(tmp_path / "eq")
+    iw.create_iceberg(spark.range(10), t, format_version=2)
+    iceberg_mor.delete_keys_mor(
+        spark, t, spark.createDataFrame([(3,)], "id long")
+    )
+    with pytest.raises(Exception, match="equality-delete"):
+        spark.read.format("iceberg_native").load(t).collect()
