@@ -77,12 +77,47 @@ def _live_entries(meta: dict, snapshot_id: int | None) -> list[dict]:
     data, pos_dels, eq_dels = iceberg_reader._snapshot_entries(
         None, snaps[snapshot_id], spec_fields
     )
+    # EQUALITY deletes: per data file, the applicable delete rows are
+    # the ones STRICTLY NEWER than the file (spec rule); resolved at
+    # planning into (key columns, key tuples) the executor masks with.
+    eq_per_file: dict[str, tuple[list[str], list[tuple]]] = {}
     if eq_dels:
-        raise NotImplementedError(
-            "iceberg_native over equality-delete files: use "
-            "plans.iceberg_reader.read_iceberg (value-comparing "
-            "anti-joins need the engine)"
-        )
+        import os as _os2
+
+        import pyarrow.parquet as _pq
+
+        sch = _current_schema(meta)
+        by_id = {int(f["id"]): f["name"] for f in sch["fields"]}
+        groups: dict[tuple, list[dict]] = {}
+        for de in eq_dels:
+            groups.setdefault(de["equality_ids"], []).append(de)
+        for e in data:
+            key = _os2.path.normpath(e["path"])
+            for ids_t, dels in groups.items():
+                missing = [i for i in ids_t if i not in by_id]
+                if missing:
+                    raise ValueError(
+                        f"equality_ids {missing} not in the current "
+                        "schema"
+                    )
+                cols = [by_id[i] for i in ids_t]
+                rows: list[tuple] = []
+                for de in dels:
+                    if de["seq"] > e["seq"]:
+                        t = _pq.read_table(de["path"], columns=cols)
+                        rows += list(
+                            zip(*[t.column(c).to_pylist() for c in cols])
+                        )
+                if rows:
+                    prev = eq_per_file.get(key)
+                    if prev and prev[0] != cols:
+                        raise NotImplementedError(
+                            "multiple equality-id sets on one file: "
+                            "use plans.iceberg_reader.read_iceberg"
+                        )
+                    eq_per_file[key] = (
+                        cols, (prev[1] if prev else []) + rows
+                    )
     deleted: dict[str, set[int]] = {}
     if pos_dels:
         import os
@@ -115,6 +150,7 @@ def _live_entries(meta: dict, snapshot_id: int | None) -> list[dict]:
             "positions": sorted(
                 deleted.get(_os.path.normpath(e["path"]), ())
             ) or None,
+            "eq_drop": eq_per_file.get(_os.path.normpath(e["path"])),
         }
         for e in data
     ]
@@ -129,6 +165,9 @@ class _IcePartition(InputPartition):
     # v2 position-delete row indexes of THIS file (None = none);
     # applied executor-side as a row mask
     positions: list | None = None
+    # v2 equality deletes applicable to THIS file:
+    # (key column names, list of key tuples) or None
+    eq_drop: tuple | None = None
 
 
 def _read_ice_partition(p: _IcePartition) -> Iterator[Any]:
@@ -171,6 +210,18 @@ def _read_ice_partition(p: _IcePartition) -> Iterator[Any]:
         mask = np.ones(n, dtype=bool)
         mask[p.positions] = False
         out = out.filter(pa.array(mask))
+    if p.eq_drop:
+        key_cols, key_rows = p.eq_drop
+        drop = set(key_rows)
+        keep = [
+            i for i, row in enumerate(
+                zip(*[out.column(c).to_pylist() for c in key_cols])
+            )
+            if row not in drop
+        ]
+        # explicit index type: an all-dropped file's empty list would
+        # otherwise infer null and crash the take kernel
+        out = out.take(pa.array(keep, type=pa.int64()))
     yield from out.to_batches()
 
 
@@ -215,6 +266,7 @@ class _IceReader(DataSourceReader):
                 ids=ids,
                 schema_json=self.schema.json(),
                 positions=e.get("positions"),
+                eq_drop=e.get("eq_drop"),
             )
             for e in self.entries
         ]

@@ -216,7 +216,9 @@ def test_batch_read_applies_position_deletes(registered, tmp_path):
     assert got == {i for i in range(40) if i % 4 and i != 1}
 
 
-def test_batch_read_refuses_equality_deletes(registered, tmp_path):
+def test_batch_read_applies_equality_deletes(registered, tmp_path):
+    """Equality deletes apply through the DataSource too — including
+    the sequence rule: a key re-inserted AFTER the delete survives."""
     spark = registered
     from dst_spark_k8_lakehouse_spark.plans import iceberg_mor
     from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as iw
@@ -224,7 +226,11 @@ def test_batch_read_refuses_equality_deletes(registered, tmp_path):
     t = str(tmp_path / "eq")
     iw.create_iceberg(spark.range(10), t, format_version=2)
     iceberg_mor.delete_keys_mor(
-        spark, t, spark.createDataFrame([(3,)], "id long")
+        spark, t, spark.createDataFrame([(3,), (7,)], "id long")
     )
-    with pytest.raises(Exception, match="equality-delete"):
-        spark.read.format("iceberg_native").load(t).collect()
+    iw.append_iceberg(spark.range(7, 8), t)  # re-insert: newer seq
+    got = {
+        r.id
+        for r in spark.read.format("iceberg_native").load(t).collect()
+    }
+    assert got == set(range(10)) - {3}
