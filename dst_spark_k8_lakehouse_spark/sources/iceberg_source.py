@@ -17,6 +17,12 @@ against the current schema (renamed columns read correctly; id-less
 files fall back to name matching and raise on a mismatch rather than
 nulling a column). ``pushFilters`` prunes the file list on partition
 ``EqualTo``/``In`` from the manifests' partition records.
+
+v2 MERGE-ON-READ tables read correctly: position-delete files resolve
+at PLANNING time into per-file row masks, equality-delete files into
+per-file key-tuple sets (both under the spec's sequence rules), and
+each executor task applies its own file's mask — delete sets are
+matched-rows-sized, so the planning cost is metadata-class.
 """
 
 from __future__ import annotations
