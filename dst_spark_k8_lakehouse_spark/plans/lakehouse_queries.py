@@ -1307,3 +1307,89 @@ def d35_sql_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("iceberg").alias("fmt"), "c_custkey", "bal", "seg"
     )
     return via_d.unionByName(via_i)
+
+
+@query(
+    "x5_cdc_pipeline",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment = 'BUILDING'
+                    THEN round(c_acctbal + 10, 2)
+                    ELSE round(c_acctbal, 2) END AS bal,
+               c_mktsegment AS seg
+        FROM customer WHERE c_mktsegment <> 'FURNITURE'
+        UNION ALL
+        SELECT c_custkey + 5000000, round(c_acctbal, 2), 'NEWSEG'
+        FROM customer WHERE c_custkey % 200 = 0
+    """,
+)
+def x5_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5 — THE CDC LOOP CLOSED: a Delta source table's CHANGE DATA
+    FEED incrementally maintains an Iceberg v2 MERGE-ON-READ replica,
+    composing this round's whole stack in one oracle. Source: native
+    Delta + CDF; replica: seeded from the source's version-0 snapshot
+    as an Iceberg v2 table. The source then takes an UPDATE, a DELETE
+    and an append; the sync job reads ONLY the change feed (never
+    re-scans the source), turns preimages/deletes into one
+    equality-delete commit (O(changed keys), table never scanned) and
+    postimages/inserts into one append — the sequence-number rule
+    makes the re-inserted keys survive the older delete. Returned:
+    the REPLICA, value-checked against the relational end state of
+    the SOURCE — a drifting sync shows up as a hash mismatch.
+    (Batched apply is valid here because each key changes once per
+    sync window; overlapping-key windows apply per commit —
+    `_commit_version` orders them.)"""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_cdf,
+        delta_dml,
+        delta_reader,
+        delta_writer,
+        iceberg_mor,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-cdc-pipe-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    rep = os.path.join(base, "rep")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    delta_writer.create_delta(cust.repartition(4), src)        # v0
+    iceberg_writer.create_iceberg(
+        delta_reader.read_delta(spark, src, version=0)
+        .repartition(3),
+        rep, format_version=2,
+    )
+    delta_cdf.enable_cdf(spark, src)                           # v1
+    delta_dml.update_delta(                                    # v2
+        spark, src, "seg = 'BUILDING'", {"bal": "round(bal + 10, 2)"}
+    )
+    delta_dml.delete_delta(spark, src, "seg = 'FURNITURE'")    # v3
+    delta_writer.append_delta(                                 # v4
+        cust.where("c_custkey % 200 = 0").select(
+            (F.col("c_custkey") + 5000000).alias("c_custkey"),
+            "bal", F.lit("NEWSEG").alias("seg"),
+        ),
+        src,
+    )
+    changes = delta_cdf.read_change_feed(
+        spark, src, starting_version=2
+    )
+    gone = changes.where(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("c_custkey").distinct()
+    arrived = changes.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("c_custkey", "bal", "seg")
+    iceberg_mor.delete_keys_mor(spark, rep, gone)
+    iceberg_writer.append_iceberg(arrived, rep)
+    replica = iceberg_reader.read_iceberg(spark, rep)
+    return replica.select("c_custkey", "bal", "seg")

@@ -84,6 +84,7 @@ PRIORITY: list[str] = [
     "d33_restore",
     "d34_zorder_native",
     "d35_sql_native",
+    "x5_cdc_pipeline",
     "x4_lakehouse_composite",
     "l6_passage_dedup",  # perf pass this round (same oracle)
     "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked
