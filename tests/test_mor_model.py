@@ -129,3 +129,82 @@ def test_delta_dv_matches_model(spark, tmp_path_factory, ops):
             (k, v) for k, vals in model.items() for v in vals
         )
         assert got == want, (kind, p, ops)
+
+
+_CDF_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("update"), st.integers(0, 4),
+                  st.integers(0, 99)),          # id % 5 == k → x = c
+        st.tuples(st.just("delete"), st.integers(0, 6),
+                  st.just(0)),                  # id % 7 == k
+        st.tuples(st.just("append"), st.integers(1, 3),
+                  st.integers(0, 99)),          # n new rows, x = c
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_CDF_OPS)
+def test_change_feed_folds_to_current_state(
+    spark, tmp_path_factory, ops
+):
+    """THE CDC invariant: replaying the change feed over the initial
+    snapshot must reproduce the current table exactly, for any DML
+    sequence — the property every downstream sync (x5_cdc_pipeline)
+    relies on."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_cdf
+    from dst_spark_k8_lakehouse_spark.plans import delta_dml as dml
+
+    table = str(tmp_path_factory.mktemp("cdf") / "t")
+    dw.create_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id long, x double"
+        ).repartition(2),
+        table,
+    )
+    delta_cdf.enable_cdf(spark, table)
+    next_id = 100
+    for kind, k, c in ops:
+        if kind == "update":
+            dml.update_delta(
+                spark, table, f"id % 5 = {k}", {"x": f"{c}.0"}
+            )
+        elif kind == "delete":
+            dml.delete_delta(spark, table, f"id % 7 = {k}")
+        else:
+            dw.append_delta(
+                spark.createDataFrame(
+                    [(next_id + j, float(c)) for j in range(k)],
+                    "id long, x double",
+                ),
+                table,
+            )
+            next_id += k
+    # fold the feed over the v0 snapshot (ids are unique by
+    # construction, so per-version keyed application is exact)
+    state = {
+        r.id: r.x
+        for r in dr.read_delta(spark, table, version=0).collect()
+    }
+    feed = delta_cdf.read_change_feed(spark, table, 1).collect()
+    by_version: dict[int, list] = {}
+    for r in feed:
+        by_version.setdefault(r._commit_version, []).append(r)
+    for v in sorted(by_version):
+        rows = by_version[v]
+        for r in rows:
+            if r._change_type == "delete":
+                del state[r.id]
+        for r in rows:
+            if r._change_type in ("update_postimage", "insert"):
+                state[r.id] = r.x
+    got = sorted(
+        (r.id, r.x) for r in dr.read_delta(spark, table).collect()
+    )
+    assert got == sorted(state.items()), ops
