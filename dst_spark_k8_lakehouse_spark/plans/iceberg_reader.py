@@ -434,6 +434,7 @@ def read_iceberg(
     partition_filter=None,
     timestamp_ms: int | None = None,
     ref: str | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """SELECT from an Iceberg table directory, optionally time-
     travelling — by ``snapshot_id``, by ``timestamp_ms`` (as-of the
@@ -444,7 +445,17 @@ def read_iceberg(
     partition records. Columns resolve by embedded parquet field id
     when the files carry them (rename-tolerant); id-less files
     resolve by name with a cross-check that raises on a renamed
-    column rather than returning nulls."""
+    column rather than returning nulls.
+
+    ``predicates`` is the HIDDEN-PARTITION query surface: a list of
+    ``(source_col, op, literal)`` with op in ``== < <= > >= in`` over
+    SOURCE columns. Each predicate both prunes data files through the
+    partition transform (``plans/iceberg_transforms``: a ``ts`` range
+    on a ``days(ts)`` table reads only the matching days' files —
+    monotonic transforms take ranges, bucket takes equality) AND is
+    applied as the residual row filter, so boundary partitions return
+    exactly the requested rows. At 100 TB this is the difference
+    between a 7-partition scan and a table scan for a one-week query."""
     if sum(x is not None for x in (snapshot_id, timestamp_ms, ref)) > 1:
         raise ValueError(
             "pass at most one of snapshot_id / timestamp_ms / ref"
@@ -458,6 +469,36 @@ def read_iceberg(
     spec_fields = _default_spec_fields(meta)
     if partition_filter is not None and not spec_fields:
         raise ValueError("partition_filter on an unpartitioned table")
+    residual = None
+    if predicates:
+        from dst_spark_k8_lakehouse_spark.plans import (
+            iceberg_transforms as _tr,
+        )
+
+        schema_now = None
+        for s in meta.get("schemas", []):
+            if s.get("schema-id") == meta.get("current-schema-id"):
+                schema_now = s
+        if schema_now is None:
+            schema_now = meta["schema"]
+        known = {f["name"] for f in schema_now["fields"]}
+        unknown = sorted({c for c, _o, _v in predicates} - known)
+        if unknown:
+            raise ValueError(
+                f"predicate column(s) {unknown} not in schema "
+                f"{sorted(known)}"
+            )
+        pv_pred = _tr.partition_predicate(
+            spec_fields, schema_now["fields"], list(predicates)
+        )
+        if partition_filter is None:
+            partition_filter = pv_pred
+        else:
+            explicit = partition_filter
+            partition_filter = lambda pv: (  # noqa: E731
+                _pv_pass(pv, explicit) and pv_pred(pv)
+            )
+        residual = _tr.predicates_to_column(list(predicates))
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
     if timestamp_ms is not None:
         snapshot_id = snapshot_at_timestamp(path, timestamp_ms)
@@ -493,6 +534,8 @@ def read_iceberg(
         df = spark.read.parquet(*files)
     if files and (pos_dels or eq_dels):
         df = _apply_deletes(spark, df, data, pos_dels, eq_dels, schema)
+    if residual is not None:
+        df = df.where(residual)
     return df
 
 

@@ -208,8 +208,8 @@ def _next_seq(meta: dict) -> int:
     ) + 1
     return meta["last-sequence-number"]
 
-# identity-partition value types this writer can carry in manifest
-# partition records (avro type per iceberg type); others raise
+# partition-record value types this writer can carry in manifests
+# (avro type per iceberg RESULT type); others raise
 _PARTITION_AVRO = {
     "long": "long", "int": "int", "string": "string", "boolean": "boolean",
     "date": {"type": "int", "logicalType": "date"},
@@ -223,26 +223,41 @@ def _spec_fields(meta: dict) -> list[dict]:
     return meta.get("partition-spec") or []
 
 
-def _partition_avro_fields(meta: dict) -> list[dict]:
+def _spec_result_types(meta: dict) -> list[str]:
+    """Iceberg RESULT type of each partition-spec field (``int`` for
+    the calendar transforms and bucket, the source type for identity /
+    truncate) — what ``_typed_partition_value`` parses back and the
+    Avro partition record carries. Raises loudly on transform/source
+    combinations the spec (or this writer) doesn't support."""
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_transforms as tr
+
     by_id = {f["id"]: f for f in meta["schema"]["fields"]}
     out = []
     for sf in _spec_fields(meta):
-        if sf.get("transform") != "identity":
-            raise NotImplementedError(
-                f"partition transform {sf.get('transform')!r}: this "
-                "writer supports identity partitioning only"
-            )
+        tname, _param = tr.parse_spec_transform(sf["transform"])
         src = by_id[sf["source-id"]]
         t = src["type"]
-        if not isinstance(t, str) or t not in _PARTITION_AVRO:
+        if not isinstance(t, str):
             raise NotImplementedError(
-                f"identity partition on type {t}: supported source "
+                f"partitioning on nested type {t} (column "
+                f"{src['name']!r})"
+            )
+        out.append(tr.result_type(tname, t, src["name"]))
+    return out
+
+
+def _partition_avro_fields(meta: dict) -> list[dict]:
+    out = []
+    for sf, rt in zip(_spec_fields(meta), _spec_result_types(meta)):
+        if rt not in _PARTITION_AVRO:
+            raise NotImplementedError(
+                f"partition record value of type {rt}: supported "
                 f"types are {sorted(_PARTITION_AVRO)}"
             )
         out.append(
             {
                 "name": sf["name"],
-                "type": ["null", _PARTITION_AVRO[t]],
+                "type": ["null", _PARTITION_AVRO[rt]],
                 "default": None,
                 "field-id": sf["field-id"],
             }
@@ -382,25 +397,32 @@ def _write_data_files(
 def _write_partitioned_data_files(
     df: DataFrame, table: str, meta: dict
 ) -> list[tuple[str, int, int, dict]]:
-    """Identity-partitioned write: rows are grouped into files by the
-    partition source columns (via ``partitionBy`` on COPY columns, so
-    the data files keep every column — Iceberg identity partition
-    values live IN the files, unlike Hive/Delta), and each returned
-    tuple carries the file's typed partition values for its manifest
-    entry."""
+    """Hidden-partitioned write: rows are grouped into files by the
+    TRANSFORMED partition values (via ``partitionBy`` on computed
+    columns, so the data files keep every source column — Iceberg
+    partition values derive from the rows, unlike Hive/Delta), and
+    each returned tuple carries the file's typed partition record for
+    its manifest entry. Identity is the trivial transform; days/
+    months/years/hours/bucket/truncate go through
+    ``plans/iceberg_transforms`` (the reference's own demo table is
+    ``PARTITIONED BY (days(ts))``, ``02_iceberg_demo.ipynb:45-54``)."""
     import pyarrow.parquet as pq
     from urllib.parse import unquote
+
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_transforms as tr
 
     by_id = {f["id"]: f for f in meta["schema"]["fields"]}
     spec = _spec_fields(meta)
     src_names = [by_id[sf["source-id"]]["name"] for sf in spec]
-    src_types = [by_id[sf["source-id"]]["type"] for sf in spec]
+    result_types = _spec_result_types(meta)
     copies = [f"__p_{sf['name']}" for sf in spec]
     out_df = _with_field_ids(df, meta)
-    for c, s in zip(copies, src_names):
-        from pyspark.sql import functions as F
-
-        out_df = out_df.withColumn(c, F.col(s))
+    spark_types = {f.name: f.dataType for f in df.schema.fields}
+    for c, s, sf in zip(copies, src_names, spec):
+        tname, param = tr.parse_spec_transform(sf["transform"])
+        out_df = out_df.withColumn(
+            c, tr.spark_transform_column(tname, s, param, spark_types[s])
+        )
     data = os.path.join(table, "data")
     os.makedirs(data, exist_ok=True)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
@@ -423,7 +445,7 @@ def _write_partitioned_data_files(
                 sf["name"]: _typed_partition_value(
                     raw.get(f"__p_{sf['name']}"), t
                 )
-                for sf, t in zip(spec, src_types)
+                for sf, t in zip(spec, result_types)
             }
             dst = os.path.join(data, f"{uuid.uuid4().hex}.parquet")
             os.replace(os.path.join(root, f), dst)
@@ -635,33 +657,43 @@ def create_iceberg(
     df: DataFrame, table: str, partition_by: list[str] | None = None,
     format_version: int = 1,
 ) -> int:
-    """CREATE TABLE AS SELECT: metadata + first snapshot,
-    optionally identity-partitioned by ``partition_by``
-    (``02_iceberg_demo.ipynb:45-54`` creates partitioned tables; the
-    richer transforms — days/bucket/truncate — exist on the catalog
-    surface in ``plans/ddl.py``). ``format_version=2`` creates a
-    sequence-numbered table that can take merge-on-read deletes
-    (``plans/iceberg_mor``). Returns the snapshot id."""
+    """CREATE TABLE AS SELECT: metadata + first snapshot, optionally
+    hidden-partitioned by ``partition_by`` — bare column names
+    (identity) or the spec's transforms: ``days(ts)`` / ``months`` /
+    ``years`` / ``hours``, ``bucket(N, col)``, ``truncate(W, col)``
+    (``02_iceberg_demo.ipynb:45-54`` creates ``PARTITIONED BY
+    (days(ts))``; transform records land typed in the Avro manifests
+    and ``read_iceberg(predicates=…)`` prunes through the transform).
+    ``format_version=2`` creates a sequence-numbered table that can
+    take merge-on-read deletes (``plans/iceberg_mor``). Returns the
+    snapshot id."""
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_transforms as tr
+
     if format_version not in (1, 2):
         raise ValueError(f"format_version {format_version}: 1 or 2")
     if iceberg_reader.is_iceberg_table(table):
         raise ValueError(f"Iceberg table already exists at {table}")
     schema, last_col = _iceberg_schema(df.schema)
     by_name = {f["name"]: f for f in schema["fields"]}
-    missing = [c for c in partition_by or [] if c not in by_name]
+    parsed = [tr.parse_partition_item(it) for it in partition_by or []]
+    missing = [src for _t, src, _p in parsed if src not in by_name]
     if missing:
         raise ValueError(
             f"partition column(s) {missing} not in {sorted(by_name)}"
         )
     spec_fields = [
         {
-            "name": c,
-            "transform": "identity",
-            "source-id": by_name[c]["id"],
+            "name": tr.partition_field_name(tname, src),
+            "transform": tr.spec_transform_name(tname, param),
+            "source-id": by_name[src]["id"],
             "field-id": 1000 + i,
         }
-        for i, c in enumerate(partition_by or [])
+        for i, (tname, src, param) in enumerate(parsed)
     ]
+    if len({sf["name"] for sf in spec_fields}) != len(spec_fields):
+        raise ValueError(
+            f"duplicate partition field names in {partition_by}"
+        )
     meta: dict[str, Any] = {
         "format-version": format_version,
         "table-uuid": str(uuid.uuid4()),
