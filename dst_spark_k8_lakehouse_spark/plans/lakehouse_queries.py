@@ -1393,3 +1393,75 @@ def x5_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     iceberg_writer.append_iceberg(arrived, rep)
     replica = iceberg_reader.read_iceberg(spark, rep)
     return replica.select("c_custkey", "bal", "seg")
+
+
+@query(
+    "d36_iceberg_transforms",
+    oracle=f"""
+        WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events)
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               {sum_sql('value')} AS sv
+        FROM events, b
+        WHERE ts >= CAST(d0 + INTERVAL 3 DAY AS TIMESTAMP)
+        GROUP BY d, event_type
+    """,
+)
+def d36_iceberg_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN-PARTITION transforms on NATIVE Iceberg, end to end — the
+    reference's own table shape (``PARTITIONED BY (days(ts))``,
+    ``02_iceberg_demo.ipynb:45-54``), jar-free: CTAS with a ``days(ts)``
+    spec (typed transform records in the Avro manifests) → append →
+    whole-day copy-on-write DELETE (file drops on the day boundary) →
+    read back through a transform-aware PRUNED timestamp-range
+    ``predicates`` read (only matching day partitions' files are
+    scanned — asserted by ``test_iceberg_transforms``) unioned with the
+    full-scan remainder. The DELETE is value-checked too: the pruned
+    range deliberately spans the deleted region, so a resurrect or an
+    over-delete flips the oracle hash. Exact integer-cent sums."""
+    import atexit
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_dml,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-iceberg-transforms-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    iceberg_writer.create_iceberg(
+        ev.where("event_id % 2 = 0"), table, partition_by=["days(ts)"]
+    )
+    iceberg_writer.append_iceberg(ev.where("event_id % 2 = 1"), table)
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    day = lambda k: _dt.datetime.combine(  # noqa: E731
+        d0 + _dt.timedelta(days=k), _dt.time()
+    )
+    iceberg_dml.delete_iceberg(
+        spark, table, f"ts < TIMESTAMP'{day(3)}'"
+    )
+    pruned = iceberg_reader.read_iceberg(
+        spark, table,
+        predicates=[("ts", ">=", day(1)), ("ts", "<", day(12))],
+    )
+    rest = iceberg_reader.read_iceberg(spark, table).where(
+        F.col("ts") >= F.lit(day(12))
+    )
+    return (
+        pruned.unionByName(rest)
+        .groupBy(
+            F.to_date("ts").cast("timestamp").alias("d"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum("value").alias("sv"),
+        )
+    )
