@@ -33,10 +33,16 @@ like OPTIMIZE), bounding read-side anti-join work and re-enabling the
 copy-on-write DML / compaction paths, which refuse to run over live
 DVs rather than resurrect deleted rows.
 
-Scale: the delete commit collects only the MATCHED row positions
-driver-side (bitmap-building is inherently a per-file gather; the
-bitmaps are KB-scale compressed), never the table. The read-side
-anti-join keys on the deleted set, broadcast while small.
+Scale: bitmaps are built EXECUTOR-side — matched positions shuffle on
+their 8-byte file key, each file's bitmap is serialized inside an
+``applyInPandas`` stage (unioning the file's existing bitmap from
+shared storage there too), and the driver receives one compressed
+KB-scale blob per touched file, never a position row. A
+delete-10%-of-100-TB commit therefore costs the driver
+O(touched files × compressed bitmap bytes), not O(matched rows) —
+the wide-delete case ``test_delta_dv.py`` pins with a bounded-driver
+fixture. The read-side anti-join keys on the deleted set, broadcast
+while small.
 """
 
 from __future__ import annotations
@@ -138,43 +144,86 @@ def delete_where_dv(
     commit: matched rows are resolved to per-file row indexes through
     one scan of the CURRENT visible rows (existing DVs already
     subtracted, so re-deleting is a no-op), unioned into each touched
-    file's existing bitmap, and published as remove+re-add actions
-    with descriptors — no data file rewritten. Returns the committed
-    version, or -1 on a no-match no-op."""
+    file's existing bitmap EXECUTOR-side (per-file ``applyInPandas``
+    bitmap build — the driver only ever sees compressed blobs), and
+    published as remove+re-add actions with descriptors — no data
+    file rewritten. Returns the committed version, or -1 on a
+    no-match no-op."""
     state = delta_reader._replay(spark, table, None)
     rel_by_norm = {}
     for rel in state["files"]:
         absp = rel if os.path.isabs(rel) else os.path.join(table, rel)
         rel_by_norm[os.path.normpath(absp)] = rel
+    # existing descriptors, keyed the way the executors see the file —
+    # metadata-sized closure state (path/offset/size per vectored file)
+    old_by_rel = {
+        rel: a["deletionVector"]
+        for rel, a in state["files"].items()
+        if a.get("deletionVector")
+    }
+    old_spans = {
+        rel: (dv_file_path(table, d), int(d["offset"]),
+              int(d["sizeInBytes"]))
+        if d["storageType"] != "i" else (None, 0, 0)
+        for rel, d in old_by_rel.items()
+    }
+    old_inline = {
+        rel: d["pathOrInlineDv"]
+        for rel, d in old_by_rel.items() if d["storageType"] == "i"
+    }
     df = delta_reader.read_delta(spark, table, with_row_identity=True)
-    matched = (
+
+    def _build(pdf):
+        """Per-file bitmap build, EXECUTOR-side: positions never leave
+        the executor as rows — only the compressed (KB-scale) blob
+        does. Unions the file's existing bitmap here too (the old blob
+        is read from the table's shared storage)."""
+        import pandas as pd
+        from urllib.parse import unquote as _unq
+
+        import re as _re
+
+        f = _unq(pdf["f"].iloc[0])
+        f = _re.sub(r"^file:(//)?", "", f)
+        rel = rel_by_norm[os.path.normpath(f)]
+        positions = set(int(p) for p in pdf["p"].tolist())
+        if rel in old_inline:
+            positions |= set(
+                roaring.deserialize_rbm_array(
+                    roaring.z85_decode(old_inline[rel])
+                )
+            )
+        elif rel in old_spans:
+            path, off, size = old_spans[rel]
+            positions |= set(
+                roaring.deserialize_rbm_array(
+                    roaring.read_dv_blob(path, off, size)
+                )
+            )
+        blob = roaring.serialize_rbm_array(sorted(positions))
+        return pd.DataFrame(
+            {"rel": [rel], "blob": [blob], "card": [len(positions)]}
+        )
+
+    from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    built = (
         df.where(condition)
         .select(
             F.col(delta_reader.ROW_FILE).alias("f"),
             F.col(delta_reader.ROW_POS).alias("p"),
         )
         .groupBy("f")
-        .agg(F.collect_list("p").alias("ps"))
-        .collect()
+        .applyInPandas(_build, "rel string, blob binary, card long")
+        .collect()  # one compressed blob per touched file, never rows
     )
-    if not matched:
+    if not built:
         return -1
-    from urllib.parse import unquote
-
-    new_sets: dict[str, set[int]] = {}
-    for r in matched:
-        rel = rel_by_norm[os.path.normpath(unquote(r["f"]))]
-        new_sets[rel] = set(int(p) for p in r["ps"])
-    # union with each touched file's existing bitmap
-    for rel in new_sets:
-        old = state["files"][rel].get("deletionVector")
-        if old:
-            new_sets[rel] |= set(dv_positions(table, old))
-    rels = sorted(new_sets)
-    blobs = [
-        roaring.serialize_rbm_array(sorted(new_sets[rel]))
-        for rel in rels
-    ]
+    by_rel = {r["rel"]: r for r in built}
+    new_sets = {rel: int(by_rel[rel]["card"]) for rel in by_rel}
+    rels = sorted(by_rel)
+    blobs = [bytes(by_rel[rel]["blob"]) for rel in rels]
     dv_uuid = uuid_mod.uuid4()
     bin_path = os.path.join(table, f"deletion_vector_{dv_uuid}.bin")
     spans = roaring.append_dv_blobs(bin_path, blobs)
@@ -203,7 +252,7 @@ def delete_where_dv(
             "pathOrInlineDv": roaring.z85_encode(dv_uuid.bytes),
             "offset": offset,
             "sizeInBytes": size,
-            "cardinality": len(new_sets[rel]),
+            "cardinality": new_sets[rel],
         }
         actions.append({"add": new_add})
     actions.append(delta_writer._commit_info("DELETE"))
