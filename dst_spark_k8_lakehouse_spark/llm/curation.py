@@ -672,3 +672,171 @@ def l6_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("b") >= 0).cast("int").alias("selected"),
         )
     )
+
+
+# Per-process persisted DSIR bucket-weight tables, (sf_dir, B, expr) →
+# parquet path — the l7_contamination_scan pattern: a target domain
+# changes rarely, so a production pipeline builds the weight table
+# ONCE per target release and re-reads it for every corpus pass.
+_DSIR_WEIGHT_CACHE: dict[tuple[str, int, str], str] = {}
+
+# Cross-engine bucket key: the first 60 bits of md5(w) — the one hash
+# DuckDB and Spark both compute bit-identically over UTF-8 strings
+# (DuckDB has no xxhash64), so the ORACLE recomputes the same buckets.
+# The library default below is xxhash64 (one 8-byte JVM op, no hex
+# detour); the bucketing semantics and plan shape are identical.
+DSIR_MD5_BUCKET = "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"
+DSIR_MD5_BUCKET_DUCK = "('0x' || substr(md5(w), 1, 15))::BIGINT"
+
+
+def dsir_bucket_weights(
+    toks: DataFrame, n_buckets: int, bucket_sql: str | None = None
+) -> DataFrame:
+    """DSIR importance weights over HASHED BUCKETS — the paper's own
+    production shape (Xie et al. 2023 hash n-grams into 10k buckets)
+    and the fix for ``l6_dsir_select``'s 100 TB caveat: the word-level
+    weight table broadcast is Heaps-law-sized (vocabulary keeps
+    growing with corpus bytes), while the bucket table is FIXED-WIDTH
+    — ``n_buckets`` rows of (long, long) regardless of corpus size,
+    broadcastable forever.
+
+    ``toks`` must carry ``w`` (token) and ``is_target``; weights are
+    integer log2-quantized exactly like ``l6_dsir_select`` (binary-
+    representation-length trick) so any engine reproduces them
+    bit-for-bit. Returns (bkt, b)."""
+    hb = (
+        F.xxhash64("w") if bucket_sql is None else F.expr(bucket_sql)
+    )
+    tb = toks.withColumn("bkt", F.pmod(hb, F.lit(n_buckets)))
+    raw = tb.groupBy("bkt").agg(F.count("*").alias("c_raw"))
+    tgt = tb.filter(F.col("is_target")).groupBy("bkt").agg(
+        F.count("*").alias("c_tgt")
+    )
+    totals = raw.agg(
+        F.sum("c_raw").alias("tc"), F.count("*").alias("v")
+    ).crossJoin(tgt.agg(F.sum("c_tgt").alias("tt")))
+    bits = lambda c: F.length(F.expr(f"bin({c})"))  # noqa: E731
+    return (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bkt",
+            (
+                (bits("coalesce(c_tgt, 0) + 1") - bits("tt + v"))
+                - (bits("c_raw + 1") - bits("tc + v"))
+            ).alias("b"),
+        )
+    )
+
+
+def dsir_score_bucketed(
+    toks: DataFrame, weights: DataFrame, n_buckets: int,
+    bucket_sql: str | None = None,
+) -> DataFrame:
+    """Score a corpus against a (persisted) bucket-weight table: one
+    map-side pass — bucket each token (8-byte key), broadcast-join the
+    fixed-width weight table, sum per document. No corpus-sized
+    shuffle except the doc_id aggregation."""
+    hb = (
+        F.xxhash64("w") if bucket_sql is None else F.expr(bucket_sql)
+    )
+    return (
+        toks.withColumn("bkt", F.pmod(hb, F.lit(n_buckets)))
+        .join(F.broadcast(weights), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum("b").cast("long").alias("dsir_bits"),
+            (F.sum("b") >= 0).cast("int").alias("selected"),
+        )
+    )
+
+
+def _dsir_toks(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        F.explode(F.split(F.trim("text"), " ")).alias("w"),
+    )
+
+
+def _persisted_dsir_weights(
+    spark: SparkSession, sf_dir: str, n_buckets: int,
+    bucket_sql: str | None,
+) -> DataFrame:
+    key = (sf_dir, n_buckets, bucket_sql or "xxhash64")
+    if key not in _DSIR_WEIGHT_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="dst-dsir-weights-")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        toks = _dsir_toks(load_table(spark, sf_dir, "documents"))
+        dsir_bucket_weights(toks, n_buckets, bucket_sql).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _DSIR_WEIGHT_CACHE[key] = path
+    return spark.read.parquet(_DSIR_WEIGHT_CACHE[key])
+
+
+DSIR_BUCKETS = 65536
+
+
+@query(
+    "l6_dsir_scan",
+    oracle=f"""
+        WITH w0 AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(trim(text), ' ')) AS w
+            FROM documents
+        ),
+        wb0 AS (
+            SELECT doc_id, lang,
+                   {DSIR_MD5_BUCKET_DUCK} % {DSIR_BUCKETS} AS bkt
+            FROM w0
+        ),
+        raw AS (SELECT bkt, count(*) AS c FROM wb0 GROUP BY 1),
+        tgt AS (SELECT bkt, count(*) AS c FROM wb0 WHERE lang = 'en'
+                GROUP BY 1),
+        tot AS (
+            SELECT (SELECT CAST(sum(c) AS BIGINT) FROM raw) AS tc,
+                   (SELECT CAST(sum(c) AS BIGINT) FROM tgt) AS tt,
+                   (SELECT CAST(count(*) AS BIGINT) FROM raw) AS v
+        ),
+        wb AS (
+            SELECT raw.bkt,
+                   (length(to_base(COALESCE(tgt.c, 0) + 1, 2))
+                    - length(to_base(tt + v, 2)))
+                   - (length(to_base(raw.c + 1, 2))
+                      - length(to_base(tc + v, 2))) AS b
+            FROM raw LEFT JOIN tgt USING (bkt), tot
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_tokens,
+               CAST(sum(b) AS BIGINT) AS dsir_bits,
+               CAST(CASE WHEN sum(b) >= 0 THEN 1 ELSE 0 END AS INT)
+                   AS selected
+        FROM wb0 JOIN wb USING (bkt)
+        GROUP BY doc_id
+    """,
+)
+def l6_dsir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 (production flow): DSIR selection against a PERSISTED
+    hashed-bucket weight table — ``l6_dsir_select``'s 100 TB shape
+    (VERDICT r6 item 3, the ``l7_contamination_scan`` precedent). The
+    weight table is built once per target release ({DSIR_BUCKETS}
+    fixed-width rows — broadcastable at ANY corpus size, unlike the
+    word-level table whose vocabulary is Heaps-law-sized), then every
+    corpus pass is bucket + broadcast-join + per-doc sum, map-side.
+    The oracle recomputes the SAME md5-derived buckets in DuckDB;
+    the xxhash64 default the library uses is pytest-locked to agree
+    with word-level selection on ≥95% of documents
+    (``test_curation.py``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = _persisted_dsir_weights(
+        spark, sf_dir, DSIR_BUCKETS, DSIR_MD5_BUCKET
+    )
+    return dsir_score_bucketed(
+        _dsir_toks(docs), weights, DSIR_BUCKETS, DSIR_MD5_BUCKET
+    )

@@ -180,3 +180,77 @@ def test_repetition_stats_bounds(spark, sf_dir):
         # slack: fractions are floor-truncated for hash parity)
         assert r.top_word_frac >= 1.0 / r.n_tokens - 1e-6
     assert nontrivial > 0, "no doc with repeated 2-grams — vacuous fixture"
+
+
+class TestDsirBucketed:
+    """The hashed-bucket DSIR production path (``l6_dsir_scan``):
+    fixed-width weight table, broadcast scoring, and the contract
+    that bucketing barely moves the selection."""
+
+    def test_bucket_vs_word_selection_agreement(self, spark, sf_dir):
+        """Word-level (l6_dsir_select) and bucket-level (xxhash64
+        default, the library path) must agree on >= 95% of documents
+        — the VERDICT r6 item-3 done-criterion. Collisions pool
+        counts across words sharing a bucket; at 64k buckets the test
+        vocabulary collides rarely."""
+        from dst_spark_k8_lakehouse_spark import registry
+        from dst_spark_k8_lakehouse_spark.llm import curation as cu
+
+        registry.load_all()
+        word = (
+            registry.QUERIES["l6_dsir_select"](spark, sf_dir)
+            .select("doc_id", F.col("selected").alias("sel_w"))
+        )
+        docs = cu.load_table(spark, sf_dir, "documents")
+        toks = cu._dsir_toks(docs)
+        weights = cu.dsir_bucket_weights(toks, cu.DSIR_BUCKETS)
+        bucket = cu.dsir_score_bucketed(
+            toks, weights, cu.DSIR_BUCKETS
+        ).select("doc_id", F.col("selected").alias("sel_b"))
+        j = word.join(bucket, "doc_id").select(
+            (F.col("sel_w") == F.col("sel_b")).cast("int").alias("agree")
+        )
+        n, agree = j.count(), j.agg(F.sum("agree")).first()[0]
+        assert n > 0
+        assert agree / n >= 0.95, f"only {agree}/{n} agree"
+
+    def test_md5_and_xxhash_buckets_same_shape(self, spark, sf_dir):
+        """The oracle's md5-derived bucket key and the library's
+        xxhash64 key are different hash families over the same
+        buckets — both must produce full-coverage scores (every doc
+        scored, token counts identical) and near-identical selections."""
+        from dst_spark_k8_lakehouse_spark.llm import curation as cu
+
+        docs = cu.load_table(spark, sf_dir, "documents")
+        toks = cu._dsir_toks(docs)
+        outs = {}
+        for name, expr in [("xx", None), ("md5", cu.DSIR_MD5_BUCKET)]:
+            w = cu.dsir_bucket_weights(toks, cu.DSIR_BUCKETS, expr)
+            outs[name] = cu.dsir_score_bucketed(
+                toks, w, cu.DSIR_BUCKETS, expr
+            )
+        a, b = outs["xx"].alias("a"), outs["md5"].alias("b")
+        j = a.join(b, "doc_id").select(
+            F.col("a.n_tokens").alias("na"),
+            F.col("b.n_tokens").alias("nb"),
+            (F.col("a.selected") == F.col("b.selected"))
+            .cast("int").alias("agree"),
+        )
+        rows = j.count()
+        assert rows == docs.count()
+        assert j.where("na <> nb").count() == 0
+        assert j.agg(F.sum("agree")).first()[0] / rows >= 0.95
+
+    def test_weight_table_is_fixed_width(self, spark, sf_dir):
+        """The whole point at 100 TB: the weight table never exceeds
+        n_buckets rows no matter the corpus."""
+        from dst_spark_k8_lakehouse_spark.llm import curation as cu
+
+        toks = cu._dsir_toks(
+            cu.load_table(spark, sf_dir, "documents")
+        )
+        w = cu.dsir_bucket_weights(toks, 512)
+        assert w.count() <= 512
+        assert w.select("bkt").distinct().count() == w.count()
+        assert w.agg(F.min("bkt")).first()[0] >= 0
+        assert w.agg(F.max("bkt")).first()[0] < 512
