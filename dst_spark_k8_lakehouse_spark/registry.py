@@ -55,64 +55,32 @@ def query(query_id: str, oracle: str | None = None) -> Callable[[F], F]:
 # ids whose only green row is the oldest (round 1). Rotation log with
 # last-green round per id lives in COVERAGE.md.
 PRIORITY: list[str] = [
-    # (a) failed in r05: none — 0 CORRECTNESS_r05 failures.
+    # (a) failed in r06: none — 0 CORRECTNESS_r06 failures.
+    # (c) new this round (r07)
+    "d36_iceberg_transforms",  # hidden partition transforms, days(ts)
+    "l6_dsir_scan",  # DSIR hashed-bucket production path
     # (b) implementation changed this round after their last green row:
-    # the native-Delta stack (delta_reader/writer/dml rewritten for
-    # schema evolution, column mapping, partitioning, commit retries)
-    "d16_delta_native_dml",
-    "d17_iceberg_native",  # iceberg_writer field-id stamping this round
-    "x3_corpus_health",  # boilerplate branch moved to hash-keyed shape
-    # (c) new this round
-    "d19_delta_schema_merge",
-    "d20_delta_partitioned",
+    # delta_dv's bitmap build moved executor-side; the Iceberg
+    # writer/reader partition-spec handling became transform-aware
+    # (every native-Iceberg id re-fronts)
+    "d27_delta_dv",
+    "d17_iceberg_native",
     "d21_iceberg_dml",
     "d22_iceberg_partitioned",
-    "t6_stream_to_delta",
-    "l3_gopher_gate",
-    "l6_dsir_select",
-    "d24_delta_source",
-    "s13_jdbc_roundtrip",
-    "d25_iceberg_source",
     "d26_iceberg_mor",
-    "d27_delta_dv",
-    "d28_delta_cdf",
+    "d25_iceberg_source",
     "d29_uniform",
     "d30_convert",
-    "t7_stream_cdf",
     "d31_iceberg_meta",
     "d32_iceberg_incremental",
     "d33_restore",
-    "d34_zorder_native",
     "d35_sql_native",
-    "x5_cdc_pipeline",
     "x4_lakehouse_composite",
-    "l6_passage_dedup",  # perf pass this round (same oracle)
-    "l5_image_decode",  # new: REAL BMP/PPM decode, oracle-checked
-    "l5_audio_decode",  # new: REAL WAV decode, oracle-checked
-    "l5_multimodal",  # plumbing pass re-check
-    # (d) backfill, oldest evidence first (VERDICT r5 item 3): ids
-    # whose newest driver-green is r02/r03 and which the r05 ~50-cap
-    # cut — first the r02-only block,
-    "w2_lag",
-    "w3_running_sum",
-    "w4_topk_group",
-    "o1_sort",
-    "o2_sort_limit",
-    "u1_union",
-    "u2_intersect",
-    "u3_except",
-    "u4_udf",
-    "u5_pandas_udf",
-    "u5b_pandas_grouped_agg",
-    "u6_grouped_map",
-    "u7_udtf",
-    "a13_pivot",
-    "a13_unpivot",
-    "k1_salted_agg",
-    "k2_salted_join",
-    "x2_q10_returns",
-    "l6_chunk_docs",
-    "l6_pack_sequences",
+    "x5_cdc_pipeline",
+    "d16_delta_native_dml",
+    "d28_delta_cdf",
+    # (d) backfill, oldest evidence first: the three r02-only-green
+    # ids the r06 ~50-cap cut,
     "l6_stratified_sample",
     "l6_pii_scrub",
     "l6_vocab_topk",
@@ -146,6 +114,29 @@ PRIORITY: list[str] = [
     "t3_session",
     "f4_map",
     "f5_json",
+    # then the r05 greens the caps have not revisited since
+    "p4_filter_and",
+    "p5_filter_or",
+    "p6_filter_in",
+    "p7_filter_like",
+    "p8_filter_null",
+    "p9_case_when",
+    "p10_cast",
+    "p11_concat",
+    "p12_distinct",
+    "p13_sample",
+    "p14_limit_offset",
+    "w1_rank",
+    "a6_multi_agg",
+    "a7_having",
+    "a8_countd",
+    "a9_approx_countd",
+    "a10_corr_cov",
+    "a10_skew_kurt",
+    "a11_rollup",
+    "a11_cube",
+    "a11_gsets",
+    "a12_summary",
 ]
 
 
