@@ -197,32 +197,107 @@ def _commit_info(operation: str) -> dict[str, Any]:
     }
 
 
+def _stamped_projection(
+    df: DataFrame, meta: dict[str, Any], cols: list[str],
+    phys: dict[str, str],
+) -> DataFrame:
+    """Project ``cols`` under their PHYSICAL names; in ``id`` mode each
+    column additionally carries ``parquet.field.id`` metadata from
+    ``delta.columnMapping.id`` so Spark embeds the field id in the
+    parquet footers — what keeps the files readable by id-matching
+    forever, across any number of renames."""
+    mode, _ = delta_reader._mapping(meta)
+    if mode != "id":
+        return df.select(*[F.col(c).alias(phys.get(c, c)) for c in cols])
+    ids = delta_reader._mapping_ids(meta)
+    # write-side field-id support keys off the column metadata; the
+    # conf is default-on in Spark 3.3+ — set it anyway, loudly cheap
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.fieldId.write.enabled", "true"
+    )
+    return df.select(
+        *[
+            F.col(c).alias(
+                phys.get(c, c), metadata={"parquet.field.id": ids[c]}
+            )
+            for c in cols
+        ]
+    )
+
+
 def create_delta(
-    df: DataFrame, table: str, partition_by: list[str] | None = None
+    df: DataFrame, table: str, partition_by: list[str] | None = None,
+    column_mapping: str = "none",
 ) -> None:
     """CREATE: version-0 commit (protocol + metaData + adds),
-    optionally Hive-partitioned by ``partition_by``."""
+    optionally Hive-partitioned by ``partition_by``.
+
+    ``column_mapping``: ``"none"`` (plain), ``"name"`` (fields pinned
+    to their creation names as ``physicalName``; renames stay
+    metadata-only) or ``"id"`` (the spec's strongest mode: physical
+    names are opaque ``col-<uuid>``, data files embed each column's
+    ``delta.columnMapping.id`` as a parquet field id, and EVERY read
+    — ``read_delta`` and the ``delta_native`` DataSource — matches by
+    id, never by name). Mapped tables commit protocol (2, 5) per the
+    spec. Real Delta only allows ``id`` at creation (an upgrade
+    can't retro-stamp existing files); same here."""
     if delta_reader.is_delta_table(table):
         raise ValueError(f"Delta table already exists at {table}")
+    if column_mapping not in ("none", "name", "id"):
+        raise ValueError(
+            f"column_mapping {column_mapping!r}: none, name or id"
+        )
     partition_by = list(partition_by or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise ValueError(f"partition column(s) {missing} not in {df.columns}")
     os.makedirs(table, exist_ok=True)
+    conf: dict[str, str] = {}
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    if column_mapping == "none":
+        schema_string = _schema_string(df.schema)
+    else:
+        fields = []
+        for i, f in enumerate(df.schema.fields):
+            pn = (
+                f"col-{uuid.uuid4()}" if column_mapping == "id"
+                else f.name
+            )
+            fields.append(
+                _field_json(
+                    f,
+                    {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": pn,
+                    },
+                )
+            )
+        schema_string = json.dumps({"type": "struct", "fields": fields})
+        conf = {
+            "delta.columnMapping.mode": column_mapping,
+            "delta.columnMapping.maxColumnId": str(len(fields)),
+        }
+        proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+    meta = {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": partition_by,
+        "configuration": conf,
+        "createdTime": int(time.time() * 1000),
+    }
     actions: list[dict[str, Any]] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {
-            "metaData": {
-                "id": str(uuid.uuid4()),
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": _schema_string(df.schema),
-                "partitionColumns": partition_by,
-                "configuration": {},
-                "createdTime": int(time.time() * 1000),
-            }
-        },
+        {"protocol": proto},
+        {"metaData": meta},
     ]
-    actions += _write_data_files(df, table, partition_by or None)
+    _mode, phys = delta_reader._mapping(meta)
+    data_cols = [c for c in df.columns if c not in partition_by]
+    out = _stamped_projection(
+        df, meta, data_cols + partition_by, phys
+    )
+    actions += _write_data_files(
+        out, table, [phys.get(c, c) for c in partition_by] or None
+    )
     actions.append(_commit_info("CREATE TABLE AS SELECT"))
     _commit(table, 0, actions)
 
@@ -291,20 +366,23 @@ def _reconcile_schema(
         new_meta = dict(meta)
         conf = dict(new_meta.get("configuration") or {})
         fields = list(schema_json["fields"])
-        if mode == "name":
+        if mode in ("name", "id"):
             max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
             for f in new:
                 max_id += 1
+                pn = (
+                    f"col-{uuid.uuid4()}" if mode == "id" else f.name
+                )
                 fields.append(
                     _field_json(
                         T.StructField(f.name, f.dataType, True),
                         {
                             "delta.columnMapping.id": max_id,
-                            "delta.columnMapping.physicalName": f.name,
+                            "delta.columnMapping.physicalName": pn,
                         },
                     )
                 )
-                phys[f.name] = f.name
+                phys[f.name] = pn
             conf["delta.columnMapping.maxColumnId"] = str(max_id)
         else:
             fields += [
@@ -352,15 +430,19 @@ def append_delta(
         )
         if adds is None:
             check_constraints(aligned, state["metaData"])
-            # data files are written once; physical column names go in
-            # the files, partition columns go in the directory layout
-            out = aligned.select(
-                *[
-                    F.col(c).alias(phys.get(c, c))
-                    for c in aligned.columns
-                    if c not in part_cols
-                ],
-                *[F.col(c).alias(phys.get(c, c)) for c in part_cols],
+            # data files are written once; physical column names (and,
+            # in id mode, embedded field ids) go in the files,
+            # partition columns go in the directory layout
+            meta_now = (
+                meta_action["metaData"] if meta_action
+                else state["metaData"]
+            )
+            out = _stamped_projection(
+                aligned,
+                meta_now,
+                [c for c in aligned.columns if c not in part_cols]
+                + list(part_cols),
+                phys,
             )
             adds = _write_data_files(
                 out, table, [phys.get(c, c) for c in part_cols] or None
@@ -412,11 +494,13 @@ def add_column(
         mode, _phys = delta_reader._mapping(meta)
         conf = dict(meta.get("configuration") or {})
         md: dict[str, Any] = {}
-        if mode == "name":
+        if mode in ("name", "id"):
             max_id = int(conf.get("delta.columnMapping.maxColumnId", 0)) + 1
             md = {
                 "delta.columnMapping.id": max_id,
-                "delta.columnMapping.physicalName": name,
+                "delta.columnMapping.physicalName": (
+                    f"col-{uuid.uuid4()}" if mode == "id" else name
+                ),
             }
             conf["delta.columnMapping.maxColumnId"] = str(max_id)
         schema_json["fields"].append(
@@ -892,11 +976,8 @@ def overwrite_delta(df: DataFrame, table: str) -> int:
             raise AssertionError("overwrite must not evolve the schema")
         if adds is None:
             check_constraints(aligned, state["metaData"])
-            out = aligned.select(
-                *[
-                    F.col(c).alias(phys.get(c, c))
-                    for c in aligned.columns
-                ]
+            out = _stamped_projection(
+                aligned, state["metaData"], list(aligned.columns), phys
             )
             adds = _write_data_files(
                 out, table, [phys.get(c, c) for c in part_cols] or None

@@ -124,6 +124,10 @@ class _FilePartition(InputPartition):
     dv: dict | None = None
     # table root, needed to resolve "u"-storage DV file names
     table: str = ""
+    # id-mode column mapping: [(delta.columnMapping.id, logical name)]
+    # — file columns match by embedded parquet field id, never by
+    # (opaque) physical name; None = name/none mode, use `columns`
+    ids: list | None = None
 
 
 def _read_file_partition(p: _FilePartition) -> Iterator["Any"]:
@@ -139,13 +143,34 @@ def _read_file_partition(p: _FilePartition) -> Iterator["Any"]:
     tbl = pq.read_table(p.path)
     n = tbl.num_rows
     cols = {}
-    for phys, logi in p.columns:
-        if phys in tbl.schema.names:
-            cols[logi] = tbl.column(phys)
-        else:
-            # column added (mergeSchema/ADD COLUMN) after this file
-            # was written: the spec reads it as null
-            cols[logi] = pa.nulls(n, type=target.field(logi).type)
+    if p.ids is not None:
+        # id mode: resolve file columns by their embedded parquet
+        # field id (PARQUET:field_id metadata) — names are opaque
+        by_id = {}
+        for i, fld in enumerate(tbl.schema):
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = i
+        if not by_id:
+            raise NotImplementedError(
+                f"id-mode Delta table but data file {p.path} embeds "
+                "no parquet field ids — an id-matched read would "
+                "silently return nulls"
+            )
+        for fid, logi in p.ids:
+            if fid in by_id:
+                cols[logi] = tbl.column(by_id[fid])
+            else:
+                # column added after this file was written: null
+                cols[logi] = pa.nulls(n, type=target.field(logi).type)
+    else:
+        for phys, logi in p.columns:
+            if phys in tbl.schema.names:
+                cols[logi] = tbl.column(phys)
+            else:
+                # column added (mergeSchema/ADD COLUMN) after this file
+                # was written: the spec reads it as null
+                cols[logi] = pa.nulls(n, type=target.field(logi).type)
     for c, raw in p.values.items():
         pa_type = target.field(c).type
         if raw is None:
@@ -423,12 +448,9 @@ class _BatchReader(DataSourceReader):
             json.loads(meta["schemaString"])
         )
         self.mode, self.phys = delta_reader._mapping(meta)
-        if self.mode == "id":
-            raise NotImplementedError(
-                "delta_native matches file columns by physical name "
-                "and writes id-less files; use "
-                "plans.delta_reader.read_delta for id-mode tables"
-            )
+        self.ids = (
+            delta_reader._mapping_ids(meta) if self.mode == "id" else None
+        )
         self.part_cols = delta_reader._partition_cols(
             meta, self.schema, self.phys
         )
@@ -471,6 +493,10 @@ class _BatchReader(DataSourceReader):
         columns = [
             (self.phys.get(f.name, f.name), f.name) for f in data_fields
         ]
+        id_cols = (
+            [(self.ids[f.name], f.name) for f in data_fields]
+            if self.ids is not None else None
+        )
         out = []
         for rel, a in sorted(self.files.items()):
             absp = rel if os.path.isabs(rel) else os.path.join(
@@ -486,6 +512,7 @@ class _BatchReader(DataSourceReader):
                     order=[f.name for f in self.schema.fields],
                     dv=a.get("deletionVector"),
                     table=self.table,
+                    ids=id_cols,
                 )
             )
         return out
@@ -503,12 +530,9 @@ class _StreamReader(DataSourceStreamReader):
             json.loads(meta["schemaString"])
         )
         self.mode, self.phys = delta_reader._mapping(meta)
-        if self.mode == "id":
-            raise NotImplementedError(
-                "delta_native matches file columns by physical name "
-                "and writes id-less files; use "
-                "plans.delta_reader.read_delta for id-mode tables"
-            )
+        self.ids = (
+            delta_reader._mapping_ids(meta) if self.mode == "id" else None
+        )
         self.part_cols = delta_reader._partition_cols(
             meta, self.schema, self.phys
         )
@@ -534,6 +558,10 @@ class _StreamReader(DataSourceStreamReader):
         columns = [
             (self.phys.get(f.name, f.name), f.name) for f in data_fields
         ]
+        id_cols = (
+            [(self.ids[f.name], f.name) for f in data_fields]
+            if self.ids is not None else None
+        )
         out = []
         by_version = dict(delta_reader._commit_files(self.table))
         for v in range(lo + 1, hi + 1):
@@ -578,6 +606,7 @@ class _StreamReader(DataSourceStreamReader):
                                 order=[
                                     fl.name for fl in self.schema.fields
                                 ],
+                                ids=id_cols,
                             )
                         )
         return out
@@ -619,12 +648,9 @@ class _DeltaWriter(DataSourceArrowWriter):
             json.loads(meta["schemaString"])
         )
         self.mode, self.phys = delta_reader._mapping(meta)
-        if self.mode == "id":
-            raise NotImplementedError(
-                "delta_native matches file columns by physical name "
-                "and writes id-less files; use "
-                "plans.delta_reader.read_delta for id-mode tables"
-            )
+        self.ids = (
+            delta_reader._mapping_ids(meta) if self.mode == "id" else None
+        )
         self.part_cols = delta_reader._partition_cols(
             meta, table_schema, self.phys
         )
@@ -682,6 +708,23 @@ class _DeltaWriter(DataSourceArrowWriter):
             out = part.select(data_cols).rename_columns(
                 [self.phys.get(c, c) for c in data_cols]
             )
+            if self.ids is not None:
+                # id mode: embed each column's delta.columnMapping.id
+                # as a parquet field id so every reader id-matches
+                out = out.cast(
+                    pa.schema(
+                        [
+                            out.schema.field(i).with_metadata(
+                                {
+                                    b"PARQUET:field_id": str(
+                                        self.ids[c]
+                                    ).encode()
+                                }
+                            )
+                            for i, c in enumerate(data_cols)
+                        ]
+                    )
+                )
             pv = {
                 self.phys.get(c, c): delta_reader._pv_str(combo.get(c))
                 for c in self.part_cols
