@@ -18,9 +18,11 @@ than mis-executing.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from dst_spark_k8_lakehouse_spark.plans.table import VersionedTable
 
@@ -73,14 +75,14 @@ def _split_top_keyword(text: str, keyword: str) -> tuple[str, str | None]:
     return text, None
 
 
-def _split_assignments(set_clause: str) -> dict[str, str]:
-    """Split ``col = expr, col2 = expr2`` paren/quote-aware (a naive
-    comma split would break ``greatest(a, b)``)."""
+def _split_commas(text: str) -> list[str]:
+    """Top-level comma split, paren/quote-aware (a naive split would
+    break ``greatest(a, b)`` and ``bucket(4, id)``)."""
     parts: list[str] = []
     depth = 0
     quote: str | None = None
     cur: list[str] = []
-    for ch in set_clause:
+    for ch in text:
         if quote:
             if ch == quote:
                 quote = None
@@ -96,6 +98,12 @@ def _split_assignments(set_clause: str) -> dict[str, str]:
             continue
         cur.append(ch)
     parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
+def _split_assignments(set_clause: str) -> dict[str, str]:
+    """Split ``col = expr, col2 = expr2`` paren/quote-aware."""
+    parts = _split_commas(set_clause)
     out: dict[str, str] = {}
     for part in parts:
         col, eq, expr = part.partition("=")
@@ -236,6 +244,38 @@ _SET_CDF_RE = re.compile(
     r"\s*\)\s*$",
     re.IGNORECASE,
 )
+# a statement-level table name: dotted identifiers, each segment
+# optionally backtick-quoted (the notebooks write
+# delta.`s3a://bucket/path` — getting_started.py:144)
+_NAME = r"(?:[\w]+|`[^`]+`)(?:\.(?:[\w]+|`[^`]+`))*"
+_CREATE_TABLE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+    rf"(?P<table>{_NAME})\s*\((?P<cols>.*?)\)\s*"
+    rf"USING\s+(?P<fmt>delta|iceberg)"
+    # .* then \) so transform parens nest (days(ts), bucket(4, id))
+    rf"(?:\s+PARTITIONED\s+BY\s*\((?P<parts>.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE_RE = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(?:(?P<ie>IF\s+EXISTS)\s+)?"
+    rf"(?P<table>{_NAME})\s*$",
+    re.IGNORECASE,
+)
+_CREATE_DB_RE = re.compile(
+    rf"^\s*CREATE\s+(?:DATABASE|NAMESPACE|SCHEMA)\s+"
+    rf"(?:IF\s+NOT\s+EXISTS\s+)?(?P<db>{_NAME})\s*$",
+    re.IGNORECASE,
+)
+_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+(?P<table>{_NAME})\s+"
+    rf"(?P<body>VALUES\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SELECT_RE = re.compile(
+    rf"^\s*SELECT\s+\*\s+FROM\s+(?P<table>{_NAME})"
+    rf"(?:\s+WHERE\s+(?P<where>.*))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def execute_native_sql(
@@ -288,6 +328,102 @@ def execute_native_sql(
         raise ValueError(f"{path} is neither a Delta nor Iceberg table")
 
     sql = sql.strip().rstrip(";").strip()
+    if _CREATE_DB_RE.match(sql):
+        # namespaces are directory prefixes here (no catalog service
+        # in a jar-free stack) — the statement succeeds as a no-op so
+        # notebook scripts replay verbatim
+        return 0
+    if m := _CREATE_TABLE_RE.match(sql):
+        p = _path(m["table"])
+        exists = (
+            delta_reader.is_delta_table(p)
+            or iceberg_reader.is_iceberg_table(p)
+        )
+        if exists:
+            if m["ine"]:
+                return 0
+            raise ValueError(f"table {m['table']} already exists at {p}")
+        from pyspark.sql import types as T
+
+        schema = T._parse_datatype_string(m["cols"])
+        empty = spark.createDataFrame([], schema)
+        parts = [c for c in _split_commas(m["parts"] or "") if c]
+        if m["fmt"].lower() == "delta":
+            bad = [c for c in parts if "(" in c]
+            if bad:
+                raise NotImplementedError(
+                    f"Delta PARTITIONED BY transform(s) {bad}: Delta "
+                    "partitions on plain columns (transforms are "
+                    "Iceberg's hidden partitioning)"
+                )
+            delta_writer.create_delta(empty, p, partition_by=parts or None)
+        else:
+            iceberg_writer.create_iceberg(
+                empty, p, partition_by=parts or None
+            )
+        return 0
+    if m := _DROP_TABLE_RE.match(sql):
+        import shutil
+
+        p = _path(m["table"])
+        exists = (
+            delta_reader.is_delta_table(p)
+            or iceberg_reader.is_iceberg_table(p)
+        )
+        if not exists:
+            if m["ie"]:
+                return 0
+            raise ValueError(f"no table {m['table']} at {p}")
+        shutil.rmtree(p)
+        return 0
+    if m := _INSERT_RE.match(sql):
+        p = _path(m["table"])
+        fmt = _fmt(p)
+        target_schema = (
+            json.loads(
+                delta_reader._replay(spark, p, None)["metaData"][
+                    "schemaString"
+                ]
+            )
+            if fmt == "delta"
+            else None
+        )
+        # VALUES rows parse through Spark itself (expressions travel
+        # verbatim — TIMESTAMP literals, arithmetic, all of SQL)
+        src = spark.sql(f"SELECT * FROM ({m['body']})")
+        if fmt == "delta":
+            from pyspark.sql import types as T
+
+            names = [f["name"] for f in target_schema["fields"]]
+            struct = T.StructType.fromJson(target_schema)
+            if len(src.columns) != len(names):
+                raise ValueError(
+                    f"INSERT arity {len(src.columns)} != table arity "
+                    f"{len(names)}"
+                )
+            src = src.toDF(*names).select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    for f in struct.fields
+                ]
+            )
+            return delta_writer.append_delta(src, p)
+        meta, _v = iceberg_writer._load_meta(p)
+        names = [f["name"] for f in meta["schema"]["fields"]]
+        if len(src.columns) != len(names):
+            raise ValueError(
+                f"INSERT arity {len(src.columns)} != table arity "
+                f"{len(names)}"
+            )
+        src = src.toDF(*names).select(
+            *[
+                F.col(f["name"]).cast(
+                    iceberg_reader._spark_type(f["type"]).simpleString()
+                )
+                for f in meta["schema"]["fields"]
+            ]
+        )
+        return iceberg_writer.append_iceberg(src, p)
     if m := _VACUUM_RE.match(sql):
         p = _path(m["table"])
         n = int(m["n"] or 1)
@@ -396,3 +532,37 @@ def execute_native_sql(
             insert_when_not_matched=insert_unmatched,
         )
     raise ValueError(f"not a supported statement: {sql.strip()[:80]!r}")
+
+
+def query_native_sql(
+    spark, sql: str, tables: dict[str, str]
+) -> DataFrame:
+    """The read half of the notebook statement surface:
+    ``SELECT * FROM <table> [WHERE <cond>]`` against a NATIVE Delta or
+    Iceberg directory (the shape ``getting_started.py:163-168`` and
+    ``02_iceberg_demo.ipynb`` run after their INSERTs). The WHERE text
+    travels verbatim to Spark; anything beyond this shape raises —
+    real analytical SQL belongs on DataFrames / spark.sql over
+    registered views, not on this replay shim."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        iceberg_reader,
+    )
+
+    s = sql.strip().rstrip(";").strip()
+    m = _SELECT_RE.match(s)
+    if not m:
+        raise ValueError(
+            f"query_native_sql handles SELECT * FROM t [WHERE ...]; "
+            f"got {s[:80]!r}"
+        )
+    name = m["table"]
+    if name not in tables:
+        raise ValueError(f"unknown table {name!r}; have {sorted(tables)}")
+    p = tables[name]
+    df = (
+        delta_reader.read_delta(spark, p)
+        if delta_reader.is_delta_table(p)
+        else iceberg_reader.read_iceberg(spark, p)
+    )
+    return df.where(m["where"]) if m["where"] else df
