@@ -87,6 +87,15 @@ HEADLINE = [
     # r6 curation additions (coverage-driven, like the r5 additions)
     "l3_gopher_gate",
     "l6_dsir_select",
+    # r7 additions: the DSIR production path and the native-format
+    # READ trackers (VERDICT r6 item 5 — the format stack's read
+    # overhead was bench-invisible; these time a pure read of a
+    # per-process-cached deletion-vectored Delta table and a
+    # merge-on-read Iceberg v2 table, attributable 1:1 against a raw
+    # parquet scan of the same columns)
+    "l6_dsir_scan",
+    "d37_delta_dv_read",
+    "d38_iceberg_mor_read",
 ]
 
 

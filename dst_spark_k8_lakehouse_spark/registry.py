@@ -59,6 +59,8 @@ PRIORITY: list[str] = [
     # (c) new this round (r07)
     "d36_iceberg_transforms",  # hidden partition transforms, days(ts)
     "l6_dsir_scan",  # DSIR hashed-bucket production path
+    "d37_delta_dv_read",  # native READ trackers (HEADLINE members)
+    "d38_iceberg_mor_read",
     # (b) implementation changed this round after their last green row:
     # delta_dv's bitmap build moved executor-side; the Iceberg
     # writer/reader partition-spec handling became transform-aware
