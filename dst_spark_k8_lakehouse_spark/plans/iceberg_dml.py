@@ -48,10 +48,13 @@ def _live_entries(
     spark: SparkSession,
     snapshot: dict[str, Any],
     spec_fields: list[dict] | None = None,
+    specs_by_id: dict[int, list[dict]] | None = None,
 ) -> list[dict[str, Any]]:
     """Live data-file entries of a snapshot with the fields a carried
     manifest entry needs: path, record_count, file_size_in_bytes and
-    (partitioned tables) the typed partition record."""
+    (partitioned tables) the typed partition record — resolved against
+    each manifest's OWN spec when ``specs_by_id`` is given (spec
+    evolution: older files lack the newer fields)."""
     out = []
     for mf in iceberg_reader._avro_records(
         spark, snapshot["manifest-list"]
@@ -65,6 +68,12 @@ def _live_entries(
             )
         ml_seq = int(str(iceberg_reader._get(mf, "sequence_number") or 0))
         manifest = iceberg_reader._strip_uri(str(mf.get("manifest_path")))
+        fields_here = spec_fields
+        if specs_by_id is not None:
+            ml_spec = int(
+                str(iceberg_reader._get(mf, "partition_spec_id") or 0)
+            )
+            fields_here = specs_by_id.get(ml_spec, spec_fields)
         for e in iceberg_reader._avro_records(spark, manifest):
             if int(str(e.get("status"))) == 2:
                 continue
@@ -85,7 +94,7 @@ def _live_entries(
                         str(d.get("file_size_in_bytes"))
                     ),
                     "partition": iceberg_reader._partition_values(
-                        d, spec_fields or []
+                        d, fields_here or []
                     ),
                     "seq": int(str(e_seq)) if e_seq is not None
                     else ml_seq,
@@ -171,10 +180,18 @@ def _cow_commit(
     cur = meta.get("current-snapshot-id")
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
     entries_now = _live_entries(
-        spark, snaps[int(cur)], spec_fields
+        spark, snaps[int(cur)], spec_fields,
+        specs_by_id=iceberg_writer._specs_by_id(meta),
     ) if cur and int(cur) != -1 else []
     if not entries_now:
         return int(cur)
+
+    def _norm_pv(pv: dict) -> dict:
+        # carried entries re-encode under the DEFAULT spec's record
+        # schema; fields added after the file was written stay null
+        # (predicate pruning keeps nulls — cannot prune, never wrong)
+        return {sf["name"]: pv.get(sf["name"]) for sf in spec_fields}
+
     counts = _classify(
         spark, [e["file_path"] for e in entries_now], condition,
         meta["schema"],
@@ -199,12 +216,12 @@ def _cow_commit(
     seq = iceberg_writer._next_seq(meta) if v2 else 0
     new_entries = [
         _entry(0, None, e["file_path"], e["record_count"],
-               e["file_size_in_bytes"], e["partition"],
+               e["file_size_in_bytes"], _norm_pv(e["partition"]),
                v2=v2, seq=e.get("seq", 0))
         for e in untouched
     ] + [
         _entry(2, snap_id, e["file_path"], e["record_count"],
-               e["file_size_in_bytes"], e["partition"],
+               e["file_size_in_bytes"], _norm_pv(e["partition"]),
                v2=v2, seq=e.get("seq", 0))
         for e in touched
     ]
@@ -346,8 +363,13 @@ def merge_iceberg(
     cur = meta.get("current-snapshot-id")
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
     entries_now = _live_entries(
-        spark, snaps[int(cur)], spec_fields
+        spark, snaps[int(cur)], spec_fields,
+        specs_by_id=iceberg_writer._specs_by_id(meta),
     ) if cur and int(cur) != -1 else []
+
+    def _norm_pv(pv: dict) -> dict:
+        return {sf["name"]: pv.get(sf["name"]) for sf in spec_fields}
+
     keys = source.select(*on)
     touched_paths: set[str] = set()
     target = None
@@ -399,12 +421,12 @@ def merge_iceberg(
     seq = iceberg_writer._next_seq(meta) if v2 else 0
     new_entries = [
         _entry(0, None, e["file_path"], e["record_count"],
-               e["file_size_in_bytes"], e["partition"],
+               e["file_size_in_bytes"], _norm_pv(e["partition"]),
                v2=v2, seq=e.get("seq", 0))
         for e in entries_now if e["file_path"] not in touched_paths
     ] + [
         _entry(2, snap_id, e["file_path"], e["record_count"],
-               e["file_size_in_bytes"], e["partition"],
+               e["file_size_in_bytes"], _norm_pv(e["partition"]),
                v2=v2, seq=e.get("seq", 0))
         for e in entries_now if e["file_path"] in touched_paths
     ]

@@ -127,6 +127,7 @@ def _snapshot_entries(
     snapshot: dict[str, Any],
     spec_fields: list[dict] | None = None,
     partition_filter=None,
+    specs_by_id: dict[int, list[dict]] | None = None,
 ) -> tuple[list[dict], list[dict], list[dict]]:
     """Walk a snapshot's manifest list into three entry lists —
     ``(data, position_deletes, equality_deletes)`` — each entry a dict
@@ -140,7 +141,14 @@ def _snapshot_entries(
     values, or a predicate) data files are pruned DRIVER-SIDE from the
     manifests' partition records — the same place Iceberg's own
     planner prunes. Delete files are NOT partition-pruned (a global
-    equality delete in an unpartitioned spec applies everywhere)."""
+    equality delete in an unpartitioned spec applies everywhere).
+
+    ``specs_by_id`` (spec evolution): each manifest's partition
+    records resolve against the spec named by its manifest-list
+    entry's ``partition_spec_id`` — a file written before an
+    ADD PARTITION FIELD carries NO value for the new field (its pv
+    dict lacks the key), which predicate pruning reads as
+    "cannot prune, keep"."""
     data: list[dict] = []
     pos_dels: list[dict] = []
     eq_dels: list[dict] = []
@@ -148,6 +156,10 @@ def _snapshot_entries(
         ml_content = int(str(_get(mf, "content") or 0))
         ml_seq = int(str(_get(mf, "sequence_number") or 0))
         manifest_path = _strip_uri(str(mf.get("manifest_path")))
+        fields_here = spec_fields
+        if specs_by_id is not None:
+            ml_spec = int(str(_get(mf, "partition_spec_id") or 0))
+            fields_here = specs_by_id.get(ml_spec, spec_fields)
         for entry in _avro_records(spark, manifest_path):
             status = int(str(entry.get("status")))
             if status == 2:  # DELETED
@@ -163,7 +175,7 @@ def _snapshot_entries(
             path = _strip_uri(str(data_file.get("file_path")))
             df_content = int(str(_get(data_file, "content") or ml_content))
             if df_content == 0:
-                pv = _partition_values(data_file, spec_fields or [])
+                pv = _partition_values(data_file, fields_here or [])
                 if partition_filter is not None and not _pv_pass(
                     pv, partition_filter
                 ):
@@ -516,8 +528,11 @@ def read_iceberg(
             f"snapshot {snapshot_id} not in table (has "
             f"{sorted(snaps)[:5]}…)"
         )
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as _iw
+
     data, pos_dels, eq_dels = _snapshot_entries(
-        spark, snaps[snapshot_id], spec_fields, partition_filter
+        spark, snaps[snapshot_id], spec_fields, partition_filter,
+        specs_by_id=_iw._specs_by_id(meta),
     )
     files = [e["path"] for e in data]
     schema = None

@@ -442,8 +442,13 @@ def partition_predicate(
     filter makes them exact). Bucket is order-destroying — only
     ``==`` / ``in`` prune; range predicates over a bucket source add
     no constraint. Predicates over non-partition columns add no
-    constraint (pruning is always a superset). Null partition values
-    never satisfy a predicate, matching SQL comparison semantics."""
+    constraint (pruning is always a superset).
+
+    A partition value that is ABSENT from the record (the file was
+    written under an older spec, before ADD PARTITION FIELD) or NULL
+    (null source rows, or a spec-evolution manifest rewrite) KEEPS the
+    file — pruning must never drop rows it cannot reason about; the
+    residual row filter stays exact either way."""
     by_id = {f["id"]: f for f in schema_fields}
     checks: list[tuple[str, Callable[[Any], bool]]] = []
     for col, op, lit in predicates:
@@ -478,10 +483,7 @@ def partition_predicate(
                 checks.append((sf["name"], lambda pv, w=wants: pv in w))
             elif op in (">", ">="):
                 lo = t(lit)
-                checks.append(
-                    (sf["name"],
-                     lambda pv, b=lo: pv is not None and pv >= b)
-                )
+                checks.append((sf["name"], lambda pv, b=lo: pv >= b))
             elif op in ("<", "<="):
                 # strict < projects through T(lit - 1 unit) (Iceberg's
                 # inclusive-projection refinement) so a range ending
@@ -489,13 +491,19 @@ def partition_predicate(
                 # partition; unit-less literals fall back to T(lit)
                 eff = _minus_unit(lit) if op == "<" else None
                 hi = t(eff) if eff is not None else t(lit)
-                checks.append(
-                    (sf["name"],
-                     lambda pv, b=hi: pv is not None and pv <= b)
-                )
+                checks.append((sf["name"], lambda pv, b=hi: pv <= b))
+
+    _MISSING = object()
 
     def _pred(pv: dict) -> bool:
-        return all(fn(pv.get(name)) for name, fn in checks)
+        for name, fn in checks:
+            v = pv.get(name, _MISSING)
+            if v is _MISSING or v is None:
+                # older-spec file or null value: cannot prune — keep
+                continue
+            if not fn(v):
+                return False
+        return True
 
     return _pred
 

@@ -223,6 +223,19 @@ def _spec_fields(meta: dict) -> list[dict]:
     return meta.get("partition-spec") or []
 
 
+def _specs_by_id(meta: dict) -> dict[int, list[dict]]:
+    """Every partition spec the table has ever had, by spec-id — what
+    per-manifest partition-record resolution needs once the spec has
+    EVOLVED (each manifest-list entry names the spec its manifest was
+    written under)."""
+    out: dict[int, list[dict]] = {}
+    for spec in meta.get("partition-specs") or []:
+        out[int(spec.get("spec-id", 0))] = spec.get("fields") or []
+    if not out:
+        out[0] = meta.get("partition-spec") or []
+    return out
+
+
 def _spec_result_types(meta: dict) -> list[str]:
     """Iceberg RESULT type of each partition-spec field (``int`` for
     the calendar transforms and bucket, the source type for identity /
@@ -509,7 +522,7 @@ def _mlist_entry(
     e = {
         "manifest_path": manifest,
         "manifest_length": os.path.getsize(manifest),
-        "partition_spec_id": 0,
+        "partition_spec_id": int(meta.get("default-spec-id", 0)),
         "added_snapshot_id": snap_id,
     }
     if _fmt(meta) >= 2:
@@ -907,6 +920,69 @@ def add_column(table: str, name: str, dtype) -> None:
     _bump_metadata_log(table, meta)
     _set_schema(meta, meta["schema"]["fields"] + [field])
     meta["last-column-id"] = ids.last
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
+
+
+def add_partition_field(table: str, item: str) -> None:
+    """``ALTER TABLE … ADD PARTITION FIELD`` — PARTITION SPEC
+    EVOLUTION, the spec's headline workflow: a table that started
+    unpartitioned (or coarser) gains a partition field with a
+    METADATA-ONLY commit. ``item`` takes the same spellings as
+    ``create_iceberg(partition_by=…)`` (bare column, ``days(ts)``,
+    ``bucket(N, col)``, …).
+
+    Per the spec: a NEW spec (old fields + the new one) is appended to
+    ``partition-specs`` under the next spec-id and becomes the
+    default; existing data files are NOT rewritten — their manifests
+    keep their original ``partition_spec_id``, readers resolve each
+    manifest's partition records against ITS OWN spec
+    (``iceberg_reader``), and pruning on the new field simply keeps
+    old-spec files (they carry no value for it — can't prune, never
+    wrong). New writes and COW rewrites group by the evolved spec."""
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_transforms as tr
+
+    meta, v = _load_meta(table)
+    tname, src, param = tr.parse_partition_item(item)
+    by_name = {f["name"]: f for f in meta["schema"]["fields"]}
+    if src not in by_name:
+        raise ValueError(
+            f"partition source column {src!r} not in "
+            f"{sorted(by_name)}"
+        )
+    t = by_name[src]["type"]
+    if not isinstance(t, str):
+        raise NotImplementedError(f"partitioning on nested type {t}")
+    tr.result_type(tname, t, src)  # validate transform/source combo
+    old_fields = _spec_fields(meta)
+    fname = tr.partition_field_name(tname, src)
+    if any(sf["name"] == fname for sf in old_fields):
+        raise ValueError(
+            f"partition field {fname!r} already in the default spec"
+        )
+    next_field_id = max(
+        [int(meta.get("last-partition-id", 999))]
+        + [int(sf["field-id"]) for sf in old_fields]
+    ) + 1
+    specs = list(meta.get("partition-specs") or [])
+    next_spec_id = max(
+        [int(s.get("spec-id", 0)) for s in specs] or [0]
+    ) + 1
+    new_fields = list(old_fields) + [
+        {
+            "name": fname,
+            "transform": tr.spec_transform_name(tname, param),
+            "source-id": int(by_name[src]["id"]),
+            "field-id": next_field_id,
+        }
+    ]
+    specs.append({"spec-id": next_spec_id, "fields": new_fields})
+    _bump_metadata_log(table, meta)
+    meta["partition-specs"] = specs
+    meta["default-spec-id"] = next_spec_id
+    meta["partition-spec"] = new_fields  # v1 single-spec mirror
+    meta["last-partition-id"] = next_field_id
+    _partition_avro_fields(meta)  # validate the evolved record types
     meta["last-updated-ms"] = int(time.time() * 1000)
     _commit_metadata(table, meta, v + 1)
 

@@ -39,8 +39,12 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 
@@ -79,9 +83,12 @@ def _live_entries(meta: dict, snapshot_id: int | None) -> list[dict]:
         raise ValueError(
             f"snapshot {snapshot_id} not in table (has {sorted(snaps)[:5]}…)"
         )
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_writer
+
     spec_fields = iceberg_reader._default_spec_fields(meta)
     data, pos_dels, eq_dels = iceberg_reader._snapshot_entries(
-        None, snaps[snapshot_id], spec_fields
+        None, snaps[snapshot_id], spec_fields,
+        specs_by_id=iceberg_writer._specs_by_id(meta),
     )
     # EQUALITY deletes: per data file, the applicable delete rows are
     # the ones STRICTLY NEWER than the file (spec rule); resolved at
@@ -236,29 +243,59 @@ class _IceReader(DataSourceReader):
         meta = _load_meta(table)
         self.schema_dict = _current_schema(meta)
         self.schema = iceberg_reader._schema_struct(self.schema_dict)
-        self.part_names = [
-            sf["name"]
-            for sf in iceberg_reader._default_spec_fields(meta)
-        ]
+        self.spec_fields = iceberg_reader._default_spec_fields(meta)
+        self.part_names = [sf["name"] for sf in self.spec_fields]
+        by_id = {f["id"]: f for f in self.schema_dict["fields"]}
+        self.source_names = {
+            by_id[sf["source-id"]]["name"] for sf in self.spec_fields
+        }
         self.entries = _live_entries(meta, snapshot_id)
 
     def pushFilters(self, filters):  # noqa: N802
+        """Prune the file list from Catalyst's pushed filters: direct
+        equality/IN on a partition-field NAME (identity values), plus
+        the r7 hidden-partition path — comparisons on a transform's
+        SOURCE column map through the transform
+        (``iceberg_transforms.partition_predicate``): a ``ts`` range
+        on a ``days(ts)`` table prunes to the matching days' files
+        with no user-facing API at all, exactly like the runtime jar.
+        Every filter is returned as remaining (Spark re-applies it;
+        pruning is a superset, so that is required for boundary
+        partitions, and harmless otherwise)."""
+        from dst_spark_k8_lakehouse_spark.plans import (
+            iceberg_transforms as _tr,
+        )
+
+        _OPS = {
+            EqualTo: "==", In: "in", GreaterThan: ">",
+            GreaterThanOrEqual: ">=", LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        predicates: list[tuple[str, str, Any]] = []
         remaining = []
         for f in filters:
-            handled = (
-                isinstance(f, (EqualTo, In))
-                and len(f.attribute) == 1
-                and f.attribute[0] in self.part_names
-            )
-            if handled:
+            if type(f) in _OPS and len(f.attribute) == 1:
                 col = f.attribute[0]
-                wanted = set(
-                    f.value if isinstance(f, In) else [f.value]
-                )
-                self.entries = [
-                    e for e in self.entries if e["pv"].get(col) in wanted
-                ]
+                if col in self.part_names and isinstance(
+                    f, (EqualTo, In)
+                ):
+                    wanted = set(
+                        f.value if isinstance(f, In) else [f.value]
+                    )
+                    # a pv MISSING the key = file written under an
+                    # older spec (ADD PARTITION FIELD since): keep it
+                    self.entries = [
+                        e for e in self.entries
+                        if col not in e["pv"] or e["pv"][col] in wanted
+                    ]
+                elif col in self.source_names:
+                    predicates.append((col, _OPS[type(f)], f.value))
             remaining.append(f)
+        if predicates:
+            pred = _tr.partition_predicate(
+                self.spec_fields, self.schema_dict["fields"], predicates
+            )
+            self.entries = [e for e in self.entries if pred(e["pv"])]
         return iter(remaining)
 
     def partitions(self):

@@ -234,3 +234,59 @@ def test_batch_read_applies_equality_deletes(registered, tmp_path):
         for r in spark.read.format("iceberg_native").load(t).collect()
     }
     assert got == set(range(10)) - {3}
+
+
+def test_transform_pushdown_prunes_files(registered, tmp_path):
+    """r7 hidden-partition pushdown: a range filter on the SOURCE
+    column of a days(ts) spec prunes the file list through the
+    transform — the jar's behavior, no user-facing API at all."""
+    import datetime
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    spark = registered
+    table = str(tmp_path / "tp")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i % 10, 8 + i % 12))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+    iw.create_iceberg(df, table, partition_by=["days(ts)"])
+    r = iceberg_source._IceReader(table, None)
+    n_all = len(r.partitions())
+    assert n_all >= 10  # one file per day at least
+    lo = datetime.datetime(2024, 1, 3)
+    hi = datetime.datetime(2024, 1, 6)  # exclusive; days 3,4,5
+    list(r.pushFilters([
+        GreaterThanOrEqual(("ts",), lo), LessThan(("ts",), hi),
+    ]))
+    kept_days = {e["pv"]["ts_day"] for e in r.entries}
+    d0 = (datetime.date(2024, 1, 3) - datetime.date(1970, 1, 1)).days
+    assert kept_days == {d0, d0 + 1, d0 + 2}
+    # end-to-end through the DataFrame API (Spark pushes the filter)
+    got = (
+        spark.read.format("iceberg_native").load(table)
+        .where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+    )
+    want = {i for i, t in rows if lo <= t < hi}
+    assert _ids(got) == want
+    # bucket spec: equality on the source prunes to one bucket
+    table2 = str(tmp_path / "tb")
+    iw.create_iceberg(
+        spark.range(100).select("id"), table2,
+        partition_by=["bucket(8, id)"],
+    )
+    r2 = iceberg_source._IceReader(table2, None)
+    list(r2.pushFilters([EqualTo(("id",), 7)]))
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_transforms
+
+    want_b = iceberg_transforms.bucket_value(7, 8, "long")
+    assert {e["pv"]["id_bucket"] for e in r2.entries} == {want_b}
+    got2 = spark.read.format("iceberg_native").load(table2).where(
+        "id = 7"
+    )
+    assert _ids(got2) == {7}

@@ -439,3 +439,138 @@ def test_predicates_on_unknown_column_raise(spark, events_small, tmp_path):
         iceberg_reader.read_iceberg(
             spark, table, predicates=[("nope", ">=", 1)]
         )
+
+
+# ---------------------------------------------------------------------------
+# partition spec EVOLUTION (ADD PARTITION FIELD) — r7
+
+
+def test_add_partition_field_evolves_spec(spark, events_small, tmp_path):
+    """A table that started UNPARTITIONED gains days(ts): new spec-id
+    becomes default, old files stay readable and are KEPT by pruning
+    (they carry no value for the new field — can't prune, never
+    wrong), new appends group and prune by day."""
+    table = str(tmp_path / "ev_evolve")
+    old = events_small.limit(300)
+    new = events_small.limit(600).exceptAll(old)
+    iceberg_writer.create_iceberg(old, table)  # unpartitioned
+    iceberg_writer.add_partition_field(table, "days(ts)")
+    meta, _ = iceberg_writer._load_meta(table)
+    assert meta["default-spec-id"] == 1
+    assert len(meta["partition-specs"]) == 2
+    sf = iceberg_writer._spec_fields(meta)[0]
+    assert (sf["name"], sf["transform"]) == ("ts_day", "day")
+    iceberg_writer.append_iceberg(new, table)
+    # full read: everything
+    assert iceberg_reader.read_iceberg(spark, table).count() == 600
+    # a range read returns EXACT rows (old files kept + row-filtered,
+    # new files pruned by day)
+    meta2, _ = iceberg_writer._load_meta(table)
+    snaps = {int(s["snapshot-id"]): s for s in meta2["snapshots"]}
+    data, _p, _e = iceberg_reader._snapshot_entries(
+        spark, snaps[int(meta2["current-snapshot-id"])],
+        iceberg_writer._spec_fields(meta2),
+        specs_by_id=iceberg_writer._specs_by_id(meta2),
+    )
+    old_files = {
+        os.path.normpath(e["path"]) for e in data if "ts_day" not in e["pv"]
+    }
+    assert old_files, "pre-evolution files must resolve w/o ts_day"
+    days_new = sorted(
+        {e["pv"]["ts_day"] for e in data if "ts_day" in e["pv"]}
+    )
+    assert len(days_new) > 2
+    pick = days_new[1]
+    lo = datetime.datetime.combine(
+        datetime.date(1970, 1, 1) + datetime.timedelta(days=pick),
+        datetime.time(),
+    )
+    hi = lo + datetime.timedelta(days=1)
+    pruned = iceberg_reader.read_iceberg(
+        spark, table, predicates=[("ts", ">=", lo), ("ts", "<", hi)]
+    )
+    want = events_small.limit(600).where(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    )
+    assert pruned.count() == want.count() > 0
+    assert pruned.exceptAll(want).count() == 0
+    # file-level: every old file kept, exactly the matching day's new
+    # files kept
+    touched = {
+        os.path.normpath(iceberg_reader._strip_uri(f))
+        for f in pruned.inputFiles()
+    }
+    expected = old_files | {
+        os.path.normpath(e["path"])
+        for e in data if e["pv"].get("ts_day") == pick
+    }
+    assert touched == expected
+    assert len(touched) < len(data)
+
+
+def test_cow_dml_after_spec_evolution(spark, events_small, tmp_path):
+    """COW UPDATE on an evolved table: carried entries re-encode under
+    the default spec (null for the new field), rewrites re-derive day
+    records, and reads stay value-correct."""
+    table = str(tmp_path / "ev_evolve_dml")
+    old = events_small.limit(200)
+    iceberg_writer.create_iceberg(old, table)
+    iceberg_writer.add_partition_field(table, "days(ts)")
+    iceberg_writer.append_iceberg(
+        old.withColumn("event_id", F.col("event_id") + 10_000_000),
+        table,
+    )
+    iceberg_dml.update_iceberg(
+        spark, table, "event_id >= 10000000", {"value": "value + 500"}
+    )
+    got = iceberg_reader.read_iceberg(spark, table)
+    assert got.count() == 400
+    assert got.where("event_id >= 10000000 AND value < 500").count() == 0
+    # delete across both generations
+    iceberg_dml.delete_iceberg(spark, table, "event_type = 'click'")
+    got = iceberg_reader.read_iceberg(spark, table)
+    assert got.where("event_type = 'click'").count() == 0
+
+
+def test_add_partition_field_validation(spark, events_small, tmp_path):
+    table = str(tmp_path / "ev_evolve_val")
+    iceberg_writer.create_iceberg(
+        events_small.limit(50), table, partition_by=["days(ts)"]
+    )
+    with pytest.raises(ValueError, match="already in the default"):
+        iceberg_writer.add_partition_field(table, "days(ts)")
+    with pytest.raises(ValueError, match="not in"):
+        iceberg_writer.add_partition_field(table, "bucket(4, nope)")
+    # a SECOND field is fine (multi-field spec)
+    iceberg_writer.add_partition_field(table, "bucket(4, user_id)")
+    meta, _ = iceberg_writer._load_meta(table)
+    assert [sf["name"] for sf in iceberg_writer._spec_fields(meta)] == [
+        "ts_day", "user_id_bucket"
+    ]
+    iceberg_writer.append_iceberg(events_small.limit(50), table)
+    assert iceberg_reader.read_iceberg(spark, table).count() == 100
+
+
+def test_datasource_keeps_old_spec_files(spark, events_small, tmp_path):
+    from dst_spark_k8_lakehouse_spark.sources import iceberg_source
+
+    iceberg_source.register(spark)
+    table = str(tmp_path / "ev_evolve_ds")
+    old = events_small.limit(200)
+    iceberg_writer.create_iceberg(old, table)
+    iceberg_writer.add_partition_field(table, "days(ts)")
+    iceberg_writer.append_iceberg(
+        old.withColumn("event_id", F.col("event_id") + 10_000_000),
+        table,
+    )
+    d0 = old.agg(F.min(F.to_date("ts"))).first()[0]
+    lo = datetime.datetime.combine(d0, datetime.time())
+    hi = lo + datetime.timedelta(days=2)
+    got = (
+        spark.read.format("iceberg_native").load(table)
+        .where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+    )
+    want = iceberg_reader.read_iceberg(spark, table).where(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    )
+    assert got.count() == want.count() > 0
