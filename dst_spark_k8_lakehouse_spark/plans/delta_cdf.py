@@ -340,7 +340,7 @@ def read_change_feed(
         raise NotImplementedError(
             "change feed over id-mode column mapping is not supported"
         )
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    schema = delta_reader.schema_from_json(meta["schemaString"])
     part_cols = delta_reader._partition_cols(meta, schema, phys)
     pieces: list[DataFrame] = []
 

@@ -51,10 +51,8 @@ _FILE_COL = "__delta_dml_file"
 
 
 def _schema(state: dict) -> T.StructType:
-    import json
-
-    return T.StructType.fromJson(
-        json.loads(state["metaData"]["schemaString"])
+    return delta_reader.schema_from_json(
+        state["metaData"]["schemaString"]
     )
 
 
@@ -269,6 +267,11 @@ def update_delta(
             f"UPDATE on partition column(s) {bad} would move rows "
             "across files; rewrite the table instead"
         )
+    from dst_spark_k8_lakehouse_spark.plans import delta_generated
+
+    delta_generated.refuse_stale_updates(
+        state["metaData"], set(assignments), "UPDATE"
+    )
     unknown = sorted(set(assignments) - {f.name for f in schema.fields})
     if unknown:
         raise ValueError(f"UPDATE SET references unknown column(s) {unknown}")

@@ -242,6 +242,33 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
     return state
 
 
+def _norm_schema_json(o: Any, key: str | None = None) -> Any:
+    """Delta's schemaString spells the NTZ type ``timestampNtz``;
+    Spark's ``StructType.fromJson`` only accepts ``timestamp_ntz`` —
+    normalize recursively (type positions only, never field names)."""
+    if isinstance(o, dict):
+        return {k: _norm_schema_json(v, k) for k, v in o.items()}
+    if isinstance(o, list):
+        return [_norm_schema_json(x, key) for x in o]
+    if o == "timestampNtz" and key in (
+        "type", "elementType", "keyType", "valueType"
+    ):
+        return "timestamp_ntz"
+    return o
+
+
+def schema_from_json(schema_json: str | dict) -> T.StructType:
+    """Delta schemaString (text or parsed) → Spark StructType, with
+    the protocol's type spellings normalized. EVERY schemaString parse
+    must come through here — a raw ``StructType.fromJson`` crashes on
+    any table with a TIMESTAMP_NTZ column."""
+    obj = (
+        json.loads(schema_json) if isinstance(schema_json, str)
+        else schema_json
+    )
+    return T.StructType.fromJson(_norm_schema_json(obj))
+
+
 def _mapping(meta: dict[str, Any]) -> tuple[str, dict[str, str]]:
     """(column-mapping mode, {logical name: physical name}).
 
@@ -418,6 +445,7 @@ def read_delta(
     timestamp: int | datetime.datetime | None = None,
     partition_filter: PartitionFilter | None = None,
     with_row_identity: bool = False,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """SELECT from a Delta table directory (optionally ``versionAsOf``
     = ``version`` or ``timestampAsOf`` = ``timestamp``, epoch millis
@@ -428,7 +456,17 @@ def read_delta(
     rows are subtracted (``_dv_row_filter``).
     ``with_row_identity=True`` additionally exposes each row's
     ``ROW_FILE``/``ROW_POS`` physical identity (post-DV-subtraction —
-    what ``delta_dv.delete_where_dv`` builds its bitmaps from)."""
+    what ``delta_dv.delete_where_dv`` builds its bitmaps from).
+
+    ``predicates`` (``[(source_col, op, literal)]``, op in
+    ``== < <= > >= in``) is the GENERATED-COLUMN pruning surface
+    (``plans/delta_generated``): predicates on a generation
+    expression's SOURCE column prune partition files through the
+    recognized expression shapes (a ``ts`` range on a
+    ``d = CAST(ts AS DATE)``-partitioned table reads only the
+    matching days' files — the jar's OptimizeGeneratedColumn rule)
+    AND apply as the residual row filter, so the result is exact
+    whether or not anything pruned."""
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
@@ -437,10 +475,34 @@ def read_delta(
         version = version_at_timestamp(path, int(timestamp))
     state = _replay(spark, path, version)
     meta = state["metaData"]
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    schema = schema_from_json(meta["schemaString"])
     mode, phys = _mapping(meta)
     part_cols = _partition_cols(meta, schema, phys)
     files = state["files"]
+    residual = None
+    if predicates:
+        from dst_spark_k8_lakehouse_spark.plans import (
+            delta_generated,
+            iceberg_transforms as _tr,
+        )
+
+        known = {f.name for f in schema.fields}
+        unknown = sorted({c for c, _o, _v in predicates} - known)
+        if unknown:
+            raise ValueError(
+                f"predicate column(s) {unknown} not in schema "
+                f"{sorted(known)}"
+            )
+        gen_pred = delta_generated.partition_predicate(
+            meta, list(predicates)
+        )
+        if gen_pred is not None:
+            files = {
+                rel: a
+                for rel, a in files.items()
+                if gen_pred(_pv(a, part_cols, phys))
+            }
+        residual = _tr.predicates_to_column(list(predicates))
     if partition_filter is not None:
         if not part_cols:
             raise ValueError("partition_filter on an unpartitioned table")
@@ -454,10 +516,16 @@ def read_delta(
     )
 
     def _finish(df: DataFrame) -> DataFrame:
-        if not need_id:
-            return df
-        df = _dv_row_filter(spark, _add_row_identity(df), path, files)
-        return df if with_row_identity else df.drop(ROW_FILE, ROW_POS)
+        if need_id:
+            df = _dv_row_filter(
+                spark, _add_row_identity(df), path, files
+            )
+            if not with_row_identity:
+                df = df.drop(ROW_FILE, ROW_POS)
+        if residual is not None:
+            # the predicates' exact row filter — pruning is a superset
+            df = df.where(residual)
+        return df
 
     if not files:
         empty = spark.createDataFrame([], schema)
@@ -574,7 +642,7 @@ def read_delta(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out.where(residual) if residual is not None else out
 
 
 def delta_history(path: str) -> list[dict[str, Any]]:

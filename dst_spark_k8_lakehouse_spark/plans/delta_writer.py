@@ -228,6 +228,7 @@ def _stamped_projection(
 def create_delta(
     df: DataFrame, table: str, partition_by: list[str] | None = None,
     column_mapping: str = "none",
+    generated: dict[str, str] | None = None,
 ) -> None:
     """CREATE: version-0 commit (protocol + metaData + adds),
     optionally Hive-partitioned by ``partition_by``.
@@ -240,13 +241,31 @@ def create_delta(
     — ``read_delta`` and the ``delta_native`` DataSource — matches by
     id, never by name). Mapped tables commit protocol (2, 5) per the
     spec. Real Delta only allows ``id`` at creation (an upgrade
-    can't retro-stamp existing files); same here."""
+    can't retro-stamp existing files); same here.
+
+    ``generated``: ``{column: sql expression}`` GENERATED ALWAYS AS
+    columns (``plans/delta_generated`` — the Delta idiom for hidden
+    partitioning: ``generated={"d": "CAST(ts AS DATE)"},
+    partition_by=["d"]``). Missing columns are computed here and on
+    every append; supplied ones are VALIDATED; ``read_delta``'s
+    ``predicates`` prune partitions through recognized expressions.
+    Commits minWriterVersion 4 per the spec."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_generated
+
     if delta_reader.is_delta_table(table):
         raise ValueError(f"Delta table already exists at {table}")
     if column_mapping not in ("none", "name", "id"):
         raise ValueError(
             f"column_mapping {column_mapping!r}: none, name or id"
         )
+    generated = dict(generated or {})
+    for col, expr in generated.items():
+        if col in df.columns:
+            raise ValueError(
+                f"generated column {col!r} already in the input frame; "
+                "pass data columns only (it is computed here)"
+            )
+        df = df.withColumn(col, F.expr(expr))
     partition_by = list(partition_by or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
@@ -255,8 +274,27 @@ def create_delta(
     conf: dict[str, str] = {}
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
     if column_mapping == "none":
-        schema_string = _schema_string(df.schema)
+        if generated:
+            fields = [
+                _field_json(
+                    f,
+                    {delta_generated.GENERATION_KEY: generated[f.name]}
+                    if f.name in generated else None,
+                )
+                for f in df.schema.fields
+            ]
+            schema_string = json.dumps(
+                {"type": "struct", "fields": fields}
+            )
+        else:
+            schema_string = _schema_string(df.schema)
     else:
+        if generated:
+            raise NotImplementedError(
+                "generated columns + column mapping on one table: "
+                "create separately (mapping renames would detach the "
+                "expressions' column references)"
+            )
         fields = []
         for i, f in enumerate(df.schema.fields):
             pn = (
@@ -278,6 +316,12 @@ def create_delta(
             "delta.columnMapping.maxColumnId": str(len(fields)),
         }
         proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+    if generated:
+        # the generatedColumns writer feature (legacy protocol)
+        proto = {
+            "minReaderVersion": proto["minReaderVersion"],
+            "minWriterVersion": max(proto["minWriterVersion"], 4),
+        }
     meta = {
         "id": str(uuid.uuid4()),
         "format": {"provider": "parquet", "options": {}},
@@ -320,7 +364,7 @@ def _reconcile_schema(
       columns, it never rewrites history to a different type.
     """
     schema_json = json.loads(meta["schemaString"])
-    table_schema = T.StructType.fromJson(schema_json)
+    table_schema = delta_reader.schema_from_json(schema_json)
     mode, phys = delta_reader._mapping(meta)
     part_cols = delta_reader._partition_cols(meta, table_schema, phys)
     by_name = {f.name: f for f in table_schema.fields}
@@ -340,6 +384,18 @@ def _reconcile_schema(
             f"append column type(s) differ from the table's: {detail} "
             "(mergeSchema adds columns; it never changes a column's type)"
         )
+
+    # generated columns missing from the input are COMPUTED from
+    # their expression (the spec's writer contract), never null-filled
+    from dst_spark_k8_lakehouse_spark.plans import delta_generated
+
+    gen = delta_generated.generation_exprs(meta)
+    for f in table_schema.fields:
+        if f.name in gen and f.name not in df_types:
+            df = df.withColumn(
+                f.name, F.expr(gen[f.name]).cast(f.dataType)
+            )
+            df_types[f.name] = f.dataType
 
     missing = [f for f in table_schema.fields if f.name not in df_types]
     bad = [f.name for f in missing
@@ -795,7 +851,7 @@ def compact_delta(
     state = delta_reader._replay(spark, table, None)
     meta = state["metaData"]
     mode, phys = delta_reader._mapping(meta)
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    schema = delta_reader.schema_from_json(meta["schemaString"])
     part_cols = delta_reader._partition_cols(meta, schema, phys)
     groups: dict[tuple, list[tuple[str, dict]]] = {}
     for rel, a in state["files"].items():
@@ -1115,7 +1171,7 @@ def zorder_delta(
             "would resurrect deleted rows — run "
             "plans.delta_dv.materialize_dvs first"
         )
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    schema = delta_reader.schema_from_json(meta["schemaString"])
     part_cols = meta.get("partitionColumns") or []
     bad = sorted(set(cols) & set(part_cols))
     if bad:
@@ -1226,6 +1282,15 @@ def check_constraints(df: DataFrame, meta: dict[str, Any]) -> None:
                 f"NOT NULL {fld['name']}",
                 f"{fld['name']} IS NOT NULL",
             )
+    # SUPPLIED generated-column values must equal their expression
+    # (the spec: writers verify; a wrong generated partition value
+    # would corrupt pruning forever)
+    from dst_spark_k8_lakehouse_spark.plans import delta_generated
+
+    for col, must_hold in delta_generated.validation_exprs(
+        delta_generated.generation_exprs(meta), list(df.columns)
+    ):
+        cons.setdefault(f"GENERATED {col}", must_hold)
     if not cons:
         return
     bad = None

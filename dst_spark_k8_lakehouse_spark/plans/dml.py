@@ -395,7 +395,7 @@ def execute_native_sql(
             from pyspark.sql import types as T
 
             names = [f["name"] for f in target_schema["fields"]]
-            struct = T.StructType.fromJson(target_schema)
+            struct = delta_reader.schema_from_json(target_schema)
             if len(src.columns) != len(names):
                 raise ValueError(
                     f"INSERT arity {len(src.columns)} != table arity "

@@ -1583,3 +1583,75 @@ def d38_iceberg_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = _cached_native_customer(spark, sf_dir, "iceberg")
     return iceberg_reader.read_iceberg(spark, table)
+
+
+@query(
+    "d39_delta_generated",
+    oracle=f"""
+        WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events)
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               {sum_sql('value')} AS sv
+        FROM events, b
+        WHERE ts >= CAST(d0 + INTERVAL 3 DAY AS TIMESTAMP)
+        GROUP BY d, event_type
+    """,
+)
+def d39_delta_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS on native Delta — the protocol's hidden-
+    partitioning idiom (``plans/delta_generated``; the Iceberg twin is
+    ``d36_iceberg_transforms``, same oracle semantics): CTAS with
+    ``generated={"d": "CAST(ts AS DATE)"}`` partitioned by ``d``
+    (minWriterVersion 4, expression recorded in the schemaString) →
+    append WITHOUT the generated column (computed per the spec's
+    writer contract) → whole-day DELETE → read back through a
+    generated-column-PRUNED timestamp-range ``predicates`` read
+    unioned with the full-scan remainder. The pruned range spans the
+    deleted region so the DELETE is value-checked too. Exact
+    integer-cent sums."""
+    import atexit
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_dml,
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-delta-generated-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    delta_writer.create_delta(
+        ev.where("event_id % 2 = 0"), table,
+        partition_by=["d"], generated={"d": "CAST(ts AS DATE)"},
+    )
+    delta_writer.append_delta(ev.where("event_id % 2 = 1"), table)
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    day = lambda k: _dt.datetime.combine(  # noqa: E731
+        d0 + _dt.timedelta(days=k), _dt.time()
+    )
+    delta_dml.delete_delta(spark, table, f"ts < TIMESTAMP'{day(3)}'")
+    pruned = delta_reader.read_delta(
+        spark, table,
+        predicates=[("ts", ">=", day(1)), ("ts", "<", day(12))],
+    )
+    rest = delta_reader.read_delta(spark, table).where(
+        F.col("ts") >= F.lit(day(12))
+    )
+    return (
+        pruned.unionByName(rest)
+        .select("ts", "event_type", "value")
+        .groupBy(
+            F.to_date("ts").cast("timestamp").alias("d"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum("value").alias("sv"),
+        )
+    )

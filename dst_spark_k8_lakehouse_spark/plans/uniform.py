@@ -91,7 +91,7 @@ def export_iceberg_metadata(spark: SparkSession, table: str) -> int:
             "directly (real UniForm requires icebergCompat writers "
             "for the same reason)"
         )
-    schema = T.StructType.fromJson(json.loads(meta_d["schemaString"]))
+    schema = delta_reader.schema_from_json(meta_d["schemaString"])
     abspaths = [
         rel if os.path.isabs(rel) else os.path.join(table, rel)
         for rel in state["files"]

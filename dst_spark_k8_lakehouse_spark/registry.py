@@ -61,6 +61,7 @@ PRIORITY: list[str] = [
     "l6_dsir_scan",  # DSIR hashed-bucket production path
     "d37_delta_dv_read",  # native READ trackers (HEADLINE members)
     "d38_iceberg_mor_read",
+    "d39_delta_generated",  # generated columns = Delta hidden partitioning
     # (b) implementation changed this round after their last green row:
     # delta_dv's bitmap build moved executor-side; the Iceberg
     # writer/reader partition-spec handling became transform-aware

@@ -315,7 +315,7 @@ class _CDFPlanner:
                 "change feed over id-mode column mapping is not "
                 "supported"
             )
-        base = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        base = delta_reader.schema_from_json(meta["schemaString"])
         self.base = base
         self.part_cols = delta_reader._partition_cols(
             meta, base, self.phys
@@ -444,9 +444,7 @@ class _BatchReader(DataSourceReader):
         self.table = table
         state = _replay_arrow(table, version)
         meta = state["metaData"]
-        self.schema = T.StructType.fromJson(
-            json.loads(meta["schemaString"])
-        )
+        self.schema = delta_reader.schema_from_json(meta["schemaString"])
         self.mode, self.phys = delta_reader._mapping(meta)
         self.ids = (
             delta_reader._mapping_ids(meta) if self.mode == "id" else None
@@ -526,9 +524,7 @@ class _StreamReader(DataSourceStreamReader):
         self.table = table
         state = _replay_arrow(table, None)
         meta = state["metaData"]
-        self.schema = T.StructType.fromJson(
-            json.loads(meta["schemaString"])
-        )
+        self.schema = delta_reader.schema_from_json(meta["schemaString"])
         self.mode, self.phys = delta_reader._mapping(meta)
         self.ids = (
             delta_reader._mapping_ids(meta) if self.mode == "id" else None
@@ -644,9 +640,7 @@ class _DeltaWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
         state = _replay_arrow(table, None)
         meta = state["metaData"]
-        table_schema = T.StructType.fromJson(
-            json.loads(meta["schemaString"])
-        )
+        table_schema = delta_reader.schema_from_json(meta["schemaString"])
         self.mode, self.phys = delta_reader._mapping(meta)
         self.ids = (
             delta_reader._mapping_ids(meta) if self.mode == "id" else None
@@ -875,8 +869,8 @@ class DeltaNativeDataSource(DataSource):
         if self._cdf():
             return _CDFPlanner(self._path()).out_schema
         state = _replay_arrow(self._path(), None)
-        return T.StructType.fromJson(
-            json.loads(state["metaData"]["schemaString"])
+        return delta_reader.schema_from_json(
+            state["metaData"]["schemaString"]
         )
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
