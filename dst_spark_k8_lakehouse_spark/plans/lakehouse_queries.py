@@ -1655,3 +1655,104 @@ def d39_delta_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("value").alias("sv"),
         )
     )
+
+
+@query(
+    "x6_time_partitioned_cdc",
+    oracle=f"""
+        WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events)
+        SELECT event_id, event_type,
+               CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
+               round(value, 2) AS v
+        FROM events, b
+        WHERE ts >= CAST(d0 + INTERVAL 3 DAY AS TIMESTAMP)
+    """,
+)
+def x6_time_partitioned_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x6 — the ROUND-7 CAPSTONE: a TIME-PARTITIONED CDC pipeline
+    composing every feature this round shipped, value-checked
+    row-by-row against the relational end state.
+
+    Source: native Delta events table with a GENERATED column
+    ``d = CAST(ts AS DATE)`` as its partition (d39's surface) + CDF.
+    Replica: native Iceberg v2, seeded UNPARTITIONED from the
+    source's first snapshot, then EVOLVED with
+    ``add_partition_field("days(ts)")`` — so the replica holds
+    pre-evolution files (no day records) and post-evolution files
+    (day-partitioned) side by side, exactly what a real table that
+    grew into partitioning looks like. The source then appends (the
+    change feed's inserts land day-partitioned in the replica) and
+    retention-DELETEs its oldest days (the feed's deletes become ONE
+    equality-delete commit, O(keys), table never scanned). The final
+    read drives the TRANSFORM-PRUNED ``predicates`` path ACROSS the
+    spec boundary — pruning must keep the old-spec files it cannot
+    reason about and prune the new ones — with merge-on-read deletes
+    applied in the same scan."""
+    import atexit
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_cdf,
+        delta_dml,
+        delta_reader,
+        delta_writer,
+        iceberg_mor,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-x6-cdc-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    rep = os.path.join(base, "rep")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    # v0: source with generated day partition; v1: CDF on
+    delta_writer.create_delta(
+        ev.where("event_id % 2 = 0"), src,
+        partition_by=["d"], generated={"d": "CAST(ts AS DATE)"},
+    )
+    delta_cdf.enable_cdf(spark, src)
+    # replica seeded from the v0 snapshot, then spec-EVOLVED
+    iceberg_writer.create_iceberg(
+        delta_reader.read_delta(spark, src, version=0).select(*cols),
+        rep, format_version=2,
+    )
+    iceberg_writer.add_partition_field(rep, "days(ts)")
+    # source moves on: append (v2), retention delete (v3)
+    delta_writer.append_delta(ev.where("event_id % 2 = 1"), src)
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    day = lambda k: _dt.datetime.combine(  # noqa: E731
+        d0 + _dt.timedelta(days=k), _dt.time()
+    )
+    delta_dml.delete_delta(spark, src, f"ts < TIMESTAMP'{day(3)}'")
+    # CDC apply, in commit order: inserts first, then the delete —
+    # the equality delete's higher sequence number covers them
+    changes = delta_cdf.read_change_feed(spark, src, starting_version=2)
+    arrived = changes.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*cols)
+    gone = changes.where(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("event_id").distinct()
+    iceberg_writer.append_iceberg(arrived, rep)
+    iceberg_mor.delete_keys_mor(spark, rep, gone)
+    # final read ACROSS the spec boundary: pruned range ∪ remainder
+    pruned = iceberg_reader.read_iceberg(
+        spark, rep,
+        predicates=[("ts", ">=", day(3)), ("ts", "<", day(12))],
+    )
+    rest = iceberg_reader.read_iceberg(spark, rep).where(
+        F.col("ts") >= F.lit(day(12))
+    )
+    return pruned.unionByName(rest).select(
+        "event_id",
+        "event_type",
+        F.to_date("ts").cast("timestamp").alias("d"),
+        F.round("value", 2).alias("v"),
+    )

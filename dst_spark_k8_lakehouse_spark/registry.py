@@ -62,6 +62,8 @@ PRIORITY: list[str] = [
     "d37_delta_dv_read",  # native READ trackers (HEADLINE members)
     "d38_iceberg_mor_read",
     "d39_delta_generated",  # generated columns = Delta hidden partitioning
+    "x6_time_partitioned_cdc",  # r7 capstone: gen-col CDF source →
+    # spec-evolved Iceberg replica, transform-pruned read across specs
     # (b) implementation changed this round after their last green row:
     # delta_dv's bitmap build moved executor-side; the Iceberg
     # writer/reader partition-spec handling became transform-aware
