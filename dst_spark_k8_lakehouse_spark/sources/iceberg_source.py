@@ -439,13 +439,30 @@ class _IceWriter(DataSourceArrowWriter):
         self.field_ids = {
             f["name"]: int(f["id"]) for f in schema_dict["fields"]
         }
-        from dst_spark_k8_lakehouse_spark.plans import iceberg_writer
+        from dst_spark_k8_lakehouse_spark.plans import (
+            iceberg_transforms,
+            iceberg_writer,
+        )
 
         spec = iceberg_writer._spec_fields(meta)
         by_id = {f["id"]: f for f in schema_dict["fields"]}
-        self.part_srcs = [by_id[sf["source-id"]]["name"] for sf in spec]
-        self.part_names = [sf["name"] for sf in spec]
-        self.part_types = [by_id[sf["source-id"]]["type"] for sf in spec]
+        # (partition field name, transform, param, source col,
+        #  source type, RESULT type) — hidden-partition specs group
+        # and record by the TRANSFORMED value
+        self.spec_info = []
+        for sf in spec:
+            tname, param = iceberg_transforms.parse_spec_transform(
+                sf["transform"]
+            )
+            src = by_id[sf["source-id"]]
+            self.spec_info.append(
+                (
+                    sf["name"], tname, param, src["name"], src["type"],
+                    iceberg_transforms.result_type(
+                        tname, src["type"], src["name"]
+                    ),
+                )
+            )
         if spec:
             iceberg_writer._partition_avro_fields(meta)  # validate
 
@@ -472,18 +489,34 @@ class _IceWriter(DataSourceArrowWriter):
         tbl = tbl.cast(pa.schema(fields))
         data = os.path.join(self.table, "data")
         os.makedirs(data, exist_ok=True)
-        if self.part_srcs:
+        if self.spec_info:
+            from dst_spark_k8_lakehouse_spark.plans import (
+                iceberg_transforms,
+            )
+
+            # group rows by the TRANSFORMED partition values: one
+            # temp key column per spec field (identity is the trivial
+            # transform), so days(ts)/bucket specs write one file per
+            # PARTITION, not one per distinct source value
+            keyed = tbl
+            key_names = []
+            for name, tname, param, src, stype, _rt in self.spec_info:
+                t = iceberg_transforms.py_transform(tname, param, stype)
+                vals = [t(v) for v in tbl.column(src).to_pylist()]
+                kn = f"__pv_{name}"
+                keyed = keyed.append_column(kn, pa.array(vals))
+                key_names.append(kn)
             combos = (
-                tbl.select(self.part_srcs)
-                .group_by(self.part_srcs)
+                keyed.select(key_names)
+                .group_by(key_names)
                 .aggregate([])
                 .to_pylist()
             )
         else:
-            combos = [{}]
+            keyed, key_names, combos = tbl, [], [{}]
         files = []
         for combo in combos:
-            part = tbl
+            part = keyed
             if combo:
                 import pyarrow.compute as pc
 
@@ -496,13 +529,14 @@ class _IceWriter(DataSourceArrowWriter):
                     )
                     mask = m if mask is None else pc.and_(mask, m)
                 part = part.filter(mask)
+            part = part.drop_columns(key_names) if key_names else part
             dst = os.path.join(data, f"{uuid.uuid4().hex}.parquet")
             pq.write_table(part, dst, compression="snappy")
             pv = {
-                name: _avro_partition_value(combo.get(src), t)
-                for name, src, t in zip(
-                    self.part_names, self.part_srcs, self.part_types
+                name: _avro_partition_value(
+                    combo.get(f"__pv_{name}"), rt
                 )
+                for name, _t, _p, _s, _st, rt in self.spec_info
             }
             files.append(
                 (dst, part.num_rows, os.path.getsize(dst), pv)
@@ -562,7 +596,9 @@ class _IceWriter(DataSourceArrowWriter):
                 {
                     "manifest_path": manifest,
                     "manifest_length": os.path.getsize(manifest),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": int(
+                        meta.get("default-spec-id", 0)
+                    ),
                     "added_snapshot_id": snap_id,
                 }
             )

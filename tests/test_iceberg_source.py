@@ -290,3 +290,47 @@ def test_transform_pushdown_prunes_files(registered, tmp_path):
         "id = 7"
     )
     assert _ids(got2) == {7}
+
+
+def test_datasource_write_transformed_spec(registered, tmp_path):
+    """r7: format('iceberg_native') writes group and record partition
+    values THROUGH the spec's transform — a days(ts) append from the
+    DataFrame API lands one file per day with typed day records."""
+    import datetime
+
+    spark = registered
+    table = str(tmp_path / "dw")
+    rows = [
+        (i, datetime.datetime(2024, 2, 1 + i % 4, 9)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+    iw.create_iceberg(df.limit(0), table, partition_by=["days(ts)"])
+    # one task → per-PARTITION file counts are observable (each task
+    # writes its own partition files, like any distributed writer)
+    df.coalesce(1).write.format("iceberg_native").mode("append").save(
+        table
+    )
+    got = spark.read.format("iceberg_native").load(table)
+    assert _ids(got) == set(range(40))
+    # manifests carry day ints; pruning through the source works
+    meta, _ = iw._load_meta(table)
+    snaps = {int(s["snapshot-id"]): s for s in meta["snapshots"]}
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_reader as ir2
+
+    data, _p, _e = ir2._snapshot_entries(
+        None, snaps[int(meta["current-snapshot-id"])],
+        iw._spec_fields(meta),
+    )
+    d0 = (datetime.date(2024, 2, 1) - datetime.date(1970, 1, 1)).days
+    assert {e["pv"]["ts_day"] for e in data} == {d0, d0 + 1, d0 + 2,
+                                                 d0 + 3}
+    assert len(data) == 4  # one file per day, not per distinct ts
+    lo = datetime.datetime(2024, 2, 2)
+    hi = datetime.datetime(2024, 2, 3)
+    pruned = ir2.read_iceberg(
+        spark, table, predicates=[("ts", ">=", lo), ("ts", "<", hi)]
+    )
+    assert {r.id for r in pruned.collect()} == {
+        i for i, t in rows if lo <= t < hi
+    }
+    assert len(pruned.inputFiles()) == 1
