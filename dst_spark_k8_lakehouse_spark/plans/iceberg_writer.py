@@ -582,6 +582,7 @@ def _snapshot_commit(
     meta: dict,
     operation: str,
     version: int,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write data + manifest + manifest list, append the snapshot to
     ``meta``, publish metadata ``version``. Returns the snapshot id."""
@@ -629,16 +630,18 @@ def _snapshot_commit(
     )
     mlist = os.path.join(md, f"snap-{snap_id}.avro")
     write_avro(spark, mlist, mlist_schema(meta), entries)
-    _register_snapshot(
-        meta,
-        snap_id,
-        mlist,
-        {
-            "operation": operation,
-            "added-data-files": str(len(files)),
-            "added-records": str(sum(n for _, n, _ in files)),
-        },
-    )
+    summary = {
+        "operation": operation,
+        "added-data-files": str(len(files)),
+        "added-records": str(sum(n for _, n, _ in files)),
+    }
+    if txn is not None:
+        # the idempotence watermark (how real streaming sinks make
+        # Iceberg commits replay-safe: the epoch rides the snapshot
+        # summary and append_iceberg skips seen epochs)
+        summary["txn-app-id"] = str(txn[0])
+        summary["txn-epoch"] = str(int(txn[1]))
+    _register_snapshot(meta, snap_id, mlist, summary)
     _commit_metadata(table, meta, version)
     return snap_id
 
@@ -770,10 +773,34 @@ def _check_schema(df: DataFrame, meta: dict) -> None:
         )
 
 
-def append_iceberg(df: DataFrame, table: str) -> int:
+def last_txn_epoch(meta: dict, app_id: str) -> int | None:
+    """Highest committed ``txn-epoch`` of ``app_id`` across the
+    snapshot history (idempotent-append watermark), or None."""
+    best = None
+    for s in meta.get("snapshots") or []:
+        sm = s.get("summary") or {}
+        if sm.get("txn-app-id") == app_id:
+            e = int(sm.get("txn-epoch", -1))
+            best = e if best is None else max(best, e)
+    return best
+
+
+def append_iceberg(
+    df: DataFrame, table: str, txn: tuple[str, int] | None = None
+) -> int:
     """APPEND: new snapshot carrying the previous manifests plus one
-    for the added files."""
+    for the added files.
+
+    ``txn=(app_id, epoch)`` makes the append IDEMPOTENT — the Iceberg
+    counterpart of Delta's ``SetTransaction`` (real streaming sinks
+    ride the snapshot summary the same way): if any snapshot already
+    records this app at >= this epoch the append is a no-op returning
+    -1, so a retried micro-batch lands exactly once."""
     meta, v = _load_meta(table)
+    if txn is not None:
+        last = last_txn_epoch(meta, str(txn[0]))
+        if last is not None and last >= int(txn[1]):
+            return -1  # this epoch already committed
     _check_schema(df, meta)
     meta["metadata-log"] = (meta.get("metadata-log") or []) + [
         {
@@ -782,7 +809,8 @@ def append_iceberg(df: DataFrame, table: str) -> int:
         }
     ]
     return _snapshot_commit(
-        df.sparkSession, df, table, meta, "append", version=v + 1
+        df.sparkSession, df, table, meta, "append", version=v + 1,
+        txn=txn,
     )
 
 

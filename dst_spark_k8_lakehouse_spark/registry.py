@@ -64,6 +64,7 @@ PRIORITY: list[str] = [
     "d39_delta_generated",  # generated columns = Delta hidden partitioning
     "x6_time_partitioned_cdc",  # r7 capstone: gen-col CDF source →
     # spec-evolved Iceberg replica, transform-pruned read across specs
+    "t8_stream_to_iceberg",  # exactly-once stream → days(ts) Iceberg
     # (b) implementation changed this round after their last green row:
     # delta_dv's bitmap build moved executor-side; the Iceberg
     # writer/reader partition-spec handling became transform-aware

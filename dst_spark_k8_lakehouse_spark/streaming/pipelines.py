@@ -594,3 +594,63 @@ def t7_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey long, bal double, _change_type string, "
         "_commit_version int",
     )
+
+
+@query(
+    "t8_stream_to_iceberg",
+    oracle="""
+        SELECT event_id, user_id, event_type, round(value, 2) AS val
+        FROM events
+    """,
+)
+def t8_stream_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: Structured Streaming → NATIVE Iceberg, exactly-once — the
+    Iceberg twin of ``t6_stream_to_delta``, into a HIDDEN-PARTITIONED
+    target: the events fixture arrives as a 3-micro-batch file stream
+    appending into a ``days(ts)`` table (each batch groups by day
+    through the transform writer); the idempotence watermark rides the
+    snapshot summary (``txn-app-id``/``txn-epoch``), so the deliberate
+    DUPLICATE re-append of batch 0 afterwards must be a no-op — a
+    failed skip would break the oracle's exact row-set match. Result =
+    the table read back through the manifest-replay reader."""
+    import os
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader,
+        iceberg_writer,
+    )
+    from dst_spark_k8_lakehouse_spark.streaming.iceberg_sink import (
+        stream_to_iceberg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    third = F.col("event_id") % 3
+    stream, ckpt = _arrival_stream(
+        spark,
+        ev.filter(third == 0),
+        ev.filter(third == 1),
+        ev.filter(third == 2),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="dst-t8-ice-"), "t")
+    iceberg_writer.create_iceberg(
+        spark.createDataFrame([], EVENTS_STREAM_SCHEMA),
+        table,
+        partition_by=["days(ts)"],
+    )
+    app = "t8-stream"
+    q = stream_to_iceberg(stream, table, ckpt, app_id=app)
+    q.awaitTermination()
+    # at-least-once delivery simulation: batch 0 retried after the run
+    dup = iceberg_writer.append_iceberg(
+        ev.filter(third == 0).withColumn(
+            "ts", F.col("ts").cast(T.TimestampType())
+        ),
+        table,
+        txn=(app, 0),
+    )
+    assert dup == -1, "epoch-0 retry must be skipped"
+    return iceberg_reader.read_iceberg(spark, table).select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 2).alias("val"),
+    )

@@ -574,3 +574,64 @@ def test_datasource_keeps_old_spec_files(spark, events_small, tmp_path):
         (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
     )
     assert got.count() == want.count() > 0
+
+
+def test_pruning_is_always_a_superset_randomized(spark, tmp_path):
+    """PROPERTY: for random predicate sets over a days(ts)+bucket
+    table, the pruned+residual read returns EXACTLY the rows of the
+    equivalent full-scan filter — pruning may keep too much (the
+    residual fixes it) but must never drop a matching row. Randomized
+    operators, bounds and IN-lists; seeded for reproducibility."""
+    import random
+
+    random.seed(20260815)
+    rows = [
+        (
+            i,
+            datetime.datetime(
+                2024, 1 + i % 3, 1 + i % 28,
+                i % 24, (7 * i) % 60,
+            ),
+            i % 97,
+        )
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz, k long")
+    table = str(tmp_path / "prop")
+    iceberg_writer.create_iceberg(
+        df, table, partition_by=["days(ts)", "bucket(8, k)"]
+    )
+    full = iceberg_reader.read_iceberg(spark, table)
+    ops = [">=", ">", "<", "<=", "=="]
+    for trial in range(12):
+        preds = []
+        n_preds = random.randint(1, 3)
+        for _ in range(n_preds):
+            col = random.choice(["ts", "k", "id"])
+            if col == "ts":
+                lit = datetime.datetime(
+                    2024, random.randint(1, 3), random.randint(1, 28),
+                    random.randint(0, 23),
+                )
+                preds.append(("ts", random.choice(ops), lit))
+            elif col == "k" and random.random() < 0.5:
+                preds.append(
+                    ("k", "in",
+                     [random.randint(0, 96) for _ in range(3)])
+                )
+            else:
+                preds.append(
+                    (col, random.choice(ops), random.randint(0, 600))
+                )
+        got = iceberg_reader.read_iceberg(
+            spark, table, predicates=preds
+        )
+        want = full
+        from dst_spark_k8_lakehouse_spark.plans.iceberg_transforms import (
+            predicates_to_column,
+        )
+
+        want = full.where(predicates_to_column(preds))
+        g = sorted(r.id for r in got.collect())
+        w = sorted(r.id for r in want.collect())
+        assert g == w, (trial, preds)

@@ -419,3 +419,41 @@ def test_soak_sink_idempotent_under_forced_retry(spark, tmp_path):
     }
     assert got == clean
     assert len(got) > 50, "soak window set vacuous"
+
+
+def test_iceberg_append_txn_idempotence(spark, tmp_path):
+    """append_iceberg(txn=...) skips an already-committed epoch and
+    records the watermark in the snapshot summary — across days(ts)
+    partitioned targets too (the t8 surface)."""
+    import datetime
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader as ir,
+        iceberg_writer as iw,
+    )
+
+    table = str(tmp_path / "t")
+    rows = [
+        (i, datetime.datetime(2024, 3, 1 + i % 3, 10)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+    iw.create_iceberg(df.limit(0), table, partition_by=["days(ts)"])
+    assert iw.append_iceberg(df, table, txn=("app", 0)) > 0
+    assert iw.append_iceberg(df, table, txn=("app", 0)) == -1  # skip
+    assert iw.append_iceberg(df.limit(5), table, txn=("app", 1)) > 0
+    # a different app is independent
+    assert iw.append_iceberg(df.limit(2), table, txn=("b", 0)) > 0
+    assert ir.read_iceberg(spark, table).count() == 37
+    meta, _ = iw._load_meta(table)
+    assert iw.last_txn_epoch(meta, "app") == 1
+    assert iw.last_txn_epoch(meta, "b") == 0
+    assert iw.last_txn_epoch(meta, "nope") is None
+
+
+def test_stream_to_iceberg_sink_requires_table(spark, tmp_path):
+    from dst_spark_k8_lakehouse_spark.streaming.iceberg_sink import (
+        stream_to_iceberg,
+    )
+
+    with pytest.raises(ValueError, match="create_iceberg"):
+        stream_to_iceberg(None, str(tmp_path / "nope"), "ckpt")
