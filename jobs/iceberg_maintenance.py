@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Operational maintenance job for a NATIVE Iceberg table — the
+Iceberg twin of ``jobs/delta_maintenance`` and the nightly run a
+streaming-ingested table needs (``streaming/iceberg_sink`` leaves one
+snapshot + one small-file manifest per micro-batch; MoR deletes leave
+delete files that tax every read until folded):
+
+  compact_mor        →  merge-on-read delete files folded back into
+                        plain data files (reads stop paying the
+                        anti-join; COW DML re-enabled)
+  rewrite (optional) →  small data files bin-packed into one
+                        overwrite snapshot when the live file count
+                        exceeds ``target_files``
+  expire_snapshots   →  old snapshots dropped from metadata; data
+                        files / manifests / manifest lists referenced
+                        ONLY by them are deleted (the GC half)
+
+Usage::
+
+    spark-submit jobs/iceberg_maintenance.py <table> [retain_last]
+
+Idempotent and safe to schedule: every step no-ops when there is
+nothing to do. All decisions come from METADATA-ONLY statistics
+(``mor_file_stats`` — no data scan), the same numbers a maintenance
+dashboard plots.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from dst_spark_k8_lakehouse_spark.plans import (  # noqa: E402
+    iceberg_mor,
+    iceberg_reader,
+    iceberg_writer,
+)
+
+
+def table_health(spark: SparkSession, table: str) -> dict[str, Any]:
+    """Live-state snapshot from metadata alone: data/delete file
+    counts and bytes, snapshot count, current spec — no data scan."""
+    meta, _v = iceberg_writer._load_meta(table)
+    stats = iceberg_mor.mor_file_stats(spark, table)
+    spec = iceberg_writer._spec_fields(meta)
+    return {
+        **stats,
+        "n_snapshots": len(meta.get("snapshots") or []),
+        "format_version": iceberg_writer._fmt(meta),
+        "default_spec": [
+            (sf["name"], sf["transform"]) for sf in spec
+        ],
+        "n_partition_specs": len(meta.get("partition-specs") or [meta]),
+    }
+
+
+def run_maintenance(
+    spark: SparkSession,
+    table: str,
+    retain_last: int = 2,
+    target_files: int = 8,
+) -> dict[str, Any]:
+    """compact_mor (when delete files exist) → small-file rewrite
+    (when live data files exceed ``target_files``) → expire_snapshots;
+    returns a before/after health report plus what each step did."""
+    before = table_health(spark, table)
+    compacted_snapshot = -1
+    if (before.get("position_delete_files", 0)
+            + before.get("equality_delete_files", 0)) > 0:
+        compacted_snapshot = iceberg_mor.compact_mor(spark, table)
+    rewritten_snapshot = -1
+    health_mid = table_health(spark, table)
+    if health_mid["data_files"] > target_files:
+        # bin-pack through one overwrite snapshot; repartition to the
+        # target count (the partitioned writer re-derives partition
+        # records, so hidden-partitioned tables stay correct)
+        df = iceberg_reader.read_iceberg(spark, table).repartition(
+            target_files
+        )
+        rewritten_snapshot = iceberg_writer.overwrite_iceberg(df, table)
+    expired = iceberg_writer.expire_snapshots(
+        spark, table, retain_last=retain_last
+    )
+    return {
+        "before": before,
+        "after": table_health(spark, table),
+        "compacted_snapshot": compacted_snapshot,
+        "rewritten_snapshot": rewritten_snapshot,
+        "n_expired_paths": len(expired),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        raise SystemExit(
+            "usage: iceberg_maintenance.py <table> [retain_last]"
+        )
+    table = sys.argv[1]
+    retain = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    spark = SparkSession.builder.getOrCreate()
+    report = run_maintenance(spark, table, retain_last=retain)
+    print(report)
+
+
+if __name__ == "__main__":
+    main()

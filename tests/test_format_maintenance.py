@@ -238,3 +238,66 @@ def test_delta_maintenance_materializes_dvs_first(spark, tmp_path):
     assert report["after"]["vectored_files"] == 0
     got = {r.id for r in dr.read_delta(spark, table).collect()}
     assert got == {i for i in range(100) if i % 10}
+
+
+def test_iceberg_maintenance_job_folds_and_expires(spark, tmp_path):
+    """The Iceberg maintenance triad on a streamed-shaped table:
+    MoR delete files folded, small files bin-packed, history expired
+    — every decision from metadata-only stats; hidden-partitioned
+    targets keep correct partition records through the rewrite."""
+    import datetime
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "jobs"),
+    )
+    im = importlib.import_module("iceberg_maintenance")
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_mor,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    table = str(tmp_path / "t")
+    rows = [
+        (i, datetime.datetime(2024, 4, 1 + i % 5, 6), float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz, x double")
+    iceberg_writer.create_iceberg(
+        df.limit(0), table, partition_by=["days(ts)"], format_version=2
+    )
+    # streamed shape: many tiny appends
+    for k in range(4):
+        iceberg_writer.append_iceberg(
+            df.where(f"id % 4 = {k}"), table, txn=("m", k)
+        )
+    # plus merge-on-read deletes
+    iceberg_mor.delete_where_mor(spark, table, "id % 10 = 0")
+    before = im.table_health(spark, table)
+    assert before["position_delete_files"] > 0
+    report = im.run_maintenance(
+        spark, table, retain_last=1, target_files=6
+    )
+    after = report["after"]
+    assert after["position_delete_files"] == 0
+    assert after["equality_delete_files"] == 0
+    assert after["data_files"] <= before["data_files"]
+    assert after["n_snapshots"] == 1
+    assert report["n_expired_paths"] > 0
+    got = iceberg_reader.read_iceberg(spark, table)
+    assert got.count() == 180
+    assert got.where("id % 10 = 0").count() == 0
+    # pruning still correct after the rewrite (partition records
+    # re-derived by the transform writer)
+    lo = datetime.datetime(2024, 4, 2)
+    hi = datetime.datetime(2024, 4, 4)
+    pruned = iceberg_reader.read_iceberg(
+        spark, table, predicates=[("ts", ">=", lo), ("ts", "<", hi)]
+    )
+    want = {i for i, t, _x in rows if lo <= t < hi and i % 10 != 0}
+    assert {r.id for r in pruned.collect()} == want
