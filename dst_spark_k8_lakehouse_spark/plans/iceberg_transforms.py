@@ -130,8 +130,9 @@ def result_type(transform: str, src_type: str, src_name: str) -> str:
     """Iceberg type of the partition record value. Calendar transforms
     and bucket produce ``int``; truncate keeps the source type;
     identity keeps the source type (validated by the caller's
-    ``_PARTITION_AVRO`` map)."""
-    if transform == "identity":
+    ``_PARTITION_AVRO`` map); void (a v1 DROPPED field) keeps the
+    source type and always records null."""
+    if transform in ("identity", "void"):
         return src_type
     allowed = _SOURCES.get(transform)
     if allowed is None or src_type not in allowed:
@@ -272,6 +273,9 @@ def spark_transform_column(
     c = F.col(src)
     if transform == "identity":
         return c
+    if transform == "void":
+        # a dropped v1 partition field: always null
+        return F.lit(None).cast(dtype.simpleString())
     if transform == "year":
         return (F.year(c) - F.lit(1970)).cast("int")
     if transform == "month":
@@ -384,6 +388,8 @@ def py_transform(
 
     if transform == "identity":
         return lambda v: v
+    if transform == "void":
+        return lambda v: None
     if transform == "year":
         return lambda v: None if v is None else _to_dt(v).year - 1970
     if transform == "month":

@@ -1015,6 +1015,41 @@ def add_partition_field(table: str, item: str) -> None:
     _commit_metadata(table, meta, v + 1)
 
 
+def drop_partition_field(table: str, name: str) -> None:
+    """``ALTER TABLE … DROP PARTITION FIELD`` — the other half of spec
+    evolution, metadata-only like ``add_partition_field``. Per the
+    spec: format v1 REPLACES the field's transform with ``void``
+    (field positions in older manifests stay aligned; new writes
+    record null for it); v2 REMOVES the field from the new spec. No
+    data is rewritten; pruning simply stops using the field (void
+    fields add no constraints in ``partition_predicate``)."""
+    meta, v = _load_meta(table)
+    old_fields = _spec_fields(meta)
+    if not any(sf["name"] == name for sf in old_fields):
+        raise ValueError(
+            f"partition field {name!r} not in the default spec "
+            f"({[sf['name'] for sf in old_fields]})"
+        )
+    if _fmt(meta) >= 2:
+        new_fields = [sf for sf in old_fields if sf["name"] != name]
+    else:
+        new_fields = [
+            {**sf, "transform": "void"} if sf["name"] == name else sf
+            for sf in old_fields
+        ]
+    specs = list(meta.get("partition-specs") or [])
+    next_spec_id = max(
+        [int(s.get("spec-id", 0)) for s in specs] or [0]
+    ) + 1
+    specs.append({"spec-id": next_spec_id, "fields": new_fields})
+    _bump_metadata_log(table, meta)
+    meta["partition-specs"] = specs
+    meta["default-spec-id"] = next_spec_id
+    meta["partition-spec"] = new_fields
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
+
+
 def create_tag(table: str, name: str, snapshot_id: int | None = None,
                ref_type: str = "tag") -> None:
     """Record a named ref — TAG (immutable label) or BRANCH pointer —

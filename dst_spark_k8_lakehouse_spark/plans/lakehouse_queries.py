@@ -1756,3 +1756,74 @@ def x6_time_partitioned_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").cast("timestamp").alias("d"),
         F.round("value", 2).alias("v"),
     )
+
+
+@query(
+    "d40_iceberg_changelog",
+    oracle="""
+        WITH seed AS (
+            SELECT c_custkey, c_mktsegment AS seg,
+                   round(c_acctbal, 2) AS bal
+            FROM customer
+        ),
+        upd AS (
+            SELECT c_custkey, seg,
+                   CASE WHEN seg = 'BUILDING' THEN round(bal + 5, 2)
+                        ELSE bal END AS bal
+            FROM seed
+        )
+        SELECT c_custkey, seg, bal,
+               'insert' AS _change_type, 1 AS _snapshot_ordinal
+        FROM seed
+        UNION ALL
+        SELECT c_custkey, seg, round(bal + 5, 2), 'insert', 2
+        FROM seed WHERE seg = 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, seg, bal, 'delete', 2
+        FROM seed WHERE seg = 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, seg, bal, 'delete', 3
+        FROM upd WHERE c_custkey % 7 = 0
+    """,
+)
+def d40_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg row-level CHANGELOG — the CDC read parity piece
+    (Delta has CDF, d28/t7; real Iceberg has the
+    ``create_changelog_view`` procedure): seed (v2 CTAS) →
+    copy-on-write UPDATE → merge-on-read EQUALITY DELETE, then
+    ``read_iceberg_changelog`` reconstructs every row-level change —
+    the UPDATE's net pre/post rows (carryovers from the file-granular
+    rewrite CANCELLED), the equality delete's materialized deleted
+    rows (one semi-join against the prior snapshot) — all
+    value-checked against the relational expectation."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_dml,
+        iceberg_meta,
+        iceberg_mor,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-ice-changelog-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    iceberg_writer.create_iceberg(
+        cust.repartition(4), table, format_version=2
+    )
+    iceberg_dml.update_iceberg(
+        spark, table, "seg = 'BUILDING'", {"bal": "round(bal + 5, 2)"}
+    )
+    iceberg_mor.delete_keys_mor(
+        spark, table,
+        cust.where("c_custkey % 7 = 0").select("c_custkey"),
+    )
+    return iceberg_meta.read_iceberg_changelog(spark, table)

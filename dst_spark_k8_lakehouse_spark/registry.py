@@ -65,6 +65,7 @@ PRIORITY: list[str] = [
     "x6_time_partitioned_cdc",  # r7 capstone: gen-col CDF source →
     # spec-evolved Iceberg replica, transform-pruned read across specs
     "t8_stream_to_iceberg",  # exactly-once stream → days(ts) Iceberg
+    "d40_iceberg_changelog",  # row-level changelog (Iceberg's CDF)
     # (b) implementation changed this round after their last green row:
     # delta_dv's bitmap build moved executor-side; the Iceberg
     # writer/reader partition-spec handling became transform-aware

@@ -93,3 +93,128 @@ def test_incremental_refuses_non_append_range(spark, tmp_path):
         im.read_iceberg_incremental(spark, t, s1).collect()
     with pytest.raises(ValueError, match="not in table"):
         im.read_iceberg_incremental(spark, t, 12345)
+
+
+class TestChangelog:
+    """read_iceberg_changelog: per-snapshot row-level changes with
+    carryover cancellation; position AND equality deletes
+    materialized; expired ranges refuse."""
+
+    def _mk(self, spark, tmp_path, v2=True):
+        from dst_spark_k8_lakehouse_spark.plans import iceberg_writer
+
+        table = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}", float(i)) for i in range(60)],
+            "id long, s string, x double",
+        )
+        iceberg_writer.create_iceberg(
+            df.repartition(3), table,
+            format_version=2 if v2 else 1,
+        )
+        return table, df
+
+    def test_append_only_changelog(self, spark, tmp_path):
+        from dst_spark_k8_lakehouse_spark.plans import (
+            iceberg_meta as im,
+            iceberg_writer as iw,
+        )
+
+        table, df = self._mk(spark, tmp_path)
+        iw.append_iceberg(
+            df.withColumn("id", F.col("id") + 100), table
+        )
+        log = im.read_iceberg_changelog(spark, table)
+        got = log.groupBy("_snapshot_ordinal", "_change_type").count()
+        rows = {(r[0], r[1]): r[2] for r in got.collect()}
+        assert rows == {(1, "insert"): 60, (2, "insert"): 60}
+
+    def test_cow_delete_net_changes(self, spark, tmp_path):
+        from dst_spark_k8_lakehouse_spark.plans import (
+            iceberg_dml,
+            iceberg_meta as im,
+        )
+
+        table, df = self._mk(spark, tmp_path)
+        iceberg_dml.delete_iceberg(spark, table, "id % 4 = 0")
+        log = im.read_iceberg_changelog(spark, table)
+        d2 = log.where("_snapshot_ordinal = 2")
+        # net: only the deleted rows appear (carried rows cancelled)
+        assert d2.where("_change_type = 'insert'").count() == 0
+        assert {r.id for r in d2.collect()} == {
+            i for i in range(60) if i % 4 == 0
+        }
+
+    def test_position_delete_changelog(self, spark, tmp_path):
+        from dst_spark_k8_lakehouse_spark.plans import (
+            iceberg_meta as im,
+            iceberg_mor,
+        )
+
+        table, df = self._mk(spark, tmp_path)
+        iceberg_mor.delete_where_mor(spark, table, "id < 5")
+        log = im.read_iceberg_changelog(spark, table)
+        d2 = log.where("_snapshot_ordinal = 2")
+        assert {(r.id, r._change_type) for r in d2.collect()} == {
+            (i, "delete") for i in range(5)
+        }
+
+    def test_range_selection(self, spark, tmp_path):
+        from dst_spark_k8_lakehouse_spark.plans import (
+            iceberg_meta as im,
+            iceberg_writer as iw,
+        )
+
+        table, df = self._mk(spark, tmp_path)
+        snaps0 = iw._load_meta(table)[0]["snapshots"]
+        first = int(snaps0[0]["snapshot-id"])
+        iw.append_iceberg(df.withColumn("id", F.col("id") + 100), table)
+        log = im.read_iceberg_changelog(
+            spark, table, from_snapshot=first
+        )
+        assert log.select("_snapshot_ordinal").distinct().collect() == [
+            __import__("pyspark").sql.Row(_snapshot_ordinal=2)
+        ]
+        assert log.count() == 60
+
+    def test_post_expire_and_missing_file_behavior(self, spark, tmp_path):
+        """expire keeps files the remaining snapshots' bookkeeping
+        entries reference, so the surviving history's changelog still
+        reconstructs; a GENUINELY missing referenced file raises."""
+        import os
+
+        from dst_spark_k8_lakehouse_spark.plans import (
+            iceberg_dml,
+            iceberg_meta as im,
+            iceberg_writer as iw,
+        )
+
+        table, df = self._mk(spark, tmp_path)
+        iceberg_dml.delete_iceberg(spark, table, "id % 2 = 0")
+        iw.expire_snapshots(spark, table, retain_last=1)
+        log = im.read_iceberg_changelog(spark, table)
+        # the one remaining snapshot is ordinal 1 now; its net change
+        # is still exactly the deleted-rows set
+        assert {r.id for r in log.where(
+            "_change_type = 'delete'"
+        ).collect()} == {i for i in range(60) if i % 2 == 0}
+        # physically remove one referenced file → loud refusal
+        meta, _ = iw._load_meta(table)
+        snap = meta["snapshots"][-1]
+        from dst_spark_k8_lakehouse_spark.plans import iceberg_reader
+
+        for mf in iceberg_reader._avro_records(
+            spark, snap["manifest-list"]
+        ):
+            for e in iceberg_reader._avro_records(
+                spark,
+                iceberg_reader._strip_uri(str(mf["manifest_path"])),
+            ):
+                p = iceberg_reader._strip_uri(
+                    str(e["data_file"]["file_path"])
+                )
+                os.unlink(p)
+                break
+            break
+        with pytest.raises(ValueError, match="expired file"):
+            im.read_iceberg_changelog(spark, table).collect()

@@ -635,3 +635,61 @@ def test_pruning_is_always_a_superset_randomized(spark, tmp_path):
         g = sorted(r.id for r in got.collect())
         w = sorted(r.id for r in want.collect())
         assert g == w, (trial, preds)
+
+
+def test_drop_partition_field_void_v1(spark, events_small, tmp_path):
+    """v1 DROP PARTITION FIELD: the field's transform becomes void
+    (null records on new writes), old files keep their day values,
+    pruning on the dropped field stops constraining, pruning on the
+    remaining fields keeps working."""
+    table = str(tmp_path / "drop_v1")
+    old = events_small.limit(300)
+    iceberg_writer.create_iceberg(
+        old, table, partition_by=["days(ts)", "bucket(4, user_id)"]
+    )
+    iceberg_writer.drop_partition_field(table, "user_id_bucket")
+    meta, _ = iceberg_writer._load_meta(table)
+    sfs = {sf["name"]: sf["transform"]
+           for sf in iceberg_writer._spec_fields(meta)}
+    assert sfs == {"ts_day": "day", "user_id_bucket": "void"}
+    iceberg_writer.append_iceberg(
+        old.withColumn("event_id", F.col("event_id") + 10_000_000),
+        table,
+    )
+    got = iceberg_reader.read_iceberg(spark, table)
+    assert got.count() == 600
+    # ts pruning still bites across both spec generations
+    by_day = _day_files(spark, table)
+    pick = sorted(by_day)[0]
+    d0 = datetime.date(1970, 1, 1) + datetime.timedelta(days=pick)
+    lo = datetime.datetime.combine(d0, datetime.time())
+    hi = lo + datetime.timedelta(days=1)
+    pruned = iceberg_reader.read_iceberg(
+        spark, table, predicates=[("ts", ">=", lo), ("ts", "<", hi)]
+    )
+    want = (
+        got.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .count()
+    )
+    assert pruned.count() == want > 0
+    # a user_id equality predicate no longer prunes but stays exact
+    uid = old.select("user_id").first()[0]
+    got_u = iceberg_reader.read_iceberg(
+        spark, table, predicates=[("user_id", "==", uid)]
+    )
+    assert got_u.count() == got.where(F.col("user_id") == uid).count()
+
+
+def test_drop_partition_field_removed_v2(spark, events_small, tmp_path):
+    table = str(tmp_path / "drop_v2")
+    iceberg_writer.create_iceberg(
+        events_small.limit(100), table,
+        partition_by=["days(ts)"], format_version=2,
+    )
+    iceberg_writer.drop_partition_field(table, "ts_day")
+    meta, _ = iceberg_writer._load_meta(table)
+    assert iceberg_writer._spec_fields(meta) == []
+    iceberg_writer.append_iceberg(events_small.limit(100), table)
+    assert iceberg_reader.read_iceberg(spark, table).count() == 200
+    with pytest.raises(ValueError, match="not in the default"):
+        iceberg_writer.drop_partition_field(table, "ts_day")
