@@ -373,6 +373,65 @@ def _pv_str(v: Any) -> str | None:
     return str(v)
 
 
+def _stats_literal(v: Any) -> Any:
+    """A predicate literal in the representation the stats JSON uses
+    (ISO strings for dates/timestamps — lexicographic == chronologic
+    in that format)."""
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _stats_keep(
+    add: dict[str, Any], predicates: list[tuple],
+    phys: dict[str, str] | None = None,
+) -> bool:
+    """DATA SKIPPING: False iff the add action's footer-derived
+    ``stats`` bounds PROVE no row can satisfy every predicate.
+    Missing stats / missing column bounds / type mismatches keep the
+    file — skipping may only ever be a superset of the true match
+    set (the residual row filter stays exact). ``phys`` translates
+    logical predicate columns to the PHYSICAL names stats are keyed
+    by under column mapping."""
+    raw = add.get("stats")
+    if not raw:
+        return True
+    try:
+        s = json.loads(raw) if isinstance(raw, str) else raw
+    except (TypeError, ValueError):
+        return True
+    mins = s.get("minValues") or {}
+    maxs = s.get("maxValues") or {}
+    for col, op, lit in predicates:
+        if phys:
+            col = phys.get(col, col)
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            continue
+        try:
+            if op == "in":
+                vals = [_stats_literal(x) for x in lit]
+                if not any(lo <= x <= hi for x in vals):
+                    return False
+                continue
+            x = _stats_literal(lit)
+            if op in ("==", "=") and not (lo <= x <= hi):
+                return False
+            if op == ">=" and not (hi >= x):
+                return False
+            if op == ">" and not (hi > x):
+                return False
+            if op == "<=" and not (lo <= x):
+                return False
+            if op == "<" and not (lo < x):
+                return False
+        except TypeError:
+            continue  # incomparable representations: keep
+    return True
+
+
 def _pv_pass(
     pv: dict[str, str | None], flt: PartitionFilter
 ) -> bool:
@@ -502,6 +561,13 @@ def read_delta(
                 for rel, a in files.items()
                 if gen_pred(_pv(a, part_cols, phys))
             }
+        # DATA SKIPPING: per-add footer stats prune files on ANY
+        # column, partitioned or not (real Delta's second pruning
+        # tier; composes with ZORDER, which tightens per-file spans)
+        files = {
+            rel: a for rel, a in files.items()
+            if _stats_keep(a, list(predicates), phys)
+        }
         residual = _tr.predicates_to_column(list(predicates))
     if partition_filter is not None:
         if not part_cols:

@@ -119,13 +119,83 @@ def _parse_hive_dir(rel_dir: str) -> dict[str, str | None]:
     return out
 
 
+_STATS_MAX_STRING = 64  # longer strings carry no bounds (skip, keep)
+
+
+def _file_stats_json(path: str) -> str | None:
+    """Per-file DATA-SKIPPING stats from the parquet footer — the
+    spec's per-add ``stats`` JSON (``numRecords`` / ``minValues`` /
+    ``maxValues`` / ``nullCount``), what real Delta writes on every
+    add and prunes scans with. Footer-only: no data read. Columns
+    whose footer carries no usable bounds (or over-long strings) are
+    simply absent — absent = cannot skip, never wrong."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:  # unreadable footer: stats are optional
+        return None
+
+    def _jsonable(v: Any) -> Any:
+        if isinstance(v, bytes):
+            try:
+                v = v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, str):
+            return v if len(v) <= _STATS_MAX_STRING else None
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat(sep=" ") if isinstance(
+                v, _dt.datetime
+            ) else v.isoformat()
+        if isinstance(v, (int, float, bool)):
+            return v
+        return None
+
+    _POISON = object()  # one boundless row group voids the column
+    bounds: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested: out of scope
+            st = col.statistics
+            lo = hi = None
+            if st is not None and st.has_min_max:
+                lo, hi = _jsonable(st.min), _jsonable(st.max)
+            if lo is None or hi is None:
+                bounds[name] = _POISON
+            elif bounds.get(name) is _POISON:
+                pass
+            elif name in bounds:
+                plo, phi = bounds[name]
+                bounds[name] = (min(plo, lo), max(phi, hi))
+            else:
+                bounds[name] = (lo, hi)
+            if st is not None and st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+    ok = {k: v for k, v in bounds.items() if v is not _POISON}
+    stats = {
+        "numRecords": md.num_rows,
+        "minValues": {k: v[0] for k, v in ok.items()},
+        "maxValues": {k: v[1] for k, v in ok.items()},
+        "nullCount": nulls,
+    }
+    return json.dumps(stats)
+
+
 def _write_data_files(
     df: DataFrame, table: str, partition_phys: list[str] | None = None
 ) -> list[dict[str, Any]]:
     """Write df as parquet files under the table dir with unique
     names; return their add actions. With ``partition_phys`` the data
     is written ``partitionBy`` (Hive layout, partition columns NOT in
-    the files) and each add carries its parsed ``partitionValues``."""
+    the files) and each add carries its parsed ``partitionValues``.
+    Every add carries footer-derived ``stats`` (data skipping)."""
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     w = df.write
     if partition_phys:
@@ -144,17 +214,17 @@ def _write_data_files(
             dst = os.path.join(table, *rel.split("/"))
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(os.path.join(root, f), dst)
-            adds.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": pv,
-                        "size": os.path.getsize(dst),
-                        "modificationTime": int(time.time() * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": rel,
+                "partitionValues": pv,
+                "size": os.path.getsize(dst),
+                "modificationTime": int(time.time() * 1000),
+                "dataChange": True,
+            }
+            stats = _file_stats_json(dst)
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 
@@ -710,6 +780,9 @@ _CHECKPOINT_SCHEMA = T.StructType(
                             ]
                         ),
                     ),
+                    # data-skipping bounds survive checkpointing (the
+                    # spec's checkpoint add carries stats as a string)
+                    T.StructField("stats", T.StringType()),
                 ]
             ),
         ),
@@ -812,6 +885,7 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
                     )
                     if d
                     else None,
+                    a.get("stats"),
                 ),
                 None,
                 None,

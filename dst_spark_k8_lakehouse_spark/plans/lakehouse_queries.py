@@ -1827,3 +1827,70 @@ def d40_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.where("c_custkey % 7 = 0").select("c_custkey"),
     )
     return iceberg_meta.read_iceberg_changelog(spark, table)
+
+
+@query(
+    "d41_delta_skipping",
+    oracle=f"""
+        WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events)
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               {sum_sql('value')} AS sv
+        FROM events, b
+        WHERE ts >= CAST(d0 + INTERVAL 3 DAY AS TIMESTAMP)
+        GROUP BY d, event_type
+    """,
+)
+def d41_delta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SKIPPING on an UNPARTITIONED native Delta table — the
+    spec's per-add ``stats`` tier (real Delta's second pruning
+    mechanism, below partitioning): events land range-laid-out (the
+    shape an ingest sorted by arrival time produces), every add
+    carries footer-derived min/max bounds, and a timestamp-range
+    ``predicates`` read prunes FILES with no partition columns at all
+    — plus the exact residual filter. The DELETE spans the pruned
+    range, so the bounds surviving the copy-on-write rewrite are
+    value-checked too. Same relational semantics as
+    ``d36_iceberg_transforms``/``d39_delta_generated`` (one oracle,
+    three pruning mechanisms)."""
+    import atexit
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_dml,
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-delta-skip-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    delta_writer.create_delta(ev.repartitionByRange(8, "ts"), table)
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    day = lambda k: _dt.datetime.combine(  # noqa: E731
+        d0 + _dt.timedelta(days=k), _dt.time()
+    )
+    delta_dml.delete_delta(spark, table, f"ts < TIMESTAMP'{day(3)}'")
+    pruned = delta_reader.read_delta(
+        spark, table,
+        predicates=[("ts", ">=", day(1)), ("ts", "<", day(12))],
+    )
+    rest = delta_reader.read_delta(spark, table).where(
+        F.col("ts") >= F.lit(day(12))
+    )
+    return (
+        pruned.unionByName(rest)
+        .groupBy(
+            F.to_date("ts").cast("timestamp").alias("d"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum("value").alias("sv"),
+        )
+    )

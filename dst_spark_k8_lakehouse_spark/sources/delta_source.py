@@ -737,17 +737,19 @@ class _DeltaWriter(DataSourceArrowWriter):
             dst = os.path.join(self.table, *rel.split("/"))
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             pq.write_table(out, dst, compression="snappy")
-            adds.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": pv,
-                        "size": os.path.getsize(dst),
-                        "modificationTime": int(time.time() * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": rel,
+                "partitionValues": pv,
+                "size": os.path.getsize(dst),
+                "modificationTime": int(time.time() * 1000),
+                "dataChange": True,
+            }
+            from dst_spark_k8_lakehouse_spark.plans import delta_writer
+
+            stats = delta_writer._file_stats_json(dst)
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
         return _WriteMessage(adds=adds)
 
     def _all_adds(self, messages) -> list:
