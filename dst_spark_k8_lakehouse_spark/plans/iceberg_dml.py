@@ -98,6 +98,13 @@ def _live_entries(
                     ),
                     "seq": int(str(e_seq)) if e_seq is not None
                     else ml_seq,
+                    # column bounds survive the rewrite's carry
+                    "lower_bounds": iceberg_reader._get(
+                        d, "lower_bounds"
+                    ),
+                    "upper_bounds": iceberg_reader._get(
+                        d, "upper_bounds"
+                    ),
                 }
             )
     return out
@@ -136,7 +143,8 @@ def _classify(
 
 def _entry(status: int, snap_id: int | None, path: str,
            n: int, size: int, pv: dict | None = None,
-           v2: bool = False, seq: int | None = None) -> dict[str, Any]:
+           v2: bool = False, seq: int | None = None,
+           bounds: tuple | None = None) -> dict[str, Any]:
     e: dict[str, Any] = {
         "status": status,
         "snapshot_id": snap_id,
@@ -146,6 +154,8 @@ def _entry(status: int, snap_id: int | None, path: str,
             "partition": pv or {},
             "record_count": int(n),
             "file_size_in_bytes": int(size),
+            "lower_bounds": (bounds[0] or None) if bounds else None,
+            "upper_bounds": (bounds[1] or None) if bounds else None,
         },
     }
     if v2:
@@ -217,12 +227,14 @@ def _cow_commit(
     new_entries = [
         _entry(0, None, e["file_path"], e["record_count"],
                e["file_size_in_bytes"], _norm_pv(e["partition"]),
-               v2=v2, seq=e.get("seq", 0))
+               v2=v2, seq=e.get("seq", 0),
+               bounds=(e.get("lower_bounds"), e.get("upper_bounds")))
         for e in untouched
     ] + [
         _entry(2, snap_id, e["file_path"], e["record_count"],
                e["file_size_in_bytes"], _norm_pv(e["partition"]),
-               v2=v2, seq=e.get("seq", 0))
+               v2=v2, seq=e.get("seq", 0),
+               bounds=(e.get("lower_bounds"), e.get("upper_bounds")))
         for e in touched
     ]
     added = 0
@@ -239,14 +251,17 @@ def _cow_commit(
                 out, table, meta
             )
             new_entries += [
-                _entry(1, snap_id, p, n, sz, pv, v2=v2)
+                _entry(1, snap_id, p, n, sz, pv, v2=v2,
+                       bounds=iceberg_writer._file_bounds(p, meta))
                 for p, n, sz, pv in files4
             ]
             added = len(files4)
         else:
             files = iceberg_writer._write_data_files(out, table, meta)
             new_entries += [
-                _entry(1, snap_id, p, n, sz, v2=v2) for p, n, sz in files
+                _entry(1, snap_id, p, n, sz, v2=v2,
+                       bounds=iceberg_writer._file_bounds(p, meta))
+                for p, n, sz in files
             ]
             added = len(files)
     md = iceberg_reader._metadata_dir(table)
@@ -422,12 +437,14 @@ def merge_iceberg(
     new_entries = [
         _entry(0, None, e["file_path"], e["record_count"],
                e["file_size_in_bytes"], _norm_pv(e["partition"]),
-               v2=v2, seq=e.get("seq", 0))
+               v2=v2, seq=e.get("seq", 0),
+               bounds=(e.get("lower_bounds"), e.get("upper_bounds")))
         for e in entries_now if e["file_path"] not in touched_paths
     ] + [
         _entry(2, snap_id, e["file_path"], e["record_count"],
                e["file_size_in_bytes"], _norm_pv(e["partition"]),
-               v2=v2, seq=e.get("seq", 0))
+               v2=v2, seq=e.get("seq", 0),
+               bounds=(e.get("lower_bounds"), e.get("upper_bounds")))
         for e in entries_now if e["file_path"] in touched_paths
     ]
     added = 0
@@ -437,14 +454,17 @@ def merge_iceberg(
                 out, table, meta
             )
             new_entries += [
-                _entry(1, snap_id, p, n, sz, pv, v2=v2)
+                _entry(1, snap_id, p, n, sz, pv, v2=v2,
+                       bounds=iceberg_writer._file_bounds(p, meta))
                 for p, n, sz, pv in files4
             ]
             added = len(files4)
         else:
             files = iceberg_writer._write_data_files(out, table, meta)
             new_entries += [
-                _entry(1, snap_id, p, n, sz, v2=v2) for p, n, sz in files
+                _entry(1, snap_id, p, n, sz, v2=v2,
+                       bounds=iceberg_writer._file_bounds(p, meta))
+                for p, n, sz in files
             ]
             added = len(files)
     md = iceberg_reader._metadata_dir(table)

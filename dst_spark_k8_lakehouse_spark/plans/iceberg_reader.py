@@ -180,7 +180,24 @@ def _snapshot_entries(
                     pv, partition_filter
                 ):
                     continue
-                data.append({"path": path, "seq": seq, "pv": pv})
+                lb = _get(data_file, "lower_bounds")
+                ub = _get(data_file, "upper_bounds")
+                bounds = None
+                if lb and ub:
+                    lo_by = {
+                        int(x["key"]): bytes(x["value"]) for x in lb
+                    }
+                    hi_by = {
+                        int(x["key"]): bytes(x["value"]) for x in ub
+                    }
+                    bounds = {
+                        fid: (lo_by[fid], hi_by[fid])
+                        for fid in lo_by if fid in hi_by
+                    }
+                data.append(
+                    {"path": path, "seq": seq, "pv": pv,
+                     "bounds": bounds}
+                )
             elif df_content == 1:
                 pos_dels.append({"path": path, "seq": seq})
             elif df_content == 2:
@@ -204,6 +221,74 @@ def _snapshot_entries(
                     f"Iceberg file content {df_content} (0/1/2 only)"
                 )
     return data, pos_dels, eq_dels
+
+
+def _bound_literal(v: Any, iceberg_type: str) -> Any:
+    """Predicate literal in the representation ``bound_value``
+    decodes to (epoch micros for timestamps, epoch days for dates)."""
+    import datetime as _dt
+
+    if iceberg_type in ("timestamp", "timestamptz"):
+        ts = v
+        if not isinstance(ts, _dt.datetime):
+            ts = _dt.datetime.fromisoformat(str(ts))
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        d = ts - _dt.datetime(1970, 1, 1)
+        return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+    if iceberg_type == "date":
+        d0 = v if isinstance(v, _dt.date) else _dt.date.fromisoformat(
+            str(v)
+        )
+        return (d0 - _dt.date(1970, 1, 1)).days
+    return v
+
+
+def _bounds_keep(
+    entry: dict, predicates: list[tuple], schema_fields: list[dict]
+) -> bool:
+    """DATA SKIPPING from manifest column bounds: False iff the
+    entry's lower/upper bounds PROVE no row satisfies every predicate.
+    Missing bounds / types keep the file (the residual row filter
+    stays exact either way) — the Iceberg twin of Delta's per-add
+    stats skipping."""
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as _iw
+
+    bounds = entry.get("bounds")
+    if not bounds:
+        return True
+    by_name = {
+        f["name"]: (int(f["id"]), f["type"])
+        for f in schema_fields if isinstance(f["type"], str)
+    }
+    for col, op, lit in predicates:
+        if col not in by_name:
+            continue
+        fid, t = by_name[col]
+        if fid not in bounds:
+            continue
+        try:
+            lo = _iw.bound_value(bounds[fid][0], t)
+            hi = _iw.bound_value(bounds[fid][1], t)
+            if op == "in":
+                vals = [_bound_literal(x, t) for x in lit]
+                if not any(lo <= x <= hi for x in vals):
+                    return False
+                continue
+            x = _bound_literal(lit, t)
+            if op in ("==", "=") and not (lo <= x <= hi):
+                return False
+            if op == ">=" and not (hi >= x):
+                return False
+            if op == ">" and not (hi > x):
+                return False
+            if op == "<=" and not (lo <= x):
+                return False
+            if op == "<" and not (lo < x):
+                return False
+        except (TypeError, NotImplementedError):
+            continue  # incomparable: keep
+    return True
 
 
 def _live_data_files(
@@ -534,13 +619,20 @@ def read_iceberg(
         spark, snaps[snapshot_id], spec_fields, partition_filter,
         specs_by_id=_iw._specs_by_id(meta),
     )
-    files = [e["path"] for e in data]
     schema = None
     for s in meta.get("schemas", []):
         if s.get("schema-id") == meta.get("current-schema-id"):
             schema = s
     if schema is None:
         schema = meta.get("schema")  # v1 single-schema layout
+    if predicates and schema is not None:
+        # second pruning tier: manifest COLUMN BOUNDS skip files on
+        # ANY column, partitioned or not
+        data = [
+            e for e in data
+            if _bounds_keep(e, list(predicates), schema["fields"])
+        ]
+    files = [e["path"] for e in data]
     if schema is not None:
         df = read_data_files(spark, files, schema)
     elif not files:

@@ -105,6 +105,32 @@ MANIFEST_LIST_SCHEMA_V2 = json.dumps(
     }
 )
 
+# the spec's map<int, bytes> shape for column bounds: an Avro array of
+# key/value records with the appendix field ids (125-130)
+def _bounds_avro(name: str, fid: int, kid: int, vid: int) -> dict:
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{kid}_v{vid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": kid},
+                        {"name": "value", "type": "bytes",
+                         "field-id": vid},
+                    ],
+                },
+            },
+        ],
+        "default": None,
+        "field-id": fid,
+    }
+
+
 def manifest_schema(
     partition_fields: list[dict] | None = None, fmt: int = 1
 ) -> str:
@@ -134,6 +160,10 @@ def manifest_schema(
         },
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        # OPTIONAL column bounds (spec field-ids 125/128): the data-
+        # skipping tier — single-value-serialized min/max per field id
+        _bounds_avro("lower_bounds", 125, 126, 127),
+        _bounds_avro("upper_bounds", 128, 129, 130),
     ]
     entry_fields = [
         {"name": "status", "type": "int", "field-id": 0},
@@ -292,6 +322,135 @@ def _typed_partition_value(raw: str | None, iceberg_type: str):
             datetime.date.fromisoformat(raw) - datetime.date(1970, 1, 1)
         ).days
     return raw
+
+
+_BOUND_MAX_STRING = 64  # longer strings carry no bounds (skip, keep)
+
+
+def bound_bytes(v: Any, iceberg_type: str) -> bytes | None:
+    """Iceberg SINGLE-VALUE binary serialization (spec Appendix D) of
+    a bound — little-endian fixed-width numerics, UTF-8 strings, days
+    for dates, micros for timestamps. None = not representable (the
+    column simply carries no bound — conservative)."""
+    import datetime as _dt
+    import struct as _st
+
+    if v is None:
+        return None
+    try:
+        if iceberg_type == "int":
+            return _st.pack("<i", int(v))
+        if iceberg_type == "long":
+            return _st.pack("<q", int(v))
+        if iceberg_type == "float":
+            return _st.pack("<f", float(v))
+        if iceberg_type == "double":
+            return _st.pack("<d", float(v))
+        if iceberg_type == "date":
+            d = v if isinstance(v, _dt.date) else _dt.date.fromisoformat(
+                str(v)
+            )
+            return _st.pack(
+                "<i", (d - _dt.date(1970, 1, 1)).days
+            )
+        if iceberg_type in ("timestamp", "timestamptz"):
+            ts = v
+            if not isinstance(ts, _dt.datetime):
+                ts = _dt.datetime.fromisoformat(str(ts))
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            delta = ts - _dt.datetime(1970, 1, 1)
+            micros = (
+                delta.days * 86_400 + delta.seconds
+            ) * 1_000_000 + delta.microseconds
+            return _st.pack("<q", micros)
+        if iceberg_type == "string":
+            s = str(v)
+            if len(s) > _BOUND_MAX_STRING:
+                return None
+            return s.encode("utf-8")
+    except (ValueError, OverflowError, _st.error):
+        return None
+    return None
+
+
+def bound_value(b: bytes, iceberg_type: str) -> Any:
+    """Inverse of ``bound_bytes`` — what the reader compares predicate
+    literals against. Timestamps come back as epoch MICROS (compare
+    in micros), dates as epoch days."""
+    import struct as _st
+
+    if iceberg_type == "int":
+        return _st.unpack("<i", b)[0]
+    if iceberg_type == "long":
+        return _st.unpack("<q", b)[0]
+    if iceberg_type == "float":
+        return _st.unpack("<f", b)[0]
+    if iceberg_type == "double":
+        return _st.unpack("<d", b)[0]
+    if iceberg_type == "date":
+        return _st.unpack("<i", b)[0]
+    if iceberg_type in ("timestamp", "timestamptz"):
+        return _st.unpack("<q", b)[0]
+    if iceberg_type == "string":
+        return b.decode("utf-8")
+    raise NotImplementedError(f"bound type {iceberg_type}")
+
+
+def _file_bounds(
+    path: str, meta: dict
+) -> tuple[list[dict], list[dict]]:
+    """(lower_bounds, upper_bounds) key/value lists for one data file,
+    from the parquet FOOTER (no data read): per top-level column with
+    usable stats, the Iceberg single-value bytes keyed by field id.
+    Columns without clean bounds are simply absent."""
+    import pyarrow.parquet as pq
+
+    by_name = {
+        f["name"]: (int(f["id"]), f["type"])
+        for f in meta["schema"]["fields"]
+        if isinstance(f["type"], str)
+    }
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return [], []
+    _POISON = object()
+    agg: dict[str, Any] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name not in by_name:
+                continue
+            st = col.statistics
+            lo = hi = None
+            if st is not None and st.has_min_max:
+                lo, hi = st.min, st.max
+            if lo is None or hi is None:
+                agg[name] = _POISON
+            elif agg.get(name) is _POISON:
+                pass
+            elif name in agg:
+                plo, phi = agg[name]
+                try:
+                    agg[name] = (min(plo, lo), max(phi, hi))
+                except TypeError:
+                    agg[name] = _POISON
+            else:
+                agg[name] = (lo, hi)
+    lower, upper = [], []
+    for name, v in agg.items():
+        if v is _POISON:
+            continue
+        fid, t = by_name[name]
+        lo_b = bound_bytes(v[0], t)
+        hi_b = bound_bytes(v[1], t)
+        if lo_b is None or hi_b is None:
+            continue
+        lower.append({"key": fid, "value": lo_b})
+        upper.append({"key": fid, "value": hi_b})
+    return lower, upper
 
 
 def write_avro(spark: SparkSession, path: str, schema_json: str, rows) -> None:
@@ -593,6 +752,7 @@ def _snapshot_commit(
     seq = _next_seq(meta) if v2 else 0
 
     def _added(p: str, n: int, sz: int, pv: dict) -> dict:
+        lower, upper = _file_bounds(p, meta)
         e = {
             "status": 1,  # ADDED
             "snapshot_id": snap_id,
@@ -602,6 +762,8 @@ def _snapshot_commit(
                 "partition": pv,
                 "record_count": int(n),
                 "file_size_in_bytes": int(sz),
+                "lower_bounds": lower or None,
+                "upper_bounds": upper or None,
             },
         }
         if v2:

@@ -1894,3 +1894,70 @@ def d41_delta_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("value").alias("sv"),
         )
     )
+
+
+@query(
+    "d42_iceberg_skipping",
+    oracle=f"""
+        WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events)
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               {sum_sql('value')} AS sv
+        FROM events, b
+        WHERE ts >= CAST(d0 + INTERVAL 3 DAY AS TIMESTAMP)
+        GROUP BY d, event_type
+    """,
+)
+def d42_iceberg_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SKIPPING on an UNPARTITIONED native Iceberg table —
+    manifest COLUMN BOUNDS (spec field-ids 125/128, single-value
+    serialized min/max per column; real planners' second pruning
+    tier): events land range-laid-out, every manifest entry carries
+    footer-derived bounds, a timestamp-range ``predicates`` read
+    prunes FILES with no partition spec at all, and the bounds
+    SURVIVE the copy-on-write DELETE (carried for untouched entries,
+    re-derived for rewrites). The Delta twin is
+    ``d41_delta_skipping`` — one oracle, both formats."""
+    import atexit
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_dml,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-ice-skip-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    iceberg_writer.create_iceberg(
+        ev.repartitionByRange(8, "ts"), table
+    )
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    day = lambda k: _dt.datetime.combine(  # noqa: E731
+        d0 + _dt.timedelta(days=k), _dt.time()
+    )
+    iceberg_dml.delete_iceberg(spark, table, f"ts < TIMESTAMP'{day(3)}'")
+    pruned = iceberg_reader.read_iceberg(
+        spark, table,
+        predicates=[("ts", ">=", day(1)), ("ts", "<", day(12))],
+    )
+    rest = iceberg_reader.read_iceberg(spark, table).where(
+        F.col("ts") >= F.lit(day(12))
+    )
+    return (
+        pruned.unionByName(rest)
+        .groupBy(
+            F.to_date("ts").cast("timestamp").alias("d"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum("value").alias("sv"),
+        )
+    )

@@ -67,6 +67,7 @@ PRIORITY: list[str] = [
     "t8_stream_to_iceberg",  # exactly-once stream → days(ts) Iceberg
     "d40_iceberg_changelog",  # row-level changelog (Iceberg's CDF)
     "d41_delta_skipping",  # per-add stats file skipping, unpartitioned
+    "d42_iceberg_skipping",  # manifest column-bounds skipping
     # (b) implementation changed this round after their last green row:
     # delta_dv's bitmap build moved executor-side; the Iceberg
     # writer/reader partition-spec handling became transform-aware

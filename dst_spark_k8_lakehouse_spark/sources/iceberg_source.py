@@ -582,6 +582,15 @@ class _IceWriter(DataSourceArrowWriter):
                             "partition": pv,
                             "record_count": int(n),
                             "file_size_in_bytes": int(sz),
+                            # column bounds for data skipping
+                            "lower_bounds": (
+                                iceberg_writer._file_bounds(p, meta)[0]
+                                or None
+                            ),
+                            "upper_bounds": (
+                                iceberg_writer._file_bounds(p, meta)[1]
+                                or None
+                            ),
                         },
                     }
                     for p, n, sz, pv in files

@@ -494,17 +494,21 @@ def test_add_partition_field_evolves_spec(spark, events_small, tmp_path):
     )
     assert pruned.count() == want.count() > 0
     assert pruned.exceptAll(want).count() == 0
-    # file-level: every old file kept, exactly the matching day's new
-    # files kept
+    # file-level: partition pruning keeps every old-spec file (it
+    # cannot reason about them) and exactly the matching day's new
+    # files; manifest COLUMN BOUNDS (r7 data skipping) may then drop
+    # old files whose ts range provably misses — touched must be a
+    # SUBSET of the partition-level expectation that still contains
+    # every matching-day file
     touched = {
         os.path.normpath(iceberg_reader._strip_uri(f))
         for f in pruned.inputFiles()
     }
-    expected = old_files | {
+    day_files = {
         os.path.normpath(e["path"])
         for e in data if e["pv"].get("ts_day") == pick
     }
-    assert touched == expected
+    assert day_files <= touched <= (old_files | day_files)
     assert len(touched) < len(data)
 
 
@@ -693,3 +697,98 @@ def test_drop_partition_field_removed_v2(spark, events_small, tmp_path):
     assert iceberg_reader.read_iceberg(spark, table).count() == 200
     with pytest.raises(ValueError, match="not in the default"):
         iceberg_writer.drop_partition_field(table, "ts_day")
+
+
+# ---------------------------------------------------------------------------
+# manifest COLUMN BOUNDS (data skipping, r7) — the Iceberg twin of
+# Delta's per-add stats
+
+
+def test_manifest_bounds_skip_files_unpartitioned(spark, tmp_path):
+    table = str(tmp_path / "bounds")
+    df = spark.range(1000).select(
+        "id", (F.col("id").cast("double") / 4).alias("x"),
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 6, "0"))
+        .alias("s"),
+    )
+    iceberg_writer.create_iceberg(
+        df.repartitionByRange(8, "id"), table
+    )
+    # bounds landed in the manifests
+    meta, _ = iceberg_writer._load_meta(table)
+    snaps = {int(s["snapshot-id"]): s for s in meta["snapshots"]}
+    data, _p, _e = iceberg_reader._snapshot_entries(
+        spark, snaps[int(meta["current-snapshot-id"])], []
+    )
+    assert all(e["bounds"] for e in data)
+    got = iceberg_reader.read_iceberg(
+        spark, table, predicates=[("id", "<", 100)]
+    )
+    assert {r.id for r in got.collect()} == set(range(100))
+    assert len(got.inputFiles()) < len(data)
+    # string bounds
+    got2 = iceberg_reader.read_iceberg(
+        spark, table, predicates=[("s", ">=", "k000900")]
+    )
+    assert got2.count() == 100
+    assert len(got2.inputFiles()) < len(data)
+    # equality hits exactly one file
+    got3 = iceberg_reader.read_iceberg(
+        spark, table, predicates=[("id", "==", 42)]
+    )
+    assert [r.id for r in got3.collect()] == [42]
+    assert len(got3.inputFiles()) == 1
+
+
+def test_bounds_roundtrip_and_timestamp_skip(spark, tmp_path):
+    import struct
+
+    # single-value codec round trips (spec Appendix D shapes)
+    for v, t in [(34, "int"), (-(2**40), "long"), (1.5, "double"),
+                 (datetime.date(2024, 1, 2), "date"),
+                 (datetime.datetime(2024, 1, 2, 3, 4, 5), "timestamp"),
+                 ("abc", "string")]:
+        b = iceberg_writer.bound_bytes(v, t)
+        back = iceberg_writer.bound_value(b, t)
+        lit = iceberg_reader._bound_literal(v, t)
+        assert back == lit, (v, t, back, lit)
+    assert iceberg_writer.bound_bytes(34, "int") == struct.pack("<i", 34)
+    table = str(tmp_path / "ts")
+    rows = [
+        (i, datetime.datetime(2024, 6, 1) + datetime.timedelta(hours=i))
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+    iceberg_writer.create_iceberg(
+        df.repartitionByRange(5, "ts"), table
+    )
+    lo = datetime.datetime(2024, 6, 3)
+    hi = datetime.datetime(2024, 6, 4)
+    got = iceberg_reader.read_iceberg(
+        spark, table, predicates=[("ts", ">=", lo), ("ts", "<", hi)]
+    )
+    want = {i for i, t in rows if lo <= t < hi}
+    assert {r.id for r in got.collect()} == want
+    assert len(got.inputFiles()) < 5
+
+
+def test_bounds_survive_cow_dml(spark, events_small, tmp_path):
+    """COW DML carries untouched entries' bounds and derives fresh
+    ones for rewrites, so skipping keeps working after row-level
+    DML; entries with NO bounds (pre-r7 manifests) are kept."""
+    table = str(tmp_path / "old")
+    iceberg_writer.create_iceberg(events_small.limit(200), table)
+    iceberg_dml.delete_iceberg(spark, table, "event_id % 2 = 0")
+    got = iceberg_reader.read_iceberg(
+        spark, table, predicates=[("event_id", "<", 50)]
+    )
+    want = events_small.limit(200).where(
+        "event_id % 2 = 1 AND event_id < 50"
+    )
+    assert got.count() == want.count()
+    meta, _ = iceberg_writer._load_meta(table)
+    snaps = {int(s["snapshot-id"]): s for s in meta["snapshots"]}
+    data, _p, _e = iceberg_reader._snapshot_entries(
+        spark, snaps[int(meta["current-snapshot-id"])], []
+    )
+    assert all(e["bounds"] for e in data), "DML dropped the bounds"
