@@ -238,6 +238,16 @@ _RENAME_COL_RE = re.compile(
     r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
     re.IGNORECASE,
 )
+_ADD_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+"
+    r"(?P<item>.+?)\s*$",
+    re.IGNORECASE,
+)
+_DROP_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+DROP\s+PARTITION\s+FIELD\s+"
+    r"(?P<name>\w+)\s*$",
+    re.IGNORECASE,
+)
 _SET_CDF_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+SET\s+TBLPROPERTIES\s*\(\s*"
     r"['\"]?delta\.enableChangeDataFeed['\"]?\s*=\s*['\"]?true['\"]?"
@@ -465,6 +475,23 @@ def execute_native_sql(
             delta_writer.rename_column(spark, p, m["old"], m["new"])
         else:
             iceberg_writer.rename_column(p, m["old"], m["new"])
+        return 0
+    if m := _ADD_PART_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) != "iceberg":
+            raise NotImplementedError(
+                "ADD PARTITION FIELD is Iceberg spec evolution; Delta "
+                "partitions are fixed at create (use generated columns)"
+            )
+        iceberg_writer.add_partition_field(p, m["item"])
+        return 0
+    if m := _DROP_PART_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) != "iceberg":
+            raise NotImplementedError(
+                "DROP PARTITION FIELD is Iceberg spec evolution"
+            )
+        iceberg_writer.drop_partition_field(p, m["name"])
         return 0
     if m := _SET_CDF_RE.match(sql):
         return delta_cdf.enable_cdf(spark, _path(m["table"]))

@@ -278,3 +278,39 @@ class TestNotebookReplay:
             execute_native_sql(
                 spark, "INSERT INTO t VALUES (1, 2)", tables
             )
+
+
+def test_partition_field_statements(spark, tmp_path):
+    """ALTER TABLE ... ADD/DROP PARTITION FIELD as statement text —
+    the spec-evolution SQL surface routed onto the native writer."""
+    tables = {"t": str(tmp_path / "t"), "d": str(tmp_path / "d")}
+    execute_native_sql(
+        spark,
+        "CREATE TABLE t (id BIGINT, ts TIMESTAMP) USING iceberg",
+        tables,
+    )
+    execute_native_sql(
+        spark, "ALTER TABLE t ADD PARTITION FIELD days(ts)", tables
+    )
+    meta, _ = iw._load_meta(tables["t"])
+    assert iw._spec_fields(meta)[0]["transform"] == "day"
+    execute_native_sql(
+        spark,
+        "INSERT INTO t VALUES (1, TIMESTAMP '2024-01-01 10:00:00')",
+        tables,
+    )
+    assert ir.read_iceberg(spark, tables["t"]).count() == 1
+    execute_native_sql(
+        spark, "ALTER TABLE t DROP PARTITION FIELD ts_day", tables
+    )
+    meta, _ = iw._load_meta(tables["t"])
+    assert iw._spec_fields(meta)[0]["transform"] == "void"
+    # Delta refuses loudly
+    execute_native_sql(
+        spark, "CREATE TABLE d (id BIGINT) USING delta", tables
+    )
+    with pytest.raises(NotImplementedError, match="Iceberg"):
+        execute_native_sql(
+            spark, "ALTER TABLE d ADD PARTITION FIELD bucket(4, id)",
+            tables,
+        )
