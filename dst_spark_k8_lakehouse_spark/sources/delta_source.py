@@ -455,6 +455,25 @@ class _BatchReader(DataSourceReader):
         self.files = dict(state["files"])
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
+        """Two pruning tiers from Catalyst's pushed filters: partition
+        equality/IN on the log's partitionValues, then (r7) DATA
+        SKIPPING — range/equality filters on ANY column checked
+        against each add's footer-derived ``stats`` bounds. Every
+        filter is returned as remaining (Spark re-applies it exactly;
+        both prunings are supersets)."""
+        from pyspark.sql.datasource import (
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        _OPS = {
+            EqualTo: "==", In: "in", GreaterThan: ">",
+            GreaterThanOrEqual: ">=", LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        predicates: list[tuple] = []
         remaining = []
         for f in filters:
             eq_one = (
@@ -481,7 +500,14 @@ class _BatchReader(DataSourceReader):
                     in wanted
                 }
                 # spark may re-apply the filter; that is harmless
+            elif type(f) in _OPS and len(f.attribute) == 1:
+                predicates.append((f.attribute[0], _OPS[type(f)], f.value))
             remaining.append(f)
+        if predicates:
+            self.files = {
+                rel: a for rel, a in self.files.items()
+                if delta_reader._stats_keep(a, predicates, self.phys)
+            }
         return iter(remaining)
 
     def partitions(self):

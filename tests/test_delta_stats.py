@@ -151,3 +151,26 @@ def test_missing_stats_keep_files(spark, tmp_path):
     got = dr.read_delta(spark, table, predicates=[("id", "==", 5)])
     assert [r.id for r in got.collect()] == [5]
     assert len(got.inputFiles()) == 1  # kept (the only file)
+
+
+def test_datasource_pushdown_stats_skipping(spark, tmp_path):
+    """format('delta_native') skips files from plain DataFrame range
+    filters via the pushed-filter stats check — no special API."""
+    from dst_spark_k8_lakehouse_spark.sources import delta_source
+
+    delta_source.register(spark)
+    table = str(tmp_path / "t")
+    dw.create_delta(_df(spark).repartitionByRange(8, "id"), table)
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    r = delta_source._BatchReader(table, None)
+    n_all = len(r.partitions())
+    list(r.pushFilters([
+        GreaterThanOrEqual(("id",), 100), LessThan(("id",), 200),
+    ]))
+    assert 0 < len(r.partitions()) < n_all
+    got = (
+        spark.read.format("delta_native").load(table)
+        .where((F.col("id") >= 100) & (F.col("id") < 200))
+    )
+    assert {r_.id for r_ in got.collect()} == set(range(100, 200))
