@@ -378,6 +378,11 @@ def _stats_literal(v: Any) -> Any:
     (ISO strings for dates/timestamps — lexicographic == chronologic
     in that format)."""
     if isinstance(v, datetime.datetime):
+        # Same naive-UTC normalization as the writer's _jsonable: a
+        # tz-aware literal must compare against the naive-UTC strings
+        # the stats JSON stores.
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()

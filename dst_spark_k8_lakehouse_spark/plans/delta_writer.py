@@ -146,10 +146,18 @@ def _file_stats_json(path: str) -> str | None:
                 return None
         if isinstance(v, str):
             return v if len(v) <= _STATS_MAX_STRING else None
-        if isinstance(v, (_dt.datetime, _dt.date)):
-            return v.isoformat(sep=" ") if isinstance(
-                v, _dt.datetime
-            ) else v.isoformat()
+        if isinstance(v, _dt.datetime):
+            # Normalize tz-aware footer stats (pyarrow returns aware
+            # datetimes for tz-annotated timestamp columns) to naive
+            # UTC so the string shares one representation with the
+            # naive predicate literals `_stats_literal` renders —
+            # otherwise a '+00:00' suffix misorders prefix-ties and
+            # a `<=` at the exact file min wrongly prunes the file.
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat(sep=" ")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
         if isinstance(v, (int, float, bool)):
             return v
         return None

@@ -112,10 +112,12 @@ def _pv_pass(pv: dict[str, Any], flt) -> bool:
         return bool(flt(dict(pv)))
     for col, want in flt.items():
         if col not in pv:
-            raise ValueError(
-                f"partition_filter column {col!r} is not a partition "
-                f"field ({sorted(pv)})"
-            )
+            # Spec evolution: a manifest written before ADD PARTITION
+            # FIELD resolves against its own (older) spec, so its pv
+            # dicts lack the new field — cannot prune, keep. Column
+            # names are validated ONCE against the default spec in
+            # read_iceberg, not per-file here.
+            continue
         wants = want if isinstance(want, (list, tuple, set)) else [want]
         if pv[col] not in set(wants):
             return False
@@ -566,6 +568,14 @@ def read_iceberg(
     spec_fields = _default_spec_fields(meta)
     if partition_filter is not None and not spec_fields:
         raise ValueError("partition_filter on an unpartitioned table")
+    if isinstance(partition_filter, dict):
+        spec_names = {sf["name"] for sf in spec_fields}
+        bad = sorted(set(partition_filter) - spec_names)
+        if bad:
+            raise ValueError(
+                f"partition_filter column(s) {bad} not partition "
+                f"fields of the current spec ({sorted(spec_names)})"
+            )
     residual = None
     if predicates:
         from dst_spark_k8_lakehouse_spark.plans import (

@@ -422,13 +422,22 @@ def py_transform(
 _OPS = {"==", "=", "<", "<=", ">", ">=", "in"}
 
 
-def _minus_unit(lit: Any) -> Any:
-    """``lit`` minus one smallest unit of its type — what a strict
-    ``<`` bound projects through; None when the type has no discrete
-    unit (float/str → the caller keeps the inclusive bound)."""
+def _minus_unit(lit: Any, src_type: str = "") -> Any:
+    """``lit`` minus one smallest unit of the SOURCE COLUMN's type —
+    what a strict ``<`` bound projects through; None when the type has
+    no discrete unit (float/str → the caller keeps the inclusive
+    bound). The unit must come from the source type, not the literal:
+    ``src < date(D)`` on a timestamp source partitioned ``hour(src)``
+    admits rows in every hour of day D-1, so the bound is
+    ``midnight(D) - 1µs`` (projects to the last hour of D-1), NOT
+    ``D - 1 day`` (which would wrongly prune hours 1..23 of D-1)."""
     if isinstance(lit, datetime.datetime):
         return lit - datetime.timedelta(microseconds=1)
     if isinstance(lit, datetime.date):
+        if src_type.startswith("timestamp"):
+            return datetime.datetime(
+                lit.year, lit.month, lit.day
+            ) - datetime.timedelta(microseconds=1)
         return lit - datetime.timedelta(days=1)
     if isinstance(lit, int) and not isinstance(lit, bool):
         return lit - 1
@@ -495,7 +504,8 @@ def partition_predicate(
                 # inclusive-projection refinement) so a range ending
                 # exactly on a partition boundary prunes the boundary
                 # partition; unit-less literals fall back to T(lit)
-                eff = _minus_unit(lit) if op == "<" else None
+                stype = src["type"] if isinstance(src["type"], str) else ""
+                eff = _minus_unit(lit, stype) if op == "<" else None
                 hi = t(eff) if eff is not None else t(lit)
                 checks.append((sf["name"], lambda pv, b=hi: pv <= b))
 

@@ -569,32 +569,27 @@ class _IceWriter(DataSourceArrowWriter):
             md = iceberg_reader._metadata_dir(self.table)
             snap_id = int(time.time() * 1000) * 1000 + v + 1
             manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
+            def _entry(p, n, sz, pv):
+                # one footer parse per file; bounds feed data skipping
+                lo, hi = iceberg_writer._file_bounds(p, meta)
+                return {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": pv,
+                        "record_count": int(n),
+                        "file_size_in_bytes": int(sz),
+                        "lower_bounds": lo or None,
+                        "upper_bounds": hi or None,
+                    },
+                }
+
             avro_codec.write_avro_file(
                 manifest,
                 mschema,
-                [
-                    {
-                        "status": 1,
-                        "snapshot_id": snap_id,
-                        "data_file": {
-                            "file_path": p,
-                            "file_format": "PARQUET",
-                            "partition": pv,
-                            "record_count": int(n),
-                            "file_size_in_bytes": int(sz),
-                            # column bounds for data skipping
-                            "lower_bounds": (
-                                iceberg_writer._file_bounds(p, meta)[0]
-                                or None
-                            ),
-                            "upper_bounds": (
-                                iceberg_writer._file_bounds(p, meta)[1]
-                                or None
-                            ),
-                        },
-                    }
-                    for p, n, sz, pv in files
-                ],
+                [_entry(p, n, sz, pv) for p, n, sz, pv in files],
             )
             entries = (
                 []

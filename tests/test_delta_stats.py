@@ -174,3 +174,36 @@ def test_datasource_pushdown_stats_skipping(spark, tmp_path):
         .where((F.col("id") >= 100) & (F.col("id") < 200))
     )
     assert {r_.id for r_ in got.collect()} == set(range(100, 200))
+
+
+def test_tz_aware_footer_stats_normalize_to_naive_utc(tmp_path):
+    """r8 ADVICE fix (medium): pyarrow returns TZ-AWARE datetimes for
+    tz-annotated timestamp columns (what the delta_native Arrow writer
+    produces); the stats JSON must render them naive-UTC so they
+    compare correctly with naive predicate literals — an ISO string
+    with '+00:00' misorders prefix-ties and a ``<=`` at the exact file
+    min would silently prune a matching file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lo = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    hi = datetime.datetime(2024, 3, 2, 18, 30, 0)
+    t = pa.table({
+        "ts": pa.array([lo, hi], type=pa.timestamp("us", tz="UTC")),
+        "v": pa.array([1, 2], type=pa.int64()),
+    })
+    p = str(tmp_path / "tz.parquet")
+    pq.write_table(t, p)
+    s = json.loads(dw._file_stats_json(p))
+    assert s["minValues"]["ts"] == "2024-03-01 12:00:00"
+    assert "+" not in s["minValues"]["ts"]
+    add = {"stats": json.dumps(s)}
+    # <= at the exact file min must KEEP the file (it has a match)
+    assert dr._stats_keep(add, [("ts", "<=", lo)])
+    assert dr._stats_keep(add, [("ts", ">=", hi)])
+    assert not dr._stats_keep(
+        add, [("ts", "<", lo - datetime.timedelta(seconds=1))]
+    )
+    # tz-aware literals normalize the same way on the reader side
+    aware = lo.replace(tzinfo=datetime.timezone.utc)
+    assert dr._stats_literal(aware) == "2024-03-01 12:00:00"

@@ -792,3 +792,89 @@ def test_bounds_survive_cow_dml(spark, events_small, tmp_path):
         spark, snaps[int(meta["current-snapshot-id"])], []
     )
     assert all(e["bounds"] for e in data), "DML dropped the bounds"
+
+
+def test_strict_lt_date_literal_on_hour_table_keeps_prior_day(
+    spark, events_small, tmp_path
+):
+    """r8 ADVICE fix: ``ts < date(D)`` on an hour(ts) table projects
+    through ``midnight(D) - 1µs`` — the last hour of D-1 — NOT
+    ``hour(D - 1 day)`` (hour 0 of D-1), which would silently prune
+    hours 1..23 of day D-1 that contain matching rows."""
+    spec = [{
+        "name": "ts_hour", "transform": "hour",
+        "source-id": 1, "field-id": 1000,
+    }]
+    schema = [{"id": 1, "name": "ts", "type": "timestamptz"}]
+    day = datetime.date(2024, 1, 10)
+    pred = tr.partition_predicate(
+        spec, schema, [("ts", "<", day)]
+    )
+    prev = (day - datetime.timedelta(days=1)
+            - datetime.date(1970, 1, 1)).days
+    for h in range(24):  # every hour of day D-1 holds matching rows
+        assert pred({"ts_hour": prev * 24 + h}), h
+    # hour 0 of day D holds none (strict <) — pruned
+    assert not pred({"ts_hour": (prev + 1) * 24})
+    # end-to-end on a real hours(ts) table: strict-< at a midnight
+    # boundary returns exactly the rows before it
+    table = str(tmp_path / "ev_hours_lt")
+    iceberg_writer.create_iceberg(
+        events_small.limit(400), table, partition_by=["hours(ts)"]
+    )
+    cut_row = events_small.limit(400).select(
+        F.date_trunc("day", F.max("ts")).alias("d")
+    ).collect()[0]
+    cut = cut_row.d.date()
+    got = iceberg_reader.read_iceberg(
+        spark, table, predicates=[("ts", "<", cut)]
+    )
+    want = events_small.limit(400).where(F.col("ts") < F.lit(cut))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_dict_partition_filter_after_spec_evolution(
+    spark, events_small, tmp_path
+):
+    """r8 ADVICE fix: a dict partition_filter naming a field added by
+    ADD PARTITION FIELD must KEEP (not crash on) files written under
+    the older spec, and unknown names must fail fast up front."""
+    table = str(tmp_path / "ev_evolve_dictflt")
+    old = events_small.limit(200)
+    iceberg_writer.create_iceberg(old, table)  # unpartitioned
+    iceberg_writer.add_partition_field(table, "days(ts)")
+    iceberg_writer.append_iceberg(
+        old.withColumn("event_id", F.col("event_id") + 10_000_000),
+        table,
+    )
+    meta, _ = iceberg_writer._load_meta(table)
+    snaps = {int(s["snapshot-id"]): s for s in meta["snapshots"]}
+    data, _p, _e = iceberg_reader._snapshot_entries(
+        spark, snaps[int(meta["current-snapshot-id"])],
+        iceberg_writer._spec_fields(meta),
+        specs_by_id=iceberg_writer._specs_by_id(meta),
+    )
+    days = sorted({
+        e["pv"]["ts_day"] for e in data if e["pv"].get("ts_day")
+        is not None
+    })
+    pick = days[0]
+    got = iceberg_reader.read_iceberg(
+        spark, table, partition_filter={"ts_day": pick}
+    )
+    # old-spec files are kept wholesale (no per-row residual for a
+    # dict filter) + the matching day's new files
+    lo = datetime.datetime.combine(
+        datetime.date(1970, 1, 1) + datetime.timedelta(days=pick),
+        datetime.time(),
+    )
+    hi = lo + datetime.timedelta(days=1)
+    n_new_day = old.where(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    ).count()
+    assert got.count() == 200 + n_new_day
+    with pytest.raises(ValueError, match="not partition"):
+        iceberg_reader.read_iceberg(
+            spark, table, partition_filter={"nope": 1}
+        )
