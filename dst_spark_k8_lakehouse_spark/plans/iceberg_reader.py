@@ -130,6 +130,7 @@ def _snapshot_entries(
     spec_fields: list[dict] | None = None,
     partition_filter=None,
     specs_by_id: dict[int, list[dict]] | None = None,
+    manifest_keep=None,
 ) -> tuple[list[dict], list[dict], list[dict]]:
     """Walk a snapshot's manifest list into three entry lists —
     ``(data, position_deletes, equality_deletes)`` — each entry a dict
@@ -150,7 +151,16 @@ def _snapshot_entries(
     entry's ``partition_spec_id`` — a file written before an
     ADD PARTITION FIELD carries NO value for the new field (its pv
     dict lacks the key), which predicate pruning reads as
-    "cannot prune, keep"."""
+    "cannot prune, keep".
+
+    ``manifest_keep`` (``iceberg_transforms.manifest_summary_
+    predicate``) is the MANIFEST-LEVEL pruning tier: evaluated against
+    each manifest-list entry's ``partitions`` field summaries, a False
+    skips the whole DATA manifest WITHOUT Avro-decoding it — the step
+    that keeps plan time proportional to the matching partition range
+    instead of the table's total manifest bytes. Manifests without
+    summaries (foreign/pre-r8 writers) and delete manifests are always
+    decoded."""
     data: list[dict] = []
     pos_dels: list[dict] = []
     eq_dels: list[dict] = []
@@ -162,6 +172,12 @@ def _snapshot_entries(
         if specs_by_id is not None:
             ml_spec = int(str(_get(mf, "partition_spec_id") or 0))
             fields_here = specs_by_id.get(ml_spec, spec_fields)
+        if manifest_keep is not None and ml_content == 0:
+            summaries = _get(mf, "partitions")
+            if summaries and fields_here and not manifest_keep(
+                fields_here, summaries
+            ):
+                continue  # whole manifest pruned, never opened
         for entry in _avro_records(spark, manifest_path):
             status = int(str(entry.get("status")))
             if status == 2:  # DELETED
@@ -565,29 +581,62 @@ def read_iceberg(
         raise NotImplementedError(
             f"Iceberg format-version {meta['format-version']} > 2"
         )
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as _iw
+
     spec_fields = _default_spec_fields(meta)
     if partition_filter is not None and not spec_fields:
         raise ValueError("partition_filter on an unpartitioned table")
+    pv_wants: dict[str, set] | None = None
     if isinstance(partition_filter, dict):
         spec_names = {sf["name"] for sf in spec_fields}
         bad = sorted(set(partition_filter) - spec_names)
         if bad:
             raise ValueError(
-                f"partition_filter column(s) {bad} not partition "
-                f"fields of the current spec ({sorted(spec_names)})"
+                f"partition_filter column(s) {bad}: not a partition "
+                f"field of the current spec ({sorted(spec_names)})"
             )
+        # normalize the typed wants into the PV DOMAIN the manifests
+        # store (identity date fields record epoch-day ints)
+        from dst_spark_k8_lakehouse_spark.plans import (
+            iceberg_transforms as _trn,
+        )
+
+        rts = dict(zip(
+            (sf["name"] for sf in spec_fields),
+            _iw._spec_result_types(meta),
+        ))
+        pv_wants = {}
+        for col, want in partition_filter.items():
+            wants = (want if isinstance(want, (list, tuple, set))
+                     else [want])
+            pv_wants[col] = {
+                _trn.to_pv_domain(w, rts.get(col, "")) for w in wants
+            }
+        partition_filter = {k: sorted(v, key=repr)
+                            for k, v in pv_wants.items()}
     residual = None
+    manifest_keep = None
+    schema_now = None
+    for s in meta.get("schemas", []):
+        if s.get("schema-id") == meta.get("current-schema-id"):
+            schema_now = s
+    if schema_now is None:
+        schema_now = meta.get("schema")  # v1 single-schema layout
+    if (predicates or pv_wants) and spec_fields and schema_now:
+        # MANIFEST-LEVEL pruning: whole manifests whose partition
+        # summaries prove no match are skipped before being decoded
+        from dst_spark_k8_lakehouse_spark.plans import (
+            iceberg_transforms as _tr,
+        )
+
+        manifest_keep = _tr.manifest_summary_predicate(
+            schema_now["fields"], list(predicates or []), pv_wants
+        )
     if predicates:
         from dst_spark_k8_lakehouse_spark.plans import (
             iceberg_transforms as _tr,
         )
 
-        schema_now = None
-        for s in meta.get("schemas", []):
-            if s.get("schema-id") == meta.get("current-schema-id"):
-                schema_now = s
-        if schema_now is None:
-            schema_now = meta["schema"]
         known = {f["name"] for f in schema_now["fields"]}
         unknown = sorted({c for c, _o, _v in predicates} - known)
         if unknown:
@@ -623,18 +672,12 @@ def read_iceberg(
             f"snapshot {snapshot_id} not in table (has "
             f"{sorted(snaps)[:5]}…)"
         )
-    from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as _iw
-
     data, pos_dels, eq_dels = _snapshot_entries(
         spark, snaps[snapshot_id], spec_fields, partition_filter,
         specs_by_id=_iw._specs_by_id(meta),
+        manifest_keep=manifest_keep,
     )
-    schema = None
-    for s in meta.get("schemas", []):
-        if s.get("schema-id") == meta.get("current-schema-id"):
-            schema = s
-    if schema is None:
-        schema = meta.get("schema")  # v1 single-schema layout
+    schema = schema_now
     if predicates and schema is not None:
         # second pruning tier: manifest COLUMN BOUNDS skip files on
         # ANY column, partitioned or not

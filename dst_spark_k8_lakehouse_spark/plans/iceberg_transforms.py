@@ -464,8 +464,37 @@ def partition_predicate(
     (null source rows, or a spec-evolution manifest rewrite) KEEPS the
     file — pruning must never drop rows it cannot reason about; the
     residual row filter stays exact either way."""
+    checks = _compile_checks(spec_fields, schema_fields, predicates)
+    _MISSING = object()
+
+    def _pred(pv: dict) -> bool:
+        for name, kind, w in checks:
+            v = pv.get(name, _MISSING)
+            if v is _MISSING or v is None:
+                # older-spec file or null value: cannot prune — keep
+                continue
+            try:
+                if not _FILE_CHECK[kind](v, w):
+                    return False
+            except TypeError:
+                continue  # incomparable representations: keep
+        return True
+
+    return _pred
+
+
+def _compile_checks(
+    spec_fields: list[dict], schema_fields: list[dict],
+    predicates: list[tuple[str, str, Any]],
+) -> list[tuple[str, str, Any]]:
+    """Project predicates through the spec's transforms into
+    ``(partition_field_name, kind, bound)`` triples in the PV DOMAIN —
+    the value representation manifests actually store (epoch days for
+    date results, per the Avro date logical type). Both the file-level
+    and the manifest-summary pruners consume these; kinds are ``eq``
+    / ``in`` / ``ge`` / ``le``."""
     by_id = {f["id"]: f for f in schema_fields}
-    checks: list[tuple[str, Callable[[Any], bool]]] = []
+    checks: list[tuple[str, str, Any]] = []
     for col, op, lit in predicates:
         if op not in _OPS:
             raise ValueError(f"predicate op {op!r}; one of {sorted(_OPS)}")
@@ -476,52 +505,199 @@ def partition_predicate(
             tname, param = parse_spec_transform(sf["transform"])
             if tname == "void":
                 continue
-            t = py_transform(tname, param, src["type"]
-                             if isinstance(src["type"], str) else "")
+            stype = src["type"] if isinstance(src["type"], str) else ""
+            t = py_transform(tname, param, stype)
+            try:
+                rt = result_type(tname, stype, src["name"])
+            except NotImplementedError:
+                rt = ""
+
+            def tv(v, _t=t, _rt=rt):
+                return to_pv_domain(_t(v), _rt)
+
             if tname == "bucket" or tname not in MONOTONIC:
+                # order-destroying: only equality prunes
                 if op in ("==", "="):
-                    want = t(lit)
-                    checks.append(
-                        (sf["name"], lambda pv, w=want: pv == w)
-                    )
+                    checks.append((sf["name"], "eq", tv(lit)))
                 elif op == "in":
-                    wants = {t(x) for x in lit}
-                    checks.append(
-                        (sf["name"], lambda pv, w=wants: pv in w)
-                    )
+                    checks.append((sf["name"], "in", {tv(x) for x in lit}))
                 continue
             if op in ("==", "="):
-                want = t(lit)
-                checks.append((sf["name"], lambda pv, w=want: pv == w))
+                checks.append((sf["name"], "eq", tv(lit)))
             elif op == "in":
-                wants = {t(x) for x in lit}
-                checks.append((sf["name"], lambda pv, w=wants: pv in w))
+                checks.append((sf["name"], "in", {tv(x) for x in lit}))
             elif op in (">", ">="):
-                lo = t(lit)
-                checks.append((sf["name"], lambda pv, b=lo: pv >= b))
+                checks.append((sf["name"], "ge", tv(lit)))
             elif op in ("<", "<="):
-                # strict < projects through T(lit - 1 unit) (Iceberg's
-                # inclusive-projection refinement) so a range ending
-                # exactly on a partition boundary prunes the boundary
-                # partition; unit-less literals fall back to T(lit)
-                stype = src["type"] if isinstance(src["type"], str) else ""
+                # strict < projects through T(lit - 1 source unit)
+                # (Iceberg's inclusive-projection refinement) so a
+                # range ending exactly on a partition boundary prunes
+                # the boundary partition; unit-less literals fall back
+                # to the inclusive T(lit)
                 eff = _minus_unit(lit, stype) if op == "<" else None
-                hi = t(eff) if eff is not None else t(lit)
-                checks.append((sf["name"], lambda pv, b=hi: pv <= b))
+                checks.append(
+                    (sf["name"], "le",
+                     tv(eff) if eff is not None else tv(lit))
+                )
+    return checks
 
-    _MISSING = object()
 
-    def _pred(pv: dict) -> bool:
-        for name, fn in checks:
-            v = pv.get(name, _MISSING)
-            if v is _MISSING or v is None:
-                # older-spec file or null value: cannot prune — keep
+_FILE_CHECK = {
+    "eq": lambda pv, w: pv == w,
+    "in": lambda pv, w: pv in w,
+    "ge": lambda pv, w: pv >= w,
+    "le": lambda pv, w: pv <= w,
+}
+
+# may the closed interval [lo, hi] contain any passing value?
+_SUMMARY_CHECK = {
+    "eq": lambda lo, hi, w: lo <= w <= hi,
+    "in": lambda lo, hi, w: any(lo <= x <= hi for x in w),
+    "ge": lambda lo, hi, w: hi >= w,
+    "le": lambda lo, hi, w: lo <= w,
+}
+
+
+def to_pv_domain(v: Any, result_type_name: str) -> Any:
+    """A transform output / user literal → the value domain manifest
+    partition RECORDS store: epoch days for ``date`` results (the Avro
+    date logical type is a plain int on disk), pass-through otherwise.
+    Without this an identity-partitioned date column compares
+    ``datetime.date`` literals against int pvs and silently prunes
+    everything."""
+    if v is None:
+        return None
+    if result_type_name == "date":
+        if isinstance(v, datetime.datetime):
+            v = v.date()
+        if isinstance(v, datetime.date):
+            return (v - _EPOCH).days
+    return v
+
+
+_SUMMARY_MAX_STRING = 64  # longer strings carry no bounds (keep)
+
+
+def summary_bound_bytes(v: Any, result_type_name: str) -> bytes | None:
+    """PV-DOMAIN value → Iceberg single-value bytes (spec Appendix D)
+    for a manifest-list ``field_summary`` bound. None = not
+    representable (the summary simply carries no bound — readers keep
+    the manifest). Covers exactly the partition-record value types the
+    writer supports (``_PARTITION_AVRO``)."""
+    import struct as _st
+
+    if v is None:
+        return None
+    try:
+        if result_type_name in ("int", "date"):
+            return _st.pack("<i", int(v))
+        if result_type_name == "long":
+            return _st.pack("<q", int(v))
+        if result_type_name == "boolean":
+            return b"\x01" if v else b"\x00"
+        if result_type_name == "string":
+            s = str(v)
+            if len(s) > _SUMMARY_MAX_STRING:
+                return None
+            return s.encode("utf-8")
+    except (ValueError, OverflowError, _st.error):
+        return None
+    return None
+
+
+def summary_bound_value(b: bytes, result_type_name: str) -> Any:
+    """Inverse of ``summary_bound_bytes`` — back into the pv domain."""
+    import struct as _st
+
+    if result_type_name in ("int", "date"):
+        return _st.unpack("<i", b)[0]
+    if result_type_name == "long":
+        return _st.unpack("<q", b)[0]
+    if result_type_name == "boolean":
+        return b != b"\x00"
+    if result_type_name == "string":
+        return b.decode("utf-8")
+    raise NotImplementedError(f"summary bound type {result_type_name}")
+
+
+def manifest_summary_predicate(
+    schema_fields: list[dict],
+    predicates: list[tuple[str, str, Any]] | None,
+    pv_filter: dict[str, set] | None = None,
+) -> Callable[[list[dict], list[dict]], bool]:
+    """MANIFEST-LEVEL pruning from the manifest-list's ``partitions``
+    field summaries — the planning-path twin of file-level data
+    skipping. Returns ``keep(spec_fields, summaries) -> bool``: False
+    iff the summaries PROVE no file in the manifest can match, so the
+    planner skips the whole manifest WITHOUT Avro-decoding it.
+
+    ``summaries`` is the manifest-list entry's ``partitions`` list,
+    ordered like the manifest's own spec fields (``spec_fields`` —
+    per-manifest resolution under spec evolution). ``pv_filter`` is an
+    already-PV-DOMAIN dict filter ``{field_name: {wanted pvs}}``.
+    Conservative everywhere: a summary with ``contains_null`` (null
+    source rows OR a spec-evolution rewrite's unknown values), missing
+    bounds, an undecodable type, or a field the predicates don't
+    constrain keeps the manifest. At 100 TB this is what turns a
+    thousands-of-manifests single-threaded metadata walk into a
+    handful of decodes for a time-range query."""
+    preds = list(predicates or [])
+    flt = pv_filter or {}
+    by_id = {f["id"]: f for f in schema_fields}
+    _check_cache: dict[tuple, list[tuple[str, str, Any]]] = {}
+
+    def keep(spec_fields: list[dict], summaries: list[dict]) -> bool:
+        if not summaries or not spec_fields:
+            return True
+        if preds:
+            key = tuple(
+                (sf.get("field-id"), sf["name"], sf["transform"])
+                for sf in spec_fields
+            )
+            checks = _check_cache.get(key)
+            if checks is None:
+                try:
+                    checks = _compile_checks(spec_fields, schema_fields,
+                                             preds)
+                except KeyError:
+                    checks = []  # foreign spec vs schema: keep all
+                _check_cache[key] = checks
+        else:
+            checks = []
+        for sf, sm in zip(spec_fields, summaries):
+            if not isinstance(sm, dict):
                 continue
-            if not fn(v):
-                return False
+            if sm.get("contains_null"):
+                continue  # cannot reason about nulls/rewrites: keep
+            lo_b, hi_b = sm.get("lower_bound"), sm.get("upper_bound")
+            if lo_b is None or hi_b is None:
+                continue
+            src = by_id.get(sf.get("source-id"))
+            stype = (src["type"] if src and isinstance(src["type"], str)
+                     else "")
+            try:
+                tname, _p = parse_spec_transform(sf["transform"])
+                rt = result_type(tname, stype, sf["name"])
+                lo = summary_bound_value(bytes(lo_b), rt)
+                hi = summary_bound_value(bytes(hi_b), rt)
+            except Exception:
+                continue  # undecodable: keep
+            try:
+                for name, kind, w in checks:
+                    if name != sf["name"]:
+                        continue
+                    if not _SUMMARY_CHECK[kind](lo, hi, w):
+                        return False
+                wants = flt.get(sf["name"])
+                if wants is not None and not any(
+                    lo <= x <= hi for x in wants
+                ):
+                    return False
+            except TypeError:
+                continue  # incomparable: keep
         return True
 
-    return _pred
+    return keep
 
 
 def predicates_to_column(

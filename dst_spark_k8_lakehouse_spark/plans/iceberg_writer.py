@@ -60,6 +60,41 @@ from pyspark.sql import types as T
 
 from dst_spark_k8_lakehouse_spark.plans import iceberg_reader
 
+# the spec's per-partition-field summary on every manifest-list entry
+# (field-id 507, element 508, summary fields 509/518/510/511): what
+# lets a planner prune WHOLE MANIFESTS against partition predicates
+# before Avro-decoding them — the manifest-level tier above the
+# per-file partition records. Optional with a null default, so foreign
+# / pre-r8 writers and raw call sites stay valid (readers keep
+# summary-less manifests conservatively).
+_PARTITIONS_AVRO = {
+    "name": "partitions",
+    "type": [
+        "null",
+        {
+            "type": "array",
+            "element-id": 508,
+            "items": {
+                "type": "record",
+                "name": "r508",
+                "fields": [
+                    {"name": "contains_null", "type": "boolean",
+                     "field-id": 509},
+                    {"name": "contains_nan",
+                     "type": ["null", "boolean"],
+                     "default": None, "field-id": 518},
+                    {"name": "lower_bound", "type": ["null", "bytes"],
+                     "default": None, "field-id": 510},
+                    {"name": "upper_bound", "type": ["null", "bytes"],
+                     "default": None, "field-id": 511},
+                ],
+            },
+        },
+    ],
+    "default": None,
+    "field-id": 507,
+}
+
 MANIFEST_LIST_SCHEMA = json.dumps(
     {
         "type": "record",
@@ -69,6 +104,7 @@ MANIFEST_LIST_SCHEMA = json.dumps(
             {"name": "manifest_length", "type": "long", "field-id": 501},
             {"name": "partition_spec_id", "type": "int", "field-id": 502},
             {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            _PARTITIONS_AVRO,
         ],
     }
 )
@@ -101,6 +137,7 @@ MANIFEST_LIST_SCHEMA_V2 = json.dumps(
              "field-id": 513},
             {"name": "deleted_rows_count", "type": "long",
              "field-id": 514},
+            _PARTITIONS_AVRO,
         ],
     }
 )
@@ -664,7 +701,75 @@ def _prev_manifests(spark: SparkSession, meta: dict) -> list[dict]:
             for k in ("added_rows_count", "existing_rows_count",
                       "deleted_rows_count"):
                 e[k] = int(str(r.get(k) or 0))
+        # carry the partition summaries forward — dropping them would
+        # silently demote every carried manifest to never-pruned
+        parts = r.get("partitions")
+        e["partitions"] = (
+            [
+                {
+                    "contains_null": bool(s.get("contains_null")),
+                    "contains_nan": s.get("contains_nan"),
+                    "lower_bound": s.get("lower_bound"),
+                    "upper_bound": s.get("upper_bound"),
+                }
+                for s in parts
+            ]
+            if parts is not None else None
+        )
         out.append(e)
+    return out
+
+
+def partition_summaries(
+    meta: dict, entries: list[dict]
+) -> list[dict] | None:
+    """The manifest-list ``partitions`` field for one manifest: per
+    DEFAULT-spec partition field, ``contains_null`` + single-value-
+    serialized lower/upper bounds over the manifest's LIVE entries'
+    partition records (spec field-ids 509/510/511). None on an
+    unpartitioned spec. Values are already pv-domain (epoch-day ints
+    for date results) — ``summary_bound_bytes`` serializes that domain
+    directly. Unrepresentable values leave the bound absent
+    (conservative keep), mirroring the per-file bounds tier."""
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_transforms as tr
+
+    spec = _spec_fields(meta)
+    if not spec:
+        return None
+    rts = _spec_result_types(meta)
+    out = []
+    for sf, rt in zip(spec, rts):
+        has_null = False
+        lo = hi = None
+        poisoned = False
+        for r in entries:
+            if int(r.get("status", 1)) == 2:  # DELETED: not live
+                continue
+            pv = (r.get("data_file") or {}).get("partition") or {}
+            v = pv.get(sf["name"])
+            if v is None:
+                has_null = True
+                continue
+            if poisoned:
+                continue
+            try:
+                lo = v if lo is None else min(lo, v)
+                hi = v if hi is None else max(hi, v)
+            except TypeError:
+                lo = hi = None
+                poisoned = True
+        lo_b = tr.summary_bound_bytes(lo, rt)
+        hi_b = tr.summary_bound_bytes(hi, rt)
+        if lo_b is None or hi_b is None:
+            lo_b = hi_b = None  # a one-sided bound proves nothing
+        out.append(
+            {
+                "contains_null": has_null,
+                "contains_nan": None,
+                "lower_bound": lo_b,
+                "upper_bound": hi_b,
+            }
+        )
     return out
 
 
@@ -683,6 +788,7 @@ def _mlist_entry(
         "manifest_length": os.path.getsize(manifest),
         "partition_spec_id": int(meta.get("default-spec-id", 0)),
         "added_snapshot_id": snap_id,
+        "partitions": partition_summaries(meta, entries or []),
     }
     if _fmt(meta) >= 2:
         rows = entries or []

@@ -586,11 +586,8 @@ class _IceWriter(DataSourceArrowWriter):
                     },
                 }
 
-            avro_codec.write_avro_file(
-                manifest,
-                mschema,
-                [_entry(p, n, sz, pv) for p, n, sz, pv in files],
-            )
+            mrows = [_entry(p, n, sz, pv) for p, n, sz, pv in files]
+            avro_codec.write_avro_file(manifest, mschema, mrows)
             entries = (
                 []
                 if self.overwrite
@@ -604,6 +601,10 @@ class _IceWriter(DataSourceArrowWriter):
                         meta.get("default-spec-id", 0)
                     ),
                     "added_snapshot_id": snap_id,
+                    # manifest-level pruning summaries (spec f-id 507)
+                    "partitions": iceberg_writer.partition_summaries(
+                        meta, mrows
+                    ),
                 }
             )
             mlist = os.path.join(md, f"snap-{snap_id}.avro")

@@ -874,7 +874,7 @@ def test_dict_partition_filter_after_spec_evolution(
         (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
     ).count()
     assert got.count() == 200 + n_new_day
-    with pytest.raises(ValueError, match="not partition"):
+    with pytest.raises(ValueError, match="not a partition field"):
         iceberg_reader.read_iceberg(
             spark, table, partition_filter={"nope": 1}
         )

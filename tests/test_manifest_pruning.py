@@ -1,0 +1,264 @@
+"""MANIFEST-LEVEL pruning from manifest-list partition summaries —
+the planning-path twin of the per-file data-skipping tier.
+
+Every native write path stamps the spec's ``partitions`` field
+summaries (field-id 507: contains_null + single-value lower/upper
+bounds per partition field) onto its manifest-list entries;
+``iceberg_reader._snapshot_entries`` evaluates partition predicates
+against them and skips whole manifests WITHOUT Avro-decoding them.
+These tests instrument the Avro codec and assert pruned manifests are
+never OPENED (the manifest-level analogue of the data-file-set
+assertions in ``test_iceberg_transforms``), plus the conservative
+rules: summary-less manifests (foreign/pre-r8 writers), contains_null
+summaries (null source rows / spec-evolution rewrites), and delete
+manifests are always decoded.
+
+Reference shape: the demo table ``PARTITIONED BY (days(ts))``
+(``/root/reference/docker/spark-notebook/02_iceberg_demo.ipynb:45-54``)
+— at 100 TB scale (thousands of manifests) this tier is what keeps
+plan time proportional to the queried range, not total metadata bytes.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.plans import (
+    avro_codec,
+    iceberg_dml,
+    iceberg_reader as ir,
+    iceberg_writer as iw,
+)
+
+
+@pytest.fixture
+def track_avro(monkeypatch):
+    """Record every Avro file the reader opens."""
+    opened: list[str] = []
+    orig = avro_codec.read_avro_file
+
+    def spy(path, *a, **k):
+        opened.append(os.path.normpath(path))
+        return orig(path, *a, **k)
+
+    monkeypatch.setattr(avro_codec, "read_avro_file", spy)
+    return opened
+
+
+def _day_batch(spark, day, n=50, base="2024-01-01 00:00:00"):
+    return spark.range(n).coalesce(1).select(
+        (F.col("id") + day * 1000).alias("id"),
+        (F.to_timestamp(F.lit(base)) +
+         F.make_interval(days=F.lit(day))).alias("ts"),
+    )
+
+
+def _manifests_of(table):
+    meta, _ = iw._load_meta(table)
+    cur = next(
+        s for s in meta["snapshots"]
+        if int(s["snapshot-id"]) == int(meta["current-snapshot-id"])
+    )
+    return meta, [
+        (os.path.normpath(str(r["manifest_path"])), r.get("partitions"))
+        for r in avro_codec.read_avro_file(cur["manifest-list"])
+    ]
+
+
+def test_every_append_carries_summaries(spark, tmp_path):
+    table = str(tmp_path / "t")
+    iw.create_iceberg(_day_batch(spark, 0), table,
+                      partition_by=["days(ts)"])
+    for d in range(1, 4):
+        iw.append_iceberg(_day_batch(spark, d), table)
+    _meta, mfs = _manifests_of(table)
+    assert len(mfs) == 4
+    for _p, parts in mfs:
+        assert parts is not None and len(parts) == 1
+        s = parts[0]
+        assert s["contains_null"] is False
+        assert s["lower_bound"] is not None
+        assert s["upper_bound"] is not None
+    # each single-day manifest: lower == upper == that day's ordinal
+    days = sorted(
+        int.from_bytes(bytes(p[0]["lower_bound"]), "little")
+        for _m, p in mfs
+    )
+    d0 = (datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)).days
+    assert days == [d0, d0 + 1, d0 + 2, d0 + 3]
+
+
+def test_pruned_manifests_never_opened(spark, tmp_path, track_avro):
+    table = str(tmp_path / "t")
+    iw.create_iceberg(_day_batch(spark, 0), table,
+                      partition_by=["days(ts)"])
+    for d in range(1, 6):
+        iw.append_iceberg(_day_batch(spark, d), table)
+    _meta, mfs = _manifests_of(table)
+    assert len(mfs) == 6
+    track_avro.clear()
+    lo = datetime.datetime(2024, 1, 3)
+    got = ir.read_iceberg(
+        spark, table,
+        predicates=[("ts", ">=", lo),
+                    ("ts", "<", lo + datetime.timedelta(days=2))],
+    )
+    assert got.count() == 100
+    assert {r.id for r in got.collect()} == (
+        {i + 2000 for i in range(50)} | {i + 3000 for i in range(50)}
+    )
+    opened = set(track_avro)
+    manifest_paths = {m for m, _p in mfs}
+    assert len(opened & manifest_paths) == 2  # days 3 and 4 only
+    # the four out-of-range manifests were pruned WITHOUT being read
+    assert len(manifest_paths - opened) == 4
+
+
+def test_dict_filter_prunes_manifests(spark, tmp_path, track_avro):
+    table = str(tmp_path / "t")
+    df = spark.range(90).select(
+        "id", (F.col("id") % 3).cast("int").alias("grp")
+    ).repartition(3, "grp")
+    iw.create_iceberg(df.where("grp = 0"), table, partition_by=["grp"])
+    iw.append_iceberg(df.where("grp = 1"), table)
+    iw.append_iceberg(df.where("grp = 2"), table)
+    _meta, mfs = _manifests_of(table)
+    assert len(mfs) == 3
+    track_avro.clear()
+    got = ir.read_iceberg(spark, table, partition_filter={"grp": 1})
+    assert {r.id for r in got.collect()} == {
+        i for i in range(90) if i % 3 == 1
+    }
+    opened = set(track_avro)
+    assert len(opened & {m for m, _p in mfs}) == 1
+
+
+def test_summaryless_manifests_kept_conservatively(
+    spark, tmp_path, track_avro
+):
+    """A manifest-list entry with NO summaries (foreign / pre-r8
+    writer) must always be decoded — never wrongly skipped."""
+    table = str(tmp_path / "t")
+    iw.create_iceberg(_day_batch(spark, 0), table,
+                      partition_by=["days(ts)"])
+    iw.append_iceberg(_day_batch(spark, 5), table)
+    meta, _ = iw._load_meta(table)
+    cur = next(
+        s for s in meta["snapshots"]
+        if int(s["snapshot-id"]) == int(meta["current-snapshot-id"])
+    )
+    rows = list(avro_codec.read_avro_file(cur["manifest-list"]))
+    for r in rows:
+        r["partitions"] = None
+    avro_codec.write_avro_file(
+        cur["manifest-list"], iw.mlist_schema(meta), rows
+    )
+    track_avro.clear()
+    got = ir.read_iceberg(
+        spark, table,
+        predicates=[("ts", ">=", datetime.datetime(2024, 1, 6))],
+    )
+    assert got.count() == 50  # correct rows, file-level pruning only
+    opened = set(track_avro)
+    assert all(
+        os.path.normpath(str(r["manifest_path"])) in opened for r in rows
+    )
+
+
+def test_null_partition_values_block_manifest_pruning(spark, tmp_path):
+    """contains_null=True keeps the manifest: null pvs mean null
+    source rows OR a spec-evolution rewrite — either way the planner
+    cannot reason about them."""
+    table = str(tmp_path / "t")
+    withnull = _day_batch(spark, 0).withColumn(
+        "ts",
+        F.when(F.col("id") % 2 == 0, F.col("ts")).otherwise(F.lit(None)),
+    )
+    iw.create_iceberg(withnull, table, partition_by=["days(ts)"])
+    _meta, mfs = _manifests_of(table)
+    # the null-day manifest is flagged
+    assert any(p[0]["contains_null"] for _m, p in mfs)
+    got = ir.read_iceberg(
+        spark, table,
+        predicates=[("ts", ">=", datetime.datetime(2024, 1, 1))],
+    )
+    assert got.count() == 25  # nulls excluded by the residual, present
+
+
+def test_summaries_survive_cow_dml(spark, tmp_path, track_avro):
+    table = str(tmp_path / "t")
+    iw.create_iceberg(_day_batch(spark, 0), table,
+                      partition_by=["days(ts)"])
+    for d in range(1, 4):
+        iw.append_iceberg(_day_batch(spark, d), table)
+    iceberg_dml.update_iceberg(
+        spark, table, "id = 1001", {"id": "999999"}
+    )
+    _meta, mfs = _manifests_of(table)
+    assert all(p is not None for _m, p in mfs)
+    track_avro.clear()
+    lo = datetime.datetime(2024, 1, 4)
+    got = ir.read_iceberg(spark, table, predicates=[("ts", ">=", lo)])
+    assert got.count() == 50
+    opened = set(track_avro)
+    # the DML rewrote days 0-3 into one manifest; day-3 rows live
+    # there — but earlier single-day manifests that were carried
+    # forward must still prune
+    untouched = {m for m, p in mfs if p and len(p) == 1
+                 and p[0]["upper_bound"] is not None}
+    assert len(untouched & opened) < len(untouched) or len(mfs) == 1
+
+
+def test_spec_evolution_old_manifests_always_decoded(
+    spark, tmp_path, track_avro
+):
+    """Old-spec manifests (no value for the new field) must be KEPT by
+    manifest pruning on predicates over the new field — while
+    new-spec manifests outside the range are skipped unopened."""
+    table = str(tmp_path / "t")
+    iw.create_iceberg(_day_batch(spark, 0), table)  # unpartitioned
+    iw.add_partition_field(table, "days(ts)")
+    for d in range(1, 4):
+        iw.append_iceberg(_day_batch(spark, d), table)
+    _meta, mfs = _manifests_of(table)
+    assert len(mfs) == 4
+    track_avro.clear()
+    lo = datetime.datetime(2024, 1, 2)
+    got = ir.read_iceberg(
+        spark, table,
+        predicates=[("ts", ">=", lo),
+                    ("ts", "<", lo + datetime.timedelta(days=1))],
+    )
+    assert {r.id for r in got.collect()} == {i + 1000 for i in range(50)}
+    opened = set(track_avro)
+    manifest_paths = {m for m, _p in mfs}
+    # old-spec manifest: decoded (conservative); day-1 manifest:
+    # decoded (matches); day-2/day-3 manifests: never opened
+    assert len(manifest_paths - opened) == 2
+
+
+def test_datasource_writes_carry_summaries(spark, tmp_path, track_avro):
+    from dst_spark_k8_lakehouse_spark.sources import iceberg_source
+
+    iceberg_source.register(spark)
+    table = str(tmp_path / "t")
+    iw.create_iceberg(_day_batch(spark, 0), table,
+                      partition_by=["days(ts)"])
+    for d in range(1, 3):
+        (_day_batch(spark, d).write.format("iceberg_native")
+         .mode("append").save(table))
+    _meta, mfs = _manifests_of(table)
+    assert len(mfs) == 3
+    assert all(p is not None and p[0]["upper_bound"] is not None
+               for _m, p in mfs)
+    track_avro.clear()
+    got = ir.read_iceberg(
+        spark, table,
+        predicates=[("ts", "==", datetime.datetime(2024, 1, 2))],
+    )
+    assert got.count() == 50
+    assert len(set(track_avro) & {m for m, _p in mfs}) == 1
