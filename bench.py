@@ -152,6 +152,42 @@ def main() -> None:
             timings[qid] = best
     timings = {qid: round(t, 4) for qid, t in timings.items()}
 
+    # DSIR hash attribution (r8, VERDICT r7 item 7): HEADLINE's
+    # l6_dsir_scan uses the md5 bucket key (the one hash DuckDB can
+    # also compute, so the oracle value-checks it); the library
+    # DEFAULT is xxhash64. Timing the production form next to it keeps
+    # the ~0.3 s oracle-portability tax attributed every round instead
+    # of reading as "DSIR is slow" in a future diff.
+    from dst_spark_k8_lakehouse_spark.llm import curation
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    prod_w = curation._persisted_dsir_weights(
+        spark, sf_dir, curation.DSIR_BUCKETS, None
+    )
+
+    def _dsir_prod():
+        return curation.dsir_score_bucketed(
+            curation._dsir_toks(docs), prod_w, curation.DSIR_BUCKETS
+        )
+
+    _dsir_prod().toPandas()  # warm
+    dsir_prod = float("inf")
+    for _ in range(3):
+        df = _dsir_prod()
+        start = time.perf_counter()
+        df.toPandas()
+        dsir_prod = min(dsir_prod, time.perf_counter() - start)
+
+    # PLANTIME (r8, VERDICT r7 item 2): planning latency —
+    # time-to-file-list, no scan — on synthetic metadata-only tables
+    # at two file/commit scales, both formats, full vs 3-day-pruned.
+    # This is where a pure-Python metadata-walk regression shows up
+    # (invisible to the headline queries, whose tables are tiny);
+    # the pruned Iceberg number is the one manifest-level pruning
+    # keeps flat as commit count grows. See plans/plantime.py.
+    from dst_spark_k8_lakehouse_spark.plans import plantime
+
     print(
         json.dumps(
             {
@@ -160,6 +196,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "plantime": plantime.measure(spark),
+                "notes": {
+                    "l6_dsir_scan_prod_xxhash64": round(dsir_prod, 4),
+                },
             }
         )
     )

@@ -502,35 +502,22 @@ def version_at_timestamp(path: str, ts_millis: int) -> int:
     return best
 
 
-def read_delta(
+def plan_file_list(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     timestamp: int | datetime.datetime | None = None,
     partition_filter: PartitionFilter | None = None,
-    with_row_identity: bool = False,
     predicates: list[tuple] | None = None,
-) -> DataFrame:
-    """SELECT from a Delta table directory (optionally ``versionAsOf``
-    = ``version`` or ``timestampAsOf`` = ``timestamp``, epoch millis
-    or datetime) without the Delta runtime. Partition columns come
-    from the log's ``partitionValues``; ``partition_filter`` prunes
-    the file list driver-side before the scan exists. An empty active
-    set returns an empty frame with the table schema. Deletion-vector
-    rows are subtracted (``_dv_row_filter``).
-    ``with_row_identity=True`` additionally exposes each row's
-    ``ROW_FILE``/``ROW_POS`` physical identity (post-DV-subtraction —
-    what ``delta_dv.delete_where_dv`` builds its bitmaps from).
-
-    ``predicates`` (``[(source_col, op, literal)]``, op in
-    ``== < <= > >= in``) is the GENERATED-COLUMN pruning surface
-    (``plans/delta_generated``): predicates on a generation
-    expression's SOURCE column prune partition files through the
-    recognized expression shapes (a ``ts`` range on a
-    ``d = CAST(ts AS DATE)``-partitioned table reads only the
-    matching days' files — the jar's OptimizeGeneratedColumn rule)
-    AND apply as the residual row filter, so the result is exact
-    whether or not anything pruned."""
+) -> dict:
+    """PLANNING ONLY: replay the log and prune the active add set —
+    generated-column partition pruning, per-add stats data skipping,
+    explicit partition filters — returning the state ``read_delta``
+    scans WITHOUT building a DataFrame or touching any data file.
+    ``bench.py``'s PLANTIME tracker times exactly this function, so a
+    regression in the pure-Python metadata walk (log replay cost per
+    commit, pruning cost per add) is visible per round as a function
+    of file/commit count."""
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
@@ -582,6 +569,52 @@ def read_delta(
             for rel, a in files.items()
             if _pv_pass(_pv(a, part_cols, phys), partition_filter)
         }
+    return {
+        "state": state, "metaData": meta, "schema": schema,
+        "mode": mode, "phys": phys, "part_cols": part_cols,
+        "files": files, "residual": residual,
+    }
+
+
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp: int | datetime.datetime | None = None,
+    partition_filter: PartitionFilter | None = None,
+    with_row_identity: bool = False,
+    predicates: list[tuple] | None = None,
+) -> DataFrame:
+    """SELECT from a Delta table directory (optionally ``versionAsOf``
+    = ``version`` or ``timestampAsOf`` = ``timestamp``, epoch millis
+    or datetime) without the Delta runtime. Partition columns come
+    from the log's ``partitionValues``; ``partition_filter`` prunes
+    the file list driver-side before the scan exists. An empty active
+    set returns an empty frame with the table schema. Deletion-vector
+    rows are subtracted (``_dv_row_filter``).
+    ``with_row_identity=True`` additionally exposes each row's
+    ``ROW_FILE``/``ROW_POS`` physical identity (post-DV-subtraction —
+    what ``delta_dv.delete_where_dv`` builds its bitmaps from).
+
+    ``predicates`` (``[(source_col, op, literal)]``, op in
+    ``== < <= > >= in``) is the GENERATED-COLUMN pruning surface
+    (``plans/delta_generated``): predicates on a generation
+    expression's SOURCE column prune partition files through the
+    recognized expression shapes (a ``ts`` range on a
+    ``d = CAST(ts AS DATE)``-partitioned table reads only the
+    matching days' files — the jar's OptimizeGeneratedColumn rule)
+    AND apply as the residual row filter, so the result is exact
+    whether or not anything pruned."""
+    plan = plan_file_list(
+        spark, path, version=version, timestamp=timestamp,
+        partition_filter=partition_filter, predicates=predicates,
+    )
+    meta = plan["metaData"]
+    schema = plan["schema"]
+    mode, phys = plan["mode"], plan["phys"]
+    part_cols = plan["part_cols"]
+    files = plan["files"]
+    residual = plan["residual"]
     need_id = with_row_identity or any(
         a.get("deletionVector") for a in files.values()
     )

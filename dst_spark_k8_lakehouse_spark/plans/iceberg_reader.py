@@ -542,7 +542,7 @@ def snapshot_at_timestamp(path: str, ts_ms: int) -> int:
     return chosen
 
 
-def read_iceberg(
+def plan_file_list(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
@@ -550,27 +550,15 @@ def read_iceberg(
     timestamp_ms: int | None = None,
     ref: str | None = None,
     predicates: list[tuple] | None = None,
-) -> DataFrame:
-    """SELECT from an Iceberg table directory, optionally time-
-    travelling — by ``snapshot_id``, by ``timestamp_ms`` (as-of the
-    snapshot log) or by named ``ref`` (a tag/branch from the
-    metadata's ``refs`` map, ``iceberg_writer.create_tag``) — and/or
-    pruning the file list with ``partition_filter`` (dict of typed
-    identity values, or a predicate over them) against the manifests'
-    partition records. Columns resolve by embedded parquet field id
-    when the files carry them (rename-tolerant); id-less files
-    resolve by name with a cross-check that raises on a renamed
-    column rather than returning nulls.
-
-    ``predicates`` is the HIDDEN-PARTITION query surface: a list of
-    ``(source_col, op, literal)`` with op in ``== < <= > >= in`` over
-    SOURCE columns. Each predicate both prunes data files through the
-    partition transform (``plans/iceberg_transforms``: a ``ts`` range
-    on a ``days(ts)`` table reads only the matching days' files —
-    monotonic transforms take ranges, bucket takes equality) AND is
-    applied as the residual row filter, so boundary partitions return
-    exactly the requested rows. At 100 TB this is the difference
-    between a 7-partition scan and a table scan for a one-week query."""
+) -> dict:
+    """PLANNING ONLY: resolve the snapshot, prune manifests from their
+    manifest-list partition summaries, decode the survivors, prune
+    data files from partition records and column bounds — returning
+    the entry lists ``read_iceberg`` scans WITHOUT building a
+    DataFrame or touching any data file. ``bench.py``'s PLANTIME
+    tracker times exactly this function, so a regression in the
+    pure-Python metadata walk (Avro bytes decoded per query) is
+    visible per round as a function of manifest/file count."""
     if sum(x is not None for x in (snapshot_id, timestamp_ms, ref)) > 1:
         raise ValueError(
             "pass at most one of snapshot_id / timestamp_ms / ref"
@@ -685,6 +673,52 @@ def read_iceberg(
             e for e in data
             if _bounds_keep(e, list(predicates), schema["fields"])
         ]
+    return {
+        "data": data, "pos_dels": pos_dels, "eq_dels": eq_dels,
+        "schema": schema, "residual": residual, "meta": meta,
+    }
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    partition_filter=None,
+    timestamp_ms: int | None = None,
+    ref: str | None = None,
+    predicates: list[tuple] | None = None,
+) -> DataFrame:
+    """SELECT from an Iceberg table directory, optionally time-
+    travelling — by ``snapshot_id``, by ``timestamp_ms`` (as-of the
+    snapshot log) or by named ``ref`` (a tag/branch from the
+    metadata's ``refs`` map, ``iceberg_writer.create_tag``) — and/or
+    pruning the file list with ``partition_filter`` (dict of typed
+    identity values, or a predicate over them) against the manifests'
+    partition records. Columns resolve by embedded parquet field id
+    when the files carry them (rename-tolerant); id-less files
+    resolve by name with a cross-check that raises on a renamed
+    column rather than returning nulls.
+
+    ``predicates`` is the HIDDEN-PARTITION query surface: a list of
+    ``(source_col, op, literal)`` with op in ``== < <= > >= in`` over
+    SOURCE columns. Each predicate prunes THREE tiers — whole
+    manifests from the manifest-list partition summaries, data files
+    from the manifests' partition records (both through the partition
+    transform: a ``ts`` range on a ``days(ts)`` table reads only the
+    matching days), and data files from manifest column bounds on ANY
+    column — AND applies as the residual row filter, so boundary
+    partitions return exactly the requested rows. At 100 TB this is
+    the difference between a 7-partition scan and a table scan for a
+    one-week query, at BOTH the data and the metadata tier."""
+    plan = plan_file_list(
+        spark, path, snapshot_id=snapshot_id,
+        partition_filter=partition_filter, timestamp_ms=timestamp_ms,
+        ref=ref, predicates=predicates,
+    )
+    data, pos_dels, eq_dels = (
+        plan["data"], plan["pos_dels"], plan["eq_dels"]
+    )
+    schema, residual = plan["schema"], plan["residual"]
     files = [e["path"] for e in data]
     if schema is not None:
         df = read_data_files(spark, files, schema)
