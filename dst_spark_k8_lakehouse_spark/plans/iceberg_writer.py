@@ -1390,3 +1390,136 @@ def rollback_iceberg(spark: SparkSession, table: str,
     )
     meta["last-updated-ms"] = now
     _commit_metadata(table, meta, v + 1)
+
+
+def set_sort_order(table: str, cols: list[str]) -> int:
+    """``ALTER TABLE … WRITE ORDERED BY`` — record a SORT ORDER in the
+    table metadata (spec ``sort-orders``: identity transform, ``asc``,
+    ``nulls-first`` per the spec's defaults for each named column) and
+    make it the default (``default-sort-order-id``). Metadata-only
+    commit; the order is the advisory layout contract the spec
+    defines — data actually takes the layout when
+    ``rewrite_data_files`` (or the maintenance job) rewrites under it.
+    Returns the new order-id.
+
+    Why it matters at 100 TB: the manifest column-bounds tier (D47
+    data skipping) only bites when per-file value spans are TIGHT —
+    a declared sort order is how an Iceberg table asks its compactions
+    to produce that layout (the Delta side's ZORDER counterpart)."""
+    meta, v = _load_meta(table)
+    by_name = {f["name"]: f for f in meta["schema"]["fields"]}
+    if not cols:
+        raise ValueError("sort order needs at least one column")
+    fields = []
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(
+                f"sort column {c!r} not in schema {sorted(by_name)}"
+            )
+        if not isinstance(by_name[c]["type"], str):
+            raise NotImplementedError(
+                f"sort order on nested type column {c!r}"
+            )
+        fields.append(
+            {
+                "transform": "identity",
+                "source-id": int(by_name[c]["id"]),
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+        )
+    orders = meta.get("sort-orders") or [{"order-id": 0, "fields": []}]
+    oid = max(int(o.get("order-id", 0)) for o in orders) + 1
+    orders = orders + [{"order-id": oid, "fields": fields}]
+    _bump_metadata_log(table, meta)
+    meta["sort-orders"] = orders
+    meta["default-sort-order-id"] = oid
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
+    return oid
+
+
+def default_sort_columns(meta: dict) -> list[str]:
+    """Column names of the table's default sort order (identity
+    fields only — the shapes ``set_sort_order`` writes); [] when the
+    default is the unsorted order 0."""
+    oid = int(meta.get("default-sort-order-id", 0))
+    if oid == 0:
+        return []
+    by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+    for o in meta.get("sort-orders") or []:
+        if int(o.get("order-id", 0)) == oid:
+            return [
+                by_id[int(f["source-id"])]
+                for f in o.get("fields", [])
+                if f.get("transform") == "identity"
+                and int(f["source-id"]) in by_id
+            ]
+    return []
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    table: str,
+    sort_order: str | list[str] | None = None,
+    target_files: int = 8,
+) -> int:
+    """Sort-aware ``rewrite_data_files`` (real Iceberg's rewrite
+    action with the sort strategy): cluster the table's LIVE rows and
+    commit ONE overwrite snapshot.
+
+    ``sort_order``:
+      - ``None`` → the table's default sort order (``set_sort_order``;
+        raises when the table has none — an unclustered rewrite is
+        ``overwrite_iceberg(read_iceberg(...).repartition(n))``, the
+        maintenance job's bin-pack),
+      - ``"zorder(a, b)"`` → the shared Z-ORDER kernel
+        (``plans.table.zorder_cluster`` — the same engine D15/D35 use
+        on the Delta side), multi-dimensional clustering,
+      - ``[cols]`` / ``"col"`` → lexical: range-partition + in-file
+        sort on the columns.
+
+    Reads apply MoR deletes, so rewriting a table with live delete
+    files FOLDS them (like ``compact_mor``) — the overwrite snapshot
+    references only the new data manifest. Cost = one full-table
+    range shuffle, the same shape as a compaction; the payoff is
+    tight per-file bounds, which is what lets the D47 manifest-bounds
+    tier skip files on UNPARTITIONED columns (pytest-proven on the
+    Delta side since r7, now mirrored for Iceberg)."""
+    import re as _re
+
+    from dst_spark_k8_lakehouse_spark.plans.table import zorder_cluster
+
+    meta, _v = _load_meta(table)
+    zorder = False
+    if sort_order is None:
+        cols = default_sort_columns(meta)
+        if not cols:
+            raise ValueError(
+                "no sort_order given and the table has no default "
+                "sort order (set_sort_order)"
+            )
+    elif isinstance(sort_order, str):
+        m = _re.fullmatch(r"\s*zorder\s*\((.+)\)\s*", sort_order)
+        if m:
+            zorder = True
+            cols = [c.strip() for c in m.group(1).split(",")]
+        else:
+            cols = [sort_order.strip()]
+    else:
+        cols = list(sort_order)
+    names = {f["name"] for f in meta["schema"]["fields"]}
+    missing = sorted(set(cols) - names)
+    if missing:
+        raise ValueError(
+            f"rewrite sort column(s) {missing} not in schema "
+            f"{sorted(names)}"
+        )
+    df = iceberg_reader.read_iceberg(spark, table)
+    if zorder:
+        clustered = zorder_cluster(df, cols, target_files)
+    else:
+        clustered = df.repartitionByRange(
+            target_files, *cols
+        ).sortWithinPartitions(*cols)
+    return overwrite_iceberg(clustered, table)

@@ -64,10 +64,20 @@ def run_maintenance(
     table: str,
     retain_last: int = 2,
     target_files: int = 8,
+    sort_order: str | list[str] | None = None,
 ) -> dict[str, Any]:
     """compact_mor (when delete files exist) → small-file rewrite
     (when live data files exceed ``target_files``) → expire_snapshots;
-    returns a before/after health report plus what each step did."""
+    returns a before/after health report plus what each step did.
+
+    The rewrite phase is SORT-AWARE (r8): when the caller passes
+    ``sort_order`` (``"zorder(a, b)"`` / ``[cols]``) or the table
+    declares a default sort order (``set_sort_order`` / WRITE ORDERED
+    BY), the bin-pack goes through
+    ``iceberg_writer.rewrite_data_files`` so the compaction that had
+    to happen anyway ALSO leaves tight per-file column bounds — the
+    layout the manifest-bounds data-skipping tier needs to skip files
+    on unpartitioned columns. Same shuffle count either way."""
     before = table_health(spark, table)
     compacted_snapshot = -1
     if (before.get("position_delete_files", 0)
@@ -76,13 +86,24 @@ def run_maintenance(
     rewritten_snapshot = -1
     health_mid = table_health(spark, table)
     if health_mid["data_files"] > target_files:
-        # bin-pack through one overwrite snapshot; repartition to the
-        # target count (the partitioned writer re-derives partition
-        # records, so hidden-partitioned tables stay correct)
-        df = iceberg_reader.read_iceberg(spark, table).repartition(
-            target_files
-        )
-        rewritten_snapshot = iceberg_writer.overwrite_iceberg(df, table)
+        meta, _v = iceberg_writer._load_meta(table)
+        declared = iceberg_writer.default_sort_columns(meta)
+        if sort_order is not None or declared:
+            rewritten_snapshot = iceberg_writer.rewrite_data_files(
+                spark, table, sort_order=sort_order,
+                target_files=target_files,
+            )
+        else:
+            # no layout contract: plain bin-pack through one
+            # overwrite snapshot (the partitioned writer re-derives
+            # partition records, so hidden-partitioned tables stay
+            # correct)
+            df = iceberg_reader.read_iceberg(spark, table).repartition(
+                target_files
+            )
+            rewritten_snapshot = iceberg_writer.overwrite_iceberg(
+                df, table
+            )
     expired = iceberg_writer.expire_snapshots(
         spark, table, retain_last=retain_last
     )
