@@ -119,3 +119,66 @@ def test_decode_audio_distributed(spark, sf_dir):
         assert r.sample_rate == 8000 + (d % 4) * 4000
         assert r.n_samples == 100 + d % 50
         assert r.mean_amp == float((d % 2000) - 1000)
+
+
+def test_y4m_roundtrip_all_colorspaces():
+    for cs, frames in [("C420jpeg", 3), ("C444", 2), ("Cmono", 4),
+                       ("C422", 1)]:
+        p = mm.encode_y4m(6, 4, frames, 30, 99, colorspace=cs)
+        w, h, n, fps, luma = mm.decode_y4m(p)
+        assert (w, h, n, fps, luma) == (6, 4, frames, 30.0, 99.0), cs
+
+
+def test_y4m_mean_over_heterogeneous_frames():
+    # hand-built stream: two frames with DIFFERENT constant luma —
+    # the mean must average across frames, not read frame 0 only
+    hdr = b"YUV4MPEG2 W4 H2 F24:1 Ip A1:1 Cmono\n"
+    f1 = b"FRAME\n" + bytes([10]) * 8
+    f2 = b"FRAME\n" + bytes([30]) * 8
+    w, h, n, fps, luma = mm.decode_y4m(hdr + f1 + f2)
+    assert (w, h, n, fps, luma) == (4, 2, 2, 24.0, 20.0)
+
+
+def test_y4m_frame_params_and_fractional_rate():
+    # per-frame parameters after FRAME are legal Y4M; 30000:1001 NTSC
+    hdr = b"YUV4MPEG2 W4 H2 F30000:1001 Cmono\n"
+    f = b"FRAME Xsome=param\n" + bytes([50]) * 8
+    w, h, n, fps, luma = mm.decode_y4m(hdr + f)
+    assert (w, h, n) == (4, 2, 1)
+    assert abs(fps - 30000 / 1001) < 1e-9
+    assert luma == 50.0
+
+
+def test_y4m_loud_failures():
+    with pytest.raises(NotImplementedError, match="YUV4MPEG2"):
+        mm.decode_y4m(b"\x00\x00\x00\x18ftypmp42")  # an MP4 box
+    with pytest.raises(NotImplementedError, match="colourspace"):
+        mm.decode_y4m(b"YUV4MPEG2 W4 H2 F24:1 C411\nFRAME\n" + b"\0" * 12)
+    good = mm.encode_y4m(4, 2, 2, 24, 7)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_y4m(good[:-3])
+    with pytest.raises(ValueError, match="malformed FRAME"):
+        mm.decode_y4m(good + b"JUNK\n")
+    with pytest.raises(ValueError, match="zero frames"):
+        mm.decode_y4m(b"YUV4MPEG2 W4 H2 F24:1 Cmono\n")
+    with pytest.raises(ValueError, match="even"):
+        mm.encode_y4m(5, 3, 1, 24, 0)
+
+
+def test_decode_video_distributed(spark, sf_dir):
+    from dst_spark_k8_lakehouse_spark.llm.multimodal import (
+        attach_video_payloads,
+        decode_video,
+    )
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = decode_video(attach_video_payloads(docs)).collect()
+    assert len(out) == 20
+    for r in out:
+        d = r.doc_id
+        assert r.width == 4 + 2 * (d % 4)
+        assert r.height == 2 + 2 * (d % 3)
+        assert r.n_frames == 1 + d % 5
+        assert r.fps == 24.0 + (d % 2) * 6
+        assert r.mean_luma == float(d % 256)
