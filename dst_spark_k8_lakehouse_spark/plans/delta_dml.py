@@ -230,22 +230,9 @@ def _rewrite_and_commit(
         actions += adds
     actions += cdc_actions or []
     actions.append(delta_writer._commit_info(operation))
-    for _ in range(delta_writer._MAX_COMMIT_RETRIES):
-        version = delta_writer._next_version(table)
-        try:
-            delta_writer._commit(table, version, actions)
-            return version
-        except FileExistsError:
-            fresh = delta_reader._replay(spark, table, None)
-            if (
-                fresh["files"] != state["files"]
-                or fresh["metaData"] != state["metaData"]
-            ):
-                raise ValueError(
-                    f"concurrent modification of {table} during "
-                    f"{operation}; re-run the statement"
-                ) from None
-    raise RuntimeError(f"{operation} on {table} lost too many commit races")
+    return delta_writer._commit_from_state(
+        spark, table, state, actions, operation
+    )
 
 
 def update_delta(

@@ -256,22 +256,9 @@ def delete_where_dv(
         }
         actions.append({"add": new_add})
     actions.append(delta_writer._commit_info("DELETE"))
-    for _ in range(delta_writer._MAX_COMMIT_RETRIES):
-        version = delta_writer._next_version(table)
-        try:
-            delta_writer._commit(table, version, actions)
-            return version
-        except FileExistsError:
-            fresh = delta_reader._replay(spark, table, None)
-            if (
-                fresh["files"] != state["files"]
-                or fresh["metaData"] != state["metaData"]
-            ):
-                raise ValueError(
-                    f"concurrent modification of {table} during DV "
-                    "DELETE; re-run the statement"
-                ) from None
-    raise RuntimeError(f"DV DELETE on {table} lost too many commit races")
+    return delta_writer._commit_from_state(
+        spark, table, state, actions, "DV DELETE"
+    )
 
 
 def materialize_dvs(spark: SparkSession, table: str) -> int:
@@ -333,20 +320,9 @@ def materialize_dvs(spark: SparkSession, table: str) -> int:
             }
         )
     actions.append(delta_writer._commit_info("OPTIMIZE"))
-    for _ in range(delta_writer._MAX_COMMIT_RETRIES):
-        version = delta_writer._next_version(table)
-        try:
-            delta_writer._commit(table, version, actions)
-            return version
-        except FileExistsError:
-            fresh = delta_reader._replay(spark, table, None)
-            if fresh["files"] != state["files"]:
-                raise ValueError(
-                    f"concurrent modification of {table} during DV "
-                    "materialization; re-run"
-                ) from None
-    raise RuntimeError(
-        f"DV materialization on {table} lost too many commit races"
+    return delta_writer._commit_from_state(
+        spark, table, state, actions, "DV materialization",
+        check_meta=False,
     )
 
 

@@ -206,6 +206,13 @@ def _apply_action(state: dict[str, Any], action: dict[str, Any]) -> None:
 def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
     state: dict[str, Any] = {
         "files": {}, "metaData": None, "protocol": None, "txns": {},
+        # highest log version this state reflects — state-dependent
+        # commits MUST claim exactly version+1 (put-if-absent), so a
+        # commit that raced in after this replay forces EEXIST and the
+        # caller's conflict check, instead of being silently absorbed
+        # by a fresh _next_version directory listing (the lost-update
+        # shape the two-process race test caught in r8)
+        "version": -1,
     }
     commits = _commit_files(path)
     if not commits and _checkpoint(path) is None:
@@ -220,11 +227,13 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
                 if d.get(key) is not None:
                     _apply_action(state, {key: d[key]})
         start = cp_v + 1
+        state["version"] = cp_v
     seen_any = start > 0
     for v, f in commits:
         if v < start or (version is not None and v > version):
             continue
         seen_any = True
+        state["version"] = max(state["version"], v)
         with open(f) as fh:
             for line in fh:
                 line = line.strip()

@@ -256,13 +256,63 @@ def _next_version(table: str) -> int:
     """Max of the last JSON commit and the last checkpoint, plus one —
     a log whose pre-checkpoint JSON commits were cleaned up must not
     reuse a version at or below the checkpoint (the reader replays
-    from the checkpoint and would never see it)."""
+    from the checkpoint and would never see it).
+
+    CONCURRENCY WARNING: a state-DEPENDENT commit (DML, OPTIMIZE,
+    RESTORE — anything whose remove set was computed from a replayed
+    state) must NOT take its version from this fresh directory
+    listing: a commit that raced in between the replay and here would
+    be silently absorbed (version bumps past it, no EEXIST, the
+    conflict check never runs — a lost update). Those paths go through
+    ``_commit_from_state``, which claims exactly the replayed
+    version + 1. Blind appends and overwrites (whose actions don't
+    depend on prior state) may use this freely."""
     commits = delta_reader._commit_files(table)
     last = commits[-1][0] if commits else -1
     cp = delta_reader._checkpoint(table)
     if cp is not None:
         last = max(last, cp[0])
     return last + 1
+
+
+def _commit_from_state(
+    spark: SparkSession,
+    table: str,
+    state: dict[str, Any],
+    actions: list[dict[str, Any]],
+    operation: str,
+    check_meta: bool = True,
+) -> int:
+    """SERIALIZABLE state-dependent commit: claim exactly
+    ``state['version'] + 1``, so any commit that raced in after the
+    state was replayed forces ``FileExistsError`` and the conflict
+    check — never a silent lost update (the hole the r8 two-process
+    race test exposed: a fresh ``_next_version`` listing let a stale
+    writer skip the collision entirely). On EEXIST the state is
+    re-replayed: an unchanged file set (+ metaData when
+    ``check_meta``) means the racing commit was benign (txn/
+    commitInfo-only) and the retry claims the new head; anything else
+    raises the documented concurrent-modification error for the
+    caller to re-run."""
+    base = int(state.get("version", -1))
+    for _ in range(_MAX_COMMIT_RETRIES):
+        version = base + 1 if base >= 0 else _next_version(table)
+        try:
+            _commit(table, version, actions)
+            return version
+        except FileExistsError:
+            fresh = delta_reader._replay(spark, table, None)
+            if fresh["files"] != state["files"] or (
+                check_meta and fresh["metaData"] != state["metaData"]
+            ):
+                raise ValueError(
+                    f"concurrent modification of {table} during "
+                    f"{operation}; re-run the statement"
+                ) from None
+            base = int(fresh.get("version", -1))
+    raise RuntimeError(
+        f"{operation} on {table} lost too many commit races"
+    )
 
 
 def _commit_info(operation: str) -> dict[str, Any]:
@@ -998,23 +1048,11 @@ def compact_delta(
         ]
     if not removes:
         return -1
-    for _ in range(_MAX_COMMIT_RETRIES):
-        version = _next_version(table)
-        try:
-            _commit(
-                table,
-                version,
-                removes + adds + [_commit_info("OPTIMIZE")],
-            )
-            return version
-        except FileExistsError:
-            fresh = delta_reader._replay(spark, table, None)
-            if fresh["files"] != state["files"]:
-                raise ValueError(
-                    f"concurrent modification of {table} during "
-                    "OPTIMIZE; re-run"
-                ) from None
-    raise RuntimeError(f"OPTIMIZE on {table} lost too many commit races")
+    return _commit_from_state(
+        spark, table, state,
+        removes + adds + [_commit_info("OPTIMIZE")],
+        "OPTIMIZE", check_meta=False,
+    )
 
 
 # Hive partition-dir escaping shared with the DML rewrite placement
@@ -1205,19 +1243,9 @@ def restore_delta(spark: SparkSession, table: str, version: int) -> int:
     if not actions:
         return _next_version(table) - 1  # already at that state
     actions.append(_commit_info("RESTORE"))
-    for _ in range(_MAX_COMMIT_RETRIES):
-        v = _next_version(table)
-        try:
-            _commit(table, v, actions)
-            return v
-        except FileExistsError:
-            fresh = delta_reader._replay(spark, table, None)
-            if fresh["files"] != cur["files"]:
-                raise ValueError(
-                    f"concurrent modification of {table} during "
-                    "RESTORE; re-run"
-                ) from None
-    raise RuntimeError(f"RESTORE of {table} lost too many commit races")
+    return _commit_from_state(
+        spark, table, cur, actions, "RESTORE", check_meta=False,
+    )
 
 
 def zorder_delta(
@@ -1311,22 +1339,11 @@ def zorder_delta(
         ]
     if not removes:
         return _next_version(table) - 1
-    for _ in range(_MAX_COMMIT_RETRIES):
-        version = _next_version(table)
-        try:
-            _commit(
-                table, version,
-                removes + adds + [_commit_info("OPTIMIZE ZORDER")],
-            )
-            return version
-        except FileExistsError:
-            fresh = delta_reader._replay(spark, table, None)
-            if fresh["files"] != state["files"]:
-                raise ValueError(
-                    f"concurrent modification of {table} during "
-                    "ZORDER; re-run"
-                ) from None
-    raise RuntimeError(f"ZORDER on {table} lost too many commit races")
+    return _commit_from_state(
+        spark, table, state,
+        removes + adds + [_commit_info("OPTIMIZE ZORDER")],
+        "ZORDER", check_meta=False,
+    )
 
 
 # ------------------------------------------------ CHECK constraints

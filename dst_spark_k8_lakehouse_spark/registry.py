@@ -55,97 +55,67 @@ def query(query_id: str, oracle: str | None = None) -> Callable[[F], F]:
 # ids whose only green row is the oldest (round 1). Rotation log with
 # last-green round per id lives in COVERAGE.md.
 PRIORITY: list[str] = [
-    # (a) failed in r06: none — 0 CORRECTNESS_r06 failures.
-    # (c) new this round (r07)
-    "d36_iceberg_transforms",  # hidden partition transforms, days(ts)
-    "l6_dsir_scan",  # DSIR hashed-bucket production path
-    "d37_delta_dv_read",  # native READ trackers (HEADLINE members)
-    "d38_iceberg_mor_read",
-    "d39_delta_generated",  # generated columns = Delta hidden partitioning
-    "x6_time_partitioned_cdc",  # r7 capstone: gen-col CDF source →
-    # spec-evolved Iceberg replica, transform-pruned read across specs
-    "t8_stream_to_iceberg",  # exactly-once stream → days(ts) Iceberg
-    "d40_iceberg_changelog",  # row-level changelog (Iceberg's CDF)
-    "d41_delta_skipping",  # per-add stats file skipping, unpartitioned
-    "d42_iceberg_skipping",  # manifest column-bounds skipping
-    # (b) implementation changed this round after their last green row:
-    # delta_dv's bitmap build moved executor-side; the Iceberg
-    # writer/reader partition-spec handling became transform-aware
-    # (every native-Iceberg id re-fronts)
-    "d27_delta_dv",
+    # (a) failed in r07: none — 0 CORRECTNESS_r07 failures.
+    # (b) new this round (r08)
+    "l5_video_decode",  # REAL Y4M framing (last multimodal stub closed)
+    # (c) implementation changed this round after their last green row:
+    # manifest-list partition summaries + manifest-level pruning touch
+    # EVERY native-Iceberg read/write; the Delta stats tz-normalization
+    # and the plan_file_list extraction touch every native-Delta read
+    "d36_iceberg_transforms",
+    "d42_iceberg_skipping",
+    "d22_iceberg_partitioned",
+    "x6_time_partitioned_cdc",
     "d17_iceberg_native",
     "d21_iceberg_dml",
-    "d22_iceberg_partitioned",
-    "d26_iceberg_mor",
     "d25_iceberg_source",
+    "d26_iceberg_mor",
+    "d38_iceberg_mor_read",
+    "d40_iceberg_changelog",
+    "t8_stream_to_iceberg",
     "d29_uniform",
     "d30_convert",
     "d31_iceberg_meta",
     "d32_iceberg_incremental",
     "d33_restore",
-    "d35_sql_native",
     "x4_lakehouse_composite",
     "x5_cdc_pipeline",
     "d16_delta_native_dml",
+    "d41_delta_skipping",
+    "d39_delta_generated",
+    "d37_delta_dv_read",
+    "d27_delta_dv",
     "d28_delta_cdf",
-    # (d) backfill, oldest evidence first: the three r02-only-green
-    # ids the r06 ~50-cap cut,
-    "l6_stratified_sample",
-    "l6_pii_scrub",
-    "l6_vocab_topk",
-    # then the r03 greens,
-    "f1_string",
-    "f2_date",
-    "f3_math",
-    "f6_array",
-    "s1_parquet_scan",
-    "s8_range",
-    "l1_exact_dedup",
-    "l2_ngram_jaccard",
-    # then the oldest r04 greens (cap may cut here; all remain
-    # SELFCHECK-covered)
-    "j1_inner_join",
-    "j3_left_join",
-    "j4_semi",
-    "j4_anti",
-    "j5_broadcast",
-    "j6_range_join",
-    "j7_asof",
-    "j8_star_join",
-    "a1_count",
-    "a2_avg",
-    "a3_sum",
-    "a4_filtered_count",
-    "a5_groupby_agg",
-    "x1_q3_shipping",
-    "t1_tumbling",
-    "t2_sliding",
-    "t3_session",
-    "f4_map",
-    "f5_json",
-    # then the r05 greens the caps have not revisited since
-    "p4_filter_and",
-    "p5_filter_or",
-    "p6_filter_in",
-    "p7_filter_like",
-    "p8_filter_null",
-    "p9_case_when",
-    "p10_cast",
-    "p11_concat",
-    "p12_distinct",
-    "p13_sample",
-    "p14_limit_offset",
-    "w1_rank",
-    "a6_multi_agg",
-    "a7_having",
-    "a8_countd",
-    "a9_approx_countd",
-    "a10_corr_cov",
-    "a10_skew_kurt",
+    "d35_sql_native",
+    # (d) backfill, oldest driver evidence first (VERDICT r7 item 6):
+    # the r03-green IVF probe, then the r04 cohort
+    "l4_ann_ivf_probe",
+    "p1_project",
+    "p2_selectexpr",
+    "p3_filter_eq",
+    "a7_null_audit",
+    "a8_dup_count",
+    "a9_min_cdist",
+    "a10_approx",
+    "a10_percentile",
     "a11_rollup",
     "a11_cube",
     "a11_gsets",
-    "a12_summary",
+    "t1_tumbling",
+    "t2_sliding",
+    "t3_session",
+    "s2_csv_roundtrip",
+    "s5_append_sink",
+    "f4_map",
+    "f5_json",
+    "x1_q3_shipping",
+    "d12_time_travel",
+    "d15_zorder_preserves",
+    "l3_langid",
+    "l3_langid_eval",
+    "l2_embed_recall",
+    "l4_ivf_recall",
+    "l6_mixture_epochs",
 ]
 
 
