@@ -68,14 +68,25 @@ def _current_schema(meta: dict) -> dict:
     return meta["schema"]
 
 
-def _live_entries(meta: dict, snapshot_id: int | None) -> list[dict]:
+def _live_entries(
+    meta: dict,
+    snapshot_id: int | None,
+    partition_filter=None,
+    manifest_keep=None,
+) -> list[dict]:
     """(file_path, partition values[, deleted positions]) per live
     data file — pure-Python manifest walk via the reader's shared
     ``_snapshot_entries``. v2 POSITION deletes are resolved here at
     planning time (delete files are matched-rows-sized; pyarrow read,
     sequence rule applied) and ride into each file's partition as an
     executor-side row mask; EQUALITY deletes need value comparisons
-    and raise toward ``read_iceberg``, which applies them."""
+    and raise toward ``read_iceberg``, which applies them.
+
+    ``partition_filter`` / ``manifest_keep`` are the two pruning tiers
+    ``pushFilters`` compiles (r8): files prune on partition records,
+    WHOLE MANIFESTS prune on the manifest-list partition summaries
+    before being Avro-decoded — and delete resolution then runs only
+    over the surviving data files."""
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
     if snapshot_id is None:
         snapshot_id = int(meta["current-snapshot-id"])
@@ -88,7 +99,9 @@ def _live_entries(meta: dict, snapshot_id: int | None) -> list[dict]:
     spec_fields = iceberg_reader._default_spec_fields(meta)
     data, pos_dels, eq_dels = iceberg_reader._snapshot_entries(
         None, snaps[snapshot_id], spec_fields,
+        partition_filter=partition_filter,
         specs_by_id=iceberg_writer._specs_by_id(meta),
+        manifest_keep=manifest_keep,
     )
     # EQUALITY deletes: per data file, the applicable delete rows are
     # the ones STRICTLY NEWER than the file (spec rule); resolved at
@@ -239,8 +252,22 @@ def _read_ice_partition(p: _IcePartition) -> Iterator[Any]:
 
 
 class _IceReader(DataSourceReader):
+    """Planning is LAZY (r8): the manifest walk runs at
+    ``partitions()`` time, AFTER Catalyst has pushed its filters — so
+    the manifest-list partition summaries can prune whole manifests
+    before they are Avro-decoded, the same tier ``read_iceberg``
+    got this round. Eager decoding at ``__init__`` would have paid the
+    full metadata walk before the first filter arrived."""
+
     def __init__(self, table: str, snapshot_id: int | None) -> None:
+        from dst_spark_k8_lakehouse_spark.plans import (
+            iceberg_transforms as _tr,
+            iceberg_writer as _iw,
+        )
+
         meta = _load_meta(table)
+        self.meta = meta
+        self.snapshot_id = snapshot_id
         self.schema_dict = _current_schema(meta)
         self.schema = iceberg_reader._schema_struct(self.schema_dict)
         self.spec_fields = iceberg_reader._default_spec_fields(meta)
@@ -249,29 +276,36 @@ class _IceReader(DataSourceReader):
         self.source_names = {
             by_id[sf["source-id"]]["name"] for sf in self.spec_fields
         }
-        self.entries = _live_entries(meta, snapshot_id)
+        # result type per partition field: Catalyst's typed literals
+        # normalize into the pv domain through these (identity-date
+        # pvs are epoch-day ints, not date objects)
+        try:
+            self._rts = dict(zip(
+                self.part_names, _iw._spec_result_types(meta)
+            ))
+        except NotImplementedError:
+            self._rts = {}
+        self._to_pv = _tr.to_pv_domain
+        self._pv_wants: dict[str, set] = {}
+        self._predicates: list[tuple[str, str, Any]] = []
+        self._entries: list[dict] | None = None
 
     def pushFilters(self, filters):  # noqa: N802
-        """Prune the file list from Catalyst's pushed filters: direct
-        equality/IN on a partition-field NAME (identity values), plus
-        the r7 hidden-partition path — comparisons on a transform's
-        SOURCE column map through the transform
-        (``iceberg_transforms.partition_predicate``): a ``ts`` range
-        on a ``days(ts)`` table prunes to the matching days' files
-        with no user-facing API at all, exactly like the runtime jar.
-        Every filter is returned as remaining (Spark re-applies it;
-        pruning is a superset, so that is required for boundary
-        partitions, and harmless otherwise)."""
-        from dst_spark_k8_lakehouse_spark.plans import (
-            iceberg_transforms as _tr,
-        )
-
+        """Collect Catalyst's pushed filters for the lazy plan: direct
+        equality/IN on a partition-field NAME (identity values,
+        normalized into the pv domain), plus the r7 hidden-partition
+        path — comparisons on a transform's SOURCE column map through
+        the transform (``iceberg_transforms.partition_predicate``): a
+        ``ts`` range on a ``days(ts)`` table prunes to the matching
+        days' files with no user-facing API at all, exactly like the
+        runtime jar. Every filter is returned as remaining (Spark
+        re-applies it; pruning is a superset, so that is required for
+        boundary partitions, and harmless otherwise)."""
         _OPS = {
             EqualTo: "==", In: "in", GreaterThan: ">",
             GreaterThanOrEqual: ">=", LessThan: "<",
             LessThanOrEqual: "<=",
         }
-        predicates: list[tuple[str, str, Any]] = []
         remaining = []
         for f in filters:
             if type(f) in _OPS and len(f.attribute) == 1:
@@ -279,24 +313,60 @@ class _IceReader(DataSourceReader):
                 if col in self.part_names and isinstance(
                     f, (EqualTo, In)
                 ):
-                    wanted = set(
-                        f.value if isinstance(f, In) else [f.value]
+                    rt = self._rts.get(col, "")
+                    wanted = {
+                        self._to_pv(v, rt)
+                        for v in (f.value if isinstance(f, In)
+                                  else [f.value])
+                    }
+                    prev = self._pv_wants.get(col)
+                    self._pv_wants[col] = (
+                        wanted if prev is None else prev & wanted
                     )
-                    # a pv MISSING the key = file written under an
-                    # older spec (ADD PARTITION FIELD since): keep it
-                    self.entries = [
-                        e for e in self.entries
-                        if col not in e["pv"] or e["pv"][col] in wanted
-                    ]
                 elif col in self.source_names:
+                    predicates = self._predicates
                     predicates.append((col, _OPS[type(f)], f.value))
             remaining.append(f)
-        if predicates:
-            pred = _tr.partition_predicate(
-                self.spec_fields, self.schema_dict["fields"], predicates
-            )
-            self.entries = [e for e in self.entries if pred(e["pv"])]
+        self._entries = None  # new filters invalidate a resolved plan
         return iter(remaining)
+
+    @property
+    def entries(self) -> list[dict]:
+        if self._entries is None:
+            from dst_spark_k8_lakehouse_spark.plans import (
+                iceberg_transforms as _tr,
+            )
+
+            preds = list(self._predicates)
+            wants = dict(self._pv_wants)
+            file_pred = (
+                _tr.partition_predicate(
+                    self.spec_fields, self.schema_dict["fields"], preds
+                )
+                if preds else None
+            )
+
+            def pv_pass(pv: dict) -> bool:
+                for col, wanted in wants.items():
+                    # a pv MISSING the key = file written under an
+                    # older spec (ADD PARTITION FIELD since): keep it
+                    if col in pv and pv[col] not in wanted:
+                        return False
+                return file_pred(pv) if file_pred is not None else True
+
+            partition_filter = pv_pass if (wants or preds) else None
+            manifest_keep = (
+                _tr.manifest_summary_predicate(
+                    self.schema_dict["fields"], preds, wants
+                )
+                if (wants or preds) else None
+            )
+            self._entries = _live_entries(
+                self.meta, self.snapshot_id,
+                partition_filter=partition_filter,
+                manifest_keep=manifest_keep,
+            )
+        return self._entries
 
     def partitions(self):
         ids = [

@@ -262,3 +262,50 @@ def test_datasource_writes_carry_summaries(spark, tmp_path, track_avro):
     )
     assert got.count() == 50
     assert len(set(track_avro) & {m for m, _p in mfs}) == 1
+
+
+def test_datasource_reader_prunes_manifests_lazily(
+    spark, tmp_path, track_avro
+):
+    """The iceberg_native read face plans LAZILY (r8): pushFilters
+    arrive before any manifest is decoded, so the manifest-summary
+    tier prunes whole manifests there too. Unit-level on _IceReader
+    (the DataSource planning worker runs out-of-process, where a
+    monkeypatch can't see it), plus an end-to-end value check."""
+    from dst_spark_k8_lakehouse_spark.sources import iceberg_source
+
+    table = str(tmp_path / "t")
+    iw.create_iceberg(_day_batch(spark, 0), table,
+                      partition_by=["days(ts)"])
+    for d in range(1, 5):
+        iw.append_iceberg(_day_batch(spark, d), table)
+    _meta, mfs = _manifests_of(table)
+    reader = iceberg_source._IceReader(table, None)
+    track_avro.clear()
+    assert track_avro == []  # __init__ decoded NOTHING (lazy)
+    lo = datetime.datetime(2024, 1, 2)
+    list(reader.pushFilters([]))  # no-op round keeps laziness
+    reader._predicates.append(("ts", ">=", lo))
+    reader._predicates.append(
+        ("ts", "<", lo + datetime.timedelta(days=1))
+    )
+    entries = reader.entries
+    assert len(entries) == 1  # one file, day 1
+    opened = set(track_avro)
+    assert len(opened & {m for m, _p in mfs}) == 1  # 4 never opened
+    # dict-name equality on an identity DATE field normalizes into
+    # the pv domain (epoch days) — end-to-end through the registered
+    # format, where this returned ZERO rows before the r8 fix
+    iceberg_source.register(spark)
+    t2 = str(tmp_path / "t2")
+    df = spark.range(100).select(
+        "id",
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("id") % 5).cast("int")).alias("d"),
+    )
+    iw.create_iceberg(df, t2, partition_by=["d"])
+    got = (
+        spark.read.format("iceberg_native").load(t2)
+        .where(F.col("d") == F.lit(datetime.date(2024, 1, 3)))
+    )
+    assert got.count() == 20
