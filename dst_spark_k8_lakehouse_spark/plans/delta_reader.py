@@ -221,8 +221,7 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
     cp = _checkpoint(path)
     if cp is not None and (version is None or cp[0] <= version):
         cp_v, cp_files = cp
-        for row in spark.read.parquet(*cp_files).collect():
-            d = row.asDict(recursive=True)
+        for d in _checkpoint_rows(spark, cp_files):
             for key in ("metaData", "add", "remove", "protocol", "txn"):
                 if d.get(key) is not None:
                     _apply_action(state, {key: d[key]})
@@ -249,6 +248,71 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
     if state["metaData"] is None:
         raise ValueError(f"no metaData action found in Delta log at {path}")
     return state
+
+
+def _checkpoint_rows(spark: SparkSession, cp_files: list[str]):
+    """Checkpoint action rows as plain dicts. PYARROW-first (r8): a
+    driver-side columnar read with no Spark job — replaying a 10k-add
+    checkpoint costs ~30 ms instead of the ~400 ms JVM
+    collect()-and-convert round trip, which at 1M files is the
+    difference between sub-second and ~40 s PLANNING time (the
+    PLANTIME tracker watches exactly this). Falls back to the Spark
+    reader on any parse surprise (foreign multi-part layouts, exotic
+    logical types) — correctness never depends on the fast path."""
+    rows = None
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _map_paths(t: pa.DataType, prefix: tuple) -> list[tuple]:
+            # to_pylist keeps exact Python ints/strs (pandas would
+            # coerce nested ints to floats) but renders MAP values as
+            # (key, value) tuple lists — locate the map-typed paths
+            # ONCE from the schema, convert only those per row (a
+            # generic per-value recursion measured ~10× slower than
+            # the json.loads replay it was meant to beat)
+            if pa.types.is_map(t):
+                return [prefix]
+            if pa.types.is_struct(t):
+                out = []
+                for f in t:
+                    out += _map_paths(f.type, prefix + (f.name,))
+                return out
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                # no list-of-map shapes in the checkpoint schema;
+                # refuse the fast path if a foreign writer has one
+                if _map_paths(t.value_type, prefix):
+                    raise NotImplementedError("map nested in list")
+            return []
+
+        def _convert(row: dict, paths: list[tuple]) -> dict:
+            for path in paths:
+                node = row
+                for seg in path[:-1]:
+                    node = node.get(seg)
+                    if node is None:
+                        break
+                else:
+                    v = node.get(path[-1])
+                    if v is not None:
+                        node[path[-1]] = dict(v)
+            return row
+
+        rows = []  # materialize fully BEFORE yielding: a mid-stream
+        for f in cp_files:  # failure must not double-apply actions
+            tbl = pq.read_table(f)
+            paths = []
+            for fl in tbl.schema:
+                paths += _map_paths(fl.type, (fl.name,))
+            for raw in tbl.to_pylist():
+                rows.append(_convert(raw, paths))
+    except Exception:
+        rows = None
+    if rows is not None:
+        yield from rows
+        return
+    for row in spark.read.parquet(*cp_files).collect():
+        yield row.asDict(recursive=True)
 
 
 def _norm_schema_json(o: Any, key: str | None = None) -> Any:

@@ -218,6 +218,11 @@ _VACUUM_RE = re.compile(
     r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?\s*$",
     re.IGNORECASE,
 )
+_WRITE_ORDERED_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+WRITE\s+ORDERED\s+BY"
+    r"\s*\(?(?P<cols>[\w.,\s]+?)\)?\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<table>[\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*$",
@@ -306,10 +311,14 @@ def execute_native_sql(
     Supported: UPDATE / DELETE / MERGE (both formats, copy-on-write),
     ``VACUUM t [RETAIN k VERSIONS]`` (Delta vacuum / Iceberg
     expire_snapshots), ``OPTIMIZE t [ZORDER BY (a, b)]`` (Delta
-    compaction / z-ordering), ``RESTORE TABLE t TO VERSION AS OF v``
-    (Delta), ``ALTER TABLE t ADD COLUMN c type`` / ``RENAME COLUMN a
-    TO b`` (both formats, metadata-only), ``ALTER TABLE t SET
-    TBLPROPERTIES (delta.enableChangeDataFeed=true)``. Returns the
+    compaction / z-ordering; since r8 also Iceberg — the rewrite
+    action through the shared clustering kernel, sort-aware when the
+    table declares an order), ``ALTER TABLE t WRITE ORDERED BY
+    (a, b)`` (Iceberg sort-order DDL, r8), ``RESTORE TABLE t TO
+    VERSION AS OF v`` (Delta), ``ALTER TABLE t ADD COLUMN c type`` /
+    ``RENAME COLUMN a TO b`` (both formats, metadata-only),
+    ``ALTER TABLE t SET TBLPROPERTIES
+    (delta.enableChangeDataFeed=true)``. Returns the
     committed version / snapshot id (0 for metadata-only ops without
     one). A directory carrying BOTH formats (the UniForm bridge)
     mutates through its Delta log — re-sync the export afterwards."""
@@ -444,16 +453,36 @@ def execute_native_sql(
         return 0
     if m := _OPTIMIZE_RE.match(sql):
         p = _path(m["table"])
-        if _fmt(p) != "delta":
-            raise NotImplementedError(
-                "OPTIMIZE on native Iceberg: use "
-                "iceberg_mor.compact_mor (v2) or overwrite_iceberg"
-            )
         if m["cols"]:
             cols = [c.strip() for c in m["cols"].split(",")]
-            return delta_writer.zorder_delta(spark, p, cols)
-        v = delta_writer.compact_delta(spark, p, min_files=2)
-        return v if v >= 0 else 0
+            if _fmt(p) == "delta":
+                return delta_writer.zorder_delta(spark, p, cols)
+            # Iceberg (r8): the rewrite action with the zorder
+            # strategy — same shared clustering kernel
+            return iceberg_writer.rewrite_data_files(
+                spark, p, sort_order=f"zorder({', '.join(cols)})"
+            )
+        if _fmt(p) == "delta":
+            v = delta_writer.compact_delta(spark, p, min_files=2)
+            return v if v >= 0 else 0
+        # Iceberg plain OPTIMIZE: sort-aware when the table declares
+        # an order (the maintenance job's rule), plain bin-pack else
+        meta_i, _v = iceberg_writer._load_meta(p)
+        if iceberg_writer.default_sort_columns(meta_i):
+            return iceberg_writer.rewrite_data_files(spark, p)
+        return iceberg_writer.overwrite_iceberg(
+            iceberg_reader.read_iceberg(spark, p).repartition(8), p
+        )
+    if m := _WRITE_ORDERED_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) != "iceberg":
+            raise NotImplementedError(
+                "WRITE ORDERED BY is Iceberg's sort-order DDL; cluster "
+                "a Delta table with OPTIMIZE t ZORDER BY (...)"
+            )
+        cols = [c.strip() for c in m["cols"].split(",")]
+        iceberg_writer.set_sort_order(p, cols)
+        return 0
     if m := _RESTORE_RE.match(sql):
         p = _path(m["table"])
         if _fmt(p) != "delta":

@@ -244,14 +244,28 @@ def _cache_dir() -> str:
     )
 
 
-def ensure_tables() -> dict[str, dict[str, str]]:
+def ensure_tables(spark=None) -> dict[str, dict[str, str]]:
     """Build (once) the synthetic tables; returns
-    ``{scale_label: {"delta": path, "iceberg": path}}``."""
+    ``{scale_label: {"delta": path, "delta_cp": path, "iceberg":
+    path}}``. ``delta_cp`` is the same log with a CHECKPOINT written
+    at the head (needs ``spark``; skipped when None) — the
+    O(commits) → O(1-parquet-read) replay collapse every real 100 TB
+    Delta table runs with."""
     out: dict[str, dict[str, str]] = {}
     for label, n_files, n_commits in SCALES:
         pair = {}
-        for fmt, builder in (("delta", build_delta),
-                             ("iceberg", build_iceberg)):
+        builders = [("delta", build_delta), ("iceberg", build_iceberg)]
+        if spark is not None:
+            def _build_cp(path, nf, nc):
+                from dst_spark_k8_lakehouse_spark.plans import (
+                    delta_writer,
+                )
+
+                build_delta(path, nf, nc)
+                delta_writer.write_checkpoint(spark, path)
+
+            builders.append(("delta_cp", _build_cp))
+        for fmt, builder in builders:
             path = os.path.join(_cache_dir(), f"{fmt}_{label}")
             marker = os.path.join(path, "_PLANTIME_OK")
             if not os.path.exists(marker):
@@ -288,44 +302,26 @@ def measure(spark) -> dict[str, Any]:
         iceberg_reader,
     )
 
-    tables = ensure_tables()
+    tables = ensure_tables(spark)
+    preds = [("ts", ">=", _PRUNE_LO), ("ts", "<", _PRUNE_HI)]
     out: dict[str, Any] = {}
     for label, pair in tables.items():
-        d, i = pair["delta"], pair["iceberg"]
-        preds = [("ts", ">=", _PRUNE_LO), ("ts", "<", _PRUNE_HI)]
-
-        t_full_d, p = _time_best(
-            lambda: delta_reader.plan_file_list(spark, d)
-        )
-        n_total_d = len(p["files"])
-        t_pruned_d, p = _time_best(
-            lambda: delta_reader.plan_file_list(spark, d,
-                                                predicates=preds)
-        )
-        n_kept_d = len(p["files"])
-
-        t_full_i, p = _time_best(
-            lambda: iceberg_reader.plan_file_list(spark, i)
-        )
-        n_total_i = len(p["data"])
-        t_pruned_i, p = _time_best(
-            lambda: iceberg_reader.plan_file_list(spark, i,
-                                                  predicates=preds)
-        )
-        n_kept_i = len(p["data"])
-
-        out[label] = {
-            "delta": {
-                "full_s": round(t_full_d, 4),
-                "pruned_s": round(t_pruned_d, 4),
-                "files_total": n_total_d,
-                "files_kept": n_kept_d,
-            },
-            "iceberg": {
-                "full_s": round(t_full_i, 4),
-                "pruned_s": round(t_pruned_i, 4),
-                "files_total": n_total_i,
-                "files_kept": n_kept_i,
-            },
-        }
+        out[label] = {}
+        for fmt, path in pair.items():
+            planner = (
+                iceberg_reader.plan_file_list if fmt == "iceberg"
+                else delta_reader.plan_file_list
+            )
+            key = "data" if fmt == "iceberg" else "files"
+            t_full, p = _time_best(lambda: planner(spark, path))
+            n_total = len(p[key])
+            t_pruned, p = _time_best(
+                lambda: planner(spark, path, predicates=preds)
+            )
+            out[label][fmt] = {
+                "full_s": round(t_full, 4),
+                "pruned_s": round(t_pruned, 4),
+                "files_total": n_total,
+                "files_kept": len(p[key]),
+            }
     return out

@@ -314,3 +314,40 @@ def test_partition_field_statements(spark, tmp_path):
             spark, "ALTER TABLE d ADD PARTITION FIELD bucket(4, id)",
             tables,
         )
+
+
+def test_statement_text_iceberg_sort_order_and_optimize(spark, tmp_path):
+    """r8: ``ALTER TABLE t WRITE ORDERED BY (id)`` records the sort
+    order, and ``OPTIMIZE t`` / ``OPTIMIZE t ZORDER BY (...)`` on an
+    Iceberg directory run the sort-aware rewrite — range reads touch
+    fewer files afterwards."""
+    from pyspark.sql import functions as F
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader,
+        iceberg_writer,
+    )
+    from dst_spark_k8_lakehouse_spark.plans.dml import execute_native_sql
+
+    t = str(tmp_path / "ice")
+    df = spark.range(2000).select(
+        ((F.col("id") * 2654435761) % 2000).alias("id"),
+        (F.col("id") % 7).alias("x"),
+    ).repartition(8)
+    iceberg_writer.create_iceberg(df, t)
+    tables = {"tbl": t}
+    execute_native_sql(spark, "ALTER TABLE tbl WRITE ORDERED BY (id)",
+                       tables)
+    meta, _ = iceberg_writer._load_meta(t)
+    assert iceberg_writer.default_sort_columns(meta) == ["id"]
+    snap = execute_native_sql(spark, "OPTIMIZE tbl", tables)
+    assert snap > 0
+    got = iceberg_reader.read_iceberg(spark, t,
+                                      predicates=[("id", "<", 100)])
+    assert got.count() == 100
+    assert len(set(got.inputFiles())) <= 2
+    # zorder spelling routes too
+    snap2 = execute_native_sql(spark, "OPTIMIZE tbl ZORDER BY (id, x)",
+                               tables)
+    assert snap2 > snap
+    assert iceberg_reader.read_iceberg(spark, t).count() == 2000
