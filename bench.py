@@ -96,6 +96,10 @@ HEADLINE = [
     "l6_dsir_scan",
     "d37_delta_dv_read",
     "d38_iceberg_mor_read",
+    # r8: the sort-order/rewrite stack's pruned-read tracker — a
+    # key-range read of a per-process-cached WRITE-ORDERED table
+    # (manifest bounds + manifest summaries both engaged)
+    "d43_iceberg_sortorder",
 ]
 
 

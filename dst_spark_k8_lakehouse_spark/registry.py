@@ -58,6 +58,7 @@ PRIORITY: list[str] = [
     # (a) failed in r07: none — 0 CORRECTNESS_r07 failures.
     # (b) new this round (r08)
     "l5_video_decode",  # REAL Y4M framing (last multimodal stub closed)
+    "d43_iceberg_sortorder",  # WRITE ORDERED BY + sort-aware rewrite
     # (c) implementation changed this round after their last green row:
     # manifest-list partition summaries + manifest-level pruning touch
     # EVERY native-Iceberg read/write; the Delta stats tz-normalization
