@@ -1523,3 +1523,81 @@ def rewrite_data_files(
             target_files, *cols
         ).sortWithinPartitions(*cols)
     return overwrite_iceberg(clustered, table)
+
+
+def remove_orphan_files(
+    spark: SparkSession,
+    table: str,
+    older_than_ms: int | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """``remove_orphan_files`` (real Iceberg's maintenance procedure,
+    the complement of ``expire_snapshots``): delete files under the
+    table's ``data/`` and ``metadata/`` that NO snapshot of the
+    current metadata references — the leftovers of FAILED commits.
+    The put-if-absent protocol makes losers harmless but not free:
+    a lost race leaves its already-written data parquet, manifest and
+    manifest list on disk, unreferenced (exactly what the two-process
+    race test produces), and those bytes accumulate forever on a busy
+    table unless something sweeps them.
+
+    Safety rules, same as the real procedure:
+    - only files STRICTLY older than ``older_than_ms`` (default: now
+      minus 24 h) are candidates — an in-flight writer's staged files
+      must never be swept mid-commit;
+    - metadata JSON versions, the version hint and checkpoint-adjacent
+      control files are never touched (time travel across metadata
+      versions stays intact);
+    - the CURRENT metadata's whole snapshot set is the reference root
+      (every time-travelable snapshot keeps its files).
+
+    Returns the deleted (or, with ``dry_run``, the would-be-deleted)
+    absolute paths. O(files on disk + referenced files) — a metadata
+    walk plus two directory listings, no data read."""
+    meta, _v = _load_meta(table)
+    cutoff = (
+        older_than_ms if older_than_ms is not None
+        else int(time.time() * 1000) - 24 * 3600 * 1000
+    )
+    referenced: set[str] = set()
+    for s in meta.get("snapshots") or []:
+        ml = iceberg_reader._strip_uri(str(s["manifest-list"]))
+        referenced.add(os.path.normpath(ml))
+        for mf in iceberg_reader._avro_records(spark, ml):
+            m = iceberg_reader._strip_uri(str(mf.get("manifest_path")))
+            referenced.add(os.path.normpath(m))
+            for e in iceberg_reader._avro_records(spark, m):
+                d = e.get("data_file")
+                referenced.add(os.path.normpath(
+                    iceberg_reader._strip_uri(str(d.get("file_path")))
+                ))
+    candidates: list[str] = []
+    data_dir = os.path.join(table, "data")
+    if os.path.isdir(data_dir):
+        for root, _dirs, fs in os.walk(data_dir):
+            for f in fs:
+                candidates.append(os.path.join(root, f))
+    md = iceberg_reader._metadata_dir(table)
+    for f in os.listdir(md):
+        # only Avro manifests / manifest lists are sweepable; the
+        # metadata JSON chain and version hint are control files
+        if f.endswith(".avro"):
+            candidates.append(os.path.join(md, f))
+    doomed = []
+    for p in sorted(candidates):
+        if os.path.normpath(p) in referenced:
+            continue
+        try:
+            mtime_ms = int(os.path.getmtime(p) * 1000)
+        except OSError:
+            continue  # vanished mid-walk: someone else's problem
+        if mtime_ms >= cutoff:
+            continue  # too fresh: possibly an in-flight commit
+        doomed.append(p)
+    if not dry_run:
+        for p in doomed:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+    return doomed

@@ -65,6 +65,8 @@ def run_maintenance(
     retain_last: int = 2,
     target_files: int = 8,
     sort_order: str | list[str] | None = None,
+    remove_orphans: bool = False,
+    orphan_older_than_ms: int | None = None,
 ) -> dict[str, Any]:
     """compact_mor (when delete files exist) → small-file rewrite
     (when live data files exceed ``target_files``) → expire_snapshots;
@@ -107,12 +109,22 @@ def run_maintenance(
     expired = iceberg_writer.expire_snapshots(
         spark, table, retain_last=retain_last
     )
+    # final phase (r8, opt-in like the real procedure): sweep
+    # failed-commit leftovers no snapshot references — the 24 h
+    # default guard keeps in-flight writers safe
+    orphans = (
+        iceberg_writer.remove_orphan_files(
+            spark, table, older_than_ms=orphan_older_than_ms
+        )
+        if remove_orphans else []
+    )
     return {
         "before": before,
         "after": table_health(spark, table),
         "compacted_snapshot": compacted_snapshot,
         "rewritten_snapshot": rewritten_snapshot,
         "n_expired_paths": len(expired),
+        "n_orphans_removed": len(orphans),
     }
 
 

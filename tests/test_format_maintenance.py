@@ -301,3 +301,68 @@ def test_iceberg_maintenance_job_folds_and_expires(spark, tmp_path):
     )
     want = {i for i, t, _x in rows if lo <= t < hi and i % 10 != 0}
     assert {r.id for r in pruned.collect()} == want
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Failed-commit leftovers (what a lost put-if-absent race leaves:
+    unreferenced data parquet + manifest + manifest list) are swept by
+    remove_orphan_files; referenced files and the metadata JSON chain
+    are never touched; fresh files survive the older-than guard."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).select("id", (F.col("id") % 5).alias("g"))
+    iceberg_writer.create_iceberg(df, t)
+    iceberg_writer.append_iceberg(df, t)
+    # fabricate a lost-race leftover set
+    orphan_data = os.path.join(t, "data", "orphan-loser.parquet")
+    df.limit(5).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage")
+    )
+    part = next(
+        f for f in os.listdir(tmp_path / "stage")
+        if f.endswith(".parquet")
+    )
+    os.replace(str(tmp_path / "stage" / part), orphan_data)
+    md = iceberg_reader._metadata_dir(t)
+    orphan_manifest = os.path.join(md, "m-orphan.avro")
+    orphan_mlist = os.path.join(md, "snap-999999.avro")
+    fresh_orphan = os.path.join(t, "data", "orphan-fresh.parquet")
+    for p in (orphan_manifest, orphan_mlist):
+        with open(p, "wb") as fh:
+            fh.write(b"Obj\x01fake")
+    with open(fresh_orphan, "wb") as fh:
+        fh.write(b"PAR1fake")
+    old = _t.time() - 48 * 3600
+    for p in (orphan_data, orphan_manifest, orphan_mlist):
+        os.utime(p, (old, old))
+    # dry run lists, deletes nothing
+    listed = iceberg_writer.remove_orphan_files(spark, t, dry_run=True)
+    assert {os.path.basename(p) for p in listed} == {
+        "orphan-loser.parquet", "m-orphan.avro", "snap-999999.avro"
+    }
+    assert all(os.path.exists(p) for p in listed)
+    deleted = iceberg_writer.remove_orphan_files(spark, t)
+    assert sorted(deleted) == sorted(listed)
+    assert not any(os.path.exists(p) for p in deleted)
+    assert os.path.exists(fresh_orphan)  # under the 24 h guard
+    # every referenced file intact: full read + time travel both work
+    assert iceberg_reader.read_iceberg(spark, t).count() == 200
+    meta, _v = iceberg_writer._load_meta(t)
+    first = int(meta["snapshots"][0]["snapshot-id"])
+    assert iceberg_reader.read_iceberg(
+        spark, t, snapshot_id=first
+    ).count() == 100
+    # sweep with a future cutoff takes the fresh orphan too
+    more = iceberg_writer.remove_orphan_files(
+        spark, t, older_than_ms=int(_t.time() * 1000) + 10_000
+    )
+    assert [os.path.basename(p) for p in more] == ["orphan-fresh.parquet"]

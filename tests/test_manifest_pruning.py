@@ -309,3 +309,124 @@ def test_datasource_reader_prunes_manifests_lazily(
         .where(F.col("d") == F.lit(datetime.date(2024, 1, 3)))
     )
     assert got.count() == 20
+
+
+def test_manifest_pruning_is_superset_randomized(spark, tmp_path):
+    """Property: the manifest tier may only ever SKIP manifests whose
+    every file the file tier would also drop — a manifest containing
+    ANY kept file must survive. Randomized over value distributions,
+    manifest groupings, predicate shapes and transforms (the r5
+    lesson: new pruning families get fuzzed fixtures from day one,
+    exact-copy fixtures mask family-level defects)."""
+    import random
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_transforms as tr,
+    )
+
+    rnd = random.Random(80801)
+    schema_fields = [
+        {"id": 1, "name": "ts", "type": "timestamptz"},
+        {"id": 2, "name": "k", "type": "long"},
+        {"id": 3, "name": "s", "type": "string"},
+    ]
+    spec_variants = [
+        [{"name": "ts_day", "transform": "day", "source-id": 1,
+          "field-id": 1000}],
+        [{"name": "k", "transform": "identity", "source-id": 2,
+          "field-id": 1000}],
+        [{"name": "k_bucket", "transform": "bucket[8]", "source-id": 2,
+          "field-id": 1000}],
+        [{"name": "s_trunc", "transform": "truncate[2]", "source-id": 3,
+          "field-id": 1000},
+         {"name": "ts_month", "transform": "month", "source-id": 1,
+          "field-id": 1001}],
+    ]
+    ops = ["==", "<", "<=", ">", ">=", "in"]
+
+    def rand_lit(col):
+        if col == "ts":
+            if rnd.random() < 0.5:
+                return datetime.date(2024, 1, 1) + datetime.timedelta(
+                    days=rnd.randrange(0, 40)
+                )
+            return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                hours=rnd.randrange(0, 40 * 24)
+            )
+        if col == "k":
+            return rnd.randrange(-5, 60)
+        return rnd.choice(["ab", "cd", "abx", "zz", "a"])
+
+    for trial in range(300):
+        spec = rnd.choice(spec_variants)
+        by_id = {f["id"]: f for f in schema_fields}
+        # random pv population per spec field, in the pv domain
+        def rand_pv():
+            pv = {}
+            for sf in spec:
+                if rnd.random() < 0.08:
+                    continue  # older-spec file: key absent
+                if rnd.random() < 0.08:
+                    pv[sf["name"]] = None
+                    continue
+                src = by_id[sf["source-id"]]
+                tname, param = tr.parse_spec_transform(sf["transform"])
+                t = tr.py_transform(tname, param, src["type"])
+                rt = tr.result_type(tname, src["type"], src["name"])
+                pv[sf["name"]] = tr.to_pv_domain(
+                    t(rand_lit(src["name"])), rt
+                )
+            return pv
+
+        files = [rand_pv() for _ in range(rnd.randrange(1, 12))]
+        # group files into manifests and summarize like the writer
+        manifests = []
+        i = 0
+        while i < len(files):
+            n = rnd.randrange(1, 4)
+            group = files[i:i + n]
+            i += n
+            summaries = []
+            for sf in spec:
+                src = by_id[sf["source-id"]]
+                tname, _p = tr.parse_spec_transform(sf["transform"])
+                rt = tr.result_type(tname, src["type"], sf["name"])
+                vals = [
+                    pv[sf["name"]] for pv in group
+                    if pv.get(sf["name"]) is not None
+                ]
+                has_null = any(
+                    sf["name"] not in pv or pv[sf["name"]] is None
+                    for pv in group
+                )
+                lo_b = hi_b = None
+                if vals:
+                    lo_b = tr.summary_bound_bytes(min(vals), rt)
+                    hi_b = tr.summary_bound_bytes(max(vals), rt)
+                    if lo_b is None or hi_b is None:
+                        lo_b = hi_b = None
+                summaries.append({
+                    "contains_null": has_null,
+                    "contains_nan": None,
+                    "lower_bound": lo_b,
+                    "upper_bound": hi_b,
+                })
+            manifests.append((group, summaries))
+
+        n_preds = rnd.randrange(1, 3)
+        preds = []
+        for _ in range(n_preds):
+            col = rnd.choice(["ts", "k", "s"])
+            op = rnd.choice(ops)
+            lit = ([rand_lit(col) for _ in range(2)] if op == "in"
+                   else rand_lit(col))
+            preds.append((col, op, lit))
+        file_pred = tr.partition_predicate(spec, schema_fields, preds)
+        keep = tr.manifest_summary_predicate(schema_fields, preds)
+        for group, summaries in manifests:
+            if not keep(spec, summaries):
+                survivors = [pv for pv in group if file_pred(pv)]
+                assert not survivors, (
+                    f"trial {trial}: manifest pruned but file tier "
+                    f"keeps {survivors} under {preds} spec {spec}"
+                )
