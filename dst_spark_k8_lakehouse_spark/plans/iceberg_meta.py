@@ -122,9 +122,55 @@ def partitions_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def manifests_table(spark: SparkSession, path: str) -> DataFrame:
-    """``tbl.manifests``: the current snapshot's manifest list."""
+    """``tbl.manifests``: the current snapshot's manifest list, with
+    the r8 ``partition_summaries`` (contains_null + decoded
+    lower/upper bound per partition field, the manifest-level pruning
+    tier's inputs — real Iceberg's ``partition_summaries`` column)."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_transforms as tr,
+        iceberg_writer as iw,
+    )
+
     meta = _meta(path)
     cur = meta.get("current-snapshot-id")
+    specs = iw._specs_by_id(meta)
+    by_id = {f["id"]: f for f in meta["schema"]["fields"]}
+
+    def _summaries(mf) -> list[dict] | None:
+        parts = mf.get("partitions")
+        if parts is None:
+            return None
+        fields = specs.get(
+            int(str(iceberg_reader._get(mf, "partition_spec_id") or 0)),
+            [],
+        )
+        out = []
+        for sf, sm in zip(fields, parts):
+            lo = hi = None
+            try:
+                src = by_id.get(sf.get("source-id"))
+                stype = (src["type"]
+                         if src and isinstance(src["type"], str) else "")
+                tname, _p = tr.parse_spec_transform(sf["transform"])
+                rt = tr.result_type(tname, stype, sf["name"])
+                if sm.get("lower_bound") is not None:
+                    lo = str(tr.summary_bound_value(
+                        bytes(sm["lower_bound"]), rt
+                    ))
+                if sm.get("upper_bound") is not None:
+                    hi = str(tr.summary_bound_value(
+                        bytes(sm["upper_bound"]), rt
+                    ))
+            except Exception:
+                lo = hi = None  # undecodable foreign summary
+            out.append({
+                "field": sf["name"],
+                "contains_null": bool(sm.get("contains_null")),
+                "lower_bound": lo,
+                "upper_bound": hi,
+            })
+        return out
+
     rows = []
     if cur and int(cur) != -1:
         snaps = {
@@ -142,12 +188,16 @@ def manifests_table(spark: SparkSession, path: str) -> DataFrame:
                         iceberg_reader._get(mf, "sequence_number") or 0
                     )),
                     int(str(mf.get("added_snapshot_id") or 0)),
+                    _summaries(mf),
                 )
             )
     return spark.createDataFrame(
         rows,
         "path string, length long, content int, "
-        "sequence_number long, added_snapshot_id long",
+        "sequence_number long, added_snapshot_id long, "
+        "partition_summaries array<struct<field string, "
+        "contains_null boolean, lower_bound string, "
+        "upper_bound string>>",
     )
 
 

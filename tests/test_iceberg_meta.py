@@ -218,3 +218,27 @@ class TestChangelog:
             break
         with pytest.raises(ValueError, match="expired file"):
             im.read_iceberg_changelog(spark, table).collect()
+
+
+def test_manifests_table_partition_summaries(spark, tmp_path):
+    """r8: ``tbl.manifests`` exposes decoded partition_summaries —
+    one per spec field, bounds in the pv domain rendered as strings
+    (real Iceberg's column of the same name)."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    df = spark.range(60).coalesce(1).select(
+        "id",
+        (F.to_timestamp(F.lit("2024-03-01 00:00:00")) +
+         F.make_interval(days=(F.col("id") % 3).cast("int"))).alias("ts"),
+    )
+    iw.create_iceberg(df, t, partition_by=["days(ts)"])
+    rows = im.manifests_table(spark, t).collect()
+    assert len(rows) == 1
+    s = rows[0].partition_summaries
+    assert s is not None and len(s) == 1
+    d0 = (datetime.date(2024, 3, 1) - datetime.date(1970, 1, 1)).days
+    assert s[0].field == "ts_day"
+    assert s[0].contains_null is False
+    assert s[0].lower_bound == str(d0)
+    assert s[0].upper_bound == str(d0 + 2)
