@@ -2027,3 +2027,83 @@ def d43_iceberg_sortorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_reader.read_iceberg(
         spark, table, predicates=[("o_orderkey", "<", 1000)]
     )
+
+
+@query(
+    "x7_ops_lifecycle",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice, 2) AS price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND o_orderkey < 3000
+    """,
+)
+def x7_ops_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 capstone — the OPERATIONAL LIFECYCLE of a hidden-partitioned
+    Iceberg table, end to end in one oracle: a ``months(o_orderdate)``
+    table grows by four appends (four small manifests, each stamped
+    with partition summaries), declares ``WRITE ORDERED BY
+    (o_orderkey)``, and runs the full maintenance pass — sort-aware
+    rewrite (bin-pack THROUGH the declared order), expire_snapshots,
+    and remove_orphan_files sweeping a planted failed-commit leftover
+    — before a read that engages BOTH metadata pruning tiers: the
+    month transform prunes partitions, the rewrite-tightened manifest
+    bounds prune on the unpartitioned sort key. Every row
+    value-checked against the relational oracle."""
+    import atexit
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    from jobs.iceberg_maintenance import run_maintenance
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-x7-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        "o_orderdate",
+    ).where(
+        # one year of ingest: 12 month-partitions × 4 appends keeps
+        # the lifecycle realistic without a hundreds-of-files rewrite
+        # dominating the rotation budget; the read window sits inside
+        "o_orderdate >= TIMESTAMP '1996-01-01' AND "
+        "o_orderdate < TIMESTAMP '1997-01-01'"
+    )
+    iceberg_writer.create_iceberg(
+        orders.where("o_orderkey % 4 = 0"), table,
+        partition_by=["months(o_orderdate)"],
+    )
+    for r in (1, 2, 3):
+        iceberg_writer.append_iceberg(
+            orders.where(f"o_orderkey % 4 = {r}"), table
+        )
+    # a failed commit's leftover: unreferenced, old enough to sweep
+    orphan = os.path.join(table, "data", "orphan-lost-race.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1 leftover")
+    os.utime(orphan, (_t.time() - 90_000, _t.time() - 90_000))
+    iceberg_writer.set_sort_order(table, ["o_orderkey"])
+    report = run_maintenance(
+        spark, table, retain_last=1, target_files=4,
+        remove_orphans=True,
+    )
+    assert report["n_orphans_removed"] == 1, report
+    assert report["rewritten_snapshot"] > 0, report
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1996, 7, 1)
+    return iceberg_reader.read_iceberg(
+        spark, table,
+        predicates=[("o_orderdate", ">=", lo), ("o_orderdate", "<", hi),
+                    ("o_orderkey", "<", 3000)],
+    ).select("o_orderkey", "o_custkey", "price")

@@ -59,6 +59,7 @@ PRIORITY: list[str] = [
     # (b) new this round (r08)
     "l5_video_decode",  # REAL Y4M framing (last multimodal stub closed)
     "d43_iceberg_sortorder",  # WRITE ORDERED BY + sort-aware rewrite
+    "x7_ops_lifecycle",  # r8 capstone: maintenance lifecycle + 2-tier pruning
     # (c) implementation changed this round after their last green row:
     # manifest-list partition summaries + manifest-level pruning touch
     # EVERY native-Iceberg read/write; the Delta stats tz-normalization
