@@ -81,16 +81,16 @@ def enable_cdf(spark: SparkSession, table: str) -> int:
         return delta_writer._next_version(table) - 1
     conf["delta.enableChangeDataFeed"] = "true"
     meta["configuration"] = conf
-    version = delta_writer._next_version(table)
-    delta_writer._commit(
-        table,
-        version,
+    # metaData commit from replayed state: serializable (r8) — a
+    # racing schema change must surface, not be silently clobbered
+    return delta_writer._commit_from_state(
+        spark, table, state,
         [
             {"metaData": meta},
             delta_writer._commit_info("SET TBLPROPERTIES"),
         ],
+        "SET TBLPROPERTIES",
     )
-    return version
 
 
 def write_cdc_files(

@@ -64,22 +64,29 @@ def is_iceberg_table(path: str) -> bool:
 
 
 def _current_metadata_file(path: str) -> str:
+    """Newest committed metadata version. The hint is an OPTIMIZATION,
+    never the authority: between a racing writer's put-if-absent
+    ``v{N}.metadata.json`` link and its hint update there is a window
+    where the hint lags — a loser that trusted the stale hint would
+    reload the same old version and burn its whole retry budget
+    against EEXIST (observed under CPU contention in the two-process
+    race test). Scan the directory and take the max of both."""
     d = _metadata_dir(path)
+    best_v, best = -1, None
     hint = os.path.join(d, "version-hint.text")
     if os.path.exists(hint):
         with open(hint) as fh:
             v = fh.read().strip()
         cand = os.path.join(d, f"v{v}.metadata.json")
-        if os.path.exists(cand):
-            return cand
-    versions = []
+        if v.isdigit() and os.path.exists(cand):
+            best_v, best = int(v), cand
     for f in os.listdir(d):
         m = re.match(r"v(\d+)\.metadata\.json$", f)
-        if m:
-            versions.append((int(m.group(1)), os.path.join(d, f)))
-    if not versions:
+        if m and int(m.group(1)) > best_v:
+            best_v, best = int(m.group(1)), os.path.join(d, f)
+    if best is None:
         raise ValueError(f"no Iceberg metadata at {path}")
-    return max(versions)[1]
+    return best
 
 
 def _avro_records(spark: SparkSession, path: str):

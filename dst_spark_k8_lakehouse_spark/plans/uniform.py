@@ -223,6 +223,7 @@ def export_delta_log(spark: SparkSession, table: str) -> int:
     schema = T.StructType(fields)
     now = int(time.time() * 1000)
     prev_adds: list[str] = []
+    state = None
     if delta_reader.is_delta_table(table):
         state = delta_reader._replay(spark, table, None)
         prev_adds = list(state["files"])
@@ -277,6 +278,11 @@ def export_delta_log(spark: SparkSession, table: str) -> int:
                for a in actions):
         return delta_writer._next_version(table) - 1  # nothing changed
     actions.append(delta_writer._commit_info("UNIFORM SYNC"))
+    if state is not None:
+        # state-dependent incremental diff: serializable commit (r8)
+        return delta_writer._commit_from_state(
+            spark, table, state, actions, "UNIFORM SYNC"
+        )
     version = delta_writer._next_version(table)
     delta_writer._commit(table, version, actions)
     return version

@@ -82,18 +82,38 @@ def test_create_existing_refused(spark, tmp_path):
 
 
 def test_lost_metadata_race_raises(spark, tmp_path):
+    """The put-if-absent primitive raises on a taken version, and a
+    COMPETING writer's committed-but-unhinted version is ADOPTED (r8:
+    `_current_metadata_file` scans past a lagging hint — trusting the
+    stale hint starved the loser's retry loop in the two-process race
+    test)."""
+    import json as _json
+    import shutil as _sh
+
     table = str(tmp_path / "race")
     iw.create_iceberg(_df(spark, 0, 2), table)
-    # a competing writer takes v2 first
     md = os.path.join(table, "metadata")
-    with open(os.path.join(md, "v2.metadata.json"), "w") as fh:
-        fh.write("{}")
+    # a competing writer fully committed v2 (a real winner writes the
+    # complete JSON before its atomic link) but its hint write lags
+    _sh.copy(
+        os.path.join(md, "v1.metadata.json"),
+        os.path.join(md, "v2.metadata.json"),
+    )
+    # the primitive itself: linking a taken version must raise and
+    # leave the existing file untouched
+    meta, _v = iw._load_meta(table)
+    before = open(os.path.join(md, "v2.metadata.json")).read()
     with pytest.raises(FileExistsError):
-        iw.append_iceberg(_df(spark, 2, 3), table)
-    # v1 state is untouched and still reads
+        iw._commit_metadata(table, meta, 2)
+    assert open(os.path.join(md, "v2.metadata.json")).read() == before
+    # an append sees the newest COMMITTED version (not the lagging
+    # hint) and lands cleanly after it
+    iw.append_iceberg(_df(spark, 2, 3), table)
     with open(os.path.join(md, "version-hint.text")) as fh:
-        assert fh.read().strip() == "1"
-    assert ir.read_iceberg(spark, table).count() == 2
+        assert fh.read().strip() == "3"
+    assert ir.read_iceberg(spark, table).count() == 3
+    with open(os.path.join(md, "v3.metadata.json")) as fh:
+        assert _json.load(fh)["current-snapshot-id"]
 
 
 def test_append_schema_mismatch_refused(spark, tmp_path):

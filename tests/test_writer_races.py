@@ -64,12 +64,14 @@ for b in range({n_batches}):
     if fmt == "delta":
         delta_writer.append_delta(df, table)  # internal retry loop
     else:
-        for attempt in range(25):  # app-level retry over FileExistsError
+        for attempt in range(60):  # app-level retry over FileExistsError
             try:
                 iceberg_writer.append_iceberg(df, table)
                 break
             except FileExistsError:
-                time.sleep(0.01)
+                # jittered backoff: under heavy CPU contention both
+                # writers otherwise re-collide in lockstep
+                time.sleep(0.01 * (1 + (writer_id + attempt) % 5))
         else:
             raise SystemExit(3)
 print("DONE", writer_id)
