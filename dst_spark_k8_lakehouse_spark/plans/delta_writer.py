@@ -263,10 +263,11 @@ def _next_version(table: str) -> int:
     state) must NOT take its version from this fresh directory
     listing: a commit that raced in between the replay and here would
     be silently absorbed (version bumps past it, no EEXIST, the
-    conflict check never runs — a lost update). Those paths go through
-    ``_commit_from_state``, which claims exactly the replayed
-    version + 1. Blind appends and overwrites (whose actions don't
-    depend on prior state) may use this freely."""
+    conflict check never runs — a lost update). Every library
+    write path now claims the replayed version + 1 (via
+    ``_commit_from_state`` or directly in its retry loop); this fresh
+    listing remains for version arithmetic (no-op returns, CDF range
+    resolution) and the DataSource's blind-append commit."""
     commits = delta_reader._commit_files(table)
     last = commits[-1][0] if commits else -1
     cp = delta_reader._checkpoint(table)
@@ -650,7 +651,12 @@ def append_delta(
                 }
             )
         actions.append(_commit_info("WRITE"))
-        version = _next_version(table)
+        # claim exactly the replayed version + 1: the txn idempotence
+        # re-check and any widened metaData were computed against THIS
+        # state, so a commit that raced in must force EEXIST and a
+        # fresh loop (a fresh _next_version listing would let a racing
+        # duplicate micro-batch land the same txn epoch twice)
+        version = int(state.get("version", -1)) + 1
         try:
             _commit(table, version, actions)
             return version
@@ -692,7 +698,9 @@ def add_column(
         )
         meta["schemaString"] = json.dumps(schema_json)
         meta["configuration"] = conf
-        version = _next_version(table)
+        # replayed version + 1: a racing schema change must surface
+        # via EEXIST + re-replay, never be clobbered by a stale merge
+        version = int(state.get("version", -1)) + 1
         try:
             _commit(
                 table,
@@ -747,7 +755,7 @@ def rename_column(
         meta["schemaString"] = json.dumps(schema_json)
         meta["configuration"] = conf
         actions += [{"metaData": meta}, _commit_info("RENAME COLUMN")]
-        version = _next_version(table)
+        version = int(state.get("version", -1)) + 1  # see add_column
         try:
             _commit(table, version, actions)
             return version
@@ -1176,7 +1184,12 @@ def overwrite_delta(df: DataFrame, table: str) -> int:
         ]
         actions += adds
         actions.append(_commit_info("WRITE"))
-        version = _next_version(table)
+        # the remove set was computed from THIS replayed state —
+        # claiming its version + 1 makes the overwrite serializable
+        # (a racing compaction/DML forces a re-replay, so the removes
+        # always match the state being replaced; a fresh listing
+        # could absorb it and leave a both-worlds mixed table)
+        version = int(state.get("version", -1)) + 1
         try:
             _commit(table, version, actions)
             return version
@@ -1454,9 +1467,9 @@ def add_check_constraint(
             }
         )
     actions += [{"metaData": meta}, _commit_info("ADD CONSTRAINT")]
-    version = _next_version(table)
-    _commit(table, version, actions)
-    return version
+    return _commit_from_state(
+        spark, table, state, actions, "ADD CONSTRAINT"
+    )
 
 
 def drop_check_constraint(
@@ -1473,9 +1486,8 @@ def drop_check_constraint(
         raise ValueError(f"constraint {name!r} not on table")
     del conf[key]
     meta["configuration"] = conf
-    version = _next_version(table)
-    _commit(
-        table, version,
+    return _commit_from_state(
+        spark, table, state,
         [{"metaData": meta}, _commit_info("DROP CONSTRAINT")],
+        "DROP CONSTRAINT",
     )
-    return version

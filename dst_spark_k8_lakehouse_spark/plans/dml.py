@@ -453,25 +453,36 @@ def execute_native_sql(
         return 0
     if m := _OPTIMIZE_RE.match(sql):
         p = _path(m["table"])
-        if m["cols"]:
-            cols = [c.strip() for c in m["cols"].split(",")]
-            if _fmt(p) == "delta":
-                return delta_writer.zorder_delta(spark, p, cols)
-            # Iceberg (r8): the rewrite action with the zorder
-            # strategy — same shared clustering kernel
-            return iceberg_writer.rewrite_data_files(
-                spark, p, sort_order=f"zorder({', '.join(cols)})"
-            )
         if _fmt(p) == "delta":
+            if m["cols"]:
+                cols = [c.strip() for c in m["cols"].split(",")]
+                return delta_writer.zorder_delta(spark, p, cols)
             v = delta_writer.compact_delta(spark, p, min_files=2)
             return v if v >= 0 else 0
-        # Iceberg plain OPTIMIZE: sort-aware when the table declares
-        # an order (the maintenance job's rule), plain bin-pack else
+        # Iceberg (r8): the rewrite action through the shared
+        # clustering kernel. Like the Delta branch (and the
+        # maintenance job), an idempotent OPTIMIZE must not cost a
+        # full-table shuffle or GROW the file count: no-op under 2
+        # live files, and never rewrite into more files than exist.
+        n_live = len(
+            iceberg_reader.plan_file_list(spark, p)["data"]
+        )
+        if n_live < 2:
+            return 0
+        target = min(8, n_live)
+        if m["cols"]:
+            cols = [c.strip() for c in m["cols"].split(",")]
+            return iceberg_writer.rewrite_data_files(
+                spark, p, sort_order=f"zorder({', '.join(cols)})",
+                target_files=target,
+            )
         meta_i, _v = iceberg_writer._load_meta(p)
         if iceberg_writer.default_sort_columns(meta_i):
-            return iceberg_writer.rewrite_data_files(spark, p)
+            return iceberg_writer.rewrite_data_files(
+                spark, p, target_files=target
+            )
         return iceberg_writer.overwrite_iceberg(
-            iceberg_reader.read_iceberg(spark, p).repartition(8), p
+            iceberg_reader.read_iceberg(spark, p).repartition(target), p
         )
     if m := _WRITE_ORDERED_RE.match(sql):
         p = _path(m["table"])

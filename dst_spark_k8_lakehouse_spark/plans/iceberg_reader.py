@@ -125,8 +125,10 @@ def _pv_pass(pv: dict[str, Any], flt) -> bool:
             # names are validated ONCE against the default spec in
             # read_iceberg, not per-file here.
             continue
-        wants = want if isinstance(want, (list, tuple, set)) else [want]
-        if pv[col] not in set(wants):
+        ws = (want if isinstance(want, (set, frozenset))
+              else set(want) if isinstance(want, (list, tuple))
+              else {want})
+        if pv[col] not in ws:
             return False
     return True
 
@@ -596,10 +598,16 @@ def plan_file_list(
             iceberg_transforms as _trn,
         )
 
-        rts = dict(zip(
-            (sf["name"] for sf in spec_fields),
-            _iw._spec_result_types(meta),
-        ))
+        try:
+            rts = dict(zip(
+                (sf["name"] for sf in spec_fields),
+                _iw._spec_result_types(meta),
+            ))
+        except NotImplementedError:
+            # a spec field this engine can't type (foreign transform,
+            # nested source) must not break a filter that never
+            # references it — fall back to raw-value comparison
+            rts = {}
         pv_wants = {}
         for col, want in partition_filter.items():
             wants = (want if isinstance(want, (list, tuple, set))
@@ -607,8 +615,7 @@ def plan_file_list(
             pv_wants[col] = {
                 _trn.to_pv_domain(w, rts.get(col, "")) for w in wants
             }
-        partition_filter = {k: sorted(v, key=repr)
-                            for k, v in pv_wants.items()}
+        partition_filter = pv_wants  # sets: _pv_pass uses them as-is
     residual = None
     manifest_keep = None
     schema_now = None

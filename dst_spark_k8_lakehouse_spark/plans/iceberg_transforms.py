@@ -659,8 +659,13 @@ def manifest_summary_predicate(
                 try:
                     checks = _compile_checks(spec_fields, schema_fields,
                                              preds)
-                except KeyError:
-                    checks = []  # foreign spec vs schema: keep all
+                except (KeyError, NotImplementedError, ValueError):
+                    # foreign spec vs schema, or a transform this
+                    # engine can't evaluate (an OLD spec may carry
+                    # one even when the default spec is fine): the
+                    # manifest tier simply keeps everything — the
+                    # file tier and residual stay exact
+                    checks = []
                 _check_cache[key] = checks
         else:
             checks = []

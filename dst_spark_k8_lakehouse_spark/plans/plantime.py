@@ -43,6 +43,10 @@ _BASE_DAY = datetime.date(2024, 1, 1)
 
 # (label, total data files, commits)
 SCALES = [("1k", 1_000, 10), ("10k", 10_000, 50)]
+
+# bump when a builder's metadata layout changes: cached tables whose
+# marker carries an older version are rebuilt
+BUILD_VERSION = "r8.1"
 _N_DAYS = 100  # distinct ts days across the table
 
 
@@ -268,13 +272,21 @@ def ensure_tables(spark=None) -> dict[str, dict[str, str]]:
         for fmt, builder in builders:
             path = os.path.join(_cache_dir(), f"{fmt}_{label}")
             marker = os.path.join(path, "_PLANTIME_OK")
-            if not os.path.exists(marker):
+            # the marker CONTENT keys the cache: a later round that
+            # changes the scales or the builders (BUILD_VERSION) must
+            # rebuild, not silently measure a stale metadata shape
+            stamp = f"{BUILD_VERSION} {n_files} {n_commits}"
+            have = None
+            if os.path.exists(marker):
+                with open(marker) as fh:
+                    have = fh.read().strip()
+            if have != stamp:
                 import shutil
 
                 shutil.rmtree(path, ignore_errors=True)
                 builder(path, n_files, n_commits)
                 with open(marker, "w") as fh:
-                    fh.write(f"{n_files} {n_commits}")
+                    fh.write(stamp)
             pair[fmt] = path
         out[label] = pair
     return out

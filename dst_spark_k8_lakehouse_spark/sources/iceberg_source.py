@@ -347,11 +347,11 @@ class _IceReader(DataSourceReader):
             )
 
             def pv_pass(pv: dict) -> bool:
-                for col, wanted in wants.items():
-                    # a pv MISSING the key = file written under an
-                    # older spec (ADD PARTITION FIELD since): keep it
-                    if col in pv and pv[col] not in wanted:
-                        return False
+                # the shared dict semantics (missing key = older-spec
+                # file, keep) live in iceberg_reader._pv_pass — one
+                # source of truth for both faces
+                if wants and not iceberg_reader._pv_pass(pv, wants):
+                    return False
                 return file_pred(pv) if file_pred is not None else True
 
             partition_filter = pv_pass if (wants or preds) else None

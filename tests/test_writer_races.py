@@ -228,3 +228,95 @@ def test_two_process_delta_dml_conflict(spark, tmp_path):
     assert len(rows) == 100
     assert all(v == n_applied for (_i, g, v) in rows if g == 0)
     assert all(v == 0 for (_i, g, v) in rows if g == 1)
+
+
+_TXN_CHILD = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+table, writer_id, go, ready = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+open(ready, "w").write("1")
+while not os.path.exists(go):
+    time.sleep(0.02)
+from dst_spark_k8_lakehouse_spark.plans import delta_writer
+# BOTH processes replay the SAME micro-batch: (app, epoch 7) — the
+# exactly-once contract says the rows land once no matter who wins
+df = spark.range(25).selectExpr("id + 100 AS id")
+v = delta_writer.append_delta(df, table, txn=("appA", 7))
+print("RESULT", v)
+"""
+
+_ADDCOL_CHILD = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+table, writer_id, go, ready = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+open(ready, "w").write("1")
+while not os.path.exists(go):
+    time.sleep(0.02)
+from dst_spark_k8_lakehouse_spark.plans import delta_writer
+delta_writer.add_column(spark, table, f"extra_{{writer_id}}", "int")
+print("ADDED", writer_id)
+"""
+
+
+def test_two_process_duplicate_txn_commits_once(spark, tmp_path):
+    """r8 review finding: a racing DUPLICATE micro-batch (same app +
+    epoch) must land exactly once — the loser's fresh-listing commit
+    used to skip the EEXIST conflict check and double-apply."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader, delta_writer
+
+    table = str(tmp_path / "t")
+    delta_writer.create_delta(spark.range(10).select("id"), table)
+    outs = _race(
+        _TXN_CHILD.format(repo=REPO),
+        [[table, "1"], [table, "2"]],
+        tmp_path,
+    )
+    got = delta_reader.read_delta(spark, table)
+    ids = [r.id for r in got.collect()]
+    assert sorted(ids) == sorted(
+        list(range(10)) + [i + 100 for i in range(25)]
+    ), "duplicate txn epoch double-committed"
+    # exactly one child actually committed; the other skipped (-1)
+    # or lost-then-skipped on retry
+    versions = [int(o.split("RESULT")[1].strip()) for o in outs]
+    assert sorted(v == -1 for v in versions) in ([False, True],
+                                                 [True, True])
+    state = delta_reader._replay(spark, table, None)
+    assert state["txns"].get("appA") == 7
+
+
+def test_two_process_add_column_race_keeps_both(spark, tmp_path):
+    """r8 review finding: two concurrent ADD COLUMNs used to let the
+    loser clobber the winner's schema (its stale metaData committed at
+    a fresh version with no EEXIST). Now the retry loop re-replays, so
+    BOTH columns land."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader, delta_writer
+
+    table = str(tmp_path / "t")
+    delta_writer.create_delta(spark.range(10).select("id"), table)
+    _race(
+        _ADDCOL_CHILD.format(repo=REPO),
+        [[table, "1"], [table, "2"]],
+        tmp_path,
+    )
+    got = delta_reader.read_delta(spark, table)
+    assert set(got.columns) == {"id", "extra_1", "extra_2"}
+    assert got.count() == 10
