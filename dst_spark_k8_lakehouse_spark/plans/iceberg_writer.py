@@ -1601,3 +1601,51 @@ def remove_orphan_files(
             except OSError:
                 pass
     return doomed
+
+
+def expire_metadata_versions(
+    table: str, keep_last: int = 10, dry_run: bool = False
+) -> list[str]:
+    """The spec's ``write.metadata.previous-versions-max`` behavior:
+    delete ``v{K}.metadata.json`` files older than the newest
+    ``keep_last`` and trim their ``metadata-log`` entries (one new
+    metadata commit). Snapshot TIME TRAVEL is unaffected — snapshots
+    live in the CURRENT metadata; old metadata versions only matter
+    for metadata-level archaeology, and on a busy table (one JSON per
+    commit, forever) they are the one metadata surface nothing else
+    bounds. Returns the deleted (or to-be-deleted) paths."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    import re as _re
+
+    meta, v = _load_meta(table)
+    md = iceberg_reader._metadata_dir(table)
+    versions = sorted(
+        int(m.group(1))
+        for f in os.listdir(md)
+        if (m := _re.match(r"v(\d+)\.metadata\.json$", f))
+    )
+    # the about-to-be-written v+1 counts toward keep_last
+    doomed_v = [k for k in versions if k <= v + 1 - keep_last]
+    doomed = [os.path.join(md, f"v{k}.metadata.json") for k in doomed_v]
+    if dry_run or not doomed:
+        return doomed
+    keep_files = {
+        os.path.normpath(os.path.join(md, f"v{k}.metadata.json"))
+        for k in versions if k not in doomed_v
+    }
+    _bump_metadata_log(table, meta)
+    meta["metadata-log"] = [
+        e for e in meta.get("metadata-log") or []
+        if os.path.normpath(
+            iceberg_reader._strip_uri(str(e.get("metadata-file")))
+        ) in keep_files
+    ]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
+    for p in doomed:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+    return doomed

@@ -118,6 +118,12 @@ def run_maintenance(
         )
         if remove_orphans else []
     )
+    # bound the one metadata surface nothing else trims: old
+    # v*.metadata.json versions (previous-versions-max behavior);
+    # snapshots and time travel live in the CURRENT metadata
+    expired_meta = iceberg_writer.expire_metadata_versions(
+        table, keep_last=max(10, retain_last)
+    )
     return {
         "before": before,
         "after": table_health(spark, table),
@@ -125,6 +131,7 @@ def run_maintenance(
         "rewritten_snapshot": rewritten_snapshot,
         "n_expired_paths": len(expired),
         "n_orphans_removed": len(orphans),
+        "n_metadata_versions_expired": len(expired_meta),
     }
 
 

@@ -366,3 +366,47 @@ def test_remove_orphan_files(spark, tmp_path):
         spark, t, older_than_ms=int(_t.time() * 1000) + 10_000
     )
     assert [os.path.basename(p) for p in more] == ["orphan-fresh.parquet"]
+
+
+def test_expire_metadata_versions(spark, tmp_path):
+    """previous-versions-max: old v*.metadata.json are deleted and the
+    metadata-log trimmed, while snapshots (and snapshot time travel)
+    survive untouched."""
+    import os
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(20).select("id")
+    iceberg_writer.create_iceberg(df, t)
+    for _ in range(6):
+        iceberg_writer.append_iceberg(df, t)
+    md = iceberg_reader._metadata_dir(t)
+    n_before = sum(
+        1 for f in os.listdir(md) if f.endswith(".metadata.json")
+    )
+    assert n_before == 7
+    listed = iceberg_writer.expire_metadata_versions(
+        t, keep_last=3, dry_run=True
+    )
+    assert all(os.path.exists(p) for p in listed)
+    deleted = iceberg_writer.expire_metadata_versions(t, keep_last=3)
+    assert sorted(deleted) == sorted(listed) and deleted
+    left = sorted(
+        f for f in os.listdir(md) if f.endswith(".metadata.json")
+    )
+    assert len(left) == 3  # v6, v7 and the GC commit's v8
+    # every snapshot still present and time-travelable
+    meta, _v = iceberg_writer._load_meta(t)
+    assert len(meta["snapshots"]) == 7
+    first = int(meta["snapshots"][0]["snapshot-id"])
+    assert iceberg_reader.read_iceberg(
+        spark, t, snapshot_id=first
+    ).count() == 20
+    assert iceberg_reader.read_iceberg(spark, t).count() == 140
+    # metadata-log only references surviving files
+    for e in meta.get("metadata-log") or []:
+        assert os.path.exists(str(e["metadata-file"]))
