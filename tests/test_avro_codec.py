@@ -293,3 +293,31 @@ def test_compiled_decoder_equals_interpreted(tmp_path):
     p2 = str(tmp_path / "t2.avro")
     open(p2, "wb").write(bytes(out))
     assert ac.read_avro_file(p2, compiled=True) == rows
+
+
+def test_compiled_decoder_edge_values(tmp_path):
+    """Varint edges through the compiled path: int64 extremes, zero,
+    alternating signs, empty strings/bytes/arrays/maps."""
+    import json
+
+    from dst_spark_k8_lakehouse_spark.plans import avro_codec as ac
+
+    schema = json.dumps({
+        "type": "record", "name": "e",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "a", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+        ],
+    })
+    edge = [-(2**63), -(2**63) + 1, -1, 0, 1, 63, 64, -64, -65,
+            2**63 - 1, 2**31, -(2**31) - 1]
+    rows = [
+        {"v": v, "s": "", "b": b"", "a": edge, "m": {}} for v in edge
+    ]
+    p = str(tmp_path / "e.avro")
+    ac.write_avro_file(p, schema, rows)
+    assert ac.read_avro_file(p, compiled=True) == rows
+    assert ac.read_avro_file(p, compiled=False) == rows

@@ -207,3 +207,91 @@ def test_tz_aware_footer_stats_normalize_to_naive_utc(tmp_path):
     # tz-aware literals normalize the same way on the reader side
     aware = lo.replace(tzinfo=datetime.timezone.utc)
     assert dr._stats_literal(aware) == "2024-03-01 12:00:00"
+
+
+def test_stats_keep_is_superset_randomized():
+    """Property: `_stats_keep` may only SKIP files whose stats PROVE
+    no row matches — randomized over value types (ints, floats,
+    strings, naive AND tz-aware datetimes — the r8 ADVICE area),
+    predicate ops, and stats presence. For every generated file we
+    also materialize concrete rows inside the stats bounds and check
+    that a kept==False verdict never hides a matching row."""
+    import random
+
+    rnd = random.Random(80802)
+
+    def rand_val(kind):
+        if kind == "int":
+            return rnd.randrange(-1000, 1000)
+        if kind == "float":
+            return round(rnd.uniform(-100, 100), 3)
+        if kind == "str":
+            return "".join(rnd.choice("abcxyz") for _ in range(3))
+        base = datetime.datetime(2024, 3, 1) + datetime.timedelta(
+            minutes=rnd.randrange(0, 50_000)
+        )
+        if rnd.random() < 0.5:
+            return base
+        return base.replace(tzinfo=datetime.timezone.utc)
+
+    def norm(v):
+        # the domain rows live in (naive UTC)
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            return v.astimezone(datetime.timezone.utc).replace(
+                tzinfo=None
+            )
+        return v
+
+    ops = ["==", "<", "<=", ">", ">=", "in"]
+    for trial in range(400):
+        kind = rnd.choice(["int", "float", "str", "dt"])
+        vals = sorted(
+            (norm(rand_val(kind)) for _ in range(rnd.randrange(1, 6))),
+            key=repr if kind == "str" else lambda x: x,
+        )
+        lo, hi = min(vals), max(vals)
+        stats = json.dumps({
+            "numRecords": len(vals),
+            "minValues": {"c": (
+                lo.isoformat(sep=" ") if isinstance(lo, datetime.datetime)
+                else lo)},
+            "maxValues": {"c": (
+                hi.isoformat(sep=" ") if isinstance(hi, datetime.datetime)
+                else hi)},
+            "nullCount": {"c": 0},
+        })
+        add = {"stats": stats}
+        preds = []
+        for _ in range(rnd.randrange(1, 3)):
+            op = rnd.choice(ops)
+            lit = ([rand_val(kind), rand_val(kind)] if op == "in"
+                   else rand_val(kind))
+            preds.append(("c", op, lit))
+        if dr._stats_keep(add, preds):
+            continue  # kept: always safe
+        # pruned: NO value in the file may satisfy every predicate
+        for v in vals:
+            ok = True
+            for _c, op, lit in preds:
+                lits = [norm(x) for x in lit] if op == "in" else norm(lit)
+                try:
+                    if op == "in":
+                        ok = ok and v in lits
+                    elif op in ("==", "="):
+                        ok = ok and v == lits
+                    elif op == "<":
+                        ok = ok and v < lits
+                    elif op == "<=":
+                        ok = ok and v <= lits
+                    elif op == ">":
+                        ok = ok and v > lits
+                    elif op == ">=":
+                        ok = ok and v >= lits
+                except TypeError:
+                    ok = False
+                if not ok:
+                    break
+            assert not ok, (
+                f"trial {trial}: pruned file contains matching value "
+                f"{v!r} under {preds}"
+            )
