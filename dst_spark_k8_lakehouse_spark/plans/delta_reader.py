@@ -68,7 +68,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dst_spark_k8_lakehouse_spark.plans import delta_columnar
+
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# r9: planning keeps checkpoint adds / commit add batches as Arrow
+# tables and prunes them with Arrow compute (plans/delta_columnar) —
+# ~30 µs/add of dict materialization only for KEPT files. False forces
+# the classic dict replay; tests/test_delta_columnar.py pins the two
+# paths to identical file lists.
+CP_COLUMNAR = True
 
 # partition_filter: {col: value-or-list} equality (compared against the
 # log's string representation) or a predicate over {col: str|None}
@@ -203,9 +212,22 @@ def _apply_action(state: dict[str, Any], action: dict[str, Any]) -> None:
         state["protocol"] = p  # retained so checkpoints can carry it
 
 
-def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
+def _replay(
+    spark: SparkSession, path: str, version: int | None,
+    lazy: bool = False,
+) -> dict:
+    """``lazy=True`` (the PLANNING path) keeps add actions columnar:
+    ``state["batches"]`` holds ``{"tbl": Arrow add table, "dropped":
+    set of paths invalidated by LATER actions}`` entries next to the
+    ordinary ``state["files"]`` dict (which then carries only the
+    adds that had to materialize). Only ``plan_file_list`` passes it,
+    and ``_pruned_files`` resolves batches to dicts (post-pruning)
+    before anything downstream sees the file list. The point: an
+    append-mostly log replays with ZERO per-add Python — liveness is
+    a per-batch set, not a per-path dict."""
     state: dict[str, Any] = {
         "files": {}, "metaData": None, "protocol": None, "txns": {},
+        "batches": [],
         # highest log version this state reflects — state-dependent
         # commits MUST claim exactly version+1 (put-if-absent), so a
         # commit that raced in after this replay forces EEXIST and the
@@ -214,6 +236,7 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
         # shape the two-process race test caught in r8)
         "version": -1,
     }
+    lazy = lazy and CP_COLUMNAR
     commits = _commit_files(path)
     if not commits and _checkpoint(path) is None:
         raise ValueError(f"no Delta log at {path}")
@@ -221,23 +244,53 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
     cp = _checkpoint(path)
     if cp is not None and (version is None or cp[0] <= version):
         cp_v, cp_files = cp
-        for d in _checkpoint_rows(spark, cp_files):
-            for key in ("metaData", "add", "remove", "protocol", "txn"):
-                if d.get(key) is not None:
-                    _apply_action(state, {key: d[key]})
+        got = delta_columnar.load_checkpoint(cp_files) if lazy else None
+        if got is not None:
+            tbl, others = got
+            for act in others:
+                _lazy_apply(state, act)
+            state["batches"].append({"tbl": tbl, "dropped": set()})
+        else:
+            for d in _checkpoint_rows(spark, cp_files):
+                for key in (
+                    "metaData", "add", "remove", "protocol", "txn"
+                ):
+                    if d.get(key) is not None:
+                        _apply_action(state, {key: d[key]})
         start = cp_v + 1
         state["version"] = cp_v
     seen_any = start > 0
+    # lazy tail: buffer consecutive add lines ACROSS commit files and
+    # parse them as ONE Arrow batch — pyarrow.json has a ~2 ms fixed
+    # cost per call, so per-commit batches would be SLOWER than
+    # json.loads for small commits. Non-add lines are json.loads'd at
+    # encounter; metaData (parse schema may change) and remove /
+    # out-of-line add actions (sequencing against buffered adds)
+    # flush first, so ordering stays exact.
+    buf: list[str] = []
     for v, f in commits:
         if v < start or (version is not None and v > version):
             continue
         seen_any = True
         state["version"] = max(state["version"], v)
         with open(f) as fh:
-            for line in fh:
-                line = line.strip()
-                if line:
-                    _apply_action(state, json.loads(line))
+            lines = [ln.strip() for ln in fh if ln.strip()]
+        if not lazy:
+            for line in lines:
+                _apply_action(state, json.loads(line))
+            continue
+        for ln in lines:
+            if ln.startswith('{"add":'):
+                buf.append(ln)
+                continue
+            act = json.loads(ln)
+            if (
+                "metaData" in act or "remove" in act or "add" in act
+            ):
+                _flush_tail(state, buf)
+            _lazy_apply(state, act)
+    if lazy:
+        _flush_tail(state, buf)
     if version is not None:
         available = [v for v, _ in commits]
         if not seen_any or (available and version < available[0] and start == 0):
@@ -250,62 +303,85 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> dict:
     return state
 
 
+def _pv_fields(meta: dict[str, Any]) -> list[str] | None:
+    """Partition-value keys an add's ``partitionValues`` may carry —
+    both the physical and the raw metaData spellings (real Delta
+    stores physical names there under column mapping; this writer
+    stores logical)."""
+    try:
+        schema = schema_from_json(meta["schemaString"])
+        _mode, phys = _mapping(meta)
+        pcs = _partition_cols(meta, schema, phys)
+        return list(dict.fromkeys(
+            [phys.get(c, c) for c in pcs]
+            + list(meta.get("partitionColumns") or [])
+        ))
+    except Exception:
+        return None
+
+
+def _lazy_apply(state: dict[str, Any], action: dict[str, Any]) -> None:
+    """``_apply_action`` that also keeps the columnar batches honest:
+    an add or remove of a path invalidates that path in every EARLIER
+    batch (per-batch ``dropped`` set — O(actions), never O(files))."""
+    if "remove" in action or "add" in action:
+        p = (action.get("remove") or action["add"])["path"]
+        for b in state["batches"]:
+            b["dropped"].add(p)
+    _apply_action(state, action)
+
+
+def _flush_tail(state: dict[str, Any], buf: list[str]) -> None:
+    """Parse the buffered ``{"add":…}`` lines as ONE Arrow batch and
+    register it (with within-batch re-adds resolved keep-LAST and
+    earlier batches'/dict adds' same paths invalidated). Any shape
+    the explicit protocol schema rejects replays the buffer the
+    classic way instead."""
+    if not buf:
+        return
+    lines = buf[:]
+    buf.clear()
+    batch = None
+    if state["metaData"] is not None:
+        pv_fields = _pv_fields(state["metaData"])
+        if pv_fields is not None:
+            batch = delta_columnar.parse_add_lines(lines, pv_fields)
+            if batch is not None:
+                batch = delta_columnar.dedup_last(batch)
+    if batch is None:
+        for ln in lines:
+            _lazy_apply(state, json.loads(ln))
+        return
+    if state["batches"] or state["files"]:
+        paths = batch.column("path").to_pylist()
+        for b in state["batches"]:
+            b["dropped"].update(paths)
+        for p in paths:
+            state["files"].pop(p, None)
+    state["batches"].append({"tbl": batch, "dropped": set()})
+
+
 def _checkpoint_rows(spark: SparkSession, cp_files: list[str]):
     """Checkpoint action rows as plain dicts. PYARROW-first (r8): a
     driver-side columnar read with no Spark job — replaying a 10k-add
     checkpoint costs ~30 ms instead of the ~400 ms JVM
-    collect()-and-convert round trip, which at 1M files is the
-    difference between sub-second and ~40 s PLANNING time (the
-    PLANTIME tracker watches exactly this). Falls back to the Spark
-    reader on any parse surprise (foreign multi-part layouts, exotic
-    logical types) — correctness never depends on the fast path."""
+    collect()-and-convert round trip. (Since r9 the PLANNING path
+    doesn't even pay the dict materialization — ``_replay(lazy=True)``
+    keeps adds columnar via ``delta_columnar``; this function remains
+    the exact path for writers/CDF/DV replays and the fallback.)
+    Falls back to the Spark reader on any parse surprise (foreign
+    multi-part layouts, exotic logical types) — correctness never
+    depends on the fast path."""
     rows = None
     try:
-        import pyarrow as pa
         import pyarrow.parquet as pq
-
-        def _map_paths(t: pa.DataType, prefix: tuple) -> list[tuple]:
-            # to_pylist keeps exact Python ints/strs (pandas would
-            # coerce nested ints to floats) but renders MAP values as
-            # (key, value) tuple lists — locate the map-typed paths
-            # ONCE from the schema, convert only those per row (a
-            # generic per-value recursion measured ~10× slower than
-            # the json.loads replay it was meant to beat)
-            if pa.types.is_map(t):
-                return [prefix]
-            if pa.types.is_struct(t):
-                out = []
-                for f in t:
-                    out += _map_paths(f.type, prefix + (f.name,))
-                return out
-            if pa.types.is_list(t) or pa.types.is_large_list(t):
-                # no list-of-map shapes in the checkpoint schema;
-                # refuse the fast path if a foreign writer has one
-                if _map_paths(t.value_type, prefix):
-                    raise NotImplementedError("map nested in list")
-            return []
-
-        def _convert(row: dict, paths: list[tuple]) -> dict:
-            for path in paths:
-                node = row
-                for seg in path[:-1]:
-                    node = node.get(seg)
-                    if node is None:
-                        break
-                else:
-                    v = node.get(path[-1])
-                    if v is not None:
-                        node[path[-1]] = dict(v)
-            return row
 
         rows = []  # materialize fully BEFORE yielding: a mid-stream
         for f in cp_files:  # failure must not double-apply actions
             tbl = pq.read_table(f)
-            paths = []
-            for fl in tbl.schema:
-                paths += _map_paths(fl.type, (fl.name,))
+            paths = delta_columnar.schema_map_paths(tbl.schema)
             for raw in tbl.to_pylist():
-                rows.append(_convert(raw, paths))
+                rows.append(delta_columnar.convert_maps(raw, paths))
     except Exception:
         rows = None
     if rows is not None:
@@ -550,6 +626,92 @@ def _hive_consistent(
     return True
 
 
+def _dict_prune(
+    files: dict[str, Any],
+    part_cols: list[str],
+    phys: dict[str, str],
+    keep_pv: Callable[[dict], bool] | None,
+    predicates: list[tuple] | None,
+) -> dict[str, Any]:
+    """The exact per-add pruning loop: partition predicate (generated
+    columns + explicit filters) then per-add footer-stats data
+    skipping (real Delta's second pruning tier; composes with ZORDER,
+    which tightens per-file spans)."""
+    if keep_pv is not None:
+        files = {
+            rel: a for rel, a in files.items()
+            if keep_pv(_pv(a, part_cols, phys))
+        }
+    if predicates:
+        files = {
+            rel: a for rel, a in files.items()
+            if _stats_keep(a, list(predicates), phys)
+        }
+    return files
+
+
+def _pruned_files(
+    state: dict[str, Any],
+    schema: T.StructType,
+    part_cols: list[str],
+    phys: dict[str, str],
+    keep_pv: Callable[[dict], bool] | None,
+    predicates: list[tuple] | None,
+) -> dict[str, Any]:
+    """Resolve a (possibly lazy) replay state to the pruned add-dict
+    file list. Columnar batches are mask-pruned with Arrow compute and
+    only KEPT rows pay dict materialization (the r9 fix for the
+    ~30 µs/add planning cost PLANTIME measured at 10k adds — ~30 s of
+    driver time per query at a 100 TB table's ~1M adds); any batch the
+    columnar path can't prune exactly drops the whole resolution to
+    the classic dict loop, so the two paths always yield the same
+    files (pinned by tests/test_delta_columnar.py)."""
+    batches = state.get("batches") or []
+    if not batches:
+        return _dict_prune(
+            dict(state["files"]), part_cols, phys, keep_pv, predicates
+        )
+    out: dict[str, Any] = {}
+    ok = True
+    for b in batches:
+        kept = delta_columnar.prune_adds(
+            b["tbl"], b["dropped"], part_cols, phys, keep_pv,
+            predicates, schema, _stats_literal,
+        )
+        if kept is None:
+            ok = False
+            break
+        for d in delta_columnar.materialize_adds(kept):
+            out[d["path"]] = d
+    if ok:
+        out.update(
+            _dict_prune(
+                dict(state["files"]), part_cols, phys, keep_pv,
+                predicates,
+            )
+        )
+        return out
+    # exact fallback: materialize every live batch row, prune as dicts
+    full: dict[str, Any] = {}
+    for b in batches:
+        kept = delta_columnar.prune_adds(
+            b["tbl"], b["dropped"], part_cols, phys, None, None,
+            schema, _stats_literal,
+        )
+        rows = (
+            delta_columnar.materialize_adds(kept)
+            if kept is not None
+            else [
+                d for d in delta_columnar.materialize_adds(b["tbl"])
+                if d["path"] not in b["dropped"]
+            ]
+        )
+        for d in rows:
+            full[d["path"]] = d
+    full.update(state["files"])
+    return _dict_prune(full, part_cols, phys, keep_pv, predicates)
+
+
 def version_at_timestamp(path: str, ts_millis: int) -> int:
     """``timestampAsOf`` resolution per the Delta contract: the latest
     version whose commit timestamp is <= the requested time (raises if
@@ -597,13 +759,13 @@ def plan_file_list(
         if isinstance(timestamp, datetime.datetime):
             timestamp = int(timestamp.timestamp() * 1000)
         version = version_at_timestamp(path, int(timestamp))
-    state = _replay(spark, path, version)
+    state = _replay(spark, path, version, lazy=True)
     meta = state["metaData"]
     schema = schema_from_json(meta["schemaString"])
     mode, phys = _mapping(meta)
     part_cols = _partition_cols(meta, schema, phys)
-    files = state["files"]
     residual = None
+    gen_pred = None
     if predicates:
         from dst_spark_k8_lakehouse_spark.plans import (
             delta_generated,
@@ -620,28 +782,20 @@ def plan_file_list(
         gen_pred = delta_generated.partition_predicate(
             meta, list(predicates)
         )
-        if gen_pred is not None:
-            files = {
-                rel: a
-                for rel, a in files.items()
-                if gen_pred(_pv(a, part_cols, phys))
-            }
-        # DATA SKIPPING: per-add footer stats prune files on ANY
-        # column, partitioned or not (real Delta's second pruning
-        # tier; composes with ZORDER, which tightens per-file spans)
-        files = {
-            rel: a for rel, a in files.items()
-            if _stats_keep(a, list(predicates), phys)
-        }
         residual = _tr.predicates_to_column(list(predicates))
-    if partition_filter is not None:
-        if not part_cols:
-            raise ValueError("partition_filter on an unpartitioned table")
-        files = {
-            rel: a
-            for rel, a in files.items()
-            if _pv_pass(_pv(a, part_cols, phys), partition_filter)
-        }
+    if partition_filter is not None and not part_cols:
+        raise ValueError("partition_filter on an unpartitioned table")
+    keep_pv = None
+    if gen_pred is not None or partition_filter is not None:
+        def keep_pv(pv, _g=gen_pred, _f=partition_filter):
+            if _g is not None and not _g(pv):
+                return False
+            if _f is not None and not _pv_pass(pv, _f):
+                return False
+            return True
+    files = _pruned_files(
+        state, schema, part_cols, phys, keep_pv, predicates
+    )
     return {
         "state": state, "metaData": meta, "schema": schema,
         "mode": mode, "phys": phys, "part_cols": part_cols,

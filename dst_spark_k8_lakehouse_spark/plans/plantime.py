@@ -41,12 +41,15 @@ from typing import Any
 _EPOCH = datetime.date(1970, 1, 1)
 _BASE_DAY = datetime.date(2024, 1, 1)
 
-# (label, total data files, commits)
-SCALES = [("1k", 1_000, 10), ("10k", 10_000, 50)]
+# (label, total data files, commits). Three points prove a CURVE
+# (two only establish a slope): 100k is where near-flat vs linear
+# diverges unambiguously — a 100 TB table is ~10× beyond it.
+SCALES = [("1k", 1_000, 10), ("10k", 10_000, 50),
+          ("100k", 100_000, 200)]
 
 # bump when a builder's metadata layout changes: cached tables whose
 # marker carries an older version are rebuilt
-BUILD_VERSION = "r8.1"
+BUILD_VERSION = "r9.1"
 _N_DAYS = 100  # distinct ts days across the table
 
 
@@ -315,9 +318,12 @@ def measure(spark) -> dict[str, Any]:
     )
 
     tables = ensure_tables(spark)
+    n_by_label = {lb: nf for lb, nf, _nc in SCALES}
     preds = [("ts", ">=", _PRUNE_LO), ("ts", "<", _PRUNE_HI)]
     out: dict[str, Any] = {}
     for label, pair in tables.items():
+        # the 100k full plans run ~1 s each; 2 reps bound the bench
+        reps = 2 if n_by_label.get(label, 0) >= 100_000 else 3
         out[label] = {}
         for fmt, path in pair.items():
             planner = (
@@ -325,10 +331,10 @@ def measure(spark) -> dict[str, Any]:
                 else delta_reader.plan_file_list
             )
             key = "data" if fmt == "iceberg" else "files"
-            t_full, p = _time_best(lambda: planner(spark, path))
+            t_full, p = _time_best(lambda: planner(spark, path), reps)
             n_total = len(p[key])
             t_pruned, p = _time_best(
-                lambda: planner(spark, path, predicates=preds)
+                lambda: planner(spark, path, predicates=preds), reps
             )
             out[label][fmt] = {
                 "full_s": round(t_full, 4),
