@@ -169,10 +169,19 @@ def _snapshot_entries(
     that keeps plan time proportional to the matching partition range
     instead of the table's total manifest bytes. Manifests without
     summaries (foreign/pre-r8 writers) and delete manifests are always
-    decoded."""
+    decoded.
+
+    The manifests that DO survive decode on a worker pool
+    (``plans/decode_pool`` — the pyarrow-free analogue of real
+    Iceberg's ManifestGroup executor service) in manifest-list order,
+    so a wide query's plan time divides by the pool width instead of
+    walking thousands of manifests single-threaded."""
     data: list[dict] = []
     pos_dels: list[dict] = []
     eq_dels: list[dict] = []
+    from dst_spark_k8_lakehouse_spark.plans import decode_pool
+
+    survivors: list[tuple[int, int, list[dict] | None, str]] = []
     for mf in _avro_records(spark, snapshot["manifest-list"]):
         ml_content = int(str(_get(mf, "content") or 0))
         ml_seq = int(str(_get(mf, "sequence_number") or 0))
@@ -187,66 +196,120 @@ def _snapshot_entries(
                 fields_here, summaries
             ):
                 continue  # whole manifest pruned, never opened
-        for entry in _avro_records(spark, manifest_path):
-            status = int(str(entry.get("status")))
-            if status == 2:  # DELETED
+        survivors.append((ml_content, ml_seq, fields_here,
+                          manifest_path))
+    # a plain-dict (or absent) partition filter ships to the workers
+    # so entry processing parallelizes AND pruned-out entries never
+    # pay the pickle trip home; a user callable can't cross a process
+    # boundary — decode remotely, filter here
+    filter_picklable = partition_filter is None or isinstance(
+        partition_filter, dict
+    )
+    if filter_picklable:
+        results = decode_pool.run_tasks(
+            _decode_and_process,
+            [(mp, c, s, f, partition_filter)
+             for c, s, f, mp in survivors],
+            [s[3] for s in survivors],
+        )
+    else:
+        decoded = decode_pool.decode_avro_files(
+            [s[3] for s in survivors]
+        )
+        results = [
+            _process_entries(entries, c, s, f, partition_filter)
+            for (c, s, f, _mp), entries in zip(survivors, decoded)
+        ]
+    for d, p, e in results:
+        data += d
+        pos_dels += p
+        eq_dels += e
+    return data, pos_dels, eq_dels
+
+
+def _decode_and_process(
+    manifest_path: str, ml_content: int, ml_seq: int,
+    fields_here: list[dict] | None, partition_filter,
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Worker task: decode one manifest and reduce it to the planner's
+    entry triple — runs on the fork pool, so both the Avro decode and
+    the per-entry Python parallelize and only kept entries cross the
+    process boundary."""
+    from dst_spark_k8_lakehouse_spark.plans import avro_codec
+
+    return _process_entries(
+        avro_codec.read_avro_file(manifest_path),
+        ml_content, ml_seq, fields_here, partition_filter,
+    )
+
+
+def _process_entries(
+    entries, ml_content: int, ml_seq: int,
+    fields_here: list[dict] | None, partition_filter,
+) -> tuple[list[dict], list[dict], list[dict]]:
+    data: list[dict] = []
+    pos_dels: list[dict] = []
+    eq_dels: list[dict] = []
+    for entry in entries:
+        status = int(str(entry.get("status")))
+        if status == 2:  # DELETED
+            continue
+        e_seq = _get(entry, "sequence_number")
+        seq = int(str(e_seq)) if e_seq is not None else ml_seq
+        data_file = entry.get("data_file")
+        fmt = str(data_file.get("file_format")).upper()
+        if fmt != "PARQUET":
+            raise NotImplementedError(
+                f"Iceberg data/delete file format {fmt}; parquet only"
+            )
+        path = _strip_uri(str(data_file.get("file_path")))
+        df_content = int(str(_get(data_file, "content") or ml_content))
+        if df_content == 0:
+            pv = _partition_values(data_file, fields_here or [])
+            if partition_filter is not None and not _pv_pass(
+                pv, partition_filter
+            ):
                 continue
-            e_seq = _get(entry, "sequence_number")
-            seq = int(str(e_seq)) if e_seq is not None else ml_seq
-            data_file = entry.get("data_file")
-            fmt = str(data_file.get("file_format")).upper()
-            if fmt != "PARQUET":
-                raise NotImplementedError(
-                    f"Iceberg data/delete file format {fmt}; parquet only"
+            lb = _get(data_file, "lower_bounds")
+            ub = _get(data_file, "upper_bounds")
+            bounds = None
+            if lb and ub:
+                lo_by = {
+                    int(x["key"]): bytes(x["value"]) for x in lb
+                }
+                hi_by = {
+                    int(x["key"]): bytes(x["value"]) for x in ub
+                }
+                bounds = {
+                    fid: (lo_by[fid], hi_by[fid])
+                    for fid in lo_by if fid in hi_by
+                }
+            data.append(
+                {"path": path, "seq": seq, "pv": pv,
+                 "bounds": bounds}
+            )
+        elif df_content == 1:
+            pos_dels.append({"path": path, "seq": seq})
+        elif df_content == 2:
+            ids = _get(data_file, "equality_ids")
+            if not ids:
+                raise ValueError(
+                    f"equality delete file {path} carries no "
+                    "equality_ids"
                 )
-            path = _strip_uri(str(data_file.get("file_path")))
-            df_content = int(str(_get(data_file, "content") or ml_content))
-            if df_content == 0:
-                pv = _partition_values(data_file, fields_here or [])
-                if partition_filter is not None and not _pv_pass(
-                    pv, partition_filter
-                ):
-                    continue
-                lb = _get(data_file, "lower_bounds")
-                ub = _get(data_file, "upper_bounds")
-                bounds = None
-                if lb and ub:
-                    lo_by = {
-                        int(x["key"]): bytes(x["value"]) for x in lb
-                    }
-                    hi_by = {
-                        int(x["key"]): bytes(x["value"]) for x in ub
-                    }
-                    bounds = {
-                        fid: (lo_by[fid], hi_by[fid])
-                        for fid in lo_by if fid in hi_by
-                    }
-                data.append(
-                    {"path": path, "seq": seq, "pv": pv,
-                     "bounds": bounds}
-                )
-            elif df_content == 1:
-                pos_dels.append({"path": path, "seq": seq})
-            elif df_content == 2:
-                ids = _get(data_file, "equality_ids")
-                if not ids:
-                    raise ValueError(
-                        f"equality delete file {path} carries no "
-                        "equality_ids"
-                    )
-                eq_dels.append(
-                    {
-                        "path": path,
-                        "seq": seq,
-                        "equality_ids": tuple(
-                            sorted(int(str(i)) for i in ids)
-                        ),
-                    }
-                )
-            else:
-                raise NotImplementedError(
-                    f"Iceberg file content {df_content} (0/1/2 only)"
-                )
+            eq_dels.append(
+                {
+                    "path": path,
+                    "seq": seq,
+                    "equality_ids": tuple(
+                        sorted(int(str(i)) for i in ids)
+                    ),
+                }
+            )
+        else:
+            raise NotImplementedError(
+                f"Iceberg file content {df_content} (0/1/2 only)"
+            )
     return data, pos_dels, eq_dels
 
 
