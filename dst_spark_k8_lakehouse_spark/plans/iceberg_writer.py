@@ -1392,40 +1392,74 @@ def rollback_iceberg(spark: SparkSession, table: str,
     _commit_metadata(table, meta, v + 1)
 
 
+_SORT_ITEM_RE = re.compile(
+    r"^(?P<term>.+?)"
+    r"(?:\s+(?P<dir>ASC|DESC))?"
+    r"(?:\s+NULLS\s+(?P<no>FIRST|LAST))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_sort_item(item: str) -> tuple[str, str, int | None, str, str]:
+    """One sort-order entry → ``(transform, source_col, param,
+    direction, null_order)``. The term takes the same spellings as
+    ``partition_by`` (bare column, ``days(ts)``, ``bucket(N, col)``,
+    ``truncate(W, col)``); direction/null-order default per the spec's
+    SQL semantics: ``ASC`` → ``nulls-first``, ``DESC`` →
+    ``nulls-last``, explicit ``NULLS FIRST|LAST`` overrides."""
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_transforms as tr
+
+    m = _SORT_ITEM_RE.match(item.strip())
+    if not m or not m.group("term").strip():
+        raise ValueError(f"cannot parse sort item {item!r}")
+    tname, src, param = tr.parse_partition_item(m.group("term"))
+    direction = (m.group("dir") or "asc").lower()
+    null_order = (
+        f"nulls-{m.group('no').lower()}" if m.group("no")
+        else ("nulls-first" if direction == "asc" else "nulls-last")
+    )
+    return tname, src, param, direction, null_order
+
+
 def set_sort_order(table: str, cols: list[str]) -> int:
     """``ALTER TABLE … WRITE ORDERED BY`` — record a SORT ORDER in the
-    table metadata (spec ``sort-orders``: identity transform, ``asc``,
-    ``nulls-first`` per the spec's defaults for each named column) and
-    make it the default (``default-sort-order-id``). Metadata-only
-    commit; the order is the advisory layout contract the spec
-    defines — data actually takes the layout when
-    ``rewrite_data_files`` (or the maintenance job) rewrites under it.
-    Returns the new order-id.
+    table metadata (spec ``sort-orders``) and make it the default
+    (``default-sort-order-id``). Entries take the spec's full sort-
+    field surface (r9): bare columns, transform terms (``days(ts)``,
+    ``truncate(4, cat)``, ``bucket(16, id)``), ``ASC``/``DESC`` and
+    ``NULLS FIRST``/``NULLS LAST`` — e.g. ``"days(ts) DESC NULLS
+    LAST"``. Metadata-only commit; the order is the advisory layout
+    contract the spec defines — data actually takes the layout when
+    ``rewrite_data_files`` (or the maintenance job) rewrites under
+    it. Returns the new order-id.
 
     Why it matters at 100 TB: the manifest column-bounds tier (D47
     data skipping) only bites when per-file value spans are TIGHT —
     a declared sort order is how an Iceberg table asks its compactions
     to produce that layout (the Delta side's ZORDER counterpart)."""
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_transforms as tr
+
     meta, v = _load_meta(table)
     by_name = {f["name"]: f for f in meta["schema"]["fields"]}
     if not cols:
         raise ValueError("sort order needs at least one column")
     fields = []
     for c in cols:
-        if c not in by_name:
+        tname, src, param, direction, null_order = parse_sort_item(c)
+        if src not in by_name:
             raise ValueError(
-                f"sort column {c!r} not in schema {sorted(by_name)}"
+                f"sort column {src!r} not in schema {sorted(by_name)}"
             )
-        if not isinstance(by_name[c]["type"], str):
+        if not isinstance(by_name[src]["type"], str):
             raise NotImplementedError(
-                f"sort order on nested type column {c!r}"
+                f"sort order on nested type column {src!r}"
             )
         fields.append(
             {
-                "transform": "identity",
-                "source-id": int(by_name[c]["id"]),
-                "direction": "asc",
-                "null-order": "nulls-first",
+                "transform": tr.spec_transform_name(tname, param),
+                "source-id": int(by_name[src]["id"]),
+                "direction": direction,
+                "null-order": null_order,
             }
         )
     orders = meta.get("sort-orders") or [{"order-id": 0, "fields": []}]
@@ -1439,23 +1473,44 @@ def set_sort_order(table: str, cols: list[str]) -> int:
     return oid
 
 
-def default_sort_columns(meta: dict) -> list[str]:
-    """Column names of the table's default sort order (identity
-    fields only — the shapes ``set_sort_order`` writes); [] when the
-    default is the unsorted order 0."""
+def default_sort_fields(meta: dict) -> list[dict]:
+    """The table's default sort order resolved to
+    ``[{"src", "transform", "param", "direction", "null_order"}]``
+    (source-ids mapped back to column names; fields whose source
+    column was dropped are skipped); [] when the default is the
+    unsorted order 0."""
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_transforms as tr
+
     oid = int(meta.get("default-sort-order-id", 0))
     if oid == 0:
         return []
     by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
     for o in meta.get("sort-orders") or []:
         if int(o.get("order-id", 0)) == oid:
-            return [
-                by_id[int(f["source-id"])]
-                for f in o.get("fields", [])
-                if f.get("transform") == "identity"
-                and int(f["source-id"]) in by_id
-            ]
+            out = []
+            for f in o.get("fields", []):
+                sid = int(f["source-id"])
+                if sid not in by_id:
+                    continue
+                tname, param = tr.parse_spec_transform(f["transform"])
+                out.append(
+                    {
+                        "src": by_id[sid],
+                        "transform": tname,
+                        "param": param,
+                        "direction": f.get("direction", "asc"),
+                        "null_order": f.get("null-order",
+                                            "nulls-first"),
+                    }
+                )
+            return out
     return []
+
+
+def default_sort_columns(meta: dict) -> list[str]:
+    """Source column names of the table's default sort order; [] when
+    the default is the unsorted order 0."""
+    return [f["src"] for f in default_sort_fields(meta)]
 
 
 def rewrite_data_files(
