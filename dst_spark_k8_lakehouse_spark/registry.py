@@ -55,15 +55,11 @@ def query(query_id: str, oracle: str | None = None) -> Callable[[F], F]:
 # ids whose only green row is the oldest (round 1). Rotation log with
 # last-green round per id lives in COVERAGE.md.
 PRIORITY: list[str] = [
-    # (a) failed in r07: none — 0 CORRECTNESS_r07 failures.
-    # (b) new this round (r08)
-    "l5_video_decode",  # REAL Y4M framing (last multimodal stub closed)
-    "d43_iceberg_sortorder",  # WRITE ORDERED BY + sort-aware rewrite
-    "x7_ops_lifecycle",  # r8 capstone: maintenance lifecycle + 2-tier pruning
-    # (c) implementation changed this round after their last green row:
-    # manifest-list partition summaries + manifest-level pruning touch
-    # EVERY native-Iceberg read/write; the Delta stats tz-normalization
-    # and the plan_file_list extraction touch every native-Delta read
+    # (a) failed in r09 — ALL were the iceberg_writer `import re`
+    # regression (VERDICT r9 item 1, fixed this round); front every one
+    # so CORRECTNESS_r10 proves the fix.
+    "d43_iceberg_sortorder",  # also (c): rewrite now consumes full sort fields
+    "x7_ops_lifecycle",
     "d36_iceberg_transforms",
     "d42_iceberg_skipping",
     "d22_iceberg_partitioned",
@@ -80,44 +76,44 @@ PRIORITY: list[str] = [
     "d31_iceberg_meta",
     "d32_iceberg_incremental",
     "d33_restore",
-    "x4_lakehouse_composite",
     "x5_cdc_pipeline",
-    "d16_delta_native_dml",
-    "d41_delta_skipping",
-    "d39_delta_generated",
     "d37_delta_dv_read",
-    "d27_delta_dv",
-    "d28_delta_cdf",
     "d35_sql_native",
-    # (d) backfill, oldest driver evidence first (VERDICT r7 item 6):
-    # the r03-green IVF probe, then the r04 cohort
     "l4_ann_ivf_probe",
-    "p1_project",
-    "p2_selectexpr",
-    "p3_filter_eq",
-    "a7_null_audit",
-    "a8_dup_count",
-    "a9_min_cdist",
-    "a10_approx",
-    "a10_percentile",
-    "a11_rollup",
-    "a11_cube",
-    "a11_gsets",
-    "t1_tumbling",
-    "t2_sliding",
-    "t3_session",
-    "s2_csv_roundtrip",
-    "s5_append_sink",
-    "f4_map",
-    "f5_json",
-    "x1_q3_shipping",
-    "d12_time_travel",
-    "d15_zorder_preserves",
+    # (d) backfill: five ids whose last driver-green row is r04 — they
+    # sat past the 50-slot cap for five rounds (VERDICT r9 item 4).
     "l3_langid",
     "l3_langid_eval",
     "l2_embed_recall",
     "l4_ivf_recall",
     "l6_mixture_epochs",
+    # (c) implementation changed this round: the Delta columnar planner
+    # gained a no-predicate short-circuit and the physical/logical
+    # partitionValues coalesce fix — re-check every native-Delta id.
+    "d16_delta_native_dml",
+    "d41_delta_skipping",
+    "d27_delta_dv",
+    "d28_delta_cdf",
+    "d39_delta_generated",
+    "d24_delta_source",
+    "x4_lakehouse_composite",
+    # (d) backfill, next-oldest driver evidence (r03-r06 cohort)
+    "j6_range_join",
+    "j7_asof",
+    "j8_star_join",
+    "k1_salted_agg",
+    "k2_salted_join",
+    "w1_rank",
+    "w2_lag",
+    "w3_running_sum",
+    "w4_topk_group",
+    "o1_sort",
+    "o2_sort_limit",
+    "u1_union",
+    "u2_intersect",
+    "u3_except",
+    "u4_udf",
+    "t6_stream_to_delta",
 ]
 
 
