@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dst_spark_k8_lakehouse_spark.plans import delta_reader
+from dst_spark_k8_lakehouse_spark.plans import parquet_ts
 
 _MAX_COMMIT_RETRIES = 10
 
@@ -208,7 +209,11 @@ def _write_data_files(
     w = df.write
     if partition_phys:
         w = w.partitionBy(*partition_phys)
-    w.parquet(staging)
+    # INT64-micros timestamps: INT96 (Spark's default) carries no
+    # footer stats, which would silently drop every timestamp column
+    # from per-add `stats` — data skipping dead on time filters
+    with parquet_ts.timestamp_micros_writes(df.sparkSession):
+        w.parquet(staging)
     adds = []
     for root, _dirs, fs in sorted(os.walk(staging)):
         rel_dir = os.path.relpath(root, staging)

@@ -220,7 +220,7 @@ _VACUUM_RE = re.compile(
 )
 _WRITE_ORDERED_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+WRITE\s+ORDERED\s+BY"
-    r"\s*\(?(?P<cols>[\w.,\s]+?)\)?\s*$",
+    r"\s*(?P<cols>[\w.,()\s]+?)\s*$",
     re.IGNORECASE,
 )
 _OPTIMIZE_RE = re.compile(
@@ -491,7 +491,21 @@ def execute_native_sql(
                 "WRITE ORDERED BY is Iceberg's sort-order DDL; cluster "
                 "a Delta table with OPTIMIZE t ZORDER BY (...)"
             )
-        cols = [c.strip() for c in m["cols"].split(",")]
+        # strip ONE outer paren pair when it wraps the whole list,
+        # then split on TOP-LEVEL commas only: `bucket(16, id)` is ONE
+        # sort term, not two fragments
+        txt = m["cols"].strip()
+        if txt.startswith("(") and txt.endswith(")"):
+            inner, depth, whole = txt[1:-1], 0, True
+            for ch in inner:
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth < 0:
+                    whole = False
+                    break
+            if whole and depth == 0:
+                txt = inner
+        cols = iceberg_writer.split_sort_terms(txt)
         iceberg_writer.set_sort_order(p, cols)
         return 0
     if m := _RESTORE_RE.match(sql):

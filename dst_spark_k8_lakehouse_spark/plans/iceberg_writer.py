@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from dst_spark_k8_lakehouse_spark.plans import iceberg_reader
+from dst_spark_k8_lakehouse_spark.plans import parquet_ts
 
 # the spec's per-partition-field summary on every manifest-list entry
 # (field-id 507, element 508, summary fields 509/518/510/511): what
@@ -587,7 +588,10 @@ def _write_data_files(
     data = os.path.join(table, "data")
     os.makedirs(data, exist_ok=True)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
-    df.write.parquet(staging)
+    # INT64-micros timestamps (spec mapping; INT96 has no footer stats
+    # → lower/upper_bounds would silently drop every timestamp column)
+    with parquet_ts.timestamp_micros_writes(df.sparkSession):
+        df.write.parquet(staging)
     out = []
     for f in sorted(os.listdir(staging)):
         if not f.endswith(".parquet"):
@@ -636,7 +640,8 @@ def _write_partitioned_data_files(
     data = os.path.join(table, "data")
     os.makedirs(data, exist_ok=True)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
-    out_df.write.partitionBy(*copies).parquet(staging)
+    with parquet_ts.timestamp_micros_writes(out_df.sparkSession):
+        out_df.write.partitionBy(*copies).parquet(staging)
     out = []
     for root, _dirs, fs in sorted(os.walk(staging)):
         rel = os.path.relpath(root, staging)
@@ -1514,6 +1519,79 @@ def default_sort_columns(meta: dict) -> list[str]:
     return [f["src"] for f in default_sort_fields(meta)]
 
 
+def split_sort_terms(s: str) -> list[str]:
+    """Split a sort-order term list on TOP-LEVEL commas only, so
+    ``"bucket(16, id), days(ts) DESC"`` yields two terms instead of
+    three fragments (a bare ``.split(",")`` turned transform args into
+    garbage terms — VERDICT r9 item on ``WRITE ORDERED BY``)."""
+    terms: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced ')' in sort order {s!r}")
+        if ch == "," and depth == 0:
+            terms.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if depth != 0:
+        raise ValueError(f"unbalanced '(' in sort order {s!r}")
+    terms.append("".join(cur).strip())
+    if any(not t for t in terms):
+        raise ValueError(f"empty term in sort order {s!r}")
+    return terms
+
+
+def _sort_field_dict(term: str) -> dict:
+    """One user-spelled sort term → the ``default_sort_fields`` dict
+    shape, so explicit ``sort_order`` args and the table's declared
+    default order flow through one rewrite path."""
+    tname, src, param, direction, null_order = parse_sort_item(term)
+    return {
+        "src": src,
+        "transform": tname,
+        "param": param,
+        "direction": direction,
+        "null_order": null_order,
+    }
+
+
+def _sort_exprs(fields: list[dict], schema_fields: list[dict]) -> list:
+    """Sort-field dicts → Spark sort expressions over the TRANSFORMED
+    value, honoring direction and null-order (the two attributes the
+    pre-r10 rewrite silently dropped)."""
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_transforms as tr
+
+    types = {
+        f["name"]: iceberg_reader._spark_type(f["type"])
+        for f in schema_fields
+        if isinstance(f["type"], str)
+    }
+    exprs = []
+    for f in fields:
+        if f["src"] not in types:
+            raise ValueError(
+                f"rewrite sort column(s) [{f['src']!r}] not in schema "
+                f"{sorted(types)}"
+            )
+        c = tr.spark_transform_column(
+            f["transform"], f["src"], f["param"], types[f["src"]]
+        )
+        order = {
+            ("asc", "nulls-first"): c.asc_nulls_first,
+            ("asc", "nulls-last"): c.asc_nulls_last,
+            ("desc", "nulls-first"): c.desc_nulls_first,
+            ("desc", "nulls-last"): c.desc_nulls_last,
+        }[(f["direction"], f["null_order"])]
+        exprs.append(order())
+    return exprs
+
+
 def rewrite_data_files(
     spark: SparkSession,
     table: str,
@@ -1528,12 +1606,19 @@ def rewrite_data_files(
       - ``None`` → the table's default sort order (``set_sort_order``;
         raises when the table has none — an unclustered rewrite is
         ``overwrite_iceberg(read_iceberg(...).repartition(n))``, the
-        maintenance job's bin-pack),
+        maintenance job's bin-pack). The FULL declared spec is honored
+        (r10): sort keys are the TRANSFORMED values (``days(ts)``,
+        ``bucket(16, id)``, ``truncate(4, cat)``), with the declared
+        direction and null-order — pre-r10 the rewrite sorted by the
+        bare source columns ascending, so metadata promised a layout
+        the data never took,
       - ``"zorder(a, b)"`` → the shared Z-ORDER kernel
         (``plans.table.zorder_cluster`` — the same engine D15/D35 use
         on the Delta side), multi-dimensional clustering,
-      - ``[cols]`` / ``"col"`` → lexical: range-partition + in-file
-        sort on the columns.
+      - ``[terms]`` / ``"term, term"`` → each term in the full
+        ``set_sort_order`` spelling (``"col"``, ``"days(ts) DESC"``,
+        ``"bucket(16, id) NULLS LAST"``); top-level-comma split, so
+        transform arguments survive.
 
     Reads apply MoR deletes, so rewriting a table with live delete
     files FOLDS them (like ``compact_mor``) — the overwrite snapshot
@@ -1547,10 +1632,11 @@ def rewrite_data_files(
     from dst_spark_k8_lakehouse_spark.plans.table import zorder_cluster
 
     meta, _v = _load_meta(table)
-    zorder = False
+    fields: list[dict] = []
+    zorder_cols: list[str] | None = None
     if sort_order is None:
-        cols = default_sort_columns(meta)
-        if not cols:
+        fields = default_sort_fields(meta)
+        if not fields:
             raise ValueError(
                 "no sort_order given and the table has no default "
                 "sort order (set_sort_order)"
@@ -1558,26 +1644,31 @@ def rewrite_data_files(
     elif isinstance(sort_order, str):
         m = _re.fullmatch(r"\s*zorder\s*\((.+)\)\s*", sort_order)
         if m:
-            zorder = True
-            cols = [c.strip() for c in m.group(1).split(",")]
+            zorder_cols = [c.strip() for c in m.group(1).split(",")]
         else:
-            cols = [sort_order.strip()]
+            fields = [
+                _sort_field_dict(t) for t in split_sort_terms(sort_order)
+            ]
     else:
-        cols = list(sort_order)
+        fields = [_sort_field_dict(t) for t in sort_order]
     names = {f["name"] for f in meta["schema"]["fields"]}
-    missing = sorted(set(cols) - names)
+    srcs = zorder_cols if zorder_cols is not None else [
+        f["src"] for f in fields
+    ]
+    missing = sorted(set(srcs) - names)
     if missing:
         raise ValueError(
             f"rewrite sort column(s) {missing} not in schema "
             f"{sorted(names)}"
         )
     df = iceberg_reader.read_iceberg(spark, table)
-    if zorder:
-        clustered = zorder_cluster(df, cols, target_files)
+    if zorder_cols is not None:
+        clustered = zorder_cluster(df, zorder_cols, target_files)
     else:
+        exprs = _sort_exprs(fields, meta["schema"]["fields"])
         clustered = df.repartitionByRange(
-            target_files, *cols
-        ).sortWithinPartitions(*cols)
+            target_files, *exprs
+        ).sortWithinPartitions(*exprs)
     return overwrite_iceberg(clustered, table)
 
 

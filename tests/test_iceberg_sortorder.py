@@ -122,6 +122,156 @@ def test_rewrite_folds_mor_deletes(spark, tmp_path):
     assert got.where("id < 500").count() == 0
 
 
+def _with_ts(spark, n=4000, days=40):
+    # shuffled event times over `days` distinct days: every pre-rewrite
+    # file spans nearly the whole range, so day-bounds skipping is dead
+    # until a rewrite clusters it
+    return spark.range(n).select(
+        ((F.col("id") * 2654435761) % n).alias("id"),
+        F.expr(
+            f"timestamp'2024-01-01 00:00:00' + make_interval("
+            f"0, 0, 0, cast((id * 2654435761) % {days} as int), 0, 0, 0)"
+        ).alias("ts"),
+        F.concat(F.lit("p"), (F.col("id") % 13).cast("string"))
+        .alias("cat"),
+    ).repartition(8)
+
+
+def test_parse_sort_item_full_surface():
+    assert iw.parse_sort_item("id") == (
+        "identity", "id", None, "asc", "nulls-first")
+    assert iw.parse_sort_item("id DESC") == (
+        "identity", "id", None, "desc", "nulls-last")
+    assert iw.parse_sort_item("days(ts) DESC NULLS FIRST") == (
+        "day", "ts", None, "desc", "nulls-first")
+    assert iw.parse_sort_item("bucket(16, id)") == (
+        "bucket", "id", 16, "asc", "nulls-first")
+    assert iw.parse_sort_item("truncate(4, cat) ASC NULLS LAST") == (
+        "truncate", "cat", 4, "asc", "nulls-last")
+    with pytest.raises(ValueError):
+        iw.parse_sort_item("   ")
+
+
+def test_split_sort_terms_paren_aware():
+    assert iw.split_sort_terms("bucket(16, id), days(ts) DESC") == [
+        "bucket(16, id)", "days(ts) DESC"]
+    assert iw.split_sort_terms("id") == ["id"]
+    assert iw.split_sort_terms("truncate(4, cat), x, id DESC") == [
+        "truncate(4, cat)", "x", "id DESC"]
+    with pytest.raises(ValueError, match="unbalanced"):
+        iw.split_sort_terms("bucket(16, id")
+    with pytest.raises(ValueError, match="unbalanced"):
+        iw.split_sort_terms("bucket)16, id(")
+    with pytest.raises(ValueError, match="empty term"):
+        iw.split_sort_terms("id,, x")
+
+
+def test_sort_order_transform_desc_metadata_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_with_ts(spark), t)
+    oid = iw.set_sort_order(
+        t, ["days(ts) DESC NULLS LAST", "bucket(16, id)"]
+    )
+    meta, _ = iw._load_meta(t)
+    order = next(
+        o for o in meta["sort-orders"] if o["order-id"] == oid
+    )
+    assert [
+        (f["transform"], f["direction"], f["null-order"])
+        for f in order["fields"]
+    ] == [("day", "desc", "nulls-last"),
+          ("bucket[16]", "asc", "nulls-first")]
+    # the resolved view the rewrite consumes round-trips everything
+    assert iw.default_sort_fields(meta) == [
+        {"src": "ts", "transform": "day", "param": None,
+         "direction": "desc", "null_order": "nulls-last"},
+        {"src": "id", "transform": "bucket", "param": 16,
+         "direction": "asc", "null_order": "nulls-first"},
+    ]
+
+
+def test_rewrite_honors_desc_transform_physically(spark, tmp_path):
+    """A declared ``days(ts) DESC`` order must take PHYSICAL effect in
+    the rewrite (VERDICT r9 item 3: pre-r10 the rewrite sorted by raw
+    ``ts`` asc): per-file day sequences are non-increasing, and a
+    day-range read touches fewer files afterwards."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_with_ts(spark), t)
+    before = ir.read_iceberg(
+        spark, t, predicates=[("ts", "<", "2024-01-05 00:00:00")]
+    )
+    n_before = len(_files(before))
+    assert n_before == 8  # interleaved: nothing prunes yet
+    iw.set_sort_order(t, ["days(ts) DESC NULLS LAST"])
+    snap = iw.rewrite_data_files(spark, t, target_files=8)
+    assert snap > 0
+    after = ir.read_iceberg(
+        spark, t, predicates=[("ts", "<", "2024-01-05 00:00:00")]
+    )
+    assert after.count() == before.count() > 0
+    assert len(_files(after)) < n_before  # clustering assertion
+    assert len(_files(after)) <= 2
+    # physical direction: within every rewritten file the day value is
+    # non-increasing top to bottom (parquet preserves row order)
+    epoch = pd.Timestamp("1970-01-01")
+    for f in ir.read_iceberg(spark, t).inputFiles():
+        ts = pq.read_table(
+            f.removeprefix("file:"), columns=["ts"]
+        ).to_pandas()["ts"]
+        day = (ts.dt.tz_localize(None).dt.floor("D") - epoch).dt.days
+        assert (day.diff().dropna() <= 0).all(), f
+
+
+def test_rewrite_bucket_order_clusters_bucket_values(spark, tmp_path):
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_transforms as tr
+
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_shuffled(spark), t)
+    iw.rewrite_data_files(spark, t, sort_order="bucket(4, id)",
+                          target_files=4)
+    got = ir.read_iceberg(spark, t).withColumn(
+        "f", F.input_file_name()
+    ).select("id", "f").toPandas()
+    got["b"] = [
+        tr.bucket_value(int(v), 4, "long") for v in got["id"]
+    ]
+    # 4 bucket values into 4 range-partitioned files: each file holds
+    # at most 2 distinct buckets (range boundaries may split one)
+    per_file = got.groupby("f")["b"].nunique()
+    assert (per_file <= 2).all(), per_file
+    assert got["b"].nunique() == 4
+
+
+def test_write_ordered_by_statement_transform_terms(spark, tmp_path):
+    from dst_spark_k8_lakehouse_spark.plans import dml
+
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_with_ts(spark), t)
+    dml.execute_native_sql(
+        spark,
+        "ALTER TABLE t WRITE ORDERED BY "
+        "(days(ts) DESC, bucket(16, id))",
+        {"t": t},
+    )
+    meta, _ = iw._load_meta(t)
+    assert [
+        (f["transform"], f["direction"])
+        for f in next(
+            o for o in meta["sort-orders"]
+            if o["order-id"] == meta["default-sort-order-id"]
+        )["fields"]
+    ] == [("day", "desc"), ("bucket[16]", "asc")]
+    # and OPTIMIZE's default-order rewrite consumes it end to end
+    dml.execute_native_sql(spark, "OPTIMIZE t", {"t": t})
+    got = ir.read_iceberg(
+        spark, t, predicates=[("ts", "<", "2024-01-05 00:00:00")]
+    )
+    assert 0 < len(_files(got)) <= 2
+
+
 def test_maintenance_job_goes_sort_aware(spark, tmp_path):
     import importlib
 
