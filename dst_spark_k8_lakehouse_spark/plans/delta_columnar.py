@@ -236,7 +236,21 @@ def pv_arrays(
         names = {f.name for f in col.type}
         for c in part_cols:
             p = phys.get(c, c)
-            if p in names:
+            if p in names and c in names and p != c:
+                # BOTH spellings are declared struct fields
+                # (parse_add_lines declares both), so an add keyed by
+                # the LOGICAL name parses with a null physical child —
+                # schema-level physical-wins would read null and prune
+                # a live file. Mirror the dict path's per-row
+                # resolution (raw.get(phys, raw.get(logical))) with a
+                # validity coalesce. Sole divergence: a malformed add
+                # carrying BOTH keys with an explicit-null physical
+                # and non-null logical (JSON absent-vs-null collapse
+                # in Arrow) — no writer produces one.
+                out[c] = _arr(pc.coalesce(
+                    pc.struct_field(col, p), pc.struct_field(col, c)
+                ))
+            elif p in names:
                 out[c] = _arr(pc.struct_field(col, p))
             elif c in names:
                 out[c] = _arr(pc.struct_field(col, c))
