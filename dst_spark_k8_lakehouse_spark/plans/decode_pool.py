@@ -35,20 +35,44 @@ Design constraints:
 
 from __future__ import annotations
 
+import atexit
 import os
 
 _POOL = None
 _DISABLED = False
+_N_PROCS: int | None = None
 
 MIN_FILES = 4
 MIN_BYTES = 1 << 20  # 1 MiB of manifest bytes before forking pays
 
+# Forking a process that already runs py4j/JVM gateway threads can
+# (rarely) clone a held lock into the child and hang it; the children
+# do pure file+zlib+struct work in milliseconds, so a generous
+# per-batch timeout converts a wedged pool into a sequential retry
+# instead of hanging planning forever (ADVICE r9).
+TASK_TIMEOUT_S = 60.0
+
 
 def _procs() -> int:
-    env = os.environ.get("SPARK_GRAFT_MANIFEST_PROCS")
-    if env is not None:
-        return max(0, int(env))
-    return min(8, max(2, (os.cpu_count() or 4) // 4))
+    global _N_PROCS
+    if _N_PROCS is None:
+        env = os.environ.get("SPARK_GRAFT_MANIFEST_PROCS")
+        if env is not None:
+            _N_PROCS = max(0, int(env))
+        else:
+            _N_PROCS = min(8, max(2, (os.cpu_count() or 4) // 4))
+    return _N_PROCS
+
+
+def _close_pool() -> None:
+    global _POOL
+    if _POOL is not None:
+        try:
+            _POOL.terminate()
+            _POOL.join()
+        except Exception:
+            pass
+        _POOL = None
 
 
 def _decode_one(path: str) -> list[dict]:
@@ -69,6 +93,7 @@ def _ensure_pool():
             _DISABLED = True
             return None
         _POOL = mp.get_context("fork").Pool(processes=n)
+        atexit.register(_close_pool)
     except Exception:
         _DISABLED = True
         _POOL = None
@@ -93,10 +118,16 @@ def run_tasks(fn, argtuples: list[tuple], paths: list[str]) -> list:
             if pool is not None:
                 try:
                     chunk = max(1, len(argtuples) // (_procs() * 4))
-                    return pool.starmap(fn, argtuples, chunksize=chunk)
+                    # async + timeout: a hung fork child (cloned lock)
+                    # must degrade to the sequential path, not hang
+                    # planning — a bare starmap can never time out
+                    return pool.starmap_async(
+                        fn, argtuples, chunksize=chunk
+                    ).get(timeout=TASK_TIMEOUT_S)
                 except Exception:
                     # fail-open: a broken pool must never break a plan
                     _DISABLED = True
+                    _close_pool()
     return [fn(*args) for args in argtuples]
 
 

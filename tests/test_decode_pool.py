@@ -93,3 +93,42 @@ def test_run_tasks_ships_processing(tmp_path, pool_state):
 
 def _count_rows(path):
     return sum(1 for _ in avro_codec.read_avro_file(path))
+
+
+def _sleep_forever(path):  # pragma: no cover - runs in a fork child
+    import time
+
+    time.sleep(3600)
+
+
+def test_hung_worker_times_out_and_degrades(tmp_path, pool_state):
+    """A wedged fork child (e.g. a lock cloned from a JVM-threaded
+    parent) must NOT hang planning: the async get times out, the pool
+    is terminated, and the work retries sequentially (ADVICE r9)."""
+    paths = [_write(str(tmp_path), k, 50)[0] for k in range(4)]
+    decode_pool.MIN_FILES = 2
+    decode_pool.MIN_BYTES = 1
+    decode_pool._DISABLED = False
+    old = decode_pool.TASK_TIMEOUT_S
+    decode_pool.TASK_TIMEOUT_S = 0.5
+    try:
+        out = decode_pool.run_tasks(
+            _hang_then_count, [(p,) for p in paths], paths
+        )
+    finally:
+        decode_pool.TASK_TIMEOUT_S = old
+    # sequential fallback produced the answer anyway
+    assert out == [50] * 4
+    assert decode_pool._DISABLED
+    assert decode_pool._POOL is None  # terminated, no stray workers
+
+
+def _hang_then_count(path):
+    # a fork child inherits _POOL/_DISABLED as they were at fork time,
+    # so it sleeps past the (shrunk) timeout; the parent's sequential
+    # retry runs AFTER the timeout flipped _DISABLED and sees neither
+    import time as _time
+
+    if decode_pool._POOL is not None or not decode_pool._DISABLED:
+        _time.sleep(5)
+    return sum(1 for _ in avro_codec.read_avro_file(path))
