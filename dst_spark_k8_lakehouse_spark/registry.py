@@ -87,6 +87,8 @@ PRIORITY: list[str] = [
     "l2_embed_recall",
     "l4_ivf_recall",
     "l6_mixture_epochs",
+    # (c) new this round (r10)
+    "s13_kafka_wire",  # RecordBatch v2 wire codec loopback (S13)
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.

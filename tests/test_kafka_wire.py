@@ -1,0 +1,163 @@
+"""Kafka RecordBatch v2 wire codec + broker-free segment source
+(sources/kafka_wire, S13 — VERDICT r9 item 7's loopback test): CRC-32C
+known-answer vectors, encode/decode round-trips across codecs and null
+shapes, corruption/unsupported-format refusals, and the distributed
+``binaryFile``+``mapInPandas`` segment read feeding the SAME
+``parse_kafka_events`` pipeline the real broker source would."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.sources import kafka_wire as kw
+from dst_spark_k8_lakehouse_spark.streaming import pipelines
+
+
+def test_crc32c_known_answer_vectors():
+    # public CRC-32C (Castagnoli) test vectors
+    assert kw.crc32c(b"") == 0
+    assert kw.crc32c(b"123456789") == 0xE3069283
+    assert kw.crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert kw.crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+def _recs(n=50, base_ts=1_700_000_000_000):
+    out = []
+    for i in range(n):
+        out.append(
+            {
+                "key": f"k{i}".encode(),
+                "value": json.dumps({"i": i, "s": "x" * (i % 7)}).encode(),
+                "timestamp_ms": base_ts + 10 * i,
+                "headers": [("trace", b"abc"), ("nil", None)],
+            }
+        )
+    if n > 5:
+        out[3]["value"] = None  # tombstone
+        out[5]["key"] = None
+    return out
+
+
+@pytest.mark.parametrize("codec", ["none", "gzip"])
+def test_roundtrip_batch(codec):
+    recs = _recs()
+    buf = kw.encode_record_batch(recs, base_offset=17, compression=codec)
+    (batch,) = kw.decode_record_batches(buf)
+    assert batch["base_offset"] == 17
+    assert batch["last_offset"] == 17 + len(recs) - 1
+    assert len(batch["records"]) == len(recs)
+    for i, r in enumerate(batch["records"]):
+        assert r["offset"] == 17 + i
+        assert r["timestamp_ms"] == recs[i]["timestamp_ms"]
+        assert r["key"] == recs[i]["key"]
+        assert r["value"] == recs[i]["value"]
+        assert r["headers"] == recs[i]["headers"]
+
+
+def test_multi_batch_segment_and_determinism():
+    a = kw.encode_record_batch(_recs(10), base_offset=0)
+    b = kw.encode_record_batch(_recs(5), base_offset=10,
+                               compression="gzip")
+    got = list(kw.decode_record_batches(a + b))
+    assert [g["base_offset"] for g in got] == [0, 10]
+    assert sum(len(g["records"]) for g in got) == 15
+    # deterministic bytes (gzip mtime pinned)
+    assert kw.encode_record_batch(_recs(5), base_offset=10,
+                                  compression="gzip") == b
+
+
+def test_corruption_and_unsupported_shapes():
+    buf = kw.encode_record_batch(_recs(20), compression="gzip")
+    flipped = bytearray(buf)
+    flipped[len(buf) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|truncated"):
+        list(kw.decode_record_batches(bytes(flipped)))
+    with pytest.raises(ValueError, match="truncated"):
+        list(kw.decode_record_batches(buf[:-3]))
+    # magic=1 (pre-0.11 message format): identified, refused
+    old = bytearray(buf)
+    old[16] = 1
+    with pytest.raises(NotImplementedError, match="magic"):
+        list(kw.decode_record_batches(bytes(old)))
+    # snappy batch: named refusal, not garbage rows
+    body = bytearray(buf[kw._HEADER.size:])
+    body[1] = 2  # attributes low byte → codec 2
+    snappy = kw._HEADER.pack(
+        0, 4 + 1 + 4 + len(body), -1, 2, kw.crc32c(bytes(body))
+    ) + bytes(body)
+    with pytest.raises(NotImplementedError, match="snappy"):
+        list(kw.decode_record_batches(snappy))
+    with pytest.raises(NotImplementedError, match="codec"):
+        kw.encode_record_batch(_recs(2), compression="zstd")
+    with pytest.raises(ValueError, match="at least one"):
+        kw.encode_record_batch([])
+
+
+def test_segment_source_roundtrips_events(spark, tmp_path):
+    """End-to-end loopback: typed events → JSON payloads → v2 segment
+    files in Kafka log-dir layout → DISTRIBUTED decode → the standard
+    parse pipeline — rows byte-identical to the source frame."""
+    n = 400
+    src = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval("
+            "0, 0, 0, 0, 0, cast(id % 300 as int), 0)"
+        ).alias("ts"),
+        (F.col("id") % 37).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string"))
+        .alias("event_type"),
+        (F.col("id") * 0.25).alias("value"),
+        F.lit('{"k":1}').alias("props"),
+    )
+    payloads = src.select(
+        F.col("event_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        F.to_json(
+            F.struct(*src.columns),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        ).alias("j"),
+    ).orderBy("event_id").collect()
+    d = tmp_path / "logs" / "events-3"
+    os.makedirs(d)
+    segment = b""
+    for i in range(0, n, 100):
+        segment += kw.encode_record_batch(
+            [
+                {"key": str(r["event_id"]).encode(),
+                 "value": r["j"].encode(),
+                 "timestamp_ms": int(r["ms"])}
+                for r in payloads[i:i + 100]
+            ],
+            base_offset=i,
+            compression="gzip" if (i // 100) % 2 else "none",
+        )
+    (d / "00000000000000000000.log").write_bytes(segment)
+    # a non-log file in the tree must be ignored by the glob
+    (tmp_path / "logs" / "events-3" / "leader-epoch-checkpoint"
+     ).write_text("0")
+
+    wire = kw.kafka_segment_source(spark, str(tmp_path / "logs"))
+    assert wire.schema == pipelines.KAFKA_WIRE_SCHEMA
+    rows = wire.orderBy("offset").collect()
+    assert len(rows) == n
+    assert {r.topic for r in rows} == {"events"}
+    assert {r.partition for r in rows} == {3}
+    assert [r.offset for r in rows] == list(range(n))
+
+    events = pipelines.parse_kafka_events(wire)
+    back = {tuple(r) for r in events.collect()}
+    orig = {tuple(r) for r in src.collect()}
+    assert back == orig
+
+
+def test_topic_partition_dir_convention():
+    assert kw._topic_partition_of(
+        "file:/x/y/web-events-12/00000000000000000000.log"
+    ) == ("web-events", 12)
+    assert kw._topic_partition_of("/x/odd/seg.log") == ("odd", 0)
