@@ -223,6 +223,24 @@ _WRITE_ORDERED_RE = re.compile(
     r"\s*(?P<cols>[\w.,()\s]+?)\s*$",
     re.IGNORECASE,
 )
+# Iceberg SQL-extensions ref DDL + the WAP publish procedure
+_CREATE_REF_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+CREATE\s+"
+    r"(?P<kind>BRANCH|TAG)\s+(?P<name>\w+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(?P<snap>\d+))?\s*$",
+    re.IGNORECASE,
+)
+_DROP_REF_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+DROP\s+"
+    r"(?:BRANCH|TAG)\s+(?P<name>\w+)\s*$",
+    re.IGNORECASE,
+)
+_FAST_FORWARD_RE = re.compile(
+    r"^\s*CALL\s+(?:[\w.]+\.)?fast_forward\s*\(\s*"
+    r"'?(?P<table>[\w.]+)'?\s*,\s*'(?P<branch>\w+)'\s*,\s*"
+    r"'(?P<to>\w+)'\s*\)\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<table>[\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*$",
@@ -508,6 +526,30 @@ def execute_native_sql(
         cols = iceberg_writer.split_sort_terms(txt)
         iceberg_writer.set_sort_order(p, cols)
         return 0
+    if m := _CREATE_REF_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) != "iceberg":
+            raise NotImplementedError(
+                "CREATE BRANCH/TAG is Iceberg ref DDL; Delta time "
+                "travel addresses versions directly"
+            )
+        snap = int(m["snap"]) if m["snap"] else None
+        if m["kind"].upper() == "BRANCH":
+            iceberg_writer.create_branch(p, m["name"], snap)
+        else:
+            iceberg_writer.create_tag(p, m["name"], snap)
+        return 0
+    if m := _DROP_REF_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) != "iceberg":
+            raise NotImplementedError("DROP BRANCH/TAG is Iceberg-only")
+        iceberg_writer.drop_ref(p, m["name"])
+        return 0
+    if m := _FAST_FORWARD_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) != "iceberg":
+            raise NotImplementedError("fast_forward is Iceberg-only")
+        return iceberg_writer.fast_forward(p, m["branch"], m["to"])
     if m := _RESTORE_RE.match(sql):
         p = _path(m["table"])
         if _fmt(p) != "delta":

@@ -560,18 +560,43 @@ _SUMMARY_CHECK = {
 
 def to_pv_domain(v: Any, result_type_name: str) -> Any:
     """A transform output / user literal → the value domain manifest
-    partition RECORDS store: epoch days for ``date`` results (the Avro
-    date logical type is a plain int on disk), pass-through otherwise.
-    Without this an identity-partitioned date column compares
-    ``datetime.date`` literals against int pvs and silently prunes
-    everything."""
+    partition RECORDS store: epoch days for ``date`` results, epoch
+    MICROS for ``timestamp``/``timestamptz`` (the Avro logical types
+    are plain int/long on disk), pass-through otherwise. Without this
+    an identity-partitioned date column compares ``datetime.date`` —
+    or, found r10, ISO STRING — literals against int pvs and silently
+    prunes everything."""
     if v is None:
         return None
     if result_type_name == "date":
+        if isinstance(v, str):
+            try:
+                v = datetime.date.fromisoformat(v[:10])
+            except ValueError:
+                return v  # not a date spelling: keep (never prunes)
         if isinstance(v, datetime.datetime):
             v = v.date()
         if isinstance(v, datetime.date):
             return (v - _EPOCH).days
+    if result_type_name in ("timestamp", "timestamptz"):
+        if isinstance(v, str):
+            try:
+                v = datetime.datetime.fromisoformat(v)
+            except ValueError:
+                return v
+        if isinstance(v, datetime.date) and not isinstance(
+            v, datetime.datetime
+        ):
+            v = datetime.datetime(v.year, v.month, v.day)
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            delta = v - datetime.datetime(1970, 1, 1)
+            return (
+                delta.days * 86_400 + delta.seconds
+            ) * 1_000_000 + delta.microseconds
     return v
 
 

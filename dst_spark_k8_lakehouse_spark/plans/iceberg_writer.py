@@ -674,13 +674,16 @@ def _write_partitioned_data_files(
     return out
 
 
-def _prev_manifests(spark: SparkSession, meta: dict) -> list[dict]:
+def _prev_manifests(
+    spark: SparkSession, meta: dict, head: int | None = None
+) -> list[dict]:
     """Manifest-list entries of the current snapshot (carried forward
-    by an append). On a v2 table the carry-forward PRESERVES content,
-    sequence numbers and the count fields — dropping ``content`` would
-    silently re-classify delete manifests as data manifests on the
-    next append."""
-    cur = meta.get("current-snapshot-id")
+    by an append) — or of ``head`` when a BRANCH append carries its
+    branch's lineage instead of main's. On a v2 table the
+    carry-forward PRESERVES content, sequence numbers and the count
+    fields — dropping ``content`` would silently re-classify delete
+    manifests as data manifests on the next append."""
+    cur = meta.get("current-snapshot-id") if head is None else head
     if cur is None or cur == -1:
         return []
     snap = next(
@@ -854,9 +857,25 @@ def _snapshot_commit(
     operation: str,
     version: int,
     txn: tuple[str, int] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Write data + manifest + manifest list, append the snapshot to
-    ``meta``, publish metadata ``version``. Returns the snapshot id."""
+    ``meta``, publish metadata ``version``. Returns the snapshot id.
+
+    With ``branch`` the snapshot extends the BRANCH head's lineage
+    (its manifests carry forward, its id becomes the parent) and only
+    the branch ref moves — ``current-snapshot-id`` and the
+    ``snapshot-log`` (main's lineage per the spec) stay untouched:
+    the write-audit-publish staging contract."""
+    branch_head: int | None = None
+    if branch is not None:
+        ref = (meta.get("refs") or {}).get(branch)
+        if ref is None or ref.get("type") != "branch":
+            raise ValueError(
+                f"branch {branch!r} not in table (create_branch first; "
+                f"refs: {sorted(meta.get('refs') or {})})"
+            )
+        branch_head = int(ref["snapshot-id"])
     md = iceberg_reader._metadata_dir(table)
     os.makedirs(md, exist_ok=True)
     snap_id = int(time.time() * 1000) * 1000 + version  # unique, sortable
@@ -898,7 +917,10 @@ def _snapshot_commit(
         mschema = manifest_schema(fmt=_fmt(meta))
     manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
     write_avro(spark, manifest, mschema, entries_new)
-    entries = [] if operation == "overwrite" else _prev_manifests(spark, meta)
+    entries = (
+        [] if operation == "overwrite"
+        else _prev_manifests(spark, meta, head=branch_head)
+    )
     entries.append(
         _mlist_entry(meta, manifest, snap_id, seq, 0, entries_new)
     )
@@ -915,27 +937,42 @@ def _snapshot_commit(
         # summary and append_iceberg skips seen epochs)
         summary["txn-app-id"] = str(txn[0])
         summary["txn-epoch"] = str(int(txn[1]))
-    _register_snapshot(meta, snap_id, mlist, summary)
+    _register_snapshot(meta, snap_id, mlist, summary, branch=branch,
+                       branch_head=branch_head)
     _commit_metadata(table, meta, version)
     return snap_id
 
 
 def _register_snapshot(
-    meta: dict, snap_id: int, mlist: str, summary: dict[str, str]
+    meta: dict, snap_id: int, mlist: str, summary: dict[str, str],
+    branch: str | None = None, branch_head: int | None = None,
 ) -> None:
-    """Append a snapshot + snapshot-log entry and make it current.
+    """Append a snapshot + snapshot-log entry and make it current —
+    or, with ``branch``, move only the branch ref (main's pointer and
+    the snapshot-log are main-lineage-only per the spec). Every
+    snapshot records its ``parent-snapshot-id`` (what ancestry checks
+    in ``fast_forward`` / ``cherry_pick_snapshot`` walk).
     On v2 the snapshot records its sequence-number (the value
     ``_next_seq`` already advanced for this commit)."""
     now = int(time.time() * 1000)
+    parent = branch_head if branch is not None else meta.get(
+        "current-snapshot-id"
+    )
     snap = {
         "snapshot-id": snap_id,
         "timestamp-ms": now,
         "manifest-list": mlist,
         "summary": summary,
     }
+    if parent is not None and int(parent) != -1:
+        snap["parent-snapshot-id"] = int(parent)
     if _fmt(meta) >= 2:
         snap["sequence-number"] = int(meta.get("last-sequence-number", 0))
     meta.setdefault("snapshots", []).append(snap)
+    if branch is not None:
+        meta["refs"][branch] = {"snapshot-id": snap_id, "type": "branch"}
+        meta["last-updated-ms"] = now
+        return
     meta.setdefault("snapshot-log", []).append(
         {"timestamp-ms": now, "snapshot-id": snap_id}
     )
@@ -1060,7 +1097,8 @@ def last_txn_epoch(meta: dict, app_id: str) -> int | None:
 
 
 def append_iceberg(
-    df: DataFrame, table: str, txn: tuple[str, int] | None = None
+    df: DataFrame, table: str, txn: tuple[str, int] | None = None,
+    branch: str | None = None,
 ) -> int:
     """APPEND: new snapshot carrying the previous manifests plus one
     for the added files.
@@ -1069,7 +1107,14 @@ def append_iceberg(
     counterpart of Delta's ``SetTransaction`` (real streaming sinks
     ride the snapshot summary the same way): if any snapshot already
     records this app at >= this epoch the append is a no-op returning
-    -1, so a retried micro-batch lands exactly once."""
+    -1, so a retried micro-batch lands exactly once.
+
+    ``branch`` stages the append on a named branch instead of main —
+    the WRITE half of write-audit-publish (real Iceberg's
+    ``spark.wap.branch`` / ``toBranch`` writes): the new snapshot's
+    parent and manifest carry-forward are the BRANCH head, only the
+    branch ref advances, and main readers see nothing until
+    ``fast_forward`` publishes. ``create_branch`` first."""
     meta, v = _load_meta(table)
     if txn is not None:
         last = last_txn_epoch(meta, str(txn[0]))
@@ -1084,7 +1129,7 @@ def append_iceberg(
     ]
     return _snapshot_commit(
         df.sparkSession, df, table, meta, "append", version=v + 1,
-        txn=txn,
+        txn=txn, branch=branch,
     )
 
 
@@ -1115,7 +1160,23 @@ def expire_snapshots(
         raise ValueError(f"retain_last must be >= 1, got {retain_last}")
     meta, v = _load_meta(table)
     snaps = meta.get("snapshots") or []
-    keep, drop = snaps[-retain_last:], snaps[:-retain_last]
+    # named refs PIN their head snapshots (real expireSnapshots
+    # retains every ref head): expiring a live branch/tag head would
+    # GC data files a ref-read still plans (r10, with the WAP
+    # branch-write surface). Heads suffice — a head's manifest list
+    # carries its whole file set, so the file-GC below keeps those
+    # files; intra-branch time travel past the head is given up, same
+    # as main's beyond retain_last.
+    pinned: set[int] = set()
+    for r in (meta.get("refs") or {}).values():
+        pinned.add(int(r["snapshot-id"]))
+    tail_ids = {int(s["snapshot-id"]) for s in snaps[-retain_last:]}
+    keep = [
+        s for s in snaps
+        if int(s["snapshot-id"]) in tail_ids
+        or int(s["snapshot-id"]) in pinned
+    ]
+    drop = [s for s in snaps if s not in keep]
     if not drop:
         return []
 
@@ -1351,6 +1412,143 @@ def create_tag(table: str, name: str, snapshot_id: int | None = None,
     _bump_metadata_log(table, meta)
     meta["last-updated-ms"] = int(time.time() * 1000)
     _commit_metadata(table, meta, v + 1)
+
+
+def create_branch(table: str, name: str,
+                  snapshot_id: int | None = None) -> None:
+    """``ALTER TABLE ... CREATE BRANCH`` — a mutable ref starting at
+    ``snapshot_id`` (default: current). The staging half of
+    write-audit-publish: ``append_iceberg(branch=name)`` advances it,
+    ``read_iceberg(ref=name)`` audits it, ``fast_forward`` publishes
+    it, ``drop_ref`` cleans it up."""
+    create_tag(table, name, snapshot_id, ref_type="branch")
+
+
+def _ancestry(meta: dict, snap_id: int) -> list[int]:
+    """snapshot-id chain from ``snap_id`` back to the root via
+    ``parent-snapshot-id`` (newest first, inclusive)."""
+    parents = {
+        int(s["snapshot-id"]): s.get("parent-snapshot-id")
+        for s in meta.get("snapshots") or []
+    }
+    chain: list[int] = []
+    cur: int | None = snap_id
+    while cur is not None and cur in parents and cur not in chain:
+        chain.append(cur)
+        p = parents[cur]
+        cur = int(p) if p is not None else None
+    return chain
+
+
+def fast_forward(table: str, branch: str, to: str) -> int:
+    """The PUBLISH half of write-audit-publish (real Iceberg's
+    ``fast_forward(table, branch, to)`` procedure): move ``branch``
+    (``"main"`` = the table's current pointer) to the head of ref
+    ``to`` — allowed only when the move is an actual fast-forward,
+    i.e. ``branch``'s head is an ANCESTOR of ``to``'s head (walked
+    via ``parent-snapshot-id``). A diverged branch refuses (resolve
+    with ``cherry_pick_snapshot`` or rebuild the branch); nothing is
+    ever merged implicitly. Metadata-only commit; on a main publish
+    the fast-forwarded snapshots join the snapshot-log (main's
+    lineage), newest last. Returns the published snapshot id."""
+    meta, v = _load_meta(table)
+    refs = dict(meta.get("refs") or {})
+    if to not in refs:
+        raise ValueError(f"ref {to!r} not in table (has {sorted(refs)})")
+    target = int(refs[to]["snapshot-id"])
+    if branch == "main":
+        base = int(meta.get("current-snapshot-id") or -1)
+    else:
+        if branch not in refs or refs[branch].get("type") != "branch":
+            raise ValueError(f"branch {branch!r} not in table")
+        base = int(refs[branch]["snapshot-id"])
+    if base == target:
+        return target  # already there
+    chain = _ancestry(meta, target)
+    if base != -1 and base not in chain:
+        raise ValueError(
+            f"cannot fast-forward {branch!r} ({base}) to {to!r} "
+            f"({target}): not an ancestor — the branches diverged"
+        )
+    _bump_metadata_log(table, meta)
+    now = int(time.time() * 1000)
+    if branch == "main":
+        meta["current-snapshot-id"] = target
+        # the published snapshots enter main's lineage, oldest first
+        published = [s for s in reversed(chain) if s != base]
+        log = meta.setdefault("snapshot-log", [])
+        for sid in published:
+            log.append({"timestamp-ms": now, "snapshot-id": sid})
+    else:
+        refs[branch] = {"snapshot-id": target, "type": "branch"}
+        meta["refs"] = refs
+    meta["last-updated-ms"] = now
+    _commit_metadata(table, meta, v + 1)
+    return target
+
+
+def cherry_pick_snapshot(spark: SparkSession, table: str,
+                         snapshot_id: int) -> int:
+    """``cherrypick_snapshot``: re-apply one staged APPEND snapshot's
+    added manifests on top of CURRENT main as a new commit — the
+    publish path when main moved after staging (fast-forward refused).
+    Like the real procedure, only append snapshots cherry-pick; a
+    snapshot that removed or rewrote files (overwrite/delete/replace)
+    raises — replaying its removals against a moved main could drop
+    the wrong files silently."""
+    meta, v = _load_meta(table)
+    snap = next(
+        (s for s in meta.get("snapshots") or []
+         if int(s["snapshot-id"]) == int(snapshot_id)),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not in table")
+    op = (snap.get("summary") or {}).get("operation")
+    if op != "append":
+        raise NotImplementedError(
+            f"cherry-pick of a {op!r} snapshot: only appends replay "
+            "safely onto a moved main (real Iceberg's restriction)"
+        )
+    # the staged snapshot's OWN manifests (added by it, not carried)
+    added = []
+    for r in iceberg_reader._avro_records(spark, snap["manifest-list"]):
+        if int(str(r.get("added_snapshot_id") or 0)) == int(snapshot_id):
+            added.append(r)
+    if not added:
+        raise ValueError(f"snapshot {snapshot_id} added no manifests")
+    md = iceberg_reader._metadata_dir(table)
+    new_id = int(time.time() * 1000) * 1000 + v + 1
+    v2 = _fmt(meta) >= 2
+    seq = _next_seq(meta) if v2 else 0
+    entries = _prev_manifests(spark, meta)
+    for r in added:
+        e = {k: r.get(k) for k in (
+            "manifest_path", "manifest_length", "partition_spec_id",
+        )}
+        e["added_snapshot_id"] = new_id
+        if v2:
+            for k in ("content", "sequence_number", "min_sequence_number",
+                      "added_files_count", "existing_files_count",
+                      "deleted_files_count", "added_rows_count",
+                      "existing_rows_count", "deleted_rows_count"):
+                e[k] = r.get(k)
+            # data files inherit the NEW commit's sequence number
+            e["sequence_number"] = seq
+            e["min_sequence_number"] = seq
+        if r.get("partitions") is not None:
+            e["partitions"] = r.get("partitions")
+        entries.append(e)
+    mlist = os.path.join(md, f"snap-{new_id}.avro")
+    write_avro(spark, mlist, mlist_schema(meta), entries)
+    _bump_metadata_log(table, meta)
+    summary = {
+        "operation": "append",
+        "source-snapshot-id": str(int(snapshot_id)),
+    }
+    _register_snapshot(meta, new_id, mlist, summary)
+    _commit_metadata(table, meta, v + 1)
+    return new_id
 
 
 def drop_ref(table: str, name: str) -> None:

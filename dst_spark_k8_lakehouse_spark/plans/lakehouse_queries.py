@@ -2107,3 +2107,80 @@ def x7_ops_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicates=[("o_orderdate", ">=", lo), ("o_orderdate", "<", hi),
                     ("o_orderkey", "<", 3000)],
     ).select("o_orderkey", "o_custkey", "price")
+
+
+@query(
+    "d44_iceberg_wap",
+    oracle=f"""
+        WITH base AS (
+            SELECT * FROM orders
+            WHERE o_orderkey % 3 = 0 AND o_orderkey < 6000
+        ),
+        staged AS (
+            SELECT * FROM orders
+            WHERE o_orderkey % 3 = 1 AND o_orderkey < 6000
+        ),
+        published AS (
+            SELECT * FROM base UNION ALL SELECT * FROM staged
+        )
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sum_sql('o_totalprice')} AS total_price,
+               (SELECT CAST(count(*) AS BIGINT) FROM base)
+                   AS main_rows_while_staged
+        FROM published
+        GROUP BY o_orderstatus
+    """,
+)
+def d44_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg WRITE-AUDIT-PUBLISH end to end (r10): stage an append
+    on a branch (``create_branch`` + ``append_iceberg(branch=...)`` —
+    the jar-free rendition of real Iceberg's ``spark.wap.branch``
+    staging), AUDIT it via a branch read while proving main is
+    untouched, PUBLISH with the ``fast_forward`` procedure (ancestry-
+    checked, metadata-only), then drop the branch. The oracle checks
+    both halves: the published aggregate AND the isolation property —
+    ``main_rows_while_staged`` is main's row count measured BETWEEN
+    stage and publish, which the oracle computes as the base slice
+    alone (if a staged row leaked onto main before fast_forward, the
+    hash mismatches)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.exact import exact_sum
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-wap-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).where("o_orderkey < 6000")
+    iceberg_writer.create_iceberg(
+        orders.where("o_orderkey % 3 = 0"), table
+    )
+    iceberg_writer.create_branch(table, "audit")
+    iceberg_writer.append_iceberg(
+        orders.where("o_orderkey % 3 = 1"), table, branch="audit"
+    )
+    # AUDIT: the staged branch must pass its gate before anything
+    # publishes; main must still be the base slice (both folded into
+    # the oracle check via main_rows_while_staged)
+    main_while_staged = iceberg_reader.read_iceberg(spark, table).count()
+    audit = iceberg_reader.read_iceberg(spark, table, ref="audit")
+    if audit.where("o_totalprice < 0").count() > 0:  # the audit gate
+        raise RuntimeError("audit failed: negative totals staged")
+    iceberg_writer.fast_forward(table, "main", "audit")
+    iceberg_writer.drop_ref(table, "audit")
+    published = iceberg_reader.read_iceberg(spark, table)
+    return published.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum("o_totalprice").alias("total_price"),
+    ).withColumn(
+        "main_rows_while_staged", F.lit(int(main_while_staged))
+    )

@@ -744,6 +744,18 @@ class IcebergNativeDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> _IceReader:
         sid = self.options.get("snapshotid")
+        # .option("ref"/"branch", name): read a named ref's head —
+        # the AUDIT read of the WAP flow through the DataSource face
+        ref = self.options.get("ref") or self.options.get("branch")
+        if ref is not None:
+            if sid is not None:
+                raise ValueError("pass snapshotId OR ref, not both")
+            refs = _load_meta(self._path()).get("refs") or {}
+            if ref not in refs:
+                raise ValueError(
+                    f"ref {ref!r} not in table (has {sorted(refs)})"
+                )
+            sid = refs[ref]["snapshot-id"]
         return _IceReader(
             self._path(), int(sid) if sid is not None else None
         )

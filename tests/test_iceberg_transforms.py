@@ -878,3 +878,27 @@ def test_dict_partition_filter_after_spec_evolution(
         iceberg_reader.read_iceberg(
             spark, table, partition_filter={"nope": 1}
         )
+
+
+def test_to_pv_domain_parses_string_literals():
+    """r10 regression: an ISO STRING literal on an identity-DATE
+    partition predicate compared a str against int epoch-day pvs and
+    silently pruned EVERYTHING (0 rows); date objects worked. Strings
+    must normalize like their typed twins; non-date junk passes
+    through (compares unequal → conservative keep at the caller)."""
+    import datetime
+
+    from dst_spark_k8_lakehouse_spark.plans.iceberg_transforms import (
+        to_pv_domain,
+    )
+
+    assert to_pv_domain("2024-01-03", "date") == 19725
+    assert to_pv_domain(datetime.date(2024, 1, 3), "date") == 19725
+    assert to_pv_domain("2024-01-03 12:00:00", "date") == 19725
+    assert to_pv_domain("not-a-date", "date") == "not-a-date"
+    us = to_pv_domain("2024-01-03 00:00:30", "timestamp")
+    assert us == (19725 * 86_400 + 30) * 1_000_000
+    assert to_pv_domain(
+        datetime.datetime(2024, 1, 3, 0, 0, 30), "timestamp"
+    ) == us
+    assert to_pv_domain(7, "int") == 7

@@ -1,0 +1,189 @@
+"""Iceberg write-audit-publish (r10): branch writes
+(``append_iceberg(branch=...)``), ``fast_forward`` publish with the
+ancestry check, ``cherry_pick_snapshot`` for a moved main, ref-pinned
+``expire_snapshots``, and the statement-text ref DDL."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.plans import (
+    dml,
+    iceberg_reader as ir,
+    iceberg_writer as iw,
+)
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 7).alias("x")
+    )
+
+
+def _ids(spark, t, **kw):
+    return {r.id for r in ir.read_iceberg(spark, t, **kw).collect()}
+
+
+def test_branch_append_isolation(spark, tmp_path):
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 100), t)
+    meta0, _ = iw._load_meta(t)
+    main_head = meta0["current-snapshot-id"]
+    log_len = len(meta0["snapshot-log"])
+    iw.create_branch(t, "audit")
+    staged = iw.append_iceberg(_rows(spark, 100, 150), t, branch="audit")
+    assert staged > 0
+    # main untouched: pointer, log, and reads
+    meta1, _ = iw._load_meta(t)
+    assert meta1["current-snapshot-id"] == main_head
+    assert len(meta1["snapshot-log"]) == log_len
+    assert _ids(spark, t) == set(range(100))
+    # the branch sees base + staged; its snapshot records its parent
+    assert _ids(spark, t, ref="audit") == set(range(150))
+    snap = next(s for s in meta1["snapshots"]
+                if s["snapshot-id"] == staged)
+    assert snap["parent-snapshot-id"] == main_head
+    # unknown branch refuses
+    with pytest.raises(ValueError, match="not in table"):
+        iw.append_iceberg(_rows(spark, 0, 1), t, branch="nope")
+
+
+def test_fast_forward_publish_and_log(spark, tmp_path):
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 100), t)
+    iw.create_branch(t, "audit")
+    s1 = iw.append_iceberg(_rows(spark, 100, 150), t, branch="audit")
+    s2 = iw.append_iceberg(_rows(spark, 150, 160), t, branch="audit")
+    meta, _ = iw._load_meta(t)
+    log_before = [e["snapshot-id"] for e in meta["snapshot-log"]]
+    got = iw.fast_forward(t, "main", "audit")
+    assert got == s2
+    assert _ids(spark, t) == set(range(160))
+    meta2, _ = iw._load_meta(t)
+    assert meta2["current-snapshot-id"] == s2
+    # both staged snapshots joined main's lineage, in order
+    assert [e["snapshot-id"] for e in meta2["snapshot-log"]] == \
+        log_before + [s1, s2]
+    # idempotent re-publish is a no-op
+    assert iw.fast_forward(t, "main", "audit") == s2
+    iw.drop_ref(t, "audit")
+    with pytest.raises(ValueError, match="not in table"):
+        ir.read_iceberg(spark, t, ref="audit")
+
+
+def test_fast_forward_refuses_diverged_main(spark, tmp_path):
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 50), t)
+    iw.create_branch(t, "audit")
+    iw.append_iceberg(_rows(spark, 100, 120), t, branch="audit")
+    # main moves independently → audit's head no longer descends from
+    # main's head → NOT a fast-forward
+    iw.append_iceberg(_rows(spark, 50, 60), t)
+    with pytest.raises(ValueError, match="diverged"):
+        iw.fast_forward(t, "main", "audit")
+    # main unchanged by the refusal
+    assert _ids(spark, t) == set(range(60))
+
+
+def test_cherry_pick_onto_moved_main(spark, tmp_path):
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 50), t)
+    iw.create_branch(t, "audit")
+    staged = iw.append_iceberg(_rows(spark, 100, 130), t, branch="audit")
+    iw.append_iceberg(_rows(spark, 50, 60), t)  # main moves
+    new_id = iw.cherry_pick_snapshot(spark, t, staged)
+    assert new_id > 0
+    assert _ids(spark, t) == set(range(60)) | set(range(100, 130))
+    meta, _ = iw._load_meta(t)
+    assert meta["current-snapshot-id"] == new_id
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == new_id)
+    assert snap["summary"]["source-snapshot-id"] == str(staged)
+    # non-append snapshots refuse (their removals can't replay safely)
+    ov = iw.overwrite_iceberg(_rows(spark, 0, 10), t)
+    with pytest.raises(NotImplementedError, match="cherry-pick"):
+        iw.cherry_pick_snapshot(spark, t, ov)
+
+
+def test_wap_on_partitioned_table_prunes_after_publish(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id"),
+        F.expr(
+            "date_add(date'2024-01-01', cast(id % 10 as int))"
+        ).alias("d"),
+    )
+    iw.create_iceberg(df.where("id < 100"), t, partition_by=["d"])
+    iw.create_branch(t, "stage")
+    iw.append_iceberg(df.where("id >= 100"), t, branch="stage")
+    iw.fast_forward(t, "main", "stage")
+    got = ir.read_iceberg(
+        spark, t, predicates=[("d", "==", "2024-01-03")]
+    )
+    assert {r.id for r in got.collect()} == {
+        i for i in range(200) if i % 10 == 2
+    }
+    # partition pruning engages across the published branch manifests
+    assert len(set(got.inputFiles())) < len(
+        set(ir.read_iceberg(spark, t).inputFiles())
+    )
+
+
+def test_expire_snapshots_pins_ref_heads(spark, tmp_path):
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 40), t)
+    iw.create_branch(t, "keepme")
+    staged = iw.append_iceberg(_rows(spark, 100, 120), t, branch="keepme")
+    iw.create_tag(t, "v1")
+    for lo in (40, 60, 80):
+        iw.append_iceberg(_rows(spark, lo, lo + 20), t)
+    iw.expire_snapshots(spark, t, retain_last=1)
+    meta, _ = iw._load_meta(t)
+    kept = {s["snapshot-id"] for s in meta["snapshots"]}
+    assert staged in kept  # the branch head survived
+    # and its data files still read through the ref
+    assert _ids(spark, t, ref="keepme") == set(range(40)) | set(
+        range(100, 120)
+    )
+    assert _ids(spark, t, ref="v1") == set(range(40))
+    assert _ids(spark, t) == set(range(100))
+
+
+def test_statement_text_ref_ddl_and_fast_forward(spark, tmp_path):
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 30), t)
+    tables = {"t": t}
+    dml.execute_native_sql(spark, "ALTER TABLE t CREATE BRANCH audit",
+                           tables)
+    iw.append_iceberg(_rows(spark, 30, 45), t, branch="audit")
+    dml.execute_native_sql(
+        spark, "CALL system.fast_forward('t', 'main', 'audit')", tables
+    )
+    assert _ids(spark, t) == set(range(45))
+    dml.execute_native_sql(spark, "ALTER TABLE t DROP BRANCH audit",
+                           tables)
+    meta, _ = iw._load_meta(t)
+    assert "audit" not in (meta.get("refs") or {})
+    dml.execute_native_sql(spark, "ALTER TABLE t CREATE TAG v1", tables)
+    assert _ids(spark, t, ref="v1") == set(range(45))
+
+
+def test_datasource_reads_branch_ref(spark, tmp_path):
+    from dst_spark_k8_lakehouse_spark.sources import iceberg_source
+
+    iceberg_source.register(spark)
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 40), t)
+    iw.create_branch(t, "audit")
+    iw.append_iceberg(_rows(spark, 40, 55), t, branch="audit")
+    main = spark.read.format("iceberg_native").load(t)
+    staged = (
+        spark.read.format("iceberg_native").option("ref", "audit").load(t)
+    )
+    assert {r.id for r in main.collect()} == set(range(40))
+    assert {r.id for r in staged.collect()} == set(range(55))
+    with pytest.raises(Exception, match="not in table"):
+        spark.read.format("iceberg_native").option(
+            "branch", "nope"
+        ).load(t).collect()
