@@ -231,3 +231,42 @@ def f6_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).cast("double").alias("dim_sum"),
     )
+
+
+@query(
+    "f7_variant",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(props::JSON->>'k' AS INT)) AS BIGINT)
+                   AS sum_k,
+               CAST(count(json_extract(props::JSON, '$.missing'))
+                    AS BIGINT) AS n_missing,
+               'OBJECT<k: BIGINT>' AS variant_schema
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def f7_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (r10): the VARIANT semi-structured type — Spark 4's open
+    binary JSON encoding (``parse_json`` → ``variant_get`` typed-path
+    extraction, ``try_variant_get`` for absent paths,
+    ``schema_of_variant``), the engine-native way to query JSON
+    columns without a declared schema. At 100 TB this is the
+    difference between shredding JSON once into a binary columnar
+    encoding and re-parsing strings per query; the oracle runs the
+    same extraction relationally through DuckDB's JSON operators, and
+    Spark's INFERRED per-row variant schema is itself pinned in the
+    hash (every row of ``props`` carries exactly one BIGINT ``k``)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.variant_get("v", "$.k", "int")).alias("sum_k"),
+        F.count(
+            F.try_variant_get("v", "$.missing", "string")
+        ).alias("n_missing"),
+        F.max(F.expr("schema_of_variant(v)")).alias("variant_schema"),
+    )

@@ -90,6 +90,7 @@ PRIORITY: list[str] = [
     # (c) new this round (r10)
     "s13_kafka_wire",  # RecordBatch v2 wire codec loopback (S13)
     "d44_iceberg_wap",  # write-audit-publish: branch write + fast_forward
+    "f7_variant",  # Spark 4 VARIANT semi-structured extraction
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.

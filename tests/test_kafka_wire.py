@@ -161,3 +161,74 @@ def test_topic_partition_dir_convention():
         "file:/x/y/web-events-12/00000000000000000000.log"
     ) == ("web-events", 12)
     assert kw._topic_partition_of("/x/odd/seg.log") == ("odd", 0)
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: arbitrary record shapes round-trip byte-exact
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _blob = st.one_of(st.none(), st.binary(max_size=64))
+    _rec = st.fixed_dictionaries(
+        {
+            "key": _blob,
+            "value": _blob,
+            "timestamp_ms": st.integers(
+                min_value=0, max_value=2**53
+            ),
+            "headers": st.lists(
+                st.tuples(
+                    st.text(
+                        alphabet=st.characters(
+                            blacklist_categories=("Cs",)
+                        ),
+                        max_size=8,
+                    ),
+                    _blob,
+                ),
+                max_size=3,
+            ),
+        }
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        batches=st.lists(
+            st.tuples(
+                st.lists(_rec, min_size=1, max_size=20),
+                st.sampled_from(["none", "gzip"]),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        base=st.integers(min_value=0, max_value=2**40),
+    )
+    def test_fuzz_roundtrip(batches, base):
+        segment = b""
+        offset = base
+        for recs, codec in batches:
+            segment += kw.encode_record_batch(
+                recs, base_offset=offset, compression=codec
+            )
+            offset += len(recs)
+        got = list(kw.decode_record_batches(segment))
+        assert len(got) == len(batches)
+        offset = base
+        for (recs, _codec), b in zip(batches, got):
+            assert b["base_offset"] == offset
+            assert len(b["records"]) == len(recs)
+            for i, (r, dr) in enumerate(zip(recs, b["records"])):
+                assert dr["offset"] == offset + i
+                assert dr["key"] == r["key"]
+                assert dr["value"] == r["value"]
+                assert dr["headers"] == [
+                    (hk, hv) for hk, hv in r["headers"]
+                ]
+                assert dr["timestamp_ms"] == r["timestamp_ms"]
+            offset += len(recs)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
