@@ -1205,6 +1205,67 @@ def overwrite_delta(df: DataFrame, table: str) -> int:
     )
 
 
+def shallow_clone_delta(
+    spark: SparkSession, src: str, dst: str,
+    version: int | None = None,
+) -> None:
+    """SHALLOW CLONE (real Delta's ``CREATE TABLE ... SHALLOW CLONE``):
+    a NEW table whose version-0 commit references the source's live
+    data files by ABSOLUTE path — zero data movement, O(live files)
+    metadata. The clone has its own identity (new metaData ``id``) and
+    its own forward history: appends land as its own relative files,
+    copy-on-write DML rewrites only the touched source files INTO the
+    clone's directory (the source is never modified), and VACUUM on
+    the clone only ever deletes files under the clone's root (its
+    candidate walk is rooted there), so shared source files are safe —
+    the same containment rule real Delta documents for clones.
+
+    ``version`` clones a historical snapshot (time-travel CLONE).
+
+    Refusals, each the honest protocol limit:
+    - live DELETION VECTORS: a DV descriptor resolves relative to the
+      table root, so the clone would look for the bitmap in ITS OWN
+      dir — materialize first (``materialize_dv``), like OPTIMIZE;
+    - an existing table at ``dst``.
+    Change Data Feed enablement is NOT carried (the source's
+    ``_change_data`` lives outside the clone root); re-enable on the
+    clone to start a fresh feed."""
+    if delta_reader.is_delta_table(dst):
+        raise ValueError(f"Delta table already exists at {dst}")
+    state = delta_reader._replay(spark, src, version)
+    meta = dict(state["metaData"])
+    meta["id"] = str(uuid.uuid4())
+    conf = {
+        k: v for k, v in (meta.get("configuration") or {}).items()
+        if k != "delta.enableChangeDataFeed"
+    }
+    meta["configuration"] = conf
+    meta["createdTime"] = int(time.time() * 1000)
+    src_abs = os.path.abspath(src)
+    actions: list[dict[str, Any]] = [
+        {"protocol": state.get("protocol")
+         or {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta},
+    ]
+    for rel, a in sorted(state["files"].items()):
+        if a.get("deletionVector"):
+            raise NotImplementedError(
+                "shallow clone over live deletion vectors: the DV "
+                "bitmap path resolves relative to the table root and "
+                "would dangle in the clone — materialize_dv first"
+            )
+        add = dict(a)
+        add["path"] = (
+            rel if os.path.isabs(rel)
+            else os.path.join(src_abs, *rel.split("/"))
+        )
+        add["dataChange"] = True
+        actions.append({"add": add})
+    actions.append(_commit_info("CLONE"))
+    os.makedirs(dst, exist_ok=True)
+    _commit(dst, 0, actions)
+
+
 def restore_delta(spark: SparkSession, table: str, version: int) -> int:
     """``RESTORE TABLE t TO VERSION AS OF version`` — one commit that
     returns the LIVE STATE to an earlier version while preserving

@@ -223,6 +223,12 @@ _WRITE_ORDERED_RE = re.compile(
     r"\s*(?P<cols>[\w.,()\s]+?)\s*$",
     re.IGNORECASE,
 )
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<dst>[\w.]+)\s+"
+    r"SHALLOW\s+CLONE\s+(?P<src>[\w.]+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*$",
+    re.IGNORECASE,
+)
 # Iceberg SQL-extensions ref DDL + the WAP publish procedure
 _CREATE_REF_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+CREATE\s+"
@@ -525,6 +531,18 @@ def execute_native_sql(
                 txt = inner
         cols = iceberg_writer.split_sort_terms(txt)
         iceberg_writer.set_sort_order(p, cols)
+        return 0
+    if m := _CLONE_RE.match(sql):
+        dstp, srcp = _path(m["dst"]), _path(m["src"])
+        if _fmt(srcp) != "delta":
+            raise NotImplementedError(
+                "SHALLOW CLONE is Delta's zero-copy table fork; the "
+                "Iceberg analogue is a branch (CREATE BRANCH + WAP)"
+            )
+        delta_writer.shallow_clone_delta(
+            spark, srcp, dstp,
+            version=int(m["v"]) if m["v"] else None,
+        )
         return 0
     if m := _CREATE_REF_RE.match(sql):
         p = _path(m["table"])

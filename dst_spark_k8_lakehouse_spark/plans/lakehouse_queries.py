@@ -2184,3 +2184,65 @@ def d44_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "main_rows_while_staged", F.lit(int(main_while_staged))
     )
+
+
+@query(
+    "d45_delta_clone",
+    oracle=f"""
+        WITH base AS (
+            SELECT * FROM customer WHERE c_custkey < 4000
+        ),
+        cloned AS (
+            SELECT * FROM base WHERE c_mktsegment <> 'BUILDING'
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               {sum_sql('c_acctbal')} AS total_bal,
+               (SELECT CAST(count(*) AS BIGINT) FROM base)
+                   AS src_rows_after_clone_dml
+        FROM cloned
+        GROUP BY c_mktsegment
+    """,
+)
+def d45_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SHALLOW CLONE end to end (r10): fork a customer table by
+    absolute-path metadata (zero data movement), run statement-text
+    DML on the CLONE (copy-on-write rewrites land in the clone's
+    directory only), and aggregate the clone — with the CONTAINMENT
+    property folded into the hash: ``src_rows_after_clone_dml`` is the
+    source's row count measured AFTER the clone's delete, which the
+    oracle computes as the untouched base slice (a leak of the delete
+    into the source mismatches every row)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.exact import exact_sum
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        delta_writer,
+        dml as _dml,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-clone-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).where("c_custkey < 4000")
+    delta_writer.create_delta(cust, src)
+    delta_writer.shallow_clone_delta(spark, src, dst)
+    _dml.execute_native_sql(
+        spark,
+        "DELETE FROM dst WHERE c_mktsegment = 'BUILDING'",
+        {"src": src, "dst": dst},
+    )
+    src_rows = delta_reader.read_delta(spark, src).count()
+    return delta_reader.read_delta(spark, dst).groupBy(
+        "c_mktsegment"
+    ).agg(
+        F.count("*").alias("n_cust"),
+        exact_sum("c_acctbal").alias("total_bal"),
+    ).withColumn("src_rows_after_clone_dml", F.lit(int(src_rows)))

@@ -91,6 +91,7 @@ PRIORITY: list[str] = [
     "s13_kafka_wire",  # RecordBatch v2 wire codec loopback (S13)
     "d44_iceberg_wap",  # write-audit-publish: branch write + fast_forward
     "f7_variant",  # Spark 4 VARIANT semi-structured extraction
+    "d45_delta_clone",  # SHALLOW CLONE: zero-copy fork + contained DML
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
