@@ -143,3 +143,23 @@ def test_clone_refusals(spark, tmp_path):
             spark, "CREATE TABLE d3 SHALLOW CLONE ice",
             {"ice": ice, "d3": str(tmp_path / "d3")},
         )
+
+
+def test_clone_compaction_and_zorder(spark, tmp_path):
+    """Maintenance on a clone: OPTIMIZE bin-pack and ZORDER read the
+    shared absolute files and write their outputs as the clone's OWN
+    relative files; the source stays byte-identical throughout."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    dw.create_delta(_rows(spark, 0, 2000).repartition(8), src)
+    before = _parquets(src)
+    dw.shallow_clone_delta(spark, src, dst)
+    v = dw.compact_delta(spark, dst, min_files=2)
+    assert v > 0
+    assert _ids(spark, dst) == set(range(2000))
+    assert _parquets(src) == before
+    assert len(_parquets(dst)) >= 1  # compacted output is clone-local
+    dw.zorder_delta(spark, dst, ["id"])
+    got = dr.read_delta(spark, dst, predicates=[("id", "<", 100)])
+    assert got.count() == 100
+    assert _parquets(src) == before
+    assert _ids(spark, src) == set(range(2000))
