@@ -2246,3 +2246,93 @@ def d45_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cust"),
         exact_sum("c_acctbal").alias("total_bal"),
     ).withColumn("src_rows_after_clone_dml", F.lit(int(src_rows)))
+
+
+@query(
+    "x8_wire_to_publish",
+    oracle=f"""
+        WITH src AS (
+            SELECT * FROM events WHERE event_id <= 2000
+        )
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {sum_sql('value')} AS total_value,
+               (SELECT CAST(count(*) AS BIGINT) FROM src
+                WHERE event_id <= 1000) AS main_rows_while_staged
+        FROM src
+        WHERE ts >= TIMESTAMP '2024-01-02'
+          AND ts <  TIMESTAMP '2024-01-05'
+        GROUP BY 1
+    """,
+)
+def x8_wire_to_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 capstone — BLUE-GREEN INGEST, wire to warehouse in one
+    oracle: Kafka RecordBatch v2 segment files (CRC-checked, gzip+none
+    codecs, two topic-partitions) decode DISTRIBUTED into the standard
+    ``format("kafka")`` frame → ``parse_kafka_events`` types them →
+    the base half CTAS-creates a ``days(ts)`` hidden-partitioned
+    Iceberg table → the second half is STAGED on a branch
+    (write-audit-publish), audited (no malformed payloads: a parse
+    failure shows up as a null event_id), and published with
+    ``fast_forward`` → the timed read is a ts-range ``predicates``
+    query that the day transform prunes ACROSS the published branch
+    manifests. Isolation rides the hash: ``main_rows_while_staged``
+    is main's count between stage and publish (= the base half
+    alone). Every layer is r10 surface: the wire codec, the branch
+    write, the ancestry-checked publish, the INT64-micros timestamp
+    bounds the pruned read needs."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.exact import exact_sum
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader,
+        iceberg_writer,
+    )
+    from dst_spark_k8_lakehouse_spark.sources import kafka_wire
+    from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
+        parse_kafka_events,
+    )
+
+    seg_dir = kafka_wire._segment_fixture(spark, sf_dir)
+    typed = parse_kafka_events(
+        kafka_wire.kafka_segment_source(spark, seg_dir)
+    )
+    base = tempfile.mkdtemp(prefix="dst-x8-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    iceberg_writer.create_iceberg(
+        typed.where("event_id <= 1000"), table,
+        partition_by=["days(ts)"],
+    )
+    iceberg_writer.create_branch(table, "ingest")
+    iceberg_writer.append_iceberg(
+        typed.where("event_id > 1000"), table, branch="ingest"
+    )
+    # AUDIT on the branch: no malformed payloads slipped through the
+    # wire (from_json PERMISSIVE mode nulls event_id on bad JSON)
+    staged = iceberg_reader.read_iceberg(spark, table, ref="ingest")
+    if staged.where("event_id IS NULL").count() > 0:
+        raise RuntimeError("audit failed: malformed wire payloads")
+    main_while_staged = iceberg_reader.read_iceberg(
+        spark, table
+    ).count()
+    iceberg_writer.fast_forward(table, "main", "ingest")
+    iceberg_writer.drop_ref(table, "ingest")
+    pub = iceberg_reader.read_iceberg(
+        spark, table,
+        predicates=[
+            ("ts", ">=", "2024-01-02 00:00:00"),
+            ("ts", "<", "2024-01-05 00:00:00"),
+        ],
+    )
+    return pub.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        exact_sum("value").alias("total_value"),
+    ).withColumn(
+        "main_rows_while_staged", F.lit(int(main_while_staged))
+    )

@@ -92,6 +92,7 @@ PRIORITY: list[str] = [
     "d44_iceberg_wap",  # write-audit-publish: branch write + fast_forward
     "f7_variant",  # Spark 4 VARIANT semi-structured extraction
     "d45_delta_clone",  # SHALLOW CLONE: zero-copy fork + contained DML
+    "x8_wire_to_publish",  # capstone: kafka wire -> branch stage -> publish -> pruned read
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
