@@ -100,6 +100,10 @@ HEADLINE = [
     # key-range read of a per-process-cached WRITE-ORDERED table
     # (manifest bounds + manifest summaries both engaged)
     "d43_iceberg_sortorder",
+    # r10: the Kafka wire loopback (distributed RecordBatch v2 decode
+    # over per-process-cached segment files → parse → typed agg) — the
+    # broker-free ingest path's marginal cost per sweep
+    "s13_kafka_wire",
 ]
 
 

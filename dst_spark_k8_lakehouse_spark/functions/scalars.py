@@ -259,14 +259,25 @@ def f7_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's INFERRED per-row variant schema is itself pinned in the
     hash (every row of ``props`` carries exactly one BIGINT ``k``)."""
     ev = load_table(spark, sf_dir, "events")
+    # extract BEFORE the groupBy: a VariantType column inside the
+    # aggregate buffer forces SortAggregate (variant isn't hashable);
+    # projecting to primitives first keeps the agg a partial-then-
+    # final HashAggregate (plan-locked in test_plan_shapes)
     v = ev.select(
         "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.try_variant_get("v", "$.missing", "string").alias("missing"),
+        F.expr("schema_of_variant(v)").alias("sch"),
     )
-    return v.groupBy("event_type").agg(
+    # the schema pin joins in as a broadcast 1-row distinct instead of
+    # max(string) inside the agg — max over a string buffer ALSO
+    # forces SortAggregate; a distinct is a pure-key HashAggregate
+    agg = v.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.variant_get("v", "$.k", "int")).alias("sum_k"),
-        F.count(
-            F.try_variant_get("v", "$.missing", "string")
-        ).alias("n_missing"),
-        F.max(F.expr("schema_of_variant(v)")).alias("variant_schema"),
+        F.sum("k").alias("sum_k"),
+        F.count("missing").alias("n_missing"),
     )
+    sch = v.select(F.col("sch").alias("variant_schema")).distinct()
+    return agg.crossJoin(F.broadcast(sch))

@@ -347,3 +347,40 @@ def test_iceberg_mor_read_joins_stay_small_side(spark, tmp_path):
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_f7_variant_stays_jvm(spark, sf_dir):
+    """VARIANT extraction is JVM-native expression work — a Python
+    UDF in this plan would mean the variant path fell off the
+    codegen'd fast path."""
+    plan = plan_of(
+        registry.QUERIES["f7_variant"](spark, sf_dir), "simple"
+    )
+    assert "PythonUDF" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # every aggregate is a partial-then-final HASH aggregate: variant
+    # extraction happens in the projection (a VariantType in the agg
+    # buffer forces SortAggregate), and the schema pin rides a
+    # broadcast 1-row distinct (max(string) would force it too)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "SortAggregate" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_kafka_wire_decode_is_one_python_stage(spark, sf_dir):
+    """The segment decode is ONE mapInPandas stage (per-segment
+    tasks); the aggregation after parse must still be partial →
+    shuffle → final, and from_json must not drag a second Python
+    stage in."""
+    from dst_spark_k8_lakehouse_spark.sources import kafka_wire
+    from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
+        parse_kafka_events,
+    )
+
+    seg = kafka_wire._segment_fixture(spark, sf_dir)
+    df = parse_kafka_events(kafka_wire.kafka_segment_source(spark, seg))
+    plan = plan_of(df.groupBy("event_type").count(), "simple")
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan  # from_json is JVM-side
+    assert plan.count("HashAggregate") == 2, plan
