@@ -641,6 +641,39 @@ def _hive_consistent(
     return True
 
 
+def _abs_hive_root(
+    files: dict[str, Any], part_cols: list[str], phys: dict[str, str]
+) -> str | None:
+    """For an ALL-ABSOLUTE-paths active set (a SHALLOW CLONE of a
+    partitioned source), the single directory under which every path
+    is exactly ``p1=v1/…/pn=vn/<file>`` with values agreeing with the
+    logged partitionValues — the clone's ``basePath`` for the ONE-scan
+    partitioned read. None when no such root exists (mixed roots, or
+    the clone has its own relative rewrites next to shared absolute
+    files — those fall to the per-group union)."""
+    root: str | None = None
+    for rel, a in files.items():
+        if not os.path.isabs(rel):
+            return None
+        segs = rel.split("/")
+        if len(segs) < len(part_cols) + 2:
+            return None
+        head = "/".join(segs[: -(len(part_cols) + 1)])
+        if root is None:
+            root = head
+        elif root != head:
+            return None
+        pv = _pv(a, part_cols, phys)
+        for c, seg in zip(part_cols, segs[-(len(part_cols) + 1):-1]):
+            k, eq, v = seg.partition("=")
+            if not eq or unquote(k) != phys.get(c, c):
+                return None
+            val = None if v == _HIVE_NULL else unquote(v)
+            if val != pv[c] and not (val == "" and pv[c] is None):
+                return None
+    return root
+
+
 def _dict_prune(
     files: dict[str, Any],
     part_cols: list[str],
@@ -934,7 +967,15 @@ def read_delta(
             *abspaths.values()
         )
         return _finish(df.select(*logical))
-    if _hive_consistent(files, part_cols, phys):
+    base_path = (
+        path if _hive_consistent(files, part_cols, phys)
+        # a SHALLOW CLONE of a partitioned source: every add is an
+        # absolute path under the SOURCE's hive layout — anchor the
+        # one-scan read there instead of degrading to the per-group
+        # union (whose plan grows with partition count)
+        else _abs_hive_root(files, part_cols, phys)
+    )
+    if base_path is not None:
         # ONE scan for any partition count: basePath partition
         # discovery over the explicit (pruned) file list, partition
         # column types taken from the user schema
@@ -946,7 +987,7 @@ def read_delta(
             ]
         )
         df = (
-            spark.read.option("basePath", path)
+            spark.read.option("basePath", base_path)
             .schema(full)
             .parquet(*abspaths.values())
         )

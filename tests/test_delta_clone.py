@@ -163,3 +163,27 @@ def test_clone_compaction_and_zorder(spark, tmp_path):
     assert got.count() == 100
     assert _parquets(src) == before
     assert _ids(spark, src) == set(range(2000))
+
+
+def test_partitioned_clone_reads_as_one_scan(spark, tmp_path):
+    """The clone of a partitioned source anchors the single basePath
+    scan at the SOURCE's hive root — not the per-partition-group
+    union, whose plan grows with partition count (fatal on a clone of
+    a 100k-partition table)."""
+    import io
+    from contextlib import redirect_stdout
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    dw.create_delta(_rows(spark, 0, 500), src, partition_by=["g"])
+    dw.shallow_clone_delta(spark, src, dst)
+    df = dr.read_delta(spark, dst)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+    assert _ids(spark, dst) == set(range(500))
+    # mixed lineage (clone-local append) falls back to the exact path
+    dw.append_delta(_rows(spark, 500, 520), dst)
+    assert _ids(spark, dst) == set(range(520))
