@@ -320,3 +320,110 @@ def test_two_process_add_column_race_keeps_both(spark, tmp_path):
     got = delta_reader.read_delta(spark, table)
     assert set(got.columns) == {"id", "extra_1", "extra_2"}
     assert got.count() == 10
+
+
+_WAP_CHILD = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+table, branch, writer_id, go, ready = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5]
+)
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+open(ready, "w").write("1")
+while not os.path.exists(go):
+    time.sleep(0.02)
+from dst_spark_k8_lakehouse_spark.plans import iceberg_writer
+for b in range({n_batches}):
+    df = spark.range({rows}).select(
+        (F.lit(writer_id) * 1000000 + F.lit(b) * 1000 + F.col("id"))
+        .alias("id")
+    )
+    kw = dict(branch=branch) if branch != "main" else dict()
+    for attempt in range(60):
+        try:
+            iceberg_writer.append_iceberg(df, table, **kw)
+            break
+        except FileExistsError:
+            time.sleep(0.01 * (1 + (writer_id + attempt) % 5))
+    else:
+        raise SystemExit(3)
+print("DONE", writer_id)
+"""
+
+
+def test_two_process_branch_vs_main_append_race(spark, tmp_path):
+    """WAP under contention (r10): one process appends to MAIN while
+    another stages appends on a BRANCH of the same table. Both
+    lineages must land every batch exactly once — a branch commit
+    racing a main commit collides on the metadata version
+    (put-if-absent) and retries against fresh metadata, never
+    absorbing or clobbering the other lineage."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    table = str(tmp_path / "t")
+    iceberg_writer.create_iceberg(
+        spark.range(0).select("id"), table
+    )
+    iceberg_writer.create_branch(table, "stage")
+    script = _WAP_CHILD.format(repo=REPO, n_batches=N_BATCHES, rows=ROWS)
+    _race(
+        script,
+        [[table, "main", "1"], [table, "stage", "2"]],
+        tmp_path,
+    )
+    main_ids = {
+        r.id for r in iceberg_reader.read_iceberg(spark, table).collect()
+    }
+    want_main = {
+        1_000_000 + b * 1000 + i
+        for b in range(N_BATCHES) for i in range(ROWS)
+    }
+    assert main_ids == want_main  # main never saw staged rows
+    branch_ids = {
+        r.id
+        for r in iceberg_reader.read_iceberg(
+            spark, table, ref="stage"
+        ).collect()
+    }
+    want_branch = {
+        2_000_000 + b * 1000 + i
+        for b in range(N_BATCHES) for i in range(ROWS)
+    }
+    assert branch_ids == want_branch  # the branch carries ONLY its own
+    # publish after the contention: NOT a fast-forward (the lineages
+    # diverged) — cherry-pick the staged appends onto main instead,
+    # oldest first, then everything is on main exactly once
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="diverged"):
+        iceberg_writer.fast_forward(table, "main", "stage")
+    meta, _ = iceberg_writer._load_meta(table)
+    main_chain = set(
+        iceberg_writer._ancestry(
+            meta, int(meta["current-snapshot-id"])
+        )
+    )
+    stage_head = int(meta["refs"]["stage"]["snapshot-id"])
+    staged_only = [
+        sid for sid in reversed(
+            iceberg_writer._ancestry(meta, stage_head)
+        )
+        if sid not in main_chain
+    ]
+    assert len(staged_only) == N_BATCHES
+    for sid in staged_only:
+        iceberg_writer.cherry_pick_snapshot(spark, table, sid)
+    final = {
+        r.id for r in iceberg_reader.read_iceberg(spark, table).collect()
+    }
+    assert final == want_main | want_branch
