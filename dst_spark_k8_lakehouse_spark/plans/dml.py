@@ -247,6 +247,11 @@ _FAST_FORWARD_RE = re.compile(
     r"'(?P<to>\w+)'\s*\)\s*$",
     re.IGNORECASE,
 )
+_CHERRYPICK_RE = re.compile(
+    r"^\s*CALL\s+(?:[\w.]+\.)?cherrypick_snapshot\s*\(\s*"
+    r"'?(?P<table>[\w.]+)'?\s*,\s*(?P<snap>\d+)\s*\)\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<table>[\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*$",
@@ -568,6 +573,13 @@ def execute_native_sql(
         if _fmt(p) != "iceberg":
             raise NotImplementedError("fast_forward is Iceberg-only")
         return iceberg_writer.fast_forward(p, m["branch"], m["to"])
+    if m := _CHERRYPICK_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) != "iceberg":
+            raise NotImplementedError("cherrypick_snapshot is Iceberg-only")
+        return iceberg_writer.cherry_pick_snapshot(
+            spark, p, int(m["snap"])
+        )
     if m := _RESTORE_RE.match(sql):
         p = _path(m["table"])
         if _fmt(p) != "delta":

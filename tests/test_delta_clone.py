@@ -187,3 +187,21 @@ def test_partitioned_clone_reads_as_one_scan(spark, tmp_path):
     # mixed lineage (clone-local append) falls back to the exact path
     dw.append_delta(_rows(spark, 500, 520), dst)
     assert _ids(spark, dst) == set(range(520))
+
+
+def test_clone_of_column_mapped_source(spark, tmp_path):
+    """Cloning a column-mapping table carries the mapping metadata
+    (physicalName/id live in the schemaString) — renames on the clone
+    stay metadata-only and never touch shared files."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    dw.create_delta(_rows(spark, 0, 60), src, column_mapping="name")
+    dw.rename_column(spark, src, "g", "grp")
+    before = _parquets(src)
+    dw.shallow_clone_delta(spark, src, dst)
+    got = dr.read_delta(spark, dst)
+    assert set(got.columns) == {"id", "grp"}
+    assert _ids(spark, dst) == set(range(60))
+    dw.rename_column(spark, dst, "grp", "bucket_no")
+    assert set(dr.read_delta(spark, dst).columns) == {"id", "bucket_no"}
+    assert set(dr.read_delta(spark, src).columns) == {"id", "grp"}
+    assert _parquets(src) == before

@@ -187,3 +187,18 @@ def test_datasource_reads_branch_ref(spark, tmp_path):
         spark.read.format("iceberg_native").option(
             "branch", "nope"
         ).load(t).collect()
+
+
+def test_statement_text_cherrypick(spark, tmp_path):
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 20), t)
+    iw.create_branch(t, "stage")
+    staged = iw.append_iceberg(_rows(spark, 100, 110), t, branch="stage")
+    iw.append_iceberg(_rows(spark, 20, 25), t)  # main diverges
+    got = dml.execute_native_sql(
+        spark,
+        f"CALL system.cherrypick_snapshot('t', {staged})",
+        {"t": t},
+    )
+    assert got > 0
+    assert _ids(spark, t) == set(range(25)) | set(range(100, 110))
