@@ -30,12 +30,21 @@ def stream_to_iceberg(
     table: str,
     checkpoint_dir: str,
     app_id: str | None = None,
+    branch: str | None = None,
 ):
     """Start an availableNow ``foreachBatch`` append stream into a
     native Iceberg table (the table must exist — create it with
     ``iceberg_writer.create_iceberg``; an explicit create pins the
     schema and the partition spec). Returns the ``StreamingQuery``;
-    call ``awaitTermination()``."""
+    call ``awaitTermination()``.
+
+    ``branch`` stages every micro-batch on a named branch instead of
+    main — streaming write-audit-publish (real Iceberg's
+    ``spark.wap.branch`` applies to streams the same way): downstream
+    readers of main see nothing until ``fast_forward`` publishes; the
+    exactly-once ``txn`` watermark rides the branch snapshots'
+    summaries unchanged, so a retried micro-batch is a no-op on the
+    branch too."""
     if not iceberg_reader.is_iceberg_table(table):
         raise ValueError(
             f"no Iceberg table at {table}; create_iceberg it first"
@@ -44,7 +53,7 @@ def stream_to_iceberg(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         iceberg_writer.append_iceberg(
-            batch_df, table, txn=(app, int(batch_id))
+            batch_df, table, txn=(app, int(batch_id)), branch=branch
         )
 
     return (

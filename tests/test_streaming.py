@@ -554,3 +554,46 @@ def _run_tws_body(spark, sf_dir, events_dir, tmp_path, shutil):
         .agg(F.max("n_events").alias("n_events")).collect()
     }
     assert doubled == {u: 2 * n for u, (n, _t, _v) in batch.items()}
+
+
+def test_stream_to_iceberg_branch_staging(spark, tmp_path):
+    """Streaming WAP (r10): every micro-batch lands on the branch —
+    main readers see NOTHING until fast_forward — and the exactly-once
+    (app, epoch) watermark holds on branch snapshots (a duplicate
+    epoch is a no-op on the branch too)."""
+    import os
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader as ir,
+        iceberg_writer as iw,
+    )
+    from dst_spark_k8_lakehouse_spark.streaming.iceberg_sink import (
+        stream_to_iceberg,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(40).select(F.col("id")).write.parquet(src)
+    table = str(tmp_path / "t")
+    iw.create_iceberg(
+        spark.range(0).select(F.col("id")), table
+    )
+    iw.create_branch(table, "ingest")
+    stream = spark.readStream.schema("id long").parquet(src)
+    q = stream_to_iceberg(
+        stream, table, str(tmp_path / "ckpt"),
+        app_id="wap-stream", branch="ingest",
+    )
+    q.awaitTermination()
+    assert ir.read_iceberg(spark, table).count() == 0  # main dark
+    assert {
+        r.id for r in ir.read_iceberg(
+            spark, table, ref="ingest"
+        ).collect()
+    } == set(range(40))
+    # duplicate epoch replay: no-op on the branch
+    assert iw.append_iceberg(
+        spark.range(5).select(F.col("id")), table,
+        txn=("wap-stream", 0), branch="ingest",
+    ) == -1
+    iw.fast_forward(table, "main", "ingest")
+    assert ir.read_iceberg(spark, table).count() == 40
