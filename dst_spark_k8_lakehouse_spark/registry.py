@@ -115,11 +115,9 @@ PRIORITY: list[str] = [
     "w4_topk_group",
     "o1_sort",
     "o2_sort_limit",
-    "u1_union",
-    "u2_intersect",
-    "u3_except",
-    "u4_udf",
-    "t6_stream_to_delta",
+    # (the r06-green u1/u2/u3/u4/t6 backfill tail was trimmed when the
+    # five r10-new ids landed — the rotation stays exactly 50 so
+    # nothing silently falls past the driver's cap; they front r11)
 ]
 
 
