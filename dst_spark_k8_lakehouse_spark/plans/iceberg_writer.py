@@ -1394,6 +1394,11 @@ def create_tag(table: str, name: str, snapshot_id: int | None = None,
     readers travel to it via ``read_iceberg(ref=...)``."""
     if ref_type not in ("tag", "branch"):
         raise ValueError(f"ref_type {ref_type!r}: 'tag' or 'branch'")
+    if name == "main":
+        # the spec reserves "main" for the current-snapshot pointer; a
+        # ref by that name would shadow it in fast_forward/read paths
+        raise ValueError("ref name 'main' is reserved for the table's "
+                         "current pointer")
     meta, v = _load_meta(table)
     snaps = {int(s["snapshot-id"]) for s in meta.get("snapshots", [])}
     if snapshot_id is None:

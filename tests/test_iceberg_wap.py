@@ -202,3 +202,43 @@ def test_statement_text_cherrypick(spark, tmp_path):
     )
     assert got > 0
     assert _ids(spark, t) == set(range(25)) | set(range(100, 110))
+
+
+def test_main_ref_name_reserved(spark, tmp_path):
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 10), t)
+    with pytest.raises(ValueError, match="reserved"):
+        iw.create_branch(t, "main")
+    with pytest.raises(ValueError, match="reserved"):
+        iw.create_tag(t, "main")
+
+
+def test_wap_across_spec_evolution(spark, tmp_path):
+    """Partition-spec evolution mid-branch: the table evolves AFTER
+    the branch was cut; staged appends written before the publish use
+    whatever the CURRENT default spec is at their commit (spec
+    resolution is per MANIFEST, so the published read prunes each
+    manifest against its own spec — the same rule x6 pins on main)."""
+    t = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id"),
+        F.expr(
+            "date_add(date'2024-01-01', cast(id % 6 as int))"
+        ).alias("d"),
+    )
+    iw.create_iceberg(df.where("id < 100"), t)  # UNPARTITIONED
+    iw.create_branch(t, "stage")
+    iw.append_iceberg(df.where("id >= 100 and id < 200"), t,
+                      branch="stage")
+    # evolve the default spec while the branch is live
+    iw.add_partition_field(t, "d")
+    iw.append_iceberg(df.where("id >= 200"), t, branch="stage")
+    iw.fast_forward(t, "main", "stage")
+    got = ir.read_iceberg(spark, t, predicates=[("d", "==",
+                                                 "2024-01-03")])
+    assert {r.id for r in got.collect()} == {
+        i for i in range(300) if i % 6 == 2
+    }
+    # old-spec files are conservatively kept; the new-spec slice prunes
+    full_files = set(ir.read_iceberg(spark, t).inputFiles())
+    assert len(set(got.inputFiles())) < len(full_files)

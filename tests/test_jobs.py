@@ -274,3 +274,71 @@ def test_stream_ingest_reconciles_partial_state(spark, sf_dir, tmp_path):
         spark, str(arrivals) + "/*", state
     )] == [0]
     assert corpus.read().count() == n1
+
+
+def test_wap_ingest_gates_bad_batches(spark, tmp_path):
+    """jobs/wap_ingest (r10): a clean batch publishes via
+    fast_forward; a batch that breaks an audit leaves main
+    byte-untouched with the branch quarantined; a duplicate
+    (app, epoch) is a no-op."""
+    import importlib
+
+    from pyspark.sql import functions as F
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader as ir,
+        iceberg_writer as iw,
+    )
+
+    job = importlib.import_module("jobs.wap_ingest")
+    t = str(tmp_path / "t")
+
+    def rows(lo, hi, null_at=None):
+        df = spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") % 3).cast("long").alias("g")
+        )
+        if null_at is not None:
+            df = df.withColumn(
+                "g",
+                F.when(F.col("id") == null_at, None).otherwise(
+                    F.col("g")
+                ),
+            )
+        return df
+
+    iw.create_iceberg(rows(0, 50), t)
+    audits = [
+        job.not_null_audit(["g"]),
+        job.unique_audit(["id"]),
+        job.min_rows_audit(5),
+    ]
+    # clean batch → published
+    rep = job.run_wap_ingest(spark, t, rows(50, 80), audits,
+                             txn=("wap-job", 1))
+    assert rep["published"] and rep["main_rows_before"] == 50
+    assert ir.read_iceberg(spark, t).count() == 80
+    meta, _ = iw._load_meta(t)
+    assert not (meta.get("refs") or {})  # branch cleaned up
+    # bad batch (a null g) → quarantined, main untouched
+    rep = job.run_wap_ingest(spark, t, rows(80, 100, null_at=90),
+                             audits, branch="quarantine",
+                             txn=("wap-job", 2))
+    assert not rep["published"]
+    assert rep["audits"]["not_null(g)"] == 1
+    assert ir.read_iceberg(spark, t).count() == 80
+    # the quarantined branch is inspectable
+    assert ir.read_iceberg(spark, t, ref="quarantine").count() == 100
+    iw.drop_ref(t, "quarantine")
+    # duplicate-key batch → unique audit fails
+    rep = job.run_wap_ingest(spark, t, rows(70, 90), audits,
+                             keep_branch_on_failure=False,
+                             txn=("wap-job", 3))
+    assert not rep["published"]
+    assert rep["audits"]["unique(id)"] == 10
+    meta, _ = iw._load_meta(t)
+    assert not (meta.get("refs") or {})
+    # duplicate (app, epoch) replay: no-op, no publish, no leak
+    rep = job.run_wap_ingest(spark, t, rows(100, 120), audits,
+                             txn=("wap-job", 1))
+    assert rep.get("duplicate_txn") and not rep["published"]
+    assert ir.read_iceberg(spark, t).count() == 80
