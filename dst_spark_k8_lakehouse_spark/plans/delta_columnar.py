@@ -313,7 +313,15 @@ def pv_membership_mask(
     tb = pa.table(
         {"__k": combined, **{f"c{i}": a for i, a in enumerate(cols)}}
     )
-    uniq = tb.group_by(["__k"]).aggregate(
+    # use_threads=False: "first" is an ORDERED aggregator and pyarrow
+    # refuses it under threaded Acero — with the default TableGroupBy
+    # this raised on EVERY call, so the whole partition-filter fast
+    # path silently dead-ended into the dict fallback (found r10 by
+    # the mixed-spelling regression test; the equality pin held
+    # because the fallback is exact, but the r9 speedup never applied
+    # to dict filters). Serial is fine: the table here is one row per
+    # FILE of key indices, and the group count is O(partitions).
+    uniq = pa.TableGroupBy(tb, ["__k"], use_threads=False).aggregate(
         [(f"c{i}", "first") for i in range(len(cols))]
     )
     kept: list[int] = []
@@ -514,6 +522,29 @@ def dedup_last(tbl: pa.Table) -> pa.Table | None:
 
 def materialize_adds(tbl: pa.Table) -> list[dict]:
     """Kept add rows → the per-add dicts the scan builder consumes
-    (map-typed columns converted to plain dicts)."""
+    (map-typed columns converted to plain dicts).
+
+    STRUCT-typed partitionValues drop their null-valued keys: the
+    parse declares BOTH column-mapping spellings, so a row keyed by
+    one spelling materializes the other as an artifact null — and the
+    dict path's ``raw.get(phys, raw.get(logical))`` would take a
+    present-null physical key as authoritative and silently prune a
+    LIVE file (found r10 by the mixed-spelling regression test). A
+    REAL null partition value keeps identical semantics with its keys
+    dropped too: ``get`` then misses every spelling and resolves None
+    either way."""
     paths = schema_map_paths(tbl.schema)
-    return [convert_maps(r, paths) for r in tbl.to_pylist()]
+    pv_is_struct = any(
+        f.name == "partitionValues" and pa.types.is_struct(f.type)
+        for f in tbl.schema
+    )
+    out = []
+    for r in tbl.to_pylist():
+        d = convert_maps(r, paths)
+        if pv_is_struct and isinstance(d.get("partitionValues"), dict):
+            d["partitionValues"] = {
+                k: v for k, v in d["partitionValues"].items()
+                if v is not None
+            }
+        out.append(d)
+    return out

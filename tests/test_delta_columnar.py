@@ -339,3 +339,48 @@ def test_parse_add_lines_roundtrip():
     assert row["partitionValues"] == {"ds": "2024-01-01"}
     assert row["size"] == 10 and row["dataChange"] is True
     assert json.loads(row["stats"]) == {"numRecords": 5}
+
+
+def test_mixed_physical_logical_pv_keys_resolve_per_row(tmp_path, spark):
+    """ADVICE r9 (medium): parse_add_lines declares BOTH
+    partitionValues spellings under column mapping, so an add keyed by
+    the LOGICAL name parses with a null physical struct child —
+    schema-level physical-wins read null and could prune a LIVE file.
+    Build a log that mixes physical-keyed adds (real Delta writers)
+    with logical-keyed adds (this library's writer) in ONE table and
+    pin columnar-vs-dict equality under partition filters."""
+    table = str(tmp_path / "t")
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": _meta(True)},
+    ]
+    for i in range(20):
+        key = "col-4" if i % 2 else "ds"  # mixed spellings
+        ds = None if i % 7 == 0 else f"2024-01-{(i % 5) + 1:02d}"
+        actions.append({"add": {
+            "path": f"part-{i:06d}.parquet",
+            "partitionValues": {key: ds},
+            "size": 100 + i,
+            "modificationTime": i,
+            "dataChange": True,
+        }})
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    for flt in (
+        {"ds": "2024-01-03"},
+        {"ds": ["2024-01-01", "2024-01-05"]},
+        {"ds": None},
+        None,
+    ):
+        fast, slow = _both_paths(spark, table, partition_filter=flt)
+        assert _norm(fast) == _norm(slow), flt
+        if flt == {"ds": "2024-01-03"}:
+            # the filter must KEEP logical-keyed matches (they are
+            # exactly the rows the pre-fix fast path dropped)
+            assert any(
+                int(p.split("-")[1].split(".")[0]) % 2 == 0
+                for p in fast
+            ), fast
