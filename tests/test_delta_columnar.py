@@ -384,3 +384,34 @@ def test_mixed_physical_logical_pv_keys_resolve_per_row(tmp_path, spark):
                 int(p.split("-")[1].split(".")[0]) % 2 == 0
                 for p in fast
             ), fast
+
+
+def test_partition_mask_fast_path_engages():
+    """The columnar membership mask must actually RUN (not raise into
+    the exact fallback): before r10 the threaded 'first' aggregator
+    refused on every call, so the equality pin held while the fast
+    path silently never executed. prune_adds returning a table (not
+    None) is the engagement proof."""
+    lines = [
+        json.dumps({"add": {
+            "path": f"{i}.parquet",
+            "partitionValues": {"ds": f"2024-01-{(i % 4) + 1:02d}"},
+            "size": 1, "modificationTime": i, "dataChange": True,
+        }})
+        for i in range(12)
+    ]
+    tbl = delta_columnar.parse_add_lines(lines, ["ds"])
+    assert tbl is not None
+    calls = []
+
+    def keep_pv(pv):
+        calls.append(dict(pv))
+        return pv["ds"] == "2024-01-02"
+
+    kept = delta_columnar.prune_adds(
+        tbl, set(), ["ds"], {}, keep_pv, None, None, lambda v: v
+    )
+    assert kept is not None, "fast path fell back"
+    assert kept.num_rows == 3
+    # the predicate ran once per DISTINCT tuple, not per file
+    assert len(calls) == 4
