@@ -360,7 +360,12 @@ class _CDFPlanner:
                     path=absp,
                     positions=u["positions"],
                     values={} if is_cdc else {
-                        c: pv_raw.get(self.phys.get(c, c))
+                        # physical-then-logical, like delta_reader._pv:
+                        # this library's writer keys partitionValues by
+                        # the LOGICAL name under column mapping
+                        c: pv_raw.get(
+                            self.phys.get(c, c), pv_raw.get(c)
+                        )
                         for c in self.part_cols
                     },
                     columns=all_cols if is_cdc else data_cols,
