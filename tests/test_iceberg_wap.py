@@ -242,3 +242,23 @@ def test_wap_across_spec_evolution(spark, tmp_path):
     # old-spec files are conservatively kept; the new-spec slice prunes
     full_files = set(ir.read_iceberg(spark, t).inputFiles())
     assert len(set(got.inputFiles())) < len(full_files)
+
+
+def test_fast_forward_branch_to_ref(spark, tmp_path):
+    """fast_forward moves ANY branch, not just main — dev tracks
+    staging after staging verified; a tag works as the `to` target."""
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 20), t)
+    iw.create_branch(t, "staging")
+    iw.create_branch(t, "dev")
+    s1 = iw.append_iceberg(_rows(spark, 20, 30), t, branch="staging")
+    got = iw.fast_forward(t, "dev", "staging")
+    assert got == s1
+    assert _ids(spark, t, ref="dev") == set(range(30))
+    assert _ids(spark, t) == set(range(20))  # main untouched
+    # a tag as the target
+    iw.create_tag(t, "v1", s1)
+    iw.create_branch(t, "dev2")
+    assert iw.fast_forward(t, "dev2", "v1") == s1
+    with pytest.raises(ValueError, match="not in table"):
+        iw.fast_forward(t, "nope", "staging")
