@@ -427,3 +427,39 @@ def test_two_process_branch_vs_main_append_race(spark, tmp_path):
         r.id for r in iceberg_reader.read_iceberg(spark, table).collect()
     }
     assert final == want_main | want_branch
+
+
+def test_two_process_same_branch_append_race(spark, tmp_path):
+    """Two processes staging onto the SAME branch: each commit claims
+    metadata version+1 (put-if-absent), the loser retries against
+    fresh metadata where the branch ref already moved — every batch
+    lands on the branch exactly once and one fast-forward publishes
+    them all."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    table = str(tmp_path / "t")
+    iceberg_writer.create_iceberg(spark.range(0).select("id"), table)
+    iceberg_writer.create_branch(table, "stage")
+    script = _WAP_CHILD.format(repo=REPO, n_batches=N_BATCHES, rows=ROWS)
+    _race(
+        script,
+        [[table, "stage", "1"], [table, "stage", "2"]],
+        tmp_path,
+    )
+    assert iceberg_reader.read_iceberg(spark, table).count() == 0
+    branch_ids = {
+        r.id
+        for r in iceberg_reader.read_iceberg(
+            spark, table, ref="stage"
+        ).collect()
+    }
+    want = {
+        w * 1_000_000 + b * 1000 + i
+        for w in (1, 2) for b in range(N_BATCHES) for i in range(ROWS)
+    }
+    assert branch_ids == want  # exactly once, nothing lost or doubled
+    iceberg_writer.fast_forward(table, "main", "stage")
+    assert iceberg_reader.read_iceberg(spark, table).count() == len(want)
