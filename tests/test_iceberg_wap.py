@@ -262,3 +262,56 @@ def test_fast_forward_branch_to_ref(spark, tmp_path):
     assert iw.fast_forward(t, "dev2", "v1") == s1
     with pytest.raises(ValueError, match="not in table"):
         iw.fast_forward(t, "nope", "staging")
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_wap_lineage_fuzz_against_model(spark, tmp_path, seed):
+    """Randomized interleavings of main appends, branch appends,
+    branch creation/publish/drop — checked every step against a plain
+    Python model of {main: set, branches: {name: set}}. Catches
+    lineage leaks in either direction (a staged row on main, a main
+    row missing from a branch cut after it, a publish losing rows)."""
+    import random
+
+    rng = random.Random(seed)
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 10), t)
+    model_main = set(range(10))
+    model_branch: dict[str, set] = {}
+    next_lo = 100
+    for step in range(14):
+        ops = ["main_append"]
+        if len(model_branch) < 2:
+            ops.append("create")
+        if model_branch:
+            ops += ["branch_append", "publish", "drop"]
+        op = rng.choice(ops)
+        if op == "create":
+            name = f"b{step}"
+            iw.create_branch(t, name)
+            model_branch[name] = set(model_main)
+        elif op == "main_append":
+            lo, next_lo = next_lo, next_lo + rng.randrange(3, 8)
+            iw.append_iceberg(_rows(spark, lo, next_lo), t)
+            model_main |= set(range(lo, next_lo))
+        elif op == "branch_append":
+            name = rng.choice(sorted(model_branch))
+            lo, next_lo = next_lo, next_lo + rng.randrange(3, 8)
+            iw.append_iceberg(_rows(spark, lo, next_lo), t, branch=name)
+            model_branch[name] |= set(range(lo, next_lo))
+        elif op == "publish":
+            name = rng.choice(sorted(model_branch))
+            # fast-forwardable iff main's rows ⊆ the branch's rows
+            if model_main <= model_branch[name]:
+                iw.fast_forward(t, "main", name)
+                model_main = set(model_branch[name])
+            else:
+                with pytest.raises(ValueError, match="diverged"):
+                    iw.fast_forward(t, "main", name)
+        elif op == "drop":
+            name = rng.choice(sorted(model_branch))
+            iw.drop_ref(t, name)
+            del model_branch[name]
+        assert _ids(spark, t) == model_main, (step, op)
+        for name, want in model_branch.items():
+            assert _ids(spark, t, ref=name) == want, (step, op, name)
