@@ -288,3 +288,77 @@ def test_maintenance_job_goes_sort_aware(spark, tmp_path):
     got = ir.read_iceberg(spark, t, predicates=[("id", "<", 100)])
     assert len(_files(got)) <= 2  # the bin-pack also clustered
     assert ir.read_iceberg(spark, t).count() == 12000
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_rewrite_fuzz_random_specs(spark, tmp_path, seed):
+    """Randomized sort specs (transform × direction × null-order over
+    long/string/timestamp sources) → rewrite → (a) exact row-multiset
+    preservation, (b) PHYSICAL within-file ordering by the transformed
+    key tuple in the declared direction — the property the pre-r10
+    rewrite silently violated for every non-identity/non-asc spec."""
+    import random
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_transforms as tr,
+    )
+
+    rng = random.Random(seed)
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_with_ts(spark, n=3000, days=25), t)
+    terms_pool = [
+        ("id", "long"), ("days(ts)", "timestamp"),
+        ("bucket(8, id)", "long"), ("truncate(2, cat)", "string"),
+        ("cat", "string"), ("months(ts)", "timestamp"),
+    ]
+    n_terms = rng.randrange(1, 3)
+    spec = []
+    for term, _src_t in rng.sample(terms_pool, n_terms):
+        d = rng.choice(["", " ASC", " DESC"])
+        no = rng.choice(["", " NULLS FIRST", " NULLS LAST"])
+        spec.append(term + d + no)
+    before = sorted(
+        tuple(r) for r in ir.read_iceberg(spark, t).collect()
+    )
+    iw.set_sort_order(t, spec)
+    iw.rewrite_data_files(spark, t, target_files=6)
+    after = sorted(
+        tuple(r) for r in ir.read_iceberg(spark, t).collect()
+    )
+    assert after == before  # pure reorganization
+    # physical within-file ordering by the declared key tuple
+    meta, _ = iw._load_meta(t)
+    fields = iw.default_sort_fields(meta)
+    src_types = {"id": "long", "ts": "timestamp", "cat": "string"}
+
+    def key_of(row: dict):
+        return tuple(
+            tr.py_transform(
+                f["transform"], f["param"], src_types[f["src"]]
+            )(row[f["src"]])
+            for f in fields
+        )
+
+    def in_order(a: tuple, b: tuple) -> bool:
+        # a may precede b under the declared per-field directions
+        # (no nulls in this fixture, so null-order never ties-breaks)
+        for f, x, y in zip(fields, a, b):
+            if x == y:
+                continue
+            lt = x < y
+            return lt if f["direction"] == "asc" else not lt
+        return True
+
+    for fpath in ir.read_iceberg(spark, t).inputFiles():
+        pdf = pq.read_table(fpath.removeprefix("file:")).to_pandas()
+        if "ts" in pdf:
+            pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.tz_localize(None)
+        keys = [key_of(r) for r in pdf.to_dict("records")]
+        bad = [
+            i for i in range(len(keys) - 1)
+            if not in_order(keys[i], keys[i + 1])
+        ]
+        assert not bad, (spec, fpath, bad[:3])
