@@ -236,30 +236,57 @@ def read_iceberg_incremental(
     to_snapshot: int | None = None,
 ) -> DataFrame:
     """Rows APPENDED in ``(from_snapshot, to_snapshot]`` — the
-    incremental-consumer feed. Walks each in-range snapshot's
-    manifests for status-1 entries added BY that snapshot; any
-    non-append operation in the range raises (its effect cannot be
-    expressed as appended rows)."""
+    incremental-consumer feed. Walks the ANCESTRY chain from ``to``
+    back to ``from`` (r10 — an id-ordered range would leak snapshots
+    that merely INTERLEAVE in commit time: a WAP branch staged between
+    two main commits sits inside the id range while never being part
+    of main's lineage, so its rows would feed consumers before — or
+    without — ever being published). Each chain snapshot's manifests
+    are scanned for status-1 entries added BY it; any non-append
+    operation in the range raises (its effect cannot be expressed as
+    appended rows)."""
     meta = _meta(path)
-    snaps = sorted(
-        meta.get("snapshots", []), key=lambda s: int(s["snapshot-id"])
-    )
-    ids = [int(s["snapshot-id"]) for s in snaps]
-    if from_snapshot not in ids:
+    by_id = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+    ids = sorted(by_id)
+    if from_snapshot not in by_id:
         raise ValueError(
             f"from_snapshot {from_snapshot} not in table ({ids[:5]}…)"
         )
     if to_snapshot is None:
         to_snapshot = int(meta["current-snapshot-id"])
-    if to_snapshot not in ids:
+    if to_snapshot not in by_id:
         raise ValueError(
             f"to_snapshot {to_snapshot} not in table ({ids[:5]}…)"
         )
+    from dst_spark_k8_lakehouse_spark.plans.iceberg_writer import (
+        _ancestry,
+    )
+
+    chain = _ancestry(meta, int(to_snapshot))
+    if from_snapshot in chain:
+        in_range = [
+            by_id[sid] for sid in reversed(chain)
+            if from_snapshot < sid <= to_snapshot
+            and sid != from_snapshot
+        ]
+    elif not any(
+        "parent-snapshot-id" in s for s in by_id.values()
+    ):
+        # pre-r10 table: no parent links recorded, single lineage by
+        # construction — the id range IS the ancestry
+        in_range = [
+            by_id[sid] for sid in ids
+            if from_snapshot < sid <= to_snapshot
+        ]
+    else:
+        raise ValueError(
+            f"from_snapshot {from_snapshot} is not an ancestor of "
+            f"{to_snapshot} — the snapshots sit on different "
+            "lineages (e.g. an unpublished branch)"
+        )
     files: list[str] = []
-    for s in snaps:
+    for s in in_range:
         sid = int(s["snapshot-id"])
-        if not (from_snapshot < sid <= to_snapshot):
-            continue
         op = (s.get("summary") or {}).get("operation", "append")
         if op != "append":
             raise ValueError(
@@ -270,14 +297,21 @@ def read_iceberg_incremental(
         for mf in iceberg_reader._avro_records(spark, s["manifest-list"]):
             if int(str(iceberg_reader._get(mf, "content") or 0)) != 0:
                 continue
+            # only the manifests THIS snapshot added carry its appended
+            # files — the manifest-level attribution real Iceberg scans
+            # by. (It also makes the walk O(new manifests), not
+            # O(total); and a CHERRY-PICKED snapshot's manifests carry
+            # the ORIGINAL stage snapshot's per-entry ids, so the old
+            # per-entry filter dropped published rows from the feed.)
+            if int(str(
+                iceberg_reader._get(mf, "added_snapshot_id") or 0
+            )) != sid:
+                continue
             for entry in iceberg_reader._avro_records(
                 spark,
                 iceberg_reader._strip_uri(str(mf.get("manifest_path"))),
             ):
                 if int(str(entry.get("status"))) != 1:
-                    continue
-                e_snap = iceberg_reader._get(entry, "snapshot_id")
-                if e_snap is not None and int(str(e_snap)) != sid:
                     continue
                 d = entry.get("data_file")
                 files.append(

@@ -315,3 +315,41 @@ def test_wap_lineage_fuzz_against_model(spark, tmp_path, seed):
         assert _ids(spark, t) == model_main, (step, op)
         for name, want in model_branch.items():
             assert _ids(spark, t, ref=name) == want, (step, op, name)
+
+
+def test_incremental_scan_skips_unpublished_branch(spark, tmp_path):
+    """read_iceberg_incremental must walk the ANCESTRY, not the id
+    range: a branch staged between two main appends interleaves in
+    commit order, and the pre-r10 range walk would have fed its rows
+    to incremental consumers before (or without) publication."""
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_meta as im
+
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 20), t)
+    meta, _ = iw._load_meta(t)
+    s0 = int(meta["current-snapshot-id"])
+    iw.create_branch(t, "stage")
+    s_main1 = iw.append_iceberg(_rows(spark, 20, 30), t)
+    staged = iw.append_iceberg(_rows(spark, 100, 110), t,
+                               branch="stage")
+    s_main2 = iw.append_iceberg(_rows(spark, 30, 40), t)
+    inc = im.read_iceberg_incremental(spark, t, s0, s_main2)
+    got = {r.id for r in inc.collect()}
+    assert got == set(range(20, 40))  # NO staged rows leaked
+    # the BRANCH lineage is itself incrementally readable (from the
+    # branch point to the staged head — a branch consumer's feed)
+    assert {
+        r.id
+        for r in im.read_iceberg_incremental(
+            spark, t, s0, staged
+        ).collect()
+    } == set(range(100, 110))
+    # but across lineages (a main snapshot to an unpublished staged
+    # one) it is loud, not wrong rows
+    with pytest.raises(ValueError, match="not an ancestor"):
+        im.read_iceberg_incremental(spark, t, s_main1, staged)
+    # after a cherry-pick publish, the incremental feed includes it
+    pub = iw.cherry_pick_snapshot(spark, t, staged)
+    inc2 = im.read_iceberg_incremental(spark, t, s_main2, pub)
+    assert {r.id for r in inc2.collect()} == set(range(100, 110))
+    assert s_main1 in iw._ancestry(iw._load_meta(t)[0], pub)
