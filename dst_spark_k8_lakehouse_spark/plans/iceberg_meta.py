@@ -378,6 +378,43 @@ def read_iceberg_changelog(
         raise ValueError(
             f"from_snapshot {from_snapshot} not in table ({ids[:5]}…)"
         )
+    # walk the ANCESTRY of `to`, not commit order (r10, with WAP): an
+    # unpublished branch snapshot interleaves in the snapshots list
+    # and would otherwise contribute change rows main never saw. The
+    # chain also supplies each snapshot's true PREVIOUS state for
+    # equality-delete resolution (its parent, not whatever committed
+    # before it). Parent-less pre-r10 tables are single-lineage by
+    # construction: commit order IS the ancestry there.
+    from dst_spark_k8_lakehouse_spark.plans.iceberg_writer import (
+        _ancestry,
+    )
+
+    chain = list(reversed(_ancestry(meta, int(to_snapshot))))
+    by_sid = {int(s["snapshot-id"]): (i, s) for i, s in enumerate(snaps)}
+    if from_snapshot is None or from_snapshot in chain:
+        start = (
+            chain.index(from_snapshot) + 1
+            if from_snapshot is not None else 0
+        )
+        # ordinal = 1-based position on the lineage from the root
+        walk = [
+            (pos + 1, chain[pos - 1] if pos else None,
+             by_sid[chain[pos]][1])
+            for pos in range(start, len(chain))
+        ]
+    elif not any("parent-snapshot-id" in s for s in snaps):
+        lo = ids.index(from_snapshot) if from_snapshot in ids else -1
+        hi = ids.index(to_snapshot)
+        walk = [
+            (i + 1, ids[i - 1] if i else None, snaps[i])
+            for i in range(lo + 1, hi + 1)
+        ]
+    else:
+        raise ValueError(
+            f"from_snapshot {from_snapshot} is not an ancestor of "
+            f"{to_snapshot} — the snapshots sit on different "
+            "lineages (e.g. an unpublished branch)"
+        )
     schema = None
     for s in meta.get("schemas", []):
         if s.get("schema-id") == meta.get("current-schema-id"):
@@ -396,17 +433,8 @@ def read_iceberg_changelog(
         ).withColumn(SNAPSHOT_ORDINAL, F.lit(ordinal))
 
     out: DataFrame | None = None
-    started = from_snapshot is None
-    prev_sid: int | None = None
-    for i, s in enumerate(snaps):
+    for ordinal, prev_sid, s in walk:
         sid = int(s["snapshot-id"])
-        if not started:
-            prev_sid = sid
-            if sid == from_snapshot:
-                started = True
-            continue
-        if prev_sid is not None and sid == prev_sid:
-            continue
         added_data: list[str] = []
         removed_data: list[str] = []
         added_pos: list[str] = []
@@ -455,7 +483,6 @@ def read_iceberg_changelog(
                 f"file(s) (first: {missing[0]}); the range is not "
                 "reconstructible"
             )
-        ordinal = i + 1
         ins = (
             iceberg_reader.read_data_files(spark, added_data, schema)
             if added_data else None
@@ -530,9 +557,6 @@ def read_iceberg_changelog(
                 )
         for piece in pieces:
             out = piece if out is None else out.unionByName(piece)
-        prev_sid = sid
-        if sid == to_snapshot:
-            break
     if out is None:
         struct = iceberg_reader._schema_struct(schema)
         empty = spark.createDataFrame([], struct)
