@@ -353,3 +353,28 @@ def test_incremental_scan_skips_unpublished_branch(spark, tmp_path):
     inc2 = im.read_iceberg_incremental(spark, t, s_main2, pub)
     assert {r.id for r in inc2.collect()} == set(range(100, 110))
     assert s_main1 in iw._ancestry(iw._load_meta(t)[0], pub)
+
+
+def test_changelog_skips_unpublished_branch(spark, tmp_path):
+    """The row-level changelog walks main's lineage: staged branch
+    rows never appear as inserts, and a cross-lineage range is loud."""
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_meta as im
+
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 15), t)
+    meta, _ = iw._load_meta(t)
+    s0 = int(meta["current-snapshot-id"])
+    iw.create_branch(t, "stage")
+    s_main1 = iw.append_iceberg(_rows(spark, 15, 25), t)
+    staged = iw.append_iceberg(_rows(spark, 100, 105), t,
+                               branch="stage")
+    log = im.read_iceberg_changelog(spark, t, s0)
+    got = {(r.id, r._change_type) for r in log.collect()}
+    assert got == {(i, "insert") for i in range(15, 25)}
+    with pytest.raises(ValueError, match="not an ancestor"):
+        im.read_iceberg_changelog(spark, t, s_main1, staged)
+    # the branch's own changelog reads from the branch point
+    blog = im.read_iceberg_changelog(spark, t, s0, staged)
+    assert {(r.id, r._change_type) for r in blog.collect()} == {
+        (i, "insert") for i in range(100, 105)
+    }
