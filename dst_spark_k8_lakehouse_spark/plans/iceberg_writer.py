@@ -1575,13 +1575,29 @@ def rollback_iceberg(spark: SparkSession, table: str,
     EARLIER snapshot current again (what real Iceberg's
     ``ALTER TABLE ... EXECUTE rollback(...)`` does: the pointer moves,
     every snapshot stays time-travelable, and the rollback lands in
-    the snapshot log). Raises when the target's files were expired."""
+    the snapshot log). Raises when the target's files were expired —
+    and, like the real procedure, when the target is not an ANCESTOR
+    of current (r10, with branch writes in the table: rolling "back"
+    onto an unpublished staged snapshot would put branch rows on main
+    without a publish; that move is ``fast_forward``'s job)."""
     meta, v = _load_meta(table)
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
     if snapshot_id not in snaps:
         raise ValueError(
             f"snapshot {snapshot_id} not in table "
             f"(has {sorted(snaps)[:5]}…)"
+        )
+    cur = int(meta.get("current-snapshot-id") or -1)
+    if (
+        cur != -1
+        and snapshot_id not in _ancestry(meta, cur)
+        and any("parent-snapshot-id" in s for s in snaps.values())
+    ):
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of the "
+            f"current snapshot {cur} — rollback only moves BACK "
+            "along main's lineage; publish a branch with "
+            "fast_forward instead"
         )
     for p in iceberg_reader._live_data_files(
         spark, table, snaps[snapshot_id], _spec_fields(meta)

@@ -378,3 +378,21 @@ def test_changelog_skips_unpublished_branch(spark, tmp_path):
     assert {(r.id, r._change_type) for r in blog.collect()} == {
         (i, "insert") for i in range(100, 105)
     }
+
+
+def test_rollback_refuses_staged_target(spark, tmp_path):
+    """rollback_to_snapshot moves BACK along main's lineage only —
+    rolling onto an unpublished staged snapshot would smuggle branch
+    rows onto main without a publish (that move is fast_forward's)."""
+    t = str(tmp_path / "t")
+    iw.create_iceberg(_rows(spark, 0, 10), t)
+    meta, _ = iw._load_meta(t)
+    s0 = int(meta["current-snapshot-id"])
+    iw.create_branch(t, "stage")
+    staged = iw.append_iceberg(_rows(spark, 100, 105), t,
+                               branch="stage")
+    iw.append_iceberg(_rows(spark, 10, 20), t)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        iw.rollback_iceberg(spark, t, staged)
+    iw.rollback_iceberg(spark, t, s0)  # a true ancestor still works
+    assert _ids(spark, t) == set(range(10))
