@@ -51,6 +51,8 @@ from __future__ import annotations
 
 import io
 import json
+import os
+import re
 from typing import Any, Callable
 
 import pyarrow as pa
@@ -108,6 +110,92 @@ def schema_map_paths(schema: pa.Schema) -> list[tuple]:
 # ---------------------------------------------------------------------------
 # checkpoint loading
 
+# V2 top-level checkpoints are UUID-named ({v}.checkpoint.{uniqueStr}
+# .parquet). Multipart classic parts carry TWO dotted index segments
+# ({i:010d}.{n:010d}) so the single-segment match below excludes them,
+# and the classic single-file name ends ".checkpoint.parquet" exactly.
+_V2_TOP_RE = re.compile(r"\.checkpoint\.[^.]+\.parquet$")
+
+
+def is_v2_top(path: str) -> bool:
+    name = os.path.basename(path)
+    return bool(_V2_TOP_RE.search(name)) and not name.endswith(
+        ".checkpoint.parquet"
+    )
+
+
+def read_sidecar_tables(files: list[str]) -> list[pa.Table]:
+    """Read V2 sidecar parquet files — on a THREAD pool when there are
+    several (pyarrow releases the GIL during parquet decode), which is
+    the point of sidecars at scale: planning cost over N live-file
+    shards is O(N / threads) on one machine and one-shard-per-task on
+    a cluster, where a classic checkpoint is one serial read."""
+    import pyarrow.parquet as pq
+
+    if len(files) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(files))) as ex:
+            return list(ex.map(pq.read_table, files))
+    return [pq.read_table(f) for f in files]
+
+
+def _load_checkpoint_v2(top_file: str) -> tuple[pa.Table, list[dict]]:
+    """V2 top-level checkpoint → (Arrow table of sidecar ``add``
+    children, non-add action dicts). Top-level file actions (the
+    spec's sidecar-less v2 shape) ride the dict list. Raises on any
+    layout surprise — the caller's fail-open returns None and the
+    reader's EXACT v2 dict path (``delta_reader._v2_checkpoint_rows``)
+    takes over; there is deliberately NO row-wise fallback that could
+    read a top-level file alone and silently plan an empty table."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(top_file)
+    if "sidecar" not in t.column_names:
+        raise ValueError(f"v2 checkpoint {top_file}: no sidecar column")
+    others: list[dict] = []
+    sidecar_files: list[str] = []
+    log_dir = os.path.dirname(top_file)
+    paths = schema_map_paths(t.schema)
+    for raw in t.to_pylist():
+        raw = convert_maps(raw, paths)
+        sc = raw.get("sidecar")
+        if sc is not None:
+            sidecar_files.append(
+                os.path.join(log_dir, "_sidecars", sc["path"])
+            )
+            continue
+        for key in ("metaData", "add", "remove", "protocol", "txn"):
+            if raw.get(key) is not None:
+                others.append({key: raw[key]})
+        # checkpointMetadata rows are v2 bookkeeping — nothing to apply
+    adds: list[pa.Table] = []
+    for st in read_sidecar_tables(sidecar_files):
+        if "add" not in st.column_names:
+            raise ValueError("v2 sidecar without an add column")
+        valid = pc.is_valid(st.column("add"))
+        add_rows = st.filter(valid)
+        col = _arr(add_rows.column("add"))
+        adds.append(
+            pa.Table.from_arrays(
+                col.flatten(), names=[fl.name for fl in col.type]
+            )
+        )
+        rest = st.filter(pc.invert(valid))
+        if rest.num_rows:
+            rpaths = schema_map_paths(rest.schema)
+            for raw in rest.to_pylist():
+                raw = convert_maps(raw, rpaths)
+                if raw.get("remove") is not None:
+                    others.append({"remove": raw["remove"]})
+    if not adds:
+        # sidecar-less v2 shape (all file actions inline) — let the
+        # exact dict path handle it rather than inventing an empty
+        # add table with a partial schema
+        raise ValueError(f"v2 checkpoint {top_file}: no sidecar adds")
+    table = adds[0] if len(adds) == 1 else pa.concat_tables(adds)
+    return table, others
+
 
 def load_checkpoint(
     cp_files: list[str],
@@ -119,6 +207,8 @@ def load_checkpoint(
     try:
         import pyarrow.parquet as pq
 
+        if len(cp_files) == 1 and is_v2_top(cp_files[0]):
+            return _load_checkpoint_v2(cp_files[0])
         adds: list[pa.Table] = []
         others: list[dict] = []
         for f in cp_files:

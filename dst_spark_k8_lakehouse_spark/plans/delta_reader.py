@@ -95,7 +95,8 @@ def is_delta_table(path: str) -> bool:
     if not os.path.isdir(d):
         return False
     return any(
-        f.endswith(".json") or f.endswith(".checkpoint.parquet")
+        f.endswith(".json")
+        or (".checkpoint." in f and f.endswith(".parquet"))
         for f in os.listdir(d)
     )
 
@@ -128,15 +129,32 @@ def _checkpoint(path: str) -> tuple[int, list[str]] | None:
             for p in range(int(parts))
         ]
     else:
-        files = [
-            os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")
-        ]
+        classic = os.path.join(
+            _log_dir(path), f"{v:020d}.checkpoint.parquet"
+        )
+        if os.path.exists(classic):
+            files = [classic]
+        else:
+            # V2 checkpoints are UUID-named ({v}.checkpoint.{uuid}.
+            # parquet) and the spec's _last_checkpoint does not carry
+            # the name — readers discover them by listing. Any one of
+            # several is complete; take the lexicographic max.
+            cands = sorted(
+                f
+                for f in os.listdir(_log_dir(path))
+                if f.startswith(f"{v:020d}.checkpoint.")
+                and f.endswith(".parquet")
+            )
+            if not cands:
+                return None  # stale/foreign hint; replay JSON only
+            files = [os.path.join(_log_dir(path), cands[-1])]
     return v, files
 
 
 _READER_FEATURES_OK = {"appendOnly", "invariants", "checkConstraints",
                        "timestampNtz", "vacuumProtocolCheck",
-                       "columnMapping", "deletionVectors"}
+                       "columnMapping", "deletionVectors",
+                       "v2Checkpoint"}
 
 
 # row-identity columns a scan can expose (read_delta
@@ -376,6 +394,37 @@ def _flush_tail(state: dict[str, Any], buf: list[str]) -> None:
     state["batches"].append({"tbl": batch, "dropped": set()})
 
 
+def _v2_checkpoint_rows(top_file: str) -> list[dict]:
+    """EXACT dict-path read of a V2 (sidecar) checkpoint: top-level
+    actions first (checkpointMetadata rows fall out naturally — every
+    action key the replay consumes is null on them), then every
+    sidecar's file actions. Errors RAISE: a v2-NAMED checkpoint is
+    unambiguous, and any row-wise fallback that read the top-level
+    file alone would silently replay an EMPTY table."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(top_file)
+    paths = delta_columnar.schema_map_paths(t.schema)
+    rows: list[dict] = []
+    sidecar_files: list[str] = []
+    for raw in t.to_pylist():
+        raw = delta_columnar.convert_maps(raw, paths)
+        sc = raw.get("sidecar")
+        if sc is not None:
+            sidecar_files.append(
+                os.path.join(
+                    os.path.dirname(top_file), "_sidecars", sc["path"]
+                )
+            )
+        else:
+            rows.append(raw)
+    for st in delta_columnar.read_sidecar_tables(sidecar_files):
+        sp = delta_columnar.schema_map_paths(st.schema)
+        for raw in st.to_pylist():
+            rows.append(delta_columnar.convert_maps(raw, sp))
+    return rows
+
+
 def _checkpoint_rows(spark: SparkSession, cp_files: list[str]):
     """Checkpoint action rows as plain dicts. PYARROW-first (r8): a
     driver-side columnar read with no Spark job — replaying a 10k-add
@@ -387,6 +436,9 @@ def _checkpoint_rows(spark: SparkSession, cp_files: list[str]):
     Falls back to the Spark reader on any parse surprise (foreign
     multi-part layouts, exotic logical types) — correctness never
     depends on the fast path."""
+    if len(cp_files) == 1 and delta_columnar.is_v2_top(cp_files[0]):
+        yield from _v2_checkpoint_rows(cp_files[0])
+        return
     rows = None
     try:
         import pyarrow.parquet as pq

@@ -979,6 +979,276 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
     return version
 
 
+V2_CHECKPOINT_FEATURE = "v2Checkpoint"
+
+
+def _pa_action_types():
+    """pyarrow struct types for V2 checkpoint files — the same action
+    shapes ``_CHECKPOINT_SCHEMA`` spells for Spark, plus the two
+    v2-only actions (``checkpointMetadata``, ``sidecar``) from the
+    Delta PROTOCOL.md V2 Checkpoint spec."""
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    dv = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("deletionVector", dv),
+            ("stats", pa.string()),
+        ]
+    )
+    remove = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    protocol = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    metadata = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            (
+                "format",
+                pa.struct(
+                    [("provider", pa.string()), ("options", str_map)]
+                ),
+            ),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    txn = pa.struct([("appId", pa.string()), ("version", pa.int64())])
+    cp_meta = pa.struct([("version", pa.int64()), ("tags", str_map)])
+    sidecar = pa.struct(
+        [
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("tags", str_map),
+        ]
+    )
+    return {
+        "checkpointMetadata": cp_meta,
+        "sidecar": sidecar,
+        "protocol": protocol,
+        "metaData": metadata,
+        "add": add,
+        "remove": remove,
+        "txn": txn,
+    }
+
+
+def _v2_protocol_action(state: dict) -> dict[str, Any] | None:
+    """The protocol-upgrade action a V2 checkpoint needs (spec: the
+    ``v2Checkpoint`` reader+writer feature must be declared BEFORE a
+    v2-named checkpoint exists), or None when already declared. Legacy
+    version capabilities in use are spelled into the feature lists the
+    same way ``delta_dv._protocol_action`` does."""
+    p = state.get("protocol") or {}
+    feats = set(p.get("readerFeatures") or [])
+    if p.get("minReaderVersion", 1) >= 3 and V2_CHECKPOINT_FEATURE in feats:
+        return None
+    mode = ((state["metaData"].get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ))
+    reader_feats = {V2_CHECKPOINT_FEATURE} | feats
+    writer_feats = {V2_CHECKPOINT_FEATURE} | set(
+        p.get("writerFeatures") or []
+    )
+    if mode != "none":
+        reader_feats.add("columnMapping")
+        writer_feats.add("columnMapping")
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(reader_feats),
+            "writerFeatures": sorted(writer_feats),
+        }
+    }
+
+
+def write_checkpoint_v2(
+    spark: SparkSession,
+    table: str,
+    sidecar_files: int | None = None,
+    adds_per_sidecar: int = 50_000,
+) -> int:
+    """Write a V2 (sidecar) checkpoint per the Delta PROTOCOL.md "V2
+    Checkpoint Table Feature": file actions go to parquet SIDECAR
+    files under ``_delta_log/_sidecars/``; a UUID-named top-level file
+    ``{v:020d}.checkpoint.{uuid}.parquet`` holds ``checkpointMetadata``
+    + protocol + metaData + txn + one ``sidecar`` pointer per part.
+
+    WHY at 100 TB: a classic checkpoint is ONE parquet file the driver
+    must read end-to-end before planning anything; on a table with
+    tens of millions of adds that read serializes cold-start planning.
+    Sidecars shard the file-action set so planning fans out — our
+    columnar loader decodes sidecars on a thread pool (pyarrow
+    releases the GIL), and a cluster-scale reader could ship one
+    sidecar per task. Writes here are driver-side pyarrow: no Spark
+    job, no shuffle — checkpointing is metadata work.
+
+    ``sidecar_files`` forces an exact part count (tests);
+    ``adds_per_sidecar`` sizes parts otherwise. Commits the protocol
+    upgrade first when the table doesn't declare ``v2Checkpoint`` yet.
+    Returns the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = delta_reader._replay(spark, table, None)
+    upgrade = _v2_protocol_action(state)
+    if upgrade is not None:
+        _commit_from_state(
+            spark,
+            table,
+            state,
+            [upgrade, _commit_info("UPGRADE PROTOCOL")],
+            "UPGRADE PROTOCOL",
+        )
+        state = delta_reader._replay(spark, table, None)
+    version = int(state["version"])
+    if version < 0:
+        raise ValueError(f"nothing to checkpoint at {table}")
+    types = _pa_action_types()
+    log = os.path.join(table, "_delta_log")
+    sc_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+
+    def _add_dict(path: str, a: dict[str, Any]) -> dict[str, Any]:
+        d = a.get("deletionVector")
+        return {
+            "path": path,
+            "partitionValues": a.get("partitionValues") or {},
+            "size": int(a["size"]),
+            "modificationTime": int(a.get("modificationTime") or 0),
+            "dataChange": False,  # spec: checkpoint adds
+            "deletionVector": (
+                {
+                    "storageType": d["storageType"],
+                    "pathOrInlineDv": d["pathOrInlineDv"],
+                    "offset": int(d.get("offset") or 0),
+                    "sizeInBytes": int(d["sizeInBytes"]),
+                    "cardinality": int(d["cardinality"]),
+                }
+                if d
+                else None
+            ),
+            "stats": a.get("stats"),
+        }
+
+    adds = [_add_dict(p, a) for p, a in sorted(state["files"].items())]
+    n_parts = (
+        max(1, int(sidecar_files))
+        if sidecar_files is not None
+        else max(1, -(-len(adds) // max(1, adds_per_sidecar)))
+    )
+    chunk = -(-max(1, len(adds)) // n_parts)
+    sc_schema = pa.schema(
+        [("add", types["add"]), ("remove", types["remove"])]
+    )
+    sidecars: list[dict[str, Any]] = []
+    for i in range(n_parts):
+        part = adds[i * chunk: (i + 1) * chunk]
+        name = f"{uuid.uuid4().hex}.parquet"
+        full = os.path.join(sc_dir, name)
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"add": a, "remove": None} for a in part],
+                schema=sc_schema,
+            ),
+            full,
+        )
+        st = os.stat(full)
+        sidecars.append(
+            {
+                "path": name,
+                "sizeInBytes": int(st.st_size),
+                "modificationTime": int(st.st_mtime * 1000),
+                "tags": None,
+            }
+        )
+    proto = state.get("protocol")
+    md = state["metaData"]
+    top_schema = pa.schema(list(types.items()))
+    blank = {k: None for k in types}
+    top_rows: list[dict[str, Any]] = [
+        {**blank, "checkpointMetadata": {"version": version, "tags": None}},
+        {
+            **blank,
+            "protocol": {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": proto["minWriterVersion"],
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures"),
+            },
+        },
+        {
+            **blank,
+            "metaData": {
+                "id": md.get("id"),
+                "name": md.get("name"),
+                "description": md.get("description"),
+                "format": {
+                    "provider": (md.get("format") or {}).get(
+                        "provider", "parquet"
+                    ),
+                    "options": (md.get("format") or {}).get("options")
+                    or {},
+                },
+                "schemaString": md["schemaString"],
+                "partitionColumns": md.get("partitionColumns") or [],
+                "configuration": md.get("configuration") or {},
+                "createdTime": md.get("createdTime"),
+            },
+        },
+    ]
+    for app_id, tv in sorted(state.get("txns", {}).items()):
+        top_rows.append(
+            {**blank, "txn": {"appId": app_id, "version": int(tv)}}
+        )
+    for sc in sidecars:
+        top_rows.append({**blank, "sidecar": sc})
+    tmp = os.path.join(log, f".cpv2-{uuid.uuid4().hex}.tmp")
+    pq.write_table(pa.Table.from_pylist(top_rows, schema=top_schema), tmp)
+    final = os.path.join(
+        log, f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+    )
+    os.replace(tmp, final)
+    lc_tmp = os.path.join(log, f".lc-{uuid.uuid4().hex}.tmp")
+    with open(lc_tmp, "w") as fh:
+        json.dump(
+            {"version": version, "size": len(adds) + len(top_rows)}, fh
+        )
+    os.replace(lc_tmp, os.path.join(log, "_last_checkpoint"))
+    return version
+
+
 def compact_delta(
     spark: SparkSession,
     table: str,

@@ -2336,3 +2336,91 @@ def x8_wire_to_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "main_rows_while_staged", F.lit(int(main_while_staged))
     )
+
+
+@query(
+    "d46_checkpoint_v2",
+    oracle=f"""
+        WITH adj AS (
+            SELECT o_orderstatus,
+                   CASE WHEN o_orderstatus = 'P'
+                        THEN o_totalprice + 10
+                        ELSE o_totalprice END AS price,
+                   o_orderdate
+            FROM orders
+        )
+        SELECT o_orderstatus AS st,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sum_sql('price')} AS total_price
+        FROM adj
+        WHERE o_orderdate >= DATE '1996-01-01'
+        GROUP BY st
+    """,
+)
+def d46_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 (sidecar) Delta checkpoints end to end (r10, delta.io
+    PROTOCOL.md "V2 Checkpoint Table Feature"): orders land
+    range-laid-out over two commits, a copy-on-write UPDATE bumps the
+    'P' slice, then ``write_checkpoint_v2`` shards the live add set
+    into 4 parquet SIDECARS under ``_delta_log/_sidecars/`` behind a
+    UUID-named top-level checkpoint (protocol upgraded to
+    reader 3 / writer 7 with the ``v2Checkpoint`` feature first, as
+    the spec requires). Every JSON commit at or below the checkpoint
+    is then DELETED — the planning state the final read uses comes
+    from the top-level file + sidecars alone, decoded on a thread
+    pool (``delta_columnar.read_sidecar_tables``). The read itself is
+    a date-range ``predicates`` scan, so per-add stats strings are
+    also proven to survive the sidecar round trip: files outside the
+    range prune before any data I/O. WHY at 100 TB: a classic
+    checkpoint is ONE serial parquet read before any plan exists;
+    sidecars shard that read across threads locally and across tasks
+    on a cluster."""
+    import atexit
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_dml,
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-cpv2-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    delta_writer.create_delta(
+        orders.where("o_orderkey % 2 = 0").repartitionByRange(
+            4, "o_orderdate"
+        ),
+        table,
+    )
+    delta_writer.append_delta(
+        orders.where("o_orderkey % 2 = 1").repartitionByRange(
+            4, "o_orderdate"
+        ),
+        table,
+    )
+    delta_dml.update_delta(
+        spark, table, "o_orderstatus = 'P'",
+        {"o_totalprice": "o_totalprice + 10"},
+    )
+    v = delta_writer.write_checkpoint_v2(spark, table, sidecar_files=4)
+    log = os.path.join(table, "_delta_log")
+    for f in os.listdir(log):
+        if f.endswith(".json") and int(f[:-5]) <= v:
+            os.unlink(os.path.join(log, f))
+    pruned = delta_reader.read_delta(
+        spark, table,
+        predicates=[("o_orderdate", ">=", _dt.date(1996, 1, 1))],
+    )
+    return pruned.groupBy(
+        F.col("o_orderstatus").alias("st")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        exact_sum("o_totalprice").alias("total_price"),
+    )

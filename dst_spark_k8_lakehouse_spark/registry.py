@@ -93,6 +93,7 @@ PRIORITY: list[str] = [
     "f7_variant",  # Spark 4 VARIANT semi-structured extraction
     "d45_delta_clone",  # SHALLOW CLONE: zero-copy fork + contained DML
     "x8_wire_to_publish",  # capstone: kafka wire -> branch stage -> publish -> pruned read
+    "d46_checkpoint_v2",  # V2 sidecar checkpoints: shard planning state
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
@@ -114,10 +115,10 @@ PRIORITY: list[str] = [
     "w3_running_sum",
     "w4_topk_group",
     "o1_sort",
-    "o2_sort_limit",
-    # (the r06-green u1/u2/u3/u4/t6 backfill tail was trimmed when the
-    # five r10-new ids landed — the rotation stays exactly 50 so
-    # nothing silently falls past the driver's cap; they front r11)
+    # (the r06-green u1/u2/u3/u4/t6 backfill tail — and then
+    # o2_sort_limit when d46_checkpoint_v2 landed — was trimmed to
+    # keep the rotation exactly 50 so nothing silently falls past the
+    # driver's cap; the trimmed ids front r11)
 ]
 
 

@@ -122,17 +122,18 @@ def test_history_newest_first(delta_table):
 
 
 def test_unsupported_reader_feature_raises(spark, tmp_path):
-    # deletionVectors moved to the supported set (test_delta_dv.py);
-    # v2Checkpoint remains beyond this reader and must stay loud
-    table = str(tmp_path / "v2cp")
+    # deletionVectors (test_delta_dv.py) and v2Checkpoint
+    # (test_delta_checkpoint_v2.py) moved to the supported set;
+    # typeWidening remains beyond this reader and must stay loud
+    table = str(tmp_path / "tw")
     os.makedirs(table)
     _write_commit(
         table, 0,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["v2Checkpoint"]}},
+                       "readerFeatures": ["typeWidening"]}},
          _meta_action()],
     )
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         dr.read_delta(spark, table)
 
 
