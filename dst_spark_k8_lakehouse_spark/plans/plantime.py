@@ -49,7 +49,7 @@ SCALES = [("1k", 1_000, 10), ("10k", 10_000, 50),
 
 # bump when a builder's metadata layout changes: cached tables whose
 # marker carries an older version are rebuilt
-BUILD_VERSION = "r9.1"
+BUILD_VERSION = "r10.1"
 _N_DAYS = 100  # distinct ts days across the table
 
 
@@ -271,7 +271,23 @@ def ensure_tables(spark=None) -> dict[str, dict[str, str]]:
                 build_delta(path, nf, nc)
                 delta_writer.write_checkpoint(spark, path)
 
+            def _build_cpv2(path, nf, nc):
+                # V2 sidecar checkpoint at ~25k adds per sidecar — 4
+                # thread-parallel shards at the 100k tier; the curve
+                # vs delta_cp is the measured value of sharding the
+                # checkpoint read (at 1k/10k the fixed per-file cost
+                # dominates and v2 ≈ classic)
+                from dst_spark_k8_lakehouse_spark.plans import (
+                    delta_writer,
+                )
+
+                build_delta(path, nf, nc)
+                delta_writer.write_checkpoint_v2(
+                    spark, path, adds_per_sidecar=25_000
+                )
+
             builders.append(("delta_cp", _build_cp))
+            builders.append(("delta_cpv2", _build_cpv2))
         for fmt, builder in builders:
             path = os.path.join(_cache_dir(), f"{fmt}_{label}")
             marker = os.path.join(path, "_PLANTIME_OK")
