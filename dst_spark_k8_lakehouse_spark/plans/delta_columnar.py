@@ -165,7 +165,10 @@ def _load_checkpoint_v2(top_file: str) -> tuple[pa.Table, list[dict]]:
                 os.path.join(log_dir, "_sidecars", sc["path"])
             )
             continue
-        for key in ("metaData", "add", "remove", "protocol", "txn"):
+        for key in (
+            "metaData", "add", "remove", "protocol", "txn",
+            "domainMetadata",
+        ):
             if raw.get(key) is not None:
                 others.append({key: raw[key]})
         # checkpointMetadata rows are v2 bookkeeping — nothing to apply
@@ -230,7 +233,8 @@ def load_checkpoint(
                 paths = schema_map_paths(rest.schema)
                 for raw in rest.to_pylist():
                     raw = convert_maps(raw, paths)
-                    for key in ("metaData", "remove", "protocol", "txn"):
+                    for key in ("metaData", "remove", "protocol", "txn",
+                                "domainMetadata"):
                         if raw.get(key) is not None:
                             others.append({key: raw[key]})
         table = adds[0] if len(adds) == 1 else pa.concat_tables(adds)
@@ -282,6 +286,16 @@ def parse_add_lines(
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
                         ("deletionVector", _DV_STRUCT),
+                        # the one tag OUR writer emits (liquid
+                        # clustering); an add carrying any other tag
+                        # key errors the explicit schema on purpose
+                        # and replays via json.loads
+                        (
+                            "tags",
+                            pa.struct(
+                                [("clusteringProvider", pa.string())]
+                            ),
+                        ),
                     ]
                 ),
             )

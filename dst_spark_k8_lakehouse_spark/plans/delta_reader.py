@@ -228,6 +228,16 @@ def _apply_action(state: dict[str, Any], action: dict[str, Any]) -> None:
                 f"{sorted(feats - _READER_FEATURES_OK) or p}"
             )
         state["protocol"] = p  # retained so checkpoints can carry it
+    elif "domainMetadata" in action:
+        # spec "Domain Metadata": named per-domain configuration with
+        # last-writer-wins semantics; a removed=true tombstone drops
+        # the domain. Liquid clustering (delta.clustering) lives here.
+        dm = action["domainMetadata"]
+        doms = state.setdefault("domains", {})
+        if dm.get("removed"):
+            doms.pop(dm["domain"], None)
+        else:
+            doms[dm["domain"]] = dm.get("configuration")
 
 
 def _replay(
@@ -253,6 +263,7 @@ def _replay(
     ``lazy_tail=False`` for no-predicate full plans."""
     state: dict[str, Any] = {
         "files": {}, "metaData": None, "protocol": None, "txns": {},
+        "domains": {},
         "batches": [],
         # highest log version this state reflects — state-dependent
         # commits MUST claim exactly version+1 (put-if-absent), so a
@@ -280,7 +291,8 @@ def _replay(
         else:
             for d in _checkpoint_rows(spark, cp_files):
                 for key in (
-                    "metaData", "add", "remove", "protocol", "txn"
+                    "metaData", "add", "remove", "protocol", "txn",
+                    "domainMetadata",
                 ):
                     if d.get(key) is not None:
                         _apply_action(state, {key: d[key]})

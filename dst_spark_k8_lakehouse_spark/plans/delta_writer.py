@@ -363,6 +363,7 @@ def create_delta(
     df: DataFrame, table: str, partition_by: list[str] | None = None,
     column_mapping: str = "none",
     generated: dict[str, str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> None:
     """CREATE: version-0 commit (protocol + metaData + adds),
     optionally Hive-partitioned by ``partition_by``.
@@ -383,11 +384,36 @@ def create_delta(
     partition_by=["d"]``). Missing columns are computed here and on
     every append; supplied ones are VALIDATED; ``read_delta``'s
     ``predicates`` prune partitions through recognized expressions.
-    Commits minWriterVersion 4 per the spec."""
+    Commits minWriterVersion 4 per the spec.
+
+    ``cluster_by``: LIQUID CLUSTERING columns (the spec's "Clustered
+    Table" writer feature). Mutually exclusive with ``partition_by``
+    (a clustered table has no Hive partitioning — that is its point:
+    clustering keys can change without relayout of the directory
+    tree). Recorded as the ``delta.clustering`` domain-metadata
+    action; ``cluster_delta`` then clusters INCREMENTALLY — only
+    files not yet tagged as clustered are rewritten."""
     from dst_spark_k8_lakehouse_spark.plans import delta_generated
 
     if delta_reader.is_delta_table(table):
         raise ValueError(f"Delta table already exists at {table}")
+    cluster_by = list(cluster_by or [])
+    if cluster_by:
+        if partition_by:
+            raise ValueError(
+                "cluster_by and partition_by are mutually exclusive: "
+                "a clustered table owns its whole layout"
+            )
+        if column_mapping != "none":
+            raise NotImplementedError(
+                "liquid clustering on a column-mapped table is not "
+                "supported by the jar-free path"
+            )
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"cluster column(s) {missing} not in {df.columns}"
+            )
     if column_mapping not in ("none", "name", "id"):
         raise ValueError(
             f"column_mapping {column_mapping!r}: none, name or id"
@@ -456,6 +482,18 @@ def create_delta(
             "minReaderVersion": proto["minReaderVersion"],
             "minWriterVersion": max(proto["minWriterVersion"], 4),
         }
+    if cluster_by:
+        # clustering + domainMetadata are WRITER table features →
+        # minWriterVersion 7 with the lists spelled out; readers are
+        # unaffected (minReaderVersion stays 1)
+        proto = {
+            "minReaderVersion": proto["minReaderVersion"],
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(
+                {"appendOnly", "invariants", "clustering",
+                 "domainMetadata"}
+            ),
+        }
     meta = {
         "id": str(uuid.uuid4()),
         "format": {"provider": "parquet", "options": {}},
@@ -468,6 +506,18 @@ def create_delta(
         {"protocol": proto},
         {"metaData": meta},
     ]
+    if cluster_by:
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cluster_by]}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     _mode, phys = delta_reader._mapping(meta)
     data_cols = [c for c in df.columns if c not in partition_by]
     out = _stamped_projection(
@@ -854,6 +904,12 @@ _CHECKPOINT_SCHEMA = T.StructType(
                     # data-skipping bounds survive checkpointing (the
                     # spec's checkpoint add carries stats as a string)
                     T.StructField("stats", T.StringType()),
+                    # liquid clustering marks clustered files here —
+                    # dropping tags at a checkpoint would make the next
+                    # incremental OPTIMIZE re-cluster the whole table
+                    T.StructField(
+                        "tags", T.MapType(T.StringType(), T.StringType())
+                    ),
                 ]
             ),
         ),
@@ -873,6 +929,16 @@ _CHECKPOINT_SCHEMA = T.StructType(
                 [
                     T.StructField("appId", T.StringType()),
                     T.StructField("version", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "domainMetadata",
+            T.StructType(
+                [
+                    T.StructField("domain", T.StringType()),
+                    T.StructField("configuration", T.StringType()),
+                    T.StructField("removed", T.BooleanType()),
                 ]
             ),
         ),
@@ -910,6 +976,7 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
             None,
             None,
             None,
+            None,
         ),
         (
             None,
@@ -929,12 +996,16 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
             None,
             None,
             None,
+            None,
         ),
     ]
     # txn watermarks survive checkpointing (the idempotent streaming
     # sink replays them; losing one would double-apply a micro-batch)
     for app_id, tv in sorted(state.get("txns", {}).items()):
-        rows.append((None, None, None, None, (app_id, int(tv))))
+        rows.append((None, None, None, None, (app_id, int(tv)), None))
+    # live domain metadata (e.g. delta.clustering) survives too
+    for dom, conf in sorted(state.get("domains", {}).items()):
+        rows.append((None, None, None, None, None, (dom, conf, False)))
     for path, a in sorted(state["files"].items()):
         d = a.get("deletionVector")
         rows.append(
@@ -957,7 +1028,9 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
                     if d
                     else None,
                     a.get("stats"),
+                    a.get("tags"),
                 ),
+                None,
                 None,
                 None,
             )
@@ -1008,6 +1081,7 @@ def _pa_action_types():
             ("dataChange", pa.bool_()),
             ("deletionVector", dv),
             ("stats", pa.string()),
+            ("tags", str_map),
         ]
     )
     remove = pa.struct(
@@ -1043,6 +1117,13 @@ def _pa_action_types():
         ]
     )
     txn = pa.struct([("appId", pa.string()), ("version", pa.int64())])
+    domain = pa.struct(
+        [
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ]
+    )
     cp_meta = pa.struct([("version", pa.int64()), ("tags", str_map)])
     sidecar = pa.struct(
         [
@@ -1060,6 +1141,7 @@ def _pa_action_types():
         "add": add,
         "remove": remove,
         "txn": txn,
+        "domainMetadata": domain,
     }
 
 
@@ -1160,6 +1242,7 @@ def write_checkpoint_v2(
                 else None
             ),
             "stats": a.get("stats"),
+            "tags": a.get("tags"),
         }
 
     adds = [_add_dict(p, a) for p, a in sorted(state["files"].items())]
@@ -1231,6 +1314,17 @@ def write_checkpoint_v2(
     for app_id, tv in sorted(state.get("txns", {}).items()):
         top_rows.append(
             {**blank, "txn": {"appId": app_id, "version": int(tv)}}
+        )
+    for dom, conf in sorted(state.get("domains", {}).items()):
+        top_rows.append(
+            {
+                **blank,
+                "domainMetadata": {
+                    "domain": dom,
+                    "configuration": conf,
+                    "removed": False,
+                },
+            }
         )
     for sc in sidecars:
         top_rows.append({**blank, "sidecar": sc})
@@ -1692,6 +1786,134 @@ def zorder_delta(
         spark, table, state,
         removes + adds + [_commit_info("OPTIMIZE ZORDER")],
         "ZORDER", check_meta=False,
+    )
+
+
+# ------------------------------------------------ liquid clustering
+
+CLUSTERING_DOMAIN = "delta.clustering"
+_CLUSTERED_TAG = "clusteringProvider"
+
+
+def clustering_columns(state: dict[str, Any]) -> list[str]:
+    """The table's liquid-clustering columns from the
+    ``delta.clustering`` domain metadata, or ``[]``."""
+    conf = (state.get("domains") or {}).get(CLUSTERING_DOMAIN)
+    if not conf:
+        return []
+    cols = json.loads(conf).get("clusteringColumns") or []
+    # the spec nests each column as a name path (nested fields); the
+    # jar-free writer only produces top-level columns
+    return [c[0] if isinstance(c, list) else c for c in cols]
+
+
+def alter_cluster_by(
+    spark: SparkSession, table: str, cols: list[str]
+) -> int:
+    """``ALTER TABLE t CLUSTER BY (cols…)``: replace the clustering
+    columns via a new domain-metadata action — METADATA-ONLY, no
+    rewrite (the liquid-clustering selling point vs re-partitioning:
+    existing files keep their old layout and their clustered tags are
+    CLEARED lazily by the next ``cluster_delta``, which sees them as
+    candidates again only when they lack the current-generation tag).
+    Returns the committed version."""
+    state = delta_reader._replay(spark, table, None)
+    if not clustering_columns(state):
+        raise ValueError(f"{table} is not a clustered table")
+    schema = delta_reader.schema_from_json(
+        state["metaData"]["schemaString"]
+    )
+    known = {f.name for f in schema.fields}
+    missing = [c for c in cols if c not in known]
+    if missing:
+        raise ValueError(f"cluster column(s) {missing} not in table")
+    action = {
+        "domainMetadata": {
+            "domain": CLUSTERING_DOMAIN,
+            "configuration": json.dumps(
+                {"clusteringColumns": [[c] for c in cols]}
+            ),
+            "removed": False,
+        }
+    }
+    return _commit_from_state(
+        spark, table, state,
+        [action, _commit_info("CLUSTER BY")],
+        "CLUSTER BY", check_meta=False,
+    )
+
+
+def cluster_delta(
+    spark: SparkSession, table: str, n_files: int | None = None,
+) -> int:
+    """INCREMENTAL liquid clustering (the spec's Clustered Table
+    feature; real Delta's ``OPTIMIZE`` on a ``CLUSTER BY`` table):
+    rewrite ONLY the files not yet carrying the clustered tag for the
+    CURRENT clustering columns, through the shared interleaved-bit
+    kernel (``plans.table.zorder_cluster``), and tag the output. Files
+    already clustered are untouched — each maintenance run costs
+    O(new data), not O(table), which is what makes a nightly layout
+    job feasible at 100 TB where a full ZORDER rewrite is not.
+
+    The tag value encodes the clustering generation
+    (``liquid:<col,col>``): after ``alter_cluster_by`` every old-
+    generation file becomes a candidate again, so the layout converges
+    to the new columns lazily. Commits remove+add with ``dataChange:
+    false`` (streams and time travel see through, like OPTIMIZE).
+    Returns the committed version, or the current version unchanged
+    when nothing needs clustering."""
+    from dst_spark_k8_lakehouse_spark.plans.table import zorder_cluster
+
+    state = delta_reader._replay(spark, table, None)
+    cols = clustering_columns(state)
+    if not cols:
+        raise ValueError(
+            f"{table} is not a clustered table; use zorder_delta for "
+            "one-shot clustering"
+        )
+    generation = f"liquid:{','.join(cols)}"
+    candidates = {
+        rel: a
+        for rel, a in state["files"].items()
+        if (a.get("tags") or {}).get(_CLUSTERED_TAG) != generation
+    }
+    if not candidates:
+        return int(state["version"])
+    if any(a.get("deletionVector") for a in candidates.values()):
+        raise NotImplementedError(
+            "candidate files carry deletion vectors; the raw-file "
+            "rewrite would resurrect deleted rows — run "
+            "plans.delta_dv.materialize_dvs first"
+        )
+    meta = state["metaData"]
+    schema = delta_reader.schema_from_json(meta["schemaString"])
+    paths = [
+        rel if os.path.isabs(rel) else os.path.join(table, rel)
+        for rel in candidates
+    ]
+    df = spark.read.schema(schema).parquet(*paths)
+    total = sum(int(a["size"]) for a in candidates.values())
+    n_out = n_files or max(1, total // (128 << 20))
+    clustered = zorder_cluster(df, cols, n_out)
+    adds = _write_data_files(clustered, table)
+    for a in adds:
+        a["add"]["dataChange"] = False
+        a["add"]["tags"] = {_CLUSTERED_TAG: generation}
+    now = int(time.time() * 1000)
+    removes = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now,
+                "dataChange": False,
+            }
+        }
+        for rel in candidates
+    ]
+    return _commit_from_state(
+        spark, table, state,
+        removes + adds + [_commit_info("OPTIMIZE CLUSTERING")],
+        "OPTIMIZE CLUSTERING", check_meta=False,
     )
 
 

@@ -486,6 +486,11 @@ def execute_native_sql(
             if m["cols"]:
                 cols = [c.strip() for c in m["cols"].split(",")]
                 return delta_writer.zorder_delta(spark, p, cols)
+            # real Delta's OPTIMIZE on a CLUSTER BY table is the
+            # incremental clustering pass, not bin-packing
+            state = delta_reader._replay(spark, p, None)
+            if delta_writer.clustering_columns(state):
+                return delta_writer.cluster_delta(spark, p)
             v = delta_writer.compact_delta(spark, p, min_files=2)
             return v if v >= 0 else 0
         # Iceberg (r8): the rewrite action through the shared

@@ -2424,3 +2424,75 @@ def d46_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         exact_sum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "d47_liquid_clustering",
+    oracle=f"""
+        SELECT l_returnflag AS rf,
+               CAST(count(*) AS BIGINT) AS n_items,
+               {sum_sql('l_extendedprice')} AS revenue
+        FROM lineitem
+        WHERE l_orderkey >= 10000 AND l_orderkey < 20000
+        GROUP BY rf
+    """,
+)
+def d47_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIQUID CLUSTERING on a native Delta table (r10, delta.io
+    PROTOCOL.md "Clustered Table" + "Domain Metadata" features):
+    lineitem lands over THREE commits into a ``CLUSTER BY
+    (l_orderkey)`` table (clustering columns ride the
+    ``delta.clustering`` domain-metadata action, protocol writer 7
+    with the ``clustering``+``domainMetadata`` features), then the
+    statement-text ``OPTIMIZE`` runs the INCREMENTAL clustering pass:
+    files not yet tagged for the current clustering generation are
+    rewritten through the shared interleaved-bit kernel and tagged;
+    already-clustered files are untouched. The final read prunes on
+    an ``l_orderkey`` range through the clustered layout's per-add
+    stats. WHY at 100 TB: a full ZORDER rewrite costs O(table) every
+    maintenance run; liquid clustering costs O(new data) — the
+    difference between a nightly layout job that finishes and one
+    that doesn't. Incremental behavior (second pass is a no-op;
+    earlier files survive by path) is pinned in
+    ``tests/test_delta_clustering.py``."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        delta_writer,
+    )
+    from dst_spark_k8_lakehouse_spark.plans.dml import execute_native_sql
+
+    base = tempfile.mkdtemp(prefix="dst-liquid-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    delta_writer.create_delta(
+        li.where("l_orderkey % 3 = 0").repartition(4),
+        table,
+        cluster_by=["l_orderkey"],
+    )
+    delta_writer.append_delta(
+        li.where("l_orderkey % 3 = 1").repartition(4), table
+    )
+    delta_writer.append_delta(
+        li.where("l_orderkey % 3 = 2").repartition(4), table
+    )
+    execute_native_sql(spark, "OPTIMIZE t", {"t": table})
+    pruned = delta_reader.read_delta(
+        spark, table,
+        predicates=[
+            ("l_orderkey", ">=", 10000), ("l_orderkey", "<", 20000),
+        ],
+    )
+    return pruned.groupBy(
+        F.col("l_returnflag").alias("rf")
+    ).agg(
+        F.count("*").alias("n_items"),
+        exact_sum("l_extendedprice").alias("revenue"),
+    )

@@ -94,6 +94,7 @@ PRIORITY: list[str] = [
     "d45_delta_clone",  # SHALLOW CLONE: zero-copy fork + contained DML
     "x8_wire_to_publish",  # capstone: kafka wire -> branch stage -> publish -> pruned read
     "d46_checkpoint_v2",  # V2 sidecar checkpoints: shard planning state
+    "d47_liquid_clustering",  # CLUSTER BY + incremental OPTIMIZE pass
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
@@ -114,10 +115,9 @@ PRIORITY: list[str] = [
     "w2_lag",
     "w3_running_sum",
     "w4_topk_group",
-    "o1_sort",
     # (the r06-green u1/u2/u3/u4/t6 backfill tail — and then
-    # o2_sort_limit when d46_checkpoint_v2 landed — was trimmed to
-    # keep the rotation exactly 50 so nothing silently falls past the
+    # o2_sort_limit/o1_sort as d46/d47 landed — was trimmed to keep
+    # the rotation exactly 50 so nothing silently falls past the
     # driver's cap; the trimmed ids front r11)
 ]
 
