@@ -242,8 +242,19 @@ def _write_data_files(
     return adds
 
 
-def _commit(table: str, version: int, actions: list[dict[str, Any]]) -> None:
-    """Put-if-absent publish of the commit file (hard-link pattern)."""
+def _commit(
+    table: str,
+    version: int,
+    actions: list[dict[str, Any]],
+    pre_state: dict[str, Any] | None = None,
+) -> None:
+    """Put-if-absent publish of the commit file (hard-link pattern).
+    On success, maintains the optional per-version CHECKSUM file
+    (``{v}.crc`` — the spec's version-checksum sidecar): exact when
+    the caller supplies the replayed ``pre_state`` (every
+    state-dependent commit has one), incremental from the previous
+    crc for blind add-only commits, silently skipped otherwise — the
+    crc is an audit/fast-stats artifact, never a correctness input."""
     log = os.path.join(table, "_delta_log")
     os.makedirs(log, exist_ok=True)
     tmp = os.path.join(log, f".{uuid.uuid4().hex}.json.tmp")
@@ -255,6 +266,187 @@ def _commit(table: str, version: int, actions: list[dict[str, Any]]) -> None:
         os.link(tmp, final)  # EEXIST on a lost race — never overwrite
     finally:
         os.unlink(tmp)
+    try:
+        _write_crc(table, version, actions, pre_state)
+    except Exception:
+        pass  # best-effort by design; verify_checksum audits gaps
+
+
+def crc_path(table: str, version: int) -> str:
+    return os.path.join(table, "_delta_log", f"{version:020d}.crc")
+
+
+def _crc_doc(
+    n_files: int,
+    size: int,
+    n_dv: int,
+    meta: dict[str, Any] | None,
+    proto: dict[str, Any] | None,
+) -> dict[str, Any] | None:
+    if meta is None or proto is None:
+        return None  # foreign/partial shape — skip rather than guess
+    return {
+        "tableSizeBytes": int(size),
+        "numFiles": int(n_files),
+        "numDeletionVectorsOpt": int(n_dv),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": meta,
+        "protocol": proto,
+    }
+
+
+def _apply_file_actions(
+    cur: dict[str, tuple[int, bool]], actions: list[dict[str, Any]]
+) -> dict[str, tuple[int, bool]]:
+    """{path: (size, has_dv)} after ``actions`` (in order)."""
+    for a in actions:
+        if "add" in a:
+            ad = a["add"]
+            cur[ad["path"]] = (
+                int(ad["size"]), bool(ad.get("deletionVector"))
+            )
+        elif "remove" in a:
+            cur.pop(a["remove"]["path"], None)
+    return cur
+
+
+def _write_crc(
+    table: str,
+    version: int,
+    actions: list[dict[str, Any]],
+    pre_state: dict[str, Any] | None,
+) -> None:
+    """Maintain the per-version checksum sidecar (``{v}.crc``): the
+    snapshot's aggregate state (file count, byte size, DV count,
+    current metadata + protocol) — what lets ``table_stats`` answer
+    "how big is this table" WITHOUT replaying a million-add log.
+    Exact when ``pre_state`` is supplied (the replayed state every
+    state-dependent commit already holds); incremental from the
+    previous crc for blind ADD-ONLY commits (appends — freshly
+    UUID-named paths by construction, so counts simply accumulate);
+    version 0 computes from its own actions. Any other shape (remove
+    without a pre-state, gap in the crc chain) skips: the crc chain
+    heals at the next exact write or ``write_version_checksum``."""
+    path = crc_path(table, version)
+    if os.path.exists(path):
+        return
+    adds = [a["add"] for a in actions if "add" in a]
+    removes = [a["remove"] for a in actions if "remove" in a]
+    meta_a = next(
+        (a["metaData"] for a in actions if "metaData" in a), None
+    )
+    proto_a = next(
+        (a["protocol"] for a in actions if "protocol" in a), None
+    )
+    doc = None
+    if pre_state is not None:
+        cur = {
+            p: (int(x["size"]), bool(x.get("deletionVector")))
+            for p, x in pre_state["files"].items()
+        }
+        cur = _apply_file_actions(cur, actions)
+        doc = _crc_doc(
+            len(cur),
+            sum(s for s, _ in cur.values()),
+            sum(1 for _, dv in cur.values() if dv),
+            meta_a or pre_state.get("metaData"),
+            proto_a or pre_state.get("protocol"),
+        )
+    elif version == 0:
+        cur = _apply_file_actions({}, actions)
+        doc = _crc_doc(
+            len(cur),
+            sum(s for s, _ in cur.values()),
+            sum(1 for _, dv in cur.values() if dv),
+            meta_a,
+            proto_a,
+        )
+    elif not removes:
+        prev_p = crc_path(table, version - 1)
+        if not os.path.exists(prev_p):
+            return
+        with open(prev_p) as fh:
+            prev = json.load(fh)
+        doc = _crc_doc(
+            prev["numFiles"] + len(adds),
+            prev["tableSizeBytes"] + sum(int(a["size"]) for a in adds),
+            prev.get("numDeletionVectorsOpt", 0)
+            + sum(1 for a in adds if a.get("deletionVector")),
+            meta_a or prev.get("metadata"),
+            proto_a or prev.get("protocol"),
+        )
+    if doc is None:
+        return
+    tmp = path + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, path)
+
+
+def _state_crc(state: dict[str, Any]) -> dict[str, Any] | None:
+    files = state["files"]
+    return _crc_doc(
+        len(files),
+        sum(int(a["size"]) for a in files.values()),
+        sum(1 for a in files.values() if a.get("deletionVector")),
+        state.get("metaData"),
+        state.get("protocol"),
+    )
+
+
+def write_version_checksum(
+    spark: SparkSession, table: str, version: int | None = None
+) -> dict[str, Any]:
+    """Recompute and (over)write the checksum sidecar for ``version``
+    (default: the head) from a full replay — the chain-healing /
+    backfill entry point for logs written before crc maintenance or
+    across an incremental gap. Returns the document."""
+    state = delta_reader._replay(spark, table, version)
+    doc = _state_crc(state)
+    if doc is None:
+        raise ValueError(f"no metadata to checksum at {table}")
+    v = int(state["version"])
+    path = crc_path(table, v)
+    tmp = path + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, path)
+    return doc
+
+
+def verify_checksum(
+    spark: SparkSession, table: str, version: int | None = None
+) -> dict[str, Any]:
+    """Audit a stored crc against a full replay. Returns
+    ``{"version", "stored": bool, "ok": bool, "diff": {...}}`` —
+    ``ok`` is True when no crc is stored (nothing to contradict) or
+    the stored aggregates match the replayed state exactly."""
+    state = delta_reader._replay(spark, table, version)
+    v = int(state["version"])
+    p = crc_path(table, v)
+    if not os.path.exists(p):
+        return {"version": v, "stored": False, "ok": True, "diff": {}}
+    with open(p) as fh:
+        stored = json.load(fh)
+    want = _state_crc(state)
+    diff = {
+        k: {"stored": stored.get(k), "replayed": want[k]}
+        for k in (
+            "tableSizeBytes", "numFiles", "numDeletionVectorsOpt"
+        )
+        if stored.get(k) != want[k]
+    }
+    if (stored.get("metadata") or {}).get("id") != (
+        (want["metadata"] or {}).get("id")
+    ):
+        diff["metadata.id"] = {
+            "stored": (stored.get("metadata") or {}).get("id"),
+            "replayed": (want["metadata"] or {}).get("id"),
+        }
+    return {
+        "version": v, "stored": True, "ok": not diff, "diff": diff
+    }
 
 
 def _next_version(table: str) -> int:
@@ -304,7 +496,7 @@ def _commit_from_state(
     for _ in range(_MAX_COMMIT_RETRIES):
         version = base + 1 if base >= 0 else _next_version(table)
         try:
-            _commit(table, version, actions)
+            _commit(table, version, actions, pre_state=state)
             return version
         except FileExistsError:
             fresh = delta_reader._replay(spark, table, None)

@@ -2496,3 +2496,70 @@ def d47_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         exact_sum("l_extendedprice").alias("revenue"),
     )
+
+
+@query(
+    "d48_version_checksum",
+    oracle=f"""
+        SELECT o_orderstatus AS st,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sum_sql('o_totalprice')} AS total_price,
+               true AS crc_ok,
+               'crc' AS stats_source
+        FROM orders
+        WHERE o_orderkey % 10 <> 0
+        GROUP BY st
+    """,
+)
+def d48_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION CHECKSUM sidecars end to end (r10): orders land over
+    three commits, a copy-on-write DELETE drops a slice, and every
+    commit maintained its ``{v}.crc`` aggregate (incremental for the
+    blind appends, exact from the replayed pre-state for the DML).
+    The query then (a) audits the head crc against a full replay
+    (``verify_checksum`` — surfaced as the ``crc_ok`` column, so a
+    drifting checksum FAILS the oracle hash), (b) answers
+    ``table_stats`` from the sidecar (``stats_source`` must be
+    ``crc``: the O(1) path actually engaged), and (c) returns the
+    relational state for the value check. WHY at 100 TB: "how many
+    files / bytes is this table" should not cost a million-action
+    log replay — the crc chain makes snapshot aggregates a one-file
+    read, and the audit keeps it honest."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_dml,
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-crc-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta_writer.create_delta(
+        orders.where("o_orderkey % 3 = 0").repartition(3), table
+    )
+    delta_writer.append_delta(
+        orders.where("o_orderkey % 3 = 1").repartition(3), table
+    )
+    delta_writer.append_delta(
+        orders.where("o_orderkey % 3 = 2").repartition(3), table
+    )
+    delta_dml.delete_delta(spark, table, "o_orderkey % 10 = 0")
+    audit = delta_writer.verify_checksum(spark, table)
+    stats = delta_reader.table_stats(spark, table)
+    ok = bool(audit["stored"] and audit["ok"])
+    return delta_reader.read_delta(spark, table).groupBy(
+        F.col("o_orderstatus").alias("st")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        exact_sum("o_totalprice").alias("total_price"),
+    ).withColumn("crc_ok", F.lit(ok)).withColumn(
+        "stats_source", F.lit(stats["source"])
+    )

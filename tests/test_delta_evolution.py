@@ -268,13 +268,13 @@ def test_racing_appenders_both_land(spark, tmp_path, monkeypatch):
     competitor = spark.range(100, 110)
     raced = {"done": False}
 
-    def racy(tbl, version, actions):
+    def racy(tbl, version, actions, **kw):
         # a competing appender steals exactly this version first
         if not raced["done"]:
             raced["done"] = True
             adds = dw._write_data_files(competitor, tbl)
             orig(tbl, version, adds + [dw._commit_info("WRITE")])
-        return orig(tbl, version, actions)
+        return orig(tbl, version, actions, **kw)
 
     monkeypatch.setattr(dw, "_commit", racy)
     v = dw.append_delta(spark.range(10, 13), table)
@@ -292,12 +292,12 @@ def test_dml_race_against_data_change_raises(spark, tmp_path, monkeypatch):
     competitor = spark.range(50, 55)
     raced = {"done": False}
 
-    def racy(tbl, version, actions):
+    def racy(tbl, version, actions, **kw):
         if not raced["done"] and any("remove" in a for a in actions):
             raced["done"] = True
             adds = dw._write_data_files(competitor, tbl)
             orig(tbl, version, adds + [dw._commit_info("WRITE")])
-        return orig(tbl, version, actions)
+        return orig(tbl, version, actions, **kw)
 
     monkeypatch.setattr(dw, "_commit", racy)
     with pytest.raises(ValueError, match="concurrent modification"):
@@ -315,11 +315,11 @@ def test_dml_race_against_noop_commit_retries(spark, tmp_path, monkeypatch):
     orig = dw._commit
     raced = {"done": False}
 
-    def racy(tbl, version, actions):
+    def racy(tbl, version, actions, **kw):
         if not raced["done"] and any("remove" in a for a in actions):
             raced["done"] = True
             orig(tbl, version, [dw._commit_info("NOOP")])
-        return orig(tbl, version, actions)
+        return orig(tbl, version, actions, **kw)
 
     monkeypatch.setattr(dw, "_commit", racy)
     dml.delete_delta(spark, table, "id >= 5")
