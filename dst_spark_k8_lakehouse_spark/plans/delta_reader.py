@@ -154,7 +154,7 @@ def _checkpoint(path: str) -> tuple[int, list[str]] | None:
 _READER_FEATURES_OK = {"appendOnly", "invariants", "checkConstraints",
                        "timestampNtz", "vacuumProtocolCheck",
                        "columnMapping", "deletionVectors",
-                       "v2Checkpoint"}
+                       "v2Checkpoint", "typeWidening"}
 
 
 # row-identity columns a scan can expose (read_delta

@@ -2630,3 +2630,75 @@ def d49_puffin_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col string, ndv_exact long, ndv_ok boolean"
     )
+
+
+@query(
+    "d50_type_widening",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 2 = 0
+        ),
+        wide AS (
+            SELECT o_custkey + 8589934592 AS o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 1
+        ),
+        u AS (
+            SELECT * FROM base UNION ALL SELECT * FROM wide
+        )
+        SELECT o_custkey >= 8589934592 AS is_wide,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sum_sql('o_totalprice')} AS total_price
+        FROM u GROUP BY is_wide
+    """,
+)
+def d50_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING end to end (r10, the Delta spec's typeWidening
+    table feature): orders land with an INT ``o_custkey``, one
+    metadata-only ``widen_column_type`` call makes it LONG (protocol
+    reader 3 / writer 7, per-field ``delta.typeWidening`` history —
+    no data file is touched), and a second append writes values
+    beyond the 32-bit range (custkey + 2³³). The final scan reads
+    narrow and wide files TOGETHER — Spark 4's parquet reader
+    promotes int32→int64 in place — and aggregates by whether each
+    row fits the old type, so a broken promotion (truncation, wrong
+    file schema) fails the oracle hash. WHY at 100 TB: the
+    alternative to widening is rewriting every file carrying the
+    column; this is one metadata commit. Mixed-width data skipping
+    and DML-after-widening are pinned in
+    ``tests/test_type_widening.py``."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-widen-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    orders = load_table(spark, sf_dir, "orders")
+    delta_writer.create_delta(
+        orders.where("o_orderkey % 2 = 0").select(
+            F.col("o_custkey").cast("int").alias("o_custkey"),
+            "o_totalprice",
+        ).repartition(3),
+        table,
+    )
+    delta_writer.widen_column_type(spark, table, "o_custkey", "long")
+    delta_writer.append_delta(
+        orders.where("o_orderkey % 2 = 1").select(
+            (F.col("o_custkey") + F.lit(8589934592)).alias("o_custkey"),
+            "o_totalprice",
+        ).repartition(3),
+        table,
+    )
+    return delta_reader.read_delta(spark, table).groupBy(
+        (F.col("o_custkey") >= 8589934592).alias("is_wide")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        exact_sum("o_totalprice").alias("total_price"),
+    )

@@ -122,18 +122,19 @@ def test_history_newest_first(delta_table):
 
 
 def test_unsupported_reader_feature_raises(spark, tmp_path):
-    # deletionVectors (test_delta_dv.py) and v2Checkpoint
-    # (test_delta_checkpoint_v2.py) moved to the supported set;
-    # typeWidening remains beyond this reader and must stay loud
-    table = str(tmp_path / "tw")
+    # deletionVectors (test_delta_dv.py), v2Checkpoint
+    # (test_delta_checkpoint_v2.py) and typeWidening
+    # (test_type_widening.py) moved to the supported set; collations
+    # remains beyond this reader and must stay loud
+    table = str(tmp_path / "coll")
     os.makedirs(table)
     _write_commit(
         table, 0,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["typeWidening"]}},
+                       "readerFeatures": ["collations"]}},
          _meta_action()],
     )
-    with pytest.raises(NotImplementedError, match="typeWidening"):
+    with pytest.raises(NotImplementedError, match="collations"):
         dr.read_delta(spark, table)
 
 
