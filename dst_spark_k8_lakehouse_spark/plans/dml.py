@@ -272,6 +272,17 @@ _RENAME_COL_RE = re.compile(
     r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
     re.IGNORECASE,
 )
+_ALTER_TYPE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+TYPE\s+(?P<type>\w+)\s*$",
+    re.IGNORECASE,
+)
+# SQL type spellings → the engines' type names
+_WIDEN_TYPES = {
+    "bigint": "long", "long": "long", "int": "integer",
+    "integer": "integer", "smallint": "short", "short": "short",
+    "double": "double", "float": "float",
+}
 _ADD_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+"
     r"(?P<item>.+?)\s*$",
@@ -606,6 +617,22 @@ def execute_native_sql(
             delta_writer.rename_column(spark, p, m["old"], m["new"])
         else:
             iceberg_writer.rename_column(p, m["old"], m["new"])
+        return 0
+    if m := _ALTER_TYPE_RE.match(sql):
+        p = _path(m["table"])
+        t = _WIDEN_TYPES.get(m["type"].lower())
+        if t is None:
+            raise NotImplementedError(
+                f"ALTER COLUMN TYPE {m['type']}: only the widening "
+                "set (smallint/int/bigint/float/double) is supported"
+            )
+        if _fmt(p) == "delta":
+            delta_writer.widen_column_type(spark, p, m["col"], t)
+        else:
+            # Iceberg spells int/long, not integer
+            iceberg_writer.promote_column_type(
+                p, m["col"], {"integer": "int"}.get(t, t)
+            )
         return 0
     if m := _ADD_PART_RE.match(sql):
         p = _path(m["table"])

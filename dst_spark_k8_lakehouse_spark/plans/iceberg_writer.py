@@ -416,17 +416,22 @@ def bound_bytes(v: Any, iceberg_type: str) -> bytes | None:
 def bound_value(b: bytes, iceberg_type: str) -> Any:
     """Inverse of ``bound_bytes`` — what the reader compares predicate
     literals against. Timestamps come back as epoch MICROS (compare
-    in micros), dates as epoch days."""
+    in micros), dates as epoch days.
+
+    WIDTH-AWARE for promoted columns (spec schema evolution: int→long,
+    float→double): a manifest written before the promotion carries
+    4-byte bounds for a column the schema now calls long/double — the
+    byte length, not the current type name, decides the decode."""
     import struct as _st
 
     if iceberg_type == "int":
         return _st.unpack("<i", b)[0]
     if iceberg_type == "long":
-        return _st.unpack("<q", b)[0]
+        return _st.unpack("<i" if len(b) == 4 else "<q", b)[0]
     if iceberg_type == "float":
         return _st.unpack("<f", b)[0]
     if iceberg_type == "double":
-        return _st.unpack("<d", b)[0]
+        return _st.unpack("<f" if len(b) == 4 else "<d", b)[0]
     if iceberg_type == "date":
         return _st.unpack("<i", b)[0]
     if iceberg_type in ("timestamp", "timestamptz"):
@@ -1283,6 +1288,58 @@ def add_column(table: str, name: str, dtype) -> None:
     _bump_metadata_log(table, meta)
     _set_schema(meta, meta["schema"]["fields"] + [field])
     meta["last-column-id"] = ids.last
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
+
+
+_PROMOTIONS = {"int": ("long",), "float": ("double",)}
+
+
+def promote_column_type(table: str, col: str, new_type: str) -> None:
+    """``ALTER TABLE t ALTER COLUMN c TYPE wider`` — the Iceberg
+    spec's schema-evolution TYPE PROMOTION (v1/v2 set: ``int → long``,
+    ``float → double``): metadata-only; the field keeps its id, data
+    files keep their narrow physical type and Spark's parquet reader
+    promotes on scan. Old manifests keep their 4-byte column bounds —
+    ``bound_value`` decodes by BYTE LENGTH, so data skipping keeps
+    working across the promotion boundary (a wrong-width decode
+    would prune wrong files, which is why this refuses types outside
+    the spec's promotion set). Refused for partition-source columns:
+    their transform result types and stored partition records would
+    re-key (the spec keeps this restriction too for identity specs in
+    practice — evolve the spec instead)."""
+    meta, v = _load_meta(table)
+    by_name = {f["name"]: f for f in meta["schema"]["fields"]}
+    if col not in by_name:
+        raise ValueError(f"no column {col!r} in {sorted(by_name)}")
+    field = by_name[col]
+    old = field["type"]
+    if not isinstance(old, str):
+        raise NotImplementedError(
+            f"type promotion on nested-typed column {col!r}"
+        )
+    if new_type not in _PROMOTIONS.get(old, ()):
+        raise ValueError(
+            f"promoting {old} -> {new_type} is outside the spec's "
+            f"promotion set; allowed from {old}: "
+            f"{list(_PROMOTIONS.get(old, ()))}"
+        )
+    fid = int(field["id"])
+    for spec in meta.get("partition-specs") or []:
+        if any(
+            int(pf.get("source-id", -1)) == fid
+            for pf in spec.get("fields", [])
+        ):
+            raise NotImplementedError(
+                f"{col!r} is a partition source column; promoting it "
+                "would re-key stored partition records"
+            )
+    fields = [
+        {**f, "type": new_type} if f["name"] == col else f
+        for f in meta["schema"]["fields"]
+    ]
+    _bump_metadata_log(table, meta)
+    _set_schema(meta, fields)
     meta["last-updated-ms"] = int(time.time() * 1000)
     _commit_metadata(table, meta, v + 1)
 

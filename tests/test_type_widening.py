@@ -162,3 +162,84 @@ def test_checkpoint_preserves_widened_schema(spark, tmp_path):
     fields = json.loads(state["metaData"]["schemaString"])["fields"]
     xf = next(f for f in fields if f["name"] == "x")
     assert xf["metadata"]["delta.typeWidening"][0]["tableVersion"] == v
+
+
+# ---------------------------------------------------------------- Iceberg
+
+from dst_spark_k8_lakehouse_spark.plans import iceberg_reader as ir  # noqa: E402
+from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as iw  # noqa: E402
+from dst_spark_k8_lakehouse_spark.plans.dml import execute_native_sql  # noqa: E402
+
+
+def test_iceberg_promotion_mixed_scan_and_bounds(spark, tmp_path):
+    table = str(tmp_path / "ice")
+    iw.create_iceberg(
+        spark.range(100).select(F.col("id").cast("int").alias("x"))
+        .repartitionByRange(4, "x"),
+        table,
+    )
+    iw.promote_column_type(table, "x", "long")
+    df = ir.read_iceberg(spark, table)
+    assert df.schema["x"].dataType.simpleString() == "bigint"
+    iw.append_iceberg(
+        spark.range(1000, 1100).select(F.col("id").alias("x"))
+        .repartitionByRange(4, "x"),
+        table,
+    )
+    got = ir.read_iceberg(spark, table)
+    assert got.count() == 200
+    # data skipping across the promotion boundary: the PRE-promotion
+    # manifests carry 4-byte bounds for the now-long column — the
+    # width-aware decode must prune them under a long predicate
+    full = ir.plan_file_list(spark, table)["data"]
+    pruned = ir.plan_file_list(
+        spark, table, predicates=[("x", ">=", 1000)]
+    )["data"]
+    assert len(full) == 8 and len(pruned) == 4
+    n = ir.read_iceberg(
+        spark, table, predicates=[("x", ">=", 1000)]
+    ).count()
+    assert n == 100
+
+
+def test_iceberg_promotion_refusals(spark, tmp_path):
+    table = str(tmp_path / "icer")
+    iw.create_iceberg(
+        spark.range(10).select(
+            F.col("id").cast("int").alias("x"),
+            (F.col("id") % 3).cast("int").alias("p"),
+        ),
+        table,
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="promotion set"):
+        iw.promote_column_type(table, "x", "double")
+    with pytest.raises(NotImplementedError, match="partition source"):
+        iw.promote_column_type(table, "p", "long")
+    with pytest.raises(ValueError, match="no column"):
+        iw.promote_column_type(table, "nope", "long")
+
+
+def test_alter_column_type_statement_both_formats(spark, tmp_path):
+    d = str(tmp_path / "d")
+    dw.create_delta(
+        spark.range(5).select(F.col("id").cast("int").alias("x")), d
+    )
+    execute_native_sql(
+        spark, "ALTER TABLE t ALTER COLUMN x TYPE BIGINT", {"t": d}
+    )
+    assert dr.read_delta(spark, d).schema["x"].dataType.simpleString() \
+        == "bigint"
+    i = str(tmp_path / "i")
+    iw.create_iceberg(
+        spark.range(5).select(F.col("id").cast("float").alias("f")), i
+    )
+    execute_native_sql(
+        spark, "ALTER TABLE t ALTER COLUMN f TYPE DOUBLE", {"t": i}
+    )
+    assert ir.read_iceberg(spark, i).schema["f"].dataType.simpleString() \
+        == "double"
+    with pytest.raises(NotImplementedError, match="widening set"):
+        execute_native_sql(
+            spark, "ALTER TABLE t ALTER COLUMN x TYPE DECIMAL", {"t": d}
+        )
