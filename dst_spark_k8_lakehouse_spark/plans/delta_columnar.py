@@ -296,6 +296,8 @@ def parse_add_lines(
                                 [("clusteringProvider", pa.string())]
                             ),
                         ),
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             )

@@ -187,6 +187,14 @@ def _rewrite_and_commit(
     the committed version."""
     import time
 
+    from dst_spark_k8_lakehouse_spark.plans import delta_rowtracking
+
+    if delta_rowtracking.enabled(state):
+        raise NotImplementedError(
+            "copy-on-write DML on a row-tracked table would reassign "
+            "row ids; delete via plans.delta_dv.delete_where_dv "
+            "(deletion vectors keep ids stable — no file rewrites)"
+        )
     now = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         {

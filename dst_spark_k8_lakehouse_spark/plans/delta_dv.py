@@ -270,6 +270,14 @@ def materialize_dvs(spark: SparkSession, table: str) -> int:
     import time
 
     state = delta_reader._replay(spark, table, None)
+    from dst_spark_k8_lakehouse_spark.plans import delta_rowtracking
+
+    if delta_rowtracking.enabled(state):
+        raise NotImplementedError(
+            "materialize_dvs on a row-tracked table would reassign "
+            "row ids (file rewrite); keep the vectors — reads "
+            "subtract them and ids stay stable"
+        )
     vectored = {
         rel: a for rel, a in state["files"].items()
         if a.get("deletionVector")

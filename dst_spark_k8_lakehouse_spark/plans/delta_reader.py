@@ -968,6 +968,7 @@ def read_delta(
     partition_filter: PartitionFilter | None = None,
     with_row_identity: bool = False,
     predicates: list[tuple] | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """SELECT from a Delta table directory (optionally ``versionAsOf``
     = ``version`` or ``timestampAsOf`` = ``timestamp``, epoch millis
@@ -999,8 +1000,13 @@ def read_delta(
     part_cols = plan["part_cols"]
     files = plan["files"]
     residual = plan["residual"]
-    need_id = with_row_identity or any(
+    need_id = with_row_identity or with_row_ids or any(
         a.get("deletionVector") for a in files.values()
+    )
+    # the row-tracking materialized id column is HIDDEN from ordinary
+    # reads (``with_row_ids`` resolves it into ``_row_id`` instead)
+    mat_col = (meta.get("configuration") or {}).get(
+        "delta.rowTracking.materializedRowIdColumnName"
     )
 
     def _finish(df: DataFrame) -> DataFrame:
@@ -1008,19 +1014,38 @@ def read_delta(
             df = _dv_row_filter(
                 spark, _add_row_identity(df), path, files
             )
+            if with_row_ids:
+                from dst_spark_k8_lakehouse_spark.plans import (
+                    delta_rowtracking,
+                )
+
+                df = delta_rowtracking.attach_row_ids(
+                    spark, df, path, files, meta
+                )
             if not with_row_identity:
                 df = df.drop(ROW_FILE, ROW_POS)
+        if mat_col and mat_col in df.columns:
+            df = df.drop(mat_col)
         if residual is not None:
             # the predicates' exact row filter — pruning is a superset
             df = df.where(residual)
         return df
 
     if not files:
-        empty = spark.createDataFrame([], schema)
+        vis = [f for f in schema.fields if f.name != mat_col]
+        empty = spark.createDataFrame([], T.StructType(vis))
         if with_row_identity:
             empty = empty.withColumn(
                 ROW_FILE, F.lit(None).cast("string")
             ).withColumn(ROW_POS, F.lit(None).cast("long"))
+        if with_row_ids:
+            from dst_spark_k8_lakehouse_spark.plans import (
+                delta_rowtracking,
+            )
+
+            empty = empty.withColumn(
+                delta_rowtracking.ROW_ID, F.lit(None).cast("long")
+            )
         return empty
     by_name = {f.name: f for f in schema.fields}
     data_fields = [f for f in schema.fields if f.name not in part_cols]
@@ -1099,6 +1124,10 @@ def read_delta(
     # fallback: group files by partition values, inject literals per
     # group (plan grows with group count — acceptable only off the
     # standard layout)
+    if with_row_ids:
+        raise NotImplementedError(
+            "row-id reads on a nonstandard partition layout"
+        )
     groups: dict[tuple, list[tuple[str, str]]] = {}
     for rel, a in files.items():
         pv = _pv(a, part_cols, phys)
@@ -1131,6 +1160,7 @@ def read_delta(
                     if f.name not in part_cols
                     else F.col(f.name)
                     for f in schema.fields
+                    if f.name != mat_col
                 ],
                 *extra,
             )

@@ -886,7 +886,25 @@ def append_delta(
                 f"expects {aligned.columns}, data was written as "
                 f"{written_cols}; re-run the append"
             )
+        # claim exactly the replayed version + 1: the txn idempotence
+        # re-check and any widened metaData were computed against THIS
+        # state, so a commit that raced in must force EEXIST and a
+        # fresh loop (a fresh _next_version listing would let a racing
+        # duplicate micro-batch land the same txn epoch twice)
+        version = int(state.get("version", -1)) + 1
         actions = ([meta_action] if meta_action else []) + adds
+        from dst_spark_k8_lakehouse_spark.plans import delta_rowtracking
+
+        if delta_rowtracking.enabled(state):
+            # id ranges come from THIS state's watermark — assigned
+            # inside the retry loop so a raced-in append can't hand
+            # out overlapping ranges (the loser re-replays and
+            # re-assigns past the winner's new watermark)
+            actions.append(
+                delta_rowtracking.assign_base_row_ids(
+                    state, adds, version
+                )
+            )
         if txn is not None:
             actions.append(
                 {
@@ -898,12 +916,6 @@ def append_delta(
                 }
             )
         actions.append(_commit_info("WRITE"))
-        # claim exactly the replayed version + 1: the txn idempotence
-        # re-check and any widened metaData were computed against THIS
-        # state, so a commit that raced in must force EEXIST and a
-        # fresh loop (a fresh _next_version listing would let a racing
-        # duplicate micro-batch land the same txn epoch twice)
-        version = int(state.get("version", -1)) + 1
         try:
             _commit(table, version, actions)
             return version
@@ -1102,6 +1114,12 @@ _CHECKPOINT_SCHEMA = T.StructType(
                     T.StructField(
                         "tags", T.MapType(T.StringType(), T.StringType())
                     ),
+                    # row tracking: losing baseRowId at a checkpoint
+                    # would silently shift every fresh row id
+                    T.StructField("baseRowId", T.LongType()),
+                    T.StructField(
+                        "defaultRowCommitVersion", T.LongType()
+                    ),
                 ]
             ),
         ),
@@ -1221,6 +1239,8 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
                     else None,
                     a.get("stats"),
                     a.get("tags"),
+                    a.get("baseRowId"),
+                    a.get("defaultRowCommitVersion"),
                 ),
                 None,
                 None,
@@ -1274,6 +1294,8 @@ def _pa_action_types():
             ("deletionVector", dv),
             ("stats", pa.string()),
             ("tags", str_map),
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ]
     )
     remove = pa.struct(
@@ -1435,6 +1457,10 @@ def write_checkpoint_v2(
             ),
             "stats": a.get("stats"),
             "tags": a.get("tags"),
+            "baseRowId": a.get("baseRowId"),
+            "defaultRowCommitVersion": a.get(
+                "defaultRowCommitVersion"
+            ),
         }
 
     adds = [_add_dict(p, a) for p, a in sorted(state["files"].items())]
@@ -1549,14 +1575,21 @@ def compact_delta(
     per-micro-batch streaming sink (many small appends). Partitions
     with fewer than ``min_files`` files are left alone. Returns the
     committed version, or -1 if nothing needed compacting."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_rowtracking
+
     state = delta_reader._replay(spark, table, None)
     meta = state["metaData"]
     mode, phys = delta_reader._mapping(meta)
     schema = delta_reader.schema_from_json(meta["schemaString"])
     part_cols = delta_reader._partition_cols(meta, schema, phys)
+    row_tracked = delta_rowtracking.enabled(state)
+    mat_col = delta_rowtracking.materialized_col(meta)
     groups: dict[tuple, list[tuple[str, dict]]] = {}
     for rel, a in state["files"].items():
-        if a.get("deletionVector"):
+        if a.get("deletionVector") and not row_tracked:
+            # row-tracked compaction reads through the DV subtraction
+            # (identity columns are already on the scan); the raw-file
+            # path here would resurrect deleted rows
             raise NotImplementedError(
                 "table has deletion vectors; raw-file compaction "
                 "would resurrect deleted rows — run "
@@ -1587,7 +1620,28 @@ def compact_delta(
         ]
         df = spark.read.schema(T.StructType(read_fields)).parquet(
             *paths
-        ).coalesce(n_out)
+        )
+        if row_tracked:
+            # PRESERVE row ids across the rewrite: resolve each row's
+            # id (materialized or baseRowId + position) and write it
+            # into the materialized column — after this, position in
+            # the new files is irrelevant to identity. DV-deleted
+            # rows are subtracted first (their ids retire with them),
+            # so compaction doubles as DV materialization here.
+            df = delta_reader._dv_row_filter(
+                spark,
+                delta_reader._add_row_identity(df),
+                table,
+                dict(files),
+            )
+            df = delta_rowtracking.attach_row_ids(
+                spark, df, table, dict(files), meta, out_col="__rid",
+            )
+            df = (
+                df.withColumn(mat_col, F.col("__rid"))
+                .drop("__rid", delta_reader.ROW_FILE, delta_reader.ROW_POS)
+            )
+        df = df.coalesce(n_out)
         new = _write_data_files(df, table)
         pv = {
             phys.get(c, c): v for c, v in zip(part_cols, key)
@@ -1617,9 +1671,18 @@ def compact_delta(
         ]
     if not removes:
         return -1
+    extra: list[dict[str, Any]] = []
+    if row_tracked:
+        # new files still get fresh baseRowId ranges per the spec
+        # (readers prefer the materialized ids they now carry)
+        extra.append(
+            delta_rowtracking.assign_base_row_ids(
+                state, adds, int(state["version"]) + 1
+            )
+        )
     return _commit_from_state(
         spark, table, state,
-        removes + adds + [_commit_info("OPTIMIZE")],
+        removes + adds + extra + [_commit_info("OPTIMIZE")],
         "OPTIMIZE", check_meta=False,
     )
 
@@ -1900,6 +1963,7 @@ def zorder_delta(
     Partition columns stay put (clustering happens within each
     group). Refuses over live deletion vectors (materialize first)
     and column-mapped tables. Returns the committed version."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_rowtracking
     from dst_spark_k8_lakehouse_spark.plans.table import zorder_cluster
 
     state = delta_reader._replay(spark, table, None)
@@ -1909,6 +1973,11 @@ def zorder_delta(
         raise NotImplementedError(
             "ZORDER on a column-mapped native table is not supported "
             "by the jar-free path"
+        )
+    if delta_rowtracking.enabled(state):
+        raise NotImplementedError(
+            "ZORDER on a row-tracked table would reassign row ids; "
+            "compact_delta preserves them (materialization) — use it"
         )
     if any(a.get("deletionVector") for a in state["files"].values()):
         raise NotImplementedError(
@@ -2163,6 +2232,7 @@ def cluster_delta(
     false`` (streams and time travel see through, like OPTIMIZE).
     Returns the committed version, or the current version unchanged
     when nothing needs clustering."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_rowtracking
     from dst_spark_k8_lakehouse_spark.plans.table import zorder_cluster
 
     state = delta_reader._replay(spark, table, None)
@@ -2171,6 +2241,11 @@ def cluster_delta(
         raise ValueError(
             f"{table} is not a clustered table; use zorder_delta for "
             "one-shot clustering"
+        )
+    if delta_rowtracking.enabled(state):
+        raise NotImplementedError(
+            "liquid clustering on a row-tracked table would reassign "
+            "row ids; compact_delta preserves them — use it"
         )
     generation = f"liquid:{','.join(cols)}"
     candidates = {

@@ -2702,3 +2702,83 @@ def d50_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         exact_sum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "d51_row_tracking",
+    oracle=f"""
+        SELECT c_mktsegment AS seg,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               {sum_sql('c_acctbal')} AS total_bal,
+               true AS ids_stable
+        FROM customer
+        WHERE c_custkey % 5 <> 0
+        GROUP BY seg
+    """,
+)
+def d51_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING end to end (r10, the Delta spec's rowTracking
+    writer feature — ``plans/delta_rowtracking.py``): customer lands
+    over two commits into a row-tracked table (enable backfills
+    baseRowId ranges to existing files with NO data rewrite; appends
+    allocate fresh ranges from the ``delta.rowTracking`` domain
+    watermark), a DELETION-VECTOR delete drops a slice (ids stay
+    stable by construction — no file rewritten), and OPTIMIZE
+    compacts everything while PRESERVING the full id→row mapping by
+    materializing each row's id into the hidden row-id column. The
+    ``ids_stable`` column is the in-query audit: the post-compaction
+    (row id → c_custkey) mapping must equal the pre-delete mapping
+    minus exactly the deleted keys — any reassignment, collision or
+    loss fails the oracle hash. WHY at 100 TB: stable row ids let
+    incremental downstream work (feature backfills, embedding
+    refresh, audits) key on a ROW instead of a (file, position) that
+    every compaction invalidates."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_dv,
+        delta_reader,
+        delta_rowtracking,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-rowtrack-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    delta_writer.create_delta(
+        cust.where("c_custkey % 2 = 0").repartition(3), table
+    )
+    delta_rowtracking.enable_row_tracking(spark, table)
+    delta_writer.append_delta(
+        cust.where("c_custkey % 2 = 1").repartition(3), table
+    )
+
+    def id_map():
+        return {
+            r._row_id: r.c_custkey
+            for r in delta_reader.read_delta(
+                spark, table, with_row_ids=True
+            ).select("_row_id", "c_custkey").collect()
+        }
+
+    before = id_map()
+    delta_dv.delete_where_dv(spark, table, "c_custkey % 5 = 0")
+    delta_writer.compact_delta(spark, table, target_files=2)
+    after = id_map()
+    want = {k: v for k, v in before.items() if v % 5 != 0}
+    stable = (
+        after == want
+        and len(set(before.values())) == len(before)
+    )
+    return delta_reader.read_delta(spark, table).groupBy(
+        F.col("c_mktsegment").alias("seg")
+    ).agg(
+        F.count("*").alias("n_cust"),
+        exact_sum("c_acctbal").alias("total_bal"),
+    ).withColumn("ids_stable", F.lit(bool(stable)))

@@ -321,7 +321,9 @@ def test_parse_add_lines_rejects_unknown_fields():
     line = json.dumps({"add": {
         "path": "p", "partitionValues": {}, "size": 1,
         "modificationTime": 0, "dataChange": True,
-        "baseRowId": 7,
+        # a real Delta field this planner does not parse (baseRowId/
+        # defaultRowCommitVersion/tags joined the declared shape r10)
+        "clusteringProvider": "liquid",
     }})
     assert delta_columnar.parse_add_lines([line], []) is None
 
