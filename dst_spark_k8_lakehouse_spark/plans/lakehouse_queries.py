@@ -2782,3 +2782,107 @@ def d51_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cust"),
         exact_sum("c_acctbal").alias("total_bal"),
     ).withColumn("ids_stable", F.lit(bool(stable)))
+
+
+@query(
+    "x9_layout_lifecycle",
+    oracle=f"""
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(count(*) AS BIGINT) AS n_items,
+               {sum_sql('l_extendedprice')} AS revenue,
+               true AS crc_ok,
+               'crc' AS stats_source
+        FROM lineitem
+        WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+        GROUP BY rf, ls
+    """,
+)
+def x9_layout_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE for the r10 session-2 surface — the full layout
+    lifecycle of a long-lived clustered table, every stage through
+    the statement/library faces the features shipped this session:
+
+    1. ``CREATE ... CLUSTER BY (l_orderkey)`` (liquid clustering
+       domain metadata) + two appends — small unclustered files pile
+       up, the streaming-ingest shape;
+    2. ``OPTIMIZE`` statement → INCREMENTAL clustering pass (only
+       untagged files rewrite);
+    3. a third append, second ``OPTIMIZE`` — proves the incremental
+       property inline (the pass must NOT grow the file count by
+       re-clustering everything: asserted below);
+    4. ``write_checkpoint_v2`` shards the planning state into
+       sidecars, then every JSON commit at or below it is deleted —
+       all later planning runs from the V2 checkpoint alone;
+    5. ``vacuum_delta`` sweeps the rewritten-away files;
+    6. the crc chain is audited (``verify_checksum``) and
+       ``table_stats`` must answer from the sidecar (both folded
+       into the oracle hash as ``crc_ok``/``stats_source``);
+    7. the timed read is an ``l_orderkey``-range ``predicates`` scan
+       pruned by the clustered layout's per-add stats THROUGH the v2
+       checkpoint.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        delta_writer,
+    )
+    from dst_spark_k8_lakehouse_spark.plans.dml import execute_native_sql
+
+    base = tempfile.mkdtemp(prefix="dst-x9-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus",
+        "l_extendedprice",
+    )
+    delta_writer.create_delta(
+        li.where("l_orderkey % 3 = 0").repartition(3),
+        table,
+        cluster_by=["l_orderkey"],
+    )
+    delta_writer.append_delta(
+        li.where("l_orderkey % 3 = 1").repartition(3), table
+    )
+    execute_native_sql(spark, "OPTIMIZE t", {"t": table})
+    n_after_first = len(
+        delta_reader.plan_file_list(spark, table)["files"]
+    )
+    delta_writer.append_delta(
+        li.where("l_orderkey % 3 = 2").repartition(2), table
+    )
+    execute_native_sql(spark, "OPTIMIZE t", {"t": table})
+    n_after_second = len(
+        delta_reader.plan_file_list(spark, table)["files"]
+    )
+    if n_after_second > n_after_first + 2:
+        raise RuntimeError(
+            "incremental clustering rewrote more than the new data: "
+            f"{n_after_first} -> {n_after_second} files"
+        )
+    delta_writer.vacuum_delta(spark, table)
+    cv = delta_writer.write_checkpoint_v2(spark, table, sidecar_files=3)
+    log = os.path.join(table, "_delta_log")
+    for f in os.listdir(log):
+        if f.endswith(".json") and int(f[:-5]) <= cv:
+            os.unlink(os.path.join(log, f))
+    audit = delta_writer.verify_checksum(spark, table)
+    stats = delta_reader.table_stats(spark, table)
+    pruned = delta_reader.read_delta(
+        spark, table,
+        predicates=[
+            ("l_orderkey", ">=", 1000), ("l_orderkey", "<", 3000),
+        ],
+    )
+    return pruned.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+    ).agg(
+        F.count("*").alias("n_items"),
+        exact_sum("l_extendedprice").alias("revenue"),
+    ).withColumn(
+        "crc_ok", F.lit(bool(audit["stored"] and audit["ok"]))
+    ).withColumn("stats_source", F.lit(stats["source"]))
