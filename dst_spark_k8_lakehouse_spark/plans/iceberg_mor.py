@@ -116,6 +116,7 @@ def _delete_commit(
     content: int,
     equality_ids: list[int] | None,
     summary_op: str,
+    extra_data_files: list[dict] | None = None,
 ) -> int:
     """Publish one delete snapshot: a new delete manifest (ADDED
     entries, ``data_file.content`` 1 or 2) alongside ALL carried-
@@ -126,23 +127,29 @@ def _delete_commit(
     snap_id = int(time.time() * 1000) * 1000 + version
     seq = iceberg_writer._next_seq(meta)
     pv = _null_partition(meta)
+    data_files = [
+        {
+            "content": content,
+            "file_path": p,
+            "file_format": "PARQUET",
+            "partition": pv,
+            "record_count": int(n),
+            "file_size_in_bytes": int(sz),
+            "equality_ids": equality_ids,
+        }
+        for p, n, sz in files
+    ] if files else []
+    for dfd in (extra_data_files or []):
+        data_files.append({"partition": pv, **dfd})
     entries = [
         {
             "status": 1,
             "snapshot_id": snap_id,
             "sequence_number": None,  # inherit: this commit's seq
             "file_sequence_number": None,
-            "data_file": {
-                "content": content,
-                "file_path": p,
-                "file_format": "PARQUET",
-                "partition": pv,
-                "record_count": int(n),
-                "file_size_in_bytes": int(sz),
-                "equality_ids": equality_ids,
-            },
+            "data_file": dfd,
         }
-        for p, n, sz in files
+        for dfd in data_files
     ]
     mschema = iceberg_writer.manifest_schema(
         iceberg_writer._partition_avro_fields(meta)
@@ -169,10 +176,10 @@ def _delete_commit(
         mlist,
         {
             "operation": summary_op,
-            "added-delete-files": str(len(files)),
+            "added-delete-files": str(len(data_files)),
             "added-position-deletes" if content == 1
             else "added-equality-deletes": str(
-                sum(n for _, n, _ in files)
+                sum(int(d["record_count"]) for d in data_files)
             ),
         },
     )
@@ -237,6 +244,140 @@ def delete_where_mor(
     files = [(p, n, sz) for p, n, sz in files if n]
     return _delete_commit(
         spark, table, meta, v + 1, files, 1, None, "delete"
+    )
+
+
+def delete_where_dv(
+    spark: SparkSession, table: str, condition: str
+) -> int:
+    """``DELETE FROM table WHERE condition`` as ICEBERG v3-STYLE
+    DELETION VECTORS: matched rows resolve to per-file row positions,
+    each touched file's positions compress EXECUTOR-side into a
+    portable-roaring64 bitmap (positions never leave the executors as
+    rows — only KB-scale blobs reach the driver), and ONE Puffin file
+    carries one ``deletion-vector-v1`` blob per touched data file.
+    The delete manifest entries are position deletes whose
+    ``file_format`` is PUFFIN with the spec's v3 reference fields
+    (``referenced_data_file``/``content_offset``/
+    ``content_size_in_bytes``, ids 143-145).
+
+    Honesty note: the TABLE stays format-version 2 — full v3
+    (row lineage, ``next-row-id``) is out of scope; what is exact
+    here is the Puffin container, the blob framing (length/magic/
+    CRC), and the portable roaring64 serialization
+    (org.roaringbitmap-conformance-tested). Existing deletes are
+    subtracted before matching, so re-deletes never re-record.
+
+    WHY vs parquet position deletes at 100 TB: one blob per (commit,
+    data file) with the target named in METADATA — the reader applies
+    a file's DV without scanning delete files for matches, and the
+    blob is ~100× smaller than the equivalent (file_path, pos)
+    parquet rows. Returns the new snapshot id (current id on a
+    no-match no-op)."""
+    import pandas as pd  # noqa: F401 — executor-side dependency
+
+    meta, v = iceberg_writer._load_meta(table)
+    _require_v2(meta, table)
+    cur = meta.get("current-snapshot-id")
+    if not cur or int(cur) == -1:
+        return int(cur or -1)
+    snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+    data, pos_dels, eq_dels = iceberg_reader._snapshot_entries(
+        spark, snaps[int(cur)], iceberg_writer._spec_fields(meta)
+    )
+    if not data:
+        return int(cur)
+    schema = meta["schema"]
+    df = iceberg_reader.read_data_files(
+        spark, [e["path"] for e in data], schema
+    )
+    norm = F.expr(
+        iceberg_reader._NORM_FILE.format(col="_metadata.file_path")
+    )
+    df = df.withColumn("__mor_file", norm).withColumn(
+        "__mor_pos", F.col("_metadata.row_index")
+    )
+    if pos_dels or eq_dels:
+        df = iceberg_reader._apply_deletes(
+            spark, df, data, pos_dels, eq_dels, schema
+        )
+
+    def _build(pdf):
+        import pandas as pd
+
+        from dst_spark_k8_lakehouse_spark.plans import puffin as _pf
+
+        f = pdf["f"].iloc[0]
+        positions = sorted(int(p) for p in pdf["p"].tolist())
+        return pd.DataFrame(
+            {
+                "f": [f],
+                "blob": [_pf.dv_blob_encode(positions)],
+                "card": [len(positions)],
+            }
+        )
+
+    from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    built = (
+        df.where(condition)
+        .select(
+            F.col("__mor_file").alias("f"),
+            F.col("__mor_pos").alias("p"),
+        )
+        .groupBy("f")
+        .applyInPandas(_build, "f string, blob binary, card long")
+        .collect()  # one compressed blob per touched file, never rows
+    )
+    built = [r for r in built if r["card"]]
+    if not built:
+        return int(cur)
+    from dst_spark_k8_lakehouse_spark.plans import puffin
+
+    snap_id_hint = int(cur)
+    blobs = [
+        {
+            "type": puffin.DV_BLOB_TYPE,
+            # 2147483545 = the spec's reserved field id for the row
+            # position of position deletes
+            "fields": [2147483545],
+            "snapshot-id": snap_id_hint,
+            "sequence-number": iceberg_writer._next_seq(dict(meta)),
+            "data": bytes(r["blob"]),
+            "properties": {
+                "referenced-data-file": r["f"],
+                "cardinality": str(int(r["card"])),
+            },
+        }
+        for r in sorted(built, key=lambda r: r["f"])
+    ]
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    pf_path = os.path.join(
+        data_dir, f"{uuid.uuid4().hex}-deletes.puffin"
+    )
+    footer = puffin.write_puffin(pf_path, blobs)
+    pf_size = os.path.getsize(pf_path)
+    extra = [
+        {
+            "content": 1,
+            "file_path": pf_path,
+            "file_format": "PUFFIN",
+            "record_count": int(r["card"]),
+            "file_size_in_bytes": int(pf_size),
+            "equality_ids": None,
+            "referenced_data_file": r["f"],
+            "content_offset": int(bm["offset"]),
+            "content_size_in_bytes": int(bm["length"]),
+        }
+        for r, b, bm in zip(
+            sorted(built, key=lambda r: r["f"]), blobs, footer["blobs"]
+        )
+    ]
+    return _delete_commit(
+        spark, table, meta, v + 1, [], 1, None, "delete",
+        extra_data_files=extra,
     )
 
 

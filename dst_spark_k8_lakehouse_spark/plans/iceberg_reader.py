@@ -258,12 +258,35 @@ def _process_entries(
         seq = int(str(e_seq)) if e_seq is not None else ml_seq
         data_file = entry.get("data_file")
         fmt = str(data_file.get("file_format")).upper()
+        path = _strip_uri(str(data_file.get("file_path")))
+        df_content = int(str(_get(data_file, "content") or ml_content))
+        if fmt == "PUFFIN" and df_content == 1:
+            # v3 DELETION VECTOR: one data file's position deletes as
+            # a roaring blob inside a Puffin file (spec fields
+            # 143-145 name the target and the blob span)
+            ref = _get(data_file, "referenced_data_file")
+            if not ref:
+                raise ValueError(
+                    f"PUFFIN delete entry {path} lacks "
+                    "referenced_data_file"
+                )
+            pos_dels.append(
+                {
+                    "path": path,
+                    "seq": seq,
+                    "format": "PUFFIN",
+                    "referenced": _strip_uri(str(ref)),
+                    "offset": int(str(_get(data_file, "content_offset"))),
+                    "size": int(
+                        str(_get(data_file, "content_size_in_bytes"))
+                    ),
+                }
+            )
+            continue
         if fmt != "PARQUET":
             raise NotImplementedError(
                 f"Iceberg data/delete file format {fmt}; parquet only"
             )
-        path = _strip_uri(str(data_file.get("file_path")))
-        df_content = int(str(_get(data_file, "content") or ml_content))
         if df_content == 0:
             pv = _partition_values(data_file, fields_here or [])
             if partition_filter is not None and not _pv_pass(
@@ -451,10 +474,12 @@ def _apply_deletes(
     df = df.join(seq_df, "__if_file", "left").withColumn(
         "__if_seq", F.coalesce("__if_seq", F.lit(0))
     )
+    pq_dels = [e for e in pos_dels if e.get("format") != "PUFFIN"]
+    dv_dels = [e for e in pos_dels if e.get("format") == "PUFFIN"]
     if pos_dels:
         import pyarrow.parquet as pq
 
-        for e in pos_dels:
+        for e in pq_dels:
             have = set(pq.ParquetFile(e["path"]).schema_arrow.names)
             if not {"file_path", "pos"} <= have:
                 raise ValueError(
@@ -463,26 +488,51 @@ def _apply_deletes(
                     " — a schema-forced read would silently delete "
                     "nothing"
                 )
-        dels = (
-            spark.read.schema("file_path string, pos long")
-            .parquet(*[e["path"] for e in pos_dels])
-            .withColumn(
-                "__del_src",
-                F.expr(_NORM_FILE.format(col="_metadata.file_path")),
+        dels = None
+        if pq_dels:
+            dels = (
+                spark.read.schema("file_path string, pos long")
+                .parquet(*[e["path"] for e in pq_dels])
+                .withColumn(
+                    "__del_src",
+                    F.expr(_NORM_FILE.format(col="_metadata.file_path")),
+                )
             )
-        )
-        del_seq = F.broadcast(
-            spark.createDataFrame(
-                [(os.path.normpath(e["path"]), e["seq"])
-                 for e in pos_dels],
-                "__del_src string, __del_seq long",
+            del_seq = F.broadcast(
+                spark.createDataFrame(
+                    [(os.path.normpath(e["path"]), e["seq"])
+                     for e in pq_dels],
+                    "__del_src string, __del_seq long",
+                )
             )
-        )
-        dels = dels.join(del_seq, "__del_src").select(
-            F.expr(_NORM_FILE.format(col="file_path")).alias("__df"),
-            F.col("pos").alias("__dp"),
-            "__del_seq",
-        )
+            dels = dels.join(del_seq, "__del_src").select(
+                F.expr(_NORM_FILE.format(col="file_path")).alias("__df"),
+                F.col("pos").alias("__dp"),
+                "__del_seq",
+            )
+        if dv_dels:
+            # DELETION VECTORS decode DRIVER-side: blobs are
+            # metadata-sized (compressed roaring over one file's row
+            # indexes) and each names its target file outright — the
+            # same cost class as reading the manifests themselves
+            from dst_spark_k8_lakehouse_spark.plans import puffin
+
+            rows = []
+            for e in dv_dels:
+                with open(e["path"], "rb") as fh:
+                    fh.seek(e["offset"])
+                    blob = fh.read(e["size"])
+                ref = os.path.normpath(e["referenced"])
+                rows += [
+                    (ref, int(p), int(e["seq"]))
+                    for p in puffin.dv_blob_decode(blob)
+                ]
+            dv_df = spark.createDataFrame(
+                rows, "__df string, __dp long, __del_seq long"
+            )
+            dels = (
+                dv_df if dels is None else dels.unionByName(dv_df)
+            )
         # the delete set is matched-rows-sized: broadcast it rather
         # than let the mixed equi/range condition fall back to a
         # table-wide sort-merge shuffle (compact_mor bounds its growth)

@@ -242,6 +242,31 @@ def manifest_schema(
                 "field-id": 135,
             }
         )
+        # v3 DELETION VECTOR reference fields (spec ids 143-145):
+        # a position-delete entry whose file_format is PUFFIN points
+        # at one data file's DV blob inside a Puffin file. Optional —
+        # plain v2 manifests simply never set them, and Avro's
+        # embedded per-file schema keeps old manifests readable.
+        data_file_fields += [
+            {
+                "name": "referenced_data_file",
+                "type": ["null", "string"],
+                "default": None,
+                "field-id": 143,
+            },
+            {
+                "name": "content_offset",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 144,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 145,
+            },
+        ]
     entry_fields.append(
         {
             "name": "data_file",

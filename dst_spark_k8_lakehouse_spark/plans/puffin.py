@@ -124,6 +124,57 @@ def read_puffin(path: str) -> tuple[dict[str, Any], list[bytes]]:
 
 
 # ---------------------------------------------------------------------------
+# deletion-vector-v1 blobs (Iceberg v3 DVs)
+
+DV_BLOB_TYPE = "deletion-vector-v1"
+DV_MAGIC = bytes.fromhex("d1d33964")
+
+
+def dv_blob_encode(positions) -> bytes:
+    """Iceberg v3 ``deletion-vector-v1`` blob: 4-byte BIG-endian
+    combined length of magic+vector, the magic ``D1 D3 39 64``, the
+    positions as a PORTABLE 64-bit roaring bitmap
+    (``roaring.serialize_roaring64_portable`` — byte-conformant with
+    org.roaringbitmap's ``serializePortable``), and a 4-byte
+    big-endian CRC-32 of magic+vector."""
+    import zlib
+
+    from dst_spark_k8_lakehouse_spark.plans import roaring
+
+    vec = roaring.serialize_roaring64_portable(sorted(set(positions)))
+    body = DV_MAGIC + vec
+    return (
+        struct.pack(">I", len(body))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def dv_blob_decode(blob: bytes) -> list[int]:
+    """Inverse of ``dv_blob_encode`` — sorted row positions. Length,
+    magic and CRC are all verified loudly: a deletion vector decoded
+    wrong silently RESURRECTS deleted rows."""
+    import zlib
+
+    from dst_spark_k8_lakehouse_spark.plans import roaring
+
+    if len(blob) < 12:
+        raise ValueError(f"DV blob too short ({len(blob)}B)")
+    (ln,) = struct.unpack_from(">I", blob, 0)
+    if len(blob) != 4 + ln + 4:
+        raise ValueError(
+            f"DV blob length field {ln} != payload {len(blob) - 8}"
+        )
+    body = blob[4: 4 + ln]
+    if body[:4] != DV_MAGIC:
+        raise ValueError("DV blob magic mismatch")
+    (crc,) = struct.unpack_from(">I", blob, 4 + ln)
+    if crc != (zlib.crc32(body) & 0xFFFFFFFF):
+        raise ValueError("DV blob CRC mismatch")
+    return roaring.deserialize_roaring64_portable(body[4:])
+
+
+# ---------------------------------------------------------------------------
 # KMV theta sketch
 
 

@@ -169,6 +169,49 @@ def deserialize_roaring32(buf: bytes, off: int = 0) -> tuple[list[int], int]:
 
 # --------------------------------------- 64-bit RoaringBitmapArray
 
+def serialize_roaring64_portable(values) -> bytes:
+    """The OFFICIAL 64-bit Roaring "portable" serialization
+    (``Roaring64NavigableMap.serializePortable`` — what Iceberg v3's
+    Puffin ``deletion-vector-v1`` blob carries): u64-LE bitmap count,
+    then per NON-EMPTY high-32 key ascending: u32-LE key + the 32-bit
+    portable bitmap. Differs from Delta's ``RoaringBitmapArray``
+    (above) in magic (none) and key encoding (SPARSE explicit keys vs
+    dense index-as-key). Byte-conformance against the bundled
+    org.roaringbitmap is pinned in ``tests/test_roaring.py``."""
+    buckets: dict[int, list[int]] = {}
+    for v in values:
+        if not 0 <= v < (1 << 64):
+            raise ValueError(f"value {v} out of uint64 range")
+        buckets.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    out = bytearray()
+    out += struct.pack("<Q", len(buckets))
+    for k in sorted(buckets):
+        out += struct.pack("<I", k)
+        out += serialize_roaring32(buckets[k])
+    return bytes(out)
+
+
+def deserialize_roaring64_portable(data: bytes) -> list[int]:
+    """Inverse of ``serialize_roaring64_portable`` — sorted values.
+    Verifies full consumption (a trailing-garbage blob raises)."""
+    if len(data) < 8:
+        raise ValueError(f"roaring64 blob too short ({len(data)}B)")
+    (n,) = struct.unpack_from("<Q", data, 0)
+    off = 8
+    out: list[int] = []
+    for _ in range(n):
+        (key,) = struct.unpack_from("<I", data, off)
+        off += 4
+        lows, off = deserialize_roaring32(data, off)
+        base = key << 32
+        out += [base | lo for lo in lows]
+    if off != len(data):
+        raise ValueError(
+            f"roaring64 blob has {len(data) - off} trailing bytes"
+        )
+    return out
+
+
 def serialize_rbm_array(values) -> bytes:
     """Delta's portable ``RoaringBitmapArray``: magic, u64-LE bitmap
     count, then one 32-bit bitmap per high-32 key from 0..max key —

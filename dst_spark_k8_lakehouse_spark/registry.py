@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "d50_type_widening",  # metadata-only ALTER COLUMN TYPE + promotion
     "d51_row_tracking",  # stable row ids: backfill/append/DV/OPTIMIZE
     "x9_layout_lifecycle",  # capstone: cluster->optimize->cpv2->crc
+    "d52_iceberg_dv",  # v3-style puffin deletion vectors on v2 MoR
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
@@ -114,12 +115,11 @@ PRIORITY: list[str] = [
     "j6_range_join",
     "j7_asof",
     "j8_star_join",
-    "k1_salted_agg",
     # (the r06-green u1/u2/u3/u4/t6 backfill tail — and then
     # o2_sort_limit/o1_sort/w4_topk_group/w3_running_sum/w2_lag/
-    # w1_rank/k2_salted_join as d46-d51+x9 landed — was trimmed to
-    # keep the rotation exactly 50 so nothing silently falls past the
-    # driver's cap; the trimmed ids front r11)
+    # w1_rank/k2_salted_join/k1_salted_agg as d46-d52+x9 landed — was
+    # trimmed to keep the rotation exactly 50 so nothing silently
+    # falls past the driver's cap; the trimmed ids front r11)
 ]
 
 

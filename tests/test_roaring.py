@@ -137,3 +137,61 @@ def test_dv_file_framing_and_crc(tmp_path):
     # size mismatch vs descriptor is caught before CRC
     with pytest.raises(ValueError, match="sizeInBytes"):
         R.read_dv_blob(p, spans[0][0], spans[0][1] + 1)
+
+
+# ----------------------------------------- portable 64-bit (Iceberg v3 DVs)
+
+
+def _java64_serialize(spark, values) -> bytes:
+    jvm = spark._jvm
+    rb = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+    for v in values:
+        rb.addLong(v - (1 << 64) if v >= (1 << 63) else v)
+    rb.runOptimize()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    rb.serializePortable(jvm.java.io.DataOutputStream(baos))
+    return bytes(baos.toByteArray())
+
+
+def _java64_deserialize(spark, data: bytes) -> list[int]:
+    jvm = spark._jvm
+    rb = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+    rb.deserializePortable(
+        jvm.java.io.DataInputStream(jvm.java.io.ByteArrayInputStream(data))
+    )
+    return [v & ((1 << 64) - 1) for v in rb.toArray()]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 63) - 1),
+        max_size=300,
+    )
+)
+def test_roaring64_portable_serialize_matches_java(spark, values):
+    ours = R.serialize_roaring64_portable(sorted(set(values)))
+    theirs = _java64_serialize(spark, set(values))
+    assert ours == theirs
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 63) - 1),
+        max_size=300,
+    )
+)
+def test_roaring64_portable_java_roundtrips_ours(spark, values):
+    vals = sorted(set(values))
+    blob = R.serialize_roaring64_portable(vals)
+    assert _java64_deserialize(spark, blob) == vals
+    assert R.deserialize_roaring64_portable(
+        _java64_serialize(spark, set(values))
+    ) == vals
+
+
+def test_roaring64_portable_rejects_trailing_garbage():
+    blob = R.serialize_roaring64_portable([1, 2, 3]) + b"x"
+    with pytest.raises(ValueError, match="trailing"):
+        R.deserialize_roaring64_portable(blob)
