@@ -773,16 +773,26 @@ def _reconcile_schema(
             )
             df_types[f.name] = f.dataType
 
+    # declared CURRENT_DEFAULTs fill omitted columns with their
+    # expression (the allowColumnDefaults writer contract); columns
+    # without one null-fill as before
+    defaults = column_defaults(meta)
     missing = [f for f in table_schema.fields if f.name not in df_types]
     bad = [f.name for f in missing
-           if f.name in part_cols or not f.nullable]
+           if (f.name in part_cols or not f.nullable)
+           and f.name not in defaults]
     if bad:
         raise ValueError(
             f"append schema is missing required column(s) {bad} "
             "(partition or non-nullable columns cannot be null-filled)"
         )
     for f in missing:
-        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        if f.name in defaults:
+            df = df.withColumn(
+                f.name, F.expr(defaults[f.name]).cast(f.dataType)
+            )
+        else:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
 
     new = [f for f in df.schema.fields
            if f.name not in by_name and f.name in df_types]
@@ -2156,6 +2166,138 @@ def widen_column_type(
     return _commit_from_state(
         spark, table, state, actions, "ALTER COLUMN TYPE",
         check_meta=True,
+    )
+
+
+# ------------------------------------------------ column defaults
+
+CURRENT_DEFAULT_KEY = "CURRENT_DEFAULT"
+
+
+def column_defaults(meta: dict[str, Any]) -> dict[str, str]:
+    """{column name: SQL default expression} from the schemaString's
+    per-field ``CURRENT_DEFAULT`` metadata (the spec's Default Columns
+    feature) — empty when the table declares none."""
+    out: dict[str, str] = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        d = (f.get("metadata") or {}).get(CURRENT_DEFAULT_KEY)
+        if d is not None:
+            out[f["name"]] = str(d)
+    return out
+
+
+def set_column_default(
+    spark: SparkSession, table: str, col: str, default_sql: str
+) -> int:
+    """``ALTER TABLE t ALTER COLUMN c SET DEFAULT expr`` — the spec's
+    ``allowColumnDefaults`` writer feature (PROTOCOL.md "Column
+    Default Values"): a metadata-only commit records the SQL
+    expression in the field's ``CURRENT_DEFAULT`` metadata; every
+    subsequent write that OMITS the column materializes the default
+    physically (``_reconcile_schema`` fills it where it used to
+    null-fill). Matching real Delta's WRITE-side semantics: rows
+    already on disk are untouched and still read as NULL — only
+    Iceberg's ``initial-default`` changes what OLD files read
+    (``iceberg_writer.add_column(default=…)``), a contrast the tests
+    pin. The expression must be deterministic and cast to the
+    column's type (validated here with a 1-row driver-side eval, so a
+    typo fails the DDL, not some later append). WHY at 100 TB: the
+    alternative is every producer job hand-filling bookkeeping
+    columns — one declaration moves that into the table contract.
+    Returns the committed version."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_generated
+
+    state = delta_reader._replay(spark, table, None)
+    meta = state["metaData"]
+    schema_json = json.loads(meta["schemaString"])
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    if col not in by_name:
+        raise ValueError(f"column {col!r} not in table schema")
+    if col in (meta.get("partitionColumns") or []):
+        raise NotImplementedError(
+            "a DEFAULT on a partition column would steer the hive "
+            "layout from a hidden expression; partition values must "
+            "be explicit"
+        )
+    if by_name[col].get("metadata", {}).get(
+        delta_generated.GENERATION_KEY
+    ):
+        raise ValueError(
+            f"{col!r} is a generated column; generated columns are "
+            "always computed, a DEFAULT would conflict (the spec "
+            "forbids the combination too)"
+        )
+    dtype = delta_reader.schema_from_json(schema_json)[col].dataType
+    # deterministic + type-compatible, proven before the DDL lands:
+    # one driver-side row through the same expression every writer
+    # will run
+    probe = spark.range(1).select(
+        F.expr(default_sql).cast(dtype).alias("d")
+    )
+    probe.collect()
+    field = dict(by_name[col])
+    field["metadata"] = {
+        **(field.get("metadata") or {}),
+        CURRENT_DEFAULT_KEY: default_sql,
+    }
+    schema_json["fields"] = [
+        field if f["name"] == col else f for f in schema_json["fields"]
+    ]
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema_json)
+    actions: list[dict[str, Any]] = []
+    p = state.get("protocol") or {}
+    wf = set(p.get("writerFeatures") or [])
+    if p.get("minWriterVersion", 1) < 7 or "allowColumnDefaults" not in wf:
+        proto = {
+            "minReaderVersion": p.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(wf | {"allowColumnDefaults"}),
+        }
+        if p.get("minReaderVersion", 1) >= 3:
+            proto["readerFeatures"] = sorted(
+                set(p.get("readerFeatures") or [])
+            )
+        actions.append({"protocol": proto})
+    actions += [
+        {"metaData": new_meta},
+        _commit_info("ALTER COLUMN SET DEFAULT"),
+    ]
+    return _commit_from_state(
+        spark, table, state, actions, "ALTER COLUMN SET DEFAULT",
+        check_meta=True,
+    )
+
+
+def drop_column_default(
+    spark: SparkSession, table: str, col: str
+) -> int:
+    """``ALTER TABLE t ALTER COLUMN c DROP DEFAULT`` — removes the
+    field's ``CURRENT_DEFAULT``; subsequent writes that omit the
+    column go back to null-filling. Metadata-only; the feature flag
+    stays (the protocol never downgrades). Returns the committed
+    version."""
+    state = delta_reader._replay(spark, table, None)
+    meta = state["metaData"]
+    schema_json = json.loads(meta["schemaString"])
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    if col not in by_name:
+        raise ValueError(f"column {col!r} not in table schema")
+    if CURRENT_DEFAULT_KEY not in (by_name[col].get("metadata") or {}):
+        raise ValueError(f"column {col!r} has no DEFAULT to drop")
+    field = dict(by_name[col])
+    fmeta = dict(field["metadata"])
+    del fmeta[CURRENT_DEFAULT_KEY]
+    field["metadata"] = fmeta
+    schema_json["fields"] = [
+        field if f["name"] == col else f for f in schema_json["fields"]
+    ]
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema_json)
+    return _commit_from_state(
+        spark, table, state,
+        [{"metaData": new_meta}, _commit_info("ALTER COLUMN DROP DEFAULT")],
+        "ALTER COLUMN DROP DEFAULT", check_meta=True,
     )
 
 

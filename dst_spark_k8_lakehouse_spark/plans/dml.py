@@ -113,6 +113,31 @@ def _split_assignments(set_clause: str) -> dict[str, str]:
     return out
 
 
+def _sql_literal(text: str):
+    """A single SQL literal → Python value: quoted string, integer,
+    float, or boolean. Iceberg write-defaults are VALUES per the spec
+    (Appendix-D single-value serialization), never expressions — so
+    anything else refuses loudly instead of storing an unevaluable
+    string."""
+    s = text.strip()
+    if len(s) >= 2 and s[0] == s[-1] == "'":
+        return s[1:-1].replace("''", "'")
+    low = s.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        raise ValueError(
+            f"DEFAULT {text!r} is not a literal (string/number/"
+            "boolean); Iceberg defaults are values, not expressions"
+        ) from None
+
+
 def _merge_keys(on_clause: str, aliases: set[str]) -> list[str]:
     """Equality-conjunct ON clause → merge key column list. Each
     conjunct must be ``a.k = b.k`` (or unqualified) on the SAME column
@@ -264,7 +289,18 @@ _RESTORE_RE = re.compile(
 )
 _ADD_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+COLUMNS?\s*"
-    r"\(?\s*(?P<col>\w+)\s+(?P<type>\w+(?:\(\d+(?:,\s*\d+)?\))?)\s*\)?\s*$",
+    r"\(?\s*(?P<col>\w+)\s+(?P<type>\w+(?:\(\d+(?:,\s*\d+)?\))?)"
+    r"(?:\s+DEFAULT\s+(?P<default>[^()]+?))?\s*\)?\s*$",
+    re.IGNORECASE,
+)
+_SET_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+SET\s+DEFAULT\s+(?P<expr>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+DROP\s+DEFAULT\s*$",
     re.IGNORECASE,
 )
 _RENAME_COL_RE = re.compile(
@@ -607,9 +643,41 @@ def execute_native_sql(
     if m := _ADD_COL_RE.match(sql):
         p = _path(m["table"])
         if _fmt(p) == "delta":
+            if m["default"]:
+                raise NotImplementedError(
+                    "Delta disallows ADD COLUMN with a DEFAULT (the "
+                    "allowColumnDefaults contract: existing rows "
+                    "cannot retroactively gain a value) — ADD COLUMN "
+                    "first, then ALTER COLUMN ... SET DEFAULT"
+                )
             delta_writer.add_column(spark, p, m["col"], m["type"])
         else:
-            iceberg_writer.add_column(p, m["col"], m["type"])
+            iceberg_writer.add_column(
+                p, m["col"], m["type"],
+                default=(
+                    _sql_literal(m["default"]) if m["default"] else None
+                ),
+            )
+        return 0
+    if m := _SET_DEFAULT_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) == "delta":
+            # Delta defaults are SQL expressions (CURRENT_DEFAULT)
+            delta_writer.set_column_default(
+                spark, p, m["col"], m["expr"]
+            )
+        else:
+            # Iceberg write-defaults are single VALUES (Appendix D)
+            iceberg_writer.set_write_default(
+                p, m["col"], _sql_literal(m["expr"])
+            )
+        return 0
+    if m := _DROP_DEFAULT_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) == "delta":
+            delta_writer.drop_column_default(spark, p, m["col"])
+        else:
+            iceberg_writer.set_write_default(p, m["col"], None)
         return 0
     if m := _RENAME_COL_RE.match(sql):
         p = _path(m["table"])

@@ -45,6 +45,7 @@ import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -860,6 +861,30 @@ def read_iceberg(
     return df
 
 
+def _absent_default_fields(
+    path: str, defaulted: list[dict]
+) -> frozenset[int]:
+    """Field ids of ``defaulted`` schema fields ABSENT from the data
+    file at ``path`` — by embedded parquet field id when the file
+    carries ids, by name otherwise (one footer-metadata read)."""
+    import pyarrow.parquet as pq
+
+    sch = pq.ParquetFile(path).schema_arrow
+    ids: set[int] = set()
+    names: set[str] = set()
+    for field in sch:
+        names.add(field.name)
+        md = field.metadata or {}
+        if b"PARQUET:field_id" in md:
+            ids.add(int(md[b"PARQUET:field_id"]))
+    def absent(f: dict) -> bool:
+        if ids:  # id-resolved file: names may have moved since
+            return int(f["id"]) not in ids
+        return f["name"] not in names
+
+    return frozenset(int(f["id"]) for f in defaulted if absent(f))
+
+
 def read_data_files(
     spark: SparkSession, files: list[str], schema: dict
 ) -> DataFrame:
@@ -867,10 +892,61 @@ def read_data_files(
     by embedded parquet field id when the files carry ids (renames
     and added columns resolve), by name with a loud cross-check
     otherwise. Shared by ``read_iceberg`` and the DML scans so a
-    post-rename predicate sees the logical column names."""
+    post-rename predicate sees the logical column names.
+
+    DEFAULT VALUES (spec schema evolution): a field carrying
+    ``initial-default`` reads that value — not null — from every file
+    written BEFORE the field existed ("used for reads of data files
+    without the field"). Files are grouped by which defaulted fields
+    they lack (one footer-METADATA read per file, driver-side — a
+    distributed runtime resolves this per task from the same footer;
+    the grouping only engages when the schema declares defaults) and
+    each group's absent columns become literals; files that DO carry
+    the field keep their stored values, including explicit nulls."""
     struct = _schema_struct(schema)
     if not files:
         return spark.createDataFrame([], struct)
+    defaulted = [
+        f for f in schema["fields"]
+        if f.get("initial-default") is not None
+    ]
+    if defaulted:
+        from dst_spark_k8_lakehouse_spark.plans import iceberg_writer
+
+        groups: dict[frozenset[int], list[str]] = {}
+        for p in files:
+            groups.setdefault(
+                _absent_default_fields(p, defaulted), []
+            ).append(p)
+        if len(groups) > 1 or next(iter(groups)) != frozenset():
+            by_id = {int(f["id"]): f for f in defaulted}
+            parts = []
+            for absent, grp in sorted(groups.items(), key=lambda x: sorted(x[0])):
+                sub = {
+                    **schema,
+                    "fields": [
+                        f for f in schema["fields"]
+                        if int(f["id"]) not in absent
+                    ],
+                }
+                df = read_data_files(spark, grp, sub)
+                for fid in sorted(absent):
+                    f = by_id[fid]
+                    df = df.withColumn(
+                        f["name"],
+                        F.lit(
+                            iceberg_writer.from_json_single_value(
+                                f["initial-default"], f["type"]
+                            )
+                        ).cast(_spark_type(f["type"])),
+                    )
+                parts.append(
+                    df.select(*[f["name"] for f in schema["fields"]])
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
     if _files_have_field_ids(files):
         # the conf only affects scans whose requested schema carries
         # parquet.field.id metadata

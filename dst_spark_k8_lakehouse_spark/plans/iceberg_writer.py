@@ -1150,6 +1150,7 @@ def append_iceberg(
         last = last_txn_epoch(meta, str(txn[0]))
         if last is not None and last >= int(txn[1]):
             return -1  # this epoch already committed
+    df = _fill_write_defaults(df, meta)
     _check_schema(df, meta)
     meta["metadata-log"] = (meta.get("metadata-log") or []) + [
         {
@@ -1167,6 +1168,7 @@ def overwrite_iceberg(df: DataFrame, table: str) -> int:
     """OVERWRITE: new snapshot whose manifest list references ONLY the
     new manifest (the prior files stay on disk for time travel)."""
     meta, v = _load_meta(table)
+    df = _fill_write_defaults(df, meta)
     _check_schema(df, meta)
     return _snapshot_commit(
         df.sparkSession, df, table, meta, "overwrite", version=v + 1
@@ -1290,10 +1292,82 @@ def rename_column(table: str, old: str, new: str) -> None:
     _commit_metadata(table, meta, v + 1)
 
 
-def add_column(table: str, name: str, dtype) -> None:
+# JSON single-value serialization (spec Appendix D) for the DEFAULT
+# VALUES surface: the subset of primitive types a default can carry
+# here. int/long/float/double ride as JSON numbers, strings as JSON
+# strings, booleans as JSON booleans, dates as "YYYY-MM-DD" strings,
+# decimals as their string form — matching the spec's table.
+def json_single_value(value: Any, iceberg_type: str) -> Any:
+    import datetime
+    import decimal
+    import math
+
+    if isinstance(iceberg_type, dict):
+        raise NotImplementedError(
+            "defaults on nested-typed columns are out of scope"
+        )
+    t = iceberg_type
+    if t == "boolean":
+        if not isinstance(value, bool):
+            raise TypeError(f"{value!r} is not a boolean")
+        return value
+    if t in ("int", "long"):
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise TypeError(f"{value!r} is not an {t}")
+        return int(value)
+    if t in ("float", "double"):
+        v = float(value)
+        if math.isnan(v) or math.isinf(v):
+            raise ValueError(f"{t} default must be finite, got {v}")
+        return v
+    if t == "string":
+        if not isinstance(value, str):
+            raise TypeError(f"{value!r} is not a string")
+        return value
+    if t == "date":
+        if isinstance(value, str):
+            value = datetime.date.fromisoformat(value)
+        if not isinstance(value, datetime.date):
+            raise TypeError(f"{value!r} is not a date")
+        return value.isoformat()
+    if t.startswith("decimal"):
+        return str(decimal.Decimal(str(value)))
+    raise NotImplementedError(f"no default-value encoding for type {t}")
+
+
+def from_json_single_value(v: Any, iceberg_type: str) -> Any:
+    """Inverse of ``json_single_value`` — a Python literal Spark's
+    ``F.lit`` accepts for the matching Spark type."""
+    import datetime
+    import decimal
+
+    t = iceberg_type
+    if t == "date":
+        return datetime.date.fromisoformat(v)
+    if isinstance(t, str) and t.startswith("decimal"):
+        return decimal.Decimal(v)
+    return v
+
+
+def add_column(
+    table: str, name: str, dtype, default: Any = None
+) -> None:
     """ALTER TABLE ADD COLUMN (``02_iceberg_demo.ipynb:122``) —
     metadata-only: the new optional field takes the next field id;
-    files written before it simply read it as null."""
+    files written before it simply read it as null.
+
+    ``default`` (the spec's DEFAULT VALUES schema evolution, v3
+    fields present since the 1.x metadata model): sets BOTH
+    ``initial-default`` — the value files written BEFORE this column
+    existed read back (``iceberg_reader`` materializes it per file,
+    exactly the spec's "used for reads of data files without the
+    field" contract) — and ``write-default``, the value writers fill
+    when an insert omits the column. Encoded with the Appendix-D JSON
+    single-value serialization. This is the READ-side contrast to
+    Delta's write-only ``CURRENT_DEFAULT``
+    (``delta_writer.set_column_default``): adding a column with a
+    default changes what 100 TB of existing files READ, with zero
+    data movement."""
     from pyspark.sql import types as T
 
     if isinstance(dtype, str):
@@ -1310,11 +1384,72 @@ def add_column(table: str, name: str, dtype) -> None:
         "required": False,
         "type": _iceberg_type(dtype, ids),
     }
+    if default is not None:
+        enc = json_single_value(default, field["type"])
+        field["initial-default"] = enc
+        field["write-default"] = enc
     _bump_metadata_log(table, meta)
     _set_schema(meta, meta["schema"]["fields"] + [field])
     meta["last-column-id"] = ids.last
     meta["last-updated-ms"] = int(time.time() * 1000)
     _commit_metadata(table, meta, v + 1)
+
+
+def set_write_default(table: str, col: str, value: Any) -> None:
+    """``ALTER TABLE t ALTER COLUMN c SET DEFAULT v`` (Iceberg side):
+    changes the field's ``write-default`` — what FUTURE writes fill
+    when they omit the column. ``initial-default`` is immutable per
+    the spec (it is the read contract for pre-existing files; moving
+    it would retroactively rewrite what old files mean), so this
+    never touches it. ``value=None`` drops the write-default — after
+    which a write that omits the column REFUSES again (this engine's
+    strict write-schema contract; only a declared default licenses
+    omission)."""
+    meta, v = _load_meta(table)
+    by_name = {f["name"]: f for f in meta["schema"]["fields"]}
+    if col not in by_name:
+        raise ValueError(f"no column {col!r} in {sorted(by_name)}")
+    field = dict(by_name[col])
+    if value is None:
+        field.pop("write-default", None)
+    else:
+        field["write-default"] = json_single_value(value, field["type"])
+    fields = [
+        field if f["name"] == col else f
+        for f in meta["schema"]["fields"]
+    ]
+    _bump_metadata_log(table, meta)
+    _set_schema(meta, fields)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
+
+
+def _fill_write_defaults(df: DataFrame, meta: dict) -> DataFrame:
+    """Fill columns the write omitted from their ``write-default``
+    (spec: "used... when a field's value is not supplied") and
+    restore the schema's column order. Columns without a default stay
+    missing — ``_check_schema`` still refuses those loudly."""
+    from pyspark.sql import functions as F
+
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_reader
+
+    have = set(df.columns)
+    filled = False
+    for f in meta["schema"]["fields"]:
+        if f["name"] in have or "write-default" not in f:
+            continue
+        df = df.withColumn(
+            f["name"],
+            F.lit(
+                from_json_single_value(f["write-default"], f["type"])
+            ).cast(iceberg_reader._spark_type(f["type"])),
+        )
+        filled = True
+    if filled:
+        expected = [f["name"] for f in meta["schema"]["fields"]]
+        if set(df.columns) == set(expected):
+            df = df.select(*expected)
+    return df
 
 
 _PROMOTIONS = {"int": ("long",), "float": ("double",)}

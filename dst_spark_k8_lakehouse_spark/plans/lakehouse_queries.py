@@ -2946,3 +2946,100 @@ def d52_iceberg_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         exact_sum("p_retailprice").alias("retail"),
     )
+
+
+@query(
+    "d53_column_defaults",
+    oracle=f"""
+        WITH ice AS (
+            SELECT 'iceberg' AS fmt,
+                   CASE WHEN s_suppkey % 2 = 0 THEN 1.5 ELSE 2.5 END
+                       AS bonus,
+                   s_acctbal
+            FROM supplier
+        ),
+        del AS (
+            SELECT 'delta' AS fmt,
+                   CASE WHEN s_suppkey % 2 = 0 THEN NULL
+                        ELSE 'audited' END AS src,
+                   s_acctbal
+            FROM supplier
+        )
+        SELECT fmt, CAST(bonus AS DOUBLE) AS bonus, NULL AS src,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {sum_sql('s_acctbal')} AS total_bal
+        FROM ice GROUP BY fmt, bonus
+        UNION ALL
+        SELECT fmt, CAST(NULL AS DOUBLE) AS bonus, src,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {sum_sql('s_acctbal')} AS total_bal
+        FROM del GROUP BY fmt, src
+    """,
+)
+def d53_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN DEFAULT VALUES, both formats, semantics contrasted in
+    one hash (r10): supplier's even keys land FIRST in each table,
+    then a default lands, then the odd keys are appended WITHOUT the
+    column. Iceberg (``add_column(default=…)``): the pre-column files
+    READ ``initial-default`` 1.5 — a metadata-only change to what
+    existing data means — and ``set_write_default(2.5)`` steers the
+    later write-side fill, so even rows show 1.5 and odd rows 2.5.
+    Delta (``set_column_default``): defaults are WRITE-side only —
+    the pre-default rows stay NULL and the omitting append fills
+    'audited', the spec's ``allowColumnDefaults``/``CURRENT_DEFAULT``
+    contract. A regression in either direction (initial-default not
+    read, write fill missed, Delta retroactively filling) flips a
+    group's row count. WHY at 100 TB: Iceberg's initial-default
+    re-reads 100 TB of history under a new contract with ZERO data
+    movement; Delta's write default moves column bookkeeping from
+    every producer job into the table itself."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        delta_writer,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-defaults-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    )
+    even = supp.where("s_suppkey % 2 = 0").repartition(2)
+    odd = supp.where("s_suppkey % 2 = 1").repartition(2)
+
+    ice = os.path.join(base, "ice")
+    iceberg_writer.create_iceberg(even, ice)
+    iceberg_writer.add_column(ice, "bonus", "double", default=1.5)
+    iceberg_writer.set_write_default(ice, "bonus", 2.5)
+    iceberg_writer.append_iceberg(odd, ice)
+    ice_df = iceberg_reader.read_iceberg(spark, ice).groupBy(
+        F.lit("iceberg").alias("fmt"), "bonus"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        exact_sum("s_acctbal").alias("total_bal"),
+    ).select(
+        "fmt", "bonus", F.lit(None).cast("string").alias("src"),
+        "n_rows", "total_bal",
+    )
+
+    dlt = os.path.join(base, "dlt")
+    delta_writer.create_delta(even, dlt)
+    delta_writer.add_column(spark, dlt, "src", "string")
+    delta_writer.set_column_default(spark, dlt, "src", "'audited'")
+    delta_writer.append_delta(odd, dlt)
+    dlt_df = delta_reader.read_delta(spark, dlt).groupBy(
+        F.lit("delta").alias("fmt"), "src"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        exact_sum("s_acctbal").alias("total_bal"),
+    ).select(
+        "fmt", F.lit(None).cast("double").alias("bonus"), "src",
+        "n_rows", "total_bal",
+    )
+    return ice_df.unionByName(dlt_df)

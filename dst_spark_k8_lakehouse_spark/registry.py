@@ -101,6 +101,7 @@ PRIORITY: list[str] = [
     "d51_row_tracking",  # stable row ids: backfill/append/DV/OPTIMIZE
     "x9_layout_lifecycle",  # capstone: cluster->optimize->cpv2->crc
     "d52_iceberg_dv",  # v3-style puffin deletion vectors on v2 MoR
+    "d53_column_defaults",  # initial/write-default vs CURRENT_DEFAULT
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
@@ -114,12 +115,12 @@ PRIORITY: list[str] = [
     # (d) backfill, next-oldest driver evidence (r03-r06 cohort)
     "j6_range_join",
     "j7_asof",
-    "j8_star_join",
     # (the r06-green u1/u2/u3/u4/t6 backfill tail — and then
     # o2_sort_limit/o1_sort/w4_topk_group/w3_running_sum/w2_lag/
-    # w1_rank/k2_salted_join/k1_salted_agg as d46-d52+x9 landed — was
-    # trimmed to keep the rotation exactly 50 so nothing silently
-    # falls past the driver's cap; the trimmed ids front r11)
+    # w1_rank/k2_salted_join/k1_salted_agg as d46-d52+x9 landed, and
+    # j8_star_join as d53+ landed — was trimmed to keep the rotation
+    # exactly 50 so nothing silently falls past the driver's cap; the
+    # trimmed ids front r11)
 ]
 
 
