@@ -267,6 +267,11 @@ def update_delta(
     delta_generated.refuse_stale_updates(
         state["metaData"], set(assignments), "UPDATE"
     )
+    from dst_spark_k8_lakehouse_spark.plans import delta_identity
+
+    delta_identity.refuse_identity_updates(
+        state["metaData"], set(assignments), "UPDATE"
+    )
     unknown = sorted(set(assignments) - {f.name for f in schema.fields})
     if unknown:
         raise ValueError(f"UPDATE SET references unknown column(s) {unknown}")
@@ -402,6 +407,16 @@ def merge_delta(
     partition values first)."""
     state = delta_reader._replay(spark, table, None)
     _check_unmapped(state, "MERGE")
+    from dst_spark_k8_lakehouse_spark.plans import delta_identity
+
+    id_cols = sorted(delta_identity.identity_specs(state["metaData"]))
+    if id_cols:
+        raise NotImplementedError(
+            f"MERGE into a table with identity column(s) {id_cols} is "
+            "not supported (v1): matched-replace would take the "
+            "source's id values verbatim and unmatched-insert would "
+            "need in-merge generation — DELETE + append instead"
+        )
     schema = _schema(state)
     part_cols = state["metaData"].get("partitionColumns") or []
     if source.columns != [f.name for f in schema.fields]:

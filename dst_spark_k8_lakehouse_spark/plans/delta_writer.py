@@ -556,6 +556,7 @@ def create_delta(
     column_mapping: str = "none",
     generated: dict[str, str] | None = None,
     cluster_by: list[str] | None = None,
+    identity: dict[str, dict[str, Any]] | None = None,
 ) -> None:
     """CREATE: version-0 commit (protocol + metaData + adds),
     optionally Hive-partitioned by ``partition_by``.
@@ -584,8 +585,19 @@ def create_delta(
     clustering keys can change without relayout of the directory
     tree). Recorded as the ``delta.clustering`` domain-metadata
     action; ``cluster_delta`` then clusters INCREMENTALLY — only
-    files not yet tagged as clustered are rewritten."""
-    from dst_spark_k8_lakehouse_spark.plans import delta_generated
+    files not yet tagged as clustered are rewritten.
+
+    ``identity``: ``{column: {"start": s, "step": k,
+    "always": bool}}`` IDENTITY columns (``plans/delta_identity`` —
+    the spec's ``identityColumns`` writer feature): a LONG column the
+    writer populates on the ``start + k·step`` lattice from a
+    high-water mark in the field metadata; creation-only, like real
+    Delta. Pass data columns only — the id column is appended here
+    and on every append that omits it."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_generated,
+        delta_identity,
+    )
 
     if delta_reader.is_delta_table(table):
         raise ValueError(f"Delta table already exists at {table}")
@@ -618,6 +630,42 @@ def create_delta(
                 "pass data columns only (it is computed here)"
             )
         df = df.withColumn(col, F.expr(expr))
+    identity = dict(identity or {})
+    if identity:
+        if column_mapping != "none":
+            raise NotImplementedError(
+                "identity columns + column mapping on one table is "
+                "not supported by the jar-free path"
+            )
+        overlap = sorted(set(identity) & set(generated))
+        if overlap:
+            raise ValueError(
+                f"column(s) {overlap} declared both generated and "
+                "identity"
+            )
+        for col, spec in identity.items():
+            if col in df.columns:
+                raise ValueError(
+                    f"identity column {col!r} already in the input "
+                    "frame; pass data columns only (values are "
+                    "writer-generated)"
+                )
+            if col in (partition_by or []):
+                raise NotImplementedError(
+                    f"identity column {col!r} cannot be a partition "
+                    "column (every row would open a new directory)"
+                )
+            if int(spec.get("step", 1)) == 0:
+                raise ValueError(f"identity {col!r}: step must be != 0")
+            start = int(spec.get("start", 1))
+            step = int(spec.get("step", 1))
+            df = df.withColumn(
+                col,
+                (
+                    F.lit(start).cast("long")
+                    + F.monotonically_increasing_id() * F.lit(step)
+                ).cast("long"),
+            )
     partition_by = list(partition_by or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
@@ -626,12 +674,25 @@ def create_delta(
     conf: dict[str, str] = {}
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
     if column_mapping == "none":
-        if generated:
+        if generated or identity:
+            md_by_col: dict[str, dict[str, Any]] = {
+                c: {delta_generated.GENERATION_KEY: e}
+                for c, e in generated.items()
+            }
+            for c, spec in identity.items():
+                md_by_col[c] = {
+                    delta_identity.START_KEY: int(spec.get("start", 1)),
+                    delta_identity.STEP_KEY: int(spec.get("step", 1)),
+                    delta_identity.ALLOW_KEY: not spec.get(
+                        "always", True
+                    ),
+                }
             fields = [
                 _field_json(
-                    f,
-                    {delta_generated.GENERATION_KEY: generated[f.name]}
-                    if f.name in generated else None,
+                    # identity columns are non-nullable by contract
+                    T.StructField(f.name, f.dataType, False)
+                    if f.name in identity else f,
+                    md_by_col.get(f.name),
                 )
                 for f in df.schema.fields
             ]
@@ -686,6 +747,16 @@ def create_delta(
                  "domainMetadata"}
             ),
         }
+    if identity:
+        wf = {"appendOnly", "invariants", "identityColumns"}
+        wf |= set(proto.get("writerFeatures") or [])
+        if generated:
+            wf.add("generatedColumns")
+        proto = {
+            "minReaderVersion": proto["minReaderVersion"],
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(wf),
+        }
     meta = {
         "id": str(uuid.uuid4()),
         "format": {"provider": "parquet", "options": {}},
@@ -715,9 +786,19 @@ def create_delta(
     out = _stamped_projection(
         df, meta, data_cols + partition_by, phys
     )
-    actions += _write_data_files(
+    adds = _write_data_files(
         out, table, [phys.get(c, c) for c in partition_by] or None
     )
+    actions += adds
+    if identity and adds:
+        # the very first watermark rides the create's own metaData
+        # (derived from the freshly written files' footer stats)
+        bumped = delta_identity.advance_hwm(
+            meta, delta_identity.identity_specs(meta), adds, phys
+        )
+        if bumped is not None:
+            meta.clear()
+            meta.update(bumped)
     actions.append(_commit_info("CREATE TABLE AS SELECT"))
     _commit(table, 0, actions)
 
@@ -861,16 +942,29 @@ def append_delta(
     so a racing duplicate writer cannot double-commit either).
 
     Returns the committed version (-1 for an idempotent skip)."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_identity
+
     adds: list[dict[str, Any]] | None = None
     written_cols: list[str] | None = None
+    used_specs: dict[str, dict[str, Any]] | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
         state = delta_reader._replay(df.sparkSession, table, None)
         if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
             return -1  # this batch already committed
+        df_in, id_specs = delta_identity.check_and_assign(
+            df, state["metaData"]
+        )
+        if adds is not None and id_specs != used_specs:
+            # a racing commit moved an identity watermark: the ids
+            # baked into the written files may collide — re-generate
+            # and re-write (the spec's re-execute-on-conflict policy;
+            # the first attempt's files are unreferenced orphans)
+            adds = None
         aligned, meta_action, part_cols, phys = _reconcile_schema(
-            df, state["metaData"], merge_schema
+            df_in, state["metaData"], merge_schema
         )
         if adds is None:
+            used_specs = id_specs
             check_constraints(aligned, state["metaData"])
             # data files are written once; physical column names (and,
             # in id mode, embedded field ids) go in the files,
@@ -902,6 +996,17 @@ def append_delta(
         # fresh loop (a fresh _next_version listing would let a racing
         # duplicate micro-batch land the same txn epoch twice)
         version = int(state.get("version", -1)) + 1
+        if id_specs:
+            # watermark advance derives from the adds' footer stats —
+            # layered on top of any schema-merge metaData, computed
+            # against THIS replayed state inside the retry loop
+            bumped = delta_identity.advance_hwm(
+                meta_action["metaData"] if meta_action
+                else state["metaData"],
+                id_specs, adds, phys,
+            )
+            if bumped is not None:
+                meta_action = {"metaData": bumped}
         actions = ([meta_action] if meta_action else []) + adds
         from dst_spark_k8_lakehouse_spark.plans import delta_rowtracking
 
@@ -1783,16 +1888,25 @@ def overwrite_delta(df: DataFrame, table: str) -> int:
     """OVERWRITE: remove every live file, add the new set, one commit.
     A lost commit race recomputes the remove set against the winner's
     state and retries. Returns the committed version."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_identity
+
     adds: list[dict[str, Any]] | None = None
     written_cols: list[str] | None = None
+    used_specs: dict[str, dict[str, Any]] | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
         state = delta_reader._replay(df.sparkSession, table, None)
+        df_in, id_specs = delta_identity.check_and_assign(
+            df, state["metaData"]
+        )
+        if adds is not None and id_specs != used_specs:
+            adds = None  # raced watermark: re-generate ids (see append)
         aligned, meta_action, part_cols, phys = _reconcile_schema(
-            df, state["metaData"], merge_schema=False
+            df_in, state["metaData"], merge_schema=False
         )
         if meta_action is not None:  # unreachable with merge_schema=False
             raise AssertionError("overwrite must not evolve the schema")
         if adds is None:
+            used_specs = id_specs
             check_constraints(aligned, state["metaData"])
             out = _stamped_projection(
                 aligned, state["metaData"], list(aligned.columns), phys
@@ -1817,6 +1931,12 @@ def overwrite_delta(df: DataFrame, table: str) -> int:
             for p in state["files"]
         ]
         actions += adds
+        if id_specs:
+            bumped = delta_identity.advance_hwm(
+                state["metaData"], id_specs, adds, phys
+            )
+            if bumped is not None:
+                actions.append({"metaData": bumped})
         actions.append(_commit_info("WRITE"))
         # the remove set was computed from THIS replayed state —
         # claiming its version + 1 makes the overwrite serializable

@@ -113,6 +113,35 @@ def _split_assignments(set_clause: str) -> dict[str, str]:
     return out
 
 
+_IDENTITY_CLAUSE_RE = re.compile(
+    r"(?P<col>\w+)\s+(?P<type>BIGINT|LONG)\s+GENERATED\s+"
+    r"(?P<mode>ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+    r"(?:\s*\(\s*START\s+WITH\s+(?P<start>-?\d+)"
+    r"(?:\s+INCREMENT\s+BY\s+(?P<step>-?\d+))?\s*\))?",
+    re.IGNORECASE,
+)
+
+
+def _strip_identity_clauses(
+    cols_text: str,
+) -> tuple[str, dict[str, dict]]:
+    """Pull ``col BIGINT GENERATED ALWAYS|BY DEFAULT AS IDENTITY
+    [(START WITH s [INCREMENT BY k])]`` clauses out of a CREATE TABLE
+    column list — returns the plain-typed column text plus the
+    ``create_delta(identity=…)`` spec dict."""
+    identity: dict[str, dict] = {}
+
+    def repl(m: re.Match) -> str:
+        identity[m["col"]] = {
+            "start": int(m["start"] or 1),
+            "step": int(m["step"] or 1),
+            "always": m["mode"].upper() == "ALWAYS",
+        }
+        return f"{m['col']} {m['type']}"
+
+    return _IDENTITY_CLAUSE_RE.sub(repl, cols_text), identity
+
+
 def _sql_literal(text: str):
     """A single SQL literal → Python value: quoted string, integer,
     float, or boolean. Iceberg write-defaults are VALUES per the spec
@@ -440,7 +469,8 @@ def execute_native_sql(
             raise ValueError(f"table {m['table']} already exists at {p}")
         from pyspark.sql import types as T
 
-        schema = T._parse_datatype_string(m["cols"])
+        cols_text, identity = _strip_identity_clauses(m["cols"])
+        schema = T._parse_datatype_string(cols_text)
         empty = spark.createDataFrame([], schema)
         parts = [c for c in _split_commas(m["parts"] or "") if c]
         if m["fmt"].lower() == "delta":
@@ -451,8 +481,20 @@ def execute_native_sql(
                     "partitions on plain columns (transforms are "
                     "Iceberg's hidden partitioning)"
                 )
-            delta_writer.create_delta(empty, p, partition_by=parts or None)
+            if identity:
+                # the id columns are writer-generated: drop them from
+                # the CTAS frame, create_delta appends them
+                empty = empty.drop(*identity)
+            delta_writer.create_delta(
+                empty, p, partition_by=parts or None,
+                identity=identity or None,
+            )
         else:
+            if identity:
+                raise NotImplementedError(
+                    "GENERATED ... AS IDENTITY is Delta's identity-"
+                    "column feature; Iceberg has no identity columns"
+                )
             iceberg_writer.create_iceberg(
                 empty, p, partition_by=parts or None
             )
@@ -487,19 +529,33 @@ def execute_native_sql(
         # verbatim — TIMESTAMP literals, arithmetic, all of SQL)
         src = spark.sql(f"SELECT * FROM ({m['body']})")
         if fmt == "delta":
-            from pyspark.sql import types as T
+            from dst_spark_k8_lakehouse_spark.plans import delta_identity
 
             names = [f["name"] for f in target_schema["fields"]]
             struct = delta_reader.schema_from_json(target_schema)
             if len(src.columns) != len(names):
-                raise ValueError(
-                    f"INSERT arity {len(src.columns)} != table arity "
-                    f"{len(names)}"
-                )
+                # a short INSERT may omit writer-filled columns —
+                # identity and CURRENT_DEFAULT; positionally it must
+                # omit ALL of them (anything else is ambiguous)
+                meta_like = {"schemaString": json.dumps(target_schema)}
+                omittable = set(
+                    delta_identity.identity_specs(meta_like)
+                ) | set(delta_writer.column_defaults(meta_like))
+                slim = [n for n in names if n not in omittable]
+                if len(src.columns) != len(slim):
+                    raise ValueError(
+                        f"INSERT arity {len(src.columns)} != table "
+                        f"arity {len(names)} (nor {len(slim)} with "
+                        f"writer-filled column(s) {sorted(omittable)} "
+                        "omitted)"
+                    )
+                names = slim
+            keep = set(names)
             src = src.toDF(*names).select(
                 *[
                     F.col(f.name).cast(f.dataType)
                     for f in struct.fields
+                    if f.name in keep
                 ]
             )
             return delta_writer.append_delta(src, p)

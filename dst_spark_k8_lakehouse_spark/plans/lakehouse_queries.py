@@ -3043,3 +3043,77 @@ def d53_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows", "total_bal",
     )
     return ice_df.unionByName(dlt_df)
+
+
+@query(
+    "d54_identity",
+    oracle=f"""
+        WITH b1 AS (SELECT count(*) AS n1 FROM customer
+                    WHERE c_custkey % 3 <> 0),
+             b2 AS (SELECT count(*) AS n2 FROM customer
+                    WHERE c_custkey % 3 = 0),
+             tot AS (SELECT {sum_sql('c_acctbal')} AS total_bal
+                     FROM customer)
+        SELECT CAST(n1 + n2 AS BIGINT) AS n_rows,
+               CAST(n1 + n2 AS BIGINT) AS n_ids,
+               CAST(1000 AS BIGINT) AS min_rid,
+               CAST(1000 + 5 * (n1 + n2 - 1) AS BIGINT) AS max_rid,
+               TRUE AS on_lattice,
+               CAST(n2 AS BIGINT) AS n_batch2,
+               total_bal
+        FROM b1, b2, tot
+    """,
+)
+def d54_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IDENTITY COLUMNS end to end (r10, the spec's
+    ``identityColumns`` writer feature): customer lands in a table
+    whose ``rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000
+    INCREMENT BY 5)`` is writer-generated from the field-metadata
+    high-water mark — one JVM expression, zero extra jobs, watermark
+    advanced from the written files' footer stats. Two single-
+    partition batches make allocation DENSE here, so the hash pins
+    exact min/max/count; the second batch must draw entirely ABOVE
+    the first's watermark (``n_batch2``). In production layouts the
+    per-task blocks admit gaps (the spec allows them) — uniqueness
+    and the lattice are the contract, pinned in
+    ``tests/test_identity.py``. WHY at 100 TB: surrogate keys via
+    ``row_number()`` need a global sort; a watermark-lattice
+    allocation costs nothing at any scale and stays unique under
+    commit races because the log serializes the watermark."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_identity,
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-identity-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    delta_writer.create_delta(
+        cust.where("c_custkey % 3 <> 0").coalesce(1), table,
+        identity={"rid": {"start": 1000, "step": 5, "always": True}},
+    )
+    hwm1 = delta_identity.identity_specs(
+        delta_reader._replay(spark, table, None)["metaData"]
+    )["rid"]["hwm"]
+    delta_writer.append_delta(
+        cust.where("c_custkey % 3 = 0").coalesce(1), table
+    )
+    df = delta_reader.read_delta(spark, table)
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("rid").alias("n_ids"),
+        F.min("rid").alias("min_rid"),
+        F.max("rid").alias("max_rid"),
+        F.bool_and(((F.col("rid") - 1000) % 5) == 0).alias("on_lattice"),
+        F.sum((F.col("rid") > hwm1).cast("long")).alias("n_batch2"),
+        exact_sum("c_acctbal").alias("total_bal"),
+    )

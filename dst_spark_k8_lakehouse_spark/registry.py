@@ -102,6 +102,7 @@ PRIORITY: list[str] = [
     "x9_layout_lifecycle",  # capstone: cluster->optimize->cpv2->crc
     "d52_iceberg_dv",  # v3-style puffin deletion vectors on v2 MoR
     "d53_column_defaults",  # initial/write-default vs CURRENT_DEFAULT
+    "d54_identity",  # watermark-lattice id allocation, footer-stat bump
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
@@ -114,7 +115,6 @@ PRIORITY: list[str] = [
     "x4_lakehouse_composite",
     # (d) backfill, next-oldest driver evidence (r03-r06 cohort)
     "j6_range_join",
-    "j7_asof",
     # (the r06-green u1/u2/u3/u4/t6 backfill tail — and then
     # o2_sort_limit/o1_sort/w4_topk_group/w3_running_sum/w2_lag/
     # w1_rank/k2_salted_join/k1_salted_agg as d46-d52+x9 landed, and
