@@ -867,7 +867,12 @@ def _pruned_files(
 def version_at_timestamp(path: str, ts_millis: int) -> int:
     """``timestampAsOf`` resolution per the Delta contract: the latest
     version whose commit timestamp is <= the requested time (raises if
-    the table's first commit is later)."""
+    the table's first commit is later). Commits carrying an
+    ``inCommitTimestamp`` (the ``inCommitTimestamp`` writer feature,
+    ``delta_writer.enable_in_commit_timestamps``) resolve by THAT —
+    strictly monotonic and stored in the commit content, immune to
+    file-mtime rewrites and writer clock skew; legacy commits keep the
+    commitInfo wall-clock stamp with the mtime fallback."""
     best = None
     for v, f in _commit_files(path):
         info_ts = None
@@ -877,7 +882,10 @@ def version_at_timestamp(path: str, ts_millis: int) -> int:
                 if line:
                     d = json.loads(line)
                     if "commitInfo" in d:
-                        info_ts = d["commitInfo"].get("timestamp")
+                        ci = d["commitInfo"]
+                        info_ts = ci.get(
+                            "inCommitTimestamp", ci.get("timestamp")
+                        )
         if info_ts is None:
             info_ts = int(os.path.getmtime(f) * 1000)  # spec fallback
         if info_ts <= ts_millis:

@@ -257,6 +257,7 @@ def _commit(
     crc is an audit/fast-stats artifact, never a correctness input."""
     log = os.path.join(table, "_delta_log")
     os.makedirs(log, exist_ok=True)
+    actions = _ict_stamp(table, version, actions, pre_state)
     tmp = os.path.join(log, f".{uuid.uuid4().hex}.json.tmp")
     with open(tmp, "w") as fh:
         for a in actions:
@@ -270,6 +271,80 @@ def _commit(
         _write_crc(table, version, actions, pre_state)
     except Exception:
         pass  # best-effort by design; verify_checksum audits gaps
+
+
+ICT_CONF = "delta.enableInCommitTimestamps"
+ICT_VERSION_CONF = "delta.inCommitTimestampEnablementVersion"
+ICT_TS_CONF = "delta.inCommitTimestampEnablementTimestamp"
+
+
+def _prev_ict(table: str, version: int) -> int | None:
+    """The previous commit's inCommitTimestamp (commitInfo is the
+    FIRST action of an ICT commit per the spec, so this reads one
+    line of one file)."""
+    if version == 0:
+        return None
+    prev = os.path.join(
+        table, "_delta_log", f"{version - 1:020d}.json"
+    )
+    try:
+        with open(prev) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                d = json.loads(line)
+                if "commitInfo" in d:
+                    ict = d["commitInfo"].get("inCommitTimestamp")
+                    return int(ict) if ict is not None else None
+                return None  # not first -> pre-ICT commit
+    except FileNotFoundError:
+        return None
+    return None
+
+
+def _ict_stamp(
+    table: str,
+    version: int,
+    actions: list[dict[str, Any]],
+    pre_state: dict[str, Any] | None,
+) -> list[dict[str, Any]]:
+    """IN-COMMIT TIMESTAMPS (the spec's ``inCommitTimestamp`` writer
+    feature): when the table enables ``delta.enableInCommitTimestamps``,
+    every commit's commitInfo carries ``inCommitTimestamp`` =
+    ``max(clock, previous commit's ICT + 1)`` — STRICTLY monotonic
+    even under clock skew — and commitInfo moves to the FRONT of the
+    action list (the spec's placement rule, which is what lets
+    ``_prev_ict`` read one line instead of the whole file). Timestamp
+    time travel then resolves against commit content, not file
+    mtimes, which storage systems rewrite on copy/restore. No-op for
+    tables without the feature."""
+    meta = None
+    for a in actions:  # an enabling commit carries its own metaData
+        if "metaData" in a:
+            meta = a["metaData"]
+    if meta is None and pre_state is not None:
+        meta = pre_state.get("metaData")
+    if meta is None:
+        return actions
+    conf = meta.get("configuration") or {}
+    if str(conf.get(ICT_CONF, "")).lower() != "true":
+        return actions
+    prev = _prev_ict(table, version)
+    ict = int(time.time() * 1000)
+    if prev is not None and ict <= prev:
+        ict = prev + 1
+    rest = []
+    info = None
+    for a in actions:
+        if "commitInfo" in a and info is None:
+            info = dict(a["commitInfo"])
+        else:
+            rest.append(a)
+    if info is None:
+        info = _commit_info("UNKNOWN")["commitInfo"]
+    info["inCommitTimestamp"] = ict
+    return [{"commitInfo": info}] + rest
 
 
 def crc_path(table: str, version: int) -> str:
@@ -1032,7 +1107,7 @@ def append_delta(
             )
         actions.append(_commit_info("WRITE"))
         try:
-            _commit(table, version, actions)
+            _commit(table, version, actions, pre_state=state)
             return version
         except FileExistsError:
             continue
@@ -1945,7 +2020,7 @@ def overwrite_delta(df: DataFrame, table: str) -> int:
         # could absorb it and leave a both-worlds mixed table)
         version = int(state.get("version", -1)) + 1
         try:
-            _commit(table, version, actions)
+            _commit(table, version, actions, pre_state=state)
             return version
         except FileExistsError:
             continue
@@ -2286,6 +2361,73 @@ def widen_column_type(
     return _commit_from_state(
         spark, table, state, actions, "ALTER COLUMN TYPE",
         check_meta=True,
+    )
+
+
+# ------------------------------------------- in-commit timestamps
+
+
+def enable_in_commit_timestamps(
+    spark: SparkSession, table: str
+) -> int:
+    """``ALTER TABLE t SET TBLPROPERTIES
+    (delta.enableInCommitTimestamps = true)`` — the spec's
+    ``inCommitTimestamp`` writer feature: from this commit on, every
+    commit's commitInfo leads the action list and carries a STRICTLY
+    MONOTONIC ``inCommitTimestamp`` (``max(clock, prev + 1)`` —
+    ``_ict_stamp`` inside ``_commit``), and ``TIMESTAMP AS OF``
+    resolves against commit CONTENT instead of commitInfo wall-clock
+    stamps or file mtimes. The enablement version/timestamp land in
+    the table configuration per the spec, marking where the reliable
+    region starts (older versions still resolve by the legacy
+    stamps). WHY at 100 TB: file mtimes are rewritten by every
+    storage migration/restore, and wall clocks on a writer fleet
+    skew — a reproducible "the table as of 09:00" needs the
+    timestamp IN the commit, ordered with the log. Returns the
+    committed version (idempotent)."""
+    # own retry loop (not _commit_from_state): the enablement VERSION
+    # is baked into the configuration, so a benign commit race must
+    # recompute it, not re-claim the same actions one version later
+    for _ in range(_MAX_COMMIT_RETRIES):
+        state = delta_reader._replay(spark, table, None)
+        meta = state["metaData"]
+        conf = dict(meta.get("configuration") or {})
+        if str(conf.get(ICT_CONF, "")).lower() == "true":
+            return int(state["version"])
+        version = int(state["version"]) + 1
+        conf[ICT_CONF] = "true"
+        conf[ICT_VERSION_CONF] = str(version)
+        conf[ICT_TS_CONF] = str(int(time.time() * 1000))
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        actions: list[dict[str, Any]] = []
+        p = state.get("protocol") or {}
+        wf = set(p.get("writerFeatures") or [])
+        if (
+            p.get("minWriterVersion", 1) < 7
+            or "inCommitTimestamp" not in wf
+        ):
+            proto = {
+                "minReaderVersion": p.get("minReaderVersion", 1),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(wf | {"inCommitTimestamp"}),
+            }
+            if p.get("minReaderVersion", 1) >= 3:
+                proto["readerFeatures"] = sorted(
+                    set(p.get("readerFeatures") or [])
+                )
+            actions.append({"protocol": proto})
+        actions += [
+            {"metaData": new_meta},
+            _commit_info("SET TBLPROPERTIES"),
+        ]
+        try:
+            _commit(table, version, actions, pre_state=state)
+            return version
+        except FileExistsError:
+            continue
+    raise RuntimeError(
+        f"enable_in_commit_timestamps on {table} lost too many races"
     )
 
 

@@ -364,6 +364,12 @@ _SET_CDF_RE = re.compile(
     r"\s*\)\s*$",
     re.IGNORECASE,
 )
+_SET_ICT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+SET\s+TBLPROPERTIES\s*\(\s*"
+    r"['\"]?delta\.enableInCommitTimestamps['\"]?\s*=\s*['\"]?true['\"]?"
+    r"\s*\)\s*$",
+    re.IGNORECASE,
+)
 # a statement-level table name: dotted identifiers, each segment
 # optionally backtick-quoted (the notebooks write
 # delta.`s3a://bucket/path` — getting_started.py:144)
@@ -777,6 +783,14 @@ def execute_native_sql(
         return 0
     if m := _SET_CDF_RE.match(sql):
         return delta_cdf.enable_cdf(spark, _path(m["table"]))
+    if m := _SET_ICT_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) != "delta":
+            raise NotImplementedError(
+                "delta.enableInCommitTimestamps is a Delta property; "
+                "Iceberg snapshot timestamps are already in-commit"
+            )
+        return delta_writer.enable_in_commit_timestamps(spark, p)
     if m := _UPDATE_RE.match(sql):
         p = _path(m["table"])
         set_clause, where = _split_top_keyword(m["rest"], "WHERE")

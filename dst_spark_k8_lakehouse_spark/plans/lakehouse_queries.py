@@ -3046,6 +3046,79 @@ def d53_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d55_ict",
+    oracle=f"""
+        SELECT o_orderpriority AS pri,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sum_sql('o_totalprice')} AS total_price,
+               TRUE AS ict_monotonic
+        FROM orders
+        WHERE o_orderkey % 4 = 0
+        GROUP BY pri
+    """,
+)
+def d55_ict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-COMMIT TIMESTAMPS end to end (r10, the spec's
+    ``inCommitTimestamp`` writer feature): a quarter of orders lands,
+    ICT is enabled, the REST is appended — then every log file's
+    mtime is rewritten to NOW (what a storage migration does) and the
+    query time-travels ``TIMESTAMP AS OF`` the enablement commit's
+    own in-commit timestamp. Resolving by commit CONTENT returns
+    exactly the first batch; an mtime-based resolution would see
+    every commit as "just now" and return the wrong version, flipping
+    the hash. ``ict_monotonic`` folds the strict per-commit
+    monotonicity of the stamps into the result. WHY at 100 TB:
+    reproducible "as of 09:00" reads across storage migrations and a
+    writer fleet with skewed clocks need the timestamp inside the
+    serialized commit, not beside it."""
+    import atexit
+    import json
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-ict-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    delta_writer.create_delta(
+        orders.where("o_orderkey % 4 = 0").repartition(2), table
+    )
+    v_en = delta_writer.enable_in_commit_timestamps(spark, table)
+    delta_writer.append_delta(
+        orders.where("o_orderkey % 4 <> 0").repartition(2), table
+    )
+    # ICTs from the log (commitInfo leads each post-enable commit)
+    icts = []
+    for v in (v_en, v_en + 1):
+        f = os.path.join(table, "_delta_log", f"{v:020d}.json")
+        with open(f) as fh:
+            first = json.loads(fh.readline())
+        icts.append(int(first["commitInfo"]["inCommitTimestamp"]))
+    monotonic = icts[1] > icts[0]
+    # storage-migration simulation: every mtime becomes NOW
+    now = _time.time()
+    log = os.path.join(table, "_delta_log")
+    for name in os.listdir(log):
+        os.utime(os.path.join(log, name), (now, now))
+    return delta_reader.read_delta(
+        spark, table, timestamp=icts[0]
+    ).groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count("*").alias("n_orders"),
+        exact_sum("o_totalprice").alias("total_price"),
+        F.first(F.lit(monotonic)).alias("ict_monotonic"),
+    )
+
+
+@query(
     "d54_identity",
     oracle=f"""
         WITH b1 AS (SELECT count(*) AS n1 FROM customer

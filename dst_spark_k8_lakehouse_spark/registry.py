@@ -103,6 +103,7 @@ PRIORITY: list[str] = [
     "d52_iceberg_dv",  # v3-style puffin deletion vectors on v2 MoR
     "d53_column_defaults",  # initial/write-default vs CURRENT_DEFAULT
     "d54_identity",  # watermark-lattice id allocation, footer-stat bump
+    "d55_ict",  # in-commit timestamps: content-resolved time travel
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
@@ -113,14 +114,12 @@ PRIORITY: list[str] = [
     "d39_delta_generated",
     "d24_delta_source",
     "x4_lakehouse_composite",
-    # (d) backfill, next-oldest driver evidence (r03-r06 cohort)
-    "j6_range_join",
     # (the r06-green u1/u2/u3/u4/t6 backfill tail — and then
     # o2_sort_limit/o1_sort/w4_topk_group/w3_running_sum/w2_lag/
     # w1_rank/k2_salted_join/k1_salted_agg as d46-d52+x9 landed, and
-    # j8_star_join as d53+ landed — was trimmed to keep the rotation
-    # exactly 50 so nothing silently falls past the driver's cap; the
-    # trimmed ids front r11)
+    # j8_star_join/j7_asof/j6_range_join as d53-d55 landed — was
+    # trimmed to keep the rotation exactly 50 so nothing silently
+    # falls past the driver's cap; the trimmed ids front r11)
 ]
 
 

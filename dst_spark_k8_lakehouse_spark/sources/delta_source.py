@@ -792,10 +792,10 @@ class _DeltaWriter(DataSourceArrowWriter):
         adds = self._all_adds(messages)
         for _ in range(delta_writer._MAX_COMMIT_RETRIES):
             actions: list = []
+            state = _replay_arrow(self.table, None)
             if self.overwrite:
                 import time
 
-                state = _replay_arrow(self.table, None)
                 now = int(time.time() * 1000)
                 actions += [
                     {
@@ -812,7 +812,7 @@ class _DeltaWriter(DataSourceArrowWriter):
             try:
                 delta_writer._commit(
                     self.table, delta_writer._next_version(self.table),
-                    actions,
+                    actions, pre_state=state,
                 )
                 return
             except FileExistsError:
@@ -863,7 +863,7 @@ class _DeltaStreamWriter(_DeltaWriter, DataSourceStreamWriter):
             try:
                 delta_writer._commit(
                     self.table, delta_writer._next_version(self.table),
-                    actions,
+                    actions, pre_state=state,
                 )
                 return
             except FileExistsError:

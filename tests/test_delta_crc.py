@@ -66,19 +66,21 @@ def test_dml_and_dv_commits_are_exact(spark, tmp_path):
     assert doc["numDeletionVectorsOpt"] == 1
 
 
-def test_gap_skips_then_heals(spark, tmp_path):
+def test_gap_heals_via_replayed_state(spark, tmp_path):
     table = _mk(spark, tmp_path)
     os.unlink(dw.crc_path(table, 0))
-    # incremental append has no previous crc -> must SKIP, not guess
+    # appends carry their replayed pre_state (since the ICT work every
+    # library write path does) -> the crc is EXACT from that state and
+    # a chain gap heals at the next commit instead of propagating
     dw.append_delta(_batch(spark, 30, 35), table)
-    assert not os.path.exists(dw.crc_path(table, 1))
-    # a state-dependent commit is exact regardless of the gap
+    assert os.path.exists(dw.crc_path(table, 1))
+    assert dw.verify_checksum(spark, table, 1)["ok"]
+    # state-dependent commits stay exact too
     dml.delete_delta(spark, table, "id = 0")
-    assert os.path.exists(dw.crc_path(table, 2))
     assert dw.verify_checksum(spark, table, 2)["ok"]
     # and the explicit writer backfills any version
-    dw.write_version_checksum(spark, table, 1)
-    assert dw.verify_checksum(spark, table, 1)["ok"]
+    dw.write_version_checksum(spark, table, 0)
+    assert dw.verify_checksum(spark, table, 0)["ok"]
 
 
 def test_table_stats_crc_vs_replay(spark, tmp_path):
