@@ -1246,6 +1246,21 @@ def expire_snapshots(
         e for e in meta.get("snapshot-log") or []
         if int(e["snapshot-id"]) in kept_ids
     ]
+    # statistics sidecars (Puffin NDV + partition stats) of expired
+    # snapshots: drop the metadata entries and sweep their files —
+    # real expireSnapshots cleans these too
+    for key in ("statistics", "partition-statistics"):
+        entries = meta.get(key) or []
+        stale = [
+            e for e in entries
+            if int(e["snapshot-id"]) not in kept_ids
+        ]
+        if stale:
+            meta[key] = [
+                e for e in entries
+                if int(e["snapshot-id"]) in kept_ids
+            ]
+            doomed |= {e["statistics-path"] for e in stale}
     meta["last-updated-ms"] = int(time.time() * 1000)
     _commit_metadata(table, meta, v + 1)
     for p in sorted(doomed):

@@ -3046,6 +3046,74 @@ def d53_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d56_partition_stats",
+    oracle="""
+        SELECT (year(o_orderdate) - 1970) * 12
+                   + month(o_orderdate) - 1 AS pmonth,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS files_ok
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1996-01-01'
+        GROUP BY pmonth
+    """,
+)
+def d56_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION STATISTICS end to end (r10, the spec's
+    ``partition-statistics`` metadata + stats-file layout): 1995's
+    orders land in a ``months(o_orderdate)``-partitioned native
+    table, ``write_partition_stats`` walks the MANIFESTS into one
+    parquet sidecar (no data file opened), and the query reads THAT
+    sidecar — per-month record counts value-checked against the
+    relational GROUP BY the sidecar replaces. ``files_ok`` folds in
+    that per-partition file counts sum to the planned file list and
+    every byte total is positive. WHY at 100 TB: partition-level
+    freshness/skew/row-count questions answered by one small metadata
+    read instead of a full-scan aggregate — and the counters roll up
+    incrementally because they derive from manifests, which
+    maintenance already touches."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_partition_stats,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-pstats-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).where(
+        "o_orderdate >= DATE '1995-01-01' "
+        "AND o_orderdate < DATE '1996-01-01'"
+    )
+    iceberg_writer.create_iceberg(
+        orders.repartition(2), table,
+        partition_by=["months(o_orderdate)"],
+    )
+    iceberg_partition_stats.write_partition_stats(spark, table)
+    stats = iceberg_partition_stats.read_partition_stats(spark, table)
+    n_planned = len(iceberg_reader.plan_file_list(spark, table)["data"])
+    agg = stats.agg(
+        F.sum("data_file_count").alias("nf"),
+        F.min("total_data_file_size_in_bytes").alias("minb"),
+    ).head()
+    files_ok = int(agg.nf) == n_planned and int(agg.minb) > 0
+    return stats.select(
+        F.col("partition").getField(
+            "o_orderdate_month"
+        ).cast("int").alias("pmonth"),
+        F.col("data_record_count").alias("n_rows"),
+        F.lit(files_ok).alias("files_ok"),
+    )
+
+
+@query(
     "d55_ict",
     oracle=f"""
         SELECT o_orderpriority AS pri,

@@ -104,6 +104,7 @@ PRIORITY: list[str] = [
     "d53_column_defaults",  # initial/write-default vs CURRENT_DEFAULT
     "d54_identity",  # watermark-lattice id allocation, footer-stat bump
     "d55_ict",  # in-commit timestamps: content-resolved time travel
+    "d56_partition_stats",  # partition-statistics sidecar from manifests
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
@@ -111,7 +112,6 @@ PRIORITY: list[str] = [
     "d41_delta_skipping",
     "d27_delta_dv",
     "d28_delta_cdf",
-    "d39_delta_generated",
     "d24_delta_source",
     "x4_lakehouse_composite",
     # (the r06-green u1/u2/u3/u4/t6 backfill tail — and then
