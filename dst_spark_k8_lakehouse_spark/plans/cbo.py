@@ -1,0 +1,210 @@
+"""Statistics-driven join planning — the consumer that turns the
+engine's metadata sidecars (Delta ``.crc`` checksums + per-add stats,
+Iceberg snapshot summaries + Puffin NDV sketches) into PHYSICAL join
+decisions, the way a cost-based optimizer uses ANALYZE output.
+
+Spark's own broadcast decision sees only the SCAN's size estimate —
+which for a jar-free native-table read is a union of parquet files
+with no catalog statistics, so a 10-row dimension behind a 2 GB
+filter-heavy plan is sort-merge-joined unless someone says otherwise.
+This module answers from table METADATA in O(1)-ish time:
+
+- ``table_profile``: rows / bytes / per-column NDV without scanning —
+  Delta from the crc sidecar (or a per-add stats walk), Iceberg from
+  the snapshot summary plus registered Puffin sketches.
+- ``advise_join``: broadcast the small side when its bytes clear the
+  threshold; flag keys whose NDV is orders of magnitude below the
+  row count (the shuffle-skew signature salting exists for); note
+  when the build side's key NDV ≈ its row count (unique key — no
+  join explosion).
+- ``join_with_stats``: apply the advice — ``F.broadcast`` on the
+  chosen side — and return the joined frame.
+
+WHY at 100 TB: broadcast-vs-shuffle is THE join decision at scale
+(a needless shuffle of the fact table costs hours; a wrongly
+broadcast 50 GB side kills executors), and making it needs exactly
+two numbers this engine already maintains per commit. The advisor is
+deterministic and inspectable — ``advise_join`` returns its reasons,
+and the plan-shape tests pin that the hint actually lands.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Spark's own default autoBroadcastJoinThreshold (10 MB) is tuned for
+# catalog-backed scans; native-table profiles are exact bytes, so a
+# slightly larger default is safe
+DEFAULT_BROADCAST_BYTES = 32 << 20
+# keys with rows/NDV beyond this ratio concentrate a shuffle onto few
+# reducers — the salting/AQE-skew-join signal
+SKEW_RATIO = 1000.0
+
+
+def table_profile(spark: SparkSession, path: str) -> dict[str, Any]:
+    """{format, rows, bytes, ndv: {col: estimate}} from METADATA:
+    never a table scan. Delta: the ``.crc`` sidecar when the chain is
+    intact (O(1)) with a per-add stats walk as the rows source;
+    Iceberg: the current snapshot's summary (``total-records`` /
+    ``total-files-size``) plus Puffin NDV sketches when
+    ``write_table_statistics`` published them (``ndv`` stays empty
+    otherwise — the advisor treats missing NDV as unknown, never as
+    zero)."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    if delta_reader.is_delta_table(path):
+        stats = delta_reader.table_stats(spark, path)
+        plan = delta_reader.plan_file_list(spark, path)
+        rows = 0
+        for add in plan["files"].values():
+            s = add.get("stats")
+            if not s:
+                rows = None  # a stats-less foreign add: unknown rows
+                break
+            rows += int(json.loads(s)["numRecords"])
+        return {
+            "format": "delta",
+            "rows": rows,
+            "bytes": int(stats["tableSizeBytes"]),
+            "ndv": {},
+        }
+    if iceberg_reader.is_iceberg_table(path):
+        with open(iceberg_reader._current_metadata_file(path)) as fh:
+            meta = json.load(fh)
+        snap_id = meta.get("current-snapshot-id")
+        snap = next(
+            (s for s in meta.get("snapshots") or []
+             if s["snapshot-id"] == snap_id),
+            None,
+        )
+        summary = (snap or {}).get("summary") or {}
+        rows = summary.get("total-records")
+        size = summary.get("total-files-size")
+        if rows is None or size is None:
+            # summary-less snapshot (foreign writer): one manifest walk
+            from dst_spark_k8_lakehouse_spark.plans import (
+                iceberg_partition_stats,
+            )
+
+            groups = iceberg_partition_stats.compute_partition_stats(
+                spark, path
+            )
+            rows = sum(g["data_record_count"] for g in groups)
+            size = sum(
+                g["total_data_file_size_in_bytes"] for g in groups
+            )
+        ndv: dict[str, float] = {}
+        stats_entries = meta.get("statistics") or []
+        if stats_entries:
+            try:
+                ndv = iceberg_writer.column_ndv(path)
+            except ValueError:
+                # no stats for the CURRENT snapshot: use the newest
+                # published entry — a slightly stale NDV is standard
+                # planner practice (ANALYZE lag), and NDV drifts far
+                # slower than row counts
+                ndv = iceberg_writer.column_ndv(
+                    path, stats_entries[-1]["snapshot-id"]
+                )
+        return {
+            "format": "iceberg",
+            "rows": int(rows),
+            "bytes": int(size),
+            "ndv": ndv,
+        }
+    raise ValueError(f"{path} is neither a Delta nor an Iceberg table")
+
+
+def advise_join(
+    left: dict[str, Any],
+    right: dict[str, Any],
+    on: list[str],
+    broadcast_bytes: int = DEFAULT_BROADCAST_BYTES,
+) -> dict[str, Any]:
+    """Pick the join strategy from two ``table_profile`` results.
+    Returns ``{strategy, broadcast_side, reasons, skew_keys,
+    unique_build_key}`` — ``strategy`` is ``"broadcast"`` or
+    ``"shuffle"``; ``reasons`` narrates every input that mattered so
+    the decision is auditable."""
+    reasons: list[str] = []
+    sides = {"left": left, "right": right}
+    small = min(sides, key=lambda s: sides[s]["bytes"])
+    small_bytes = sides[small]["bytes"]
+    broadcast_side = None
+    if small_bytes <= broadcast_bytes:
+        broadcast_side = small
+        strategy = "broadcast"
+        reasons.append(
+            f"{small} side is {small_bytes} bytes "
+            f"(≤ {broadcast_bytes}): broadcast it — no shuffle of "
+            f"the {max(sides, key=lambda s: sides[s]['bytes'])} side"
+        )
+    else:
+        strategy = "shuffle"
+        reasons.append(
+            f"both sides exceed {broadcast_bytes} bytes "
+            f"(min {small_bytes}): shuffle join on {on}"
+        )
+    skew_keys: list[str] = []
+    for side, prof in sides.items():
+        rows = prof.get("rows")
+        for k in on:
+            est = (prof.get("ndv") or {}).get(k)
+            if est and rows and rows / max(est, 1.0) > SKEW_RATIO:
+                skew_keys.append(f"{side}.{k}")
+                reasons.append(
+                    f"{side}.{k}: ~{int(est)} distinct over {rows} "
+                    f"rows (ratio {rows / est:.0f}) — a shuffle on it "
+                    "concentrates; salt or enable AQE skew join"
+                )
+    unique_build_key = False
+    if broadcast_side is not None:
+        prof = sides[broadcast_side]
+        rows = prof.get("rows")
+        ests = [
+            (prof.get("ndv") or {}).get(k) for k in on
+        ]
+        if rows and len(on) == 1 and ests[0]:
+            unique_build_key = ests[0] >= 0.95 * rows
+            if unique_build_key:
+                reasons.append(
+                    f"{broadcast_side}.{on[0]}: NDV ≈ row count — "
+                    "unique build key, join cannot explode"
+                )
+    return {
+        "strategy": strategy,
+        "broadcast_side": broadcast_side,
+        "reasons": reasons,
+        "skew_keys": skew_keys,
+        "unique_build_key": unique_build_key,
+    }
+
+
+def join_with_stats(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    on: list[str],
+    left_profile: dict[str, Any],
+    right_profile: dict[str, Any],
+    how: str = "inner",
+    broadcast_bytes: int = DEFAULT_BROADCAST_BYTES,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Join two frames under the advisor's decision — the broadcast
+    hint lands on the side the PROFILES chose, independent of Spark's
+    scan-size guess. Returns ``(joined, advice)``."""
+    advice = advise_join(
+        left_profile, right_profile, on, broadcast_bytes
+    )
+    if advice["broadcast_side"] == "left":
+        left_df = F.broadcast(left_df)
+    elif advice["broadcast_side"] == "right":
+        right_df = F.broadcast(right_df)
+    return left_df.join(right_df, on, how), advice

@@ -961,6 +961,45 @@ def _snapshot_commit(
         "added-data-files": str(len(files)),
         "added-records": str(sum(n for _, n, _ in files)),
     }
+    # the spec's running totals — stamped only when EXACTLY derivable
+    # (overwrite: the new set IS the table; append: parent totals +
+    # added). DML/MoR snapshots go through their own committers and
+    # omit them; consumers (plans/cbo.table_profile) fall back to a
+    # manifest walk when absent — never guess
+    added_recs = sum(n for _p, n, _sz in files)
+    added_size = sum(sz for _p, _n, sz in files)
+    if operation == "overwrite":
+        summary["total-records"] = str(added_recs)
+        summary["total-files-size"] = str(added_size)
+        summary["total-data-files"] = str(len(files))
+    elif operation == "append":
+        parent_id = (
+            branch_head
+            if branch_head is not None
+            else meta.get("current-snapshot-id")
+        )
+        parent = next(
+            (s for s in meta.get("snapshots") or []
+             if s.get("snapshot-id") == parent_id),
+            None,
+        )
+        psum = (parent or {}).get("summary") or {}
+        if parent is None and not meta.get("snapshots"):
+            # first snapshot of the table: totals = added
+            summary["total-records"] = str(added_recs)
+            summary["total-files-size"] = str(added_size)
+            summary["total-data-files"] = str(len(files))
+        elif "total-records" in psum and "total-files-size" in psum:
+            summary["total-records"] = str(
+                int(psum["total-records"]) + added_recs
+            )
+            summary["total-files-size"] = str(
+                int(psum["total-files-size"]) + added_size
+            )
+            if "total-data-files" in psum:
+                summary["total-data-files"] = str(
+                    int(psum["total-data-files"]) + len(files)
+                )
     if txn is not None:
         # the idempotence watermark (how real streaming sinks make
         # Iceberg commits replay-safe: the epoch rides the snapshot

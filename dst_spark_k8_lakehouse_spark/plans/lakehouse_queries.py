@@ -3046,6 +3046,95 @@ def d53_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x10_cbo_join",
+    oracle=f"""
+        SELECT s.s_nationkey AS nation,
+               CAST(count(*) AS BIGINT) AS n_items,
+               {sum_sql('l.l_extendedprice')} AS revenue,
+               TRUE AS broadcast_chosen
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE l.l_quantity > 25
+        GROUP BY nation
+    """,
+)
+def x10_cbo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: statistics-driven join planning (r10,
+    ``plans/cbo``) — the metadata sidecars this engine maintains
+    (Delta crc + per-add stats; Iceberg snapshot-summary totals +
+    Puffin NDV sketches) DRIVE the physical join. lineitem lands
+    native Delta (the fact side), supplier lands native Iceberg with
+    published statistics (the dim side); ``table_profile`` reads both
+    profiles without scanning, ``advise_join`` picks broadcast-dim
+    (and sees the supplier key's NDV ≈ its row count — unique build
+    key, no explosion), and ``join_with_stats`` lands the hint with
+    Spark's own size-based broadcasting DISABLED, so the broadcast in
+    the executed plan is attributable to the advisor alone.
+    ``broadcast_chosen`` folds the decision AND the executed plan's
+    BroadcastHashJoin into the hash. WHY at 100 TB:
+    broadcast-vs-shuffle is the single most expensive join decision
+    at scale, and the jar-free scan gives Catalyst no catalog stats
+    to make it with — the sidecars do."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        cbo,
+        delta_reader,
+        delta_writer,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-cbo-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    fact = os.path.join(base, "fact")
+    dim = os.path.join(base, "dim")
+    delta_writer.create_delta(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_suppkey", "l_quantity", "l_extendedprice"
+        ).repartition(4),
+        fact,
+    )
+    iceberg_writer.create_iceberg(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        ).coalesce(1),
+        dim,
+    )
+    iceberg_writer.write_table_statistics(spark, dim, k=4096)
+    fact_df = delta_reader.read_delta(spark, fact).where(
+        "l_quantity > 25"
+    ).withColumnRenamed("l_suppkey", "s_suppkey")
+    dim_df = iceberg_reader.read_iceberg(spark, dim)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined, advice = cbo.join_with_stats(
+            fact_df, dim_df, ["s_suppkey"],
+            cbo.table_profile(spark, fact),
+            cbo.table_profile(spark, dim),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        ok = (
+            advice["strategy"] == "broadcast"
+            and advice["broadcast_side"] == "right"
+            and advice["unique_build_key"]
+            and "BroadcastHashJoin" in plan
+        )
+        return joined.groupBy(
+            F.col("s_nationkey").alias("nation")
+        ).agg(
+            F.count("*").alias("n_items"),
+            exact_sum("l_extendedprice").alias("revenue"),
+            F.first(F.lit(ok)).alias("broadcast_chosen"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@query(
     "d56_partition_stats",
     oracle="""
         SELECT (year(o_orderdate) - 1970) * 12

@@ -1,0 +1,139 @@
+"""Statistics-driven join planning (``plans/cbo``): table profiles
+from metadata sidecars (Delta crc + per-add stats, Iceberg snapshot
+summary totals + Puffin NDV), an auditable broadcast-vs-shuffle
+decision, and the plan-shape proof that the hint actually lands where
+Spark's own scan-size guess would have sort-merge-joined.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.plans import cbo
+from dst_spark_k8_lakehouse_spark.plans import delta_writer as dw
+from dst_spark_k8_lakehouse_spark.plans import (
+    iceberg_partition_stats as ips,
+)
+from dst_spark_k8_lakehouse_spark.plans import iceberg_reader as ir
+from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as iw
+
+
+def _dim(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+    ).coalesce(1)
+    iw.create_iceberg(df, path)
+    iw.write_table_statistics(spark, path, k=1024)
+    return path
+
+
+def _fact(spark, tmp_path, n=5000):
+    path = str(tmp_path / "fact")
+    df = spark.range(n).select(
+        (F.col("id") % 50).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    ).repartition(4)
+    dw.create_delta(df, path)
+    return path
+
+
+def test_delta_profile_from_metadata(spark, tmp_path):
+    path = _fact(spark, tmp_path, n=1000)
+    prof = cbo.table_profile(spark, path)
+    assert prof["format"] == "delta"
+    assert prof["rows"] == 1000
+    assert prof["bytes"] > 0
+
+
+def test_iceberg_profile_uses_summary_not_a_walk(
+    spark, tmp_path, monkeypatch
+):
+    path = _dim(spark, tmp_path)
+    iw.append_iceberg(
+        spark.range(50, 80).select(
+            F.col("id").alias("k"), F.lit("x").alias("name")
+        ).coalesce(1),
+        path,
+    )
+    # summary totals chain across appends -> the profile never walks
+    monkeypatch.setattr(
+        ips, "compute_partition_stats",
+        lambda *a, **k: pytest.fail("walk should not run"),
+    )
+    prof = cbo.table_profile(spark, path)
+    assert prof["format"] == "iceberg"
+    assert prof["rows"] == 80
+    assert prof["bytes"] > 0
+    assert prof["ndv"]  # Puffin sketches registered at create
+
+
+def test_advise_broadcast_and_shuffle(spark):
+    small = {"format": "iceberg", "rows": 50, "bytes": 1 << 10,
+             "ndv": {"k": 50.0}}
+    big = {"format": "delta", "rows": 10**9, "bytes": 1 << 40,
+           "ndv": {}}
+    adv = cbo.advise_join(big, small, ["k"])
+    assert adv["strategy"] == "broadcast"
+    assert adv["broadcast_side"] == "right"
+    assert adv["unique_build_key"] is True
+    assert any("broadcast" in r for r in adv["reasons"])
+    both_big = cbo.advise_join(big, dict(big), ["k"])
+    assert both_big["strategy"] == "shuffle"
+    assert both_big["broadcast_side"] is None
+
+
+def test_advise_flags_skew(spark):
+    skewed = {"format": "delta", "rows": 10**8, "bytes": 1 << 40,
+              "ndv": {"country": 37.0}}
+    other = {"format": "delta", "rows": 10**8, "bytes": 1 << 40,
+             "ndv": {}}
+    adv = cbo.advise_join(skewed, other, ["country"])
+    assert adv["skew_keys"] == ["left.country"]
+    assert any("salt" in r for r in adv["reasons"])
+
+
+def test_join_hint_lands_in_the_plan(spark, tmp_path):
+    dim = _dim(spark, tmp_path)
+    fact = _fact(spark, tmp_path)
+    dim_df = ir.read_iceberg(spark, dim)
+    from dst_spark_k8_lakehouse_spark.plans import delta_reader
+
+    fact_df = delta_reader.read_delta(spark, fact)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Spark's own size-based broadcast OFF: only our hint can
+        # produce a broadcast join now
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = fact_df.join(dim_df, ["k"])._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" not in plain
+        joined, advice = cbo.join_with_stats(
+            fact_df, dim_df, ["k"],
+            cbo.table_profile(spark, fact),
+            cbo.table_profile(spark, dim),
+        )
+        assert advice["broadcast_side"] == "right"
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # and the result is the join, intact
+        assert joined.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_totals_absent_after_dml_falls_back(spark, tmp_path):
+    path = str(tmp_path / "d")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("grp")
+    ).coalesce(1)
+    iw.create_iceberg(df, path)
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_dml
+
+    iceberg_dml.delete_iceberg(spark, path, "k < 3")
+    prof = cbo.table_profile(spark, path)
+    # the COW DML snapshot carries no totals -> the walk supplies
+    # exact numbers instead of a stale chain
+    assert prof["rows"] == 7
