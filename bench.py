@@ -104,6 +104,11 @@ HEADLINE = [
     # over per-process-cached segment files → parse → typed agg) — the
     # broker-free ingest path's marginal cost per sweep
     "s13_kafka_wire",
+    # r10 s4: the statistics-driven join tracker — metadata profiles
+    # (crc / snapshot-summary totals / Puffin NDV) + the advised
+    # broadcast join over per-process-cached native tables, with
+    # Spark's own size-based broadcasting disabled inside the query
+    "x10_cbo_join",
 ]
 
 

