@@ -968,9 +968,9 @@ def _reconcile_schema(
             max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
             for f in new:
                 max_id += 1
-                pn = (
-                    f"col-{uuid.uuid4()}" if mode == "id" else f.name
-                )
+                # UUID physical names for post-enablement columns in
+                # BOTH modes — see add_column (resurrection hazard)
+                pn = f"col-{uuid.uuid4()}"
                 fields.append(
                     _field_json(
                         T.StructField(f.name, f.dataType, True),
@@ -1137,9 +1137,11 @@ def add_column(
             max_id = int(conf.get("delta.columnMapping.maxColumnId", 0)) + 1
             md = {
                 "delta.columnMapping.id": max_id,
-                "delta.columnMapping.physicalName": (
-                    f"col-{uuid.uuid4()}" if mode == "id" else name
-                ),
+                # fresh columns get UUID physical names in BOTH modes
+                # (real Delta too): a logical-name physical name could
+                # collide with a DROPPED or renamed-away column's
+                # bytes still present in old files — resurrection
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
             }
             conf["delta.columnMapping.maxColumnId"] = str(max_id)
         schema_json["fields"].append(
@@ -1211,6 +1213,106 @@ def rename_column(
         except FileExistsError:
             continue
     raise RuntimeError(f"rename_column on {table} lost too many commit races")
+
+
+def drop_column(spark: SparkSession, table: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only via column mapping
+    (real Delta's requirement too: without mapping, dropping then
+    re-adding a same-named column would resurrect the old bytes).
+    First drop enables ``name`` mode exactly like ``rename_column``;
+    the field then leaves the schemaString — data files keep the
+    physical column, reads stop projecting it, time travel before the
+    drop still sees it. Refused while the column has semantic
+    consumers: partition columns, generated columns and their
+    expression SOURCES, CHECK-constraint references, identity
+    columns, and the row-tracking materialized-id column. Returns the
+    committed version."""
+    import re as _re
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_generated,
+        delta_identity,
+        delta_rowtracking,
+    )
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        state = delta_reader._replay(spark, table, None)
+        meta = dict(state["metaData"])
+        schema_json = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema_json["fields"]]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in {names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        if name in (meta.get("partitionColumns") or []):
+            raise ValueError(
+                f"{name!r} is a partition column; repartition the "
+                "table instead"
+            )
+        if name in delta_identity.identity_specs(meta):
+            raise ValueError(
+                f"{name!r} is an identity column; its watermark "
+                "contract cannot be dropped out from under the table"
+            )
+        if name == delta_rowtracking.materialized_col(meta):
+            raise ValueError(
+                f"{name!r} is the row-tracking materialized-id "
+                "column; disable row tracking first"
+            )
+        word = _re.compile(rf"\b{_re.escape(name)}\b")
+        gen = delta_generated.generation_exprs(meta)
+        if name in gen:
+            pass  # dropping a generated column itself is fine
+        refs = sorted(
+            c for c, e in gen.items() if c != name and word.search(e)
+        )
+        if refs:
+            raise ValueError(
+                f"{name!r} is a generation-expression source for "
+                f"{refs}; drop those generated columns first"
+            )
+        cons = sorted(
+            cn for cn, e in constraints_of(meta).items()
+            if word.search(e)
+        )
+        if cons:
+            raise ValueError(
+                f"{name!r} is referenced by CHECK constraint(s) "
+                f"{cons}; drop them first"
+            )
+        conf = dict(meta.get("configuration") or {})
+        actions: list[dict[str, Any]] = []
+        if conf.get("delta.columnMapping.mode", "none") == "none":
+            for i, f in enumerate(schema_json["fields"]):
+                md = dict(f.get("metadata") or {})
+                md.setdefault("delta.columnMapping.id", i + 1)
+                md.setdefault(
+                    "delta.columnMapping.physicalName", f["name"]
+                )
+                f["metadata"] = md
+            conf["delta.columnMapping.mode"] = "name"
+            conf["delta.columnMapping.maxColumnId"] = str(
+                len(schema_json["fields"])
+            )
+            actions.append(
+                {"protocol": {"minReaderVersion": 2,
+                              "minWriterVersion": 5}}
+            )
+        schema_json["fields"] = [
+            f for f in schema_json["fields"] if f["name"] != name
+        ]
+        meta["schemaString"] = json.dumps(schema_json)
+        meta["configuration"] = conf
+        actions += [{"metaData": meta}, _commit_info("DROP COLUMNS")]
+        version = int(state.get("version", -1)) + 1  # see add_column
+        try:
+            _commit(table, version, actions, pre_state=state)
+            return version
+        except FileExistsError:
+            continue
+    raise RuntimeError(
+        f"drop_column on {table} lost too many commit races"
+    )
 
 
 _CHECKPOINT_SCHEMA = T.StructType(

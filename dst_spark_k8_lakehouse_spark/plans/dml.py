@@ -332,6 +332,11 @@ _DROP_DEFAULT_RE = re.compile(
     r"(?P<col>\w+)\s+DROP\s+DEFAULT\s*$",
     re.IGNORECASE,
 )
+_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+DROP\s+COLUMNS?\s*"
+    r"\(?\s*(?P<col>\w+)\s*\)?\s*$",
+    re.IGNORECASE,
+)
 _RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+RENAME\s+COLUMN\s+"
     r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
@@ -752,6 +757,13 @@ def execute_native_sql(
             delta_writer.rename_column(spark, p, m["old"], m["new"])
         else:
             iceberg_writer.rename_column(p, m["old"], m["new"])
+        return 0
+    if m := _DROP_COL_RE.match(sql):
+        p = _path(m["table"])
+        if _fmt(p) == "delta":
+            delta_writer.drop_column(spark, p, m["col"])
+        else:
+            iceberg_writer.drop_column(spark, p, m["col"])
         return 0
     if m := _ALTER_TYPE_RE.match(sql):
         p = _path(m["table"])

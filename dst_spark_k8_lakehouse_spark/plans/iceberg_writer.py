@@ -1506,6 +1506,65 @@ def _fill_write_defaults(df: DataFrame, meta: dict) -> DataFrame:
     return df
 
 
+def drop_column(spark: SparkSession, table: str, name: str) -> None:
+    """ALTER TABLE DROP COLUMN — metadata-only, like the rest of
+    Iceberg schema evolution: the field leaves the CURRENT schema,
+    its id is never reused (``last-column-id`` never decrements, the
+    spec's invariant), data files keep the physical column and every
+    read simply stops projecting it. Refused when the column still
+    has METADATA consumers whose semantics would silently break:
+    partition-spec source columns (stored partition records would
+    orphan), sort-order source columns (the declared layout contract
+    would dangle), and live EQUALITY-DELETE files keyed on the field
+    (their applies would stop matching — compact first)."""
+    meta, v = _load_meta(table)
+    by_name = {f["name"]: f for f in meta["schema"]["fields"]}
+    if name not in by_name:
+        raise ValueError(f"no column {name!r} in {sorted(by_name)}")
+    if len(by_name) == 1:
+        raise ValueError("cannot drop the only column")
+    fid = int(by_name[name]["id"])
+    for spec in meta.get("partition-specs") or [
+        {"fields": meta.get("partition-spec") or []}
+    ]:
+        if any(
+            int(pf.get("source-id", -1)) == fid
+            for pf in spec.get("fields", [])
+        ):
+            raise ValueError(
+                f"{name!r} is a partition source column; drop the "
+                "partition field first"
+            )
+    for order in meta.get("sort-orders") or []:
+        if any(
+            int(sf.get("source-id", -1)) == fid
+            for sf in order.get("fields", [])
+        ):
+            raise ValueError(
+                f"{name!r} is a sort-order source column; replace "
+                "the sort order first (WRITE ORDERED BY)"
+            )
+    snap_id = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots") or []
+         if s.get("snapshot-id") == snap_id),
+        None,
+    )
+    if snap is not None:
+        _d, _p, eq_dels = iceberg_reader._snapshot_entries(spark, snap)
+        if any(fid in e["equality_ids"] for e in eq_dels):
+            raise ValueError(
+                f"{name!r} keys live equality-delete files; their "
+                "applies would silently stop matching — compact_mor "
+                "first"
+            )
+    fields = [f for f in meta["schema"]["fields"] if f["name"] != name]
+    _bump_metadata_log(table, meta)
+    _set_schema(meta, fields)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
+
+
 _PROMOTIONS = {"int": ("long",), "float": ("double",)}
 
 

@@ -3045,7 +3045,78 @@ def d53_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ice_df.unionByName(dlt_df)
 
 
-# Per-process fixture cache for the stats-join tracker (the d43
+@query(
+    "d57_drop_column",
+    oracle=f"""
+        WITH base AS (
+            SELECT n_nationkey AS k, n_regionkey AS r FROM nation
+        )
+        SELECT 'delta' AS fmt, r,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(v2) AS BIGINT) AS n_v2
+        FROM (SELECT k, r, NULL::BIGINT AS v2 FROM base)
+        GROUP BY r
+        UNION ALL
+        SELECT 'iceberg' AS fmt, r,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(v2) AS BIGINT) AS n_v2
+        FROM (SELECT k, r, NULL::BIGINT AS v2 FROM base)
+        GROUP BY r
+    """,
+)
+def d57_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN end to end, both formats (r10): nation lands with
+    an extra ``v`` column, DROP COLUMN removes it metadata-only (the
+    parquet bytes stay on disk), and a SAME-NAMED column ``v`` is
+    re-added — the RESURRECTION trap. Delta survives it because
+    post-enablement columns get UUID physical names (column mapping);
+    Iceberg because the re-added field takes a FRESH id and files
+    resolve by embedded field id. ``n_v2`` counts non-null values of
+    the re-added column: any resurrection of the old bytes makes it
+    nonzero and flips the hash. WHY at 100 TB: dropping a column by
+    rewrite costs the whole table; dropping by metadata is free but
+    only CORRECT with a name-indirection layer — this query is that
+    proof."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        delta_writer,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-dropcol-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_regionkey").alias("r"),
+        (F.col("n_nationkey") * 100).alias("v"),
+    ).coalesce(1)
+
+    out = []
+    for fmt in ("delta", "iceberg"):
+        t = os.path.join(base, fmt)
+        if fmt == "delta":
+            delta_writer.create_delta(nat, t)
+            delta_writer.drop_column(spark, t, "v")
+            delta_writer.add_column(spark, t, "v", "long")
+            df = delta_reader.read_delta(spark, t)
+        else:
+            iceberg_writer.create_iceberg(nat, t)
+            iceberg_writer.drop_column(spark, t, "v")
+            iceberg_writer.add_column(t, "v", "long")
+            df = iceberg_reader.read_iceberg(spark, t)
+        out.append(
+            df.groupBy(F.lit(fmt).alias("fmt"), "r").agg(
+                F.count("*").alias("n_rows"),
+                F.count("v").alias("n_v2"),
+            )
+        )
+    return out[0].unionByName(out[1])
 # pattern): bench iterations time the PROFILE + JOIN, not the table
 # build; correctness probes re-running the query on one session get
 # identical results by construction.

@@ -106,19 +106,20 @@ PRIORITY: list[str] = [
     "d55_ict",  # in-commit timestamps: content-resolved time travel
     "d56_partition_stats",  # partition-statistics sidecar from manifests
     "x10_cbo_join",  # capstone: sidecar stats drive the broadcast decision
+    "d57_drop_column",  # metadata-only drop + the resurrection guard
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
     "d16_delta_native_dml",
     "d41_delta_skipping",
     "d27_delta_dv",
-    "d24_delta_source",
     "x4_lakehouse_composite",
     # (the r06-green u1/u2/u3/u4/t6 backfill tail — and then
     # o2_sort_limit/o1_sort/w4_topk_group/w3_running_sum/w2_lag/
     # w1_rank/k2_salted_join/k1_salted_agg as d46-d52+x9 landed;
-    # j8_star_join/j7_asof/j6_range_join and the r09-green
-    # d39_delta_generated/d28_delta_cdf as d53-d56+x10 landed — was
+    # j8_star_join/j7_asof/j6_range_join, the r09-green
+    # d39_delta_generated/d28_delta_cdf and the r06-green+pytested
+    # d24_delta_source as d53-d57+x10 landed — was
     # trimmed to keep the rotation exactly 50 so nothing silently
     # falls past the driver's cap; the trimmed ids front r11)
 ]
