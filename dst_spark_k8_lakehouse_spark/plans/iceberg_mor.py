@@ -43,6 +43,7 @@ AQE while small. All metadata stays driver-side KB-scale Avro.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from typing import Any
 
@@ -412,6 +413,155 @@ def delete_keys_mor(
     return _delete_commit(
         spark, table, meta, v + 1, files, 2, equality_ids, "delete"
     )
+
+
+def rewrite_position_delete_files(
+    spark: SparkSession, table: str, target_files: int = 1
+) -> int:
+    """Real Iceberg's ``rewrite_position_delete_files`` maintenance
+    procedure: consolidate accumulated parquet position-delete files
+    into ``target_files`` sorted files and DROP DANGLING deletes
+    (rows pointing at data files no snapshot plans anymore — every
+    compaction/rewrite strands its old deletes, and they otherwise
+    ride along forever). Unlike ``compact_mor`` this does NOT touch
+    data files — it keeps merge-on-read semantics while bounding the
+    read-side anti-join input between full compactions.
+
+    Correctness shape: position deletes are applied by (file_path,
+    pos) to data files with seq ≤ the delete's seq, so re-committing
+    the union at a NEW (higher) sequence number cannot over-delete —
+    paths are unique and never reused. Only manifests whose live
+    entries are ALL parquet position deletes consolidate (our
+    writers' shape); PUFFIN DV entries, equality deletes and foreign
+    mixed manifests are left untouched. Returns the new snapshot id,
+    or the current one when there is nothing to do."""
+    meta, v = iceberg_writer._load_meta(table)
+    _require_v2(meta, table)
+    cur = meta.get("current-snapshot-id")
+    if not cur or int(cur) == -1:
+        return int(cur or -1)
+    snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+    snap = snaps[int(cur)]
+    data, _pos, _eq = iceberg_reader._snapshot_entries(
+        spark, snap, iceberg_writer._spec_fields(meta)
+    )
+    live_paths = {e["path"] for e in data}
+    # classify each DELETE manifest: consolidatable iff every live
+    # entry is a parquet position delete
+    keep_mlist: list[dict] = []
+    doomed_pos_files: list[str] = []
+    n_doomed_manifests = 0
+    for ml in iceberg_writer._prev_manifests(spark, meta):
+        if int(ml.get("content") or 0) != 1:
+            keep_mlist.append(ml)
+            continue
+        entries = list(
+            iceberg_reader._avro_records(
+                spark,
+                iceberg_reader._strip_uri(str(ml["manifest_path"])),
+            )
+        )
+        live = [
+            e for e in entries if int(str(e.get("status"))) != 2
+        ]
+        pos_parquet = [
+            e for e in live
+            if int(str(iceberg_reader._get(e["data_file"], "content")
+                       or 1)) == 1
+            and str(e["data_file"].get("file_format")).upper()
+            == "PARQUET"
+        ]
+        if live and len(pos_parquet) == len(live):
+            doomed_pos_files += [
+                iceberg_reader._strip_uri(
+                    str(e["data_file"]["file_path"])
+                )
+                for e in pos_parquet
+            ]
+            n_doomed_manifests += 1
+        else:
+            keep_mlist.append(ml)  # eq/DV/mixed/foreign: untouched
+    if not doomed_pos_files:
+        return int(cur)  # no parquet position deletes at all
+    # (a single small file still rewrites: it may carry dangling rows,
+    # and the no-op cost is one tiny job — callers gate on
+    # mor_file_stats when they want stricter scheduling)
+    merged = (
+        spark.read.parquet(*doomed_pos_files)
+        .select("file_path", "pos")
+        .dropDuplicates(["file_path", "pos"])
+    )
+    live_df = spark.createDataFrame(
+        [(p,) for p in sorted(live_paths)], "file_path string"
+    )
+    # dangling deletes (targets no live data file) drop here — the
+    # join is delete-rows × file-count, metadata-sized at any scale
+    merged = merged.join(live_df, "file_path", "left_semi")
+    merged = (
+        merged.repartitionByRange(target_files, "file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+    )
+    files = _write_delete_files(
+        merged, table, {"file_path": _POS_FILE_ID, "pos": _POS_POS_ID}
+    )
+    files = [(p, n, sz) for p, n, sz in files if n]
+    md = iceberg_reader._metadata_dir(table)
+    snap_id = int(time.time() * 1000) * 1000 + (v + 1)
+    seq = iceberg_writer._next_seq(meta)
+    pv = _null_partition(meta)
+    entries_new = [
+        {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 1,
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": pv,
+                "record_count": int(n),
+                "file_size_in_bytes": int(sz),
+                "equality_ids": None,
+            },
+        }
+        for p, n, sz in files
+    ]
+    mlist_entries = keep_mlist
+    if entries_new:
+        mschema = iceberg_writer.manifest_schema(
+            iceberg_writer._partition_avro_fields(meta)
+            if iceberg_writer._spec_fields(meta)
+            else None,
+            fmt=2,
+        )
+        manifest = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
+        iceberg_writer.write_avro(spark, manifest, mschema, entries_new)
+        mlist_entries = keep_mlist + [
+            iceberg_writer._mlist_entry(
+                meta, manifest, snap_id, seq, 1, entries_new
+            )
+        ]
+    mlist = os.path.join(md, f"snap-{snap_id}.avro")
+    iceberg_writer.write_avro(
+        spark, mlist, iceberg_writer.mlist_schema(meta), mlist_entries
+    )
+    iceberg_writer._bump_metadata_log(table, meta)
+    iceberg_writer._register_snapshot(
+        meta,
+        snap_id,
+        mlist,
+        {
+            "operation": "replace",
+            "rewritten-delete-files": str(len(doomed_pos_files)),
+            "added-delete-files": str(len(files)),
+            "added-position-deletes": str(
+                sum(n for _p, n, _sz in files)
+            ),
+        },
+    )
+    iceberg_writer._commit_metadata(table, meta, v + 1)
+    return snap_id
 
 
 def compact_mor(spark: SparkSession, table: str) -> int:

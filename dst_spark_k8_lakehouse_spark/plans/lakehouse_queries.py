@@ -3046,6 +3046,73 @@ def d53_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d58_rewrite_pos_deletes",
+    oracle=f"""
+        SELECT p_brand AS brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               {sum_sql('p_retailprice')} AS retail,
+               TRUE AS consolidated_ok
+        FROM part
+        WHERE p_partkey % 5 <> 0 AND p_size <> 7 AND p_partkey % 11 <> 3
+        GROUP BY brand
+    """,
+)
+def d58_rewrite_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rewrite_position_delete_files`` end to end (r10 — real
+    Iceberg's delete-file maintenance procedure): part lands as a v2
+    table, THREE position-delete commits accumulate three delete
+    files, and the rewrite consolidates them into ONE sorted file —
+    dropping nothing and touching NO data file, so merge-on-read
+    semantics (and the ability to keep streaming deletes) survive
+    while the read-side anti-join input stays bounded.
+    ``consolidated_ok`` folds in that exactly one parquet
+    position-delete file remains and the data file set is unchanged;
+    the group aggregate value-checks the read. WHY at 100 TB: every
+    CDC sync adds delete files; without this procedure the MoR read
+    does an anti-join against an ever-growing pile until the next
+    full compaction — this bounds it at delete-churn cost, not
+    data-rewrite cost."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_mor,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-rpd-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    iceberg_writer.create_iceberg(
+        part.repartition(3), table, format_version=2
+    )
+    iceberg_mor.delete_where_mor(spark, table, "p_partkey % 5 = 0")
+    iceberg_mor.delete_where_mor(spark, table, "p_size = 7")
+    iceberg_mor.delete_where_mor(spark, table, "p_partkey % 11 = 3")
+    before = iceberg_mor.mor_file_stats(spark, table)
+    iceberg_mor.rewrite_position_delete_files(spark, table)
+    after = iceberg_mor.mor_file_stats(spark, table)
+    ok = (
+        before["position_delete_files"] >= 3
+        and after["position_delete_files"] == 1
+        and after["data_files"] == before["data_files"]
+    )
+    return iceberg_reader.read_iceberg(spark, table).groupBy(
+        F.col("p_brand").alias("brand")
+    ).agg(
+        F.count("*").alias("n_parts"),
+        exact_sum("p_retailprice").alias("retail"),
+        F.first(F.lit(ok)).alias("consolidated_ok"),
+    )
+
+
+@query(
     "d57_drop_column",
     oracle=f"""
         WITH base AS (

@@ -107,10 +107,10 @@ PRIORITY: list[str] = [
     "d56_partition_stats",  # partition-statistics sidecar from manifests
     "x10_cbo_join",  # capstone: sidecar stats drive the broadcast decision
     "d57_drop_column",  # metadata-only drop + the resurrection guard
+    "d58_rewrite_pos_deletes",  # consolidate+de-dangle MoR delete files
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
-    "d16_delta_native_dml",
     "d41_delta_skipping",
     "d27_delta_dv",
     "x4_lakehouse_composite",

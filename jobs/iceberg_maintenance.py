@@ -68,6 +68,7 @@ def run_maintenance(
     remove_orphans: bool = False,
     orphan_older_than_ms: int | None = None,
     publish_stats: bool = False,
+    delete_maintenance: str = "compact",
 ) -> dict[str, Any]:
     """compact_mor (when delete files exist) → small-file rewrite
     (when live data files exceed ``target_files``) → expire_snapshots;
@@ -85,7 +86,15 @@ def run_maintenance(
     compacted_snapshot = -1
     if (before.get("position_delete_files", 0)
             + before.get("equality_delete_files", 0)) > 0:
-        compacted_snapshot = iceberg_mor.compact_mor(spark, table)
+        if delete_maintenance == "rewrite":
+            # light touch (real Iceberg's rewrite_position_delete_
+            # files): consolidate + drop dangling parquet position
+            # deletes, keep merge-on-read semantics — no data rewrite
+            compacted_snapshot = iceberg_mor.rewrite_position_delete_files(
+                spark, table
+            )
+        else:
+            compacted_snapshot = iceberg_mor.compact_mor(spark, table)
     rewritten_snapshot = -1
     health_mid = table_health(spark, table)
     if health_mid["data_files"] > target_files:

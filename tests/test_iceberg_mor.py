@@ -204,3 +204,102 @@ def test_delete_file_field_ids(spark, tmp_path):
         for f in sch
     }
     assert ids == {"file_path": 2147483546, "pos": 2147483545}
+
+
+def test_rewrite_position_deletes_consolidates(spark, tmp_path):
+    table = str(tmp_path / "rpd")
+    iw.create_iceberg(
+        _df(spark, 0, 30).coalesce(2), table, format_version=2
+    )
+    mor.delete_where_mor(spark, table, "id < 3")
+    mor.delete_where_mor(spark, table, "id >= 27")
+    mor.delete_where_mor(spark, table, "id = 10")
+    before = mor.mor_file_stats(spark, table)
+    assert before["position_delete_files"] >= 3
+    expected = _ids(spark, table)
+    snap = mor.rewrite_position_delete_files(spark, table)
+    after = mor.mor_file_stats(spark, table)
+    assert after["position_delete_files"] == 1
+    assert after["data_files"] == before["data_files"]  # data untouched
+    assert _ids(spark, table) == expected
+    # the consolidated file is sorted by (file_path, pos) per spec
+    import pyarrow.parquet as pq
+
+    meta, _ = iw._load_meta(table)
+    s = next(
+        x for x in meta["snapshots"] if x["snapshot-id"] == snap
+    )
+    assert s["summary"]["operation"] == "replace"
+    # a later delete + read still behaves
+    mor.delete_where_mor(spark, table, "id = 15")
+    assert _ids(spark, table) == expected - {15}
+
+
+def test_rewrite_drops_dangling_deletes(spark, tmp_path):
+    table = str(tmp_path / "dang")
+    iw.create_iceberg(
+        _df(spark, 0, 10).coalesce(1), table, format_version=2
+    )
+    mor.delete_where_mor(spark, table, "id = 4")
+    # plant a FOREIGN dangling delete file: positions for a data file
+    # no snapshot references (what a partial rewrite leaves behind)
+    meta, v = iw._load_meta(table)
+    ghost = os.path.join(table, "data", "ghost-file.parquet")
+    df = spark.createDataFrame(
+        [(ghost, 0), (ghost, 1)], "file_path string, pos long"
+    ).coalesce(1)
+    files = mor._write_delete_files(
+        df, table, {"file_path": mor._POS_FILE_ID,
+                    "pos": mor._POS_POS_ID}
+    )
+    mor._delete_commit(
+        spark, table, meta, v + 1, files, 1, None, "delete"
+    )
+    expected = _ids(spark, table)
+    mor.rewrite_position_delete_files(spark, table)
+    assert _ids(spark, table) == expected
+    # the consolidated file carries ONLY the live target's rows
+    import pyarrow.parquet as pq
+
+    stats = mor.mor_file_stats(spark, table)
+    assert stats["position_delete_files"] == 1
+    meta2, _ = iw._load_meta(table)
+    cur = meta2["current-snapshot-id"]
+    snaps = {int(s["snapshot-id"]): s for s in meta2["snapshots"]}
+    _d, pos, _e = ir._snapshot_entries(
+        spark, snaps[int(cur)], iw._spec_fields(meta2)
+    )
+    t = pq.read_table(pos[0]["path"])
+    assert t.num_rows == 1  # the ghost rows are gone
+    assert "ghost" not in t.column("file_path")[0].as_py()
+
+
+def test_rewrite_leaves_dv_and_equality_untouched(spark, tmp_path):
+    table = str(tmp_path / "mixed")
+    iw.create_iceberg(
+        _df(spark, 0, 20).coalesce(1), table, format_version=2
+    )
+    mor.delete_where_dv(spark, table, "id = 1")
+    mor.delete_keys_mor(
+        spark, table, spark.createDataFrame([(2,)], "id long")
+    )
+    mor.delete_where_mor(spark, table, "id = 3")
+    mor.delete_where_mor(spark, table, "id = 4")
+    expected = _ids(spark, table)
+    assert expected == set(range(20)) - {1, 2, 3, 4}
+    mor.rewrite_position_delete_files(spark, table)
+    assert _ids(spark, table) == expected
+    stats = mor.mor_file_stats(spark, table)
+    # DV blob entry still applies as a position delete (kept), the
+    # two parquet pos files became one, the equality file is kept
+    assert stats["equality_delete_files"] == 1
+    assert stats["position_delete_files"] == 2  # 1 parquet + 1 DV
+
+
+def test_rewrite_noop_without_parquet_pos_deletes(spark, tmp_path):
+    table = str(tmp_path / "noop")
+    iw.create_iceberg(
+        _df(spark, 0, 6).coalesce(1), table, format_version=2
+    )
+    cur = iw._load_meta(table)[0]["current-snapshot-id"]
+    assert mor.rewrite_position_delete_files(spark, table) == cur
