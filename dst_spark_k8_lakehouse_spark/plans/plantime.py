@@ -358,4 +358,21 @@ def measure(spark) -> dict[str, Any]:
                 "files_total": n_total,
                 "files_kept": len(p[key]),
             }
+            if fmt == "iceberg":
+                # the partition-statistics build (r10 s4) is the same
+                # manifest walk — timing it here proves the
+                # O(manifest-bytes) claim on the same scale curve.
+                # compute only: writing would commit metadata and
+                # dirty the content-keyed table cache
+                from dst_spark_k8_lakehouse_spark.plans import (
+                    iceberg_partition_stats,
+                )
+
+                t_ps, rows = _time_best(
+                    lambda: iceberg_partition_stats
+                    .compute_partition_stats(spark, path),
+                    reps,
+                )
+                out[label][fmt]["pstats_s"] = round(t_ps, 4)
+                out[label][fmt]["pstats_rows"] = len(rows)
     return out

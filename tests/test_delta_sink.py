@@ -59,7 +59,7 @@ def test_racing_duplicate_txn_writers_single_commit(
     orig = dw._commit
     raced = {"done": False}
 
-    def racy(tbl, version, actions):
+    def racy(tbl, version, actions, **kw):
         if not raced["done"]:
             raced["done"] = True
             adds = dw._write_data_files(spark.range(10, 13), tbl)
@@ -70,7 +70,7 @@ def test_racing_duplicate_txn_writers_single_commit(
                 + [{"txn": {"appId": "app", "version": 4}}]
                 + [dw._commit_info("WRITE")],
             )
-        return orig(tbl, version, actions)
+        return orig(tbl, version, actions, **kw)
 
     monkeypatch.setattr(dw, "_commit", racy)
     v = dw.append_delta(spark.range(10, 13), table, txn=("app", 4))
