@@ -1858,6 +1858,7 @@ def compact_delta(
     table: str,
     target_files: int | None = None,
     min_files: int = 2,
+    partition_filter: dict | None = None,
 ) -> int:
     """OPTIMIZE (bin-packing compaction) on a native log: rewrite each
     partition's small files into ``target_files`` (default: sized from
@@ -1865,8 +1866,14 @@ def compact_delta(
     with ``dataChange: false`` per the spec — a pure reorganization
     streams and time travel see through. The natural companion of the
     per-micro-batch streaming sink (many small appends). Partitions
-    with fewer than ``min_files`` files are left alone. Returns the
-    committed version, or -1 if nothing needed compacting."""
+    with fewer than ``min_files`` files are left alone.
+
+    ``partition_filter`` (real Delta's ``OPTIMIZE t WHERE …``, typed
+    identity values or a predicate like ``read_delta``'s) scopes the
+    compaction: only matching partitions rewrite, everything else is
+    untouched — at 100 TB you compact yesterday's partition after its
+    ingest closes, never the whole table. Returns the committed
+    version, or -1 if nothing needed compacting."""
     from dst_spark_k8_lakehouse_spark.plans import delta_rowtracking
 
     state = delta_reader._replay(spark, table, None)
@@ -1876,6 +1883,11 @@ def compact_delta(
     part_cols = delta_reader._partition_cols(meta, schema, phys)
     row_tracked = delta_rowtracking.enabled(state)
     mat_col = delta_rowtracking.materialized_col(meta)
+    if partition_filter is not None and not part_cols:
+        raise ValueError(
+            "partition_filter on an unpartitioned table (OPTIMIZE "
+            "WHERE scopes by partition)"
+        )
     groups: dict[tuple, list[tuple[str, dict]]] = {}
     for rel, a in state["files"].items():
         if a.get("deletionVector") and not row_tracked:
@@ -1888,6 +1900,10 @@ def compact_delta(
                 "plans.delta_dv.materialize_dvs first"
             )
         pv = delta_reader._pv(a, part_cols, phys)
+        if partition_filter is not None and not delta_reader._pv_pass(
+            pv, partition_filter
+        ):
+            continue  # out-of-scope partition: untouched
         groups.setdefault(
             tuple(pv[c] for c in part_cols), []
         ).append((rel, a))

@@ -308,8 +308,9 @@ _CHERRYPICK_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<table>[\w.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+(?P<table>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF"
@@ -601,17 +602,48 @@ def execute_native_sql(
         return 0
     if m := _OPTIMIZE_RE.match(sql):
         p = _path(m["table"])
+        pfilter = None
+        if m["where"] and m["where"].strip():
+            # OPTIMIZE WHERE takes PARTITION equality conjuncts only
+            # (real Delta's restriction): col = literal [AND ...]
+            pfilter = {
+                c: _sql_literal(e)
+                for c, e in _split_assignments(
+                    re.sub(r"\s+AND\s+", ",", m["where"].strip(),
+                           flags=re.IGNORECASE)
+                ).items()
+            }
         if _fmt(p) == "delta":
             if m["cols"]:
+                if pfilter is not None:
+                    raise NotImplementedError(
+                        "OPTIMIZE WHERE + ZORDER BY in one statement "
+                        "is not supported; zorder the whole table or "
+                        "bin-pack the partition"
+                    )
                 cols = [c.strip() for c in m["cols"].split(",")]
                 return delta_writer.zorder_delta(spark, p, cols)
             # real Delta's OPTIMIZE on a CLUSTER BY table is the
             # incremental clustering pass, not bin-packing
             state = delta_reader._replay(spark, p, None)
             if delta_writer.clustering_columns(state):
+                if pfilter is not None:
+                    raise NotImplementedError(
+                        "OPTIMIZE WHERE on a clustered table: liquid "
+                        "clustering owns the whole layout (the pass "
+                        "is already incremental)"
+                    )
                 return delta_writer.cluster_delta(spark, p)
-            v = delta_writer.compact_delta(spark, p, min_files=2)
+            v = delta_writer.compact_delta(
+                spark, p, min_files=2, partition_filter=pfilter
+            )
             return v if v >= 0 else 0
+        if pfilter is not None:
+            raise NotImplementedError(
+                "OPTIMIZE WHERE is the Delta partition-scoped form; "
+                "scope Iceberg rewrites with rewrite_data_files over "
+                "a partition_filter instead"
+            )
         # Iceberg (r8): the rewrite action through the shared
         # clustering kernel. Like the Delta branch (and the
         # maintenance job), an idempotent OPTIMIZE must not cost a

@@ -1039,7 +1039,13 @@ def _register_snapshot(
         snap["sequence-number"] = int(meta.get("last-sequence-number", 0))
     meta.setdefault("snapshots", []).append(snap)
     if branch is not None:
-        meta["refs"][branch] = {"snapshot-id": snap_id, "type": "branch"}
+        # only the HEAD moves — retention fields (max-ref-age-ms,
+        # min-snapshots-to-keep, max-snapshot-age-ms) ride along
+        meta["refs"][branch] = {
+            **meta["refs"][branch],
+            "snapshot-id": snap_id,
+            "type": "branch",
+        }
         meta["last-updated-ms"] = now
         return
     meta.setdefault("snapshot-log", []).append(
@@ -1238,9 +1244,48 @@ def expire_snapshots(
     # carries its whole file set, so the file-GC below keeps those
     # files; intra-branch time travel past the head is given up, same
     # as main's beyond retain_last.
+    by_id = {int(s["snapshot-id"]): s for s in snaps}
+    now_ms = int(time.time() * 1000)
+    refs = dict(meta.get("refs") or {})
+    # per-ref retention (the spec's snapshot-ref fields): a ref whose
+    # max-ref-age-ms elapsed EXPIRES here — written-down policy, not a
+    # remembered chore; surviving branch refs additionally pin
+    # min-snapshots-to-keep / max-snapshot-age-ms of their ANCESTRY so
+    # intra-branch time travel keeps its declared window
+    expired_refs = []
+    for rname, r in refs.items():
+        age_limit = r.get("max-ref-age-ms")
+        head = by_id.get(int(r["snapshot-id"]))
+        head_ts = int((head or {}).get("timestamp-ms") or 0)
+        if (
+            age_limit is not None
+            and head is not None
+            and now_ms - head_ts > int(age_limit)
+        ):
+            expired_refs.append(rname)
+    for rname in expired_refs:
+        del refs[rname]
     pinned: set[int] = set()
-    for r in (meta.get("refs") or {}).values():
-        pinned.add(int(r["snapshot-id"]))
+    for r in refs.values():
+        head_id = int(r["snapshot-id"])
+        pinned.add(head_id)
+        if r.get("type") != "branch":
+            continue
+        keep_n = int(r.get("min-snapshots-to-keep") or 1)
+        age_ms = r.get("max-snapshot-age-ms")
+        for i, anc in enumerate(_ancestry(meta, head_id)):
+            s = by_id.get(anc)
+            if s is None:
+                break
+            young = (
+                age_ms is not None
+                and now_ms - int(s.get("timestamp-ms") or 0)
+                <= int(age_ms)
+            )
+            if i < keep_n or young:
+                pinned.add(anc)
+            elif age_ms is None or not young:
+                break
     tail_ids = {int(s["snapshot-id"]) for s in snaps[-retain_last:]}
     keep = [
         s for s in snaps
@@ -1248,7 +1293,7 @@ def expire_snapshots(
         or int(s["snapshot-id"]) in pinned
     ]
     drop = [s for s in snaps if s not in keep]
-    if not drop:
+    if not drop and not expired_refs:
         return []
 
     def _refs(snapshot: dict) -> tuple[set[str], set[str]]:
@@ -1281,6 +1326,7 @@ def expire_snapshots(
     kept_ids = {int(s["snapshot-id"]) for s in keep}
     _bump_metadata_log(table, meta)
     meta["snapshots"] = keep
+    meta["refs"] = refs  # minus any max-ref-age-ms expirations
     meta["snapshot-log"] = [
         e for e in meta.get("snapshot-log") or []
         if int(e["snapshot-id"]) in kept_ids
@@ -1716,12 +1762,23 @@ def drop_partition_field(table: str, name: str) -> None:
 
 
 def create_tag(table: str, name: str, snapshot_id: int | None = None,
-               ref_type: str = "tag") -> None:
+               ref_type: str = "tag",
+               max_ref_age_ms: int | None = None,
+               min_snapshots_to_keep: int | None = None,
+               max_snapshot_age_ms: int | None = None) -> None:
     """Record a named ref — TAG (immutable label) or BRANCH pointer —
     in the metadata's ``refs`` map (the spec's snapshot-ref structure;
     what real Iceberg's ``ALTER TABLE ... CREATE TAG/BRANCH`` writes).
     Defaults to the current snapshot. One metadata-only commit;
-    readers travel to it via ``read_iceberg(ref=...)``."""
+    readers travel to it via ``read_iceberg(ref=...)``.
+
+    Retention (the spec's per-ref fields, consumed by
+    ``expire_snapshots``): ``max_ref_age_ms`` expires the REF itself
+    once its snapshot is older than this (tags and branches — how a
+    "keep the EOM tag for 13 months" policy is written down instead
+    of remembered); branch-only ``min_snapshots_to_keep`` /
+    ``max_snapshot_age_ms`` pin that much of the branch's ANCESTRY
+    beyond the head, enabling intra-branch time travel windows."""
     if ref_type not in ("tag", "branch"):
         raise ValueError(f"ref_type {ref_type!r}: 'tag' or 'branch'")
     if name == "main":
@@ -1742,7 +1799,20 @@ def create_tag(table: str, name: str, snapshot_id: int | None = None,
     if name in refs and refs[name].get("type") == "tag":
         raise ValueError(f"tag {name!r} already exists (tags are "
                          "immutable; drop_ref first)")
-    refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+    ref: dict[str, Any] = {"snapshot-id": snapshot_id, "type": ref_type}
+    if max_ref_age_ms is not None:
+        ref["max-ref-age-ms"] = int(max_ref_age_ms)
+    if ref_type == "branch":
+        if min_snapshots_to_keep is not None:
+            ref["min-snapshots-to-keep"] = int(min_snapshots_to_keep)
+        if max_snapshot_age_ms is not None:
+            ref["max-snapshot-age-ms"] = int(max_snapshot_age_ms)
+    elif min_snapshots_to_keep is not None or max_snapshot_age_ms is not None:
+        raise ValueError(
+            "min_snapshots_to_keep / max_snapshot_age_ms are branch "
+            "retention fields; tags are a single pinned snapshot"
+        )
+    refs[name] = ref
     meta["refs"] = refs
     _bump_metadata_log(table, meta)
     meta["last-updated-ms"] = int(time.time() * 1000)
@@ -1750,13 +1820,20 @@ def create_tag(table: str, name: str, snapshot_id: int | None = None,
 
 
 def create_branch(table: str, name: str,
-                  snapshot_id: int | None = None) -> None:
+                  snapshot_id: int | None = None,
+                  max_ref_age_ms: int | None = None,
+                  min_snapshots_to_keep: int | None = None,
+                  max_snapshot_age_ms: int | None = None) -> None:
     """``ALTER TABLE ... CREATE BRANCH`` — a mutable ref starting at
     ``snapshot_id`` (default: current). The staging half of
     write-audit-publish: ``append_iceberg(branch=name)`` advances it,
     ``read_iceberg(ref=name)`` audits it, ``fast_forward`` publishes
-    it, ``drop_ref`` cleans it up."""
-    create_tag(table, name, snapshot_id, ref_type="branch")
+    it, ``drop_ref`` cleans it up. Retention kwargs per
+    ``create_tag``."""
+    create_tag(table, name, snapshot_id, ref_type="branch",
+               max_ref_age_ms=max_ref_age_ms,
+               min_snapshots_to_keep=min_snapshots_to_keep,
+               max_snapshot_age_ms=max_snapshot_age_ms)
 
 
 def _ancestry(meta: dict, snap_id: int) -> list[int]:
@@ -1815,7 +1892,9 @@ def fast_forward(table: str, branch: str, to: str) -> int:
         for sid in published:
             log.append({"timestamp-ms": now, "snapshot-id": sid})
     else:
-        refs[branch] = {"snapshot-id": target, "type": "branch"}
+        refs[branch] = {
+            **refs[branch], "snapshot-id": target, "type": "branch",
+        }
         meta["refs"] = refs
     meta["last-updated-ms"] = now
     _commit_metadata(table, meta, v + 1)

@@ -177,3 +177,41 @@ def test_statement_faces(spark, tmp_path):
     dml.execute_native_sql(spark, "ALTER TABLE i DROP COLUMN v", tables)
     assert dr.read_delta(spark, d).columns == ["k", "s"]
     assert ir.read_iceberg(spark, i).columns == ["k", "s"]
+
+
+def test_optimize_where_scopes_compaction(spark, tmp_path):
+    """OPTIMIZE t WHERE part = x (r10): only the named partition's
+    files rewrite; every other partition's file set is untouched."""
+    table = str(tmp_path / "ow")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("part")
+    ).repartition(4)
+    dw.create_delta(df, table, partition_by=["part"])
+    before = {
+        rel: a for rel, a in dr._replay(spark, table, None)["files"].items()
+    }
+    part1_before = {r for r in before if "part=1" in r}
+    v = dml.execute_native_sql(
+        spark, "OPTIMIZE t WHERE part = 0", {"t": table}
+    )
+    assert v >= 0
+    after = dr._replay(spark, table, None)["files"]
+    part1_after = {r for r in after if "part=1" in r}
+    part0_after = {r for r in after if "part=0" in r}
+    assert part1_after == part1_before          # untouched
+    assert len(part0_after) == 1                # compacted
+    rows = {r.k for r in dr.read_delta(spark, table).collect()}
+    assert rows == set(range(40))
+    # unpartitioned tables refuse the WHERE form
+    u = str(tmp_path / "owu")
+    dw.create_delta(spark.range(4).select(F.col("id").alias("k")), u)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        dml.execute_native_sql(
+            spark, "OPTIMIZE u WHERE k = 1", {"u": u}
+        )
+    # WHERE + ZORDER refuses loudly
+    with pytest.raises(NotImplementedError, match="ZORDER"):
+        dml.execute_native_sql(
+            spark, "OPTIMIZE t WHERE part = 0 ZORDER BY (k)",
+            {"t": table},
+        )

@@ -396,3 +396,63 @@ def test_rollback_refuses_staged_target(spark, tmp_path):
         iw.rollback_iceberg(spark, t, staged)
     iw.rollback_iceberg(spark, t, s0)  # a true ancestor still works
     assert _ids(spark, t) == set(range(10))
+
+
+def test_ref_retention_max_ref_age_expires_ref(spark, tmp_path):
+    t = str(tmp_path / "age")
+    iw.create_iceberg(_rows(spark, 0, 20), t)
+    # a tag already 'too old' (max-ref-age-ms=1: any elapsed time
+    # exceeds it) and one with a generous window
+    iw.create_tag(t, "stale", max_ref_age_ms=1)
+    iw.create_tag(t, "fresh", max_ref_age_ms=10**12)
+    import time as _t
+
+    _t.sleep(0.01)
+    iw.append_iceberg(_rows(spark, 20, 30), t)
+    iw.expire_snapshots(spark, t, retain_last=1)
+    meta, _ = iw._load_meta(t)
+    assert "stale" not in meta["refs"]  # written-down policy applied
+    assert "fresh" in meta["refs"]
+    assert _ids(spark, t, ref="fresh") == set(range(20))
+
+
+def test_ref_retention_refs_only_expiry_commits(spark, tmp_path):
+    # a ref expires even when NO snapshot drops (its head is current)
+    t = str(tmp_path / "only")
+    iw.create_iceberg(_rows(spark, 0, 10), t)
+    iw.create_tag(t, "stale", max_ref_age_ms=1)
+    import time as _t
+
+    _t.sleep(0.01)
+    iw.expire_snapshots(spark, t, retain_last=5)
+    meta, _ = iw._load_meta(t)
+    assert "stale" not in meta["refs"]
+    assert len(meta["snapshots"]) == 1  # nothing else changed
+
+
+def test_branch_min_snapshots_to_keep_pins_ancestry(spark, tmp_path):
+    t = str(tmp_path / "anc")
+    iw.create_iceberg(_rows(spark, 0, 10), t)
+    iw.create_branch(t, "b", min_snapshots_to_keep=3)
+    s1 = iw.append_iceberg(_rows(spark, 10, 20), t, branch="b")
+    s2 = iw.append_iceberg(_rows(spark, 20, 30), t, branch="b")
+    s3 = iw.append_iceberg(_rows(spark, 30, 40), t, branch="b")
+    meta0, _ = iw._load_meta(t)
+    create_snap = min(int(s["snapshot-id"]) for s in meta0["snapshots"])
+    iw.append_iceberg(_rows(spark, 100, 110), t)  # main moves too
+    iw.expire_snapshots(spark, t, retain_last=1)
+    meta, _ = iw._load_meta(t)
+    kept = {int(s["snapshot-id"]) for s in meta["snapshots"]}
+    # min-snapshots-to-keep=3 pins the head + 2 ancestors: s1/s2/s3
+    # survive, the branch's base (the create snapshot) expires
+    assert {s1, s2, s3} <= kept
+    assert create_snap not in kept
+    # branch time travel inside the window still works
+    assert _ids(spark, t, snapshot_id=s2) == set(range(30))
+
+
+def test_tag_refuses_branch_retention_fields(spark, tmp_path):
+    t = str(tmp_path / "tr")
+    iw.create_iceberg(_rows(spark, 0, 5), t)
+    with pytest.raises(ValueError, match="branch retention"):
+        iw.create_tag(t, "x", min_snapshots_to_keep=2)
