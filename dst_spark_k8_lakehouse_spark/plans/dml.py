@@ -370,6 +370,11 @@ _SET_CDF_RE = re.compile(
     r"\s*\)\s*$",
     re.IGNORECASE,
 )
+_SET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((?P<body>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ANALYZE_RE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+(?P<table>[\w.]+)\s+COMPUTE\s+STATISTICS"
     r"(?:\s+FOR\s+COLUMNS\s+(?P<cols>[\w,\s]+?))?\s*$",
@@ -868,6 +873,25 @@ def execute_native_sql(
                 "Iceberg snapshot timestamps are already in-commit"
             )
         return delta_writer.enable_in_commit_timestamps(spark, p)
+    if m := _SET_PROPS_RE.match(sql):
+        # generic properties (the CDF/ICT spellings matched above and
+        # took their protocol-upgrading paths)
+        p = _path(m["table"])
+        props: dict[str, str] = {}
+        for pair in _split_commas(m["body"]):
+            k, eq, v = pair.partition("=")
+            if not eq:
+                raise ValueError(
+                    f"unparseable TBLPROPERTIES pair {pair.strip()!r}"
+                )
+            v = v.strip()
+            if len(v) >= 2 and v[0] == v[-1] in "'\"":
+                v = v[1:-1].replace("''", "'")
+            props[k.strip().strip("'\"")] = v
+        if _fmt(p) == "delta":
+            return delta_writer.set_table_properties(spark, p, props)
+        iceberg_writer.set_properties(p, props)
+        return 0
     if m := _UPDATE_RE.match(sql):
         p = _path(m["table"])
         set_clause, where = _split_top_keyword(m["rest"], "WHERE")

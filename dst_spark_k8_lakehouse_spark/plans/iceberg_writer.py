@@ -2492,6 +2492,21 @@ def remove_orphan_files(
     return doomed
 
 
+def set_properties(table: str, props: dict[str, str]) -> None:
+    """``ALTER TABLE t SET TBLPROPERTIES (…)`` (Iceberg side) — merge
+    into the metadata ``properties`` map, one metadata-only commit.
+    The spec's behavior knobs (``write.metadata.previous-versions-max``
+    and friends) live here; maintenance reads them per run."""
+    meta, v = _load_meta(table)
+    meta["properties"] = {
+        **(meta.get("properties") or {}),
+        **{str(k): str(v2) for k, v2 in props.items()},
+    }
+    _bump_metadata_log(table, meta)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table, meta, v + 1)
+
+
 def expire_metadata_versions(
     table: str, keep_last: int = 10, dry_run: bool = False
 ) -> list[str]:

@@ -1,0 +1,93 @@
+"""Generic table properties + AUTO-CHECKPOINTING: SET TBLPROPERTIES
+on both formats, guarded feature-property refusals, and
+``delta.checkpointInterval`` writing checkpoints as commits land —
+bounded log replay without an operator remembering maintenance.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dst_spark_k8_lakehouse_spark.plans import delta_reader as dr
+from dst_spark_k8_lakehouse_spark.plans import delta_writer as dw
+from dst_spark_k8_lakehouse_spark.plans import dml
+from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as iw
+
+
+def _mk(spark, tmp_path, name="t"):
+    table = str(tmp_path / name)
+    dw.create_delta(
+        spark.range(3).select(F.col("id").alias("k")).coalesce(1),
+        table,
+    )
+    return table
+
+
+def test_set_table_properties_delta(spark, tmp_path):
+    table = _mk(spark, tmp_path)
+    dml.execute_native_sql(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES ("
+        "'owner' = 'data-eng', delta.checkpointInterval = '4')",
+        {"t": table},
+    )
+    conf = dr._replay(spark, table, None)["metaData"]["configuration"]
+    assert conf["owner"] == "data-eng"
+    assert conf["delta.checkpointInterval"] == "4"
+    # guarded feature properties refuse the generic route
+    with pytest.raises(ValueError, match="protocol work"):
+        dw.set_table_properties(
+            spark, table, {"delta.enableChangeDataFeed": "true"}
+        )
+
+
+def test_set_properties_iceberg(spark, tmp_path):
+    table = str(tmp_path / "i")
+    iw.create_iceberg(
+        spark.range(3).select(F.col("id").alias("k")).coalesce(1),
+        table,
+    )
+    dml.execute_native_sql(
+        spark,
+        "ALTER TABLE i SET TBLPROPERTIES ("
+        "'write.metadata.previous-versions-max' = '7')",
+        {"i": table},
+    )
+    meta, _ = iw._load_meta(table)
+    assert meta["properties"][
+        "write.metadata.previous-versions-max"
+    ] == "7"
+
+
+def test_auto_checkpoint_interval(spark, tmp_path):
+    table = _mk(spark, tmp_path)  # v0
+    dw.set_table_properties(
+        spark, table, {dw.CHECKPOINT_INTERVAL_CONF: "2"}
+    )  # v1
+    assert dr._checkpoint(table) is None
+    dw.append_delta(
+        spark.createDataFrame([(10,)], "k long"), table
+    )  # v2 -> auto checkpoint
+    cp = dr._checkpoint(table)
+    assert cp is not None and cp[0] == 2
+    dw.append_delta(
+        spark.createDataFrame([(11,)], "k long"), table
+    )  # v3: no new checkpoint
+    assert dr._checkpoint(table)[0] == 2
+    from dst_spark_k8_lakehouse_spark.plans import delta_dml
+
+    delta_dml.delete_delta(spark, table, "k = 0")  # v4 -> checkpoint
+    assert dr._checkpoint(table)[0] == 4
+    # state reads fine from the auto checkpoint
+    rows = {r.k for r in dr.read_delta(spark, table).collect()}
+    assert rows == {1, 2, 10, 11}
+
+
+def test_auto_checkpoint_off_by_default(spark, tmp_path):
+    table = _mk(spark, tmp_path)
+    for i in range(3):
+        dw.append_delta(
+            spark.createDataFrame([(100 + i,)], "k long"), table
+        )
+    assert dr._checkpoint(table) is None
