@@ -1163,7 +1163,9 @@ def add_column(
                 table,
                 version,
                 [{"metaData": meta}, _commit_info("ADD COLUMNS")],
+                pre_state=state,
             )
+            _maybe_auto_checkpoint(spark, table, version, meta)
             return version
         except FileExistsError:
             continue
@@ -1214,7 +1216,8 @@ def rename_column(
         actions += [{"metaData": meta}, _commit_info("RENAME COLUMN")]
         version = int(state.get("version", -1)) + 1  # see add_column
         try:
-            _commit(table, version, actions)
+            _commit(table, version, actions, pre_state=state)
+            _maybe_auto_checkpoint(spark, table, version, meta)
             return version
         except FileExistsError:
             continue
@@ -1313,6 +1316,7 @@ def drop_column(spark: SparkSession, table: str, name: str) -> int:
         version = int(state.get("version", -1)) + 1  # see add_column
         try:
             _commit(table, version, actions, pre_state=state)
+            _maybe_auto_checkpoint(spark, table, version, meta)
             return version
         except FileExistsError:
             continue
@@ -2621,6 +2625,7 @@ def enable_in_commit_timestamps(
         ]
         try:
             _commit(table, version, actions, pre_state=state)
+            _maybe_auto_checkpoint(spark, table, version, new_meta)
             return version
         except FileExistsError:
             continue

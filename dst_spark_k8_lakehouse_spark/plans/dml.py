@@ -958,32 +958,155 @@ def execute_native_sql(
     raise ValueError(f"not a supported statement: {sql.strip()[:80]!r}")
 
 
-def query_native_sql(
-    spark, sql: str, tables: dict[str, str]
-) -> DataFrame:
-    """The read half of the notebook statement surface:
-    ``SELECT * FROM <table> [WHERE <cond>]`` against a NATIVE Delta or
-    Iceberg directory (the shape ``getting_started.py:163-168`` and
-    ``02_iceberg_demo.ipynb`` run after their INSERTs). The WHERE text
-    travels verbatim to Spark; anything beyond this shape raises —
-    real analytical SQL belongs on DataFrames / spark.sql over
-    registered views, not on this replay shim."""
+_DESCRIBE_DETAIL_RE = re.compile(
+    rf"^\s*DESCRIBE\s+DETAIL\s+(?P<table>{_NAME})\s*$", re.IGNORECASE
+)
+_DESCRIBE_HISTORY_RE = re.compile(
+    rf"^\s*DESCRIBE\s+HISTORY\s+(?P<table>{_NAME})\s*$", re.IGNORECASE
+)
+_SHOW_PROPS_RE = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<table>{_NAME})\s*$",
+    re.IGNORECASE,
+)
+
+
+def _describe_detail(spark, path: str) -> DataFrame:
+    """One row of table facts from METADATA (Delta: crc/replay;
+    Iceberg: snapshot summary / manifest walk) — never a data scan."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        cbo,
+        delta_reader,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    prof = cbo.table_profile(spark, path)
+    if prof["format"] == "delta":
+        state = delta_reader._replay(spark, path, None)
+        meta = state["metaData"]
+        row = (
+            "delta", meta.get("id"), path,
+            len(state["files"]), int(prof["bytes"]),
+            list(meta.get("partitionColumns") or []),
+            dict(meta.get("configuration") or {}),
+        )
+    else:
+        meta, _v = iceberg_writer._load_meta(path)
+        n_files = len(
+            iceberg_reader.plan_file_list(spark, path)["data"]
+        )
+        row = (
+            "iceberg", str(meta.get("table-uuid", "")), path,
+            n_files, int(prof["bytes"]),
+            [
+                f["name"]
+                for f in iceberg_writer._spec_fields(meta)
+            ],
+            dict(meta.get("properties") or {}),
+        )
+    return spark.createDataFrame(
+        [row],
+        "format string, id string, location string, numFiles long, "
+        "sizeInBytes long, partitionColumns array<string>, "
+        "properties map<string,string>",
+    )
+
+
+def _describe_history(spark, path: str) -> DataFrame:
+    """Version/snapshot history, newest first, from the log alone.
+    Delta rows carry the ICT when present (the timestamp that
+    survives storage migrations); Iceberg rows are the snapshot
+    list."""
     from dst_spark_k8_lakehouse_spark.plans import (
         delta_reader,
         iceberg_reader,
     )
 
+    rows = []
+    if delta_reader.is_delta_table(path):
+        for v, f in sorted(
+            delta_reader._commit_files(path), reverse=True
+        ):
+            op, ts = None, None
+            with open(f) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    d = json.loads(line)
+                    if "commitInfo" in d:
+                        ci = d["commitInfo"]
+                        op = ci.get("operation")
+                        ts = ci.get(
+                            "inCommitTimestamp", ci.get("timestamp")
+                        )
+            rows.append((int(v), op, int(ts) if ts else None))
+    else:
+        for s in iceberg_reader.iceberg_snapshots(path):
+            rows.append(
+                (
+                    int(s["snapshot_id"]),
+                    s.get("operation"),
+                    int(s["timestamp_ms"])
+                    if s.get("timestamp_ms") else None,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "version long, operation string, timestamp_ms long"
+    )
+
+
+def query_native_sql(
+    spark, sql: str, tables: dict[str, str]
+) -> DataFrame:
+    """The read half of the notebook statement surface against a
+    NATIVE Delta or Iceberg directory: ``SELECT * FROM t
+    [WHERE <cond>]`` (the shape ``getting_started.py:163-168`` and
+    ``02_iceberg_demo.ipynb`` run after their INSERTs — WHERE text
+    travels verbatim to Spark), plus the observability statements
+    ``DESCRIBE DETAIL t`` (one metadata-derived fact row),
+    ``DESCRIBE HISTORY t`` (versions/snapshots, ICT-aware) and
+    ``SHOW TBLPROPERTIES t``. Anything beyond these shapes raises —
+    real analytical SQL belongs on DataFrames / spark.sql over
+    registered views, not on this replay shim."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        iceberg_reader,
+        iceberg_writer,
+    )
+
     s = sql.strip().rstrip(";").strip()
+
+    def _path_of(name: str) -> str:
+        if name not in tables:
+            raise ValueError(
+                f"unknown table {name!r}; have {sorted(tables)}"
+            )
+        return tables[name]
+
+    if m := _DESCRIBE_DETAIL_RE.match(s):
+        return _describe_detail(spark, _path_of(m["table"]))
+    if m := _DESCRIBE_HISTORY_RE.match(s):
+        return _describe_history(spark, _path_of(m["table"]))
+    if m := _SHOW_PROPS_RE.match(s):
+        p = _path_of(m["table"])
+        if delta_reader.is_delta_table(p):
+            conf = delta_reader._replay(spark, p, None)["metaData"].get(
+                "configuration"
+            ) or {}
+        else:
+            conf = iceberg_writer._load_meta(p)[0].get("properties") or {}
+        return spark.createDataFrame(
+            sorted(conf.items()), "key string, value string"
+        )
     m = _SELECT_RE.match(s)
     if not m:
         raise ValueError(
-            f"query_native_sql handles SELECT * FROM t [WHERE ...]; "
+            f"query_native_sql handles SELECT * FROM t [WHERE ...], "
+            f"DESCRIBE DETAIL/HISTORY and SHOW TBLPROPERTIES; "
             f"got {s[:80]!r}"
         )
-    name = m["table"]
-    if name not in tables:
-        raise ValueError(f"unknown table {name!r}; have {sorted(tables)}")
-    p = tables[name]
+    p = _path_of(m["table"])
     df = (
         delta_reader.read_delta(spark, p)
         if delta_reader.is_delta_table(p)

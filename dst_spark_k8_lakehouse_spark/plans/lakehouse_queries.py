@@ -3046,6 +3046,115 @@ def d53_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x11_contract_lifecycle",
+    oracle=f"""
+        WITH b1 AS (SELECT count(*) AS n1, {sum_sql('c_acctbal')}
+                        AS bal FROM customer WHERE c_custkey % 2 = 0),
+             b2 AS (SELECT count(*) AS n2, {sum_sql('c_acctbal')}
+                        AS bal FROM customer WHERE c_custkey % 2 = 1)
+        SELECT CAST(NULL AS VARCHAR) AS src,
+               CAST(n1 AS BIGINT) AS n_rows,
+               CAST(1 AS BIGINT) AS min_rid,
+               CAST(n1 AS BIGINT) AS max_rid,
+               b1.bal AS total_bal,
+               TRUE AS ict_ok, TRUE AS cp_ok, TRUE AS ids_ok
+        FROM b1, b2
+        UNION ALL
+        SELECT 'ingest', CAST(n2 AS BIGINT),
+               CAST(n1 + 1 AS BIGINT), CAST(n1 + n2 AS BIGINT),
+               b2.bal, TRUE, TRUE, TRUE
+        FROM b1, b2
+    """,
+)
+def x11_contract_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE for the session's WRITER-CONTRACT features, composed
+    on one table (r10 s4): customer's even keys land in a Delta table
+    with a GENERATED ALWAYS identity column; the table then gains
+    `delta.checkpointInterval=3` (auto-checkpointing), in-commit
+    timestamps, a `src` column with DEFAULT 'ingest', and a scratch
+    column that is DROPPED again (enabling column mapping — the
+    resurrection guard is live from here). The odd keys append
+    OMITTING both writer-filled columns: identity ids continue the
+    lattice past the watermark, `src` fills physically. Then every
+    log mtime is rewritten and the query time-travels TIMESTAMP AS OF
+    the pre-append ICT to prove the boundary — and checks the auto
+    checkpoint appeared at version 3k with the table reading through
+    it. One hash pins: per-batch row counts and DENSE id ranges
+    (single-partition writes), default-fill attribution via the src
+    groups (pre-default rows stay NULL — Delta's write-side
+    contract), balances, ICT-resolved travel, and checkpoint
+    placement. Each feature is oracle-checked alone in d53-d55; this
+    proves they COMPOSE."""
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-contract-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    even = cust.where("c_custkey % 2 = 0").coalesce(1)
+    odd = cust.where("c_custkey % 2 = 1").coalesce(1)
+    delta_writer.create_delta(
+        even, table,
+        identity={"rid": {"start": 1, "step": 1, "always": True}},
+    )                                                            # v0
+    delta_writer.set_table_properties(
+        spark, table, {delta_writer.CHECKPOINT_INTERVAL_CONF: "3"}
+    )                                                            # v1
+    delta_writer.enable_in_commit_timestamps(spark, table)       # v2
+    delta_writer.add_column(spark, table, "src", "string")       # v3
+    delta_writer.set_column_default(spark, table, "src", "'ingest'")
+    delta_writer.add_column(spark, table, "scratch", "int")      # v5
+    delta_writer.drop_column(spark, table, "scratch")            # v6
+    pre_append = _json.loads(
+        open(os.path.join(
+            table, "_delta_log", f"{6:020d}.json"
+        )).readline()
+    )["commitInfo"]["inCommitTimestamp"]
+    delta_writer.append_delta(odd, table)                        # v7
+    # storage-migration simulation before the travel read
+    now = _time.time()
+    log = os.path.join(table, "_delta_log")
+    for name in os.listdir(log):
+        if name.endswith(".json"):
+            os.utime(os.path.join(log, name), (now, now))
+    n_even = even.count()
+    ict_ok = (
+        delta_reader.read_delta(
+            spark, table, timestamp=pre_append
+        ).count() == n_even
+    )
+    cp = delta_reader._checkpoint(table)
+    cp_ok = cp is not None and cp[0] in (3, 6)
+    df = delta_reader.read_delta(spark, table)
+    ids_ok = bool(
+        df.agg(
+            (F.countDistinct("rid") == F.count("*")).alias("u")
+        ).head().u
+    )
+    return df.groupBy("src").agg(
+        F.count("*").alias("n_rows"),
+        F.min("rid").alias("min_rid"),
+        F.max("rid").alias("max_rid"),
+        exact_sum("c_acctbal").alias("total_bal"),
+        F.first(F.lit(ict_ok)).alias("ict_ok"),
+        F.first(F.lit(cp_ok)).alias("cp_ok"),
+        F.first(F.lit(ids_ok)).alias("ids_ok"),
+    )
+
+
+@query(
     "d58_rewrite_pos_deletes",
     oracle=f"""
         SELECT p_brand AS brand,

@@ -108,10 +108,10 @@ PRIORITY: list[str] = [
     "x10_cbo_join",  # capstone: sidecar stats drive the broadcast decision
     "d57_drop_column",  # metadata-only drop + the resurrection guard
     "d58_rewrite_pos_deletes",  # consolidate+de-dangle MoR delete files
+    "x11_contract_lifecycle",  # capstone: the writer-contract features compose
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
-    "d41_delta_skipping",
     "d27_delta_dv",
     "x4_lakehouse_composite",
     # (the r06-green u1/u2/u3/u4/t6 backfill tail — and then

@@ -91,3 +91,72 @@ def test_auto_checkpoint_off_by_default(spark, tmp_path):
             spark.createDataFrame([(100 + i,)], "k long"), table
         )
     assert dr._checkpoint(table) is None
+
+
+def test_describe_and_show_faces(spark, tmp_path):
+    d = _mk(spark, tmp_path, name="dd")
+    dw.set_table_properties(spark, d, {"owner": "data-eng"})
+    dw.append_delta(
+        spark.createDataFrame([(9,)], "k long").coalesce(1), d
+    )
+    i = str(tmp_path / "di")
+    iw.create_iceberg(
+        spark.range(4).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("grp")
+        ).coalesce(1),
+        i,
+        partition_by=["grp"],
+    )
+    iw.set_properties(i, {"commit.retry.num-retries": "3"})
+    tables = {"d": d, "i": i}
+
+    det = dml.query_native_sql(spark, "DESCRIBE DETAIL d", tables).head()
+    assert det.format == "delta" and det.numFiles == 2
+    assert det.properties["owner"] == "data-eng"
+    det_i = dml.query_native_sql(
+        spark, "DESCRIBE DETAIL i", tables
+    ).head()
+    assert det_i.format == "iceberg"
+    assert det_i.partitionColumns == ["grp"]
+
+    hist = dml.query_native_sql(
+        spark, "DESCRIBE HISTORY d", tables
+    ).collect()
+    assert [r.version for r in hist] == [2, 1, 0]
+    assert hist[0].operation == "WRITE"
+    hist_i = dml.query_native_sql(
+        spark, "DESCRIBE HISTORY i", tables
+    ).collect()
+    assert len(hist_i) == 1 and hist_i[0].operation == "append"
+
+    props = {
+        r.key: r.value
+        for r in dml.query_native_sql(
+            spark, "SHOW TBLPROPERTIES i", tables
+        ).collect()
+    }
+    assert props == {"commit.retry.num-retries": "3"}
+
+
+def test_describe_history_prefers_ict(spark, tmp_path):
+    import os
+    import time as _t
+
+    d = _mk(spark, tmp_path, name="hict")
+    dw.enable_in_commit_timestamps(spark, d)
+    dw.append_delta(spark.createDataFrame([(5,)], "k long"), d)
+    hist = dml.query_native_sql(
+        spark, "DESCRIBE HISTORY d", {"d": d}
+    ).collect()
+    ict_v2 = next(r.timestamp_ms for r in hist if r.version == 2)
+    # rewrite mtimes: the history's v2 stamp must not move (ICT)
+    now = _t.time()
+    log = os.path.join(d, "_delta_log")
+    for f in os.listdir(log):
+        os.utime(os.path.join(log, f), (now, now))
+    hist2 = dml.query_native_sql(
+        spark, "DESCRIBE HISTORY d", {"d": d}
+    ).collect()
+    assert next(
+        r.timestamp_ms for r in hist2 if r.version == 2
+    ) == ict_v2
