@@ -463,3 +463,66 @@ def test_two_process_same_branch_append_race(spark, tmp_path):
     assert branch_ids == want  # exactly once, nothing lost or doubled
     iceberg_writer.fast_forward(table, "main", "stage")
     assert iceberg_reader.read_iceberg(spark, table).count() == len(want)
+
+
+_IDENTITY_CHILD = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+table, writer_id, go, ready = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+open(ready, "w").write("1")
+while not os.path.exists(go):
+    time.sleep(0.02)
+from dst_spark_k8_lakehouse_spark.plans import delta_writer
+for b in range({n_batches}):
+    df = spark.range({rows}).select(
+        (F.lit(writer_id) * 1000000 + F.lit(b) * 1000 + F.col("id"))
+        .alias("k")
+    ).coalesce(1)
+    delta_writer.append_delta(df, table)
+print("DONE", writer_id)
+"""
+
+
+def test_two_process_identity_append_race(spark, tmp_path):
+    """The riskiest new path of r10 s4: two writers generating
+    IDENTITY values concurrently. A raced watermark must regenerate
+    ids and rewrite files (re-execute-on-conflict), so across both
+    writers every id is UNIQUE and on the lattice, and the final
+    watermark equals the max id — overlap would mean the loser kept
+    stale ids."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_identity,
+        delta_reader,
+        delta_writer,
+    )
+
+    table = str(tmp_path / "t")
+    delta_writer.create_delta(
+        spark.range(0).select(F.col("id").alias("k")),
+        table,
+        identity={"rid": {"start": 100, "step": 3, "always": True}},
+    )
+    script = _IDENTITY_CHILD.format(
+        repo=REPO, n_batches=N_BATCHES, rows=ROWS
+    )
+    _race(script, [[table, "1"], [table, "2"]], tmp_path)
+    got = delta_reader.read_delta(spark, table)
+    rows = got.select("k", "rid").collect()
+    n = 2 * N_BATCHES * ROWS
+    assert len(rows) == n
+    ids = [r.rid for r in rows]
+    assert len(set(ids)) == n  # globally unique across both writers
+    assert all((i - 100) % 3 == 0 for i in ids)  # on the lattice
+    state = delta_reader._replay(spark, table, None)
+    hwm = delta_identity.identity_specs(state["metaData"])["rid"]["hwm"]
+    assert hwm == max(ids)  # watermark tracked every allocation
