@@ -1032,11 +1032,14 @@ def append_delta(
         df_in, id_specs = delta_identity.check_and_assign(
             df, state["metaData"]
         )
-        if adds is not None and id_specs != used_specs:
+        generated_ids = any(c not in df.columns for c in id_specs)
+        if adds is not None and generated_ids and id_specs != used_specs:
             # a racing commit moved an identity watermark: the ids
             # baked into the written files may collide — re-generate
             # and re-write (the spec's re-execute-on-conflict policy;
-            # the first attempt's files are unreferenced orphans)
+            # the first attempt's files are unreferenced orphans).
+            # Explicit-values-only writes skip this: their values came
+            # from the caller, not the watermark
             adds = None
         aligned, meta_action, part_cols, phys = _reconcile_schema(
             df_in, state["metaData"], merge_schema
@@ -2101,7 +2104,8 @@ def overwrite_delta(df: DataFrame, table: str) -> int:
         df_in, id_specs = delta_identity.check_and_assign(
             df, state["metaData"]
         )
-        if adds is not None and id_specs != used_specs:
+        generated_ids = any(c not in df.columns for c in id_specs)
+        if adds is not None and generated_ids and id_specs != used_specs:
             adds = None  # raced watermark: re-generate ids (see append)
         aligned, meta_action, part_cols, phys = _reconcile_schema(
             df_in, state["metaData"], merge_schema=False
