@@ -298,6 +298,20 @@ def _replay(
                         _apply_action(state, {key: d[key]})
         start = cp_v + 1
         state["version"] = cp_v
+    if commits and commits[0][0] > start:
+        # the log was CLEANED below the earliest retained commit
+        # (delta.logRetentionDuration) and this replay needs files
+        # from the cleaned region — raise instead of silently
+        # reconstructing a partial state
+        raise ValueError(
+            f"Delta log at {path} starts at version {commits[0][0]} "
+            f"(older commits cleaned per retention); "
+            + (
+                f"version {version} is no longer reconstructable"
+                if version is not None
+                else "no checkpoint covers the cleaned region"
+            )
+        )
     seen_any = start > 0
     # lazy tail: buffer consecutive add lines ACROSS commit files and
     # parse them as ONE Arrow batch — pyarrow.json has a ~2 ms fixed

@@ -1566,6 +1566,15 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
     with open(tmp, "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
     os.replace(tmp, os.path.join(log, "_last_checkpoint"))
+    try:
+        # metadata cleanup rides the checkpoint (real Delta's shape):
+        # the new checkpoint is the replay baseline, so commits below
+        # it past the retention window can go
+        clean_expired_log(
+            table, conf=state["metaData"].get("configuration") or {}
+        )
+    except Exception:
+        pass  # cleanup is never allowed to fail a checkpoint
     return version
 
 
@@ -2540,6 +2549,98 @@ def set_table_properties(
 
 
 CHECKPOINT_INTERVAL_CONF = "delta.checkpointInterval"
+LOG_RETENTION_CONF = "delta.logRetentionDuration"
+
+
+def _parse_duration_ms(s: str) -> int | None:
+    """``interval N days|hours|minutes`` (real Delta's spelling) or a
+    plain millisecond count; None for unparseable — cleanup then
+    declines rather than guessing a retention."""
+    import re as _re
+
+    s = str(s).strip().lower()
+    if s.isdigit():
+        return int(s)
+    m = _re.match(
+        r"interval\s+(\d+)\s+(day|days|hour|hours|minute|minutes)$", s
+    )
+    if not m:
+        return None
+    n = int(m.group(1))
+    unit = m.group(2)
+    if unit.startswith("day"):
+        return n * 24 * 3600 * 1000
+    if unit.startswith("hour"):
+        return n * 3600 * 1000
+    return n * 60 * 1000
+
+
+def clean_expired_log(
+    table: str,
+    conf: dict[str, Any] | None = None,
+    now_ms: int | None = None,
+) -> list[str]:
+    """METADATA CLEANUP (real Delta's ``delta.logRetentionDuration``):
+    delete commit JSONs (and their ``.crc`` sidecars) that are BOTH
+    below the current checkpoint version AND older than the retention
+    window — the log then stops growing one file per commit forever,
+    while everything a replay can need stays: the checkpoint is the
+    baseline for current reads, and time travel inside the retention
+    window keeps its files. Travel BELOW the cleaned boundary raises
+    the documented reconstruction error (``delta_reader._replay``)
+    instead of silently partial state — the same trade real Delta
+    makes. ENGAGES ONLY when the table sets the property (stated
+    deviation: real Delta defaults to 30 days; an engine-side default
+    would surprise tests and operators that expect full history).
+    Returns the deleted paths."""
+    if conf is None:
+        # one line of metadata: the latest metaData's configuration
+        # comes from a replay the CALLER usually already has; loading
+        # here keeps the function usable standalone
+        import json as _json
+
+        conf = {}
+        for _v, f in delta_reader._commit_files(table):
+            with open(f) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line and '"metaData"' in line:
+                        d = _json.loads(line)
+                        if "metaData" in d:
+                            conf = d["metaData"].get(
+                                "configuration"
+                            ) or {}
+    retention = _parse_duration_ms(
+        (conf or {}).get(LOG_RETENTION_CONF, "")
+    )
+    if retention is None:
+        return []
+    cp = delta_reader._checkpoint(table)
+    if cp is None:
+        return []  # the checkpoint IS the replay baseline; never
+        # clean without one
+    cutoff = (
+        now_ms if now_ms is not None else int(time.time() * 1000)
+    ) - retention
+    doomed: list[str] = []
+    for v, f in delta_reader._commit_files(table):
+        if v >= cp[0]:
+            continue
+        try:
+            if int(os.path.getmtime(f) * 1000) >= cutoff:
+                continue
+        except OSError:
+            continue
+        doomed.append(f)
+        crc = crc_path(table, v)
+        if os.path.exists(crc):
+            doomed.append(crc)
+    for p in doomed:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+    return doomed
 
 
 def _maybe_auto_checkpoint(

@@ -160,3 +160,56 @@ def test_describe_history_prefers_ict(spark, tmp_path):
     assert next(
         r.timestamp_ms for r in hist2 if r.version == 2
     ) == ict_v2
+
+
+def test_log_retention_cleanup(spark, tmp_path):
+    """delta.logRetentionDuration: commits below the checkpoint and
+    past the window are deleted (with their crc sidecars); reads and
+    in-window travel stay exact; travel below the boundary raises the
+    reconstruction error instead of silently partial state."""
+    import os
+    import time as _t
+
+    table = _mk(spark, tmp_path, name="lr")                  # v0
+    dw.set_table_properties(
+        spark, table, {dw.LOG_RETENTION_CONF: "interval 1 days"}
+    )                                                        # v1
+    for i in range(3):                                       # v2-v4
+        dw.append_delta(
+            spark.createDataFrame([(10 + i,)], "k long").coalesce(1),
+            table,
+        )
+    dw.write_checkpoint(spark, table)                        # cp @ v4
+    # nothing cleaned yet: everything is younger than 1 day
+    assert [v for v, _ in dr._commit_files(table)] == list(range(5))
+    # age v0-v2 artificially past the window, keep v3+ fresh
+    old = _t.time() - 2 * 24 * 3600
+    log = os.path.join(table, "_delta_log")
+    for v in (0, 1, 2):
+        os.utime(os.path.join(log, f"{v:020d}.json"), (old, old))
+    removed = dw.clean_expired_log(table)
+    assert {os.path.basename(p) for p in removed if p.endswith(".json")} \
+        == {f"{v:020d}.json" for v in (0, 1, 2)}
+    assert [v for v, _ in dr._commit_files(table)] == [3, 4]
+    # current reads replay from the checkpoint, exact
+    assert {r.k for r in dr.read_delta(spark, table).collect()} \
+        == {0, 1, 2, 10, 11, 12}
+    # travel into the cleaned region raises loudly
+    with pytest.raises(ValueError, match="no longer reconstructable"):
+        dr.read_delta(spark, table, version=1)
+    # in-window travel (>= checkpoint) still works
+    assert len(dr.read_delta(spark, table, version=4).collect()) == 6
+
+
+def test_log_cleanup_declines_without_checkpoint_or_prop(spark, tmp_path):
+    table = _mk(spark, tmp_path, name="lr2")
+    # no property -> no cleanup even with a checkpoint
+    dw.write_checkpoint(spark, table)
+    assert dw.clean_expired_log(table) == []
+    # property but no checkpoint -> decline (the checkpoint is the
+    # replay baseline)
+    t2 = _mk(spark, tmp_path, name="lr3")
+    dw.set_table_properties(
+        spark, t2, {dw.LOG_RETENTION_CONF: "0"}
+    )
+    assert dw.clean_expired_log(t2) == []
