@@ -3046,6 +3046,161 @@ def d53_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d59_ref_retention",
+    oracle="""
+        WITH r AS (SELECT r_regionkey, r_name FROM region)
+        SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows,
+               TRUE AS stale_ref_gone,
+               TRUE AS ancestry_pinned,
+               TRUE AS fresh_tag_reads
+        FROM (SELECT 1)
+    """,
+)
+def d59_ref_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PER-REF RETENTION end to end (r10 — the spec's
+    snapshot-ref fields): region lands with a branch declaring
+    ``min_snapshots_to_keep=2``, a tag with an already-elapsed
+    ``max_ref_age_ms`` and a tag with a generous one; three branch
+    appends and one ``expire_snapshots(retain_last=1)`` later the
+    hash pins that (a) the stale tag is GONE — a written-down policy
+    applied, not a remembered chore, (b) the branch's head AND its
+    nearest ancestor survive (declared intra-branch time-travel
+    window; older branch history expired), (c) the fresh tag still
+    reads its full snapshot. WHY at 100 TB: snapshot retention is
+    the only thing between time travel and unbounded storage, and
+    per-ref policies are how EOM tags outlive the global window
+    without pinning everything."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        iceberg_reader,
+        iceberg_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-refret-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    ).coalesce(1)
+    iceberg_writer.create_iceberg(reg, table)
+    n_rows = reg.count()
+    iceberg_writer.create_tag(table, "stale", max_ref_age_ms=1)
+    iceberg_writer.create_tag(table, "eom", max_ref_age_ms=10**12)
+    iceberg_writer.create_branch(
+        table, "b", min_snapshots_to_keep=2
+    )
+    extra = spark.createDataFrame(
+        [(100, "x"), (101, "y"), (102, "z")],
+        "r_regionkey long, r_name string",
+    ).coalesce(1)
+    s_ids = []
+    for i in range(3):
+        s_ids.append(
+            iceberg_writer.append_iceberg(
+                extra.where(f"r_regionkey = {100 + i}"), table,
+                branch="b",
+            )
+        )
+    iceberg_writer.expire_snapshots(spark, table, retain_last=1)
+    meta, _ = iceberg_writer._load_meta(table)
+    kept = {int(s["snapshot-id"]) for s in meta.get("snapshots") or []}
+    refs = meta.get("refs") or {}
+    stale_gone = "stale" not in refs and "eom" in refs
+    # head + 1 ancestor pinned (min=2); the oldest branch append gone
+    pinned_ok = (
+        s_ids[2] in kept and s_ids[1] in kept and s_ids[0] not in kept
+    )
+    fresh_reads = (
+        iceberg_reader.read_iceberg(spark, table, ref="eom").count()
+        == n_rows
+    )
+    return spark.createDataFrame(
+        [(n_rows, stale_gone, pinned_ok, fresh_reads)],
+        "n_rows long, stale_ref_gone boolean, "
+        "ancestry_pinned boolean, fresh_tag_reads boolean",
+    )
+
+
+@query(
+    "d60_log_retention",
+    oracle=f"""
+        SELECT n_nationkey % 3 AS grp,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               TRUE AS cleaned_ok,
+               TRUE AS travel_refuses
+        FROM nation
+        GROUP BY grp
+    """,
+)
+def d60_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta LOG RETENTION end to end (r10 —
+    ``delta.logRetentionDuration`` metadata cleanup): nation lands
+    over several commits, a checkpoint is written, the early commit
+    JSONs are aged past the window and CLEANED — then the query reads
+    the table through the checkpoint baseline and value-checks it
+    against the full relational state, proving the cleanup removed
+    only REDUNDANT history. ``cleaned_ok`` pins that files actually
+    went; ``travel_refuses`` pins that travel below the cleaned
+    boundary raises the reconstruction error instead of silently
+    partial state. WHY at 100 TB: one JSON per commit forever is the
+    planning-side leak nothing else bounds — cleanup is what makes
+    the checkpoint a BASELINE rather than an optimization."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        delta_writer,
+    )
+
+    base = tempfile.mkdtemp(prefix="dst-logret-q-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    delta_writer.create_delta(
+        nat.where("n_nationkey % 3 = 0").coalesce(1), table
+    )                                                       # v0
+    delta_writer.set_table_properties(
+        spark, table,
+        {delta_writer.LOG_RETENTION_CONF: "interval 1 days"},
+    )                                                       # v1
+    for r in (1, 2):                                        # v2, v3
+        delta_writer.append_delta(
+            nat.where(f"n_nationkey % 3 = {r}").coalesce(1), table
+        )
+    delta_writer.write_checkpoint(spark, table)             # cp @ v3
+    log = os.path.join(table, "_delta_log")
+    old = _time.time() - 2 * 24 * 3600
+    for v in (0, 1):
+        os.utime(os.path.join(log, f"{v:020d}.json"), (old, old))
+    removed = delta_writer.clean_expired_log(table)
+    cleaned_ok = {
+        os.path.basename(p) for p in removed if p.endswith(".json")
+    } == {f"{v:020d}.json" for v in (0, 1)}
+    try:
+        delta_reader.read_delta(spark, table, version=0).collect()
+        travel_refuses = False
+    except ValueError:
+        travel_refuses = True
+    return delta_reader.read_delta(spark, table).groupBy(
+        (F.col("n_nationkey") % 3).alias("grp")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+        F.first(F.lit(cleaned_ok)).alias("cleaned_ok"),
+        F.first(F.lit(travel_refuses)).alias("travel_refuses"),
+    )
+
+
+@query(
     "x11_contract_lifecycle",
     oracle=f"""
         WITH b1 AS (SELECT count(*) AS n1, {sum_sql('c_acctbal')}

@@ -109,11 +109,11 @@ PRIORITY: list[str] = [
     "d57_drop_column",  # metadata-only drop + the resurrection guard
     "d58_rewrite_pos_deletes",  # consolidate+de-dangle MoR delete files
     "x11_contract_lifecycle",  # capstone: the writer-contract features compose
+    "d59_ref_retention",  # written-down per-ref expiry + ancestry windows
+    "d60_log_retention",  # metadata cleanup: checkpoint as baseline
     # (c) implementation changed this round: the Delta columnar planner
     # gained a no-predicate short-circuit and the physical/logical
     # partitionValues coalesce fix — re-check every native-Delta id.
-    "d27_delta_dv",
-    "x4_lakehouse_composite",
     # (the r06-green u1/u2/u3/u4/t6 backfill tail — and then
     # o2_sort_limit/o1_sort/w4_topk_group/w3_running_sum/w2_lag/
     # w1_rank/k2_salted_join/k1_salted_agg as d46-d52+x9 landed;
