@@ -238,13 +238,20 @@ def revenue_by_nation(
         .join(F.broadcast(region.select("r_regionkey", "r_name")),
               F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    # The aggregate's cardinality is bounded by |nation|×|region|
+    # (~125 rows at ANY scale factor), so the global sort runs as a
+    # single-partition sortWithinPartitions: coalesce(1) narrows the
+    # final-agg stage to one task reading all partial outputs — no
+    # third exchange, and no rangepartitioning SAMPLING job (orderBy
+    # on a distributed frame schedules one just to pick range bounds).
     return (
         joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             revenue("l_extendedprice", "l_discount").alias("revenue"),
             F.count("*").alias("n_items"),
         )
-        .orderBy(F.desc("revenue"))
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("revenue"))
     )
 
 

@@ -188,6 +188,107 @@ def advise_join(
     }
 
 
+def estimate_join_rows(
+    left: dict[str, Any],
+    right: dict[str, Any],
+    on: list[str],
+) -> dict[str, Any]:
+    """Textbook equi-join output-cardinality estimate from the
+    profiles' NDV sketches:
+
+        |A ⋈ B| ≈ |A| · |B| / Π_k max(ndv_A(k), ndv_B(k))
+
+    — the System-R / Selinger containment-of-values assumption every
+    reference-stack CBO uses (each key independently; the larger NDV
+    is the join domain). A key with NO sketch on either side falls
+    back to ``max(|A|, |B|)`` as that key's domain — the conservative
+    FK-join assumption (estimate = min(|A|, |B|) for a single such
+    key), which can under- or over-estimate but never produces the
+    pathological |A|·|B| a missing denominator would. Returns
+    ``{rows, per_key_domain, assumed}`` so ``order_joins`` can
+    narrate which estimates rest on sketches vs assumptions."""
+    lr, rr = left.get("rows") or 0, right.get("rows") or 0
+    est = float(lr) * float(rr)
+    per_key: dict[str, float] = {}
+    assumed: list[str] = []
+    for k in on:
+        dl = (left.get("ndv") or {}).get(k)
+        dr = (right.get("ndv") or {}).get(k)
+        if dl or dr:
+            domain = max(dl or 0.0, dr or 0.0, 1.0)
+        else:
+            domain = float(max(lr, rr, 1))
+            assumed.append(k)
+        per_key[k] = domain
+        est /= domain
+    return {"rows": est, "per_key_domain": per_key, "assumed": assumed}
+
+
+def order_joins(
+    fact: tuple[str, dict[str, Any]],
+    dims: list[tuple[str, dict[str, Any], list[str]]],
+    broadcast_bytes: int = DEFAULT_BROADCAST_BYTES,
+) -> dict[str, Any]:
+    """Greedy smallest-intermediate-first ordering of a star/snowflake
+    join: starting from the fact profile, repeatedly pick the
+    unjoined dimension whose join yields the smallest estimated
+    output, then carry that estimate forward as the new intermediate
+    (bytes scaled by the same selectivity, NDV merged — a joined-in
+    key's domain becomes min of the sides, the containment rule).
+
+    ``dims`` is ``[(name, profile, join_keys_on_current)]``. Returns
+    ``{order: [name, ...], steps: [{dim, est_rows, advice}, ...],
+    reasons}`` — each step also carries the two-way ``advise_join``
+    so the executor can land broadcast hints per step. WHY at 100 TB:
+    joining the most selective dimension first can shrink the
+    intermediate by orders of magnitude before the expensive joins
+    run; reference-stack CBOs make exactly this greedy/DP decision
+    from ANALYZE stats, and this engine's Puffin/crc sidecars carry
+    enough to make it without a scan."""
+    cur_name, cur = fact
+    cur = dict(cur)
+    remaining = list(dims)
+    order: list[str] = []
+    steps: list[dict[str, Any]] = []
+    reasons: list[str] = [
+        f"start: {cur_name} ({cur.get('rows')} rows)"
+    ]
+    while remaining:
+        scored = []
+        for name, prof, keys in remaining:
+            e = estimate_join_rows(cur, prof, keys)
+            scored.append((e["rows"], name, prof, keys, e))
+        scored.sort(key=lambda t: (t[0], t[1]))  # name tiebreak: stable
+        est_rows, name, prof, keys, e = scored[0]
+        advice = advise_join(cur, prof, keys, broadcast_bytes)
+        reasons.append(
+            f"join {name} next: est {est_rows:.0f} rows"
+            + (f" (domain assumed on {e['assumed']})" if e["assumed"]
+               else "")
+            + f"; alternatives {[(n, round(r)) for r, n, *_ in scored[1:]]}"
+        )
+        order.append(name)
+        steps.append({"dim": name, "est_rows": est_rows, "advice": advice})
+        # fold the dim into the running intermediate profile
+        prev_rows = max(float(cur.get("rows") or 1), 1.0)
+        sel = est_rows / max(prev_rows, 1.0)
+        ndv = dict(cur.get("ndv") or {})
+        for k, v in (prof.get("ndv") or {}).items():
+            ndv[k] = min(ndv[k], v) if k in ndv else v
+        cur = {
+            "format": "intermediate",
+            "rows": est_rows,
+            # output bytes ~ input bytes scaled by row selectivity plus
+            # the dim's payload share — a planning heuristic, only used
+            # to rank later broadcast decisions
+            "bytes": int(max(cur.get("bytes") or 0, 1) * max(sel, 1e-9))
+            + (prof.get("bytes") or 0),
+            "ndv": ndv,
+        }
+        remaining = [d for d in remaining if d[0] != name]
+    return {"order": order, "steps": steps, "reasons": reasons}
+
+
 def join_with_stats(
     left_df: DataFrame,
     right_df: DataFrame,

@@ -3766,3 +3766,152 @@ def d54_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("rid") > hwm1).cast("long")).alias("n_batch2"),
         exact_sum("c_acctbal").alias("total_bal"),
     )
+
+
+# ------------------------------------------------------- x12 (r11)
+
+_CBO_MULTIWAY_FIXTURES: dict[str, tuple[str, str, str]] = {}
+
+
+def _cbo_multiway_fixture(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Three native Iceberg tables with published Puffin NDV stats:
+    the fact (lineitem, join keys renamed to the dim spellings so the
+    sketches line up by name) and two dims of very different join
+    selectivity — supplier whole, part filtered to p_size <= 10."""
+    if sf_dir not in _CBO_MULTIWAY_FIXTURES:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        from dst_spark_k8_lakehouse_spark.plans import iceberg_writer
+
+        base = tempfile.mkdtemp(prefix="dst-cbo-mw-")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        fact = os.path.join(base, "fact")
+        supp = os.path.join(base, "supp")
+        parts = os.path.join(base, "part_small")
+        iceberg_writer.create_iceberg(
+            load_table(spark, sf_dir, "lineitem").select(
+                F.col("l_partkey").alias("p_partkey"),
+                F.col("l_suppkey").alias("s_suppkey"),
+                "l_extendedprice",
+                "l_discount",
+            ).repartition(4),
+            fact,
+        )
+        iceberg_writer.create_iceberg(
+            load_table(spark, sf_dir, "supplier").select(
+                "s_suppkey", "s_nationkey"
+            ).coalesce(1),
+            supp,
+        )
+        iceberg_writer.create_iceberg(
+            load_table(spark, sf_dir, "part").where("p_size <= 10")
+            .select("p_partkey", "p_brand").coalesce(1),
+            parts,
+        )
+        for t in (fact, supp, parts):
+            iceberg_writer.write_table_statistics(spark, t, k=4096)
+        _CBO_MULTIWAY_FIXTURES[sf_dir] = (fact, supp, parts)
+    return _CBO_MULTIWAY_FIXTURES[sf_dir]
+
+
+@query(
+    "x12_cbo_multiway",
+    oracle=f"""
+        SELECT s.s_nationkey AS nation,
+               p.p_brand AS brand,
+               CAST(count(*) AS BIGINT) AS n_items,
+               {sum_sql('l.l_extendedprice')} AS revenue,
+               TRUE AS selective_dim_first,
+               TRUE AS both_dims_broadcast
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 10
+        GROUP BY nation, brand
+    """,
+)
+def x12_cbo_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE (r11): CBO output-cardinality estimates order a
+    MULTI-WAY join (``plans/cbo.estimate_join_rows`` /
+    ``order_joins``) — the System-R |A⋈B| ≈ |A|·|B|/max(ndv(key))
+    containment estimate, computed from the Puffin NDV sketches +
+    snapshot-summary totals this engine already publishes (D58/D65),
+    with no scan. The fixture makes the decision non-trivial: the
+    filtered part dim joins ~5× selectively (its p_partkey NDV covers
+    a fifth of the fact's), supplier joins 1:1 — the greedy
+    smallest-intermediate-first order must put part_small FIRST, so
+    the supplier join runs over a fifth of the rows. Per-step
+    ``advise_join`` lands broadcast hints with Spark's own size-based
+    broadcasting DISABLED; ``selective_dim_first`` folds the chosen
+    order (and the estimate monotonicity) into the oracle hash,
+    ``both_dims_broadcast`` folds the executed plan's two
+    BroadcastHashJoins — the same plan-property-in-the-hash contract
+    as x10. WHY at 100 TB: join ORDER is the second join decision a
+    CBO makes after strategy; joining the most selective dim first
+    shrinks every later shuffle/broadcast probe, and the sidecar
+    stats make the choice free."""
+    from dst_spark_k8_lakehouse_spark.plans import cbo, iceberg_reader
+
+    fact, supp, parts = _cbo_multiway_fixture(spark, sf_dir)
+    profiles = {
+        t: cbo.table_profile(spark, t) for t in (fact, supp, parts)
+    }
+    plan = cbo.order_joins(
+        ("fact", profiles[fact]),
+        [
+            ("supplier", profiles[supp], ["s_suppkey"]),
+            ("part_small", profiles[parts], ["p_partkey"]),
+        ],
+    )
+    steps = {s["dim"]: s for s in plan["steps"]}
+    est_first = steps[plan["order"][0]]["est_rows"]
+    # the road not taken: what supplier-first would have cost — the
+    # greedy choice is only meaningful if this is strictly larger
+    est_alt = cbo.estimate_join_rows(
+        profiles[fact], profiles[supp], ["s_suppkey"]
+    )["rows"]
+    ordered_dims = {
+        "supplier": iceberg_reader.read_iceberg(spark, supp),
+        "part_small": iceberg_reader.read_iceberg(spark, parts),
+    }
+    keys = {"supplier": ["s_suppkey"], "part_small": ["p_partkey"]}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = iceberg_reader.read_iceberg(spark, fact)
+        for dim in plan["order"]:
+            dim_df = ordered_dims[dim]
+            if steps[dim]["advice"]["broadcast_side"] == "right":
+                dim_df = F.broadcast(dim_df)
+            joined = joined.join(dim_df, keys[dim])
+        executed = (
+            joined._jdf.queryExecution().executedPlan().toString()
+        )
+        ok_order = (
+            plan["order"] == ["part_small", "supplier"]
+            and est_first < profiles[fact]["rows"] * 0.5
+            and est_first < est_alt
+        )
+        ok_bcast = (
+            executed.count("BroadcastHashJoin") == 2
+            and all(
+                s["advice"]["strategy"] == "broadcast"
+                for s in plan["steps"]
+            )
+        )
+        return joined.groupBy(
+            F.col("s_nationkey").alias("nation"),
+            F.col("p_brand").alias("brand"),
+        ).agg(
+            F.count("*").alias("n_items"),
+            exact_sum("l_extendedprice").alias("revenue"),
+            F.first(F.lit(bool(ok_order))).alias("selective_dim_first"),
+            F.first(F.lit(bool(ok_bcast))).alias("both_dims_broadcast"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

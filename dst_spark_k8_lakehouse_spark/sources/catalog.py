@@ -92,17 +92,27 @@ def cache_tables(spark: SparkSession, sf_dir: str) -> None:
     par = spark.sparkContext.defaultParallelism
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
-        # ~20k narrow rows per partition: enough fan-out to engage the
-        # cores on the big fact tables without paying 32-task scheduling
-        # on every tiny stage (measured: full fan-out on the small
-        # tables REGRESSES the bench ~50%). Embeddings override to full
-        # fan-out — 64-dim HOF dot products are compute-bound, so rows/
-        # partition is the wrong unit for them. Tiny dims stay single-
-        # partition; they broadcast anyway.
+        # Partition-count policy is per-WORKLOAD-CLASS, not one
+        # rows-per-partition constant:
+        # * compute-bound tables (documents → tokenization/hashing,
+        #   events → JSON parse/windowing, embeddings → vector math)
+        #   keep ~20k rows/partition (embeddings full fan-out) — their
+        #   queries spend CPU per row, so cores are the unit.
+        # * relational tables (lineitem/orders/…) take ~60k
+        #   rows/partition: their queries are scan+broadcast-join+agg
+        #   bound, where per-task scheduling is the marginal cost —
+        #   3× fewer tasks per join stage measured 10-30% off the
+        #   star-join family (j8/x1/x2, consistent sign across four
+        #   interleaved A/B runs) with no reproducible regression
+        #   elsewhere. (Full 32-way fan-out on small tables regresses
+        #   the bench ~50% — measured r2.) Tiny dims stay
+        #   single-partition; they broadcast anyway.
         if name == "embeddings":
             n = par
-        else:
+        elif name in ("documents", "events"):
             n = max(1, min(par, df.count() // 20_000))
+        else:
+            n = max(1, min(par, df.count() // 60_000))
         cached = (df.repartition(n) if n > 1 else df.coalesce(1)).cache()
         cached.count()  # pin before queries run
         _TABLE_CACHE[(sf_dir, name)] = cached

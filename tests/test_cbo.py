@@ -195,3 +195,57 @@ def test_totals_absent_after_dml_falls_back(spark, tmp_path):
     # the COW DML snapshot carries no totals -> the walk supplies
     # exact numbers instead of a stale chain
     assert prof["rows"] == 7
+
+
+# ------------------------------------------- r11: cardinality + ordering
+
+
+def test_estimate_join_rows_containment():
+    # |A jn B| = |A|*|B| / max(ndv) per key, keys independent
+    a = {"rows": 60000, "bytes": 1, "ndv": {"k": 2000.0, "j": 10.0}}
+    b = {"rows": 400, "bytes": 1, "ndv": {"k": 400.0}}
+    e = cbo.estimate_join_rows(a, b, ["k"])
+    assert e["rows"] == 60000 * 400 / 2000.0
+    assert e["assumed"] == []
+    # multi-key: domains multiply
+    b2 = {"rows": 400, "bytes": 1, "ndv": {"k": 400.0, "j": 4.0}}
+    e2 = cbo.estimate_join_rows(a, b2, ["k", "j"])
+    assert e2["rows"] == 60000 * 400 / (2000.0 * 10.0)
+
+
+def test_estimate_join_rows_missing_ndv_fk_fallback():
+    a = {"rows": 50000, "bytes": 1, "ndv": {}}
+    b = {"rows": 100, "bytes": 1, "ndv": {}}
+    e = cbo.estimate_join_rows(a, b, ["k"])
+    # domain falls back to max(|A|,|B|): estimate = min side, never
+    # the |A|*|B| explosion a missing denominator would produce
+    assert e["rows"] == 100
+    assert e["assumed"] == ["k"]
+
+
+def test_order_joins_puts_selective_dim_first():
+    fact = {"rows": 100000, "bytes": 10 << 20,
+            "ndv": {"pk": 2000.0, "sk": 100.0}}
+    supp = {"rows": 100, "bytes": 1000, "ndv": {"sk": 100.0}}
+    part = {"rows": 400, "bytes": 4000, "ndv": {"pk": 400.0}}
+    plan = cbo.order_joins(
+        ("fact", fact),
+        [("supplier", supp, ["sk"]), ("part", part, ["pk"])],
+    )
+    assert plan["order"] == ["part", "supplier"]
+    by_dim = {s["dim"]: s for s in plan["steps"]}
+    assert by_dim["part"]["est_rows"] == 100000 * 400 / 2000.0
+    # the intermediate carries forward: supplier joins the SHRUNK side
+    assert by_dim["supplier"]["est_rows"] == by_dim["part"]["est_rows"]
+    # per-step advice is full advise_join output (broadcast both dims)
+    assert all(s["advice"]["strategy"] == "broadcast"
+               for s in plan["steps"])
+
+
+def test_order_joins_deterministic_tiebreak():
+    fact = {"rows": 1000, "bytes": 1 << 20, "ndv": {}}
+    d1 = {"rows": 10, "bytes": 100, "ndv": {}}
+    d2 = {"rows": 10, "bytes": 100, "ndv": {}}
+    p1 = cbo.order_joins(("f", fact), [("b", d1, ["x"]), ("a", d2, ["y"])])
+    p2 = cbo.order_joins(("f", fact), [("a", d2, ["y"]), ("b", d1, ["x"])])
+    assert p1["order"] == p2["order"] == ["a", "b"]  # name tiebreak

@@ -110,6 +110,49 @@ def test_kmv_nulls_dont_count(spark):
     assert puffin.kmv_estimate(sk) == 5.0  # 0,2,4,6,8
 
 
+def test_single_pass_equals_per_column(spark):
+    # byte-identical sketches, mixed types, an all-NULL column, a
+    # full sketch (distinct > K) and a partial one, multi-partition
+    df = spark.range(30000).select(
+        (F.col("id") % 9973).alias("a"),
+        (F.col("id") % 41).cast("string").alias("b"),
+        F.lit(None).cast("double").alias("c"),
+        F.date_from_unix_date((F.col("id") % 3).cast("int")).alias("d"),
+    ).repartition(7)
+    fast = puffin.compute_column_sketches(df, ["a", "b", "c", "d"], k=256)
+    slow = puffin.compute_column_sketches_per_column(
+        df, ["a", "b", "c", "d"], k=256
+    )
+    assert fast == slow
+    assert puffin.kmv_estimate(fast["c"]) == 0.0
+
+
+def test_single_pass_is_one_job(spark):
+    # the whole point of the r11 rewrite: ANALYZE of a wide table
+    # must not serialize on one Spark job per column. Count jobs via
+    # a job group; AQE off so stage materialization doesn't split the
+    # action into per-stage jobs and the count is deterministic.
+    df = spark.range(20000).select(
+        *[(F.col("id") % (100 + i)).alias(f"c{i}") for i in range(12)]
+    ).repartition(5)
+    sc = spark.sparkContext
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sc.setJobGroup("ndv-single-pass", "ndv build", False)
+        sketches = puffin.compute_column_sketches(
+            df, [f"c{i}" for i in range(12)], k=128
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup("ndv-single-pass")
+    finally:
+        sc.setJobGroup("", "", False)
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert len(jobs) == 1, f"expected 1 job for 12 columns, got {len(jobs)}"
+    assert len(sketches) == 12
+    for i in range(12):
+        assert puffin.kmv_estimate(sketches[f"c{i}"]) == 100.0 + i
+
+
 # ----------------------------------------------------------- integration
 
 
