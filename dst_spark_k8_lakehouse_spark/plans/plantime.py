@@ -47,6 +47,20 @@ _BASE_DAY = datetime.date(2024, 1, 1)
 SCALES = [("1k", 1_000, 10), ("10k", 10_000, 50),
           ("100k", 100_000, 200)]
 
+# The 100 TB point itself (~1M files): measured ONCE per machine when
+# SPARK_GRAFT_PLANTIME_1M=1 (VERDICT r10 item 4 — the central scale
+# claim should rest on a measurement, not an extrapolated curve), not
+# in the per-round bench (build ~minutes, full plans ~tens of
+# seconds). Results recorded in SCALING.md's 1M row.
+SCALE_1M = ("1m", 1_000_000, 500)
+
+
+def active_scales() -> list[tuple[str, int, int]]:
+    scales = list(SCALES)
+    if os.environ.get("SPARK_GRAFT_PLANTIME_1M"):
+        scales.append(SCALE_1M)
+    return scales
+
 # bump when a builder's metadata layout changes: cached tables whose
 # marker carries an older version are rebuilt
 BUILD_VERSION = "r10.1"
@@ -259,7 +273,7 @@ def ensure_tables(spark=None) -> dict[str, dict[str, str]]:
     O(commits) → O(1-parquet-read) replay collapse every real 100 TB
     Delta table runs with."""
     out: dict[str, dict[str, str]] = {}
-    for label, n_files, n_commits in SCALES:
+    for label, n_files, n_commits in active_scales():
         pair = {}
         builders = [("delta", build_delta), ("iceberg", build_iceberg)]
         if spark is not None:
@@ -334,12 +348,15 @@ def measure(spark) -> dict[str, Any]:
     )
 
     tables = ensure_tables(spark)
-    n_by_label = {lb: nf for lb, nf, _nc in SCALES}
+    n_by_label = {lb: nf for lb, nf, _nc in active_scales()}
     preds = [("ts", ">=", _PRUNE_LO), ("ts", "<", _PRUNE_HI)]
     out: dict[str, Any] = {}
     for label, pair in tables.items():
-        # the 100k full plans run ~1 s each; 2 reps bound the bench
-        reps = 2 if n_by_label.get(label, 0) >= 100_000 else 3
+        # the 100k full plans run ~1 s each; 2 reps bound the bench.
+        # The flag-gated 1M tier runs ONE rep: its full plans are
+        # tens of seconds and it never rides the per-round bench.
+        n = n_by_label.get(label, 0)
+        reps = 1 if n >= 1_000_000 else 2 if n >= 100_000 else 3
         out[label] = {}
         for fmt, path in pair.items():
             planner = (

@@ -55,73 +55,75 @@ def query(query_id: str, oracle: str | None = None) -> Callable[[F], F]:
 # ids whose only green row is the oldest (round 1). Rotation log with
 # last-green round per id lives in COVERAGE.md.
 PRIORITY: list[str] = [
-    # (a) failed in r09 — ALL were the iceberg_writer `import re`
-    # regression (VERDICT r9 item 1, fixed this round); front every one
-    # so CORRECTNESS_r10 proves the fix.
-    "d43_iceberg_sortorder",  # also (c): rewrite now consumes full sort fields
-    "x7_ops_lifecycle",
-    "d36_iceberg_transforms",
-    "d42_iceberg_skipping",
-    "d22_iceberg_partitioned",
-    "x6_time_partitioned_cdc",
-    "d17_iceberg_native",
-    "d21_iceberg_dml",
-    "d25_iceberg_source",
-    "d26_iceberg_mor",
-    "d38_iceberg_mor_read",
-    "d40_iceberg_changelog",
-    "t8_stream_to_iceberg",
-    "d29_uniform",
-    "d30_convert",
-    "d31_iceberg_meta",
-    "d32_iceberg_incremental",
-    "d33_restore",
-    "x5_cdc_pipeline",
-    "d37_delta_dv_read",
-    "d35_sql_native",
-    "l4_ann_ivf_probe",
-    # (d) backfill: five ids whose last driver-green row is r04 — they
-    # sat past the 50-slot cap for five rounds (VERDICT r9 item 4).
-    "l3_langid",
-    "l3_langid_eval",
-    "l2_embed_recall",
-    "l4_ivf_recall",
-    "l6_mixture_epochs",
-    # (c) new this round (r10)
-    "s13_kafka_wire",  # RecordBatch v2 wire codec loopback (S13)
-    "d44_iceberg_wap",  # write-audit-publish: branch write + fast_forward
-    "f7_variant",  # Spark 4 VARIANT semi-structured extraction
-    "d45_delta_clone",  # SHALLOW CLONE: zero-copy fork + contained DML
-    "x8_wire_to_publish",  # capstone: kafka wire -> branch stage -> publish -> pruned read
-    "d46_checkpoint_v2",  # V2 sidecar checkpoints: shard planning state
-    "d47_liquid_clustering",  # CLUSTER BY + incremental OPTIMIZE pass
-    "d48_version_checksum",  # crc sidecars: O(1) stats + replay audit
-    "d49_puffin_ndv",  # Puffin stats file + KMV ndv sketches
-    "d50_type_widening",  # metadata-only ALTER COLUMN TYPE + promotion
-    "d51_row_tracking",  # stable row ids: backfill/append/DV/OPTIMIZE
-    "x9_layout_lifecycle",  # capstone: cluster->optimize->cpv2->crc
-    "d52_iceberg_dv",  # v3-style puffin deletion vectors on v2 MoR
-    "d53_column_defaults",  # initial/write-default vs CURRENT_DEFAULT
-    "d54_identity",  # watermark-lattice id allocation, footer-stat bump
-    "d55_ict",  # in-commit timestamps: content-resolved time travel
-    "d56_partition_stats",  # partition-statistics sidecar from manifests
-    "x10_cbo_join",  # capstone: sidecar stats drive the broadcast decision
-    "d57_drop_column",  # metadata-only drop + the resurrection guard
-    "d58_rewrite_pos_deletes",  # consolidate+de-dangle MoR delete files
-    "x11_contract_lifecycle",  # capstone: the writer-contract features compose
-    "d59_ref_retention",  # written-down per-ref expiry + ancestry windows
-    "d60_log_retention",  # metadata cleanup: checkpoint as baseline
-    # (c) implementation changed this round: the Delta columnar planner
-    # gained a no-predicate short-circuit and the physical/logical
-    # partitionValues coalesce fix — re-check every native-Delta id.
-    # (the r06-green u1/u2/u3/u4/t6 backfill tail — and then
-    # o2_sort_limit/o1_sort/w4_topk_group/w3_running_sum/w2_lag/
-    # w1_rank/k2_salted_join/k1_salted_agg as d46-d52+x9 landed;
-    # j8_star_join/j7_asof/j6_range_join, the r09-green
-    # d39_delta_generated/d28_delta_cdf and the r06-green+pytested
-    # d24_delta_source as d53-d57+x10 landed — was
-    # trimmed to keep the rotation exactly 50 so nothing silently
-    # falls past the driver's cap; the trimmed ids front r11)
+    # ---- r11 rotation (VERDICT r10 item 2). (a) r10 fails: none.
+    # (c) new/changed this round first:
+    "x12_cbo_multiway",  # NEW: NDV-estimate-ordered 3-table join
+    "s13_kafka_tcp",  # NEW: socket loopback — Fetch v4 over TCP
+    "d49_puffin_ndv",  # changed: single-pass sketch build (one job)
+    "x10_cbo_join",  # cbo.py gained estimate/order functions
+    "j8_star_join",  # changed: single-partition final sort; also the
+    # head of the r10-trimmed tail the verdict names for r11
+    "x1_q3_shipping",  # star-join family re-measured this round
+    "x2_q10_returns",
+    # (b) the r10-trimmed backlog (registry comment r10; VERDICT item
+    # 2 names these as the written r11 front):
+    "j7_asof",
+    "j6_range_join",
+    "d39_delta_generated",
+    "d28_delta_cdf",
+    "d24_delta_source",
+    "d16_delta_native_dml",
+    "d41_delta_skipping",
+    "u1_union",
+    "u2_intersect",
+    "u3_except",
+    "u4_udf",
+    "t6_stream_to_delta",
+    "o1_sort",
+    "o2_sort_limit",
+    "w2_lag",
+    "w3_running_sum",
+    "w4_topk_group",
+    "k1_salted_agg",
+    "k2_salted_join",
+    # (d) the r05-stale cohort (44 ids whose last driver row is r05;
+    # VERDICT item 2 asks ≥15 per round — 25 here, the l2/l3/l4 block
+    # plus the named a12/a13/d10-d13/p/w1 set; the remaining 19
+    # (recall contracts, l6/l7 pairs, t4/t5) front r12):
+    "a12_summary",
+    "a13_pivot",
+    "a13_unpivot",
+    "d10_update_sql",
+    "d11_delete_sql",
+    "d12_time_travel",
+    "d13_merge_sql",
+    "w1_rank",
+    "l2_minhash_lsh",
+    "l2_minhash_lsh_sigs",
+    "l2_simhash",
+    "l2_embed_neardup",
+    "l2_ngram_jaccard",
+    "l3_text_stats",
+    "l3_quality_score",
+    "l3_token_count",
+    "l3_fingerprint",
+    "l3_repetition_stats",
+    "l3_unigram_logprob",
+    "l4_cosine_topk",
+    "l4_batch_topk",
+    "l4_embed_quantize",
+    "l4_quant_recall",
+    "p4_filter_and",
+    # 50 exactly (p12_dedup_rows moved to the r12 front when
+    # s13_kafka_tcp landed). r12 backlog (write down so nothing
+    # silently ages): p12_dedup_rows,
+    # l2_minhash_recall/l2_simhash_recall/l2_simhash_sensitivity/
+    # l2_embed_fuzzy_recall, l3_bpe_token_count/l3_bpe_learn,
+    # l6_split_assign/l6_global_shuffle/l6_pack_sequences_bpe/
+    # l6_chunk_docs_bpe, l7_contamination(+_scan)/l7_fuzzy_decontam/
+    # l7_fuzzy_recall, l4_ann_ivf, t4_watermark/t5_stateful_dedup,
+    # p5/p6/p8/p11/p13/p14, then the r06 cohort (s13_jdbc_roundtrip,
+    # l6 five, a13 pair done above, u5-u7, l5 decode family).
 ]
 
 

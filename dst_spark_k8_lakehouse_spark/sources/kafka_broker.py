@@ -1,0 +1,637 @@
+"""Kafka broker TCP protocol — the S13 connection half, jar-free.
+
+``sources/kafka_wire.py`` (r10) made the RecordBatch v2 BYTES real;
+this module (r11, VERDICT r10 item 6) makes the SOCKET real: a
+pure-stdlib client for the three request/response shapes a consumer
+needs from Kafka's public wire protocol (kafka.apache.org/protocol —
+size-framed requests, big-endian primitives, int16-length strings,
+int32-count arrays):
+
+- **ApiVersions v0** (api_key 18) — handshake/feature probe;
+- **Metadata v0** (api_key 3) — topic → partition/leader discovery;
+- **Fetch v4** (api_key 1) — the first Fetch version that returns
+  magic=2 RecordBatch frames, which ``kafka_wire.decode_record_batches``
+  already decodes (CRC-32C verified, gzip handled).
+
+``read_kafka_topic`` is the Spark face: Metadata on the driver
+discovers partitions, then ONE TASK PER PARTITION opens its own
+socket on the executor and drains ``[start_offset, high_watermark)``
+via repeated Fetch — the same per-partition-consumer topology the
+real ``format("kafka")`` source runs, so at cluster scale the
+connection fan-out is executor-side and the driver never touches
+record bytes. Offsets start at 0 (log-start) — a ListOffsets probe is
+the one consumer shape deliberately left out (this client reads
+whole-log loopbacks; document, don't guess).
+
+``SegmentResponder`` is the in-process loopback peer: a thread
+serving those three shapes straight from on-disk segment files (the
+``kafka_wire`` fixtures). It exists because this container has no
+broker (env gap re-verified each round) — the responder proves the
+codec + client against a REAL socket round-trip: framing, correlation
+ids, partial-batch cuts at ``max_bytes``, high-watermark pagination.
+It is a test/dev peer, not a broker (no produce, no groups, no ACLs —
+every unsupported api_key is answered with error 35
+UNSUPPORTED_VERSION rather than garbage).
+
+No reference parity line: the reference platform consumes Kafka via
+the stock Spark connector; this surface is the jar-free analog.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from typing import Any
+
+_API_FETCH = 1
+_API_METADATA = 3
+_API_VERSIONS = 18
+
+_ERR_NONE = 0
+_ERR_UNKNOWN_TOPIC = 3
+_ERR_UNSUPPORTED_VERSION = 35
+
+
+# ------------------------------------------------------------ primitives
+
+
+class _Writer:
+    def __init__(self) -> None:
+        self.parts: list[bytes] = []
+
+    def i8(self, v: int) -> "_Writer":
+        self.parts.append(struct.pack(">b", v))
+        return self
+
+    def i16(self, v: int) -> "_Writer":
+        self.parts.append(struct.pack(">h", v))
+        return self
+
+    def i32(self, v: int) -> "_Writer":
+        self.parts.append(struct.pack(">i", v))
+        return self
+
+    def i64(self, v: int) -> "_Writer":
+        self.parts.append(struct.pack(">q", v))
+        return self
+
+    def string(self, s: str | None) -> "_Writer":
+        if s is None:
+            return self.i16(-1)
+        b = s.encode("utf-8")
+        self.i16(len(b))
+        self.parts.append(b)
+        return self
+
+    def nbytes(self, b: bytes | None) -> "_Writer":
+        if b is None:
+            return self.i32(-1)
+        self.i32(len(b))
+        self.parts.append(b)
+        return self
+
+    def done(self) -> bytes:
+        return b"".join(self.parts)
+
+
+class _Reader:
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def _unpack(self, fmt: str, size: int):
+        v = struct.unpack_from(fmt, self.buf, self.pos)[0]
+        self.pos += size
+        return v
+
+    def i8(self) -> int:
+        return self._unpack(">b", 1)
+
+    def i16(self) -> int:
+        return self._unpack(">h", 2)
+
+    def i32(self) -> int:
+        return self._unpack(">i", 4)
+
+    def i64(self) -> int:
+        return self._unpack(">q", 8)
+
+    def string(self) -> str | None:
+        n = self.i16()
+        if n < 0:
+            return None
+        s = self.buf[self.pos:self.pos + n].decode("utf-8")
+        self.pos += n
+        return s
+
+    def nbytes(self) -> bytes | None:
+        n = self.i32()
+        if n < 0:
+            return None
+        b = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return b
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    chunks = []
+    while n:
+        c = sock.recv(n)
+        if not c:
+            raise ConnectionError("Kafka peer closed mid-frame")
+        chunks.append(c)
+        n -= len(c)
+    return b"".join(chunks)
+
+
+def _roundtrip(
+    sock: socket.socket,
+    api_key: int,
+    api_version: int,
+    corr_id: int,
+    body: bytes,
+    client_id: str = "dst-spark-k8-lakehouse",
+) -> _Reader:
+    header = (
+        _Writer().i16(api_key).i16(api_version).i32(corr_id)
+        .string(client_id).done()
+    )
+    frame = header + body
+    sock.sendall(struct.pack(">i", len(frame)) + frame)
+    size = struct.unpack(">i", _recv_exact(sock, 4))[0]
+    resp = _Reader(_recv_exact(sock, size))
+    got = resp.i32()
+    if got != corr_id:
+        raise ValueError(
+            f"correlation id mismatch: sent {corr_id}, got {got}"
+        )
+    return resp
+
+
+# --------------------------------------------------------------- client
+
+
+def api_versions(host: str, port: int) -> dict[int, tuple[int, int]]:
+    """ApiVersions v0 handshake: {api_key: (min, max)}."""
+    with socket.create_connection((host, port), timeout=10) as sock:
+        r = _roundtrip(sock, _API_VERSIONS, 0, 1, b"")
+        err = r.i16()
+        if err:
+            raise ValueError(f"ApiVersions error {err}")
+        out = {}
+        for _ in range(r.i32()):
+            k, lo, hi = r.i16(), r.i16(), r.i16()
+            out[k] = (lo, hi)
+        return out
+
+
+def request_metadata(
+    host: str, port: int, topics: list[str] | None = None
+) -> dict[str, Any]:
+    """Metadata v0: brokers + topic → partitions/leaders. ``topics``
+    empty/None asks for every topic (the v0 convention)."""
+    w = _Writer()
+    topics = topics or []
+    w.i32(len(topics))
+    for t in topics:
+        w.string(t)
+    with socket.create_connection((host, port), timeout=10) as sock:
+        r = _roundtrip(sock, _API_METADATA, 0, 2, w.done())
+        brokers = []
+        for _ in range(r.i32()):
+            brokers.append(
+                {"node_id": r.i32(), "host": r.string(),
+                 "port": r.i32()}
+            )
+        out_topics = []
+        for _ in range(r.i32()):
+            terr = r.i16()
+            name = r.string()
+            parts = []
+            for _p in range(r.i32()):
+                perr = r.i16()
+                pid = r.i32()
+                leader = r.i32()
+                replicas = [r.i32() for _x in range(r.i32())]
+                isr = [r.i32() for _x in range(r.i32())]
+                parts.append(
+                    {"error": perr, "partition": pid,
+                     "leader": leader, "replicas": replicas,
+                     "isr": isr}
+                )
+            out_topics.append(
+                {"error": terr, "name": name, "partitions": parts}
+            )
+        return {"brokers": brokers, "topics": out_topics}
+
+
+def fetch(
+    sock: socket.socket,
+    topic: str,
+    partition: int,
+    offset: int,
+    max_bytes: int = 1 << 20,
+    corr_id: int = 3,
+) -> tuple[int, bytes]:
+    """One Fetch v4 round trip on an open socket → (high_watermark,
+    record-set bytes — zero or more whole RecordBatch v2 frames)."""
+    w = _Writer()
+    w.i32(-1)           # replica_id: consumer
+    w.i32(500)          # max_wait_ms
+    w.i32(1)            # min_bytes
+    w.i32(max_bytes)    # max_bytes (response-level, v3+)
+    w.i8(0)             # isolation_level: read_uncommitted
+    w.i32(1).string(topic)
+    w.i32(1).i32(partition).i64(offset).i32(max_bytes)
+    r = _roundtrip(sock, _API_FETCH, 4, corr_id, w.done())
+    r.i32()  # throttle_time_ms
+    n_topics = r.i32()
+    if n_topics != 1:
+        raise ValueError(f"Fetch answered {n_topics} topics, sent 1")
+    got_topic = r.string()
+    n_parts = r.i32()
+    if got_topic != topic or n_parts != 1:
+        raise ValueError(
+            f"Fetch answered {got_topic}/{n_parts} partitions"
+        )
+    r.i32()  # partition id
+    err = r.i16()
+    if err:
+        raise ValueError(
+            f"Fetch error {err} for {topic}-{partition}@{offset}"
+        )
+    hwm = r.i64()
+    r.i64()  # last_stable_offset
+    n_aborted = r.i32()
+    for _ in range(max(n_aborted, 0)):
+        r.i64()
+        r.i64()
+    records = r.nbytes() or b""
+    return hwm, records
+
+
+def drain_partition(
+    host: str,
+    port: int,
+    topic: str,
+    partition: int,
+    start_offset: int = 0,
+    max_bytes: int = 1 << 20,
+) -> list[tuple]:
+    """Drain ``[start_offset, high_watermark)`` of one partition over
+    one socket into KAFKA_WIRE_SCHEMA-ordered tuples. Paginates on the
+    LAST DECODED offset (+1) — a ``max_bytes`` cut mid-log is the
+    normal case, not an error; an empty record set below the high
+    watermark raises (a silent gap would drop rows)."""
+    from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
+        segment_to_wire_rows,
+    )
+
+    out: list[tuple] = []
+    offset = start_offset
+    with socket.create_connection((host, port), timeout=30) as sock:
+        corr = 100
+        while True:
+            hwm, records = fetch(
+                sock, topic, partition, offset, max_bytes, corr_id=corr
+            )
+            corr += 1
+            if offset >= hwm:
+                break
+            rows = segment_to_wire_rows(records, topic, partition)
+            rows = [r for r in rows if r[4] >= offset]
+            if not rows:
+                raise ValueError(
+                    f"Fetch returned no records at {offset} < "
+                    f"high watermark {hwm} for {topic}-{partition}"
+                )
+            out.extend(rows)
+            offset = max(r[4] for r in rows) + 1
+    return out
+
+
+def read_kafka_topic(
+    spark,
+    host: str,
+    port: int,
+    topic: str,
+    start_offset: int = 0,
+    max_bytes: int = 1 << 20,
+):
+    """Batch-read a whole topic over the wire protocol into the exact
+    ``format("kafka")`` frame (KAFKA_WIRE_SCHEMA). Driver: one
+    Metadata round trip (partition discovery — metadata-sized).
+    Executors: one task per partition, each draining its partition
+    over its own socket — record bytes never touch the driver, and
+    1000 partitions fan out to 1000 concurrent consumers exactly like
+    the stock connector."""
+    from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
+    from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
+        KAFKA_WIRE_SCHEMA,
+    )
+
+    ensure_shipped(spark)
+    meta = request_metadata(host, port, [topic])
+    tmeta = next(
+        (t for t in meta["topics"] if t["name"] == topic), None
+    )
+    if tmeta is None or tmeta["error"]:
+        raise ValueError(f"topic {topic!r} unknown to {host}:{port}")
+    partitions = [p["partition"] for p in tmeta["partitions"]]
+
+    plan = spark.createDataFrame(
+        [(topic, p, host, port, start_offset, max_bytes)
+         for p in partitions],
+        "topic string, partition int, host string, port int, "
+        "start_offset long, max_bytes int",
+    ).repartition(len(partitions), "partition")
+
+    def _drain(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rows = drain_partition(
+                    row.host, int(row.port), row.topic,
+                    int(row.partition), int(row.start_offset),
+                    int(row.max_bytes),
+                )
+                out = pd.DataFrame(
+                    rows,
+                    columns=["key", "value", "topic", "partition",
+                             "offset", "timestamp", "timestampType"],
+                )
+                out["timestamp"] = pd.to_datetime(
+                    out["timestamp"], unit="ms"
+                )
+                yield out
+
+    return plan.mapInPandas(_drain, schema=KAFKA_WIRE_SCHEMA)
+
+
+# ------------------------------------------------------------ responder
+
+
+class SegmentResponder:
+    """In-process loopback peer serving on-disk segment dirs over the
+    wire protocol (ApiVersions v0 / Metadata v0 / Fetch v4). One
+    thread, sequential connections — a correctness fixture, not a
+    broker. Topic layout = ``kafka_wire`` convention:
+    ``<root>/<topic>-<partition>/*.log``."""
+
+    def __init__(self, root: str, host: str = "127.0.0.1") -> None:
+        import os
+
+        self.root = root
+        self.partitions: dict[tuple[str, int], str] = {}
+        for d in sorted(os.listdir(root)):
+            full = os.path.join(root, d)
+            if not os.path.isdir(full):
+                continue
+            topic, _, part = d.rpartition("-")
+            if not (topic and part.isdigit()):
+                continue
+            segs = sorted(
+                os.path.join(full, f) for f in os.listdir(full)
+                if f.endswith(".log")
+            )
+            if segs:
+                # fixture segments are single-file logs; concatenated
+                # batches read identically either way
+                self.partitions[(topic, int(part))] = segs[0]
+        self._srv = socket.create_server((host, 0))
+        self.host, self.port = self._srv.getsockname()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._serve, name="kafka-segment-responder",
+            daemon=True,
+        )
+
+    # -- lifecycle
+
+    def __enter__(self) -> "SegmentResponder":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            # unblock accept()
+            socket.create_connection(
+                (self.host, self.port), timeout=1
+            ).close()
+        except OSError:
+            pass
+        self._srv.close()
+        self._thread.join(timeout=5)
+
+    # -- serving
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _addr = self._srv.accept()
+            except OSError:
+                return
+            with conn:
+                if self._stop.is_set():
+                    return
+                try:
+                    while True:
+                        raw = conn.recv(4)
+                        if len(raw) < 4:
+                            break
+                        size = struct.unpack(">i", raw)[0]
+                        req = _Reader(_recv_exact(conn, size))
+                        resp = self._respond(req)
+                        conn.sendall(
+                            struct.pack(">i", len(resp)) + resp
+                        )
+                except (ConnectionError, OSError):
+                    pass  # client went away: next connection
+
+    def _respond(self, req: _Reader) -> bytes:
+        api_key = req.i16()
+        api_version = req.i16()
+        corr_id = req.i32()
+        req.string()  # client_id
+        w = _Writer().i32(corr_id)
+        if api_key == _API_VERSIONS and api_version == 0:
+            w.i16(_ERR_NONE)
+            w.i32(3)
+            w.i16(_API_FETCH).i16(4).i16(4)
+            w.i16(_API_METADATA).i16(0).i16(0)
+            w.i16(_API_VERSIONS).i16(0).i16(0)
+            return w.done()
+        if api_key == _API_METADATA and api_version == 0:
+            n = req.i32()
+            asked = {req.string() for _ in range(n)} if n > 0 else None
+            w.i32(1).i32(0).string(self.host).i32(self.port)
+            topics = sorted({t for t, _p in self.partitions})
+            if asked is not None:
+                topics = [t for t in topics if t in asked]
+                missing = sorted(asked - set(topics))
+            else:
+                missing = []
+            w.i32(len(topics) + len(missing))
+            for t in topics:
+                parts = sorted(
+                    p for tt, p in self.partitions if tt == t
+                )
+                w.i16(_ERR_NONE).string(t).i32(len(parts))
+                for p in parts:
+                    w.i16(_ERR_NONE).i32(p).i32(0)
+                    w.i32(1).i32(0)  # replicas
+                    w.i32(1).i32(0)  # isr
+            for t in missing:
+                w.i16(_ERR_UNKNOWN_TOPIC).string(t).i32(0)
+            return w.done()
+        if api_key == _API_FETCH and api_version == 4:
+            req.i32()  # replica_id
+            req.i32()  # max_wait
+            req.i32()  # min_bytes
+            req.i32()  # max_bytes (response-level; per-partition used)
+            req.i8()   # isolation
+            n_topics = req.i32()
+            w.i32(0)   # throttle
+            w.i32(n_topics)
+            for _ in range(n_topics):
+                topic = req.string()
+                n_parts = req.i32()
+                w.string(topic).i32(n_parts)
+                for _p in range(n_parts):
+                    pid = req.i32()
+                    offset = req.i64()
+                    pmax = req.i32()
+                    w.i32(pid)
+                    seg = self.partitions.get((topic, pid))
+                    if seg is None:
+                        w.i16(_ERR_UNKNOWN_TOPIC).i64(-1).i64(-1)
+                        w.i32(0).nbytes(None)
+                        continue
+                    hwm, records = _slice_segment(seg, offset, pmax)
+                    w.i16(_ERR_NONE).i64(hwm).i64(hwm)
+                    w.i32(0)  # no aborted txns
+                    w.nbytes(records)
+            return w.done()
+        # every other (key, version): loud UNSUPPORTED_VERSION with a
+        # shape-correct minimal body so clients fail cleanly
+        return w.i16(_ERR_UNSUPPORTED_VERSION).i32(0).done()
+
+
+def _slice_segment(
+    path: str, offset: int, max_bytes: int
+) -> tuple[int, bytes]:
+    """(high_watermark, WHOLE batches covering ``offset``, capped at
+    ``max_bytes`` but never zero batches while data remains) — the
+    broker contract: batches are the atom, a fetch below the high
+    watermark always makes progress."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    spans: list[tuple[int, int, int]] = []  # (base, start, end)
+    pos = 0
+    while pos < len(buf):
+        base, batch_len = struct.unpack_from(">qi", buf, pos)
+        end = pos + 12 + batch_len
+        spans.append((base, pos, end))
+        pos = end
+    if not spans:
+        return 0, b""
+    # high watermark = last offset of the last batch + 1; last offset
+    # delta sits right after the fixed header (attributes i16 first)
+    last_base, last_start, _ = spans[-1]
+    last_delta = struct.unpack_from(">i", buf, last_start + 23)[0]
+    hwm = last_base + last_delta + 1
+    out = bytearray()
+    for i, (base, start, end) in enumerate(spans):
+        nxt = spans[i + 1][0] if i + 1 < len(spans) else hwm
+        if nxt <= offset:  # batch wholly below the asked offset
+            continue
+        if out and len(out) + (end - start) > max_bytes:
+            break
+        out += buf[start:end]
+    return hwm, bytes(out)
+
+
+# --------------------------------------------------------------------------
+# registry query: the SOCKET loopback (S13's connection half)
+
+_RESPONDERS: dict[str, "SegmentResponder"] = {}
+
+
+def _responder_fixture(spark, sf_dir: str) -> "SegmentResponder":
+    """One live loopback responder per (process, sf_dir), serving the
+    r10 segment fixture; kept open until process exit because the
+    returned DataFrames drain it lazily at collect time."""
+    got = _RESPONDERS.get(sf_dir)
+    if got is not None:
+        return got
+    import atexit
+
+    from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
+        _segment_fixture,
+    )
+
+    responder = SegmentResponder(_segment_fixture(spark, sf_dir))
+    responder.__enter__()
+    atexit.register(responder.close)
+    _RESPONDERS[sf_dir] = responder
+    return responder
+
+
+def _register() -> None:
+    from dst_spark_k8_lakehouse_spark.exact import sum_sql
+    from dst_spark_k8_lakehouse_spark.registry import query
+
+    @query(
+        "s13_kafka_tcp",
+        oracle=f"""
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   {sum_sql('value')} AS total_value
+            FROM events
+            WHERE event_id <= 2000
+            GROUP BY event_type
+        """,
+    )
+    def s13_kafka_tcp(spark, sf_dir: str):
+        """S13 SOCKET LOOPBACK (r11, VERDICT r10 item 6): the same
+        2000-event segment fixture as ``s13_kafka_wire``, but reached
+        the way a real consumer reaches a broker — ApiVersions +
+        Metadata over TCP on the driver, then one executor task per
+        partition draining Fetch v4 pages over its own socket
+        (max_bytes forces mid-log pagination), decoded by the r10
+        codec, parsed, aggregated, value-checked against the
+        relational oracle. Closes everything testable about S13
+        without a broker binary: framing, correlation ids,
+        partition fan-out, high-watermark pagination, CRC."""
+        from dst_spark_k8_lakehouse_spark import exact
+        from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
+            parse_kafka_events,
+        )
+        from pyspark.sql import functions as F
+
+        responder = _responder_fixture(spark, sf_dir)
+        # 64 KiB pages ≈ several Fetch round trips per partition —
+        # the pagination path is exercised on every run, not just in
+        # the unit tests
+        wire = read_kafka_topic(
+            spark, responder.host, responder.port, "events",
+            max_bytes=64 << 10,
+        )
+        events = parse_kafka_events(wire)
+        return events.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            exact.exact_sum("value").alias("total_value"),
+        )
+
+
+_register()

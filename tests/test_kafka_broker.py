@@ -1,0 +1,148 @@
+"""Kafka broker TCP client + loopback responder
+(``sources/kafka_broker.py`` — S13's connection half).
+
+The r10 codec tests (`test_kafka_wire.py`) pin the BYTES; these pin
+the SOCKET: framing/correlation ids, partition discovery, Fetch v4
+pagination against max_bytes, mid-log offsets, unknown-topic and
+unsupported-api error paths, and the Spark face agreeing with the
+broker-free segment source on identical data.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+
+import pytest
+
+from dst_spark_k8_lakehouse_spark.sources import kafka_broker as kb
+from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
+    encode_record_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def segment_root(tmp_path_factory):
+    """Two partitions × 4 batches × 25 records, alternating
+    none/gzip — same shape as the s13 fixture but hand-countable."""
+    root = str(tmp_path_factory.mktemp("kb-segments"))
+    for part in (0, 1):
+        d = os.path.join(root, f"tp-{part}")
+        os.makedirs(d)
+        segs, off = [], 0
+        for b in range(4):
+            recs = [
+                {"key": f"k{part}-{off + i}".encode(),
+                 "value": f"v{part}-{off + i}".encode(),
+                 "timestamp_ms": 1_700_000_000_000 + off + i}
+                for i in range(25)
+            ]
+            segs.append(encode_record_batch(
+                recs, base_offset=off,
+                compression="gzip" if b % 2 else "none",
+            ))
+            off += 25
+        with open(os.path.join(d, "00000000000000000000.log"),
+                  "wb") as f:
+            f.write(b"".join(segs))
+    return root
+
+
+@pytest.fixture(scope="module")
+def responder(segment_root):
+    with kb.SegmentResponder(segment_root) as r:
+        yield r
+
+
+def test_api_versions_handshake(responder):
+    vs = kb.api_versions(responder.host, responder.port)
+    assert vs[kb._API_FETCH] == (4, 4)
+    assert vs[kb._API_METADATA] == (0, 0)
+
+
+def test_metadata_discovers_partitions(responder):
+    meta = kb.request_metadata(responder.host, responder.port, ["tp"])
+    t = meta["topics"][0]
+    assert t["name"] == "tp" and t["error"] == 0
+    assert [p["partition"] for p in t["partitions"]] == [0, 1]
+    # unknown topic: error 3 per partition-less topic entry, no crash
+    missing = kb.request_metadata(
+        responder.host, responder.port, ["nope"]
+    )["topics"]
+    assert missing[0]["error"] == kb._ERR_UNKNOWN_TOPIC
+
+
+def test_drain_full_partition(responder):
+    rows = kb.drain_partition(responder.host, responder.port, "tp", 0)
+    assert len(rows) == 100
+    assert [r[4] for r in rows] == list(range(100))  # offsets
+    assert rows[0][0] == b"k0-0" and rows[99][1] == b"v0-99"
+
+
+def test_drain_paginates_under_max_bytes(responder):
+    # a cap smaller than two batches forces one Fetch per batch —
+    # the result must still be exact and ordered
+    rows = kb.drain_partition(
+        responder.host, responder.port, "tp", 1, max_bytes=400
+    )
+    assert [r[4] for r in rows] == list(range(100))
+    assert rows[0][0] == b"k1-0"
+
+
+def test_drain_from_mid_log_offset(responder):
+    # offset 30 sits INSIDE batch 2 (25-49): the responder returns
+    # the covering batch, the client trims records below the ask
+    rows = kb.drain_partition(
+        responder.host, responder.port, "tp", 0, start_offset=30
+    )
+    assert [r[4] for r in rows] == list(range(30, 100))
+
+
+def test_unsupported_api_is_a_loud_error(responder):
+    with socket.create_connection(
+        (responder.host, responder.port), timeout=5
+    ) as sock:
+        r = kb._roundtrip(sock, 2, 1, 42, b"")  # ListOffsets: unserved
+        assert r.i16() == kb._ERR_UNSUPPORTED_VERSION
+
+
+def test_connection_reuse_echoes_each_correlation_id(responder):
+    # several sequential requests on ONE socket: each response must
+    # carry ITS request's correlation id (the client raises on any
+    # mismatch inside _roundtrip)
+    with socket.create_connection(
+        (responder.host, responder.port), timeout=5
+    ) as sock:
+        for corr in (7, 99, 12345):
+            r = kb._roundtrip(sock, kb._API_VERSIONS, 0, corr, b"")
+            assert r.i16() == kb._ERR_NONE
+
+
+def test_read_kafka_topic_matches_segment_source(
+    spark, segment_root, responder
+):
+    from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
+        kafka_segment_source,
+    )
+
+    over_tcp = kb.read_kafka_topic(
+        spark, responder.host, responder.port, "tp",
+        max_bytes=512,  # several pages per partition
+    ).toPandas().sort_values(["partition", "offset"]).reset_index(
+        drop=True
+    )
+    from_files = kafka_segment_source(
+        spark, segment_root
+    ).toPandas().sort_values(["partition", "offset"]).reset_index(
+        drop=True
+    )
+    assert over_tcp.equals(from_files)
+    assert len(over_tcp) == 200
+
+
+def test_read_kafka_topic_unknown_topic_raises(spark, responder):
+    with pytest.raises(ValueError, match="unknown"):
+        kb.read_kafka_topic(
+            spark, responder.host, responder.port, "absent"
+        )
