@@ -113,10 +113,11 @@ PRIORITY: list[str] = [
     "l4_batch_topk",
     "l4_embed_quantize",
     "l4_quant_recall",
-    "p4_filter_and",
-    # 50 exactly (p12_dedup_rows moved to the r12 front when
-    # s13_kafka_tcp landed). r12 backlog (write down so nothing
-    # silently ages): p12_dedup_rows,
+    "d74_lineage",  # NEW: lineage extraction/emission, oracle-checked
+    # 50 exactly (p12_dedup_rows and p4_filter_and moved to the r12
+    # front as s13_kafka_tcp and d74_lineage landed; the r05-cohort
+    # share stays 18 ≥ the verdict's 15). r12 backlog (write down so
+    # nothing silently ages): p4_filter_and, p12_dedup_rows,
     # l2_minhash_recall/l2_simhash_recall/l2_simhash_sensitivity/
     # l2_embed_fuzzy_recall, l3_bpe_token_count/l3_bpe_learn,
     # l6_split_assign/l6_global_shuffle/l6_pack_sequences_bpe/
@@ -142,7 +143,7 @@ def _apply_priority() -> None:
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from dst_spark_k8_lakehouse_spark import functions, llm, operators, streaming  # noqa: F401
-    from dst_spark_k8_lakehouse_spark import sources  # noqa: F401
+    from dst_spark_k8_lakehouse_spark import lineage, sources  # noqa: F401
     from dst_spark_k8_lakehouse_spark.plans import lakehouse_queries  # noqa: F401
 
     _apply_priority()

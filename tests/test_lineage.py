@@ -1,0 +1,133 @@
+"""Local OpenLineage-shaped lineage (``lineage.py``): root
+detection, input extraction from the public plan surface, event
+shape, the NDJSON sink, and the live QueryExecutionListener."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from dst_spark_k8_lakehouse_spark import lineage
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_table_root_detects_formats(tmp_path):
+    delta = tmp_path / "dt"
+    (delta / "_delta_log").mkdir(parents=True)
+    (delta / "part-0.parquet").write_bytes(b"")
+    root, fmt = lineage.table_root(str(delta / "part-0.parquet"))
+    assert (root, fmt) == (str(delta), "delta")
+
+    ice = tmp_path / "it"
+    (ice / "metadata").mkdir(parents=True)
+    (ice / "metadata" / "v1.metadata.json").write_text("{}")
+    (ice / "data").mkdir()
+    root, fmt = lineage.table_root(str(ice / "data" / "f.parquet"))
+    assert (root, fmt) == (str(ice), "iceberg")
+
+    root, fmt = lineage.table_root(f"file:{tmp_path}/plain.parquet")
+    assert (root, fmt) == (f"{tmp_path}/plain.parquet", "parquet")
+
+
+def test_extract_inputs_joins_dedupe_to_roots(spark):
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    df = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    )
+    inputs = lineage.extract_inputs(df)
+    names = {i["name"] for i in inputs}
+    assert names == {
+        f"{SF}/orders.parquet", f"{SF}/customer.parquet"
+    }
+    assert all(i["format"] == "parquet" for i in inputs)
+    # a file-less frame reports NOTHING, not a guess
+    assert lineage.extract_inputs(spark.range(5)) == []
+
+
+def test_extract_inputs_native_tables(spark, tmp_path):
+    from dst_spark_k8_lakehouse_spark.plans import (
+        delta_reader,
+        delta_writer,
+    )
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    t = str(tmp_path / "dt")
+    delta_writer.create_delta(
+        load_table(spark, SF, "region").coalesce(1), t
+    )
+    inputs = lineage.extract_inputs(delta_reader.read_delta(spark, t))
+    assert inputs == [
+        {"namespace": "local", "name": t, "format": "delta"}
+    ]
+
+
+def test_event_shape_and_sink_roundtrip(tmp_path):
+    sink = lineage.FileLineageSink(str(tmp_path / "lineage"))
+    ev = lineage.lineage_event(
+        "jobA",
+        [{"namespace": "local", "name": "/x", "format": "parquet"}],
+        [{"namespace": "local", "name": "/y", "format": "delta"}],
+    )
+    path = sink.write(ev)
+    assert os.path.basename(path).startswith("events-")
+    got = sink.read_events()
+    assert len(got) == 1
+    e = got[0]
+    assert e["eventType"] == "COMPLETE"
+    assert e["schemaURL"] == lineage.SCHEMA_URL
+    assert e["job"] == {"namespace": "local", "name": "jobA"}
+    assert e["inputs"][0]["name"] == "/x"
+    assert e["outputs"][0]["facets"]["format"] == "delta"
+    assert e["run"]["runId"]
+
+
+def test_emit_reads_plan_inputs(spark, tmp_path):
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    sink = lineage.FileLineageSink(str(tmp_path / "lx"))
+    ev = lineage.emit(
+        load_table(spark, SF, "nation"),
+        "nightly-load",
+        sink,
+        outputs=[{"namespace": "local", "name": "/out", "format": "delta"}],
+    )
+    assert ev["inputs"][0]["name"] == f"{SF}/nation.parquet"
+    assert sink.read_events()[0]["outputs"][0]["name"] == "/out"
+
+
+def test_listener_emits_per_action(spark, tmp_path):
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    sink = lineage.FileLineageSink(str(tmp_path / "ll"))
+    try:
+        listener = lineage.register_listener(spark, sink)
+    except RuntimeError as exc:  # pragma: no cover - env-specific
+        pytest.skip(f"callback server unavailable here: {exc}")
+    try:
+        load_table(spark, SF, "supplier").count()
+        # listener bus delivers asynchronously: poll, bounded
+        deadline = time.time() + 15
+        events = []
+        while time.time() < deadline:
+            events = [
+                e for e in sink.read_events()
+                if any(
+                    i["name"] == f"{SF}/supplier.parquet"
+                    for i in e["inputs"]
+                )
+            ]
+            if events:
+                break
+            time.sleep(0.25)
+        assert events, "no lineage event arrived for the count action"
+        e = events[0]
+        assert e["eventType"] == "COMPLETE"
+        assert e["job"]["name"].startswith("action:")
+    finally:
+        lineage.unregister_listener(spark, listener)
