@@ -1461,6 +1461,35 @@ _CHECKPOINT_SCHEMA = T.StructType(
 )
 
 
+def _checkpoint_add_dict(path: str, a: dict[str, Any]) -> dict[str, Any]:
+    """One checkpoint ``add`` struct (spec: ``dataChange: false``;
+    stats/tags/DV descriptors/row-tracking fields all survive — each
+    has a test pinning why dropping it would be a wrong-rows bug)."""
+    d = a.get("deletionVector")
+    return {
+        "path": path,
+        "partitionValues": a.get("partitionValues") or {},
+        "size": int(a["size"]),
+        "modificationTime": int(a.get("modificationTime") or 0),
+        "dataChange": False,
+        "deletionVector": (
+            {
+                "storageType": d["storageType"],
+                "pathOrInlineDv": d["pathOrInlineDv"],
+                "offset": int(d.get("offset") or 0),
+                "sizeInBytes": int(d["sizeInBytes"]),
+                "cardinality": int(d["cardinality"]),
+            }
+            if d
+            else None
+        ),
+        "stats": a.get("stats"),
+        "tags": a.get("tags"),
+        "baseRowId": a.get("baseRowId"),
+        "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
+    }
+
+
 def write_checkpoint(spark: SparkSession, table: str) -> int:
     """Write a classic single-file parquet checkpoint of the CURRENT
     log state (protocol + metaData + one reconstructed ``add`` per
@@ -1468,7 +1497,16 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
     ``_last_checkpoint`` at it. Readers — ours and real Delta — then
     replay from the checkpoint instead of every JSON commit: the move
     that keeps log replay O(live files), not O(history), on a table
-    taking thousands of commits. Returns the checkpointed version."""
+    taking thousands of commits. Returns the checkpointed version.
+
+    The file is written DRIVER-SIDE with pyarrow in bounded chunks
+    (like the V2 sidecar writer) — checkpointing is metadata work, and
+    the pre-r11 ``createDataFrame(...).coalesce(1)`` spelling pickled
+    the whole add set into ONE Spark task (~256 MB at 1M adds, the
+    finding from SCALING.md's measured 1M tier) for zero gain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     state = delta_reader._replay(spark, table, None)
     commits = delta_reader._commit_files(table)
     if not commits:
@@ -1479,92 +1517,81 @@ def write_checkpoint(spark: SparkSession, table: str) -> int:
         "minWriterVersion": 2,
     }
     md = state["metaData"]
-    rows: list[tuple] = [
-        (
-            (
-                proto["minReaderVersion"],
-                proto["minWriterVersion"],
-                proto.get("readerFeatures"),
-                proto.get("writerFeatures"),
-            ),
-            None,
-            None,
-            None,
-            None,
-            None,
-        ),
-        (
-            None,
-            (
-                md.get("id"),
-                md.get("name"),
-                md.get("description"),
-                (
-                    (md.get("format") or {}).get("provider", "parquet"),
-                    (md.get("format") or {}).get("options") or {},
-                ),
-                md["schemaString"],
-                md.get("partitionColumns") or [],
-                md.get("configuration") or {},
-                md.get("createdTime"),
-            ),
-            None,
-            None,
-            None,
-            None,
-        ),
+    types = _pa_action_types()
+    schema = pa.schema(
+        [
+            ("protocol", types["protocol"]),
+            ("metaData", types["metaData"]),
+            ("add", types["add"]),
+            ("remove", types["remove"]),
+            ("txn", types["txn"]),
+            ("domainMetadata", types["domainMetadata"]),
+        ]
+    )
+    head: list[dict[str, Any]] = [
+        {
+            "protocol": {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": proto["minWriterVersion"],
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures"),
+            }
+        },
+        {
+            "metaData": {
+                "id": md.get("id"),
+                "name": md.get("name"),
+                "description": md.get("description"),
+                "format": {
+                    "provider": (md.get("format") or {}).get(
+                        "provider", "parquet"
+                    ),
+                    "options": (md.get("format") or {}).get("options")
+                    or {},
+                },
+                "schemaString": md["schemaString"],
+                "partitionColumns": md.get("partitionColumns") or [],
+                "configuration": md.get("configuration") or {},
+                "createdTime": md.get("createdTime"),
+            }
+        },
     ]
     # txn watermarks survive checkpointing (the idempotent streaming
     # sink replays them; losing one would double-apply a micro-batch)
-    for app_id, tv in sorted(state.get("txns", {}).items()):
-        rows.append((None, None, None, None, (app_id, int(tv)), None))
+    head += [
+        {"txn": {"appId": app_id, "version": int(tv)}}
+        for app_id, tv in sorted(state.get("txns", {}).items())
+    ]
     # live domain metadata (e.g. delta.clustering) survives too
-    for dom, conf in sorted(state.get("domains", {}).items()):
-        rows.append((None, None, None, None, None, (dom, conf, False)))
-    for path, a in sorted(state["files"].items()):
-        d = a.get("deletionVector")
-        rows.append(
-            (
-                None,
-                None,
-                (
-                    path,
-                    a.get("partitionValues") or {},
-                    int(a["size"]),
-                    int(a.get("modificationTime") or 0),
-                    False,  # spec: checkpoint adds carry dataChange=false
-                    (
-                        d["storageType"],
-                        d["pathOrInlineDv"],
-                        int(d.get("offset") or 0),
-                        int(d["sizeInBytes"]),
-                        int(d["cardinality"]),
-                    )
-                    if d
-                    else None,
-                    a.get("stats"),
-                    a.get("tags"),
-                    a.get("baseRowId"),
-                    a.get("defaultRowCommitVersion"),
-                ),
-                None,
-                None,
-                None,
-            )
-        )
+    head += [
+        {"domainMetadata": {"domain": dom, "configuration": conf,
+                            "removed": False}}
+        for dom, conf in sorted(state.get("domains", {}).items())
+    ]
+    paths = sorted(state["files"])
     log = os.path.join(table, "_delta_log")
-    staging = os.path.join(log, f".cp-{uuid.uuid4().hex}")
-    spark.createDataFrame(rows, _CHECKPOINT_SCHEMA).coalesce(1) \
-        .write.parquet(staging)
-    part = next(
-        f for f in os.listdir(staging) if f.endswith(".parquet")
-    )
+    staging = os.path.join(log, f".cp-{uuid.uuid4().hex}.parquet")
+    n_rows = len(head) + len(paths)
+    chunk = 100_000  # bounds peak memory at any add count
+    with pq.ParquetWriter(staging, schema) as writer:
+        writer.write_table(pa.Table.from_pylist(head, schema=schema))
+        for i in range(0, len(paths), chunk):
+            writer.write_table(
+                pa.Table.from_pylist(
+                    [
+                        {"add": _checkpoint_add_dict(
+                            p, state["files"][p]
+                        )}
+                        for p in paths[i:i + chunk]
+                    ],
+                    schema=schema,
+                )
+            )
     final = os.path.join(log, f"{version:020d}.checkpoint.parquet")
-    os.replace(os.path.join(staging, part), final)
-    shutil.rmtree(staging, ignore_errors=True)
+    os.replace(staging, final)
     tmp = os.path.join(log, f".lc-{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "size": len(rows)}, fh)
+        json.dump({"version": version, "size": n_rows}, fh)
     os.replace(tmp, os.path.join(log, "_last_checkpoint"))
     try:
         # metadata cleanup rides the checkpoint (real Delta's shape):
@@ -1750,34 +1777,10 @@ def write_checkpoint_v2(
     sc_dir = os.path.join(log, "_sidecars")
     os.makedirs(sc_dir, exist_ok=True)
 
-    def _add_dict(path: str, a: dict[str, Any]) -> dict[str, Any]:
-        d = a.get("deletionVector")
-        return {
-            "path": path,
-            "partitionValues": a.get("partitionValues") or {},
-            "size": int(a["size"]),
-            "modificationTime": int(a.get("modificationTime") or 0),
-            "dataChange": False,  # spec: checkpoint adds
-            "deletionVector": (
-                {
-                    "storageType": d["storageType"],
-                    "pathOrInlineDv": d["pathOrInlineDv"],
-                    "offset": int(d.get("offset") or 0),
-                    "sizeInBytes": int(d["sizeInBytes"]),
-                    "cardinality": int(d["cardinality"]),
-                }
-                if d
-                else None
-            ),
-            "stats": a.get("stats"),
-            "tags": a.get("tags"),
-            "baseRowId": a.get("baseRowId"),
-            "defaultRowCommitVersion": a.get(
-                "defaultRowCommitVersion"
-            ),
-        }
-
-    adds = [_add_dict(p, a) for p, a in sorted(state["files"].items())]
+    adds = [
+        _checkpoint_add_dict(p, a)
+        for p, a in sorted(state["files"].items())
+    ]
     n_parts = (
         max(1, int(sidecar_files))
         if sidecar_files is not None
