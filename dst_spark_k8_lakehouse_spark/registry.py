@@ -59,6 +59,7 @@ PRIORITY: list[str] = [
     # (c) new/changed this round first:
     "x12_cbo_multiway",  # NEW: NDV-estimate-ordered 3-table join
     "s13_kafka_tcp",  # NEW: socket loopback — Fetch v4 over TCP
+    "t10_kafka_tcp_stream",  # NEW: structured streaming over the client
     "d49_puffin_ndv",  # changed: single-pass sketch build (one job)
     "x10_cbo_join",  # cbo.py gained estimate/order functions
     "j8_star_join",  # changed: single-partition final sort; also the
@@ -102,7 +103,6 @@ PRIORITY: list[str] = [
     "l2_minhash_lsh_sigs",
     "l2_simhash",
     "l2_embed_neardup",
-    "l2_ngram_jaccard",
     "l3_text_stats",
     "l3_quality_score",
     "l3_token_count",
@@ -114,10 +114,12 @@ PRIORITY: list[str] = [
     "l4_embed_quantize",
     "l4_quant_recall",
     "d74_lineage",  # NEW: lineage extraction/emission, oracle-checked
-    # 50 exactly (p12_dedup_rows and p4_filter_and moved to the r12
-    # front as s13_kafka_tcp and d74_lineage landed; the r05-cohort
+    # 50 exactly (p12_dedup_rows, p4_filter_and and the r07-green
+    # l2_ngram_jaccard moved to the r12 front as s13_kafka_tcp,
+    # t10_kafka_tcp_stream and d74_lineage landed; the r05-cohort
     # share stays 18 ≥ the verdict's 15). r12 backlog (write down so
     # nothing silently ages): p4_filter_and, p12_dedup_rows,
+    # l2_ngram_jaccard,
     # l2_minhash_recall/l2_simhash_recall/l2_simhash_sensitivity/
     # l2_embed_fuzzy_recall, l3_bpe_token_count/l3_bpe_learn,
     # l6_split_assign/l6_global_shuffle/l6_pack_sequences_bpe/

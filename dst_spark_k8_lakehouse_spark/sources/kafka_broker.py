@@ -45,8 +45,12 @@ import threading
 from typing import Any
 
 _API_FETCH = 1
+_API_LIST_OFFSETS = 2
 _API_METADATA = 3
 _API_VERSIONS = 18
+
+EARLIEST = -2  # ListOffsets timestamp sentinels (public protocol)
+LATEST = -1
 
 _ERR_NONE = 0
 _ERR_UNKNOWN_TOPIC = 3
@@ -226,6 +230,40 @@ def request_metadata(
         return {"brokers": brokers, "topics": out_topics}
 
 
+def list_offsets(
+    host: str,
+    port: int,
+    topic: str,
+    partitions: list[int],
+    timestamp: int = LATEST,
+) -> dict[int, int]:
+    """ListOffsets v1: {partition: offset} at the sentinel timestamp
+    (``EARLIEST`` = log start, ``LATEST`` = high watermark) — how a
+    consumer anchors a stream without reading records."""
+    w = _Writer()
+    w.i32(-1)  # replica_id: consumer
+    w.i32(1).string(topic)
+    w.i32(len(partitions))
+    for p in partitions:
+        w.i32(p).i64(timestamp)
+    with socket.create_connection((host, port), timeout=10) as sock:
+        r = _roundtrip(sock, _API_LIST_OFFSETS, 1, 4, w.done())
+        out: dict[int, int] = {}
+        for _ in range(r.i32()):
+            r.string()  # topic
+            for _p in range(r.i32()):
+                pid = r.i32()
+                err = r.i16()
+                r.i64()  # timestamp
+                off = r.i64()
+                if err:
+                    raise ValueError(
+                        f"ListOffsets error {err} for {topic}-{pid}"
+                    )
+                out[pid] = off
+        return out
+
+
 def fetch(
     sock: socket.socket,
     topic: str,
@@ -278,12 +316,15 @@ def drain_partition(
     partition: int,
     start_offset: int = 0,
     max_bytes: int = 1 << 20,
+    end_offset: int | None = None,
 ) -> list[tuple]:
-    """Drain ``[start_offset, high_watermark)`` of one partition over
-    one socket into KAFKA_WIRE_SCHEMA-ordered tuples. Paginates on the
-    LAST DECODED offset (+1) — a ``max_bytes`` cut mid-log is the
-    normal case, not an error; an empty record set below the high
-    watermark raises (a silent gap would drop rows)."""
+    """Drain ``[start_offset, min(end_offset, high_watermark))`` of
+    one partition over one socket into KAFKA_WIRE_SCHEMA-ordered
+    tuples. Paginates on the LAST DECODED offset (+1) — a
+    ``max_bytes`` cut mid-log is the normal case, not an error; an
+    empty record set below the target raises (a silent gap would drop
+    rows). An exclusive ``end_offset`` makes the read a BOUNDED
+    micro-batch (the streaming reader's replayable unit)."""
     from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
         segment_to_wire_rows,
     )
@@ -297,14 +338,15 @@ def drain_partition(
                 sock, topic, partition, offset, max_bytes, corr_id=corr
             )
             corr += 1
-            if offset >= hwm:
+            target = hwm if end_offset is None else min(hwm, end_offset)
+            if offset >= target:
                 break
             rows = segment_to_wire_rows(records, topic, partition)
-            rows = [r for r in rows if r[4] >= offset]
+            rows = [r for r in rows if offset <= r[4] < target]
             if not rows:
                 raise ValueError(
                     f"Fetch returned no records at {offset} < "
-                    f"high watermark {hwm} for {topic}-{partition}"
+                    f"target {target} for {topic}-{partition}"
                 )
             out.extend(rows)
             offset = max(r[4] for r in rows) + 1
@@ -462,10 +504,37 @@ class SegmentResponder:
         w = _Writer().i32(corr_id)
         if api_key == _API_VERSIONS and api_version == 0:
             w.i16(_ERR_NONE)
-            w.i32(3)
+            w.i32(4)
             w.i16(_API_FETCH).i16(4).i16(4)
+            w.i16(_API_LIST_OFFSETS).i16(1).i16(1)
             w.i16(_API_METADATA).i16(0).i16(0)
             w.i16(_API_VERSIONS).i16(0).i16(0)
+            return w.done()
+        if api_key == _API_LIST_OFFSETS and api_version == 1:
+            req.i32()  # replica_id
+            n_topics = req.i32()
+            w.i32(n_topics)
+            for _ in range(n_topics):
+                topic = req.string()
+                n_parts = req.i32()
+                w.string(topic).i32(n_parts)
+                for _p in range(n_parts):
+                    pid = req.i32()
+                    ts = req.i64()
+                    seg = self.partitions.get((topic, pid))
+                    if seg is None:
+                        w.i32(pid).i16(_ERR_UNKNOWN_TOPIC)
+                        w.i64(-1).i64(-1)
+                        continue
+                    if ts == LATEST:
+                        off, _ = _slice_segment(seg, 1 << 62, 0)
+                    elif ts == EARLIEST:
+                        off = _log_start(seg)
+                    else:  # timestamp lookup: not served here, loudly
+                        w.i32(pid).i16(_ERR_UNSUPPORTED_VERSION)
+                        w.i64(-1).i64(-1)
+                        continue
+                    w.i32(pid).i16(_ERR_NONE).i64(-1).i64(off)
             return w.done()
         if api_key == _API_METADATA and api_version == 0:
             n = req.i32()
@@ -521,6 +590,15 @@ class SegmentResponder:
         # every other (key, version): loud UNSUPPORTED_VERSION with a
         # shape-correct minimal body so clients fail cleanly
         return w.i16(_ERR_UNSUPPORTED_VERSION).i32(0).done()
+
+
+def _log_start(path: str) -> int:
+    """First base offset of a segment file (ListOffsets EARLIEST)."""
+    with open(path, "rb") as fh:
+        head = fh.read(8)
+    if len(head) < 8:
+        return 0
+    return struct.unpack(">q", head)[0]
 
 
 def _slice_segment(

@@ -1,0 +1,301 @@
+"""``format("kafka_tcp")`` — a Spark 4 Python DataSource reading a
+Kafka-protocol peer over TCP through the jar-free client
+(``sources/kafka_broker.py``), batch AND structured streaming.
+
+This is the stock ``format("kafka")`` source's consumer topology
+re-expressed on the engine's own wire stack:
+
+- **Batch**: Metadata discovers partitions on the driver; one
+  ``InputPartition`` per topic-partition; each executor task opens its
+  own socket and drains ``[EARLIEST, LATEST)`` (offsets anchored by
+  ListOffsets, so concurrent appends don't tear a batch).
+- **Streaming**: a ``DataSourceStreamReader`` whose offsets are
+  ``{partition: next_offset}`` dicts — ``latestOffset`` asks
+  ListOffsets(LATEST), ``partitions(start, end)`` plans one bounded
+  ``[lo, hi)`` micro-batch unit per advanced partition, and ``read``
+  drains exactly that range (``drain_partition(end_offset=…)``), so a
+  replayed epoch re-reads IDENTICAL rows — the property exactly-once
+  sinks (``stream_to_delta`` / ``stream_to_iceberg`` epoch
+  watermarks) compose with.
+
+Options: ``host``, ``port``, ``topic`` (required), ``maxbytes``
+(Fetch page size, default 1 MiB), ``startingoffsets``
+(``earliest``/``latest``, batch start + stream anchor, default
+earliest). Rows are the exact ``KAFKA_WIRE_SCHEMA`` frame, so
+``parse_kafka_events`` and every downstream pipeline are shared code.
+
+WHY at 100 TB: record bytes never touch the driver (metadata-only
+planning), partitions fan out to one consumer socket per task like
+the real connector, and micro-batch units are offset-bounded so
+retries are deterministic at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _TcpPartition(InputPartition):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        topic: str,
+        partition: int,
+        start: int,
+        end: int | None,
+        max_bytes: int,
+    ) -> None:
+        self.host = host
+        self.port = port
+        self.topic = topic
+        self.partition = partition
+        self.start = start
+        self.end = end
+        self.max_bytes = max_bytes
+
+
+def _read_tcp_partition(p: _TcpPartition) -> Iterator[tuple]:
+    import datetime
+
+    from dst_spark_k8_lakehouse_spark.sources.kafka_broker import (
+        drain_partition,
+    )
+
+    for key, value, topic, part, off, ts_ms, ts_type in drain_partition(
+        p.host, p.port, p.topic, p.partition,
+        start_offset=p.start, max_bytes=p.max_bytes,
+        end_offset=p.end,
+    ):
+        yield (
+            key, value, topic, part, off,
+            datetime.datetime.utcfromtimestamp(ts_ms / 1000.0),
+            ts_type,
+        )
+
+
+def _options(opts) -> tuple[str, int, str, int, str]:
+    host = opts.get("host")
+    port = opts.get("port")
+    topic = opts.get("topic")
+    if not (host and port and topic):
+        raise ValueError(
+            "kafka_tcp needs .option('host', …).option('port', …)"
+            ".option('topic', …)"
+        )
+    max_bytes = int(opts.get("maxbytes", 1 << 20))
+    starting = str(opts.get("startingoffsets", "earliest")).lower()
+    if starting not in ("earliest", "latest"):
+        raise ValueError(
+            f"startingoffsets must be earliest|latest, got {starting!r}"
+        )
+    return host, int(port), topic, max_bytes, starting
+
+
+def _discover(host: str, port: int, topic: str) -> list[int]:
+    from dst_spark_k8_lakehouse_spark.sources.kafka_broker import (
+        request_metadata,
+    )
+
+    meta = request_metadata(host, port, [topic])
+    t = next((x for x in meta["topics"] if x["name"] == topic), None)
+    if t is None or t["error"]:
+        raise ValueError(f"topic {topic!r} unknown to {host}:{port}")
+    return sorted(p["partition"] for p in t["partitions"])
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, opts) -> None:
+        self.host, self.port, self.topic, self.max_bytes, starting = (
+            _options(opts)
+        )
+        from dst_spark_k8_lakehouse_spark.sources import kafka_broker as kb
+
+        parts = _discover(self.host, self.port, self.topic)
+        lo = kb.list_offsets(
+            self.host, self.port, self.topic, parts,
+            kb.EARLIEST if starting == "earliest" else kb.LATEST,
+        )
+        hi = kb.list_offsets(
+            self.host, self.port, self.topic, parts, kb.LATEST
+        )
+        self.ranges = [(p, lo[p], hi[p]) for p in parts]
+
+    def partitions(self):
+        return [
+            _TcpPartition(
+                self.host, self.port, self.topic, p, lo, hi,
+                self.max_bytes,
+            )
+            for p, lo, hi in self.ranges
+        ]
+
+    def read(self, partition: _TcpPartition):
+        return _read_tcp_partition(partition)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Offsets are ``{str(partition): next_offset}``; every planned
+    micro-batch unit is a CLOSED range, so checkpoint replay reads
+    identical rows."""
+
+    def __init__(self, opts) -> None:
+        self.host, self.port, self.topic, self.max_bytes, starting = (
+            _options(opts)
+        )
+        from dst_spark_k8_lakehouse_spark.sources import kafka_broker as kb
+
+        self._parts = _discover(self.host, self.port, self.topic)
+        anchor = kb.list_offsets(
+            self.host, self.port, self.topic, self._parts,
+            kb.EARLIEST if starting == "earliest" else kb.LATEST,
+        )
+        self._initial = {str(p): int(anchor[p]) for p in self._parts}
+
+    def initialOffset(self):  # noqa: N802
+        return dict(self._initial)
+
+    def latestOffset(self):  # noqa: N802
+        from dst_spark_k8_lakehouse_spark.sources import kafka_broker as kb
+
+        hwm = kb.list_offsets(
+            self.host, self.port, self.topic, self._parts, kb.LATEST
+        )
+        return {str(p): int(hwm[p]) for p in self._parts}
+
+    def partitions(self, start, end):
+        out = []
+        for p in self._parts:
+            lo = int(start.get(str(p), 0))
+            hi = int(end.get(str(p), lo))
+            if hi > lo:
+                out.append(
+                    _TcpPartition(
+                        self.host, self.port, self.topic, p, lo, hi,
+                        self.max_bytes,
+                    )
+                )
+        return out
+
+    def read(self, partition: _TcpPartition):
+        return _read_tcp_partition(partition)
+
+    def commit(self, end) -> None:
+        pass  # the broker holds no consumer state for this reader
+
+
+class KafkaTcpDataSource(DataSource):
+    """``spark.dataSource.register(KafkaTcpDataSource)`` then
+    ``spark.read.format("kafka_tcp")`` / ``spark.readStream.format(
+    "kafka_tcp")`` with host/port/topic options."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_tcp"
+
+    def schema(self) -> T.StructType:
+        from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
+            KAFKA_WIRE_SCHEMA,
+        )
+
+        return KAFKA_WIRE_SCHEMA
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return _BatchReader(self.options)
+
+    def streamReader(  # noqa: N802
+        self, schema: T.StructType
+    ) -> DataSourceStreamReader:
+        return _StreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source (idempotent) and ship the package so
+    executor tasks and the streaming runner can import the client."""
+    from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    spark.dataSource.register(KafkaTcpDataSource)
+
+
+# --------------------------------------------------------------------------
+# registry query: the STREAMING loopback (S13's stream half)
+
+def _register_query() -> None:
+    from dst_spark_k8_lakehouse_spark.exact import sum_sql
+    from dst_spark_k8_lakehouse_spark.registry import query
+
+    @query(
+        "t10_kafka_tcp_stream",
+        oracle=f"""
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   {sum_sql('value')} AS total_value
+            FROM events
+            WHERE event_id <= 2000
+            GROUP BY event_type
+        """,
+    )
+    def t10_kafka_tcp_stream(spark, sf_dir: str):
+        """T10 (r11): STRUCTURED STREAMING over the Kafka TCP client —
+        ``readStream.format("kafka_tcp")`` against the loopback
+        responder, availableNow drain through a checkpoint (offsets =
+        per-partition next-offset dicts; 64 KiB Fetch pages force
+        multi-page micro-batch units), parsed and aggregated, value-
+        checked against the relational oracle. With s13_kafka_wire
+        (bytes) and s13_kafka_tcp (socket), this closes S13's stream
+        half: the full ``format("kafka")`` consumer surface — batch,
+        stream, offsets, pagination — jar-free."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from dst_spark_k8_lakehouse_spark import exact
+        from dst_spark_k8_lakehouse_spark.sources.kafka_broker import (
+            _responder_fixture,
+        )
+        from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
+            parse_kafka_events,
+        )
+
+        register(spark)
+        responder = _responder_fixture(spark, sf_dir)
+        with tempfile.TemporaryDirectory(prefix="dst-t10-") as d:
+            wire = (
+                spark.readStream.format("kafka_tcp")
+                .option("host", responder.host)
+                .option("port", responder.port)
+                .option("topic", "events")
+                .option("maxbytes", 64 << 10)
+                .load()
+            )
+            q = (
+                wire.writeStream.format("parquet")
+                .option("path", f"{d}/out")
+                .option("checkpointLocation", f"{d}/cp")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            drained = spark.read.parquet(f"{d}/out").cache()
+            drained.count()  # pin before the tempdir goes away
+        events = parse_kafka_events(drained)
+        return events.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            exact.exact_sum("value").alias("total_value"),
+        )
+
+
+_register_query()

@@ -103,7 +103,10 @@ def test_unsupported_api_is_a_loud_error(responder):
     with socket.create_connection(
         (responder.host, responder.port), timeout=5
     ) as sock:
-        r = kb._roundtrip(sock, 2, 1, 42, b"")  # ListOffsets: unserved
+        r = kb._roundtrip(sock, 0, 3, 42, b"")  # Produce: never served
+        assert r.i16() == kb._ERR_UNSUPPORTED_VERSION
+        # a served KEY at an unserved VERSION refuses the same way
+        r = kb._roundtrip(sock, kb._API_LIST_OFFSETS, 0, 43, b"")
         assert r.i16() == kb._ERR_UNSUPPORTED_VERSION
 
 
@@ -146,3 +149,99 @@ def test_read_kafka_topic_unknown_topic_raises(spark, responder):
         kb.read_kafka_topic(
             spark, responder.host, responder.port, "absent"
         )
+
+
+def test_list_offsets_sentinels(responder):
+    lo = kb.list_offsets(responder.host, responder.port, "tp", [0, 1],
+                         kb.EARLIEST)
+    hi = kb.list_offsets(responder.host, responder.port, "tp", [0, 1],
+                         kb.LATEST)
+    assert lo == {0: 0, 1: 0}
+    assert hi == {0: 100, 1: 100}
+    # a timestamp LOOKUP (not a sentinel) is loudly unsupported here
+    with pytest.raises(ValueError, match="ListOffsets error"):
+        kb.list_offsets(responder.host, responder.port, "tp", [0],
+                        1_700_000_000_000)
+
+
+def test_kafka_tcp_batch_format(spark, segment_root, responder):
+    from dst_spark_k8_lakehouse_spark.sources import kafka_tcp_source
+    from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
+        kafka_segment_source,
+    )
+
+    kafka_tcp_source.register(spark)
+    got = (
+        spark.read.format("kafka_tcp")
+        .option("host", responder.host)
+        .option("port", responder.port)
+        .option("topic", "tp")
+        .option("maxbytes", 512)
+        .load()
+        .toPandas()
+        .sort_values(["partition", "offset"]).reset_index(drop=True)
+    )
+    want = kafka_segment_source(spark, segment_root).toPandas() \
+        .sort_values(["partition", "offset"]).reset_index(drop=True)
+    assert got.equals(want)
+    # startingoffsets=latest → empty batch (anchor == high watermark)
+    empty = (
+        spark.read.format("kafka_tcp")
+        .option("host", responder.host)
+        .option("port", responder.port)
+        .option("topic", "tp")
+        .option("startingoffsets", "latest")
+        .load()
+    )
+    assert empty.count() == 0
+
+
+def test_kafka_tcp_stream_is_incremental(spark, tmp_path):
+    """Two availableNow drains through ONE checkpoint: the second
+    sees only the batch appended between them — the offset dict in
+    the checkpoint is doing its job."""
+    import os as _os
+
+    from dst_spark_k8_lakehouse_spark.sources import kafka_tcp_source
+
+    root = str(tmp_path / "seg")
+    d = _os.path.join(root, "inc-0")
+    _os.makedirs(d)
+    log = _os.path.join(d, "00000000000000000000.log")
+
+    def _append(base, n):
+        recs = [{"key": f"k{base + i}".encode(),
+                 "value": f"v{base + i}".encode(),
+                 "timestamp_ms": 1_700_000_000_000 + base + i}
+                for i in range(n)]
+        with open(log, "ab") as f:
+            f.write(encode_record_batch(recs, base_offset=base))
+
+    _append(0, 40)
+    kafka_tcp_source.register(spark)
+    with kb.SegmentResponder(root) as r:
+        def drain():
+            q = (
+                spark.readStream.format("kafka_tcp")
+                .option("host", r.host)
+                .option("port", r.port)
+                .option("topic", "inc")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "out"))
+                .option("checkpointLocation", str(tmp_path / "cp"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return spark.read.parquet(str(tmp_path / "out"))
+
+        first = drain()
+        assert first.count() == 40
+        _append(40, 15)  # arrives between micro-batch runs
+        second = drain()
+        assert second.count() == 55  # 40 + ONLY the 15 new
+        offs = sorted(
+            x.offset for x in second.select("offset").collect()
+        )
+        assert offs == list(range(55))
