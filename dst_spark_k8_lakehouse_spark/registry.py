@@ -60,6 +60,7 @@ PRIORITY: list[str] = [
     "x12_cbo_multiway",  # NEW: NDV-estimate-ordered 3-table join
     "s13_kafka_tcp",  # NEW: socket loopback — Fetch v4 over TCP
     "t10_kafka_tcp_stream",  # NEW: structured streaming over the client
+    "x13_tcp_bronze",  # NEW capstone: TCP -> stream -> exactly-once delta
     "d49_puffin_ndv",  # changed: single-pass sketch build (one job)
     "x10_cbo_join",  # cbo.py gained estimate/order functions
     "j8_star_join",  # changed: single-partition final sort; also the
@@ -96,7 +97,6 @@ PRIORITY: list[str] = [
     "a13_unpivot",
     "d10_update_sql",
     "d11_delete_sql",
-    "d12_time_travel",
     "d13_merge_sql",
     "w1_rank",
     "l2_minhash_lsh",
@@ -119,7 +119,7 @@ PRIORITY: list[str] = [
     # t10_kafka_tcp_stream and d74_lineage landed; the r05-cohort
     # share stays 18 ≥ the verdict's 15). r12 backlog (write down so
     # nothing silently ages): p4_filter_and, p12_dedup_rows,
-    # l2_ngram_jaccard,
+    # l2_ngram_jaccard, d12_time_travel (r09-green; cut for x13),
     # l2_minhash_recall/l2_simhash_recall/l2_simhash_sensitivity/
     # l2_embed_fuzzy_recall, l3_bpe_token_count/l3_bpe_learn,
     # l6_split_assign/l6_global_shuffle/l6_pack_sequences_bpe/

@@ -299,3 +299,121 @@ def _register_query() -> None:
 
 
 _register_query()
+
+
+def _register_capstone() -> None:
+    from dst_spark_k8_lakehouse_spark.exact import sum_sql
+    from dst_spark_k8_lakehouse_spark.registry import query
+
+    @query(
+        "x13_tcp_bronze",
+        oracle=f"""
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   {sum_sql('value')} AS total_value,
+                   TRUE AS exactly_once
+            FROM events
+            WHERE event_id <= 2000
+            GROUP BY event_type
+        """,
+    )
+    def x13_tcp_bronze(spark, sf_dir: str):
+        """CAPSTONE (r11): the canonical bronze-ingest pipeline,
+        end-to-end on this engine's own stack — a LIVE Kafka-protocol
+        peer over TCP → ``readStream.format("kafka_tcp")``
+        (per-partition checkpointed offsets) → ``parse_kafka_events``
+        → ``stream_to_delta`` (foreachBatch + SetTransaction
+        exactly-once watermarks) → the bronze table read back through
+        the jar-free protocol replay reader and aggregated,
+        value-checked against the relational oracle. ``exactly_once``
+        folds three properties into the hash: the bronze row count is
+        exactly the fixture's (no dup, no loss), a deliberate RETRY
+        of the last micro-batch with its committed (app, batch) txn
+        is SKIPPED by the watermark, and the log state actually
+        carries the txn row. The stock-stack equivalent (kafka →
+        spark-sql-kafka → delta-spark) needs two jar families and a
+        broker; this is the same pipeline jar-free against a
+        socket."""
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from dst_spark_k8_lakehouse_spark import exact
+        from dst_spark_k8_lakehouse_spark.plans import (
+            delta_reader,
+            delta_writer,
+        )
+        from dst_spark_k8_lakehouse_spark.sources.kafka_broker import (
+            _responder_fixture,
+        )
+        from dst_spark_k8_lakehouse_spark.streaming.delta_sink import (
+            stream_to_delta,
+        )
+        from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
+            EVENTS_STREAM_SCHEMA,
+            parse_kafka_events,
+        )
+
+        register(spark)
+        responder = _responder_fixture(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="dst-x13-")
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        table = os.path.join(base, "bronze")
+        delta_writer.create_delta(
+            spark.createDataFrame([], EVENTS_STREAM_SCHEMA), table
+        )
+        wire = (
+            spark.readStream.format("kafka_tcp")
+            .option("host", responder.host)
+            .option("port", responder.port)
+            .option("topic", "events")
+            .option("maxbytes", 64 << 10)
+            .load()
+        )
+        app = "x13-bronze"
+        q = stream_to_delta(
+            parse_kafka_events(wire), table,
+            os.path.join(base, "cp"), app_id=app,
+        )
+        q.awaitTermination(180)
+        bronze = delta_reader.read_delta(spark, table)
+        n_after_stream = bronze.count()
+        # at-least-once delivery simulation: re-append rows under the
+        # HIGHEST COMMITTED (app, batch) — the SetTransaction watermark
+        # must skip it or the oracle's exact row-set match breaks
+        state = delta_reader._replay(spark, table, None)
+        last_batch = int(state["txns"][app])
+        delta_writer.append_delta(
+            bronze.limit(50), table, txn=(app, last_batch)
+        )
+        n_after_retry = delta_reader.read_delta(spark, table).count()
+        from dst_spark_k8_lakehouse_spark.sources.catalog import (
+            load_table,
+        )
+
+        n_expected = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") <= 2000)
+            .count()
+        )
+        ok = (
+            n_after_stream == n_expected  # no dup, no loss
+            and n_after_retry == n_expected  # the retry was SKIPPED
+            and last_batch >= 0  # the txn watermark is in log state
+        )
+        return bronze.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            exact.exact_sum("value").alias("total_value"),
+            F.first(F.lit(bool(ok))).alias("exactly_once"),
+        )
+
+
+_register_capstone()
