@@ -279,12 +279,13 @@ def _register() -> None:
         ``event_ok``. Basenames keep the oracle sf-independent."""
         import tempfile
 
-        from dst_spark_k8_lakehouse_spark.sources.catalog import (
-            load_table,
-        )
-
-        orders = load_table(spark, sf_dir, "orders")
-        customer = load_table(spark, sf_dir, "customer")
+        # direct parquet reads, NOT load_table: a session that ran
+        # cache_tables() (bench flow) serves cached handles whose
+        # plans are InMemoryRelations — inputFiles() correctly reports
+        # [] for those (documented above), which would break this
+        # oracle's file-backed contract
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
         joined = orders.join(
             customer, orders.o_custkey == customer.c_custkey
         )

@@ -1328,137 +1328,6 @@ def drop_column(spark: SparkSession, table: str, name: str) -> int:
     )
 
 
-_CHECKPOINT_SCHEMA = T.StructType(
-    [
-        T.StructField(
-            "protocol",
-            T.StructType(
-                [
-                    T.StructField("minReaderVersion", T.IntegerType()),
-                    T.StructField("minWriterVersion", T.IntegerType()),
-                    T.StructField(
-                        "readerFeatures", T.ArrayType(T.StringType())
-                    ),
-                    T.StructField(
-                        "writerFeatures", T.ArrayType(T.StringType())
-                    ),
-                ]
-            ),
-        ),
-        T.StructField(
-            "metaData",
-            T.StructType(
-                [
-                    T.StructField("id", T.StringType()),
-                    T.StructField("name", T.StringType()),
-                    T.StructField("description", T.StringType()),
-                    T.StructField(
-                        "format",
-                        T.StructType(
-                            [
-                                T.StructField("provider", T.StringType()),
-                                T.StructField(
-                                    "options",
-                                    T.MapType(T.StringType(), T.StringType()),
-                                ),
-                            ]
-                        ),
-                    ),
-                    T.StructField("schemaString", T.StringType()),
-                    T.StructField(
-                        "partitionColumns", T.ArrayType(T.StringType())
-                    ),
-                    T.StructField(
-                        "configuration",
-                        T.MapType(T.StringType(), T.StringType()),
-                    ),
-                    T.StructField("createdTime", T.LongType()),
-                ]
-            ),
-        ),
-        T.StructField(
-            "add",
-            T.StructType(
-                [
-                    T.StructField("path", T.StringType()),
-                    T.StructField(
-                        "partitionValues",
-                        T.MapType(T.StringType(), T.StringType()),
-                    ),
-                    T.StructField("size", T.LongType()),
-                    T.StructField("modificationTime", T.LongType()),
-                    T.StructField("dataChange", T.BooleanType()),
-                    # a checkpoint that dropped descriptors would
-                    # resurrect DV-deleted rows on replay
-                    T.StructField(
-                        "deletionVector",
-                        T.StructType(
-                            [
-                                T.StructField(
-                                    "storageType", T.StringType()
-                                ),
-                                T.StructField(
-                                    "pathOrInlineDv", T.StringType()
-                                ),
-                                T.StructField("offset", T.IntegerType()),
-                                T.StructField(
-                                    "sizeInBytes", T.IntegerType()
-                                ),
-                                T.StructField(
-                                    "cardinality", T.LongType()
-                                ),
-                            ]
-                        ),
-                    ),
-                    # data-skipping bounds survive checkpointing (the
-                    # spec's checkpoint add carries stats as a string)
-                    T.StructField("stats", T.StringType()),
-                    # liquid clustering marks clustered files here —
-                    # dropping tags at a checkpoint would make the next
-                    # incremental OPTIMIZE re-cluster the whole table
-                    T.StructField(
-                        "tags", T.MapType(T.StringType(), T.StringType())
-                    ),
-                    # row tracking: losing baseRowId at a checkpoint
-                    # would silently shift every fresh row id
-                    T.StructField("baseRowId", T.LongType()),
-                    T.StructField(
-                        "defaultRowCommitVersion", T.LongType()
-                    ),
-                ]
-            ),
-        ),
-        T.StructField(
-            "remove",
-            T.StructType(
-                [
-                    T.StructField("path", T.StringType()),
-                    T.StructField("deletionTimestamp", T.LongType()),
-                    T.StructField("dataChange", T.BooleanType()),
-                ]
-            ),
-        ),
-        T.StructField(
-            "txn",
-            T.StructType(
-                [
-                    T.StructField("appId", T.StringType()),
-                    T.StructField("version", T.LongType()),
-                ]
-            ),
-        ),
-        T.StructField(
-            "domainMetadata",
-            T.StructType(
-                [
-                    T.StructField("domain", T.StringType()),
-                    T.StructField("configuration", T.StringType()),
-                    T.StructField("removed", T.BooleanType()),
-                ]
-            ),
-        ),
-    ]
-)
 
 
 def _checkpoint_add_dict(path: str, a: dict[str, Any]) -> dict[str, Any]:
@@ -1610,7 +1479,7 @@ V2_CHECKPOINT_FEATURE = "v2Checkpoint"
 
 def _pa_action_types():
     """pyarrow struct types for V2 checkpoint files — the same action
-    shapes ``_CHECKPOINT_SCHEMA`` spells for Spark, plus the two
+    shapes BOTH checkpoint writers share, plus the two
     v2-only actions (``checkpointMetadata``, ``sidecar``) from the
     Delta PROTOCOL.md V2 Checkpoint spec."""
     import pyarrow as pa

@@ -382,12 +382,15 @@ def read_kafka_topic(
         raise ValueError(f"topic {topic!r} unknown to {host}:{port}")
     partitions = [p["partition"] for p in tmeta["partitions"]]
 
+    # repartitionByRange gives the documented 1:1 partition→task
+    # mapping (hash repartition can collide two Kafka partitions into
+    # one task and leave another idle)
     plan = spark.createDataFrame(
         [(topic, p, host, port, start_offset, max_bytes)
          for p in partitions],
         "topic string, partition int, host string, port int, "
         "start_offset long, max_bytes int",
-    ).repartition(len(partitions), "partition")
+    ).repartitionByRange(len(partitions), "partition")
 
     def _drain(batches):
         import pandas as pd
@@ -484,9 +487,17 @@ class SegmentResponder:
                     return
                 try:
                     while True:
-                        raw = conn.recv(4)
-                        if len(raw) < 4:
+                        # TCP is a byte stream: the 4-byte size prefix
+                        # may arrive split. Only a 0-byte FIRST read is
+                        # a clean close; a partial prefix must be
+                        # completed, not treated as EOF.
+                        first = conn.recv(4)
+                        if not first:
                             break
+                        raw = first + (
+                            _recv_exact(conn, 4 - len(first))
+                            if len(first) < 4 else b""
+                        )
                         size = struct.unpack(">i", raw)[0]
                         req = _Reader(_recv_exact(conn, size))
                         resp = self._respond(req)
@@ -601,38 +612,70 @@ def _log_start(path: str) -> int:
     return struct.unpack(">q", head)[0]
 
 
+# parsed (base, start, end) spans per (path, file size): a segment
+# file only ever APPENDS whole batches, so a size change invalidates
+# exactly one entry and re-parsing starts from scratch — this keeps a
+# paginated drain O(page) per Fetch instead of re-span-scanning the
+# whole file every page
+_SPAN_CACHE: dict[tuple[str, int], list[tuple[int, int, int]]] = {}
+
+
+def _segment_spans(
+    buf: bytes, path: str
+) -> list[tuple[int, int, int]]:
+    key = (path, len(buf))
+    spans = _SPAN_CACHE.get(key)
+    if spans is None:
+        spans = []
+        pos = 0
+        while pos < len(buf):
+            base, batch_len = struct.unpack_from(">qi", buf, pos)
+            end = pos + 12 + batch_len
+            spans.append((base, pos, end))
+            pos = end
+        _SPAN_CACHE[key] = spans
+        # drop stale sizes of the same path (append-only growth)
+        for k in [k for k in _SPAN_CACHE if k[0] == path and k != key]:
+            del _SPAN_CACHE[k]
+    return spans
+
+
 def _slice_segment(
     path: str, offset: int, max_bytes: int
 ) -> tuple[int, bytes]:
     """(high_watermark, WHOLE batches covering ``offset``, capped at
     ``max_bytes`` but never zero batches while data remains) — the
     broker contract: batches are the atom, a fetch below the high
-    watermark always makes progress."""
+    watermark always makes progress. On a span-cache hit only the
+    sliced byte ranges are read (seek), so a paginated drain costs
+    O(page) per Fetch, not O(file)."""
+    import os
+
+    size = os.path.getsize(path)
     with open(path, "rb") as fh:
-        buf = fh.read()
-    spans: list[tuple[int, int, int]] = []  # (base, start, end)
-    pos = 0
-    while pos < len(buf):
-        base, batch_len = struct.unpack_from(">qi", buf, pos)
-        end = pos + 12 + batch_len
-        spans.append((base, pos, end))
-        pos = end
-    if not spans:
-        return 0, b""
-    # high watermark = last offset of the last batch + 1; last offset
-    # delta sits right after the fixed header (attributes i16 first)
-    last_base, last_start, _ = spans[-1]
-    last_delta = struct.unpack_from(">i", buf, last_start + 23)[0]
-    hwm = last_base + last_delta + 1
-    out = bytearray()
-    for i, (base, start, end) in enumerate(spans):
-        nxt = spans[i + 1][0] if i + 1 < len(spans) else hwm
-        if nxt <= offset:  # batch wholly below the asked offset
-            continue
-        if out and len(out) + (end - start) > max_bytes:
-            break
-        out += buf[start:end]
-    return hwm, bytes(out)
+        spans = _SPAN_CACHE.get((path, size))
+        if spans is None:
+            spans = _segment_spans(fh.read(), path)
+            fh.seek(0)
+        if not spans:
+            return 0, b""
+        # high watermark = last offset of the last batch + 1; the
+        # lastOffsetDelta int32 sits right after the fixed header
+        # (attributes int16 first)
+        last_base, last_start, _ = spans[-1]
+        fh.seek(last_start + 23)
+        last_delta = struct.unpack(">i", fh.read(4))[0]
+        hwm = last_base + last_delta + 1
+        out = bytearray()
+        for i, (base, start, end) in enumerate(spans):
+            nxt = spans[i + 1][0] if i + 1 < len(spans) else hwm
+            if nxt <= offset:  # batch wholly below the asked offset
+                continue
+            if out and len(out) + (end - start) > max_bytes:
+                break
+            fh.seek(start)
+            out += fh.read(end - start)
+        return hwm, bytes(out)
 
 
 # --------------------------------------------------------------------------

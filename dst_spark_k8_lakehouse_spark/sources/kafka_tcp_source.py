@@ -70,14 +70,18 @@ def _read_tcp_partition(p: _TcpPartition) -> Iterator[tuple]:
         drain_partition,
     )
 
+    epoch = datetime.datetime(1970, 1, 1)
     for key, value, topic, part, off, ts_ms, ts_type in drain_partition(
         p.host, p.port, p.topic, p.partition,
         start_offset=p.start, max_bytes=p.max_bytes,
         end_offset=p.end,
     ):
+        # naive-UTC datetime, matching pd.to_datetime(unit="ms") in
+        # kafka_wire's segment source so both faces of the wire frame
+        # produce bit-identical timestamps (session tz pinned UTC)
         yield (
             key, value, topic, part, off,
-            datetime.datetime.utcfromtimestamp(ts_ms / 1000.0),
+            epoch + datetime.timedelta(milliseconds=ts_ms),
             ts_type,
         )
 
@@ -270,25 +274,37 @@ def _register_query() -> None:
 
         register(spark)
         responder = _responder_fixture(spark, sf_dir)
-        with tempfile.TemporaryDirectory(prefix="dst-t10-") as d:
-            wire = (
-                spark.readStream.format("kafka_tcp")
-                .option("host", responder.host)
-                .option("port", responder.port)
-                .option("topic", "events")
-                .option("maxbytes", 64 << 10)
-                .load()
+        # mkdtemp + atexit (not a with-block): the returned DataFrame
+        # is collected AFTER this function returns, and a lost cache
+        # block would recompute from the parquet path — the backing
+        # files must outlive the query, like every other fixture
+        import atexit
+        import shutil
+
+        d = tempfile.mkdtemp(prefix="dst-t10-")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        wire = (
+            spark.readStream.format("kafka_tcp")
+            .option("host", responder.host)
+            .option("port", responder.port)
+            .option("topic", "events")
+            .option("maxbytes", 64 << 10)
+            .load()
+        )
+        q = (
+            wire.writeStream.format("parquet")
+            .option("path", f"{d}/out")
+            .option("checkpointLocation", f"{d}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(
+                "t10 stream did not drain within 120 s — partial "
+                "output would masquerade as a wrong-rows failure"
             )
-            q = (
-                wire.writeStream.format("parquet")
-                .option("path", f"{d}/out")
-                .option("checkpointLocation", f"{d}/cp")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(120)
-            drained = spark.read.parquet(f"{d}/out").cache()
-            drained.count()  # pin before the tempdir goes away
+        drained = spark.read.parquet(f"{d}/out")
         events = parse_kafka_events(drained)
         return events.groupBy("event_type").agg(
             F.count("*").alias("n_events"),
@@ -381,13 +397,23 @@ def _register_capstone() -> None:
             parse_kafka_events(wire), table,
             os.path.join(base, "cp"), app_id=app,
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            q.stop()
+            raise RuntimeError(
+                "x13 stream did not drain within 180 s — a partial "
+                "bronze table would masquerade as a wrong-rows failure"
+            )
         bronze = delta_reader.read_delta(spark, table)
         n_after_stream = bronze.count()
         # at-least-once delivery simulation: re-append rows under the
         # HIGHEST COMMITTED (app, batch) — the SetTransaction watermark
         # must skip it or the oracle's exact row-set match breaks
         state = delta_reader._replay(spark, table, None)
+        if app not in state.get("txns", {}):
+            raise RuntimeError(
+                f"x13 bronze log carries no SetTransaction row for "
+                f"{app!r} — the stream committed zero micro-batches"
+            )
         last_batch = int(state["txns"][app])
         delta_writer.append_delta(
             bronze.limit(50), table, txn=(app, last_batch)

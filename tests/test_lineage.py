@@ -131,3 +131,22 @@ def test_listener_emits_per_action(spark, tmp_path):
         assert e["job"]["name"].startswith("action:")
     finally:
         lineage.unregister_listener(spark, listener)
+
+
+def test_d74_query_survives_cached_catalog(spark):
+    """The registry query must stay file-backed even when the session
+    pinned the catalog caches (bench flow): cached handles correctly
+    report no inputFiles, so d74 reads the parquet directly."""
+    import dst_spark_k8_lakehouse_spark.sources.catalog as cat
+    from dst_spark_k8_lakehouse_spark import registry
+
+    registry.load_all()
+    cat.cache_tables(spark, SF)
+    try:
+        got = registry.QUERIES["d74_lineage"](spark, SF).toPandas()
+        assert sorted(got["dataset"]) == [
+            "customer.parquet", "orders.parquet"
+        ]
+        assert got["event_ok"].all()
+    finally:
+        cat.uncache_tables(spark)
