@@ -46,6 +46,50 @@ def _unified_fields(meta: dict[str, Any]) -> list[dict[str, Any]]:
     return [seen[fid] for fid in sorted(seen)]
 
 
+def _manifest_partials(
+    path: str,
+    ml_content: int,
+    fields_here: list[dict[str, Any]],
+    names: list[str],
+) -> dict[tuple, list[int]]:
+    """Decode ONE manifest and aggregate its entries to partial
+    counters keyed by the unified partition tuple: ``{(v0, v1, …):
+    [data_records, data_files, data_bytes, pos_del_records,
+    pos_del_files, eq_del_records, eq_del_files]}``. Runs inside the
+    fork pool (module-level, plain-data args), so a wide-table stats
+    build parallelizes the AGGREGATION too, not just the Avro decode
+    — only small partial dicts cross the IPC boundary."""
+    from dst_spark_k8_lakehouse_spark.plans import (
+        avro_codec,
+        iceberg_reader,
+    )
+
+    partials: dict[tuple, list[int]] = {}
+    for entry in avro_codec.read_avro_file(path):
+        if int(str(entry.get("status"))) == 2:  # DELETED
+            continue
+        data_file = entry["data_file"]
+        pv = iceberg_reader._partition_values(data_file, fields_here)
+        content = int(
+            str(iceberg_reader._get(data_file, "content") or ml_content)
+        )
+        n = int(str(data_file.get("record_count")))
+        size = int(str(data_file.get("file_size_in_bytes")))
+        key = tuple(pv.get(nm) for nm in names)
+        c = partials.setdefault(key, [0, 0, 0, 0, 0, 0, 0])
+        if content == 0:
+            c[0] += n
+            c[1] += 1
+            c[2] += size
+        elif content == 1:
+            c[3] += n
+            c[4] += 1
+        elif content == 2:
+            c[5] += n
+            c[6] += 1
+    return partials
+
+
 def compute_partition_stats(
     spark: SparkSession, table: str, snapshot_id: int | None = None
 ) -> list[dict[str, Any]]:
@@ -54,7 +98,9 @@ def compute_partition_stats(
     counts plus position/equality delete file+record counts. Delete
     counts attribute by partition record where the delete manifest
     carries one (global/unpartitioned-spec deletes land on the
-    null tuple)."""
+    null tuple). Per-manifest decode AND aggregation run on the
+    decode pool (r11: the 1M-file build was 16 s single-threaded
+    past the parallel decode — the Python entry loop dominated)."""
     from dst_spark_k8_lakehouse_spark.plans import (
         decode_pool,
         iceberg_writer,
@@ -108,33 +154,29 @@ def compute_partition_stats(
                 iceberg_reader._strip_uri(str(mf["manifest_path"])),
             )
         )
-    decoded = decode_pool.decode_avro_files([m[2] for m in manifests])
-    for (ml_content, ml_spec, _p), entries in zip(manifests, decoded):
-        fields_here = specs_by_id.get(ml_spec, [])
-        for entry in entries:
-            if int(str(entry.get("status"))) == 2:  # DELETED
-                continue
-            data_file = entry["data_file"]
-            pv = iceberg_reader._partition_values(
-                data_file, fields_here
-            )
-            content = int(
-                str(iceberg_reader._get(data_file, "content")
-                    or ml_content)
-            )
-            n = int(str(data_file.get("record_count")))
-            size = int(str(data_file.get("file_size_in_bytes")))
-            g = _bucket(pv, ml_spec)
-            if content == 0:
-                g["data_record_count"] += n
-                g["data_file_count"] += 1
-                g["total_data_file_size_in_bytes"] += size
-            elif content == 1:
-                g["position_delete_record_count"] += n
-                g["position_delete_file_count"] += 1
-            elif content == 2:
-                g["equality_delete_record_count"] += n
-                g["equality_delete_file_count"] += 1
+    paths = [m[2] for m in manifests]
+    partials = decode_pool.run_tasks(
+        _manifest_partials,
+        [
+            (p, ml_content, specs_by_id.get(ml_spec, []), names)
+            for ml_content, ml_spec, p in manifests
+        ],
+        paths,
+    )
+    counter_keys = [
+        "data_record_count",
+        "data_file_count",
+        "total_data_file_size_in_bytes",
+        "position_delete_record_count",
+        "position_delete_file_count",
+        "equality_delete_record_count",
+        "equality_delete_file_count",
+    ]
+    for (_c, ml_spec, _p), part in zip(manifests, partials):
+        for values, counts in part.items():
+            g = _bucket(dict(zip(names, values)), ml_spec)
+            for k, v in zip(counter_keys, counts):
+                g[k] += v
     return sorted(
         groups.values(),
         key=lambda g: (
