@@ -541,10 +541,11 @@ class SegmentResponder:
                         off, _ = _slice_segment(seg, 1 << 62, 0)
                     elif ts == EARLIEST:
                         off = _log_start(seg)
-                    else:  # timestamp lookup: not served here, loudly
-                        w.i32(pid).i16(_ERR_UNSUPPORTED_VERSION)
-                        w.i64(-1).i64(-1)
-                        continue
+                    else:
+                        # timestamp lookup (the protocol contract):
+                        # offset of the FIRST record with
+                        # timestamp >= ts; -1 when nothing qualifies
+                        off = _offset_for_timestamp(seg, ts)
                     w.i32(pid).i16(_ERR_NONE).i64(-1).i64(off)
             return w.done()
         if api_key == _API_METADATA and api_version == 0:
@@ -610,6 +611,36 @@ def _log_start(path: str) -> int:
     if len(head) < 8:
         return 0
     return struct.unpack(">q", head)[0]
+
+
+def _offset_for_timestamp(path: str, ts_ms: int) -> int:
+    """ListOffsets timestamp lookup: the offset of the first record
+    whose timestamp is ≥ ``ts_ms``, or -1 when no such record exists
+    (the wire contract; consumers treat -1 as "start at the end").
+    Batch maxTimestamp headers narrow the scan to the first candidate
+    batch; only that batch (and later ones, for non-monotonic
+    producer timestamps) decode record-level."""
+    from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
+        decode_record_batches,
+    )
+
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    spans = _segment_spans(buf, path)
+    for base, start, end in spans:
+        # maxTimestamp int64 sits after attributes(2) +
+        # lastOffsetDelta(4) + baseTimestamp(8) in the batch body
+        max_ts = struct.unpack_from(">q", buf, start + 21 + 14)[0]
+        if max_ts < ts_ms:
+            continue
+        for batch in decode_record_batches(buf[start:end]):
+            hits = [
+                r["offset"] for r in batch["records"]
+                if r["timestamp_ms"] >= ts_ms
+            ]
+            if hits:
+                return min(hits)
+    return -1
 
 
 # parsed (base, start, end) spans per (path, file size): a segment

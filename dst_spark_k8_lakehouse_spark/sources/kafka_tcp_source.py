@@ -21,8 +21,11 @@ re-expressed on the engine's own wire stack:
 Options: ``host``, ``port``, ``topic`` (required), ``maxbytes``
 (Fetch page size, default 1 MiB), ``startingoffsets``
 (``earliest``/``latest``, batch start + stream anchor, default
-earliest). Rows are the exact ``KAFKA_WIRE_SCHEMA`` frame, so
-``parse_kafka_events`` and every downstream pipeline are shared code.
+earliest), ``startingtimestamp`` (epoch ms — the stock connector's
+startingOffsetsByTimestamp shape, resolved via ListOffsets; a
+partition with no qualifying record anchors at the end). Rows are the
+exact ``KAFKA_WIRE_SCHEMA`` frame, so ``parse_kafka_events`` and
+every downstream pipeline are shared code.
 
 WHY at 100 TB: record bytes never touch the driver (metadata-only
 planning), partitions fan out to one consumer socket per task like
@@ -86,7 +89,7 @@ def _read_tcp_partition(p: _TcpPartition) -> Iterator[tuple]:
         )
 
 
-def _options(opts) -> tuple[str, int, str, int, str]:
+def _options(opts) -> tuple[str, int, str, int, str, int | None]:
     host = opts.get("host")
     port = opts.get("port")
     topic = opts.get("topic")
@@ -101,7 +104,38 @@ def _options(opts) -> tuple[str, int, str, int, str]:
         raise ValueError(
             f"startingoffsets must be earliest|latest, got {starting!r}"
         )
-    return host, int(port), topic, max_bytes, starting
+    ts = opts.get("startingtimestamp")
+    return host, int(port), topic, max_bytes, starting, (
+        int(ts) if ts is not None else None
+    )
+
+
+def _anchor_offsets(
+    host: str,
+    port: int,
+    topic: str,
+    parts: list[int],
+    starting: str,
+    ts: int | None,
+) -> dict[int, int]:
+    """Start offsets per partition: a ``startingtimestamp`` (epoch ms,
+    the stock connector's startingOffsetsByTimestamp shape) asks
+    ListOffsets(ts) — partitions where no record qualifies (-1, the
+    wire contract) anchor at LATEST, exactly how real consumers treat
+    it; otherwise the earliest/latest sentinel."""
+    from dst_spark_k8_lakehouse_spark.sources import kafka_broker as kb
+
+    if ts is not None:
+        found = kb.list_offsets(host, port, topic, parts, ts)
+        latest = kb.list_offsets(host, port, topic, parts, kb.LATEST)
+        return {
+            p: (found[p] if found[p] >= 0 else latest[p])
+            for p in parts
+        }
+    return kb.list_offsets(
+        host, port, topic, parts,
+        kb.EARLIEST if starting == "earliest" else kb.LATEST,
+    )
 
 
 def _discover(host: str, port: int, topic: str) -> list[int]:
@@ -118,15 +152,13 @@ def _discover(host: str, port: int, topic: str) -> list[int]:
 
 class _BatchReader(DataSourceReader):
     def __init__(self, opts) -> None:
-        self.host, self.port, self.topic, self.max_bytes, starting = (
-            _options(opts)
-        )
+        (self.host, self.port, self.topic, self.max_bytes,
+         starting, ts) = _options(opts)
         from dst_spark_k8_lakehouse_spark.sources import kafka_broker as kb
 
         parts = _discover(self.host, self.port, self.topic)
-        lo = kb.list_offsets(
-            self.host, self.port, self.topic, parts,
-            kb.EARLIEST if starting == "earliest" else kb.LATEST,
+        lo = _anchor_offsets(
+            self.host, self.port, self.topic, parts, starting, ts
         )
         hi = kb.list_offsets(
             self.host, self.port, self.topic, parts, kb.LATEST
@@ -152,15 +184,12 @@ class _StreamReader(DataSourceStreamReader):
     identical rows."""
 
     def __init__(self, opts) -> None:
-        self.host, self.port, self.topic, self.max_bytes, starting = (
-            _options(opts)
-        )
-        from dst_spark_k8_lakehouse_spark.sources import kafka_broker as kb
-
+        (self.host, self.port, self.topic, self.max_bytes,
+         starting, ts) = _options(opts)
         self._parts = _discover(self.host, self.port, self.topic)
-        anchor = kb.list_offsets(
+        anchor = _anchor_offsets(
             self.host, self.port, self.topic, self._parts,
-            kb.EARLIEST if starting == "earliest" else kb.LATEST,
+            starting, ts,
         )
         self._initial = {str(p): int(anchor[p]) for p in self._parts}
 

@@ -158,10 +158,24 @@ def test_list_offsets_sentinels(responder):
                          kb.LATEST)
     assert lo == {0: 0, 1: 0}
     assert hi == {0: 100, 1: 100}
-    # a timestamp LOOKUP (not a sentinel) is loudly unsupported here
-    with pytest.raises(ValueError, match="ListOffsets error"):
-        kb.list_offsets(responder.host, responder.port, "tp", [0],
-                        1_700_000_000_000)
+
+
+def test_list_offsets_timestamp_lookup(responder):
+    # fixture record i has timestamp 1_700_000_000_000 + i: the
+    # contract returns the FIRST offset with ts >= target
+    base = 1_700_000_000_000
+    got = kb.list_offsets(responder.host, responder.port, "tp", [0],
+                          base + 30)
+    assert got == {0: 30}
+    # a timestamp between records rounds UP to the next record
+    assert kb.list_offsets(
+        responder.host, responder.port, "tp", [0], base
+    ) == {0: 0}
+    # beyond every record: -1 (the wire contract's "nothing
+    # qualifies"; consumers anchor at the end)
+    assert kb.list_offsets(
+        responder.host, responder.port, "tp", [0], base + 10_000
+    ) == {0: -1}
 
 
 def test_kafka_tcp_batch_format(spark, segment_root, responder):
@@ -245,3 +259,33 @@ def test_kafka_tcp_stream_is_incremental(spark, tmp_path):
             x.offset for x in second.select("offset").collect()
         )
         assert offs == list(range(55))
+
+
+def test_kafka_tcp_batch_starting_timestamp(spark, responder):
+    from dst_spark_k8_lakehouse_spark.sources import kafka_tcp_source
+
+    kafka_tcp_source.register(spark)
+    base = 1_700_000_000_000
+    got = (
+        spark.read.format("kafka_tcp")
+        .option("host", responder.host)
+        .option("port", responder.port)
+        .option("topic", "tp")
+        .option("startingtimestamp", base + 75)
+        .load()
+        .toPandas()
+    )
+    # both partitions carry offsets 0-99 with ts = base + offset:
+    # the batch must hold exactly the ts >= base+75 suffix of each
+    assert len(got) == 50
+    assert got.groupby("partition")["offset"].min().tolist() == [75, 75]
+    # a timestamp past every record anchors at the end: empty batch
+    empty = (
+        spark.read.format("kafka_tcp")
+        .option("host", responder.host)
+        .option("port", responder.port)
+        .option("topic", "tp")
+        .option("startingtimestamp", base + 10_000)
+        .load()
+    )
+    assert empty.count() == 0
