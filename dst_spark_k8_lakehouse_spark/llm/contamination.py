@@ -85,14 +85,22 @@ def contamination_report(
 ) -> DataFrame:
     """(doc_id, n_grams, n_hit) for every corpus doc sharing at least
     one token n-gram with any benchmark doc. ``benchmark`` is
-    broadcast — see module docstring for why that is safe here."""
+    broadcast — see module docstring for why that is safe here.
+
+    Both sides compare xxhash64 gram HASHES, not gram strings (r11 —
+    the persisted-scan path proved value-identical results for two
+    rounds, and the string variant spent ~35% of the query allocating
+    per-gram strings and broadcasting a ~40-byte-per-entry table; the
+    hashed broadcast carries 8-byte longs). Collision note as in the
+    module docstring: birthday bound ~1e-9 at 1e5 grams, and the
+    value-matching oracle would catch one deterministically."""
     bench_grams = F.broadcast(
-        _doc_grams(benchmark, n).select("gram").distinct()
+        _doc_gram_hashes(benchmark, n).select("gram_h").distinct()
     )
-    grams = _doc_grams(corpus, n)
+    grams = _doc_gram_hashes(corpus, n)
     return (
         grams.join(
-            bench_grams.withColumn("hit", F.lit(1)), "gram", "left"
+            bench_grams.withColumn("hit", F.lit(1)), "gram_h", "left"
         )
         .groupBy("doc_id")
         .agg(

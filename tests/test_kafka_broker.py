@@ -289,3 +289,68 @@ def test_kafka_tcp_batch_starting_timestamp(spark, responder):
         .load()
     )
     assert empty.count() == 0
+
+
+def test_slice_and_timestamp_lookup_properties(tmp_path):
+    """Property check over random segment shapes: every (offset,
+    max_bytes) slice returns whole batches covering the ask and makes
+    progress below the high watermark; timestamp lookup agrees with a
+    brute-force scan of the decoded records."""
+    import random
+
+    from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
+        decode_record_batches,
+    )
+
+    rng = random.Random(11)
+    for trial in range(8):
+        d = tmp_path / f"seg{trial}"
+        d.mkdir()
+        path = str(d / "00000000000000000000.log")
+        base_ts = 1_600_000_000_000
+        off = rng.randrange(0, 5)
+        first_off = off
+        recs_all = []
+        with open(path, "wb") as f:
+            for _b in range(rng.randrange(1, 6)):
+                n = rng.randrange(1, 30)
+                recs = [
+                    {"key": str(off + i).encode(),
+                     "value": b"v",
+                     # non-decreasing but duplicated timestamps
+                     "timestamp_ms": base_ts + (off + i) // 2}
+                    for i in range(n)
+                ]
+                f.write(encode_record_batch(
+                    recs, base_offset=off,
+                    compression=rng.choice(["none", "gzip"]),
+                ))
+                recs_all += [(off + i, base_ts + (off + i) // 2)
+                             for i in range(n)]
+                off += n
+        hwm_expected = off
+        kb._SPAN_CACHE.clear()
+        # slices: any ask below hwm yields covering whole batches
+        for _ in range(20):
+            ask = rng.randrange(first_off, hwm_expected + 3)
+            mb = rng.choice([1, 100, 1000, 1 << 20])
+            hwm, blob = kb._slice_segment(path, ask, mb)
+            assert hwm == hwm_expected
+            if ask >= hwm:
+                continue
+            got = [
+                r["offset"]
+                for b in decode_record_batches(blob)
+                for r in b["records"]
+            ]
+            assert got, f"no progress at ask={ask}"
+            assert min(got) <= ask  # covering batch included
+            # contiguity of the returned prefix
+            assert got == list(range(min(got), max(got) + 1))
+        # timestamp lookup == brute force first-qualifying offset
+        for _ in range(10):
+            ts = base_ts + rng.randrange(-2, (hwm_expected // 2) + 3)
+            want = min(
+                (o for o, t in recs_all if t >= ts), default=-1
+            )
+            assert kb._offset_for_timestamp(path, ts) == want
