@@ -809,6 +809,150 @@ def l2_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_neardup_pairs(vecs, threshold=0.99, n_planes=8, n_tables=1)
 
 
+def semdedup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int | None = None,
+    seed: int = 7,
+    max_iter: int = 20,
+    fit_fraction: float = 1.0,
+) -> DataFrame:
+    """SEMANTIC dedup, SemDeDup-style (the k-means-bucketed
+    embedding-dedup pattern from the public SemDeDup paper, Abbas et
+    al. 2023): cluster the normalized embedding space with MLlib
+    k-means, then verify exact cosine ONLY within clusters —
+    ``(vec_id, embedding)`` in, ``(vec_a, vec_b, cosine)`` out.
+
+    vs sign-LSH (``embed_neardup_pairs``): LSH buckets are oblivious
+    hyperplane cells — cheap, but recall at MODERATE thresholds
+    (0.9-0.95, where semantic near-dups live) needs OR-amplified
+    tables; k-means buckets adapt to the corpus's density so
+    semantically close items co-locate in one pass. Cost: the
+    clustering fit itself — at 100 TB fit on a sample
+    (``fit_fraction``), then ``model.transform`` assigns the full
+    corpus map-only; choose ``n_clusters`` ~ N/200 so intra-cluster
+    verification stays O(N × cluster_size), never all-pairs.
+
+    Determinism: fixed seed + kmeans|| init makes the fit reproducible
+    for a given input; identical unit vectors always share a cluster
+    (equal distance to every centroid, ties broken by index), so
+    exact duplicates can never be split apart — the recall contract
+    below leans on that invariant, not on clustering quality."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = vectors.select(
+        "vec_id", "embedding", _embed_norm().alias("norm")
+    ).filter(F.col("norm") > 0)
+    # cosine geometry: cluster UNIT vectors (spherical k-means shape)
+    unit = vecs.withColumn(
+        "unit",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE) / norm)"
+        ),
+    ).withColumn("features", array_to_vector("unit"))
+    unit = unit.localCheckpoint(eager=False)  # normalize once
+    if n_clusters is None:
+        n_clusters = max(2, int(vecs.count() / 200))
+    fit_input = (
+        unit.sample(fraction=fit_fraction, seed=seed)
+        if fit_fraction < 1.0 else unit
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter,
+        featuresCol="features", predictionCol="cluster",
+    ).fit(fit_input)
+    assigned = model.transform(unit).select(
+        "vec_id", "cluster", "unit"
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("unit").alias("unit_a"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("unit").alias("unit_b"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(unit_a, unit_b, (x, y) -> x * y), 0D, "
+        "(acc, v) -> acc + v)"
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            "vec_a", "vec_b",
+            (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine"),
+        )
+    )
+
+
+def _planted_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ ×1.01-scaled copies of every 10th vector — the
+    planted near-dup fixture the embed families share (a scaled copy
+    normalizes to the IDENTICAL unit vector: cosine exactly 1.0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + DUP_OFFSET)
+        .withColumn(
+            "embedding",
+            F.expr("transform(embedding, x -> x * CAST(1.01 AS FLOAT))"),
+        )
+    )
+    return emb.unionByName(copies).select("vec_id", "embedding")
+
+
+@query("l2_semdedup")  # rows-only: k-means buckets are not SQL-expressible
+def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: SEMANTIC dedup over the planted embedding corpus —
+    k-means-bucketed exact-cosine pairs at threshold 0.95 (the
+    moderate-threshold regime sign-LSH needs OR-amplification for)."""
+    return semdedup_pairs(
+        _planted_embedding_corpus(spark, sf_dir), threshold=0.95
+    )
+
+
+@query(
+    "l2_semdedup_recall",
+    oracle="""
+        SELECT count(*) AS n_planted, count(*) AS n_found,
+               TRUE AS recall_ok
+        FROM embeddings
+        WHERE vec_id % 10 = 0
+          AND list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+    """,
+)
+def l2_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup recall contract: a ×1.01-scaled copy normalizes to
+    the IDENTICAL unit vector, k-means assigns identical points to
+    the same cluster (equal distances, index tie-break), and its
+    within-cluster cosine is exactly 1.0 ≥ 0.95 — so every planted
+    pair must surface; zero-norm vectors are dropped by the pipeline
+    and excluded on both sides."""
+    pairs = l2_semdedup(spark, sf_dir).withColumnsRenamed(
+        {"vec_a": "doc_a", "vec_b": "doc_b"}
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_sq = F.expr(
+        "aggregate(embedding, 0D, "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    expected = (
+        emb.filter((F.col("vec_id") % 10 == 0) & (norm_sq > 0))
+        .select(
+            F.col("vec_id").alias("doc_a"),
+            (F.col("vec_id") + DUP_OFFSET).alias("doc_b"),
+        )
+    )
+    return _recall_row(expected, pairs)
+
+
 def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id),
     cluster_id = smallest doc_id reachable. Deduplication needs this:

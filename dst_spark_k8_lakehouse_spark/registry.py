@@ -61,6 +61,8 @@ PRIORITY: list[str] = [
     "s13_kafka_tcp",  # NEW: socket loopback — Fetch v4 over TCP
     "t10_kafka_tcp_stream",  # NEW: structured streaming over the client
     "x13_tcp_bronze",  # NEW capstone: TCP -> stream -> exactly-once delta
+    "l2_semdedup",  # NEW: k-means-bucketed semantic dedup (SemDeDup)
+    "l2_semdedup_recall",  # NEW: its planted-recall oracle contract
     "d49_puffin_ndv",  # changed: single-pass sketch build (one job)
     "x10_cbo_join",  # cbo.py gained estimate/order functions
     "j8_star_join",  # changed: single-partition final sort; also the
@@ -111,14 +113,13 @@ PRIORITY: list[str] = [
     "l3_unigram_logprob",
     "l4_cosine_topk",
     "l4_batch_topk",
-    "l4_embed_quantize",
-    "l4_quant_recall",
     "d74_lineage",  # NEW: lineage extraction/emission, oracle-checked
     # 50 exactly (p12_dedup_rows, p4_filter_and and the r07-green
     # l2_ngram_jaccard moved to the r12 front as s13_kafka_tcp,
     # t10_kafka_tcp_stream and d74_lineage landed; the r05-cohort
-    # share stays 18 ≥ the verdict's 15). r12 backlog (write down so
-    # nothing silently ages): p4_filter_and, p12_dedup_rows,
+    # share stays 16 ≥ the verdict's 15). r12 backlog (write down so
+    # nothing silently ages): l4_embed_quantize/l4_quant_recall (cut
+    # for the semdedup pair), p4_filter_and, p12_dedup_rows,
     # l2_ngram_jaccard, d12_time_travel (r09-green; cut for x13),
     # l2_minhash_recall/l2_simhash_recall/l2_simhash_sensitivity/
     # l2_embed_fuzzy_recall, l3_bpe_token_count/l3_bpe_learn,

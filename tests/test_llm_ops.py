@@ -727,3 +727,64 @@ def test_keep_representatives_quality_policy(spark):
     # cluster A: 2 and 3 tie at 0.9 → 2 wins (smaller id), 1 loses
     # cluster B: 10 and 11 tie → 10; 99 unpaired
     assert kept_q == {2, 10, 99}
+
+
+# ----------------------------------------------------------- semdedup
+
+
+def test_semdedup_finds_fuzzy_neighbors_not_just_copies(spark):
+    """The r5 lesson: exact copies mask family-level defects — plant
+    PERTURBED vectors (cosine ≈ 0.9996, NOT identical units) and
+    require ≥90% recall at threshold 0.99. Also: no self-pairs, all
+    reported cosines ≥ threshold."""
+    from dst_spark_k8_lakehouse_spark.llm import dedup
+
+    emb = dedup.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    import pyspark.sql.functions as F
+
+    perturbed = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + dedup.DUP_OFFSET)
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, i) -> x + CAST(CASE WHEN "
+                "i = 0 THEN 0.02 ELSE 0 END AS FLOAT))"
+            ),
+        )
+    )
+    vecs = emb.unionByName(perturbed).select("vec_id", "embedding")
+    pairs = dedup.semdedup_pairs(vecs, threshold=0.99).toPandas()
+    assert (pairs["vec_a"] < pairs["vec_b"]).all()
+    assert (pairs["cosine"] >= 0.99).all()
+    planted = {
+        (int(r.vec_id), int(r.vec_id) + dedup.DUP_OFFSET)
+        for r in emb.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id").collect()
+    }
+    found = set(zip(pairs["vec_a"], pairs["vec_b"])) & planted
+    assert len(found) >= 0.9 * len(planted), (
+        f"{len(found)}/{len(planted)} perturbed mirrors recalled"
+    )
+
+
+def test_semdedup_drops_zero_norm_and_respects_k(spark):
+    from dst_spark_k8_lakehouse_spark.llm import dedup
+    import pyspark.sql.functions as F
+
+    emb = dedup.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    zeros = emb.limit(3).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(0.0 AS FLOAT))")
+        .alias("embedding"),
+    )
+    vecs = emb.select("vec_id", "embedding").unionByName(zeros)
+    # zero-norm rows must never reach the verify stage (ANSI divide)
+    pairs = dedup.semdedup_pairs(vecs, threshold=0.5, n_clusters=4)
+    assert pairs.filter(F.col("vec_a") >= 900_000).count() == 0
+    # repeat call on the same input: identical result (driver probe)
+    a = sorted(map(tuple, pairs.collect()))
+    b = sorted(map(tuple, dedup.semdedup_pairs(
+        vecs, threshold=0.5, n_clusters=4
+    ).collect()))
+    assert a == b
