@@ -797,15 +797,7 @@ def l2_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.99 use ``embed_neardup_pairs(n_tables=k)`` — multi-table
     OR-amplification, recall-tested below 0.95.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    copies = (
-        emb.filter(F.col("vec_id") % 10 == 0)
-        .withColumn("vec_id", F.col("vec_id") + DUP_OFFSET)
-        .withColumn(
-            "embedding", F.expr("transform(embedding, x -> x * CAST(1.01 AS FLOAT))")
-        )
-    )
-    vecs = emb.unionByName(copies).select("vec_id", "embedding")
+    vecs = _planted_embedding_corpus(spark, sf_dir, scale=1.01)
     return embed_neardup_pairs(vecs, threshold=0.99, n_planes=8, n_tables=1)
 
 
@@ -852,14 +844,25 @@ def semdedup_pairs(
         ),
     ).withColumn("features", array_to_vector("unit"))
     unit = unit.localCheckpoint(eager=False)  # normalize once
-    if n_clusters is None:
-        n_clusters = max(2, int(vecs.count() / 200))
+    # count the CHECKPOINTED frame: materializes it, so deriving the
+    # default k costs no second scan of the normalize stage
+    n = unit.count()
+    if n == 0:
+        # all-zero-norm or empty input: the same graceful no-op as
+        # embed_neardup_pairs, not an MLlib fit crash
+        return vectors.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+    k = n_clusters if n_clusters is not None else max(2, n // 200)
+    k = max(1, min(k, n))  # MLlib requires 1 <= k <= n
     fit_input = (
         unit.sample(fraction=fit_fraction, seed=seed)
         if fit_fraction < 1.0 else unit
     )
     model = KMeans(
-        k=n_clusters, seed=seed, maxIter=max_iter,
+        k=k, seed=seed, maxIter=max_iter,
         featuresCol="features", predictionCol="cluster",
     ).fit(fit_input)
     assigned = model.transform(unit).select(
@@ -891,19 +894,27 @@ def semdedup_pairs(
     )
 
 
-def _planted_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings ∪ ×1.01-scaled copies of every 10th vector — the
-    planted near-dup fixture the embed families share (a scaled copy
-    normalizes to the IDENTICAL unit vector: cosine exactly 1.0)."""
+def _planted_embedding_corpus(
+    spark: SparkSession, sf_dir: str, scale: float | None = 1.01
+) -> DataFrame:
+    """embeddings ∪ planted copies of every 10th vector — the shared
+    embed-family fixture. ``scale=1.01`` plants near-copies (cosine
+    1.0 to double precision, but NOT bit-identical floats — float32
+    rounding makes each element differ by ~1e-8 after normalization);
+    ``scale=None`` plants BIT-IDENTICAL copies, the only kind whose
+    k-means co-location is structural rather than probabilistic (the
+    semdedup recall contract needs that distinction)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    copies = (
-        emb.filter(F.col("vec_id") % 10 == 0)
-        .withColumn("vec_id", F.col("vec_id") + DUP_OFFSET)
-        .withColumn(
-            "embedding",
-            F.expr("transform(embedding, x -> x * CAST(1.01 AS FLOAT))"),
-        )
+    copies = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + DUP_OFFSET
     )
+    if scale is not None:
+        copies = copies.withColumn(
+            "embedding",
+            F.expr(
+                f"transform(embedding, x -> x * CAST({scale} AS FLOAT))"
+            ),
+        )
     return emb.unionByName(copies).select("vec_id", "embedding")
 
 
@@ -911,9 +922,15 @@ def _planted_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: SEMANTIC dedup over the planted embedding corpus —
     k-means-bucketed exact-cosine pairs at threshold 0.95 (the
-    moderate-threshold regime sign-LSH needs OR-amplification for)."""
+    moderate-threshold regime sign-LSH needs OR-amplification for).
+    Planted copies are BIT-IDENTICAL (scale=None): only identical
+    feature vectors are GUARANTEED the same cluster assignment —
+    a float32-scaled copy differs per element by ~1e-8 after
+    normalization, which a Voronoi boundary could split. The scaled
+    (fuzzy) regime is pytest-covered with a ≥90% bound instead."""
     return semdedup_pairs(
-        _planted_embedding_corpus(spark, sf_dir), threshold=0.95
+        _planted_embedding_corpus(spark, sf_dir, scale=None),
+        threshold=0.95,
     )
 
 
@@ -929,12 +946,16 @@ def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l2_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup recall contract: a ×1.01-scaled copy normalizes to
-    the IDENTICAL unit vector, k-means assigns identical points to
-    the same cluster (equal distances, index tie-break), and its
-    within-cluster cosine is exactly 1.0 ≥ 0.95 — so every planted
-    pair must surface; zero-norm vectors are dropped by the pipeline
-    and excluded on both sides."""
+    """SemDeDup recall contract over BIT-IDENTICAL planted copies:
+    identical feature vectors get identical centroid distances, so
+    k-means cannot assign the pair to different clusters (index
+    tie-break is shared too), and within-cluster cosine is exactly
+    1.0 ≥ 0.95 — every planted pair must surface. (A float-SCALED
+    copy would NOT carry this guarantee — its unit vector differs by
+    ~1e-8 per element, and a pair sitting on a Voronoi boundary could
+    split; that fuzzy regime is the pytest's ≥90% bound, not this
+    oracle's 100%.) Zero-norm vectors are dropped by the pipeline and
+    excluded on both sides."""
     pairs = l2_semdedup(spark, sf_dir).withColumnsRenamed(
         {"vec_a": "doc_a", "vec_b": "doc_b"}
     )

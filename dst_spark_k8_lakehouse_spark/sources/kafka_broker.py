@@ -617,29 +617,35 @@ def _offset_for_timestamp(path: str, ts_ms: int) -> int:
     """ListOffsets timestamp lookup: the offset of the first record
     whose timestamp is ≥ ``ts_ms``, or -1 when no such record exists
     (the wire contract; consumers treat -1 as "start at the end").
-    Batch maxTimestamp headers narrow the scan to the first candidate
-    batch; only that batch (and later ones, for non-monotonic
-    producer timestamps) decode record-level."""
+    Batch maxTimestamp headers (an 8-byte seek-read per batch, spans
+    from the shared cache — never a whole-file read) narrow the scan;
+    only candidate batches decode record-level."""
+    import os
+
     from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
         decode_record_batches,
     )
 
+    size = os.path.getsize(path)
     with open(path, "rb") as fh:
-        buf = fh.read()
-    spans = _segment_spans(buf, path)
-    for base, start, end in spans:
-        # maxTimestamp int64 sits after attributes(2) +
-        # lastOffsetDelta(4) + baseTimestamp(8) in the batch body
-        max_ts = struct.unpack_from(">q", buf, start + 21 + 14)[0]
-        if max_ts < ts_ms:
-            continue
-        for batch in decode_record_batches(buf[start:end]):
-            hits = [
-                r["offset"] for r in batch["records"]
-                if r["timestamp_ms"] >= ts_ms
-            ]
-            if hits:
-                return min(hits)
+        spans = _SPAN_CACHE.get((path, size))
+        if spans is None:
+            spans = _segment_spans(fh.read(), path)
+        for base, start, end in spans:
+            # maxTimestamp int64 sits after attributes(2) +
+            # lastOffsetDelta(4) + baseTimestamp(8) in the batch body
+            fh.seek(start + 21 + 14)
+            max_ts = struct.unpack(">q", fh.read(8))[0]
+            if max_ts < ts_ms:
+                continue
+            fh.seek(start)
+            for batch in decode_record_batches(fh.read(end - start)):
+                hits = [
+                    r["offset"] for r in batch["records"]
+                    if r["timestamp_ms"] >= ts_ms
+                ]
+                if hits:
+                    return min(hits)
     return -1
 
 

@@ -127,11 +127,13 @@ def _anchor_offsets(
 
     if ts is not None:
         found = kb.list_offsets(host, port, topic, parts, ts)
-        latest = kb.list_offsets(host, port, topic, parts, kb.LATEST)
-        return {
-            p: (found[p] if found[p] >= 0 else latest[p])
-            for p in parts
-        }
+        unresolved = [p for p in parts if found[p] < 0]
+        if unresolved:  # only pay the LATEST round trip when needed
+            latest = kb.list_offsets(
+                host, port, topic, unresolved, kb.LATEST
+            )
+            found.update(latest)
+        return {p: int(found[p]) for p in parts}
     return kb.list_offsets(
         host, port, topic, parts,
         kb.EARLIEST if starting == "earliest" else kb.LATEST,
