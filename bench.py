@@ -31,6 +31,14 @@ co-tenancy windows that a single sweep absorbs into whichever queries
 it overlaps (r4 saw uniform 1.1-1.45× drift on untouched code); two
 temporally separated sweeps make a transient stall survivable per
 query. The method within a sweep is unchanged.
+
+Round-12 (VERDICT r11 item 1a): the DuckDB oracle pass is INTERLEAVED
+per query with the Spark pass — each query's two engines time back to
+back in the same ~1 s window, so box-load drift lands on both sides
+of the ratio and cancels, instead of swinging the tracker-free margin
+±0.2 between disjoint measurement windows (r11's spread across judge/
+driver/builder runs was 1.55-2.01 on identical code). Per-sweep
+PAIRED ratios ride the artifact as `ratio_tracker_free_sweeps`.
 """
 
 from __future__ import annotations
@@ -150,19 +158,60 @@ def main() -> None:
     if missing:  # a typo/rename must not silently shrink the benchmark
         raise SystemExit(f"HEADLINE ids not in registry: {missing}")
 
+    # INTERLEAVED margin protocol (r12, VERDICT r11 item 1a): the
+    # Spark and DuckDB measurements of EACH query run back to back in
+    # the same ~1 s window, inside each of the two sweeps — the same
+    # base/duck/base/duck discipline COVERAGE documents for A/B on
+    # this co-tenanted box. Through r11 the two engines ran in
+    # disjoint multi-minute windows, so one co-tenant stall landed on
+    # a single side and swung the tracker-free ratio by ±0.2 (judge
+    # runs spanned 1.55-2.01 on identical code). Per-query pairing
+    # makes slow drifts cancel in the ratio; the per-sweep paired
+    # ratios are reported alongside the min-based aggregate so the
+    # spread is visible in the artifact instead of a surprise.
+    import duckdb
+
+    from dst_spark_k8_lakehouse_spark.sources.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    matched = set(HEADLINE) & set(registry.ORACLES)
+
     timings: dict[str, float] = {}
+    dtimes: dict[str, float] = {}
+    sweep_pairs: list[tuple[float, float]] = []  # (spark, duck) sums
     for sweep in range(2):  # min of two full sweeps (see docstring)
+        s_sum = d_sum = 0.0  # paired per-sweep sums, tracker-free
         for qid in HEADLINE:
             fn = registry.QUERIES[qid]
             if sweep == 0:
                 fn(spark, sf_dir).toPandas()  # warm: codegen + JIT
-            best = timings.get(qid, float("inf"))
+            s_best = float("inf")
             for _ in range(3):  # best-of-3: steady state, not JIT noise
                 df = fn(spark, sf_dir)  # fresh plan: no exchange reuse
                 start = time.perf_counter()
                 df.toPandas()
-                best = min(best, time.perf_counter() - start)
-            timings[qid] = best
+                s_best = min(s_best, time.perf_counter() - start)
+            timings[qid] = min(timings.get(qid, float("inf")), s_best)
+            if qid not in matched:
+                continue
+            sql = registry.ORACLES[qid]
+            if sweep == 0:
+                con.execute(sql).fetch_arrow_table()  # warm buffer pool
+            d_best = float("inf")
+            for _ in range(3):
+                start = time.perf_counter()
+                con.execute(sql).fetch_arrow_table()
+                d_best = min(d_best, time.perf_counter() - start)
+            dtimes[qid] = min(dtimes.get(qid, float("inf")), d_best)
+            if qid not in TRACKERS:
+                s_sum += s_best
+                d_sum += d_best
+        sweep_pairs.append((s_sum, d_sum))
     timings = {qid: round(t, 4) for qid, t in timings.items()}
 
     # DSIR hash attribution (r8, VERDICT r7 item 7): HEADLINE's
@@ -201,19 +250,32 @@ def main() -> None:
     # keeps flat as commit count grows. See plans/plantime.py.
     from dst_spark_k8_lakehouse_spark.plans import plantime
 
-    # DuckDB margin pass (r11, VERDICT r10 item 1a): the operative
-    # performance bar is "≤2× DuckDB at sf0.1 on the oracle-matched
-    # headline set", but through r10 only the Spark side was in the
-    # artifact — the ratio was a judge-side surprise each round. Time
-    # the SAME oracle SQL the correctness gate runs, same protocol
-    # (warm pass, then best-of-3 across two temporally separated
-    # sweeps), in-process DuckDB over the same parquet. Two aggregates:
-    # all-in, and tracker-free — the four TRACKER ids intentionally
-    # time a native-format/wire-codec stack against a raw parquet scan
-    # or pre-parsed table (attribution instruments, adjudicated
+    # DuckDB margin aggregates (r11 item 1a made the ratio an
+    # artifact; r12 item 1a made it paired/interleaved): all-in and
+    # tracker-free — the four TRACKER ids intentionally time a
+    # native-format/wire-codec stack against a raw parquet scan or
+    # pre-parsed table (attribution instruments, adjudicated
     # by-construction since r7); the engine bar is the tracker-free
-    # number.
-    duck = _duckdb_margin(sf_dir, timings)
+    # number. `ratio_tracker_free_sweeps` carries each sweep's PAIRED
+    # ratio (numerator and denominator measured adjacently) — their
+    # spread is the honest noise band for the headline ratio.
+    def _ratio(ids) -> float:
+        d = sum(dtimes[q] for q in ids)
+        return round(sum(timings[q] for q in ids) / d, 3) if d else 0.0
+
+    engine = [qid for qid in matched if qid not in TRACKERS]
+    duck = {
+        "queries": {q: round(t, 4) for q, t in sorted(dtimes.items())},
+        "total": round(sum(dtimes.values()), 4),
+        "ratio": _ratio(sorted(matched)),
+        "ratio_tracker_free": _ratio(engine),
+        "ratio_tracker_free_sweeps": [
+            round(s / d, 3) if d else 0.0 for s, d in sweep_pairs
+        ],
+        "trackers_excluded": sorted(TRACKERS & matched),
+        "n_matched": len(matched),
+        "protocol": "interleaved-per-query",
+    }
 
     print(
         json.dumps(
@@ -246,49 +308,6 @@ TRACKERS = frozenset(
         "s13_kafka_wire",
     }
 )
-
-
-def _duckdb_margin(sf_dir: str, spark_timings: dict[str, float]) -> dict:
-    """Best-of-3×2-sweep DuckDB timings of every oracle-matched
-    HEADLINE query, plus the all-in and tracker-free Spark/DuckDB
-    ratios. Fetches via Arrow (the DuckDB analog of ``toPandas``)."""
-    import duckdb
-
-    from dst_spark_k8_lakehouse_spark.sources.catalog import TABLES
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * "
-            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    matched = [qid for qid in HEADLINE if qid in registry.ORACLES]
-    times: dict[str, float] = {}
-    for sweep in range(2):
-        for qid in matched:
-            sql = registry.ORACLES[qid]
-            if sweep == 0:
-                con.execute(sql).fetch_arrow_table()  # warm buffer pool
-            best = times.get(qid, float("inf"))
-            for _ in range(3):
-                start = time.perf_counter()
-                con.execute(sql).fetch_arrow_table()
-                best = min(best, time.perf_counter() - start)
-            times[qid] = best
-
-    def _ratio(ids: list[str]) -> float:
-        d = sum(times[q] for q in ids)
-        return round(sum(spark_timings[q] for q in ids) / d, 3) if d else 0.0
-
-    engine = [qid for qid in matched if qid not in TRACKERS]
-    return {
-        "queries": {qid: round(t, 4) for qid, t in times.items()},
-        "total": round(sum(times.values()), 4),
-        "ratio": _ratio(matched),
-        "ratio_tracker_free": _ratio(engine),
-        "trackers_excluded": sorted(TRACKERS & set(matched)),
-        "n_matched": len(matched),
-    }
 
 
 if __name__ == "__main__":

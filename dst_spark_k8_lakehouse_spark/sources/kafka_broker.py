@@ -2,7 +2,7 @@
 
 ``sources/kafka_wire.py`` (r10) made the RecordBatch v2 BYTES real;
 this module (r11, VERDICT r10 item 6) makes the SOCKET real: a
-pure-stdlib client for the three request/response shapes a consumer
+pure-stdlib client for the request/response shapes a consumer
 needs from Kafka's public wire protocol (kafka.apache.org/protocol —
 size-framed requests, big-endian primitives, int16-length strings,
 int32-count arrays):
@@ -13,18 +13,24 @@ int32-count arrays):
   magic=2 RecordBatch frames, which ``kafka_wire.decode_record_batches``
   already decodes (CRC-32C verified, gzip handled).
 
+- **ListOffsets v1** (api_key 2) — offset anchoring: EARLIEST /
+  LATEST sentinels plus timestamp lookup, so consumers never guess a
+  start offset (served by the responder, used by both the batch and
+  stream faces).
+
 ``read_kafka_topic`` is the Spark face: Metadata on the driver
-discovers partitions, then ONE TASK PER PARTITION opens its own
-socket on the executor and drains ``[start_offset, high_watermark)``
-via repeated Fetch — the same per-partition-consumer topology the
-real ``format("kafka")`` source runs, so at cluster scale the
-connection fan-out is executor-side and the driver never touches
-record bytes. Offsets start at 0 (log-start) — a ListOffsets probe is
-the one consumer shape deliberately left out (this client reads
-whole-log loopbacks; document, don't guess).
+discovers partitions and ListOffsets(EARLIEST) anchors each start,
+then ONE TASK PER PARTITION opens its own socket on the executor and
+drains ``[earliest, high_watermark)`` via repeated Fetch — the same
+per-partition-consumer topology the real ``format("kafka")`` source
+runs, so at cluster scale the connection fan-out is executor-side and
+the driver never touches record bytes. ``drain_partition`` is a
+GENERATOR of per-Fetch-page row chunks (r12): a partition slice never
+exists as one Python list in an executor, so a tens-of-GB partition
+streams through bounded memory exactly like the stock connector.
 
 ``SegmentResponder`` is the in-process loopback peer: a thread
-serving those three shapes straight from on-disk segment files (the
+serving those shapes straight from on-disk segment files (the
 ``kafka_wire`` fixtures). It exists because this container has no
 broker (env gap re-verified each round) — the responder proves the
 codec + client against a REAL socket round-trip: framing, correlation
@@ -53,6 +59,7 @@ EARLIEST = -2  # ListOffsets timestamp sentinels (public protocol)
 LATEST = -1
 
 _ERR_NONE = 0
+_ERR_OFFSET_OUT_OF_RANGE = 1
 _ERR_UNKNOWN_TOPIC = 3
 _ERR_UNSUPPORTED_VERSION = 35
 
@@ -317,10 +324,13 @@ def drain_partition(
     start_offset: int = 0,
     max_bytes: int = 1 << 20,
     end_offset: int | None = None,
-) -> list[tuple]:
+):
     """Drain ``[start_offset, min(end_offset, high_watermark))`` of
-    one partition over one socket into KAFKA_WIRE_SCHEMA-ordered
-    tuples. Paginates on the LAST DECODED offset (+1) — a
+    one partition over one socket, YIELDING one KAFKA_WIRE_SCHEMA-
+    ordered row list PER FETCH PAGE (r12, VERDICT r11 item 2: a
+    generator — the whole partition slice never exists as one Python
+    list, so a fat partition streams through executor memory bounded
+    by ``max_bytes``). Paginates on the LAST DECODED offset (+1) — a
     ``max_bytes`` cut mid-log is the normal case, not an error; an
     empty record set below the target raises (a silent gap would drop
     rows). An exclusive ``end_offset`` makes the read a BOUNDED
@@ -329,7 +339,6 @@ def drain_partition(
         segment_to_wire_rows,
     )
 
-    out: list[tuple] = []
     offset = start_offset
     with socket.create_connection((host, port), timeout=30) as sock:
         corr = 100
@@ -348,9 +357,8 @@ def drain_partition(
                     f"Fetch returned no records at {offset} < "
                     f"target {target} for {topic}-{partition}"
                 )
-            out.extend(rows)
             offset = max(r[4] for r in rows) + 1
-    return out
+            yield rows
 
 
 def read_kafka_topic(
@@ -358,16 +366,21 @@ def read_kafka_topic(
     host: str,
     port: int,
     topic: str,
-    start_offset: int = 0,
+    start_offset: int | None = None,
     max_bytes: int = 1 << 20,
 ):
     """Batch-read a whole topic over the wire protocol into the exact
     ``format("kafka")`` frame (KAFKA_WIRE_SCHEMA). Driver: one
-    Metadata round trip (partition discovery — metadata-sized).
-    Executors: one task per partition, each draining its partition
-    over its own socket — record bytes never touch the driver, and
-    1000 partitions fan out to 1000 concurrent consumers exactly like
-    the stock connector."""
+    Metadata round trip (partition discovery) plus one
+    ListOffsets(EARLIEST) anchor per partition — both metadata-sized
+    (a retention-trimmed log whose start is nonzero anchors correctly
+    instead of dying on OFFSET_OUT_OF_RANGE; pass ``start_offset`` to
+    pin an explicit start for every partition instead). Executors:
+    one task per partition, each draining its partition over its own
+    socket, one pandas frame per Fetch page — record bytes never
+    touch the driver, a partition slice never exists whole in an
+    executor, and 1000 partitions fan out to 1000 concurrent
+    consumers exactly like the stock connector."""
     from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
     from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
         KAFKA_WIRE_SCHEMA,
@@ -381,12 +394,16 @@ def read_kafka_topic(
     if tmeta is None or tmeta["error"]:
         raise ValueError(f"topic {topic!r} unknown to {host}:{port}")
     partitions = [p["partition"] for p in tmeta["partitions"]]
+    if start_offset is None:
+        starts = list_offsets(host, port, topic, partitions, EARLIEST)
+    else:
+        starts = {p: start_offset for p in partitions}
 
     # repartitionByRange gives the documented 1:1 partition→task
     # mapping (hash repartition can collide two Kafka partitions into
     # one task and leave another idle)
     plan = spark.createDataFrame(
-        [(topic, p, host, port, start_offset, max_bytes)
+        [(topic, p, host, port, starts[p], max_bytes)
          for p in partitions],
         "topic string, partition int, host string, port int, "
         "start_offset long, max_bytes int",
@@ -397,20 +414,21 @@ def read_kafka_topic(
 
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                rows = drain_partition(
+                for page in drain_partition(
                     row.host, int(row.port), row.topic,
                     int(row.partition), int(row.start_offset),
                     int(row.max_bytes),
-                )
-                out = pd.DataFrame(
-                    rows,
-                    columns=["key", "value", "topic", "partition",
-                             "offset", "timestamp", "timestampType"],
-                )
-                out["timestamp"] = pd.to_datetime(
-                    out["timestamp"], unit="ms"
-                )
-                yield out
+                ):
+                    out = pd.DataFrame(
+                        page,
+                        columns=["key", "value", "topic", "partition",
+                                 "offset", "timestamp",
+                                 "timestampType"],
+                    )
+                    out["timestamp"] = pd.to_datetime(
+                        out["timestamp"], unit="ms"
+                    )
+                    yield out
 
     return plan.mapInPandas(_drain, schema=KAFKA_WIRE_SCHEMA)
 
@@ -420,9 +438,10 @@ def read_kafka_topic(
 
 class SegmentResponder:
     """In-process loopback peer serving on-disk segment dirs over the
-    wire protocol (ApiVersions v0 / Metadata v0 / Fetch v4). One
-    thread, sequential connections — a correctness fixture, not a
-    broker. Topic layout = ``kafka_wire`` convention:
+    wire protocol (ApiVersions v0 / Metadata v0 / ListOffsets v1 /
+    Fetch v4). One thread, sequential connections with a per-
+    connection recv timeout — a correctness fixture, not a broker.
+    Topic layout = ``kafka_wire`` convention:
     ``<root>/<topic>-<partition>/*.log``."""
 
     def __init__(self, root: str, host: str = "127.0.0.1") -> None:
@@ -485,6 +504,12 @@ class SegmentResponder:
             with conn:
                 if self._stop.is_set():
                     return
+                # the accept loop is single-threaded: without a recv
+                # timeout one stalled client socket blocks EVERY other
+                # partition's consumer (surfacing only as an opaque
+                # awaitTermination timeout) — a dead client must drop
+                # its connection, not wedge the responder
+                conn.settimeout(30)
                 try:
                     while True:
                         # TCP is a byte stream: the 4-byte size prefix
@@ -593,6 +618,14 @@ class SegmentResponder:
                     if seg is None:
                         w.i16(_ERR_UNKNOWN_TOPIC).i64(-1).i64(-1)
                         w.i32(0).nbytes(None)
+                        continue
+                    # real-broker semantics: an ask below the log
+                    # start (retention-trimmed log) is
+                    # OFFSET_OUT_OF_RANGE, not a silent covering read
+                    # — consumers must anchor via ListOffsets
+                    if offset < _log_start(seg):
+                        w.i16(_ERR_OFFSET_OUT_OF_RANGE)
+                        w.i64(-1).i64(-1).i32(0).nbytes(None)
                         continue
                     hwm, records = _slice_segment(seg, offset, pmax)
                     w.i16(_ERR_NONE).i64(hwm).i64(hwm)

@@ -74,19 +74,23 @@ def _read_tcp_partition(p: _TcpPartition) -> Iterator[tuple]:
     )
 
     epoch = datetime.datetime(1970, 1, 1)
-    for key, value, topic, part, off, ts_ms, ts_type in drain_partition(
+    # drain_partition is a per-Fetch-page generator (r12): rows flow
+    # to Spark page by page, so memory stays bounded by max_bytes no
+    # matter how fat the partition slice is
+    for page in drain_partition(
         p.host, p.port, p.topic, p.partition,
         start_offset=p.start, max_bytes=p.max_bytes,
         end_offset=p.end,
     ):
-        # naive-UTC datetime, matching pd.to_datetime(unit="ms") in
-        # kafka_wire's segment source so both faces of the wire frame
-        # produce bit-identical timestamps (session tz pinned UTC)
-        yield (
-            key, value, topic, part, off,
-            epoch + datetime.timedelta(milliseconds=ts_ms),
-            ts_type,
-        )
+        for key, value, topic, part, off, ts_ms, ts_type in page:
+            # naive-UTC datetime, matching pd.to_datetime(unit="ms")
+            # in kafka_wire's segment source so both faces of the wire
+            # frame produce bit-identical timestamps (session tz UTC)
+            yield (
+                key, value, topic, part, off,
+                epoch + datetime.timedelta(milliseconds=ts_ms),
+                ts_type,
+            )
 
 
 def _options(opts) -> tuple[str, int, str, int, str, int | None]:
@@ -201,15 +205,38 @@ class _StreamReader(DataSourceStreamReader):
     def latestOffset(self):  # noqa: N802
         from dst_spark_k8_lakehouse_spark.sources import kafka_broker as kb
 
+        # re-discover each micro-batch (the stock connector's
+        # behavior): a topic that gains partitions mid-stream starts
+        # contributing at the next latestOffset call instead of being
+        # silently never read; partitions() anchors keys that are new
+        # to the offset dict at EARLIEST so their whole log is read
+        discovered = _discover(self.host, self.port, self.topic)
+        if discovered != self._parts:
+            self._parts = discovered
         hwm = kb.list_offsets(
             self.host, self.port, self.topic, self._parts, kb.LATEST
         )
         return {str(p): int(hwm[p]) for p in self._parts}
 
     def partitions(self, start, end):
+        from dst_spark_k8_lakehouse_spark.sources import kafka_broker as kb
+
+        # a partition present in `end` but absent from `start` was
+        # discovered mid-stream: anchor it at EARLIEST (its log
+        # start), the consumer contract for a new partition
+        unseen = [
+            p for p in self._parts
+            if str(p) in end and str(p) not in start
+        ]
+        anchors = (
+            kb.list_offsets(
+                self.host, self.port, self.topic, unseen, kb.EARLIEST
+            )
+            if unseen else {}
+        )
         out = []
         for p in self._parts:
-            lo = int(start.get(str(p), 0))
+            lo = int(start.get(str(p), anchors.get(p, 0)))
             hi = int(end.get(str(p), lo))
             if hi > lo:
                 out.append(

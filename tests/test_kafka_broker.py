@@ -73,8 +73,12 @@ def test_metadata_discovers_partitions(responder):
     assert missing[0]["error"] == kb._ERR_UNKNOWN_TOPIC
 
 
+def _drain_all(*args, **kw) -> list[tuple]:
+    return [r for page in kb.drain_partition(*args, **kw) for r in page]
+
+
 def test_drain_full_partition(responder):
-    rows = kb.drain_partition(responder.host, responder.port, "tp", 0)
+    rows = _drain_all(responder.host, responder.port, "tp", 0)
     assert len(rows) == 100
     assert [r[4] for r in rows] == list(range(100))  # offsets
     assert rows[0][0] == b"k0-0" and rows[99][1] == b"v0-99"
@@ -83,7 +87,7 @@ def test_drain_full_partition(responder):
 def test_drain_paginates_under_max_bytes(responder):
     # a cap smaller than two batches forces one Fetch per batch —
     # the result must still be exact and ordered
-    rows = kb.drain_partition(
+    rows = _drain_all(
         responder.host, responder.port, "tp", 1, max_bytes=400
     )
     assert [r[4] for r in rows] == list(range(100))
@@ -93,10 +97,53 @@ def test_drain_paginates_under_max_bytes(responder):
 def test_drain_from_mid_log_offset(responder):
     # offset 30 sits INSIDE batch 2 (25-49): the responder returns
     # the covering batch, the client trims records below the ask
-    rows = kb.drain_partition(
+    rows = _drain_all(
         responder.host, responder.port, "tp", 0, start_offset=30
     )
     assert [r[4] for r in rows] == list(range(30, 100))
+
+
+def test_drain_streams_pages_with_bounded_memory(tmp_path, monkeypatch):
+    """The 100-TB contract (VERDICT r11 item 2): drain_partition is a
+    GENERATOR — rows reach the caller page by page, the full slice
+    never exists as one list. Pinned by counting Fetch round trips: a
+    one-batch-per-page cap over a 60-batch log must have made only ~1
+    Fetch when the first page arrives, and ≥60 by exhaustion."""
+    import types
+
+    root = str(tmp_path / "seg")
+    d = os.path.join(root, "fat-0")
+    os.makedirs(d)
+    segs, off = [], 0
+    for _b in range(60):
+        recs = [{"key": f"k{off + i}".encode(), "value": b"v" * 64,
+                 "timestamp_ms": 1_700_000_000_000 + off + i}
+                for i in range(10)]
+        segs.append(encode_record_batch(recs, base_offset=off))
+        off += 10
+    with open(os.path.join(d, "00000000000000000000.log"), "wb") as f:
+        f.write(b"".join(segs))
+
+    fetches = {"n": 0}
+    real_fetch = kb.fetch
+
+    def counting_fetch(*a, **k):
+        fetches["n"] += 1
+        return real_fetch(*a, **k)
+
+    monkeypatch.setattr(kb, "fetch", counting_fetch)
+    with kb.SegmentResponder(root) as r:
+        gen = kb.drain_partition(r.host, r.port, "fat", 0,
+                                 max_bytes=1)  # one batch per page
+        assert isinstance(gen, types.GeneratorType)
+        first = next(gen)
+        assert [x[4] for x in first] == list(range(10))
+        # only the first page's Fetch has happened — the remaining 59
+        # pages are still on the wire, NOT buffered in memory
+        assert fetches["n"] <= 2
+        rest = [x for page in gen for x in page]
+        assert fetches["n"] >= 60
+        assert [x[4] for x in rest] == list(range(10, 600))
 
 
 def test_unsupported_api_is_a_loud_error(responder):
@@ -259,6 +306,81 @@ def test_kafka_tcp_stream_is_incremental(spark, tmp_path):
             x.offset for x in second.select("offset").collect()
         )
         assert offs == list(range(55))
+
+
+def test_read_anchors_on_retention_trimmed_log(spark, tmp_path):
+    """A log whose start is nonzero (retention trimmed the head):
+    read_kafka_topic must anchor via ListOffsets(EARLIEST) — an
+    explicit ask below the log start gets the real broker's
+    OFFSET_OUT_OF_RANGE, which the responder now enforces."""
+    root = str(tmp_path / "seg")
+    d = os.path.join(root, "trim-0")
+    os.makedirs(d)
+    recs = [{"key": f"k{40 + i}".encode(), "value": b"v",
+             "timestamp_ms": 1_700_000_000_000 + i} for i in range(20)]
+    with open(os.path.join(d, "00000000000000000040.log"), "wb") as f:
+        f.write(encode_record_batch(recs, base_offset=40))
+    with kb.SegmentResponder(root) as r:
+        assert kb.list_offsets(r.host, r.port, "trim", [0],
+                               kb.EARLIEST) == {0: 40}
+        rows = kb.read_kafka_topic(
+            spark, r.host, r.port, "trim"
+        ).toPandas().sort_values("offset")
+        assert rows["offset"].tolist() == list(range(40, 60))
+        # the pre-fix default (hardcoded start 0) is now a loud error
+        with pytest.raises(Exception, match="error 1"):
+            kb.read_kafka_topic(
+                spark, r.host, r.port, "trim", start_offset=0
+            ).count()
+
+
+def test_kafka_tcp_stream_discovers_new_partitions(spark, tmp_path):
+    """A topic that gains a partition between micro-batches: the
+    stream reader re-discovers at latestOffset and anchors the new
+    partition at EARLIEST (nonzero log start, so a 0 anchor would be
+    OFFSET_OUT_OF_RANGE) — pre-r12 it was silently never read."""
+    from dst_spark_k8_lakehouse_spark.sources import kafka_tcp_source
+
+    root = str(tmp_path / "seg")
+    d0 = os.path.join(root, "grow-0")
+    os.makedirs(d0)
+
+    def _log(d, base, n):
+        recs = [{"key": f"k{base + i}".encode(), "value": b"v",
+                 "timestamp_ms": 1_700_000_000_000 + base + i}
+                for i in range(n)]
+        with open(os.path.join(d, f"{base:020d}.log"), "wb") as f:
+            f.write(encode_record_batch(recs, base_offset=base))
+
+    _log(d0, 0, 20)
+    kafka_tcp_source.register(spark)
+    with kb.SegmentResponder(root) as r:
+        def drain():
+            q = (
+                spark.readStream.format("kafka_tcp")
+                .option("host", r.host)
+                .option("port", r.port)
+                .option("topic", "grow")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "out"))
+                .option("checkpointLocation", str(tmp_path / "cp"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return spark.read.parquet(str(tmp_path / "out"))
+
+        assert drain().count() == 20
+        # partition 1 appears mid-stream, log trimmed to start at 5
+        d1 = os.path.join(root, "grow-1")
+        os.makedirs(d1)
+        _log(d1, 5, 15)
+        r.partitions[("grow", 1)] = os.path.join(d1, f"{5:020d}.log")
+        second = drain().toPandas()
+        assert len(second) == 35  # 20 + the NEW partition's 15
+        p1 = second[second["partition"] == 1]["offset"]
+        assert sorted(p1.tolist()) == list(range(5, 20))
 
 
 def test_kafka_tcp_batch_starting_timestamp(spark, responder):
