@@ -801,6 +801,91 @@ def l2_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_neardup_pairs(vecs, threshold=0.99, n_planes=8, n_tables=1)
 
 
+def _semdedup_assign(
+    vectors: DataFrame,
+    n_clusters: int | None,
+    seed: int,
+    max_iter: int,
+    fit_fraction: float,
+    max_cluster_size: int | None,
+) -> DataFrame | None:
+    """The bucketing stage of ``semdedup_pairs`` (split out so the
+    hot-cluster pytest can assert bucket-size bounds directly):
+    normalize → k-means assign → second-pass split of clusters over
+    the size cap → ``(vec_id, cluster, sub, unit)``; the verify join
+    keys on (cluster, sub). None = empty/zero-norm input."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = vectors.select(
+        "vec_id", "embedding", _embed_norm().alias("norm")
+    ).filter(F.col("norm") > 0)
+    # cosine geometry: cluster UNIT vectors (spherical k-means shape)
+    unit = vecs.withColumn(
+        "unit",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE) / norm)"
+        ),
+    ).withColumn("features", array_to_vector("unit"))
+    unit = unit.localCheckpoint(eager=False)  # normalize once
+    # count the CHECKPOINTED frame: materializes it, so deriving the
+    # default k costs no second scan of the normalize stage
+    n = unit.count()
+    if n == 0:
+        return None
+    k = n_clusters if n_clusters is not None else max(2, n // 200)
+    k = max(1, min(k, n))  # MLlib requires 1 <= k <= n
+    fit_input = (
+        unit.sample(fraction=fit_fraction, seed=seed)
+        if fit_fraction < 1.0 else unit
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter,
+        featuresCol="features", predictionCol="cluster",
+    ).fit(fit_input)
+    assigned = model.transform(unit).select(
+        "vec_id", "cluster", "unit", "features"
+    )
+    cap = (
+        max_cluster_size if max_cluster_size is not None
+        else max(200, 4 * -(-n // k))
+    )
+    # cluster sizes: ≤ k rows of driver-side metadata, never data
+    sizes = assigned.groupBy("cluster").count().collect()
+    hot_ids = [r["cluster"] for r in sizes if r["count"] > cap]
+    if not hot_ids:
+        return assigned.drop("features").withColumn("sub", F.lit(0))
+    assigned = assigned.localCheckpoint(eager=False)
+    hot = assigned.filter(F.col("cluster").isin(hot_ids))
+    cold = assigned.filter(
+        ~F.col("cluster").isin(hot_ids)
+    ).withColumn("sub", F.lit(0))
+    n_hot = sum(r["count"] for r in sizes if r["cluster"] in hot_ids)
+    # one second fit over ALL hot members (not one per cluster): sub
+    # labels combine with the first-pass cluster id, so two different
+    # hot clusters never cross-join through a shared sub; k2 targets
+    # an average sub-cluster of cap/4
+    k2 = max(2, min(n_hot, -(-n_hot // max(1, cap // 4))))
+    sub_model = KMeans(
+        k=k2, seed=seed + 1, maxIter=max_iter,
+        featuresCol="features", predictionCol="sub",
+    ).fit(hot)
+    out = cold.unionByName(sub_model.transform(hot)).drop("features")
+    residual = (
+        out.groupBy("cluster", "sub").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    if residual and residual > cap:
+        warnings.warn(
+            f"semdedup: a cluster holds {residual} members after "
+            f"the second k-means pass (cap {cap}) — near-identical "
+            f"mass; its within-cluster verify (and its legitimate "
+            f"duplicate-pair output) is quadratic",
+            stacklevel=2,
+        )
+    return out
+
+
 def semdedup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -808,6 +893,7 @@ def semdedup_pairs(
     seed: int = 7,
     max_iter: int = 20,
     fit_fraction: float = 1.0,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SEMANTIC dedup, SemDeDup-style (the k-means-bucketed
     embedding-dedup pattern from the public SemDeDup paper, Abbas et
@@ -829,25 +915,28 @@ def semdedup_pairs(
     for a given input; identical unit vectors always share a cluster
     (equal distance to every centroid, ties broken by index), so
     exact duplicates can never be split apart — the recall contract
-    below leans on that invariant, not on clustering quality."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    below leans on that invariant, not on clustering quality.
 
-    vecs = vectors.select(
-        "vec_id", "embedding", _embed_norm().alias("norm")
-    ).filter(F.col("norm") > 0)
-    # cosine geometry: cluster UNIT vectors (spherical k-means shape)
-    unit = vecs.withColumn(
-        "unit",
-        F.expr(
-            "transform(embedding, x -> CAST(x AS DOUBLE) / norm)"
-        ),
-    ).withColumn("features", array_to_vector("unit"))
-    unit = unit.localCheckpoint(eager=False)  # normalize once
-    # count the CHECKPOINTED frame: materializes it, so deriving the
-    # default k costs no second scan of the normalize stage
-    n = unit.count()
-    if n == 0:
+    HOT-CLUSTER GUARD (r12, VERDICT r11 item 3): k ~ N/200 bounds the
+    AVERAGE cluster, but k-means on a duplicate-dense corpus (exactly
+    the target workload) can emit one giant cluster whose within-
+    cluster verify is |c|² on one shuffle partition. Clusters larger
+    than ``max_cluster_size`` (default 4 × the expected average,
+    floor 200 — the SemDeDup paper itself caps cluster sizes) are
+    re-clustered by ONE second k-means fit over their members, and
+    the verify joins on (cluster, subcluster). The second fit keeps
+    the recall invariant — identical vectors get identical
+    sub-assignments too — where the LSH family's star-edge cap would
+    not (a planted pair (a, a′) with hub h only surfaces if BOTH
+    verify against h). A cluster still over the cap after the split
+    (irreducible: near-identical mass, whose pair OUTPUT is
+    legitimately quadratic) is logged loudly instead of silently
+    running quadratic."""
+    assigned = _semdedup_assign(
+        vectors, n_clusters, seed, max_iter, fit_fraction,
+        max_cluster_size,
+    )
+    if assigned is None:
         # all-zero-norm or empty input: the same graceful no-op as
         # embed_neardup_pairs, not an MLlib fit crash
         return vectors.select(
@@ -855,26 +944,13 @@ def semdedup_pairs(
             F.col("vec_id").alias("vec_b"),
             F.lit(0.0).alias("cosine"),
         ).limit(0)
-    k = n_clusters if n_clusters is not None else max(2, n // 200)
-    k = max(1, min(k, n))  # MLlib requires 1 <= k <= n
-    fit_input = (
-        unit.sample(fraction=fit_fraction, seed=seed)
-        if fit_fraction < 1.0 else unit
-    )
-    model = KMeans(
-        k=k, seed=seed, maxIter=max_iter,
-        featuresCol="features", predictionCol="cluster",
-    ).fit(fit_input)
-    assigned = model.transform(unit).select(
-        "vec_id", "cluster", "unit"
-    )
     a = assigned.select(
-        F.col("cluster"),
+        "cluster", "sub",
         F.col("vec_id").alias("vec_a"),
         F.col("unit").alias("unit_a"),
     )
     b = assigned.select(
-        F.col("cluster"),
+        "cluster", "sub",
         F.col("vec_id").alias("vec_b"),
         F.col("unit").alias("unit_b"),
     )
@@ -883,7 +959,7 @@ def semdedup_pairs(
         "(acc, v) -> acc + v)"
     )
     return (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "sub"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", dot)
         .filter(F.col("cosine") >= threshold)

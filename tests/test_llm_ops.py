@@ -768,6 +768,103 @@ def test_semdedup_finds_fuzzy_neighbors_not_just_copies(spark):
     )
 
 
+def test_semdedup_hot_cluster_split_bounds_buckets(spark):
+    """VERDICT r11 item 3: a duplicate-dense corpus can hand k-means
+    one giant cluster whose within-cluster verify is |c|² on one
+    partition. Plant a dominant blob (~33% of vectors around one
+    center), assert the second k-means pass bounds every verify
+    bucket, and that BIT-IDENTICAL planted pairs inside the blob
+    still all surface (the recall invariant holds through the second
+    fit — identical vectors get identical sub-assignments too)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from dst_spark_k8_lakehouse_spark.llm import dedup
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    scattered = rng.normal(size=(700, dim))
+    center = rng.normal(size=dim)
+    blob = center + 0.01 * rng.normal(size=(350, dim))
+    vecs_np = np.vstack([scattered, blob]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs_np)), "embedding": list(map(list, vecs_np))}
+    )
+    base = spark.createDataFrame(pdf)
+    # bit-identical copies of 30 blob members — the recall contract
+    planted_ids = list(range(700, 730))
+    copies = base.filter(F.col("vec_id").isin(planted_ids)).withColumn(
+        "vec_id", F.col("vec_id") + dedup.DUP_OFFSET
+    )
+    vecs = base.unionByName(copies)
+
+    cap = 100
+    # without the guard: the blob is ONE verify bucket of ~380 members
+    unguarded = dedup._semdedup_assign(
+        vecs, 10, 7, 20, 1.0, max_cluster_size=10**9
+    )
+    max_unguarded = (
+        unguarded.groupBy("cluster", "sub").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert max_unguarded > cap  # the fixture really is hot
+
+    guarded = dedup._semdedup_assign(
+        vecs, 10, 7, 20, 1.0, max_cluster_size=cap
+    )
+    bucket_sizes = [
+        r["count"]
+        for r in guarded.groupBy("cluster", "sub").count().collect()
+    ]
+    assert max(bucket_sizes) <= cap, (
+        f"hot cluster not split: max bucket {max(bucket_sizes)} > {cap}"
+    )
+    # candidate-pair work is bounded far below the unsplit |c|²
+    pairs_guarded = sum(s * (s - 1) // 2 for s in bucket_sizes)
+    assert pairs_guarded < (max_unguarded * (max_unguarded - 1) // 2) / 2
+
+    # recall through the split: every bit-identical planted pair
+    found = dedup.semdedup_pairs(
+        vecs, threshold=0.99, n_clusters=10, max_cluster_size=cap
+    ).toPandas()
+    got = set(zip(found["vec_a"], found["vec_b"]))
+    for pid in planted_ids:
+        assert (pid, pid + dedup.DUP_OFFSET) in got, (
+            f"planted identical pair {pid} lost by the split"
+        )
+
+
+def test_semdedup_irreducible_hot_cluster_warns(spark):
+    """All-identical mass cannot be split (every sub-assignment ties
+    the same way): the guard must WARN loudly instead of silently
+    running quadratic — and the pairs are still exact (quadratic
+    OUTPUT is the correct answer for all-duplicates input)."""
+    import warnings as w
+
+    import numpy as np
+    import pandas as pd
+
+    from dst_spark_k8_lakehouse_spark.llm import dedup
+
+    rng = np.random.default_rng(5)
+    one = rng.normal(size=8).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": list(one)} for i in range(80)]
+    rows += [
+        {"vec_id": 1000 + i,
+         "embedding": list(rng.normal(size=8).astype(np.float32))}
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(pd.DataFrame(rows))
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        pairs = dedup.semdedup_pairs(
+            vecs, threshold=0.999, n_clusters=6, max_cluster_size=20
+        ).count()
+    assert pairs >= 80 * 79 // 2  # all-identical: all pairs surface
+    assert any("second k-means pass" in str(c.message) for c in caught)
+
+
 def test_semdedup_drops_zero_norm_and_respects_k(spark):
     from dst_spark_k8_lakehouse_spark.llm import dedup
     import pyspark.sql.functions as F
