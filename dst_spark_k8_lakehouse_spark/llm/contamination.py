@@ -80,6 +80,25 @@ def _doc_gram_hashes(docs: DataFrame, n: int) -> DataFrame:
     )
 
 
+def gram_hash_array(n: int, tokh_col: str = "tokh"):
+    """The ARRAY-valued face of ``_doc_gram_hashes``: distinct
+    xxhash64 n-gram hashes of a token-hash array column, as one array
+    per row — empty below ``n`` tokens. For callers that MATERIALIZE
+    per-doc gram sets into a shared checkpoint (x3) so several
+    consumers read one tokenize pass; the exploding face stays the
+    right shape for single-consumer scans."""
+    parts = ", ".join(
+        f"element_at({tokh_col}, i + {j})" for j in range(n)
+    )
+    return F.expr(
+        f"IF(size({tokh_col}) >= {n}, "
+        f"array_distinct(transform("
+        f"sequence(1, size({tokh_col}) - {n - 1}), "
+        f"i -> xxhash64({parts}))), "
+        f"CAST(array() AS ARRAY<BIGINT>))"
+    )
+
+
 def contamination_report(
     corpus: DataFrame, benchmark: DataFrame, n: int = 5
 ) -> DataFrame:

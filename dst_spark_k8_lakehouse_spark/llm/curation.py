@@ -685,8 +685,14 @@ _DSIR_WEIGHT_CACHE: dict[tuple[str, int, str], str] = {}
 # (DuckDB has no xxhash64), so the ORACLE recomputes the same buckets.
 # The library default below is xxhash64 (one 8-byte JVM op, no hex
 # detour); the bucketing semantics and plan shape are identical.
-DSIR_MD5_BUCKET = "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"
-DSIR_MD5_BUCKET_DUCK = "('0x' || substr(md5(w), 1, 15))::BIGINT"
+# Hex chars 12-15 of the md5, not 1-15 (r12): the bucket is the value
+# MOD 2^16 (DSIR_BUCKETS), and 16^4 = 2^16 means the last 4 chars of
+# any hex prefix ending at position 15 ARE that residue — bucket
+# values are bit-identical to the old 15-char form (pinned by
+# test_curation), while both engines skip parsing 11 dead hex chars
+# per token (Spark: 0.42 → 0.32 s at sf0.1).
+DSIR_MD5_BUCKET = "CAST(conv(substring(md5(w), 12, 4), 16, 10) AS BIGINT)"
+DSIR_MD5_BUCKET_DUCK = "('0x' || substr(md5(w), 12, 4))::BIGINT"
 
 
 def dsir_bucket_weights(
@@ -736,12 +742,22 @@ def dsir_score_bucketed(
     """Score a corpus against a (persisted) bucket-weight table: one
     map-side pass — bucket each token (8-byte key), broadcast-join the
     fixed-width weight table, sum per document. No corpus-sized
-    shuffle except the doc_id aggregation."""
+    shuffle except the doc_id aggregation.
+
+    The bucket key is wrapped in ``coalesce(…, 0)`` to make it
+    provably NON-NULL (r12, measured 0.57 → 0.36 s at sf0.1): a
+    nullable join-key EXPRESSION makes Catalyst infer
+    ``isnotnull(<whole expression>)`` and push it below the
+    projection, re-evaluating the full md5+conv per token a second
+    time; a non-nullable key folds the inferred filter to true. The
+    value never changes — tokens are split results, never null."""
     hb = (
         F.xxhash64("w") if bucket_sql is None else F.expr(bucket_sql)
     )
     return (
-        toks.withColumn("bkt", F.pmod(hb, F.lit(n_buckets)))
+        toks.withColumn(
+            "bkt", F.coalesce(F.pmod(hb, F.lit(n_buckets)), F.lit(0))
+        )
         .join(F.broadcast(weights), "bkt")
         .groupBy("doc_id")
         .agg(

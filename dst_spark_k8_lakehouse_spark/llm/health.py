@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dst_spark_k8_lakehouse_spark.llm.contamination import (
-    _doc_gram_hashes,
+    gram_hash_array,
 )
 from dst_spark_k8_lakehouse_spark.llm.curation import (
     PASSAGE,
@@ -99,33 +99,60 @@ def x3_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     and mean token length, in one composed plan over the planted
     corpus (mirrors surface in their own 'mirror' source row)."""
     docs = with_planted_duplicates(load_table(spark, sf_dir, "documents"))
-    # dup-copy counts keyed by CONTENT HASH, not raw text: the groupBy
-    # and join-back then shuffle 32-byte keys instead of document text
-    # (the l1_exact_dedup scale rule; collision odds are the accepted
-    # sha2 class, and the oracle's text-keyed form would catch one)
-    hashed = docs.withColumn("thash", F.sha2("text", 256))
-    dup = hashed.groupBy("thash").agg(F.count("*").alias("n_copies"))
-    # boilerplate flag only — no clean-text reassembly (that is
-    # l6_passage_dedup's job); the r6 hash-keyed shape: passage hashes
-    # from TOKEN-hash slices (no per-passage string), per-doc-distinct
-    # so document frequency is a plain partial-agg count, boilerplate
-    # set broadcast back (8-byte keys end to end — see
-    # curation.passage_dedup_report for the measured rationale)
-    ph = docs.select(
-        "doc_id",
-        F.split(F.trim("text"), " ").alias("tok"),
-    ).withColumn(
-        "tokh", F.expr("transform(tok, t -> xxhash64(t))")
-    ).select(
-        "doc_id",
-        F.explode(
+    # ONE tokenize pass (r12, VERDICT r11 item 1b): the four signals
+    # used to re-derive their token streams from `docs` per branch —
+    # sha2 twice (dup agg + join-back), the passage-hash stream twice
+    # (df agg + boiler semi side), and the gram-hash tokenization
+    # twice (benchmark + corpus) — six evaluations of the heavy
+    # string work per run. Materialize ONE compact per-doc frame
+    # (content hash, token count, passage-hash set, gram-hash set;
+    # hashes only, never text) via an eager localCheckpoint, and
+    # every branch reads it from block storage. At 100 TB the
+    # checkpoint is ~#tokens × 16 B distributed — bounded by the
+    # corpus itself and strictly cheaper than re-tokenizing it per
+    # signal.
+    #
+    # dup-copy counts key on the CONTENT HASH, not raw text: the
+    # groupBy and join-back shuffle 32-byte keys instead of document
+    # text (the l1_exact_dedup scale rule; collision odds are the
+    # accepted sha2 class, and the oracle's text-keyed form would
+    # catch one). Passage hashes are TOKEN-hash slices and grams are
+    # xxhash64 5-grams — 8-byte keys end to end (see
+    # curation.passage_dedup_report / contamination._doc_gram_hashes
+    # for the measured rationale of each shape).
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.sha2("text", 256).alias("thash"),
+            F.expr(
+                "transform(split(trim(text), ' '), t -> xxhash64(t))"
+            ).alias("tokh"),
+            F.expr(
+                r"transform(split(trim(lower(text)), '\\s+'), "
+                r"t -> xxhash64(t))"
+            ).alias("ltokh"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "thash",
+            F.size("tokh").alias("n_tokens"),
             F.expr(
                 f"array_distinct(transform("
                 f"sequence(0, size(tokh) - 1, {PASSAGE}), "
                 f"s -> xxhash64(slice(tokh, s + 1, {PASSAGE}))))"
-            )
-        ).alias("ph"),
+            ).alias("pass_h"),
+            gram_hash_array(5, "ltokh").alias("gram_h"),
+        )
+        .localCheckpoint()  # eager: branches race it if lazy
     )
+    dup = base.groupBy("thash").agg(F.count("*").alias("n_copies"))
+    # boilerplate flag only — no clean-text reassembly (that is
+    # l6_passage_dedup's job): per-doc-distinct passage hashes so
+    # document frequency is a plain partial-agg count, boilerplate
+    # set broadcast back
+    ph = base.select("doc_id", F.explode("pass_h").alias("ph"))
     pdup = (
         ph.groupBy("ph")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -138,31 +165,26 @@ def x3_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_boiler", F.lit(1))
     )
-    benchmark = docs.filter(
-        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < DUP_OFFSET)
-    )
-    corpus = docs.filter(
-        (F.col("doc_id") % 10 != 0) | (F.col("doc_id") >= DUP_OFFSET)
+    is_bench = (F.col("doc_id") % 10 == 0) & (
+        F.col("doc_id") < DUP_OFFSET
     )
     # hashed-gram contamination (the l7 string-free formulation):
     # benchmark gram hashes broadcast, corpus side map-only
     bench_grams = F.broadcast(
-        _doc_gram_hashes(benchmark, 5).select("gram_h").distinct()
+        base.filter(is_bench)
+        .select(F.explode("gram_h").alias("gram_h"))
+        .distinct()
     )
     contam = (
-        _doc_gram_hashes(corpus, 5)
+        base.filter(~is_bench)
+        .select("doc_id", F.explode("gram_h").alias("gram_h"))
         .join(bench_grams, "gram_h", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("is_contam", F.lit(1))
     )
     per_doc = (
-        hashed.select(
-            "doc_id",
-            "source",
-            "thash",
-            F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
-        )
+        base.select("doc_id", "source", "thash", "n_tokens")
         .join(dup, "thash")
         .join(boiler, "doc_id", "left")
         .join(contam, "doc_id", "left")

@@ -55,79 +55,69 @@ def query(query_id: str, oracle: str | None = None) -> Callable[[F], F]:
 # ids whose only green row is the oldest (round 1). Rotation log with
 # last-green round per id lives in COVERAGE.md.
 PRIORITY: list[str] = [
-    # ---- r11 rotation (VERDICT r10 item 2). (a) r10 fails: none.
+    # ---- r12 rotation (VERDICT r11 item 4 — the written r12 front).
+    # (a) r11 fails: none.
     # (c) new/changed this round first:
-    "x12_cbo_multiway",  # NEW: NDV-estimate-ordered 3-table join
-    "s13_kafka_tcp",  # NEW: socket loopback — Fetch v4 over TCP
-    "t10_kafka_tcp_stream",  # NEW: structured streaming over the client
-    "x13_tcp_bronze",  # NEW capstone: TCP -> stream -> exactly-once delta
-    "l2_semdedup",  # NEW: k-means-bucketed semantic dedup (SemDeDup)
-    "l2_semdedup_recall",  # NEW: its planted-recall oracle contract
-    "d49_puffin_ndv",  # changed: single-pass sketch build (one job)
-    "x10_cbo_join",  # cbo.py gained estimate/order functions
-    "j8_star_join",  # changed: single-partition final sort; also the
-    # head of the r10-trimmed tail the verdict names for r11
-    "x1_q3_shipping",  # star-join family re-measured this round
-    "x2_q10_returns",
-    # (b) the r10-trimmed backlog (registry comment r10; VERDICT item
-    # 2 names these as the written r11 front):
-    "j7_asof",
-    "j6_range_join",
-    "d39_delta_generated",
-    "d28_delta_cdf",
-    "d24_delta_source",
-    "d16_delta_native_dml",
-    "d41_delta_skipping",
-    "u1_union",
-    "u2_intersect",
-    "u3_except",
-    "u4_udf",
-    "t6_stream_to_delta",
-    "o1_sort",
-    "o2_sort_limit",
-    "w2_lag",
-    "w3_running_sum",
-    "w4_topk_group",
-    "k1_salted_agg",
-    "k2_salted_join",
-    # (d) the r05-stale cohort (44 ids whose last driver row is r05;
-    # VERDICT item 2 asks ≥15 per round — 25 here, the l2/l3/l4 block
-    # plus the named a12/a13/d10-d13/p/w1 set; the remaining 19
-    # (recall contracts, l6/l7 pairs, t4/t5) front r12):
-    "a12_summary",
-    "a13_pivot",
-    "a13_unpivot",
-    "d10_update_sql",
-    "d11_delete_sql",
-    "d13_merge_sql",
-    "w1_rank",
-    "l2_minhash_lsh",
-    "l2_minhash_lsh_sigs",
-    "l2_simhash",
-    "l2_embed_neardup",
-    "l3_text_stats",
-    "l3_quality_score",
-    "l3_token_count",
-    "l3_fingerprint",
-    "l3_repetition_stats",
-    "l3_unigram_logprob",
-    "l4_cosine_topk",
-    "l4_batch_topk",
-    "d74_lineage",  # NEW: lineage extraction/emission, oracle-checked
-    # 50 exactly (p12_dedup_rows, p4_filter_and and the r07-green
-    # l2_ngram_jaccard moved to the r12 front as s13_kafka_tcp,
-    # t10_kafka_tcp_stream and d74_lineage landed; the r05-cohort
-    # share stays 16 ≥ the verdict's 15). r12 backlog (write down so
-    # nothing silently ages): l4_embed_quantize/l4_quant_recall (cut
-    # for the semdedup pair), p4_filter_and, p12_dedup_rows,
-    # l2_ngram_jaccard, d12_time_travel (r09-green; cut for x13),
-    # l2_minhash_recall/l2_simhash_recall/l2_simhash_sensitivity/
-    # l2_embed_fuzzy_recall, l3_bpe_token_count/l3_bpe_learn,
-    # l6_split_assign/l6_global_shuffle/l6_pack_sequences_bpe/
-    # l6_chunk_docs_bpe, l7_contamination(+_scan)/l7_fuzzy_decontam/
-    # l7_fuzzy_recall, l4_ann_ivf, t4_watermark/t5_stateful_dedup,
-    # p5/p6/p8/p11/p13/p14, then the r06 cohort (s13_jdbc_roundtrip,
-    # l6 five, a13 pair done above, u5-u7, l5 decode family).
+    "s13_kafka_tcp",  # changed: page-generator drain + EARLIEST anchor
+    "t10_kafka_tcp_stream",  # changed: per-batch partition re-discovery
+    "x13_tcp_bronze",  # rides the changed kafka_tcp stack
+    "l2_semdedup",  # changed: hot-cluster second-pass split
+    "l2_semdedup_recall",  # its recall contract through the split
+    "x3_corpus_health",  # changed: one-tokenize-pass checkpoint plan
+    "l6_dsir_scan",  # changed: non-null bucket key + 4-char md5 form
+    "d74_lineage",  # changed: listener-path OUTPUT lineage
+    # (d) the r05-stale tail named in r11's registry comment — the 19
+    # remaining r05-cohort ids (recall contracts, l6/l7 pairs, t4/t5,
+    # p-family) plus the deferred cuts, in the written order:
+    "l4_embed_quantize",
+    "l4_quant_recall",
+    "p4_filter_and",
+    "p12_dedup_rows",
+    "l2_ngram_jaccard",
+    "d12_time_travel",
+    "l2_minhash_recall",
+    "l2_simhash_recall",
+    "l2_simhash_sensitivity",
+    "l2_embed_fuzzy_recall",
+    "l3_bpe_token_count",
+    "l3_bpe_learn",
+    "l6_split_assign",
+    "l6_global_shuffle",
+    "l6_pack_sequences_bpe",
+    "l6_chunk_docs_bpe",
+    "l7_contamination",
+    "l7_contamination_scan",
+    "l7_fuzzy_decontam",
+    "l7_fuzzy_recall",
+    "l4_ann_ivf",
+    "t4_watermark",
+    "t5_stateful_dedup",
+    "p5_null_filter",
+    "p6_when",
+    "p8_cast",
+    "p11_fillna",
+    "p13_distinct",
+    "p14_concat",
+    # then the r06 cohort:
+    "s13_jdbc_roundtrip",
+    "l5_image_decode",
+    "l5_audio_decode",
+    "l5_video_decode",
+    "l5_multimodal",
+    "u5_pandas_udf",
+    "u5b_pandas_grouped_agg",
+    "u6_grouped_map",
+    "u7_udtf",
+    "l6_chunk_docs",
+    "l6_vocab_topk",
+    "l6_pack_sequences",
+    "l6_stratified_sample",
+    # 50 exactly. New ids landing later in r12 (kafka produce
+    # round-trip, CBO consumer) swap in for the l6 tail above. r13
+    # backlog (write down so nothing silently ages): l6_pii_scrub,
+    # l6_mixture_epochs (the last two of the r06 l6 cohort),
+    # l2_embed_recall, l4_ivf_recall, l3_langid, l3_langid_eval, then
+    # the r07 cohort (d36-d40, x6, t8) as it becomes the oldest.
 ]
 
 

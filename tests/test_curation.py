@@ -241,6 +241,29 @@ class TestDsirBucketed:
         assert j.where("na <> nb").count() == 0
         assert j.agg(F.sum("agree")).first()[0] / rows >= 0.95
 
+    def test_md5_bucket_4char_equals_15char_form(self, spark, sf_dir):
+        """r12: DSIR_MD5_BUCKET parses hex chars 12-15 instead of
+        1-15. The bucket is the value mod 2^16 and 16^4 = 2^16, so
+        the short form is BIT-IDENTICAL — pin it against the r11
+        spelling over every real token so a future edit to either
+        side of the pair (Spark expr / DuckDB oracle) can't drift."""
+        from dst_spark_k8_lakehouse_spark.llm import curation as cu
+
+        long_form = (
+            "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"
+        )
+        toks = cu._dsir_toks(cu.load_table(spark, sf_dir, "documents"))
+        n = cu.DSIR_BUCKETS
+        mism = (
+            toks.select(
+                F.pmod(F.expr(cu.DSIR_MD5_BUCKET), F.lit(n)).alias("a"),
+                F.pmod(F.expr(long_form), F.lit(n)).alias("b"),
+            )
+            .where("a <> b")
+            .count()
+        )
+        assert mism == 0
+
     def test_weight_table_is_fixed_width(self, spark, sf_dir):
         """The whole point at 100 TB: the weight table never exceeds
         n_buckets rows no matter the corpus."""
