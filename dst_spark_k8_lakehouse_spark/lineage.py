@@ -23,9 +23,12 @@ Three layers, each usable alone:
   ``QueryExecutionListener`` registered through py4j's callback
   server: every successful action (collect/write/count) emits an
   event named after the action, inputs extracted from the executed
-  plan's scanned files. Falls back LOUDLY (RuntimeError) if the
-  callback server can't start — callers choose between the listener
-  and explicit ``emit``.
+  plan's scanned files and OUTPUTS from the plan's write command
+  node where present (``InsertIntoHadoopFsRelationCommand`` path +
+  format, ascended to the owning table when the write lands inside
+  one). Falls back LOUDLY (RuntimeError) if the callback server
+  can't start — callers choose between the listener and explicit
+  ``emit``.
 
 WHY at 100 TB: lineage is metadata-sized (table roots, not file
 lists — a 1M-file table is ONE input entry), so emission cost is
@@ -75,6 +78,24 @@ def table_root(path: str) -> tuple[str, str]:
     if p.endswith(".parquet"):
         return p, "parquet"
     return p, "file"
+
+
+def output_dataset(path: str, fmt_hint: str | None = None) -> dict[str, str]:
+    """An OUTPUT dataset entry for a write destination: ascend like
+    ``table_root`` (a parquet write landing INSIDE a native table —
+    the engine's own data-file writes — reports the TABLE, not the
+    part directory); a plain directory write reports itself with the
+    write command's format."""
+    # appending a fake child makes table_root's dirname-first ascent
+    # examine `path` itself
+    root, fmt = table_root(os.path.join(path, "_"))
+    if fmt in ("file", "parquet"):
+        return {
+            "namespace": DEFAULT_NAMESPACE,
+            "name": os.path.normpath(path.removeprefix("file:")),
+            "format": fmt_hint or "file",
+        }
+    return {"namespace": DEFAULT_NAMESPACE, "name": root, "format": fmt}
 
 
 def extract_inputs(df) -> list[dict[str, str]]:
@@ -189,7 +210,10 @@ class _QueryExecutionListener:
                 for r, fmt in sorted(roots.items())
             ]
             self._sink.write(
-                lineage_event(f"action:{funcName}", inputs)
+                lineage_event(
+                    f"action:{funcName}", inputs,
+                    outputs=self._write_outputs(qe),
+                )
             )
         except Exception:
             # a lineage bug must never fail the user's query; the
@@ -204,6 +228,39 @@ class _QueryExecutionListener:
             )
         except Exception:
             pass
+
+    def _write_outputs(self, qe) -> list[dict[str, str]]:
+        """OUTPUT datasets from the execution's write command node
+        (r12, VERDICT r11 item 6 — writes are what lineage consumers
+        actually track): file-format writes surface as
+        ``InsertIntoHadoopFsRelationCommand`` in the analyzed plan,
+        whose public accessors carry the destination path and format.
+        Reads (no write node) return ``[]`` — absence, not a guess;
+        py4j traversal kept defensive like ``_scan_files``."""
+        outs: list[dict[str, str]] = []
+        plans = [qe.analyzed()]
+        while plans:
+            node = plans.pop()
+            try:
+                it = node.children().iterator()
+                while it.hasNext():
+                    plans.append(it.next())
+            except Exception:
+                pass
+            try:
+                path = node.outputPath().toString()
+            except Exception:
+                continue
+            try:
+                # ParquetFileFormat.toString() == "Parquet", CSV/JSON
+                # likewise; anything unrecognized stays "file"
+                fmt = node.fileFormat().toString().lower()
+                if fmt not in ("parquet", "csv", "json", "orc", "text"):
+                    fmt = None
+            except Exception:
+                fmt = None
+            outs.append(output_dataset(path, fmt))
+        return outs
 
     def _scan_files(self, qe):
         # analyzed plan → LogicalRelation file indexes (same source

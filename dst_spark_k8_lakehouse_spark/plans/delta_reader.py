@@ -1108,7 +1108,12 @@ def read_delta(
             "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
         )
     logical = [
-        F.col(f.name)
+        # id mode: alias with EMPTY metadata to strip the
+        # parquet.field.id the read schema carried — a scan-resolution
+        # tag that must not ride into downstream plans (a plain
+        # parquet write of two joined id-mode tables would embed
+        # duplicate ids; writers re-stamp from table metadata)
+        F.col(f.name).alias(f.name, metadata={})
         if id_mode and f.name not in part_cols
         else F.col(phys.get(f.name, f.name)).alias(f.name)
         for f in schema.fields

@@ -951,7 +951,21 @@ def read_data_files(
         # the conf only affects scans whose requested schema carries
         # parquet.field.id metadata
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        return spark.read.schema(struct).parquet(*files)
+        df = spark.read.schema(struct).parquet(*files)
+        # strip the field-id metadata from the OUTPUT schema: it is a
+        # scan-resolution concern, and letting it ride into downstream
+        # plans makes a plain parquet write of two joined tables embed
+        # DUPLICATE ids (both dims' id=1,2,…) — unreadable under the
+        # fieldId.read conf this reader just enabled session-wide.
+        # Writers never need it from here: both native writers stamp
+        # ids from their own table metadata (_stamped_projection /
+        # iceberg_writer's projection).
+        return df.select(
+            *[
+                F.col(f["name"]).alias(f["name"], metadata={})
+                for f in schema["fields"]
+            ]
+        )
     df = spark.read.parquet(*files)
     expected = [f["name"] for f in schema["fields"]]
     missing = set(expected) - set(df.columns)

@@ -66,6 +66,7 @@ PRIORITY: list[str] = [
     "x3_corpus_health",  # changed: one-tokenize-pass checkpoint plan
     "l6_dsir_scan",  # changed: non-null bucket key + 4-char md5 form
     "d74_lineage",  # changed: listener-path OUTPUT lineage
+    "s13_kafka_produce",  # NEW: Produce v3 round trip, write face
     # (d) the r05-stale tail named in r11's registry comment — the 19
     # remaining r05-cohort ids (recall contracts, l6/l7 pairs, t4/t5,
     # p-family) plus the deferred cuts, in the written order:
@@ -111,13 +112,13 @@ PRIORITY: list[str] = [
     "l6_chunk_docs",
     "l6_vocab_topk",
     "l6_pack_sequences",
-    "l6_stratified_sample",
-    # 50 exactly. New ids landing later in r12 (kafka produce
-    # round-trip, CBO consumer) swap in for the l6 tail above. r13
-    # backlog (write down so nothing silently ages): l6_pii_scrub,
-    # l6_mixture_epochs (the last two of the r06 l6 cohort),
-    # l2_embed_recall, l4_ivf_recall, l3_langid, l3_langid_eval, then
-    # the r07 cohort (d36-d40, x6, t8) as it becomes the oldest.
+    # 50 exactly (s13_kafka_produce landed and took the last slot;
+    # l6_stratified_sample moves to the r13 front). r13 backlog
+    # (write down so nothing silently ages): l6_stratified_sample,
+    # l6_pii_scrub, l6_mixture_epochs (the rest of the r06 l6
+    # cohort), l2_embed_recall, l4_ivf_recall, l3_langid,
+    # l3_langid_eval, then the r07 cohort (d36-d40, x6, t8) as it
+    # becomes the oldest.
 ]
 
 

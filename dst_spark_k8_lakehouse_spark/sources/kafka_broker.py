@@ -29,15 +29,24 @@ GENERATOR of per-Fetch-page row chunks (r12): a partition slice never
 exists as one Python list in an executor, so a tens-of-GB partition
 streams through bounded memory exactly like the stock connector.
 
+- **Produce v3** (api_key 0, r12) — the write half: one RecordBatch
+  v2 per request, base offsets assigned by the peer (the batch
+  header's baseOffset is rewritten on append — CRC-safe, the v2 CRC
+  covers attributes onward). ``write_kafka_topic`` is the
+  distributed face: one producing socket per partition task.
+
 ``SegmentResponder`` is the in-process loopback peer: a thread
 serving those shapes straight from on-disk segment files (the
-``kafka_wire`` fixtures). It exists because this container has no
+``kafka_wire`` fixtures), appending produced batches with broker
+offset assignment and auto-creating unknown topic-partitions the way
+real brokers do by default. It exists because this container has no
 broker (env gap re-verified each round) — the responder proves the
 codec + client against a REAL socket round-trip: framing, correlation
-ids, partial-batch cuts at ``max_bytes``, high-watermark pagination.
-It is a test/dev peer, not a broker (no produce, no groups, no ACLs —
-every unsupported api_key is answered with error 35
-UNSUPPORTED_VERSION rather than garbage).
+ids, partial-batch cuts at ``max_bytes``, high-watermark pagination,
+produce-then-fetch byte conformance. It is a test/dev peer, not a
+broker (no consumer groups, no txns, no ACLs — every unsupported
+api_key is answered with error 35 UNSUPPORTED_VERSION rather than
+garbage).
 
 No reference parity line: the reference platform consumes Kafka via
 the stock Spark connector; this surface is the jar-free analog.
@@ -50,6 +59,7 @@ import struct
 import threading
 from typing import Any
 
+_API_PRODUCE = 0
 _API_FETCH = 1
 _API_LIST_OFFSETS = 2
 _API_METADATA = 3
@@ -271,6 +281,76 @@ def list_offsets(
         return out
 
 
+def produce(
+    host: str,
+    port: int,
+    topic: str,
+    partition: int,
+    records: list[dict],
+    compression: str = "none",
+    acks: int = -1,
+    timeout_ms: int = 30000,
+) -> int:
+    """Produce v3 (r12, VERDICT r11 item 5): encode ``records``
+    (``kafka_wire.encode_record_batch`` dicts) as ONE RecordBatch v2
+    and append it to the peer; returns the broker-ASSIGNED base
+    offset (the producer sends base_offset=0 — offset assignment is
+    the broker's job, which is exactly what the round-trip oracle
+    exercises: the responder rewrites the batch header's baseOffset,
+    CRC-safely, since the v2 CRC covers attributes onward)."""
+    from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
+        encode_record_batch,
+    )
+
+    record_set = encode_record_batch(
+        records, base_offset=0, compression=compression
+    )
+    with socket.create_connection((host, port), timeout=30) as sock:
+        return produce_on(
+            sock, topic, partition, record_set, acks, timeout_ms
+        )
+
+
+def produce_on(
+    sock: socket.socket,
+    topic: str,
+    partition: int,
+    record_set: bytes,
+    acks: int = -1,
+    timeout_ms: int = 30000,
+    corr_id: int = 6,
+) -> int:
+    """One Produce v3 round trip on an open socket (the socket-reuse
+    face ``write_kafka_topic``'s per-partition tasks drive) →
+    broker-assigned base offset."""
+    w = _Writer()
+    w.string(None)      # transactional_id (v3+): not transactional
+    w.i16(acks)
+    w.i32(timeout_ms)
+    w.i32(1).string(topic)
+    w.i32(1).i32(partition)
+    w.nbytes(record_set)
+    r = _roundtrip(sock, _API_PRODUCE, 3, corr_id, w.done())
+    n_topics = r.i32()
+    if n_topics != 1:
+        raise ValueError(f"Produce answered {n_topics} topics, sent 1")
+    r.string()  # topic
+    n_parts = r.i32()
+    if n_parts != 1:
+        raise ValueError(f"Produce answered {n_parts} partitions")
+    r.i32()  # partition id
+    err = r.i16()
+    base = r.i64()
+    r.i64()  # log_append_time
+    # throttle_time_ms trails the responses in Produce v1+ (protocol
+    # quirk); nothing to read from it
+    if err:
+        raise ValueError(
+            f"Produce error {err} for {topic}-{partition}"
+        )
+    return base
+
+
 def fetch(
     sock: socket.socket,
     topic: str,
@@ -439,10 +519,11 @@ def read_kafka_topic(
 class SegmentResponder:
     """In-process loopback peer serving on-disk segment dirs over the
     wire protocol (ApiVersions v0 / Metadata v0 / ListOffsets v1 /
-    Fetch v4). One thread, sequential connections with a per-
-    connection recv timeout — a correctness fixture, not a broker.
-    Topic layout = ``kafka_wire`` convention:
-    ``<root>/<topic>-<partition>/*.log``."""
+    Fetch v4 / Produce v3). One thread, sequential connections with a
+    per-connection recv timeout — a correctness fixture, not a
+    broker. Topic layout = ``kafka_wire`` convention:
+    ``<root>/<topic>-<partition>/*.log``; Produce appends with broker
+    offset assignment and auto-creates unknown topic-partitions."""
 
     def __init__(self, root: str, host: str = "127.0.0.1") -> None:
         import os
@@ -480,6 +561,17 @@ class SegmentResponder:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+    def _create_partition(self, topic: str, pid: int) -> str:
+        import os
+
+        d = os.path.join(self.root, f"{topic}-{pid}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "00000000000000000000.log")
+        if not os.path.exists(path):
+            open(path, "wb").close()
+        self.partitions[(topic, pid)] = path
+        return path
 
     def close(self) -> None:
         self._stop.set()
@@ -525,7 +617,14 @@ class SegmentResponder:
                         )
                         size = struct.unpack(">i", raw)[0]
                         req = _Reader(_recv_exact(conn, size))
-                        resp = self._respond(req)
+                        try:
+                            resp = self._respond(req)
+                        except Exception:
+                            # a MALFORMED request (truncated body,
+                            # bad framing) must drop this connection,
+                            # never kill the serve thread — the
+                            # responder keeps serving everyone else
+                            break
                         conn.sendall(
                             struct.pack(">i", len(resp)) + resp
                         )
@@ -540,11 +639,40 @@ class SegmentResponder:
         w = _Writer().i32(corr_id)
         if api_key == _API_VERSIONS and api_version == 0:
             w.i16(_ERR_NONE)
-            w.i32(4)
+            w.i32(5)
+            w.i16(_API_PRODUCE).i16(3).i16(3)
             w.i16(_API_FETCH).i16(4).i16(4)
             w.i16(_API_LIST_OFFSETS).i16(1).i16(1)
             w.i16(_API_METADATA).i16(0).i16(0)
             w.i16(_API_VERSIONS).i16(0).i16(0)
+            return w.done()
+        if api_key == _API_PRODUCE and api_version == 3:
+            req.string()  # transactional_id: ignored (no txns served)
+            req.i16()     # acks: the append below is synchronous
+            req.i32()     # timeout_ms
+            n_topics = req.i32()
+            resp: list[tuple[str, list[tuple[int, int]]]] = []
+            for _ in range(n_topics):
+                topic = req.string()
+                n_parts = req.i32()
+                parts = []
+                for _p in range(n_parts):
+                    pid = req.i32()
+                    record_set = req.nbytes() or b""
+                    seg = self.partitions.get((topic, pid))
+                    if seg is None:
+                        # brokers auto-create topics by default; the
+                        # write face needs fresh topics to exist
+                        seg = self._create_partition(topic, pid)
+                    base = _append_record_set(seg, record_set)
+                    parts.append((pid, base))
+                resp.append((topic, parts))
+            w.i32(len(resp))
+            for topic, parts in resp:
+                w.string(topic).i32(len(parts))
+                for pid, base in parts:
+                    w.i32(pid).i16(_ERR_NONE).i64(base).i64(-1)
+            w.i32(0)  # throttle_time_ms TRAILS responses in Produce
             return w.done()
         if api_key == _API_LIST_OFFSETS and api_version == 1:
             req.i32()  # replica_id
@@ -635,6 +763,121 @@ class SegmentResponder:
         # every other (key, version): loud UNSUPPORTED_VERSION with a
         # shape-correct minimal body so clients fail cleanly
         return w.i16(_ERR_UNSUPPORTED_VERSION).i32(0).done()
+
+
+def _append_record_set(path: str, record_set: bytes) -> int:
+    """Append WHOLE RecordBatch v2 frames to a segment file, rewriting
+    each batch's ``baseOffset`` so the log's offsets continue — broker
+    offset assignment. CRC-safe: the v2 CRC covers attributes onward,
+    never the baseOffset header field. Returns the first assigned
+    offset."""
+    import os
+
+    hwm = 0
+    if os.path.exists(path) and os.path.getsize(path):
+        hwm, _ = _slice_segment(path, 1 << 62, 0)  # hwm probe only
+    out = bytearray(record_set)
+    first = hwm
+    pos = 0
+    while pos < len(out):
+        _base, batch_len = struct.unpack_from(">qi", out, pos)
+        struct.pack_into(">q", out, pos, hwm)
+        # records in the batch = lastOffsetDelta + 1 (int32 right
+        # after the attributes int16 — same layout _slice_segment uses)
+        last_delta = struct.unpack_from(">i", out, pos + 23)[0]
+        hwm += last_delta + 1
+        pos += 12 + batch_len
+    with open(path, "ab") as fh:
+        fh.write(out)
+    return first
+
+
+def write_kafka_topic(
+    df,
+    host: str,
+    port: int,
+    topic: str,
+    records_per_batch: int = 500,
+    compression: str = "none",
+):
+    """The distributed WRITE face (r12): produce a frame with columns
+    ``(key binary|string, value binary|string, partition int,
+    timestamp_ms long?)`` to a Kafka-protocol peer over Produce v3 —
+    one task per partition value, one socket per task, one Produce
+    request per ``records_per_batch`` chunk, offsets assigned by the
+    broker. Returns a DataFrame of per-request acks
+    ``(partition, base_offset, n_records)`` — an ACTIONABLE receipt
+    (count it to trigger the write; at-least-once like the stock
+    sink's non-transactional mode).
+
+    WHY at 100 TB: the produce fan-out mirrors the read face — record
+    bytes never touch the driver, each partition streams through
+    bounded ``records_per_batch`` chunks, 1000 partitions produce on
+    1000 concurrent sockets."""
+    from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
+
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    if not {"value", "partition"} <= set(df.columns):
+        raise ValueError(
+            "write_kafka_topic needs value and partition columns"
+        )
+    n_parts = df.select("partition").distinct().count()
+    plan = df.repartitionByRange(max(n_parts, 1), "partition")
+
+    def _produce(batches):
+        import pandas as pd
+
+        from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
+            encode_record_batch,
+        )
+
+        def _flush(sock, part, chunk):
+            recs = [
+                {
+                    "key": (
+                        k if isinstance(k, (bytes, type(None)))
+                        else str(k).encode()
+                    ),
+                    "value": (
+                        v if isinstance(v, bytes) else str(v).encode()
+                    ),
+                    "timestamp_ms": int(ts) if ts is not None else 0,
+                }
+                for k, v, ts in chunk
+            ]
+            base = produce_on(
+                sock, topic, int(part),
+                encode_record_batch(recs, compression=compression),
+            )
+            return (int(part), int(base), len(recs))
+
+        for pdf in batches:
+            acks = []
+            for part, grp in pdf.groupby("partition", sort=True):
+                rows = list(
+                    zip(
+                        grp["key"] if "key" in grp else [None] * len(grp),
+                        grp["value"],
+                        grp["timestamp_ms"]
+                        if "timestamp_ms" in grp else [0] * len(grp),
+                    )
+                )
+                with socket.create_connection(
+                    (host, port), timeout=30
+                ) as sock:
+                    for i in range(0, len(rows), records_per_batch):
+                        acks.append(_flush(
+                            sock, part, rows[i:i + records_per_batch]
+                        ))
+            yield pd.DataFrame(
+                acks, columns=["partition", "base_offset", "n_records"]
+            )
+
+    return plan.mapInPandas(
+        _produce,
+        schema="partition int, base_offset long, n_records int",
+    )
 
 
 def _log_start(path: str) -> int:
@@ -774,6 +1017,73 @@ def _responder_fixture(spark, sf_dir: str) -> "SegmentResponder":
     return responder
 
 
+# (responder, acks-consistent flag) per (process, sf_dir) — the
+# produce oracle writes ONCE and every later call (repeat-call probe)
+# drains the same log
+_PRODUCE_STATE: dict[str, tuple["SegmentResponder", bool]] = {}
+
+
+def _produce_fixture(spark, sf_dir: str) -> tuple["SegmentResponder", bool]:
+    """A responder with an EMPTY root; the first call PRODUCES the
+    2000-event set over TCP through the distributed write face
+    (gzip batches, broker-assigned offsets, topic auto-created),
+    records whether the acks and ListOffsets(LATEST) agree with the
+    produced row counts, and memoizes — repeat calls drain identical
+    state."""
+    got = _PRODUCE_STATE.get(sf_dir)
+    if got is not None:
+        return got
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="dst-kafka-produce-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    responder = SegmentResponder(root)
+    responder.__enter__()
+    atexit.register(responder.close)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") <= 2000
+    )
+    payload = ev.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(*ev.columns),
+            # full-microsecond format: to_json's default truncates to
+            # millis and would fail parse_kafka_events' round trip
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        ).cast("binary").alias("value"),
+        (F.col("event_id") % 2).cast("int").alias("partition"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias(
+            "timestamp_ms"
+        ),
+    )
+    acks = write_kafka_topic(
+        payload, responder.host, responder.port, "produced",
+        records_per_batch=100, compression="gzip",
+    ).collect()
+    per_part = {
+        int(r["partition"]): int(r["n"])
+        for r in payload.groupBy("partition").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    hwm = list_offsets(
+        responder.host, responder.port, "produced",
+        sorted(per_part), LATEST,
+    )
+    ok = (
+        sum(a.n_records for a in acks) == sum(per_part.values())
+        and hwm == per_part  # broker-assigned offsets are gapless
+    )
+    _PRODUCE_STATE[sf_dir] = (responder, ok)
+    return _PRODUCE_STATE[sf_dir]
+
+
 def _register() -> None:
     from dst_spark_k8_lakehouse_spark.exact import sum_sql
     from dst_spark_k8_lakehouse_spark.registry import query
@@ -822,6 +1132,55 @@ def _register() -> None:
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
             exact.exact_sum("value").alias("total_value"),
+        )
+
+    @query(
+        "s13_kafka_produce",
+        oracle=f"""
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   {sum_sql('value')} AS total_value,
+                   TRUE AS produced_ok
+            FROM events
+            WHERE event_id <= 2000
+            GROUP BY event_type
+        """,
+    )
+    def s13_kafka_produce(spark, sf_dir: str):
+        """S13 PRODUCE ROUND TRIP (r12, VERDICT r11 item 5): the
+        2000-event set is WRITTEN over the wire protocol — the
+        distributed ``write_kafka_topic`` face (one producing socket
+        per partition task, gzip batches, Produce v3) into an
+        auto-created topic with broker-ASSIGNED offsets — then read
+        back through Fetch v4 (CRC verified on every batch, so the
+        append's baseOffset rewrite is byte-conformance-pinned
+        against the kafka_wire codec), parsed and value-checked
+        against the relational oracle. ``produced_ok`` folds the
+        write-side receipts into the hash: ack row counts match the
+        produced set and ListOffsets(LATEST) equals each partition's
+        row count (gapless assignment). With the consumer trio
+        (wire/tcp/stream) this completes the engine's Kafka story:
+        read AND write, jar-free, against a real socket."""
+        from dst_spark_k8_lakehouse_spark import exact
+        from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
+            parse_kafka_events,
+        )
+        from pyspark.sql import functions as F
+
+        responder, ok = _produce_fixture(spark, sf_dir)
+        wire = read_kafka_topic(
+            spark, responder.host, responder.port, "produced",
+            max_bytes=64 << 10,
+        )
+        events = parse_kafka_events(wire)
+        return events.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            exact.exact_sum("value").alias("total_value"),
+            F.first(F.lit(bool(ok))).alias("produced_ok"),
         )
 
 

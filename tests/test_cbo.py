@@ -124,6 +124,75 @@ def test_join_hint_lands_in_the_plan(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_plan_star_join_orders_and_hints_in_one_call(spark, tmp_path):
+    """r12 (VERDICT r11 item 8): ``plan_star_join`` packages profile →
+    order → hint — on a skewed fixture (one dim joins ~5× selectively,
+    the other 1:1) the executed plan must join the SELECTIVE dim
+    first and broadcast both dims, with Spark's own size-based
+    broadcasting disabled so only the advisor's hints can act."""
+    fact = str(tmp_path / "fact")
+    whole = str(tmp_path / "whole")
+    sel = str(tmp_path / "sel")
+    n_keys = 100
+    iw.create_iceberg(
+        spark.range(8000).select(
+            (F.col("id") % n_keys).alias("wk"),
+            (F.col("id") % n_keys).alias("sk"),
+            (F.col("id") * 3).alias("v"),
+        ).repartition(4),
+        fact,
+    )
+    iw.create_iceberg(
+        spark.range(n_keys).select(
+            F.col("id").alias("wk"),
+            F.concat(F.lit("w-"), F.col("id")).alias("wname"),
+        ).coalesce(1),
+        whole,
+    )
+    # the selective dim covers only a fifth of the fact's key domain
+    iw.create_iceberg(
+        spark.range(n_keys // 5).select(
+            F.col("id").alias("sk"),
+            F.concat(F.lit("s-"), F.col("id")).alias("sname"),
+        ).coalesce(1),
+        sel,
+    )
+    for t in (fact, whole, sel):
+        iw.write_table_statistics(spark, t, k=1024)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined, plan = cbo.plan_star_join(
+            spark, fact, [(whole, ["wk"]), (sel, ["sk"])]
+        )
+        assert plan["order"] == [sel, whole], plan["reasons"]
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert executed.count("BroadcastHashJoin") == 2
+        # correctness: only fact rows whose sk survives the selective
+        # dim remain, each enriched from both dims
+        expected = 8000 // 5
+        assert joined.count() == expected
+        assert joined.filter(
+            F.col("sname").isNull() | F.col("wname").isNull()
+        ).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_plan_star_join_frame_override(spark, tmp_path):
+    """A caller-supplied frame (column-pruned read) replaces the
+    default read for that path while profiling still uses metadata."""
+    dim = _dim(spark, tmp_path)
+    fact = _fact(spark, tmp_path, n=800)
+    pruned = ir.read_iceberg(spark, dim).select("k")
+    joined, plan = cbo.plan_star_join(
+        spark, fact, [(dim, ["k"])], frames={dim: pruned}
+    )
+    assert joined.columns == ["k", "v"]  # no dim payload: pruned in
+    assert joined.count() == 800
+    assert plan["order"] == [dim]
+
+
 def test_analyze_statement_publishes_sidecars(spark, tmp_path):
     from dst_spark_k8_lakehouse_spark.plans import dml
     from dst_spark_k8_lakehouse_spark.plans import (

@@ -24,6 +24,60 @@ def test_revenue_report_job(spark, sf_dir, tmp_path):
     assert log.count() == 2  # one batched commit, two events
 
 
+def test_gold_star_report_job(spark, sf_dir, tmp_path):
+    """r12: the stats-planned gold job — silver bootstrap publishes
+    sidecar statistics, plan_star_join orders the urgent-orders dim
+    (selective) before supplier (1:1), the gold output matches a
+    plainly-joined reference, and a second run reuses the silver
+    tables (idempotent bootstrap)."""
+    from jobs.gold_star_report import bootstrap_silver
+    from jobs.gold_star_report import run as run_gold
+
+    out = str(tmp_path / "g")
+    n = run_gold(spark, sf_dir, out)
+    gold = spark.read.parquet(f"{out}/gold_star_revenue")
+    assert n == gold.count() > 0
+
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        "o_orderpriority = '1-URGENT'"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    ref = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "o_orderdate")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+    assert gold.count() == ref.count()
+    assert (
+        gold.join(
+            ref.withColumnsRenamed({"n_items": "n2", "revenue": "r2"}),
+            ["s_nationkey", "o_orderdate"],
+        )
+        .where("n_items <> n2 OR abs(revenue - r2) > 1e-6")
+        .count()
+        == 0
+    )
+    # the planner put the selective dim first
+    from dst_spark_k8_lakehouse_spark.plans import cbo
+
+    silver = bootstrap_silver(spark, sf_dir, out)  # reuses, no rewrite
+    _, plan = cbo.plan_star_join(
+        spark, silver["fact"],
+        [(silver["orders_dim"], ["o_orderkey"]),
+         (silver["supplier_dim"], ["s_suppkey"])],
+    )
+    assert plan["order"][0] == silver["orders_dim"], plan["reasons"]
+
+
 def test_curate_corpus_job(spark, sf_dir, tmp_path):
     from jobs.curate_corpus import run as curate
 

@@ -150,11 +150,23 @@ def test_unsupported_api_is_a_loud_error(responder):
     with socket.create_connection(
         (responder.host, responder.port), timeout=5
     ) as sock:
-        r = kb._roundtrip(sock, 0, 3, 42, b"")  # Produce: never served
+        r = kb._roundtrip(sock, 13, 0, 42, b"")  # LeaveGroup: never served
         assert r.i16() == kb._ERR_UNSUPPORTED_VERSION
-        # a served KEY at an unserved VERSION refuses the same way
+        # served KEYS at unserved VERSIONS refuse the same way
         r = kb._roundtrip(sock, kb._API_LIST_OFFSETS, 0, 43, b"")
         assert r.i16() == kb._ERR_UNSUPPORTED_VERSION
+        r = kb._roundtrip(sock, kb._API_PRODUCE, 7, 44, b"")
+        assert r.i16() == kb._ERR_UNSUPPORTED_VERSION
+    # a MALFORMED request at a served (key, version) — Produce v3
+    # with an empty body — drops that connection but must not kill
+    # the serve thread: the next connection still gets answers
+    with socket.create_connection(
+        (responder.host, responder.port), timeout=5
+    ) as bad:
+        with pytest.raises((ConnectionError, OSError)):
+            kb._roundtrip(bad, kb._API_PRODUCE, 3, 45, b"")
+    vs = kb.api_versions(responder.host, responder.port)
+    assert vs[kb._API_PRODUCE] == (3, 3)
 
 
 def test_connection_reuse_echoes_each_correlation_id(responder):
@@ -411,6 +423,87 @@ def test_kafka_tcp_batch_starting_timestamp(spark, responder):
         .load()
     )
     assert empty.count() == 0
+
+
+def test_produce_assigns_offsets_and_roundtrips(tmp_path):
+    """Produce v3 → Fetch v4 round trip on an auto-created topic:
+    base offsets are broker-assigned (each batch continues the log,
+    whatever base the producer sent), CRC survives the baseOffset
+    rewrite (drain verifies every batch's CRC), both codecs land."""
+    root = str(tmp_path / "seg")
+    os.makedirs(root)
+    with kb.SegmentResponder(root) as r:
+        recs = lambda lo, n: [  # noqa: E731
+            {"key": f"k{lo + i}".encode(), "value": f"v{lo + i}".encode(),
+             "timestamp_ms": 1_700_000_000_000 + lo + i}
+            for i in range(n)
+        ]
+        b0 = kb.produce(r.host, r.port, "fresh", 0, recs(0, 30))
+        b1 = kb.produce(r.host, r.port, "fresh", 0, recs(30, 20),
+                        compression="gzip")
+        assert (b0, b1) == (0, 30)
+        hwm = kb.list_offsets(r.host, r.port, "fresh", [0], kb.LATEST)
+        assert hwm == {0: 50}
+        rows = _drain_all(r.host, r.port, "fresh", 0)
+        assert [x[4] for x in rows] == list(range(50))
+        assert rows[0][0] == b"k0" and rows[49][1] == b"v49"
+        # metadata discovers the auto-created topic
+        meta = kb.request_metadata(r.host, r.port, ["fresh"])
+        assert meta["topics"][0]["error"] == 0
+
+
+def test_produce_appends_after_existing_fixture(segment_root, tmp_path):
+    """Producing into a partition that already holds fixture batches
+    anchors at the existing high watermark — the broker contract.
+    (Own COPY of the module fixture: produce mutates the log.)"""
+    import shutil
+
+    root = str(tmp_path / "copy")
+    shutil.copytree(segment_root, root)
+    with kb.SegmentResponder(root) as r:
+        base = kb.produce(
+            r.host, r.port, "tp", 0,
+            [{"key": b"new", "value": b"row",
+              "timestamp_ms": 1_700_000_001_000}],
+        )
+        assert base == 100  # the module fixture holds offsets 0-99
+        rows = _drain_all(r.host, r.port, "tp", 0, start_offset=100)
+        assert [(x[0], x[1], x[4]) for x in rows] == [
+            (b"new", b"row", 100)
+        ]
+
+
+def test_write_kafka_topic_distributed_face(spark, tmp_path):
+    """The executor-side write: a frame with a partition column fans
+    out one producing socket per partition, acks account for every
+    row, and the drained topic equals the input."""
+    root = str(tmp_path / "seg")
+    os.makedirs(root)
+    from pyspark.sql import functions as F
+
+    df = spark.range(700).select(
+        F.col("id").cast("string").cast("binary").alias("key"),
+        F.concat(F.lit("val-"), F.col("id")).cast("binary").alias("value"),
+        (F.col("id") % 3).cast("int").alias("partition"),
+        (F.lit(1_700_000_000_000) + F.col("id")).alias("timestamp_ms"),
+    )
+    with kb.SegmentResponder(root) as r:
+        acks = kb.write_kafka_topic(
+            df, r.host, r.port, "bulk", records_per_batch=100
+        ).toPandas()
+        assert int(acks["n_records"].sum()) == 700
+        hwm = kb.list_offsets(r.host, r.port, "bulk", [0, 1, 2],
+                              kb.LATEST)
+        assert sum(hwm.values()) == 700
+        back = kb.read_kafka_topic(
+            spark, r.host, r.port, "bulk"
+        ).toPandas()
+        assert len(back) == 700
+        got = sorted(
+            (int(k.decode()), v.decode())
+            for k, v in zip(back["key"], back["value"])
+        )
+        assert got == [(i, f"val-{i}") for i in range(700)]
 
 
 def test_slice_and_timestamp_lookup_properties(tmp_path):

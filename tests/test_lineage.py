@@ -133,6 +133,68 @@ def test_listener_emits_per_action(spark, tmp_path):
         lineage.unregister_listener(spark, listener)
 
 
+def test_listener_emits_outputs_for_writes(spark, tmp_path):
+    """r12 (VERDICT r11 item 6): a df.write.parquet action under the
+    live listener yields an event whose OUTPUTS carry the destination
+    directory and format — writes are the lineage consumers' actual
+    interest; through r11 the listener emitted inputs only."""
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    sink = lineage.FileLineageSink(str(tmp_path / "lo"))
+    try:
+        listener = lineage.register_listener(spark, sink)
+    except RuntimeError as exc:  # pragma: no cover - env-specific
+        pytest.skip(f"callback server unavailable here: {exc}")
+    dest = str(tmp_path / "gold-out")
+    try:
+        load_table(spark, SF, "region").write.parquet(dest)
+        deadline = time.time() + 15
+        events = []
+        while time.time() < deadline:
+            events = [
+                e for e in sink.read_events()
+                if any(o["name"] == dest for o in e["outputs"])
+            ]
+            if events:
+                break
+            time.sleep(0.25)
+        assert events, "no lineage event carried the write destination"
+        e = events[0]
+        assert e["eventType"] == "COMPLETE"
+        out = [o for o in e["outputs"] if o["name"] == dest][0]
+        assert out["facets"]["format"] == "parquet"
+        # the read side still rides along
+        assert any(
+            i["name"] == f"{SF}/region.parquet" for i in e["inputs"]
+        )
+    finally:
+        lineage.unregister_listener(spark, listener)
+
+
+def test_output_dataset_ascends_into_native_tables(spark, tmp_path):
+    """A parquet write landing INSIDE a Delta table (the engine's own
+    data-file writes) must report the TABLE root with format delta,
+    not the part directory; a plain directory write reports itself
+    with the hinted format."""
+    import pandas as pd
+
+    from dst_spark_k8_lakehouse_spark.plans import delta_writer
+
+    tbl = str(tmp_path / "dt")
+    delta_writer.create_delta(
+        spark.createDataFrame(pd.DataFrame({"a": [1, 2]})), tbl
+    )
+    inside = lineage.output_dataset(tbl, "parquet")
+    assert inside == {
+        "namespace": lineage.DEFAULT_NAMESPACE,
+        "name": tbl,
+        "format": "delta",
+    }
+    plain = lineage.output_dataset(str(tmp_path / "plain"), "csv")
+    assert plain["name"] == str(tmp_path / "plain")
+    assert plain["format"] == "csv"
+
+
 def test_d74_query_survives_cached_catalog(spark):
     """The registry query must stay file-backed even when the session
     pinned the catalog caches (bench flow): cached handles correctly
