@@ -17,6 +17,12 @@ re-expressed on the engine's own wire stack:
   replayed epoch re-reads IDENTICAL rows — the property exactly-once
   sinks (``stream_to_delta`` / ``stream_to_iceberg`` epoch
   watermarks) compose with.
+- **Writes (r12)**: ``df.write.format("kafka_tcp").mode("append")``
+  and ``writeStream.format("kafka_tcp")`` — each task produces its
+  rows over one socket in bounded chunks (Produce v3, broker-assigned
+  offsets). At-least-once like the stock non-transactional kafka
+  sink; the ``t11_kafka_tcp_pipe`` capstone runs the full
+  kafka→kafka hop.
 
 Options: ``host``, ``port``, ``topic`` (required), ``maxbytes``
 (Fetch page size, default 1 MiB), ``startingoffsets``
@@ -37,12 +43,17 @@ from __future__ import annotations
 
 from typing import Iterator
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -254,6 +265,113 @@ class _StreamReader(DataSourceStreamReader):
         pass  # the broker holds no consumer state for this reader
 
 
+@dataclass
+class _ProduceAck(WriterCommitMessage):
+    """Per-task receipt: [(partition, base_offset, n_records), …]."""
+
+    acks: list = field(default_factory=list)
+
+
+class _TcpWriter(DataSourceWriter):
+    """WRITE face (r12): each task opens ONE socket and produces its
+    rows in per-partition ``batchrecords``-bounded chunks (Produce
+    v3, broker-assigned offsets). Rows need a ``value`` column;
+    ``key`` / ``partition`` (default 0) / ``timestamp_ms`` are
+    optional. Delivery is AT-LEAST-ONCE — a retried task re-produces
+    its rows, the stock non-transactional kafka sink's contract;
+    exactly-once pipelines keep using ``stream_to_delta``-style
+    idempotent sinks downstream."""
+
+    def __init__(self, opts, schema: T.StructType) -> None:
+        host = opts.get("host")
+        port = opts.get("port")
+        topic = opts.get("topic")
+        if not (host and port and topic):
+            raise ValueError(
+                "kafka_tcp write needs .option('host', …)"
+                ".option('port', …).option('topic', …)"
+            )
+        names = [f.name for f in schema.fields]
+        if "value" not in names:
+            raise ValueError(
+                f"kafka_tcp write needs a value column, got {names}"
+            )
+        self.host, self.port, self.topic = host, int(port), topic
+        self.batch_records = int(opts.get("batchrecords", 500))
+        self.compression = str(opts.get("compression", "none"))
+        self.has = set(names)
+
+    def write(self, iterator) -> _ProduceAck:
+        import socket as _socket
+
+        from dst_spark_k8_lakehouse_spark.sources.kafka_broker import (
+            produce_on,
+        )
+        from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
+            encode_record_batch,
+        )
+
+        def _bytes(v):
+            if v is None or isinstance(v, (bytes, bytearray)):
+                return None if v is None else bytes(v)
+            return str(v).encode()
+
+        acks: list[tuple[int, int, int]] = []
+        bufs: dict[int, list[dict]] = {}
+        with _socket.create_connection(
+            (self.host, self.port), timeout=30
+        ) as sock:
+            def _flush(part: int) -> None:
+                recs = bufs.pop(part, [])
+                if not recs:
+                    return
+                base = produce_on(
+                    sock, self.topic, part,
+                    encode_record_batch(
+                        recs, compression=self.compression
+                    ),
+                )
+                acks.append((part, base, len(recs)))
+
+            for row in iterator:
+                part = (
+                    int(row["partition"]) if "partition" in self.has
+                    and row["partition"] is not None else 0
+                )
+                rec = {
+                    "key": _bytes(row["key"])
+                    if "key" in self.has else None,
+                    "value": _bytes(row["value"]) or b"",
+                    "timestamp_ms": int(row["timestamp_ms"])
+                    if "timestamp_ms" in self.has
+                    and row["timestamp_ms"] is not None else 0,
+                }
+                buf = bufs.setdefault(part, [])
+                buf.append(rec)
+                if len(buf) >= self.batch_records:
+                    _flush(part)
+            for part in sorted(bufs):
+                _flush(part)
+        return _ProduceAck(acks)
+
+
+class _TcpStreamWriter(_TcpWriter, DataSourceStreamWriter):
+    # base order matters: _TcpWriter first so its concrete write()
+    # resolves ahead of DataSourceStreamWriter's abstract one
+    """Streaming sink: the same per-task produce as the batch face,
+    once per micro-batch. The peer holds no transaction state, so
+    ``commit``/``abort`` are metadata no-ops and the epoch contract
+    is at-least-once (a replayed micro-batch re-produces — pair with
+    an idempotent consumer or the exactly-once lakehouse sinks when
+    duplicates matter)."""
+
+    def commit(self, messages, batchId) -> None:  # noqa: N803
+        pass
+
+    def abort(self, messages, batchId) -> None:  # noqa: N803
+        pass
+
+
 class KafkaTcpDataSource(DataSource):
     """``spark.dataSource.register(KafkaTcpDataSource)`` then
     ``spark.read.format("kafka_tcp")`` / ``spark.readStream.format(
@@ -277,6 +395,21 @@ class KafkaTcpDataSource(DataSource):
         self, schema: T.StructType
     ) -> DataSourceStreamReader:
         return _StreamReader(self.options)
+
+    def writer(
+        self, schema: T.StructType, overwrite: bool
+    ) -> DataSourceWriter:
+        if overwrite:
+            raise ValueError(
+                "kafka_tcp is an append-only sink (a log cannot be "
+                "overwritten); use .mode('append')"
+            )
+        return _TcpWriter(self.options, schema)
+
+    def streamWriter(  # noqa: N802
+        self, schema: T.StructType, overwrite: bool
+    ) -> DataSourceStreamWriter:
+        return _TcpStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:
@@ -373,6 +506,121 @@ def _register_query() -> None:
 
 
 _register_query()
+
+
+# (sink responder, pipe-consistent flag) per (process, sf_dir): the
+# kafka→kafka pipe runs ONCE; repeat calls drain the same sink topic
+_PIPE_STATE: dict[str, tuple] = {}
+
+
+def _register_pipe() -> None:
+    from dst_spark_k8_lakehouse_spark.exact import sum_sql
+    from dst_spark_k8_lakehouse_spark.registry import query
+
+    @query(
+        "t11_kafka_tcp_pipe",
+        oracle=f"""
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   {sum_sql('value')} AS total_value,
+                   TRUE AS pipe_ok
+            FROM events
+            WHERE event_id <= 2000
+            GROUP BY event_type
+        """,
+    )
+    def t11_kafka_tcp_pipe(spark, sf_dir: str):
+        """T11 (r12): the kafka→kafka STREAMING PIPE — the mirror/
+        replication topology every Kafka deployment runs —
+        end-to-end on this engine's own stack: ``readStream.format(
+        "kafka_tcp")`` from the fixture peer → checkpointed
+        availableNow micro-batches → ``writeStream.format(
+        "kafka_tcp")`` producing into a SECOND live peer (Produce v3,
+        broker-assigned offsets) → the SINK topic drained back over
+        Fetch v4 (CRC verified), parsed, aggregated, value-checked.
+        ``pipe_ok`` folds no-dup/no-loss across the hop into the
+        hash: the sink's per-partition high watermarks equal the
+        source's row counts. The stock-stack equivalent needs the
+        spark-sql-kafka jar twice and two brokers; this is the same
+        pipe jar-free against two sockets."""
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from dst_spark_k8_lakehouse_spark import exact
+        from dst_spark_k8_lakehouse_spark.sources import kafka_broker as kb
+        from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
+            parse_kafka_events,
+        )
+
+        register(spark)
+        src = kb._responder_fixture(spark, sf_dir)
+        got = _PIPE_STATE.get(sf_dir)
+        if got is None:
+            import atexit
+            import shutil
+
+            root = tempfile.mkdtemp(prefix="dst-t11-sink-")
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+            sink = kb.SegmentResponder(root)
+            sink.__enter__()
+            atexit.register(sink.close)
+            cp = tempfile.mkdtemp(prefix="dst-t11-cp-")
+            atexit.register(shutil.rmtree, cp, ignore_errors=True)
+            wire = (
+                spark.readStream.format("kafka_tcp")
+                .option("host", src.host)
+                .option("port", src.port)
+                .option("topic", "events")
+                .option("maxbytes", 64 << 10)
+                .load()
+            )
+            shaped = wire.select(
+                "key", "value", "partition",
+                F.unix_millis("timestamp").alias("timestamp_ms"),
+            )
+            q = (
+                shaped.writeStream.format("kafka_tcp")
+                .option("host", sink.host)
+                .option("port", sink.port)
+                .option("topic", "piped")
+                .option("batchrecords", 250)
+                .option("checkpointLocation", os.path.join(cp, "cp"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(180):
+                q.stop()
+                raise RuntimeError(
+                    "t11 pipe did not drain within 180 s — a partial "
+                    "sink topic would masquerade as wrong rows"
+                )
+            src_hwm = kb.list_offsets(
+                src.host, src.port, "events", [0, 1], kb.LATEST
+            )
+            sink_hwm = kb.list_offsets(
+                sink.host, sink.port, "piped", [0, 1], kb.LATEST
+            )
+            ok = sink_hwm == src_hwm  # no dup, no loss, per partition
+            _PIPE_STATE[sf_dir] = (sink, ok)
+        sink, ok = _PIPE_STATE[sf_dir]
+        piped = kb.read_kafka_topic(
+            spark, sink.host, sink.port, "piped", max_bytes=64 << 10
+        )
+        events = parse_kafka_events(piped)
+        return events.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            exact.exact_sum("value").alias("total_value"),
+            F.first(F.lit(bool(ok))).alias("pipe_ok"),
+        )
+
+
+_register_pipe()
 
 
 def _register_capstone() -> None:

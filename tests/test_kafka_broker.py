@@ -506,6 +506,70 @@ def test_write_kafka_topic_distributed_face(spark, tmp_path):
         assert got == [(i, f"val-{i}") for i in range(700)]
 
 
+def test_kafka_tcp_write_format_batch(spark, tmp_path):
+    """df.write.format('kafka_tcp').mode('append'): rows land with
+    broker-assigned offsets and drain back equal; overwrite refuses
+    (a log cannot be overwritten)."""
+    from pyspark.sql import functions as F
+
+    from dst_spark_k8_lakehouse_spark.sources import kafka_tcp_source
+
+    kafka_tcp_source.register(spark)
+    root = str(tmp_path / "seg")
+    os.makedirs(root)
+    df = spark.range(300).select(
+        F.col("id").cast("string").alias("key"),
+        F.concat(F.lit("m-"), F.col("id")).alias("value"),
+        (F.col("id") % 2).cast("int").alias("partition"),
+    )
+    with kb.SegmentResponder(root) as r:
+        (
+            df.write.format("kafka_tcp")
+            .option("host", r.host)
+            .option("port", r.port)
+            .option("topic", "sunk")
+            .option("batchrecords", 64)
+            .mode("append")
+            .save()
+        )
+        back = kb.read_kafka_topic(
+            spark, r.host, r.port, "sunk"
+        ).toPandas()
+        assert len(back) == 300
+        got = sorted(
+            (int(k.decode()), v.decode())
+            for k, v in zip(back["key"], back["value"])
+        )
+        assert got == [(i, f"m-{i}") for i in range(300)]
+        with pytest.raises(Exception, match="append-only"):
+            (
+                df.write.format("kafka_tcp")
+                .option("host", r.host)
+                .option("port", r.port)
+                .option("topic", "sunk")
+                .mode("overwrite")
+                .save()
+            )
+
+
+def test_kafka_tcp_write_requires_value(spark, tmp_path):
+    from dst_spark_k8_lakehouse_spark.sources import kafka_tcp_source
+
+    kafka_tcp_source.register(spark)
+    root = str(tmp_path / "seg")
+    os.makedirs(root)
+    with kb.SegmentResponder(root) as r:
+        with pytest.raises(Exception, match="value column"):
+            (
+                spark.range(3).write.format("kafka_tcp")
+                .option("host", r.host)
+                .option("port", r.port)
+                .option("topic", "x")
+                .mode("append")
+                .save()
+            )
+
+
 def test_slice_and_timestamp_lookup_properties(tmp_path):
     """Property check over random segment shapes: every (offset,
     max_bytes) slice returns whole batches covering the ask and makes
