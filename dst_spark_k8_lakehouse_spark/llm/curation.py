@@ -745,7 +745,7 @@ def dsir_score_bucketed(
     shuffle except the doc_id aggregation.
 
     The bucket key is wrapped in ``coalesce(…, 0)`` to make it
-    provably NON-NULL (r12, measured 0.57 → 0.36 s at sf0.1): a
+    provably NON-NULL (r12, measured 0.57 → 0.40 s at sf0.1): a
     nullable join-key EXPRESSION makes Catalyst infer
     ``isnotnull(<whole expression>)`` and push it below the
     projection, re-evaluating the full md5+conv per token a second

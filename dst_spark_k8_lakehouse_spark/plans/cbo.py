@@ -337,8 +337,13 @@ def plan_star_join(
     joined = _read(fact_path)
     for name in plan["order"]:
         dim_df = _read(name)
-        if steps[name]["advice"]["broadcast_side"] == "right":
+        side = steps[name]["advice"]["broadcast_side"]
+        if side == "right":
             dim_df = F.broadcast(dim_df)
+        elif side == "left":
+            # a tiny fact/intermediate against a big dimension: the
+            # hint belongs on the running side
+            joined = F.broadcast(joined)
         joined = joined.join(dim_df, keys[name], how)
     return joined, plan
 

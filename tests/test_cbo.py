@@ -179,6 +179,45 @@ def test_plan_star_join_orders_and_hints_in_one_call(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_plan_star_join_broadcasts_tiny_fact(spark, tmp_path):
+    """When the FACT side is the broadcastable one (tiny fact, big
+    dim, threshold between them), the hint lands on the running side
+    — the advisor's 'left' branch."""
+    fact = str(tmp_path / "tinyfact")
+    dim = str(tmp_path / "bigdim")
+    iw.create_iceberg(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        ).coalesce(1),
+        fact,
+    )
+    iw.create_iceberg(
+        spark.range(20000).select(
+            (F.col("id") % 20).alias("k"),
+            F.concat(F.lit("pad-"), F.col("id")).alias("pad"),
+        ).repartition(4),
+        dim,
+    )
+    for t in (fact, dim):
+        iw.write_table_statistics(spark, t, k=1024)
+    fact_bytes = cbo.table_profile(spark, fact)["bytes"]
+    dim_bytes = cbo.table_profile(spark, dim)["bytes"]
+    assert fact_bytes < dim_bytes
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined, plan = cbo.plan_star_join(
+            spark, fact, [(dim, ["k"])],
+            broadcast_bytes=(fact_bytes + dim_bytes) // 2,
+        )
+        assert plan["steps"][0]["advice"]["broadcast_side"] == "left"
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in executed
+        assert joined.count() == 20000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_plan_star_join_frame_override(spark, tmp_path):
     """A caller-supplied frame (column-pruned read) replaces the
     default read for that path while profiling still uses metadata."""
