@@ -67,6 +67,7 @@ PRIORITY: list[str] = [
     "l6_dsir_scan",  # changed: non-null bucket key + 4-char md5 form
     "d74_lineage",  # changed: listener-path OUTPUT lineage
     "s13_kafka_produce",  # NEW: Produce v3 round trip, write face
+    "f5_json",  # changed: one-pass json_tuple extraction
     "t11_kafka_tcp_pipe",  # NEW: kafka→kafka streaming pipe capstone
     # (d) the r05-stale tail named in r11's registry comment — the 19
     # remaining r05-cohort ids (recall contracts, l6/l7 pairs, t4/t5,
@@ -111,15 +112,15 @@ PRIORITY: list[str] = [
     "u6_grouped_map",
     "u7_udtf",
     "l6_chunk_docs",
-    "l6_vocab_topk",
-    # 50 exactly (s13_kafka_produce and t11_kafka_tcp_pipe landed
-    # and took the last two slots; l6_pack_sequences and
-    # l6_stratified_sample move to the r13 front). r13 backlog
-    # (write down so nothing silently ages): l6_pack_sequences,
-    # l6_stratified_sample, l6_pii_scrub, l6_mixture_epochs (the
-    # rest of the r06 l6 cohort), l2_embed_recall, l4_ivf_recall,
-    # l3_langid, l3_langid_eval, then the r07 cohort (d36-d40, x6,
-    # t8) as it becomes the oldest.
+    # 50 exactly (s13_kafka_produce, t11_kafka_tcp_pipe and the
+    # changed f5_json took the last slots; l6_vocab_topk,
+    # l6_pack_sequences and l6_stratified_sample move to the r13
+    # front). r13 backlog (write down so nothing silently ages):
+    # l6_vocab_topk, l6_pack_sequences, l6_stratified_sample,
+    # l6_pii_scrub, l6_mixture_epochs (the rest of the r06 l6
+    # cohort), l2_embed_recall, l4_ivf_recall, l3_langid,
+    # l3_langid_eval, then the r07 cohort (d36-d40, x6, t8) as it
+    # becomes the oldest.
 ]
 
 
