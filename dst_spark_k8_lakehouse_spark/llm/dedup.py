@@ -843,9 +843,14 @@ def _semdedup_assign(
         k=k, seed=seed, maxIter=max_iter,
         featuresCol="features", predictionCol="cluster",
     ).fit(fit_input)
+    # checkpoint the ASSIGNMENT, features dropped (re-derivable from
+    # unit in one cheap projection): the k-means predict — O(k·d) per
+    # row, the dominant map cost at scale — runs ONCE; the sizes
+    # collect below materializes it, and the verify join's two sides
+    # read blocks instead of re-predicting
     assigned = model.transform(unit).select(
-        "vec_id", "cluster", "unit", "features"
-    )
+        "vec_id", "cluster", "unit"
+    ).localCheckpoint(eager=False)
     cap = (
         max_cluster_size if max_cluster_size is not None
         else max(200, 4 * -(-n // k))
@@ -854,9 +859,10 @@ def _semdedup_assign(
     sizes = assigned.groupBy("cluster").count().collect()
     hot_ids = [r["cluster"] for r in sizes if r["count"] > cap]
     if not hot_ids:
-        return assigned.drop("features").withColumn("sub", F.lit(0))
-    assigned = assigned.localCheckpoint(eager=False)
-    hot = assigned.filter(F.col("cluster").isin(hot_ids))
+        return assigned.withColumn("sub", F.lit(0))
+    hot = assigned.filter(F.col("cluster").isin(hot_ids)).withColumn(
+        "features", array_to_vector("unit")
+    )
     cold = assigned.filter(
         ~F.col("cluster").isin(hot_ids)
     ).withColumn("sub", F.lit(0))
@@ -870,7 +876,11 @@ def _semdedup_assign(
         k=k2, seed=seed + 1, maxIter=max_iter,
         featuresCol="features", predictionCol="sub",
     ).fit(hot)
-    out = cold.unionByName(sub_model.transform(hot)).drop("features")
+    out = cold.unionByName(
+        sub_model.transform(hot).select(
+            "vec_id", "cluster", "unit", "sub"
+        )
+    ).localCheckpoint(eager=False)  # read by residual + both join sides
     residual = (
         out.groupBy("cluster", "sub").count()
         .agg(F.max("count")).collect()[0][0]
