@@ -552,6 +552,25 @@ def test_kafka_tcp_write_format_batch(spark, tmp_path):
             )
 
 
+def test_write_kafka_topic_empty_frame(spark, tmp_path):
+    """Zero rows: an empty ack frame with the right schema, no
+    produce requests, topic untouched — pins the Arrow empty-batch
+    path through mapInPandas."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "seg")
+    os.makedirs(os.path.join(root, "t-0"))
+    df = spark.range(0).select(
+        F.col("id").cast("string").cast("binary").alias("value"),
+        (F.col("id") % 2).cast("int").alias("partition"),
+    )
+    with kb.SegmentResponder(root) as r:
+        acks = kb.write_kafka_topic(df, r.host, r.port, "t").toPandas()
+        assert len(acks) == 0
+        assert list(acks.columns) == ["partition", "base_offset",
+                                      "n_records"]
+
+
 def test_kafka_tcp_write_requires_value(spark, tmp_path):
     from dst_spark_k8_lakehouse_spark.sources import kafka_tcp_source
 
