@@ -322,7 +322,16 @@ def produce_on(
 ) -> int:
     """One Produce v3 round trip on an open socket (the socket-reuse
     face ``write_kafka_topic``'s per-partition tasks drive) →
-    broker-assigned base offset."""
+    broker-assigned base offset. ``record_set`` may hold MULTIPLE
+    RecordBatch v2 frames — the peer assigns each a continuing base
+    offset; the returned base is the FIRST batch's."""
+    if acks == 0:
+        # acks=0 is fire-and-forget: real brokers send NO response,
+        # so this synchronous client would hang on recv forever
+        raise ValueError(
+            "acks=0 (fire-and-forget) is not supported by this "
+            "synchronous client; use acks=1 or -1"
+        )
     w = _Writer()
     w.string(None)      # transactional_id (v3+): not transactional
     w.i16(acks)

@@ -552,6 +552,39 @@ def test_kafka_tcp_write_format_batch(spark, tmp_path):
             )
 
 
+def test_produce_multi_batch_record_set(tmp_path):
+    """A Produce request whose record_set holds TWO RecordBatch v2
+    frames (the protocol allows it): the peer rewrites EACH batch's
+    base offset to continue the log, returns the first, and the
+    drained log is exact with every CRC verified."""
+    root = str(tmp_path / "seg")
+    os.makedirs(root)
+    recs = lambda lo, n: [  # noqa: E731
+        {"key": f"k{lo + i}".encode(), "value": b"v",
+         "timestamp_ms": 1_700_000_000_000 + lo + i}
+        for i in range(n)
+    ]
+    two = (encode_record_batch(recs(0, 7))
+           + encode_record_batch(recs(0, 5), compression="gzip"))
+    with kb.SegmentResponder(root) as r:
+        import socket as _socket
+
+        with _socket.create_connection((r.host, r.port), timeout=5) as s:
+            base = kb.produce_on(s, "mb", 0, two)
+            assert base == 0
+            base2 = kb.produce_on(s, "mb", 0, two)
+            assert base2 == 12  # both batches of request 1 counted
+        rows = _drain_all(r.host, r.port, "mb", 0)
+        assert [x[4] for x in rows] == list(range(24))
+
+
+def test_produce_acks_zero_refused():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fire-and-forget"):
+        kb.produce_on(None, "t", 0, b"", acks=0)
+
+
 def test_write_kafka_topic_empty_frame(spark, tmp_path):
     """Zero rows: an empty ack frame with the right schema, no
     produce requests, topic untouched — pins the Arrow empty-batch
