@@ -33,7 +33,8 @@ streams through bounded memory exactly like the stock connector.
   v2 per request, base offsets assigned by the peer (the batch
   header's baseOffset is rewritten on append — CRC-safe, the v2 CRC
   covers attributes onward). ``write_kafka_topic`` is the
-  distributed face: one producing socket per partition task.
+  distributed face: every task produces its own rows over one
+  socket — shuffle-free, the stock sink's shape.
 
 ``SegmentResponder`` is the in-process loopback peer: a thread
 serving those shapes straight from on-disk segment files (the
@@ -812,17 +813,22 @@ def write_kafka_topic(
     """The distributed WRITE face (r12): produce a frame with columns
     ``(key binary|string, value binary|string, partition int,
     timestamp_ms long?)`` to a Kafka-protocol peer over Produce v3 —
-    one task per partition value, one socket per task, one Produce
-    request per ``records_per_batch`` chunk, offsets assigned by the
-    broker. Returns a DataFrame of per-request acks
+    every task produces ITS OWN rows over one socket, grouped locally
+    by destination partition, one Produce request per
+    ``records_per_batch`` chunk, offsets assigned by the broker.
+    Returns a DataFrame of per-request acks
     ``(partition, base_offset, n_records)`` — an ACTIONABLE receipt
     (count it to trigger the write; at-least-once like the stock
     sink's non-transactional mode).
 
-    WHY at 100 TB: the produce fan-out mirrors the read face — record
-    bytes never touch the driver, each partition streams through
-    bounded ``records_per_batch`` chunks, 1000 partitions produce on
-    1000 concurrent sockets."""
+    WHY at 100 TB: NO shuffle and NO pre-count — unlike the READ
+    face (whose per-partition offset bounds genuinely need one
+    consumer per partition), producing is order-free across tasks,
+    so the stock sink's shape is right: each task writes in place,
+    record bytes never touch the driver, and throughput scales with
+    the upstream partitioning. Per-partition record ORDER across
+    tasks is unspecified (same as the stock non-transactional sink);
+    offsets within each request are still contiguous."""
     from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
 
     spark = df.sparkSession
@@ -831,8 +837,6 @@ def write_kafka_topic(
         raise ValueError(
             "write_kafka_topic needs value and partition columns"
         )
-    n_parts = df.select("partition").distinct().count()
-    plan = df.repartitionByRange(max(n_parts, 1), "partition")
 
     def _produce(batches):
         import pandas as pd
@@ -861,20 +865,24 @@ def write_kafka_topic(
             )
             return (int(part), int(base), len(recs))
 
-        for pdf in batches:
+        sock = None
+        try:
             acks = []
-            for part, grp in pdf.groupby("partition", sort=True):
-                rows = list(
-                    zip(
-                        grp["key"] if "key" in grp else [None] * len(grp),
-                        grp["value"],
-                        grp["timestamp_ms"]
-                        if "timestamp_ms" in grp else [0] * len(grp),
+            for pdf in batches:
+                for part, grp in pdf.groupby("partition", sort=True):
+                    rows = list(
+                        zip(
+                            grp["key"]
+                            if "key" in grp else [None] * len(grp),
+                            grp["value"],
+                            grp["timestamp_ms"]
+                            if "timestamp_ms" in grp else [0] * len(grp),
+                        )
                     )
-                )
-                with socket.create_connection(
-                    (host, port), timeout=30
-                ) as sock:
+                    if sock is None:  # one socket per task, lazily
+                        sock = socket.create_connection(
+                            (host, port), timeout=30
+                        )
                     for i in range(0, len(rows), records_per_batch):
                         acks.append(_flush(
                             sock, part, rows[i:i + records_per_batch]
@@ -882,8 +890,11 @@ def write_kafka_topic(
             yield pd.DataFrame(
                 acks, columns=["partition", "base_offset", "n_records"]
             )
+        finally:
+            if sock is not None:
+                sock.close()
 
-    return plan.mapInPandas(
+    return df.mapInPandas(
         _produce,
         schema="partition int, base_offset long, n_records int",
     )
