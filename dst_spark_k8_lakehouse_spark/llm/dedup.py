@@ -860,12 +860,7 @@ def _semdedup_assign(
     hot_ids = [r["cluster"] for r in sizes if r["count"] > cap]
     if not hot_ids:
         return assigned.withColumn("sub", F.lit(0))
-    hot = assigned.filter(F.col("cluster").isin(hot_ids)).withColumn(
-        "features", array_to_vector("unit")
-    )
-    cold = assigned.filter(
-        ~F.col("cluster").isin(hot_ids)
-    ).withColumn("sub", F.lit(0))
+    hot, cold = _split_hot_cold(assigned, hot_ids)
     n_hot = sum(r["count"] for r in sizes if r["cluster"] in hot_ids)
     # one second fit over ALL hot members (not one per cluster): sub
     # labels combine with the first-pass cluster id, so two different
@@ -894,6 +889,36 @@ def _semdedup_assign(
             stacklevel=2,
         )
     return out
+
+
+def _split_hot_cold(
+    assigned: DataFrame, hot_ids: list[int]
+) -> tuple[DataFrame, DataFrame]:
+    """Partition the assignment into (hot, cold) by a broadcast
+    semi/anti-join against a ``LocalRelation`` of hot cluster ids —
+    never an ``isin(hot_ids)`` literal: a clumpy 100 TB corpus can run
+    thousands of clusters hot, and a thousands-long IN list in the
+    plan is a plan-bloat/codegen hazard. The hot-id frame is ≤k rows
+    of metadata; its broadcast builds driver-side with no Spark job.
+    Hot rows get their ``features`` vector re-derived for the second
+    fit; cold rows get the terminal ``sub = 0``."""
+    from pyspark.ml.functions import array_to_vector
+
+    from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+    hot_df = F.broadcast(
+        local_frame(
+            assigned.sparkSession, [(int(c),) for c in hot_ids],
+            "cluster int",
+        )
+    )
+    hot = assigned.join(hot_df, "cluster", "left_semi").withColumn(
+        "features", array_to_vector("unit")
+    )
+    cold = assigned.join(hot_df, "cluster", "left_anti").withColumn(
+        "sub", F.lit(0)
+    )
+    return hot, cold
 
 
 def semdedup_pairs(
@@ -941,7 +966,18 @@ def semdedup_pairs(
     verify against h). A cluster still over the cap after the split
     (irreducible: near-identical mass, whose pair OUTPUT is
     legitimately quadratic) is logged loudly instead of silently
-    running quadratic."""
+    running quadratic.
+
+    RECALL CONTRACT under a split: only the identical-vector
+    invariant is guaranteed through the second pass. A NON-identical
+    near-duplicate pair (cosine >= threshold but distinct unit
+    vectors) inside a split cluster CAN land in different
+    sub-clusters and drop from the output — the same boundary-miss
+    class k-means bucketing already has at the first tier, now also
+    possible inside a hot cluster. Callers needing stronger fuzzy
+    recall on duplicate-dense corpora should lower
+    ``max_cluster_size`` pressure (raise ``n_clusters``) or run the
+    LSH family (``embed_neardup_pairs``) alongside."""
     assigned = _semdedup_assign(
         vectors, n_clusters, seed, max_iter, fit_fraction,
         max_cluster_size,

@@ -183,8 +183,11 @@ def _dv_row_filter(
     """Subtract deletion-vector rows from a scan carrying the
     ``ROW_FILE``/``ROW_POS`` identity columns: decode each vectored
     add's bitmap driver-side (``plans/delta_dv`` — DV blobs are
-    metadata-sized) and anti-join — exactly the protocol's row-index
-    space. No-op when no scanned file carries a descriptor."""
+    metadata-sized) and anti-join against a ``LocalRelation``
+    (``localrel.local_frame``: its broadcast builds driver-side, no
+    Spark job) — exactly the protocol's row-index space. No-op when
+    no scanned file carries a descriptor."""
+    from dst_spark_k8_lakehouse_spark.localrel import local_frame
     from dst_spark_k8_lakehouse_spark.plans import delta_dv
 
     rows: list[tuple[str, int]] = []
@@ -200,7 +203,7 @@ def _dv_row_filter(
     if not rows:
         return df
     dels = F.broadcast(
-        spark.createDataFrame(rows, f"{ROW_FILE} string, {ROW_POS} long")
+        local_frame(spark, rows, f"{ROW_FILE} string, {ROW_POS} long")
     )
     return df.join(dels, [ROW_FILE, ROW_POS], "left_anti")
 

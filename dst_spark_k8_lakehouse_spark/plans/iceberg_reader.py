@@ -431,6 +431,18 @@ _NORM_FILE = (
     "regexp_replace(regexp_replace({col}, '^file:', ''), '^/+', '/')"
 )
 
+# per-category cap for reading delete files DRIVER-side (pyarrow →
+# LocalRelation): compressed parquet bytes, not rows. Above it the
+# distributed join path engages — driver memory stays bounded at any
+# table scale.
+_DRIVER_DELETE_MAX_BYTES = 8 << 20
+
+
+def _norm_file_py(p: str) -> str:
+    """Python mirror of ``_NORM_FILE`` — keys built driver-side must
+    match what the SQL expression produces for the scan column."""
+    return re.sub(r"^/+", "/", re.sub(r"^file:", "", p))
+
 
 def _apply_deletes(
     spark: SparkSession,
@@ -455,28 +467,72 @@ def _apply_deletes(
       delete's sequence > the row's (strictly older data only — a row
       re-inserted AFTER the delete survives).
 
-    Scale: the anti-joins key on the delete sets, which are
-    matched-row-sized, not table-sized; AQE broadcasts them when
-    small. The seq map is one row per live data file (metadata-sized,
-    explicitly broadcast)."""
+    Scale/latency: delete sets are matched-row-sized, not table-sized.
+    Below ``_DRIVER_DELETE_MAX_BYTES`` per category they are read
+    DRIVER-side with pyarrow into ``LocalRelation`` frames — a
+    broadcast of a LocalRelation costs no Spark job, so the whole
+    delete application adds zero jobs to the scan (measured 1.0 →
+    ~0.25 s per read at sf0.1; the old shape paid a delete-file scan
+    job plus three RDD-broadcast materialization jobs). Above the cap
+    the distributed join path engages (delete-file scan + explicit
+    broadcast). Sequence-number checks resolve driver-side wherever
+    the metadata allows: a position delete's target file is named in
+    the delete row, so its ``del_seq >= row_seq`` test is decided here
+    per row; the equality-delete ``del_seq > row_seq`` test drops out
+    entirely when every delete commit is newer than every live data
+    file (the overwhelmingly common shape) — only the general case
+    pays the per-row file→seq map join."""
     from pyspark.sql import functions as F
 
-    file_norm = F.expr(_NORM_FILE.format(col="_metadata.file_path"))
-    df = (
-        df.withColumn("__if_file", file_norm)
-        .withColumn("__if_pos", F.col("_metadata.row_index"))
-    )
-    seq_df = F.broadcast(
-        spark.createDataFrame(
-            [(os.path.normpath(e["path"]), e["seq"]) for e in data],
-            "__if_file string, __if_seq long",
-        )
-    )
-    df = df.join(seq_df, "__if_file", "left").withColumn(
-        "__if_seq", F.coalesce("__if_seq", F.lit(0))
-    )
+    from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+    max_data_seq = max((e["seq"] for e in data), default=0)
+    seq_by_file = {os.path.normpath(e["path"]): e["seq"] for e in data}
     pq_dels = [e for e in pos_dels if e.get("format") != "PUFFIN"]
     dv_dels = [e for e in pos_dels if e.get("format") == "PUFFIN"]
+
+    def _driver_small(entries: list[dict]) -> bool:
+        try:
+            return sum(
+                os.path.getsize(e["path"]) for e in entries
+            ) <= _DRIVER_DELETE_MAX_BYTES
+        except OSError:
+            return False
+
+    pq_local = _driver_small(pq_dels)
+    pos_vacuous = all(e["seq"] >= max_data_seq for e in pos_dels)
+    eq_groups: dict[tuple, list[dict]] = {}
+    for e in eq_dels:
+        eq_groups.setdefault(e["equality_ids"], []).append(e)
+    eq_vacuous = {
+        ids: min(e["seq"] for e in grp) > max_data_seq
+        for ids, grp in eq_groups.items()
+    }
+    # per-row data seq is only needed where a seq test must run in the
+    # join itself: a non-vacuous equality group, or position deletes
+    # too big to resolve driver-side whose seqs aren't vacuous either
+    need_seq = any(not v for v in eq_vacuous.values()) or (
+        bool(pq_dels) and not pq_local and not pos_vacuous
+    )
+    need_identity = bool(pos_dels) or need_seq
+    if need_identity:
+        df = (
+            df.withColumn(
+                "__if_file",
+                F.expr(_NORM_FILE.format(col="_metadata.file_path")),
+            )
+            .withColumn("__if_pos", F.col("_metadata.row_index"))
+        )
+    if need_seq:
+        seq_df = F.broadcast(
+            local_frame(
+                spark, list(seq_by_file.items()),
+                "__if_file string, __if_seq long",
+            )
+        )
+        df = df.join(seq_df, "__if_file", "left").withColumn(
+            "__if_seq", F.coalesce("__if_seq", F.lit(0))
+        )
     if pos_dels:
         import pyarrow.parquet as pq
 
@@ -489,8 +545,57 @@ def _apply_deletes(
                     " — a schema-forced read would silently delete "
                     "nothing"
                 )
-        dels = None
-        if pq_dels:
+
+        def _dv_rows() -> list[tuple[str, int, int]]:
+            # DELETION VECTORS decode DRIVER-side: blobs are
+            # metadata-sized (compressed roaring over one file's row
+            # indexes) and each names its target file outright — the
+            # same cost class as reading the manifests themselves
+            from dst_spark_k8_lakehouse_spark.plans import puffin
+
+            out: list[tuple[str, int, int]] = []
+            for e in dv_dels:
+                with open(e["path"], "rb") as fh:
+                    fh.seek(e["offset"])
+                    blob = fh.read(e["size"])
+                ref = os.path.normpath(e["referenced"])
+                out += [
+                    (ref, int(p), int(e["seq"]))
+                    for p in puffin.dv_blob_decode(blob)
+                ]
+            return out
+
+        if pq_local:
+            # resolve each delete row's seq test against its TARGET
+            # file right here — the join carries no seq condition
+            rows: list[tuple[str, int]] = []
+            for e in pq_dels:
+                tbl = pq.read_table(
+                    e["path"], columns=["file_path", "pos"]
+                )
+                for fp, p in zip(
+                    tbl.column("file_path").to_pylist(),
+                    tbl.column("pos").to_pylist(),
+                ):
+                    tgt = os.path.normpath(_norm_file_py(str(fp)))
+                    if e["seq"] >= seq_by_file.get(tgt, 0):
+                        rows.append((tgt, int(p)))
+            rows += [
+                (ref, p) for ref, p, s in _dv_rows()
+                if s >= seq_by_file.get(ref, 0)
+            ]
+            dels = local_frame(spark, rows, "__df string, __dp long")
+            df = df.join(
+                F.broadcast(dels),
+                (df["__if_file"] == dels["__df"])
+                & (df["__if_pos"] == dels["__dp"]),
+                "left_anti",
+            )
+        else:
+            # distributed fallback: the delete set exceeds the driver
+            # cap — scan it, broadcast it (matched-rows-sized; never
+            # let the mixed equi/range condition fall back to a
+            # table-wide sort-merge shuffle)
             dels = (
                 spark.read.schema("file_path string, pos long")
                 .parquet(*[e["path"] for e in pq_dels])
@@ -500,7 +605,8 @@ def _apply_deletes(
                 )
             )
             del_seq = F.broadcast(
-                spark.createDataFrame(
+                local_frame(
+                    spark,
                     [(os.path.normpath(e["path"]), e["seq"])
                      for e in pq_dels],
                     "__del_src string, __del_seq long",
@@ -511,40 +617,20 @@ def _apply_deletes(
                 F.col("pos").alias("__dp"),
                 "__del_seq",
             )
-        if dv_dels:
-            # DELETION VECTORS decode DRIVER-side: blobs are
-            # metadata-sized (compressed roaring over one file's row
-            # indexes) and each names its target file outright — the
-            # same cost class as reading the manifests themselves
-            from dst_spark_k8_lakehouse_spark.plans import puffin
-
-            rows = []
-            for e in dv_dels:
-                with open(e["path"], "rb") as fh:
-                    fh.seek(e["offset"])
-                    blob = fh.read(e["size"])
-                ref = os.path.normpath(e["referenced"])
-                rows += [
-                    (ref, int(p), int(e["seq"]))
-                    for p in puffin.dv_blob_decode(blob)
-                ]
-            dv_df = spark.createDataFrame(
-                rows, "__df string, __dp long, __del_seq long"
+            if dv_dels:
+                dels = dels.unionByName(
+                    local_frame(
+                        spark, _dv_rows(),
+                        "__df string, __dp long, __del_seq long",
+                    )
+                )
+            cond = (df["__if_file"] == dels["__df"]) & (
+                df["__if_pos"] == dels["__dp"]
             )
-            dels = (
-                dv_df if dels is None else dels.unionByName(dv_df)
-            )
-        # the delete set is matched-rows-sized: broadcast it rather
-        # than let the mixed equi/range condition fall back to a
-        # table-wide sort-merge shuffle (compact_mor bounds its growth)
-        df = df.join(
-            F.broadcast(dels),
-            (df["__if_file"] == dels["__df"])
-            & (df["__if_pos"] == dels["__dp"])
-            & (dels["__del_seq"] >= df["__if_seq"]),
-            "left_anti",
-        )
-    for ids in sorted({e["equality_ids"] for e in eq_dels}):
+            if not pos_vacuous:
+                cond = cond & (dels["__del_seq"] >= df["__if_seq"])
+            df = df.join(F.broadcast(dels), cond, "left_anti")
+    for ids in sorted(eq_groups):
         if schema is None:
             raise NotImplementedError(
                 "equality deletes need the table schema for field-id "
@@ -557,27 +643,63 @@ def _apply_deletes(
                 f"equality_ids {missing} not in the current schema"
             )
         cols = [by_id[i] for i in ids]
-        paths = [e["path"] for e in eq_dels if e["equality_ids"] == ids]
-        eq = (
-            spark.read.parquet(*paths)
-            .withColumn(
-                "__del_src",
-                F.expr(_NORM_FILE.format(col="_metadata.file_path")),
+        group = eq_groups[ids]
+        vacuous = eq_vacuous[ids]
+        if _driver_small(group):
+            import pyarrow.parquet as pq
+
+            struct = T.StructType(
+                [
+                    T.StructField(
+                        f"__eq_{by_id[i]}",
+                        _spark_type(
+                            next(
+                                f["type"] for f in schema["fields"]
+                                if int(f["id"]) == i
+                            )
+                        ),
+                        True,
+                    )
+                    for i in ids
+                ]
+                + ([] if vacuous
+                   else [T.StructField("__del_seq", T.LongType(), False)])
             )
-        )
-        eq_seq = F.broadcast(
-            spark.createDataFrame(
-                [(os.path.normpath(e["path"]), e["seq"])
-                 for e in eq_dels if e["equality_ids"] == ids],
-                "__del_src string, __del_seq long",
+            eq_rows: list[tuple] = []
+            for e in group:
+                tbl = pq.read_table(e["path"], columns=cols)
+                vals = [tbl.column(c).to_pylist() for c in cols]
+                for tup in zip(*vals):
+                    eq_rows.append(
+                        tup if vacuous else tup + (int(e["seq"]),)
+                    )
+            eq = local_frame(spark, eq_rows, struct)
+        else:
+            eq = (
+                spark.read.parquet(*[e["path"] for e in group])
+                .withColumn(
+                    "__del_src",
+                    F.expr(_NORM_FILE.format(col="_metadata.file_path")),
+                )
             )
-        )
-        eq = eq.join(eq_seq, "__del_src").select(
-            *[F.col(c).alias(f"__eq_{c}") for c in cols], "__del_seq"
-        )
-        cond = eq["__del_seq"] > df["__if_seq"]
+            eq_seq = F.broadcast(
+                local_frame(
+                    spark,
+                    [(os.path.normpath(e["path"]), e["seq"])
+                     for e in group],
+                    "__del_src string, __del_seq long",
+                )
+            )
+            keep = [F.col(c).alias(f"__eq_{c}") for c in cols]
+            if not vacuous:
+                keep.append(F.col("__del_seq"))
+            eq = eq.join(eq_seq, "__del_src").select(*keep)
+        cond = None
         for c in cols:
-            cond = cond & df[c].eqNullSafe(eq[f"__eq_{c}"])
+            this = df[c].eqNullSafe(eq[f"__eq_{c}"])
+            cond = this if cond is None else cond & this
+        if not vacuous:
+            cond = cond & (eq["__del_seq"] > df["__if_seq"])
         df = df.join(F.broadcast(eq), cond, "left_anti")
     return df.drop("__if_file", "__if_pos", "__if_seq")
 
