@@ -181,6 +181,85 @@ def emit(
     return event
 
 
+# ------------------------------------------------- native-commit hook
+
+# sinks registered to receive one event per NATIVE table commit —
+# fed by the central delta_writer._commit / iceberg_writer
+# _commit_metadata choke points, so library writes (append_delta,
+# stream_to_delta, append_iceberg, …) and both native DataSource
+# write faces produce output lineage WITHOUT an explicit emit().
+# The listener path can't see these: a native commit is a Python
+# metadata publish, never an InsertIntoHadoopFsRelationCommand node.
+_COMMIT_SINKS: list[FileLineageSink] = []
+
+
+def watch_commits(sink: FileLineageSink) -> None:
+    """Register ``sink`` to receive one OpenLineage-shaped event per
+    native Delta/Iceberg commit (metadata-sized: table root + format
+    + version/snapshot facets — never file lists). Idempotent."""
+    if sink not in _COMMIT_SINKS:
+        _COMMIT_SINKS.append(sink)
+
+
+def unwatch_commits(sink: FileLineageSink | None = None) -> None:
+    """Remove one registered sink (or all, when ``sink is None``)."""
+    if sink is None:
+        _COMMIT_SINKS.clear()
+    elif sink in _COMMIT_SINKS:
+        _COMMIT_SINKS.remove(sink)
+
+
+def commit_watch(directory: str | None):
+    """Context manager: watch commits into a ``FileLineageSink`` at
+    ``directory`` for the duration (no-op on None/empty). This is the
+    cross-process spelling the native DataSource write faces use —
+    their ``commit()`` runs in Spark's Python-runner process, where
+    the caller's in-process ``watch_commits`` registry is invisible,
+    so the sink location travels as the ``lineagedir`` write option
+    instead."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        if not directory:
+            yield
+            return
+        sink = FileLineageSink(directory)
+        watch_commits(sink)
+        try:
+            yield
+        finally:
+            unwatch_commits(sink)
+
+    return _cm()
+
+
+def emit_commit(
+    table: str, fmt: str, facets: dict[str, Any] | None = None
+) -> None:
+    """Called by the native writers' commit choke points AFTER a
+    successful publish. No registered sinks = no work; a sink error
+    is swallowed (lineage must never fail a commit — same contract
+    as the listener's onSuccess)."""
+    if not _COMMIT_SINKS:
+        return
+    event = lineage_event(
+        f"commit:{fmt}",
+        [],
+        outputs=[{
+            "namespace": DEFAULT_NAMESPACE,
+            "name": os.path.normpath(table),
+            "format": fmt,
+        }],
+    )
+    event["outputs"][0]["facets"].update(facets or {})
+    for sink in list(_COMMIT_SINKS):
+        try:
+            sink.write(event)
+        except Exception:
+            pass
+
+
 # ------------------------------------------------------------- listener
 
 

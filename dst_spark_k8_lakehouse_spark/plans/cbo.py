@@ -311,18 +311,36 @@ def plan_star_join(
     column-pruned or filtered read) — profiling always uses the
     table's own metadata. Returns ``(joined, plan)`` where ``plan``
     is the ``order_joins`` result (order / per-step advice /
-    narrated reasons) for auditing and tests."""
-    paths = [fact_path] + [p for p, _ in dims]
+    narrated reasons) for auditing and tests.
+
+    ROLE-PLAYING DIMS (ADVICE r12): the same dimension path may
+    appear more than once with different keys (e.g. one date dim
+    joined as order date AND ship date) — duplicate entries get
+    position-suffixed labels ``path#i`` (i = the entry's index in
+    ``dims``) through the plan, so each role is ordered, advised and
+    joined independently instead of silently collapsing to the last
+    keys. ``frames`` may key by that label to give each role its own
+    (typically column-renamed) frame; a plain path key still applies
+    to every role of that path."""
+    paths = {fact_path} | {p for p, _ in dims}
     profiles = {p: table_profile(spark, p) for p in paths}
+    dup = {p for p, _ in dims if sum(1 for q, _ in dims if q == p) > 1}
+    labeled = [
+        (f"{p}#{i}" if p in dup else p, p, keys)
+        for i, (p, keys) in enumerate(dims)
+    ]
     plan = order_joins(
         (fact_path, profiles[fact_path]),
-        [(p, profiles[p], keys) for p, keys in dims],
+        [(lbl, profiles[p], keys) for lbl, p, keys in labeled],
         broadcast_bytes,
     )
 
-    def _read(path: str) -> DataFrame:
-        if frames and path in frames:
-            return frames[path]
+    def _read(path: str, label: str | None = None) -> DataFrame:
+        if frames:
+            if label is not None and label in frames:
+                return frames[label]
+            if path in frames:
+                return frames[path]
         from dst_spark_k8_lakehouse_spark.plans import (
             delta_reader,
             iceberg_reader,
@@ -333,10 +351,11 @@ def plan_star_join(
         return iceberg_reader.read_iceberg(spark, path)
 
     steps = {s["dim"]: s for s in plan["steps"]}
-    keys = dict(dims)
+    keys_by_label = {lbl: keys for lbl, _p, keys in labeled}
+    path_by_label = {lbl: p for lbl, p, _keys in labeled}
     joined = _read(fact_path)
     for name in plan["order"]:
-        dim_df = _read(name)
+        dim_df = _read(path_by_label[name], name)
         side = steps[name]["advice"]["broadcast_side"]
         if side == "right":
             dim_df = F.broadcast(dim_df)
@@ -344,7 +363,7 @@ def plan_star_join(
             # a tiny fact/intermediate against a big dimension: the
             # hint belongs on the running side
             joined = F.broadcast(joined)
-        joined = joined.join(dim_df, keys[name], how)
+        joined = joined.join(dim_df, keys_by_label[name], how)
     return joined, plan
 
 

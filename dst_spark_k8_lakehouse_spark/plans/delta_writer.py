@@ -271,6 +271,23 @@ def _commit(
         _write_crc(table, version, actions, pre_state)
     except Exception:
         pass  # best-effort by design; verify_checksum audits gaps
+    try:
+        # output lineage for EVERY native Delta commit (library
+        # writes, DataSource faces, stream sinks) — the listener path
+        # can't see these; no registered sinks = no work
+        from dst_spark_k8_lakehouse_spark import lineage as _lineage
+
+        op = next(
+            (a["commitInfo"].get("operation")
+             for a in actions if "commitInfo" in a),
+            None,
+        )
+        _lineage.emit_commit(
+            table, "delta",
+            {"version": version, **({"operation": op} if op else {})},
+        )
+    except Exception:
+        pass  # lineage must never fail a commit
 
 
 ICT_CONF = "delta.enableInCommitTimestamps"

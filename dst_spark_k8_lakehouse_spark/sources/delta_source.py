@@ -666,9 +666,15 @@ class _DeltaWriter(DataSourceArrowWriter):
     unreferenced garbage for ``vacuum_delta``."""
 
     def __init__(self, table: str, overwrite: bool,
-                 df_schema: T.StructType) -> None:
+                 df_schema: T.StructType,
+                 lineage_dir: str | None = None) -> None:
         self.table = table
         self.overwrite = overwrite
+        # .option("lineagedir", …): commit() runs in Spark's
+        # Python-runner process, where the session's in-process
+        # lineage.watch_commits registry is invisible — the sink
+        # location must travel with the write options
+        self.lineage_dir = lineage_dir
         state = _replay_arrow(table, None)
         meta = state["metaData"]
         table_schema = delta_reader.schema_from_json(meta["schemaString"])
@@ -787,8 +793,13 @@ class _DeltaWriter(DataSourceArrowWriter):
         return [a for m in messages if m is not None for a in m.adds]
 
     def commit(self, messages) -> None:
+        from dst_spark_k8_lakehouse_spark import lineage
         from dst_spark_k8_lakehouse_spark.plans import delta_writer
 
+        with lineage.commit_watch(self.lineage_dir):
+            self._commit_adds(messages, delta_writer)
+
+    def _commit_adds(self, messages, delta_writer) -> None:
         adds = self._all_adds(messages)
         for _ in range(delta_writer._MAX_COMMIT_RETRIES):
             actions: list = []
@@ -835,11 +846,20 @@ class _DeltaStreamWriter(_DeltaWriter, DataSourceStreamWriter):
     ``streaming/delta_sink.stream_to_delta``."""
 
     def __init__(self, table: str, overwrite: bool,
-                 df_schema: T.StructType, app_id: str) -> None:
-        _DeltaWriter.__init__(self, table, overwrite, df_schema)
+                 df_schema: T.StructType, app_id: str,
+                 lineage_dir: str | None = None) -> None:
+        _DeltaWriter.__init__(
+            self, table, overwrite, df_schema, lineage_dir
+        )
         self.app_id = app_id
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        from dst_spark_k8_lakehouse_spark import lineage
+
+        with lineage.commit_watch(self.lineage_dir):
+            self._commit_batch(messages, batchId)
+
+    def _commit_batch(self, messages, batchId: int) -> None:  # noqa: N803
         import time
 
         from dst_spark_k8_lakehouse_spark.plans import delta_writer
@@ -927,7 +947,10 @@ class DeltaNativeDataSource(DataSource):
         return _StreamReader(self._path())
 
     def writer(self, schema: T.StructType, overwrite: bool) -> _DeltaWriter:
-        return _DeltaWriter(self._path(), overwrite, schema)
+        return _DeltaWriter(
+            self._path(), overwrite, schema,
+            self.options.get("lineagedir"),
+        )
 
     def streamWriter(  # noqa: N802
         self, schema: T.StructType, overwrite: bool
@@ -935,7 +958,10 @@ class DeltaNativeDataSource(DataSource):
         app = self.options.get(
             "txnappid", f"delta_native-stream:{self._path()}"
         )
-        return _DeltaStreamWriter(self._path(), overwrite, schema, app)
+        return _DeltaStreamWriter(
+            self._path(), overwrite, schema, app,
+            self.options.get("lineagedir"),
+        )
 
 
 def register(spark) -> None:

@@ -494,9 +494,15 @@ class _IceWriter(DataSourceArrowWriter):
     the written files."""
 
     def __init__(self, table: str, overwrite: bool,
-                 df_schema: T.StructType) -> None:
+                 df_schema: T.StructType,
+                 lineage_dir: str | None = None) -> None:
         self.table = table
         self.overwrite = overwrite
+        # .option("lineagedir", …): commit() runs in Spark's
+        # Python-runner process, invisible to the session's in-process
+        # lineage.watch_commits registry — the sink location travels
+        # with the write options
+        self.lineage_dir = lineage_dir
         meta = _load_meta(table)
         schema_dict = _current_schema(meta)
         expected = [f["name"] for f in schema_dict["fields"]]
@@ -617,6 +623,12 @@ class _IceWriter(DataSourceArrowWriter):
         return [f for m in messages if m is not None for f in m.files]
 
     def commit(self, messages) -> None:
+        from dst_spark_k8_lakehouse_spark import lineage
+
+        with lineage.commit_watch(self.lineage_dir):
+            self._commit_files(messages)
+
+    def _commit_files(self, messages) -> None:
         import time
         import uuid
 
@@ -764,7 +776,10 @@ class IcebergNativeDataSource(DataSource):
         return _IceStreamReader(self._path())
 
     def writer(self, schema: T.StructType, overwrite: bool) -> _IceWriter:
-        return _IceWriter(self._path(), overwrite, schema)
+        return _IceWriter(
+            self._path(), overwrite, schema,
+            self.options.get("lineagedir"),
+        )
 
 
 def register(spark) -> None:

@@ -71,6 +71,7 @@ LATEST = -1
 
 _ERR_NONE = 0
 _ERR_OFFSET_OUT_OF_RANGE = 1
+_ERR_CORRUPT_MESSAGE = 2
 _ERR_UNKNOWN_TOPIC = 3
 _ERR_UNSUPPORTED_VERSION = 35
 
@@ -414,6 +415,7 @@ def drain_partition(
     start_offset: int = 0,
     max_bytes: int = 1 << 20,
     end_offset: int | None = None,
+    include_headers: bool = False,
 ):
     """Drain ``[start_offset, min(end_offset, high_watermark))`` of
     one partition over one socket, YIELDING one KAFKA_WIRE_SCHEMA-
@@ -440,7 +442,10 @@ def drain_partition(
             target = hwm if end_offset is None else min(hwm, end_offset)
             if offset >= target:
                 break
-            rows = segment_to_wire_rows(records, topic, partition)
+            rows = segment_to_wire_rows(
+                records, topic, partition,
+                include_headers=include_headers,
+            )
             rows = [r for r in rows if offset <= r[4] < target]
             if not rows:
                 raise ValueError(
@@ -458,6 +463,7 @@ def read_kafka_topic(
     topic: str,
     start_offset: int | None = None,
     max_bytes: int = 1 << 20,
+    include_headers: bool = False,
 ):
     """Batch-read a whole topic over the wire protocol into the exact
     ``format("kafka")`` frame (KAFKA_WIRE_SCHEMA). Driver: one
@@ -470,10 +476,16 @@ def read_kafka_topic(
     socket, one pandas frame per Fetch page — record bytes never
     touch the driver, a partition slice never exists whole in an
     executor, and 1000 partitions fan out to 1000 concurrent
-    consumers exactly like the stock connector."""
+    consumers exactly like the stock connector.
+
+    ``include_headers=True`` (stock-connector parity): the frame
+    grows a trailing ``headers array<struct<key string, value
+    binary>>`` column decoded from each record — the schema changes
+    ONLY when asked, like the stock option."""
     from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
     from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
         KAFKA_WIRE_SCHEMA,
+        KAFKA_WIRE_SCHEMA_HEADERS,
     )
 
     ensure_shipped(spark)
@@ -499,6 +511,11 @@ def read_kafka_topic(
         "start_offset long, max_bytes int",
     ).repartitionByRange(len(partitions), "partition")
 
+    cols = ["key", "value", "topic", "partition", "offset",
+            "timestamp", "timestampType"]
+    if include_headers:
+        cols.append("headers")
+
     def _drain(batches):
         import pandas as pd
 
@@ -508,19 +525,21 @@ def read_kafka_topic(
                     row.host, int(row.port), row.topic,
                     int(row.partition), int(row.start_offset),
                     int(row.max_bytes),
+                    include_headers=include_headers,
                 ):
-                    out = pd.DataFrame(
-                        page,
-                        columns=["key", "value", "topic", "partition",
-                                 "offset", "timestamp",
-                                 "timestampType"],
-                    )
+                    out = pd.DataFrame(page, columns=cols)
                     out["timestamp"] = pd.to_datetime(
                         out["timestamp"], unit="ms"
                     )
                     yield out
 
-    return plan.mapInPandas(_drain, schema=KAFKA_WIRE_SCHEMA)
+    return plan.mapInPandas(
+        _drain,
+        schema=(
+            KAFKA_WIRE_SCHEMA_HEADERS if include_headers
+            else KAFKA_WIRE_SCHEMA
+        ),
+    )
 
 
 # ------------------------------------------------------------ responder
@@ -669,19 +688,28 @@ class SegmentResponder:
                 for _p in range(n_parts):
                     pid = req.i32()
                     record_set = req.nbytes() or b""
+                    # real brokers validate ON PRODUCE: a corrupt-but-
+                    # parseable record set answered _ERR_NONE would be
+                    # written into the segment and poison every later
+                    # Fetch of this partition
+                    try:
+                        _validate_record_set(record_set)
+                    except ValueError:
+                        parts.append((pid, _ERR_CORRUPT_MESSAGE, -1))
+                        continue
                     seg = self.partitions.get((topic, pid))
                     if seg is None:
                         # brokers auto-create topics by default; the
                         # write face needs fresh topics to exist
                         seg = self._create_partition(topic, pid)
                     base = _append_record_set(seg, record_set)
-                    parts.append((pid, base))
+                    parts.append((pid, _ERR_NONE, base))
                 resp.append((topic, parts))
             w.i32(len(resp))
             for topic, parts in resp:
                 w.string(topic).i32(len(parts))
-                for pid, base in parts:
-                    w.i32(pid).i16(_ERR_NONE).i64(base).i64(-1)
+                for pid, err, base in parts:
+                    w.i32(pid).i16(err).i64(base).i64(-1)
             w.i32(0)  # throttle_time_ms TRAILS responses in Produce
             return w.done()
         if api_key == _API_LIST_OFFSETS and api_version == 1:
@@ -775,6 +803,36 @@ class SegmentResponder:
         return w.i16(_ERR_UNSUPPORTED_VERSION).i32(0).done()
 
 
+def _validate_record_set(buf: bytes) -> None:
+    """Produce-side validation (ADVICE r12): every RecordBatch v2
+    frame in the set must be in-bounds, magic=2, and CRC-32C-clean
+    (the v2 CRC covers attributes onward — exactly what
+    ``_append_record_set``'s baseOffset rewrite preserves). Raises
+    ``ValueError``; the responder answers ``_ERR_CORRUPT_MESSAGE``
+    instead of appending."""
+    from dst_spark_k8_lakehouse_spark.sources.kafka_wire import crc32c
+
+    pos, n = 0, len(buf)
+    if n == 0:
+        raise ValueError("empty record set")
+    while pos < n:
+        if n - pos < 21:  # header: baseOffset(8) len(4) epoch(4) magic(1) crc(4)
+            raise ValueError("truncated RecordBatch header")
+        _base, batch_len = struct.unpack_from(">qi", buf, pos)
+        end = pos + 12 + batch_len
+        if batch_len < 9 or end > n:
+            raise ValueError(
+                f"RecordBatch length {batch_len} out of bounds "
+                f"(set size {n}, at {pos})"
+            )
+        if buf[pos + 16] != 2:
+            raise ValueError(f"RecordBatch magic {buf[pos + 16]} != 2")
+        crc = struct.unpack_from(">I", buf, pos + 17)[0]
+        if crc32c(buf[pos + 21:end]) != crc:
+            raise ValueError("RecordBatch CRC-32C mismatch")
+        pos = end
+
+
 def _append_record_set(path: str, record_set: bytes) -> int:
     """Append WHOLE RecordBatch v2 frames to a segment file, rewriting
     each batch's ``baseOffset`` so the log's offsets continue — broker
@@ -828,7 +886,17 @@ def write_kafka_topic(
     record bytes never touch the driver, and throughput scales with
     the upstream partitioning. Per-partition record ORDER across
     tasks is unspecified (same as the stock non-transactional sink);
-    offsets within each request are still contiguous."""
+    offsets within each request are still contiguous.
+
+    FIXTURE-PEER CAVEAT: this engine's own ``SegmentResponder`` test
+    peer serves ONE connection at a time, while each task here holds
+    its socket for the task's whole lifetime — against the fixture,
+    concurrent producing tasks serialize behind each other, and a
+    task idle >30 s between requests is dropped by the responder's
+    recv timeout (surfacing as a ConnectionError in that task). A
+    real broker multiplexes connections and this shape is correct
+    there; against the fixture, keep producer parallelism modest or
+    produce promptly once connected."""
     from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
 
     spark = df.sparkSession
@@ -845,19 +913,37 @@ def write_kafka_topic(
             encode_record_batch,
         )
 
+        def _nbytes(v):
+            # nulls pass through as TOMBSTONES (encode_record_batch
+            # natively supports value=None) — never str(None).encode()
+            # == b"None"; pandas spells a null cell as NaN, which
+            # `is not None` misses
+            if v is None or (not isinstance(v, bytes) and pd.isna(v)):
+                return None
+            return v if isinstance(v, bytes) else str(v).encode()
+
+        def _hdrs(cell):
+            # array<struct<key,value>> arrives as a sequence of
+            # dict-like cells; absent column → no headers
+            if cell is None:
+                return []
+            return [
+                (h["key"], h["value"]) if isinstance(h, dict)
+                else (h[0], h[1])
+                for h in cell
+            ]
+
         def _flush(sock, part, chunk):
             recs = [
                 {
-                    "key": (
-                        k if isinstance(k, (bytes, type(None)))
-                        else str(k).encode()
+                    "key": _nbytes(k),
+                    "value": _nbytes(v),
+                    "timestamp_ms": (
+                        0 if ts is None or pd.isna(ts) else int(ts)
                     ),
-                    "value": (
-                        v if isinstance(v, bytes) else str(v).encode()
-                    ),
-                    "timestamp_ms": int(ts) if ts is not None else 0,
+                    "headers": _hdrs(hs),
                 }
-                for k, v, ts in chunk
+                for k, v, ts, hs in chunk
             ]
             base = produce_on(
                 sock, topic, int(part),
@@ -877,6 +963,8 @@ def write_kafka_topic(
                             grp["value"],
                             grp["timestamp_ms"]
                             if "timestamp_ms" in grp else [0] * len(grp),
+                            grp["headers"]
+                            if "headers" in grp else [None] * len(grp),
                         )
                     )
                     if sock is None:  # one socket per task, lazily
@@ -1081,6 +1169,21 @@ def _produce_fixture(spark, sf_dir: str) -> tuple["SegmentResponder", bool]:
         F.unix_millis(F.col("ts").cast("timestamp")).alias(
             "timestamp_ms"
         ),
+        # per-record HEADERS (r13, includeHeaders parity): one
+        # value-checkable header keyed to the record plus one
+        # null-valued header (hvlen=-1 on the wire) — the read side
+        # folds both into its oracle hash
+        F.array(
+            F.struct(
+                F.lit("eid").alias("key"),
+                F.col("event_id").cast("string").cast("binary")
+                .alias("value"),
+            ),
+            F.struct(
+                F.lit("null_h").alias("key"),
+                F.lit(None).cast("binary").alias("value"),
+            ),
+        ).alias("headers"),
     )
     acks = write_kafka_topic(
         payload, responder.host, responder.port, "produced",
@@ -1162,7 +1265,8 @@ def _register() -> None:
                    CAST(min(event_id) AS BIGINT) AS min_id,
                    CAST(max(event_id) AS BIGINT) AS max_id,
                    {sum_sql('value')} AS total_value,
-                   TRUE AS produced_ok
+                   TRUE AS produced_ok,
+                   CAST(count(*) AS BIGINT) AS n_hdr_match
             FROM events
             WHERE event_id <= 2000
             GROUP BY event_type
@@ -1180,27 +1284,50 @@ def _register() -> None:
         against the relational oracle. ``produced_ok`` folds the
         write-side receipts into the hash: ack row counts match the
         produced set and ListOffsets(LATEST) equals each partition's
-        row count (gapless assignment). With the consumer trio
-        (wire/tcp/stream) this completes the engine's Kafka story:
-        read AND write, jar-free, against a real socket."""
+        row count (gapless assignment). ``n_hdr_match`` (r13,
+        ``includeHeaders`` parity) folds the HEADER round trip in
+        too: every record carries an ``eid`` header equal to its key
+        plus a null-valued header, and the read side — with
+        ``include_headers=True``, the stock connector's option —
+        must count every row's headers exact (the oracle pins the
+        count at count(*), so one dropped or corrupted header flips
+        the hash). With the consumer trio (wire/tcp/stream) this
+        completes the engine's Kafka story: read AND write, headers
+        included, jar-free, against a real socket."""
         from dst_spark_k8_lakehouse_spark import exact
         from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
-            parse_kafka_events,
+            EVENTS_STREAM_SCHEMA,
         )
         from pyspark.sql import functions as F
 
         responder, ok = _produce_fixture(spark, sf_dir)
         wire = read_kafka_topic(
             spark, responder.host, responder.port, "produced",
-            max_bytes=64 << 10,
+            max_bytes=64 << 10, include_headers=True,
         )
-        events = parse_kafka_events(wire)
+        hdr_ok = (
+            (F.size("headers") == 2)
+            & (F.col("headers")[0]["key"] == "eid")
+            & (
+                F.col("headers")[0]["value"].cast("string")
+                == F.col("key").cast("string")
+            )
+            & (F.col("headers")[1]["key"] == "null_h")
+            & F.col("headers")[1]["value"].isNull()
+        )
+        events = wire.select(
+            F.from_json(
+                F.col("value").cast("string"), EVENTS_STREAM_SCHEMA
+            ).alias("e"),
+            hdr_ok.cast("long").alias("hdr_ok"),
+        ).select("e.*", "hdr_ok")
         return events.groupBy("event_type").agg(
             F.count("*").alias("n_events"),
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
             exact.exact_sum("value").alias("total_value"),
             F.first(F.lit(bool(ok))).alias("produced_ok"),
+            F.sum("hdr_ok").alias("n_hdr_match"),
         )
 
 

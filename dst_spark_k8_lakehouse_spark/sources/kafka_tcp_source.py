@@ -67,6 +67,7 @@ class _TcpPartition(InputPartition):
         start: int,
         end: int | None,
         max_bytes: int,
+        include_headers: bool = False,
     ) -> None:
         self.host = host
         self.port = port
@@ -75,6 +76,7 @@ class _TcpPartition(InputPartition):
         self.start = start
         self.end = end
         self.max_bytes = max_bytes
+        self.include_headers = include_headers
 
 
 def _read_tcp_partition(p: _TcpPartition) -> Iterator[tuple]:
@@ -88,23 +90,33 @@ def _read_tcp_partition(p: _TcpPartition) -> Iterator[tuple]:
     # drain_partition is a per-Fetch-page generator (r12): rows flow
     # to Spark page by page, so memory stays bounded by max_bytes no
     # matter how fat the partition slice is
+    include_headers = getattr(p, "include_headers", False)
     for page in drain_partition(
         p.host, p.port, p.topic, p.partition,
         start_offset=p.start, max_bytes=p.max_bytes,
-        end_offset=p.end,
+        end_offset=p.end, include_headers=include_headers,
     ):
-        for key, value, topic, part, off, ts_ms, ts_type in page:
+        for key, value, topic, part, off, ts_ms, ts_type, *hdrs in page:
             # naive-UTC datetime, matching pd.to_datetime(unit="ms")
             # in kafka_wire's segment source so both faces of the wire
             # frame produce bit-identical timestamps (session tz UTC)
-            yield (
+            row = (
                 key, value, topic, part, off,
                 epoch + datetime.timedelta(milliseconds=ts_ms),
                 ts_type,
             )
+            if include_headers:
+                # struct cells must be tuples for the DataSource row
+                # path (dicts are read as maps)
+                row += ([
+                    (h["key"], h["value"]) for h in hdrs[0]
+                ],)
+            yield row
 
 
-def _options(opts) -> tuple[str, int, str, int, str, int | None]:
+def _options(
+    opts,
+) -> tuple[str, int, str, int, str, int | None, bool]:
     host = opts.get("host")
     port = opts.get("port")
     topic = opts.get("topic")
@@ -120,9 +132,14 @@ def _options(opts) -> tuple[str, int, str, int, str, int | None]:
             f"startingoffsets must be earliest|latest, got {starting!r}"
         )
     ts = opts.get("startingtimestamp")
+    include_headers = _include_headers(opts)
     return host, int(port), topic, max_bytes, starting, (
         int(ts) if ts is not None else None
-    )
+    ), include_headers
+
+
+def _include_headers(opts) -> bool:
+    return str(opts.get("includeheaders", "false")).lower() == "true"
 
 
 def _anchor_offsets(
@@ -170,7 +187,7 @@ def _discover(host: str, port: int, topic: str) -> list[int]:
 class _BatchReader(DataSourceReader):
     def __init__(self, opts) -> None:
         (self.host, self.port, self.topic, self.max_bytes,
-         starting, ts) = _options(opts)
+         starting, ts, self.include_headers) = _options(opts)
         from dst_spark_k8_lakehouse_spark.sources import kafka_broker as kb
 
         parts = _discover(self.host, self.port, self.topic)
@@ -186,7 +203,7 @@ class _BatchReader(DataSourceReader):
         return [
             _TcpPartition(
                 self.host, self.port, self.topic, p, lo, hi,
-                self.max_bytes,
+                self.max_bytes, self.include_headers,
             )
             for p, lo, hi in self.ranges
         ]
@@ -202,7 +219,7 @@ class _StreamReader(DataSourceStreamReader):
 
     def __init__(self, opts) -> None:
         (self.host, self.port, self.topic, self.max_bytes,
-         starting, ts) = _options(opts)
+         starting, ts, self.include_headers) = _options(opts)
         self._parts = _discover(self.host, self.port, self.topic)
         anchor = _anchor_offsets(
             self.host, self.port, self.topic, self._parts,
@@ -253,7 +270,7 @@ class _StreamReader(DataSourceStreamReader):
                 out.append(
                     _TcpPartition(
                         self.host, self.port, self.topic, p, lo, hi,
-                        self.max_bytes,
+                        self.max_bytes, self.include_headers,
                     )
                 )
         return out
@@ -291,6 +308,13 @@ class _TcpWriter(DataSourceWriter):
                 "kafka_tcp write needs .option('host', …)"
                 ".option('port', …).option('topic', …)"
             )
+        # NOTE (fixture-peer caveat, same as write_kafka_topic): the
+        # engine's SegmentResponder serves one connection at a time —
+        # each write task here holds one socket for its lifetime, so
+        # against the fixture concurrent tasks serialize and an idle
+        # task can hit the responder's 30 s recv timeout; a real
+        # broker multiplexes and this per-task-socket shape is the
+        # stock sink's.
         names = [f.name for f in schema.fields]
         if "value" not in names:
             raise ValueError(
@@ -341,10 +365,18 @@ class _TcpWriter(DataSourceWriter):
                 rec = {
                     "key": _bytes(row["key"])
                     if "key" in self.has else None,
-                    "value": _bytes(row["value"]) or b"",
+                    # a null value passes through as a TOMBSTONE
+                    # (the codec supports value=None) — mapping it to
+                    # b"" would silently rewrite a delete marker into
+                    # an empty record
+                    "value": _bytes(row["value"]),
                     "timestamp_ms": int(row["timestamp_ms"])
                     if "timestamp_ms" in self.has
                     and row["timestamp_ms"] is not None else 0,
+                    "headers": [
+                        (h["key"], h["value"])
+                        for h in (row["headers"] or [])
+                    ] if "headers" in self.has else [],
                 }
                 buf = bufs.setdefault(part, [])
                 buf.append(rec)
@@ -384,9 +416,16 @@ class KafkaTcpDataSource(DataSource):
     def schema(self) -> T.StructType:
         from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
             KAFKA_WIRE_SCHEMA,
+            KAFKA_WIRE_SCHEMA_HEADERS,
         )
 
-        return KAFKA_WIRE_SCHEMA
+        # stock-connector parity: the headers column exists ONLY when
+        # .option("includeHeaders", "true") asks for it
+        return (
+            KAFKA_WIRE_SCHEMA_HEADERS
+            if _include_headers(self.options)
+            else KAFKA_WIRE_SCHEMA
+        )
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return _BatchReader(self.options)

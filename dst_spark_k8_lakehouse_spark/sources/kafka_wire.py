@@ -275,18 +275,27 @@ def decode_record_batches(buf: bytes) -> Iterator[dict[str, Any]]:
 
 
 def segment_to_wire_rows(
-    buf: bytes, topic: str, partition: int
+    buf: bytes, topic: str, partition: int,
+    include_headers: bool = False,
 ) -> list[tuple]:
     """Decode one segment's bytes to KAFKA_WIRE_SCHEMA-ordered tuples
     (timestamp as epoch-ms int; callers convert to their engine's
-    timestamp type)."""
+    timestamp type). ``include_headers`` appends an 8th element — the
+    record's headers as ``[{"key": str, "value": bytes|None}, …]``,
+    the stock connector's ``includeHeaders`` column shape."""
     out = []
     for batch in decode_record_batches(buf):
         for r in batch["records"]:
-            out.append(
-                (r["key"], r["value"], topic, partition, r["offset"],
-                 r["timestamp_ms"], 0)
+            row = (
+                r["key"], r["value"], topic, partition, r["offset"],
+                r["timestamp_ms"], 0,
             )
+            if include_headers:
+                row += ([
+                    {"key": hk, "value": hv}
+                    for hk, hv in r["headers"]
+                ],)
+            out.append(row)
     return out
 
 

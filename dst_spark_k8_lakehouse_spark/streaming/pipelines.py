@@ -69,6 +69,25 @@ KAFKA_WIRE_SCHEMA = T.StructType(
     ]
 )
 
+# the stock connector's includeHeaders=true shape: the same frame plus
+# a trailing headers column — readers grow it ONLY when asked
+KAFKA_WIRE_SCHEMA_HEADERS = T.StructType(
+    KAFKA_WIRE_SCHEMA.fields
+    + [
+        T.StructField(
+            "headers",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value", T.BinaryType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
 
 def kafka_events_source(
     spark: SparkSession, bootstrap_servers: str, topic: str

@@ -232,6 +232,56 @@ def test_plan_star_join_frame_override(spark, tmp_path):
     assert plan["order"] == [dim]
 
 
+def test_plan_star_join_role_playing_dims(spark, tmp_path):
+    """ADVICE r12: the same dimension path joined TWICE (role-playing
+    — e.g. one date dim as order date and ship date) must execute
+    BOTH joins instead of silently collapsing to the last keys.
+    Duplicate paths get position labels ``path#i`` through the plan;
+    ``frames`` keyed by label give each role its renamed columns."""
+    dates = str(tmp_path / "dates")
+    fact = str(tmp_path / "rfact")
+    iw.create_iceberg(
+        spark.range(30).select(
+            F.col("id").alias("dk"),
+            F.concat(F.lit("day-"), F.col("id")).alias("dname"),
+        ).coalesce(1),
+        dates,
+    )
+    iw.write_table_statistics(spark, dates, k=1024)
+    dw.create_delta(
+        spark.range(900).select(
+            (F.col("id") % 30).alias("order_dk"),
+            ((F.col("id") + 7) % 30).alias("ship_dk"),
+            (F.col("id") * 2).alias("v"),
+        ).repartition(4),
+        fact,
+    )
+    base = ir.read_iceberg(spark, dates)
+    joined, plan = cbo.plan_star_join(
+        spark, fact,
+        [(dates, ["order_dk"]), (dates, ["ship_dk"])],
+        frames={
+            f"{dates}#0": base.select(
+                F.col("dk").alias("order_dk"),
+                F.col("dname").alias("order_day"),
+            ),
+            f"{dates}#1": base.select(
+                F.col("dk").alias("ship_dk"),
+                F.col("dname").alias("ship_day"),
+            ),
+        },
+    )
+    assert sorted(plan["order"]) == [f"{dates}#0", f"{dates}#1"]
+    got = joined.toPandas()
+    assert len(got) == 900
+    assert {"order_day", "ship_day"} <= set(got.columns)
+    # the two roles carry DIFFERENT day names per row (offset 7)
+    sample = got.iloc[0]
+    assert sample["order_day"] == f"day-{sample['order_dk']}"
+    assert sample["ship_day"] == f"day-{sample['ship_dk']}"
+    assert (got["order_dk"] != got["ship_dk"]).all()
+
+
 def test_analyze_statement_publishes_sidecars(spark, tmp_path):
     from dst_spark_k8_lakehouse_spark.plans import dml
     from dst_spark_k8_lakehouse_spark.plans import (

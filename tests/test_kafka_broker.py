@@ -685,3 +685,176 @@ def test_slice_and_timestamp_lookup_properties(tmp_path):
                 (o for o, t in recs_all if t >= ts), default=-1
             )
             assert kb._offset_for_timestamp(path, ts) == want
+
+
+def test_produce_rejects_corrupt_record_set(tmp_path):
+    """ADVICE r12: the responder must validate ON PRODUCE (bounds +
+    magic + CRC-32C) and answer CORRUPT_MESSAGE (2) instead of
+    appending — a corrupt-but-parseable set written to the segment
+    would poison every later Fetch of the partition."""
+    import socket as _socket
+    import struct as _struct
+
+    from dst_spark_k8_lakehouse_spark.sources.kafka_wire import (
+        encode_record_batch,
+    )
+
+    root = str(tmp_path / "seg")
+    os.makedirs(root)
+    good = encode_record_batch(
+        [{"key": b"k", "value": b"v", "timestamp_ms": 1}]
+    )
+    with kb.SegmentResponder(root) as r:
+        # a clean produce first, so the topic exists
+        with _socket.create_connection((r.host, r.port), timeout=10) as s:
+            assert kb.produce_on(s, "t", 0, good) == 0
+            # flip one payload byte AFTER the CRC field: CRC mismatch
+            bad = bytearray(good)
+            bad[-1] ^= 0xFF
+            with pytest.raises(ValueError, match="Produce error 2"):
+                kb.produce_on(s, "t", 0, bytes(bad), corr_id=7)
+        # bounds violation: batch_len says more bytes than sent
+        trunc = bytearray(good)
+        _struct.pack_into(">i", trunc, 8, len(good) + 100)
+        with _socket.create_connection((r.host, r.port), timeout=10) as s:
+            with pytest.raises(ValueError, match="Produce error 2"):
+                kb.produce_on(s, "t", 0, bytes(trunc), corr_id=8)
+        # nothing appended, the partition still serves cleanly
+        assert kb.list_offsets(r.host, r.port, "t", [0], kb.LATEST) == {
+            0: 1
+        }
+        rows = _drain_all(r.host, r.port, "t", 0)
+        assert [(x[0], x[1]) for x in rows] == [(b"k", b"v")]
+
+
+def test_write_kafka_topic_null_value_is_tombstone(spark, tmp_path):
+    """ADVICE r12: a null value cell must produce a TOMBSTONE
+    (value=None on the wire), never b'None'; a null/NaN timestamp_ms
+    must not crash the int() coercion."""
+    root = str(tmp_path / "seg")
+    os.makedirs(root)
+    df = spark.createDataFrame(
+        [
+            (b"a", b"live", 0, 1_700_000_000_000),
+            (b"b", None, 0, None),  # tombstone + null ts
+            (None, b"keyless", 0, 1_700_000_000_002),
+        ],
+        "key binary, value binary, partition int, timestamp_ms long",
+    )
+    with kb.SegmentResponder(root) as r:
+        acks = kb.write_kafka_topic(
+            df.coalesce(1), r.host, r.port, "tomb"
+        ).toPandas()
+        assert int(acks["n_records"].sum()) == 3
+        rows = _drain_all(r.host, r.port, "tomb", 0)
+        by_key = {x[0]: x[1] for x in rows}
+        assert by_key[b"a"] == b"live"
+        assert by_key[b"b"] is None  # tombstone survived the wire
+        assert by_key[None] == b"keyless"
+
+
+def test_kafka_tcp_write_null_value_is_tombstone(spark, tmp_path):
+    """The DataSource write face: same tombstone contract as
+    write_kafka_topic (a null value must not become b'')."""
+    from dst_spark_k8_lakehouse_spark.sources import kafka_tcp_source
+
+    kafka_tcp_source.register(spark)
+    root = str(tmp_path / "seg")
+    os.makedirs(root)
+    df = spark.createDataFrame(
+        [(b"a", b"live", 0), (b"b", None, 0)],
+        "key binary, value binary, partition int",
+    )
+    with kb.SegmentResponder(root) as r:
+        (
+            df.coalesce(1).write.format("kafka_tcp").mode("append")
+            .option("host", r.host).option("port", r.port)
+            .option("topic", "tomb2").save()
+        )
+        rows = _drain_all(r.host, r.port, "tomb2", 0)
+        by_key = {x[0]: x[1] for x in rows}
+        assert by_key == {b"a": b"live", b"b": None}
+
+
+def test_include_headers_round_trip(spark, tmp_path):
+    """r13 includeHeaders parity: headers ride the wire through
+    produce and come back typed through read_kafka_topic and the
+    kafka_tcp DataSource — including a null-valued header — and the
+    schema grows the column ONLY when asked (stock-connector
+    contract)."""
+    from dst_spark_k8_lakehouse_spark.sources import kafka_tcp_source
+
+    kafka_tcp_source.register(spark)
+    root = str(tmp_path / "seg")
+    os.makedirs(root)
+    with kb.SegmentResponder(root) as r:
+        kb.produce(
+            r.host, r.port, "hdr", 0,
+            [
+                {"key": b"a", "value": b"v1", "timestamp_ms": 1,
+                 "headers": [("h1", b"x"), ("h2", None)]},
+                {"key": b"b", "value": b"v2", "timestamp_ms": 2,
+                 "headers": []},
+            ],
+        )
+        # default: no headers column (stock parity)
+        plain = kb.read_kafka_topic(spark, r.host, r.port, "hdr")
+        assert "headers" not in plain.columns
+        got = kb.read_kafka_topic(
+            spark, r.host, r.port, "hdr", include_headers=True
+        ).toPandas().sort_values("offset")
+        assert list(got.columns)[-1] == "headers"
+        h0 = list(got["headers"].iloc[0])
+        assert (h0[0]["key"], bytes(h0[0]["value"])) == ("h1", b"x")
+        assert h0[1]["key"] == "h2" and h0[1]["value"] is None
+        assert list(got["headers"].iloc[1]) == []
+        # the DataSource face: same column behind the option
+        ds = (
+            spark.read.format("kafka_tcp")
+            .option("host", r.host).option("port", r.port)
+            .option("topic", "hdr")
+            .option("includeHeaders", "true").load()
+        ).toPandas().sort_values("offset")
+        assert list(ds.columns)[-1] == "headers"
+        d0 = list(ds["headers"].iloc[0])
+        assert (d0[0]["key"], bytes(d0[0]["value"])) == ("h1", b"x")
+        assert d0[1]["value"] is None
+        no_h = (
+            spark.read.format("kafka_tcp")
+            .option("host", r.host).option("port", r.port)
+            .option("topic", "hdr").load()
+        )
+        assert "headers" not in no_h.columns
+
+
+def test_write_faces_carry_headers(spark, tmp_path):
+    """Both write faces forward a headers column to the wire."""
+    from dst_spark_k8_lakehouse_spark.sources import kafka_tcp_source
+
+    kafka_tcp_source.register(spark)
+    root = str(tmp_path / "seg")
+    os.makedirs(root)
+    df = spark.sql(
+        "SELECT CAST('k' AS BINARY) AS key, CAST('v' AS BINARY) AS "
+        "value, 0 AS partition, array(struct('t' AS key, "
+        "CAST('w' AS BINARY) AS value)) AS headers"
+    )
+    with kb.SegmentResponder(root) as r:
+        kb.write_kafka_topic(df.coalesce(1), r.host, r.port, "w1") \
+            .collect()
+        rows = _drain_all(r.host, r.port, "w1", 0)
+        # drain via include_headers to see them
+        pages = list(kb.drain_partition(
+            r.host, r.port, "w1", 0, include_headers=True
+        ))
+        hdrs = pages[0][0][7]
+        assert hdrs == [{"key": "t", "value": b"w"}]
+        (
+            df.coalesce(1).write.format("kafka_tcp").mode("append")
+            .option("host", r.host).option("port", r.port)
+            .option("topic", "w2").save()
+        )
+        pages = list(kb.drain_partition(
+            r.host, r.port, "w2", 0, include_headers=True
+        ))
+        assert pages[0][0][7] == [{"key": "t", "value": b"w"}]

@@ -212,3 +212,154 @@ def test_d74_query_survives_cached_catalog(spark):
         assert got["event_ok"].all()
     finally:
         cat.uncache_tables(spark)
+
+
+# --------------------------------------------------- native-commit hook
+
+
+@pytest.fixture()
+def commit_sink(tmp_path):
+    """A watched sink, guaranteed unwatched afterwards (the watcher
+    registry is process-global — a leak would pollute every later
+    native write in the session)."""
+    sink = lineage.FileLineageSink(str(tmp_path / "lineage"))
+    lineage.watch_commits(sink)
+    yield sink
+    lineage.unwatch_commits(sink)
+
+
+def _commit_events(sink):
+    return [
+        e for e in sink.read_events()
+        if e["job"]["name"].startswith("commit:")
+    ]
+
+
+def test_append_delta_emits_commit_lineage(spark, tmp_path, commit_sink):
+    """VERDICT r12 item 3: library writes must produce OUTPUT lineage
+    without an explicit emit() — the listener path can't see native
+    commits (no InsertIntoHadoopFsRelationCommand node)."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_writer as dw
+
+    tbl = str(tmp_path / "dt")
+    dw.create_delta(spark.range(5), tbl)
+    dw.append_delta(spark.range(5, 8), tbl)
+    events = _commit_events(commit_sink)
+    assert len(events) == 2  # create (v0) + append (v1)
+    for e, version in zip(events, (0, 1)):
+        (out,) = e["outputs"]
+        assert out["name"] == tbl
+        assert out["facets"]["format"] == "delta"
+        assert out["facets"]["version"] == version
+        assert e["eventType"] == "COMPLETE"
+        assert e["inputs"] == []
+    assert events[1]["outputs"][0]["facets"]["operation"] == "WRITE"
+
+
+def test_stream_to_delta_emits_commit_lineage(spark, tmp_path, commit_sink):
+    from pyspark.sql import functions as F
+
+    from dst_spark_k8_lakehouse_spark.plans import delta_writer as dw
+    from dst_spark_k8_lakehouse_spark.streaming.delta_sink import (
+        stream_to_delta,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(10).withColumn("batch", F.lit(0)).coalesce(1) \
+        .write.parquet(f"{src}/f0")
+    tbl = str(tmp_path / "dt")
+    dw.create_delta(spark.createDataFrame([], "id long, batch int"), tbl)
+    q = stream_to_delta(
+        spark.readStream.schema("id long, batch int").parquet(src + "/*"),
+        tbl, str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    events = _commit_events(commit_sink)
+    # one create + >=1 micro-batch append, every one naming the table
+    assert len(events) >= 2
+    assert all(e["outputs"][0]["name"] == tbl for e in events)
+    assert all(
+        e["outputs"][0]["facets"]["format"] == "delta" for e in events
+    )
+    versions = [e["outputs"][0]["facets"]["version"] for e in events]
+    assert versions == sorted(versions) and versions[0] == 0
+
+
+def test_delta_native_datasource_write_emits_commit_lineage(
+    spark, tmp_path
+):
+    """The DataSource write face commits in Spark's Python-runner
+    process, where the session's watch_commits registry is invisible
+    — the sink location travels as the ``lineagedir`` write option."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_writer as dw
+    from dst_spark_k8_lakehouse_spark.sources import delta_source
+
+    delta_source.register(spark)
+    tbl = str(tmp_path / "dt")
+    ldir = str(tmp_path / "lineage")
+    dw.create_delta(spark.range(3), tbl)
+    spark.range(3, 6).write.format("delta_native").mode("append") \
+        .option("lineagedir", ldir).save(tbl)
+    events = _commit_events(lineage.FileLineageSink(ldir))
+    assert len(events) == 1
+    (out,) = events[0]["outputs"]
+    assert out["name"] == tbl and out["facets"]["format"] == "delta"
+    assert out["facets"]["version"] == 1
+    assert out["facets"]["operation"] == "WRITE"
+
+
+def test_iceberg_native_datasource_write_emits_commit_lineage(
+    spark, tmp_path
+):
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as iw
+    from dst_spark_k8_lakehouse_spark.sources import iceberg_source
+
+    iceberg_source.register(spark)
+    tbl = str(tmp_path / "it")
+    ldir = str(tmp_path / "lineage")
+    iw.create_iceberg(spark.range(3), tbl)
+    spark.range(3, 6).write.format("iceberg_native").mode("append") \
+        .option("lineagedir", ldir).save(tbl)
+    events = _commit_events(lineage.FileLineageSink(ldir))
+    assert len(events) == 1
+    (out,) = events[0]["outputs"]
+    assert out["name"] == tbl and out["facets"]["format"] == "iceberg"
+    assert out["facets"]["version"] >= 1
+    assert "snapshot_id" in out["facets"]
+
+
+def test_append_iceberg_emits_commit_lineage(spark, tmp_path, commit_sink):
+    from dst_spark_k8_lakehouse_spark.plans import iceberg_writer as iw
+
+    tbl = str(tmp_path / "it")
+    iw.create_iceberg(spark.range(4), tbl)
+    iw.append_iceberg(spark.range(4, 9), tbl)
+    events = _commit_events(commit_sink)
+    assert len(events) == 2
+    for e in events:
+        (out,) = e["outputs"]
+        assert out["name"] == tbl
+        assert out["facets"]["format"] == "iceberg"
+    assert events[-1]["outputs"][0]["facets"]["version"] >= 1
+    assert "snapshot_id" in events[-1]["outputs"][0]["facets"]
+
+
+def test_commit_lineage_sink_error_never_fails_the_write(
+    spark, tmp_path
+):
+    """The lineage contract: a broken sink is swallowed, the commit
+    lands."""
+    from dst_spark_k8_lakehouse_spark.plans import delta_writer as dw
+
+    class _Boom:
+        def write(self, event):
+            raise RuntimeError("sink down")
+
+    boom = _Boom()
+    lineage.watch_commits(boom)
+    try:
+        tbl = str(tmp_path / "dt")
+        dw.create_delta(spark.range(3), tbl)
+        assert spark.read.parquet(tbl).count() == 3
+    finally:
+        lineage.unwatch_commits(boom)

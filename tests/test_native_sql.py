@@ -351,3 +351,72 @@ def test_statement_text_iceberg_sort_order_and_optimize(spark, tmp_path):
                                tables)
     assert snap2 > snap
     assert iceberg_reader.read_iceberg(spark, t).count() == 2000
+
+
+def test_select_join_plans_through_cbo(spark, tmp_path):
+    """VERDICT r12 item 6: statement-text joins over native tables
+    must plan through the CBO (plan_star_join) — with Spark's own
+    size-based broadcasting OFF, the executed plan still shows
+    BroadcastHashJoins (the advisor's hints), a 3-table FROM joins
+    the selective dim first, and the values are right."""
+    from dst_spark_k8_lakehouse_spark.plans.dml import query_native_sql
+
+    fact = str(tmp_path / "fact")
+    whole = str(tmp_path / "whole")
+    sel = str(tmp_path / "sel")
+    dw.create_delta(
+        spark.range(4000).select(
+            (F.col("id") % 100).alias("wk"),
+            (F.col("id") % 100).alias("sk"),
+            (F.col("id") * 3).alias("v"),
+        ).repartition(4),
+        fact,
+    )
+    iw.create_iceberg(
+        spark.range(100).select(
+            F.col("id").alias("wk"),
+            F.concat(F.lit("w-"), F.col("id")).alias("wname"),
+        ).coalesce(1),
+        whole,
+    )
+    iw.create_iceberg(
+        spark.range(20).select(
+            F.col("id").alias("sk"),
+            F.concat(F.lit("s-"), F.col("id")).alias("sname"),
+        ).coalesce(1),
+        sel,
+    )
+    for t in (whole, sel):
+        iw.write_table_statistics(spark, t, k=1024)
+    tabs = {"fact": fact, "dim_whole": whole, "dim_sel": sel}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = query_native_sql(
+            spark,
+            "SELECT * FROM fact JOIN dim_whole USING (wk) "
+            "JOIN dim_sel USING (sk) WHERE v % 2 = 0",
+            tabs,
+        )
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert executed.count("BroadcastHashJoin") == 2
+        got = df.toPandas()
+        # sel covers sk 0-19 → 4000/5 rows survive, then the residual
+        assert len(got) == sum(
+            1 for i in range(4000) if i % 100 < 20 and (i * 3) % 2 == 0
+        )
+        assert (got["wname"] == "w-" + got["wk"].astype(str)).all()
+        assert (got["sname"] == "s-" + got["sk"].astype(str)).all()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_select_join_empty_using_raises(spark, tmp_path):
+    from dst_spark_k8_lakehouse_spark.plans.dml import query_native_sql
+
+    td = str(tmp_path / "d")
+    dw.create_delta(_df(spark, 0, 5), td)
+    with pytest.raises(ValueError, match="USING"):
+        query_native_sql(
+            spark, "SELECT * FROM t JOIN t USING ()", {"t": td}
+        )
