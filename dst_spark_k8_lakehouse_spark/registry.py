@@ -55,71 +55,76 @@ def query(query_id: str, oracle: str | None = None) -> Callable[[F], F]:
 # ids whose only green row is the oldest (round 1). Rotation log with
 # last-green round per id lives in COVERAGE.md.
 PRIORITY: list[str] = [
-    # ---- r12 rotation (VERDICT r11 item 4 — the written r12 front).
-    # (a) r11 fails: none.
-    # (c) new/changed this round first:
-    "s13_kafka_tcp",  # changed: page-generator drain + EARLIEST anchor
-    "t10_kafka_tcp_stream",  # changed: per-batch partition re-discovery
-    "x13_tcp_bronze",  # rides the changed kafka_tcp stack
-    "l2_semdedup",  # changed: hot-cluster second-pass split
-    "l2_semdedup_recall",  # its recall contract through the split
-    "x3_corpus_health",  # changed: one-tokenize-pass checkpoint plan
-    "l6_dsir_scan",  # changed: non-null bucket key + 4-char md5 form
-    "d74_lineage",  # changed: listener-path OUTPUT lineage
-    "s13_kafka_produce",  # NEW: Produce v3 round trip, write face
-    "f5_json",  # changed: one-pass json_tuple extraction
-    "t11_kafka_tcp_pipe",  # NEW: kafka→kafka streaming pipe capstone
-    # (d) the r05-stale tail named in r11's registry comment — the 19
-    # remaining r05-cohort ids (recall contracts, l6/l7 pairs, t4/t5,
-    # p-family) plus the deferred cuts, in the written order:
-    "l4_embed_quantize",
-    "l4_quant_recall",
-    "p4_filter_and",
-    "p12_dedup_rows",
-    "l2_ngram_jaccard",
-    "d12_time_travel",
-    "l2_minhash_recall",
-    "l2_simhash_recall",
-    "l2_simhash_sensitivity",
-    "l2_embed_fuzzy_recall",
-    "l3_bpe_token_count",
-    "l3_bpe_learn",
-    "l6_split_assign",
-    "l6_global_shuffle",
-    "l6_pack_sequences_bpe",
-    "l6_chunk_docs_bpe",
-    "l7_contamination",
-    "l7_contamination_scan",
-    "l7_fuzzy_decontam",
-    "l7_fuzzy_recall",
-    "l4_ann_ivf",
-    "t4_watermark",
-    "t5_stateful_dedup",
-    "p5_null_filter",
-    "p6_when",
-    "p8_cast",
-    "p11_fillna",
-    "p13_distinct",
-    "p14_concat",
-    # then the r06 cohort:
-    "s13_jdbc_roundtrip",
-    "l5_image_decode",
-    "l5_audio_decode",
-    "l5_video_decode",
-    "l5_multimodal",
-    "u5_pandas_udf",
-    "u5b_pandas_grouped_agg",
-    "u6_grouped_map",
-    "u7_udtf",
-    "l6_chunk_docs",
-    # 50 exactly (s13_kafka_produce, t11_kafka_tcp_pipe and the
-    # changed f5_json took the last slots; l6_vocab_topk,
-    # l6_pack_sequences and l6_stratified_sample move to the r13
-    # front). r13 backlog (write down so nothing silently ages):
-    # l6_vocab_topk, l6_pack_sequences, l6_stratified_sample,
-    # l6_pii_scrub, l6_mixture_epochs (the rest of the r06 l6
-    # cohort), l2_embed_recall, l4_ivf_recall, l3_langid,
-    # l3_langid_eval, then the r07 cohort (d36-d40, x6, t8) as it
+    # ---- r13 rotation (VERDICT r12 item 2 — the written r13 front,
+    # derived from the actual last-green map over CORRECTNESS_r*.json,
+    # not the stale r12 comment the judge flagged).
+    # (a) r12 fails: none.
+    # (c) new/changed this round first — the driver-side MoR/DV delete
+    # path (localrel LocalRelation frames) touches every delete-bearing
+    # read; SemDeDup's hot split is a broadcast join now; the kafka
+    # write faces gained headers/tombstones/produce validation; the
+    # commit paths emit lineage; the SQL face plans joins via the CBO:
+    "d37_delta_dv_read",  # changed: driver-side DV set, LocalRelation
+    "d38_iceberg_mor_read",  # changed: driver-side eq-delete path
+    "d26_iceberg_mor",  # rides _apply_deletes
+    "d27_delta_dv",  # rides _dv_row_filter
+    "d52_iceberg_dv",  # rides the PUFFIN DV branch
+    "d58_rewrite_pos_deletes",  # rides the pos-delete branch
+    "l2_semdedup",  # changed: broadcast hot-id split
+    "l2_semdedup_recall",  # its recall contract
+    "s13_kafka_produce",  # changed: headers folded into the oracle
+    "s13_kafka_tcp",  # rides the produce/validation stack
+    "t10_kafka_tcp_stream",  # rides the DataSource reader changes
+    "t11_kafka_tcp_pipe",  # rides both write faces
+    "x13_tcp_bronze",  # rides kafka_tcp + commit lineage
+    "d74_lineage",  # changed: native-commit lineage hook
+    "d35_sql_native",  # changed: CBO-planned SELECT joins
+    "x12_cbo_multiway",  # rides order_joins
+    "x10_cbo_join",  # rides advise_join
+    # (d) the 8 r06-stale ids (VERDICT r12 item 2 named them):
+    "d19_delta_schema_merge",
+    "d20_delta_partitioned",
+    "d34_zorder_native",
+    "l3_gopher_gate",
+    "l6_dsir_select",
+    "l6_pack_sequences",
+    "l6_passage_dedup",
+    "t7_stream_cdf",
+    # then the r07 cohort (next-oldest, 20 ids):
+    "a1_count",
+    "a2_avg",
+    "a3_sum",
+    "a4_filtered_count",
+    "a5_groupby_agg",
+    "f1_string",
+    "f2_date",
+    "f3_math",
+    "f6_array",
+    "j1_inner_join",
+    "j3_left_join",
+    "j4_anti",
+    "j4_semi",
+    "j5_broadcast",
+    "l1_exact_dedup",
+    "l6_pii_scrub",
+    "l6_stratified_sample",
+    "l6_vocab_topk",
+    "s1_parquet_scan",
+    "s8_range",
+    # then the rest of the judge-named l6/l2/l3 backlog (r10-green,
+    # named in VERDICT r12 item 2's done-criteria):
+    "l6_mixture_epochs",
+    "l2_embed_recall",
+    "l4_ivf_recall",
+    "l3_langid",
+    "l3_langid_eval",
+    # 50 exactly. r14 backlog (write down so nothing silently ages):
+    # the r09 cohort (a7_null_audit, a8_dup_count, a9_min_cdist,
+    # a10_approx, a10_percentile, a11_cube, a11_gsets, a11_rollup,
+    # d15_zorder_preserves, f4_map, p1_project, p2_selectexpr,
+    # p3_filter_eq, s2_csv_roundtrip, s5_append_sink, t1_tumbling,
+    # t2_sliding, t3_session, x4_lakehouse_composite), then the r10
+    # cohort (d17, d21, d22, d25, d29-d33, d36, d39-d45 ...) as it
     # becomes the oldest.
 ]
 

@@ -64,6 +64,9 @@ _API_PRODUCE = 0
 _API_FETCH = 1
 _API_LIST_OFFSETS = 2
 _API_METADATA = 3
+_API_OFFSET_COMMIT = 8
+_API_OFFSET_FETCH = 9
+_API_FIND_COORDINATOR = 10
 _API_VERSIONS = 18
 
 EARLIEST = -2  # ListOffsets timestamp sentinels (public protocol)
@@ -281,6 +284,91 @@ def list_offsets(
                     )
                 out[pid] = off
         return out
+
+
+def find_coordinator(host: str, port: int, group: str) -> tuple[str, int]:
+    """FindCoordinator v0 → the (host, port) coordinating ``group`` —
+    the first hop of every real consumer-group client. A single-node
+    peer answers itself."""
+    w = _Writer().string(group)
+    with socket.create_connection((host, port), timeout=10) as sock:
+        r = _roundtrip(sock, _API_FIND_COORDINATOR, 0, 9, w.done())
+        err = r.i16()
+        if err:
+            raise ValueError(f"FindCoordinator error {err} for {group!r}")
+        r.i32()  # node_id
+        chost = r.string()
+        cport = r.i32()
+        return str(chost), int(cport)
+
+
+def offset_commit(
+    host: str,
+    port: int,
+    group: str,
+    topic: str,
+    offsets: dict[int, int],
+    metadata: str | None = None,
+) -> None:
+    """OffsetCommit v2: durably record ``{partition: next_offset}``
+    for ``group`` at the coordinator — EXTERNAL consumer bookkeeping
+    (this engine's own streaming reader keeps offsets in the Spark
+    checkpoint instead, the stock connector's model; this surface
+    exists for parity with non-Spark consumers sharing the topic)."""
+    w = _Writer()
+    w.string(group)
+    w.i32(-1)  # generation_id: no group membership protocol
+    w.string("")  # member_id
+    w.i64(-1)  # retention_time_ms: broker default
+    w.i32(1).string(topic)
+    w.i32(len(offsets))
+    for pid in sorted(offsets):
+        w.i32(pid).i64(int(offsets[pid])).string(metadata)
+    with socket.create_connection((host, port), timeout=10) as sock:
+        r = _roundtrip(sock, _API_OFFSET_COMMIT, 2, 10, w.done())
+        for _ in range(r.i32()):
+            r.string()  # topic
+            for _p in range(r.i32()):
+                pid = r.i32()
+                err = r.i16()
+                if err:
+                    raise ValueError(
+                        f"OffsetCommit error {err} for {topic}-{pid}"
+                    )
+
+
+def offset_fetch(
+    host: str,
+    port: int,
+    group: str,
+    topic: str,
+    partitions: list[int],
+) -> dict[int, int]:
+    """OffsetFetch v1 → ``{partition: committed_offset}`` for
+    ``group`` (-1 = nothing committed, the wire contract — callers
+    anchor such partitions via ListOffsets instead)."""
+    w = _Writer()
+    w.string(group)
+    w.i32(1).string(topic)
+    w.i32(len(partitions))
+    for pid in partitions:
+        w.i32(pid)
+    out: dict[int, int] = {}
+    with socket.create_connection((host, port), timeout=10) as sock:
+        r = _roundtrip(sock, _API_OFFSET_FETCH, 1, 11, w.done())
+        for _ in range(r.i32()):
+            r.string()  # topic
+            for _p in range(r.i32()):
+                pid = r.i32()
+                off = r.i64()
+                r.string()  # metadata
+                err = r.i16()
+                if err:
+                    raise ValueError(
+                        f"OffsetFetch error {err} for {topic}-{pid}"
+                    )
+                out[pid] = off
+    return out
 
 
 def produce(
@@ -548,11 +636,15 @@ def read_kafka_topic(
 class SegmentResponder:
     """In-process loopback peer serving on-disk segment dirs over the
     wire protocol (ApiVersions v0 / Metadata v0 / ListOffsets v1 /
-    Fetch v4 / Produce v3). One thread, sequential connections with a
+    Fetch v4 / Produce v3 / FindCoordinator v0 / OffsetCommit v2 /
+    OffsetFetch v1). One thread, sequential connections with a
     per-connection recv timeout — a correctness fixture, not a
     broker. Topic layout = ``kafka_wire`` convention:
-    ``<root>/<topic>-<partition>/*.log``; Produce appends with broker
-    offset assignment and auto-creates unknown topic-partitions."""
+    ``<root>/<topic>-<partition>/*.log``; Produce validates each
+    record set (bounds/magic/CRC-32C, answering CORRUPT_MESSAGE on
+    failure) then appends with broker offset assignment,
+    auto-creating unknown topic-partitions; consumer-group offsets
+    live in ``group_offsets`` for the responder's lifetime."""
 
     def __init__(self, root: str, host: str = "127.0.0.1") -> None:
         import os
@@ -576,6 +668,14 @@ class SegmentResponder:
                 self.partitions[(topic, int(part))] = segs[0]
         self._srv = socket.create_server((host, 0))
         self.host, self.port = self._srv.getsockname()
+        # consumer-group committed offsets, the coordinator surface:
+        # {(group, topic, partition): (offset, metadata)} — a real
+        # broker persists these in __consumer_offsets; the fixture
+        # keeps them for the responder's lifetime (same durability
+        # class as its in-memory partition map)
+        self.group_offsets: dict[
+            tuple[str, str, int], tuple[int, str | None]
+        ] = {}
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._serve, name="kafka-segment-responder",
@@ -668,7 +768,10 @@ class SegmentResponder:
         w = _Writer().i32(corr_id)
         if api_key == _API_VERSIONS and api_version == 0:
             w.i16(_ERR_NONE)
-            w.i32(5)
+            w.i32(8)
+            w.i16(_API_OFFSET_COMMIT).i16(2).i16(2)
+            w.i16(_API_OFFSET_FETCH).i16(1).i16(1)
+            w.i16(_API_FIND_COORDINATOR).i16(0).i16(0)
             w.i16(_API_PRODUCE).i16(3).i16(3)
             w.i16(_API_FETCH).i16(4).i16(4)
             w.i16(_API_LIST_OFFSETS).i16(1).i16(1)
@@ -797,6 +900,48 @@ class SegmentResponder:
                     w.i16(_ERR_NONE).i64(hwm).i64(hwm)
                     w.i32(0)  # no aborted txns
                     w.nbytes(records)
+            return w.done()
+        if api_key == _API_FIND_COORDINATOR and api_version == 0:
+            # a single-node peer coordinates every group itself
+            req.string()  # coordinator_key (the group id)
+            w.i16(_ERR_NONE).i32(0).string(self.host).i32(self.port)
+            return w.done()
+        if api_key == _API_OFFSET_COMMIT and api_version == 2:
+            group = req.string() or ""
+            req.i32()     # generation_id: no rebalance protocol served
+            req.string()  # member_id
+            req.i64()     # retention_time_ms: fixture never expires
+            n_topics = req.i32()
+            resp_oc: list[tuple[str, list[tuple[int, int]]]] = []
+            for _ in range(n_topics):
+                topic = req.string()
+                parts = []
+                for _p in range(req.i32()):
+                    pid = req.i32()
+                    off = req.i64()
+                    md = req.string()
+                    self.group_offsets[(group, topic, pid)] = (off, md)
+                    parts.append((pid, _ERR_NONE))
+                resp_oc.append((topic, parts))
+            w.i32(len(resp_oc))
+            for topic, parts in resp_oc:
+                w.string(topic).i32(len(parts))
+                for pid, err in parts:
+                    w.i32(pid).i16(err)
+            return w.done()
+        if api_key == _API_OFFSET_FETCH and api_version == 1:
+            group = req.string() or ""
+            n_topics = req.i32()
+            w.i32(n_topics)
+            for _ in range(n_topics):
+                topic = req.string()
+                pids = [req.i32() for _p in range(req.i32())]
+                w.string(topic).i32(len(pids))
+                for pid in pids:
+                    off, md = self.group_offsets.get(
+                        (group, topic, pid), (-1, None)
+                    )  # -1 = nothing committed, the wire contract
+                    w.i32(pid).i64(off).string(md).i16(_ERR_NONE)
             return w.done()
         # every other (key, version): loud UNSUPPORTED_VERSION with a
         # shape-correct minimal body so clients fail cleanly
