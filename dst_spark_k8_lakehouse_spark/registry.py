@@ -73,6 +73,7 @@ PRIORITY: list[str] = [
     "l2_semdedup",  # changed: broadcast hot-id split
     "l2_semdedup_recall",  # its recall contract
     "s13_kafka_produce",  # changed: headers folded into the oracle
+    "s13_kafka_group_resume",  # NEW: coordinator resume, oracle
     "s13_kafka_tcp",  # rides the produce/validation stack
     "t10_kafka_tcp_stream",  # rides the DataSource reader changes
     "t11_kafka_tcp_pipe",  # rides both write faces
@@ -110,7 +111,6 @@ PRIORITY: list[str] = [
     "l6_stratified_sample",
     "l6_vocab_topk",
     "s1_parquet_scan",
-    "s8_range",
     # then the rest of the judge-named l6/l2/l3 backlog (r10-green,
     # named in VERDICT r12 item 2's done-criteria):
     "l6_mixture_epochs",
@@ -118,7 +118,9 @@ PRIORITY: list[str] = [
     "l4_ivf_recall",
     "l3_langid",
     "l3_langid_eval",
-    # 50 exactly. r14 backlog (write down so nothing silently ages):
+    # 50 exactly (s13_kafka_group_resume took s8_range's slot — a
+    # trivial r07 scan, fronted in r14 instead). r14 backlog (write
+    # down so nothing silently ages): s8_range, then
     # the r09 cohort (a7_null_audit, a8_dup_count, a9_min_cdist,
     # a10_approx, a10_percentile, a11_cube, a11_gsets, a11_rollup,
     # d15_zorder_preserves, f4_map, p1_project, p2_selectexpr,

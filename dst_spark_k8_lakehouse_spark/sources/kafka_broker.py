@@ -371,6 +371,32 @@ def offset_fetch(
     return out
 
 
+def commit_read_position(
+    host: str,
+    port: int,
+    group: str,
+    topic: str,
+) -> dict[int, int]:
+    """Commit every partition's CURRENT high watermark for ``group``
+    — the bookkeeping step after a ``read_kafka_topic(group_id=…)``
+    drain has been fully consumed. Returns what was committed.
+    At-least-once by construction: records produced between the drain
+    and this commit are skipped-forward past, and a crash BEFORE the
+    commit re-reads the whole batch — the standard non-transactional
+    batch-consumer contract (exactly-once pipelines pair the read
+    with an idempotent lakehouse sink instead)."""
+    meta = request_metadata(host, port, [topic])
+    tmeta = next(
+        (t for t in meta["topics"] if t["name"] == topic), None
+    )
+    if tmeta is None or tmeta["error"]:
+        raise ValueError(f"topic {topic!r} unknown to {host}:{port}")
+    parts = [p["partition"] for p in tmeta["partitions"]]
+    hwm = list_offsets(host, port, topic, parts, LATEST)
+    offset_commit(host, port, group, topic, hwm)
+    return hwm
+
+
 def produce(
     host: str,
     port: int,
@@ -552,6 +578,7 @@ def read_kafka_topic(
     start_offset: int | None = None,
     max_bytes: int = 1 << 20,
     include_headers: bool = False,
+    group_id: str | None = None,
 ):
     """Batch-read a whole topic over the wire protocol into the exact
     ``format("kafka")`` frame (KAFKA_WIRE_SCHEMA). Driver: one
@@ -569,7 +596,15 @@ def read_kafka_topic(
     ``include_headers=True`` (stock-connector parity): the frame
     grows a trailing ``headers array<struct<key string, value
     binary>>`` column decoded from each record — the schema changes
-    ONLY when asked, like the stock option."""
+    ONLY when asked, like the stock option.
+
+    ``group_id`` (r13): anchor each partition at the group's
+    COMMITTED offset (OffsetFetch v1), falling back to EARLIEST for
+    partitions with nothing committed (-1, the wire contract) — the
+    external batch-consumer resume shape. Pair with
+    ``commit_read_position`` AFTER the drained frame is fully
+    consumed; committing first would drop rows on a failed action
+    (at-least-once, like every non-transactional consumer)."""
     from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
     from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
         KAFKA_WIRE_SCHEMA,
@@ -584,7 +619,22 @@ def read_kafka_topic(
     if tmeta is None or tmeta["error"]:
         raise ValueError(f"topic {topic!r} unknown to {host}:{port}")
     partitions = [p["partition"] for p in tmeta["partitions"]]
-    if start_offset is None:
+    if group_id is not None:
+        if start_offset is not None:
+            raise ValueError(
+                "pass start_offset OR group_id, not both"
+            )
+        committed = offset_fetch(host, port, group_id, topic, partitions)
+        fresh = [p for p in partitions if committed[p] < 0]
+        anchors = (
+            list_offsets(host, port, topic, fresh, EARLIEST)
+            if fresh else {}
+        )
+        starts = {
+            p: committed[p] if committed[p] >= 0 else anchors[p]
+            for p in partitions
+        }
+    elif start_offset is None:
         starts = list_offsets(host, port, topic, partitions, EARLIEST)
     else:
         starts = {p: start_offset for p in partitions}
@@ -1352,6 +1402,83 @@ def _produce_fixture(spark, sf_dir: str) -> tuple["SegmentResponder", bool]:
     return _PRODUCE_STATE[sf_dir]
 
 
+# (responder, resume-contract flag) per (process, sf_dir) — wave A is
+# produced, group-read (EARLIEST fallback), committed; wave B produced
+# after. The query then group-reads repeatedly: always exactly wave B.
+_GROUP_RESUME_STATE: dict[str, tuple["SegmentResponder", bool]] = {}
+
+_RESUME_GROUP = "resume-oracle"
+_RESUME_SPLIT = 1000  # wave A = event_id <= split; wave B = the rest
+
+
+def _group_resume_fixture(
+    spark, sf_dir: str
+) -> tuple["SegmentResponder", bool]:
+    """The external batch-consumer RESUME shape, staged once per
+    (process, sf_dir): produce wave A → group-anchored read (nothing
+    committed yet → EARLIEST fallback) → ``commit_read_position`` →
+    produce wave B. The memoized flag folds the wave-A leg into the
+    oracle: the anchored read saw exactly wave A's rows and the
+    committed position equals wave A's per-partition high watermark."""
+    got = _GROUP_RESUME_STATE.get(sf_dir)
+    if got is not None:
+        return got
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="dst-kafka-resume-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    responder = SegmentResponder(root)
+    responder.__enter__()
+    atexit.register(responder.close)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") <= 2000
+    )
+    payload = ev.select(
+        F.col("event_id").alias("eid"),
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(*ev.columns),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        ).cast("binary").alias("value"),
+        (F.col("event_id") % 2).cast("int").alias("partition"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias(
+            "timestamp_ms"
+        ),
+    )
+    wave_a = payload.filter(F.col("eid") <= _RESUME_SPLIT).drop("eid")
+    wave_b = payload.filter(F.col("eid") > _RESUME_SPLIT).drop("eid")
+    n_a = wave_a.count()
+    write_kafka_topic(
+        wave_a, responder.host, responder.port, "resumed",
+        records_per_batch=100,
+    ).collect()
+    first = read_kafka_topic(
+        spark, responder.host, responder.port, "resumed",
+        group_id=_RESUME_GROUP,
+    )
+    n_first = first.count()
+    committed = commit_read_position(
+        responder.host, responder.port, _RESUME_GROUP, "resumed"
+    )
+    hwm = list_offsets(
+        responder.host, responder.port, "resumed",
+        sorted(committed), LATEST,
+    )
+    ok = n_first == n_a and committed == hwm
+    write_kafka_topic(
+        wave_b, responder.host, responder.port, "resumed",
+        records_per_batch=100,
+    ).collect()
+    _GROUP_RESUME_STATE[sf_dir] = (responder, ok)
+    return _GROUP_RESUME_STATE[sf_dir]
+
+
 def _register() -> None:
     from dst_spark_k8_lakehouse_spark.exact import sum_sql
     from dst_spark_k8_lakehouse_spark.registry import query
@@ -1473,6 +1600,55 @@ def _register() -> None:
             exact.exact_sum("value").alias("total_value"),
             F.first(F.lit(bool(ok))).alias("produced_ok"),
             F.sum("hdr_ok").alias("n_hdr_match"),
+        )
+
+    @query(
+        "s13_kafka_group_resume",
+        oracle=f"""
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   {sum_sql('value')} AS total_value,
+                   TRUE AS resume_ok
+            FROM events
+            WHERE event_id > {_RESUME_SPLIT} AND event_id <= 2000
+            GROUP BY event_type
+        """,
+    )
+    def s13_kafka_group_resume(spark, sf_dir: str):
+        """S13 CONSUMER-GROUP RESUME (r13, VERDICT r12 item 4
+        stretch, oracle-checked end to end): the external
+        batch-consumer bookkeeping loop over the coordinator surface.
+        The fixture produces wave A (event_id <= _RESUME_SPLIT), reads it
+        group-anchored (OffsetFetch answers -1 → EARLIEST fallback),
+        ``commit_read_position``s, then produces wave B. THIS query
+        is the resumed read: ``read_kafka_topic(group_id=…)`` anchors
+        every partition at the group's committed offset, so it must
+        return EXACTLY wave B — one lost/duplicated row or a
+        mis-anchored partition flips the oracle hash, and the
+        memoized ``resume_ok`` folds the wave-A leg (anchored first
+        read saw exactly wave A; committed == its high watermark) in
+        too. Repeat calls re-read from the same committed position —
+        identical results, the driver's repeat-call probe holds."""
+        from dst_spark_k8_lakehouse_spark import exact
+        from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
+            parse_kafka_events,
+        )
+        from pyspark.sql import functions as F
+
+        responder, ok = _group_resume_fixture(spark, sf_dir)
+        wire = read_kafka_topic(
+            spark, responder.host, responder.port, "resumed",
+            max_bytes=64 << 10, group_id=_RESUME_GROUP,
+        )
+        events = parse_kafka_events(wire)
+        return events.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            exact.exact_sum("value").alias("total_value"),
+            F.first(F.lit(bool(ok))).alias("resume_ok"),
         )
 
 

@@ -927,3 +927,45 @@ def test_consumer_group_resume_pattern(spark, tmp_path):
         assert [int(x[0].decode()) for x in second] == list(
             range(10, 15)
         )
+
+
+def test_read_kafka_topic_group_anchored(spark, tmp_path):
+    """read_kafka_topic(group_id=…): partitions anchor at the group's
+    committed offsets, EARLIEST fallback for uncommitted ones, and
+    commit_read_position records the high watermark — the distributed
+    face of the coordinator round trip."""
+    root = str(tmp_path / "seg")
+    os.makedirs(root)
+    from pyspark.sql import functions as F
+
+    def wave(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").cast("string").cast("binary").alias("key"),
+            F.concat(F.lit("v-"), F.col("id")).cast("binary").alias("value"),
+            (F.col("id") % 2).cast("int").alias("partition"),
+        )
+
+    with kb.SegmentResponder(root) as r:
+        kb.write_kafka_topic(wave(0, 40), r.host, r.port, "t").collect()
+        first = kb.read_kafka_topic(
+            spark, r.host, r.port, "t", group_id="g"
+        ).toPandas()
+        assert len(first) == 40  # nothing committed -> EARLIEST
+        committed = kb.commit_read_position(r.host, r.port, "g", "t")
+        assert sum(committed.values()) == 40
+        kb.write_kafka_topic(wave(100, 15), r.host, r.port, "t").collect()
+        second = kb.read_kafka_topic(
+            spark, r.host, r.port, "t", group_id="g"
+        ).toPandas()
+        assert sorted(int(k.decode()) for k in second["key"]) == list(
+            range(100, 115)
+        )
+        # another group is unaffected: still reads everything
+        allrows = kb.read_kafka_topic(
+            spark, r.host, r.port, "t", group_id="g2"
+        ).toPandas()
+        assert len(allrows) == 55
+        with pytest.raises(ValueError, match="not both"):
+            kb.read_kafka_topic(
+                spark, r.host, r.port, "t", start_offset=0, group_id="g"
+            )
