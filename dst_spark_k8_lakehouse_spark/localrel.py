@@ -19,11 +19,19 @@ size-gate and fall back to a distributed scan (see
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _ARROW_KEY = "spark.sql.execution.arrow.pyspark.enabled"
+
+# the Arrow conf is session-global: two driver threads (a streaming
+# micro-batch hitting a DV read while the main thread plans another)
+# racing the set/restore could build one frame as Scan ExistingRDD
+# and leave the conf flipped for the rest of the session — serialize
+# the flip + createDataFrame critical section
+_FLIP_LOCK = threading.Lock()
 
 
 def local_frame(
@@ -59,16 +67,17 @@ def local_frame(
         },
         columns=names,
     )
-    try:
-        prior = spark.conf.get(_ARROW_KEY)
-    except Exception:
-        prior = None
-    spark.conf.set(_ARROW_KEY, "true")
-    try:
-        df = spark.createDataFrame(pdf, schema=struct)
-    finally:
-        if prior is None:
-            spark.conf.unset(_ARROW_KEY)
-        else:
-            spark.conf.set(_ARROW_KEY, prior)
+    with _FLIP_LOCK:
+        try:
+            prior = spark.conf.get(_ARROW_KEY)
+        except Exception:
+            prior = None
+        spark.conf.set(_ARROW_KEY, "true")
+        try:
+            df = spark.createDataFrame(pdf, schema=struct)
+        finally:
+            if prior is None:
+                spark.conf.unset(_ARROW_KEY)
+            else:
+                spark.conf.set(_ARROW_KEY, prior)
     return df

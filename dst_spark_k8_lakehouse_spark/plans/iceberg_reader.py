@@ -431,11 +431,15 @@ _NORM_FILE = (
     "regexp_replace(regexp_replace({col}, '^file:', ''), '^/+', '/')"
 )
 
-# per-category cap for reading delete files DRIVER-side (pyarrow →
-# LocalRelation): compressed parquet bytes, not rows. Above it the
-# distributed join path engages — driver memory stays bounded at any
-# table scale.
+# per-category caps for reading delete files DRIVER-side (pyarrow →
+# LocalRelation). Both must hold: compressed bytes AND decoded rows —
+# a dictionary-compressed delete file (file_path is one repeated
+# string) can pack tens of millions of rows under a byte cap alone,
+# and to_pylist would materialize them all on the driver. Above
+# either cap the distributed join path engages — driver memory stays
+# bounded at any table scale.
 _DRIVER_DELETE_MAX_BYTES = 8 << 20
+_DRIVER_DELETE_MAX_ROWS = 1_000_000
 
 
 def _norm_file_py(p: str) -> str:
@@ -492,10 +496,17 @@ def _apply_deletes(
     dv_dels = [e for e in pos_dels if e.get("format") == "PUFFIN"]
 
     def _driver_small(entries: list[dict]) -> bool:
+        import pyarrow.parquet as pq
+
         try:
-            return sum(
+            if sum(
                 os.path.getsize(e["path"]) for e in entries
-            ) <= _DRIVER_DELETE_MAX_BYTES
+            ) > _DRIVER_DELETE_MAX_BYTES:
+                return False
+            return sum(
+                pq.ParquetFile(e["path"]).metadata.num_rows
+                for e in entries
+            ) <= _DRIVER_DELETE_MAX_ROWS
         except OSError:
             return False
 
@@ -558,7 +569,10 @@ def _apply_deletes(
                 with open(e["path"], "rb") as fh:
                     fh.seek(e["offset"])
                     blob = fh.read(e["size"])
-                ref = os.path.normpath(e["referenced"])
+                # join key must match the SCAN column's normalization
+                # (_NORM_FILE regexp) EXACTLY — normpath here would
+                # silently miss any stored spelling normpath changes
+                ref = _norm_file_py(e["referenced"])
                 out += [
                     (ref, int(p), int(e["seq"]))
                     for p in puffin.dv_blob_decode(blob)
@@ -577,12 +591,19 @@ def _apply_deletes(
                     tbl.column("file_path").to_pylist(),
                     tbl.column("pos").to_pylist(),
                 ):
-                    tgt = os.path.normpath(_norm_file_py(str(fp)))
-                    if e["seq"] >= seq_by_file.get(tgt, 0):
+                    # the JOIN key mirrors the scan column's
+                    # _NORM_FILE normalization exactly (the
+                    # distributed branch applies the same regexp to
+                    # this very column); normpath is for the
+                    # DRIVER-side seq lookup only, whose map keys are
+                    # normpath-built
+                    tgt = _norm_file_py(str(fp))
+                    seq = seq_by_file.get(os.path.normpath(tgt), 0)
+                    if e["seq"] >= seq:
                         rows.append((tgt, int(p)))
             rows += [
                 (ref, p) for ref, p, s in _dv_rows()
-                if s >= seq_by_file.get(ref, 0)
+                if s >= seq_by_file.get(os.path.normpath(ref), 0)
             ]
             dels = local_frame(spark, rows, "__df string, __dp long")
             df = df.join(

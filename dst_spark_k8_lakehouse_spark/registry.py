@@ -91,7 +91,8 @@ PRIORITY: list[str] = [
     "l6_pack_sequences",
     "l6_passage_dedup",
     "t7_stream_cdf",
-    # then the r07 cohort (next-oldest, 20 ids):
+    # then the r07 cohort (next-oldest; 19 of its 20 ids — s8_range
+    # yielded its slot to s13_kafka_group_resume, fronted in r14):
     "a1_count",
     "a2_avg",
     "a3_sum",

@@ -371,30 +371,34 @@ def offset_fetch(
     return out
 
 
+def consumed_positions(pdf) -> dict[int, int]:
+    """Per-partition next-offsets (max(offset)+1) of a MATERIALIZED
+    drain — a pandas frame from ``read_kafka_topic(...).toPandas()``.
+    Takes the materialization, not the lazy DataFrame: re-aggregating
+    a lazy drain would re-fetch and could see rows produced since."""
+    out = pdf.groupby("partition")["offset"].max()
+    return {int(p): int(o) + 1 for p, o in out.items()}
+
+
 def commit_read_position(
     host: str,
     port: int,
     group: str,
     topic: str,
-) -> dict[int, int]:
-    """Commit every partition's CURRENT high watermark for ``group``
-    — the bookkeeping step after a ``read_kafka_topic(group_id=…)``
-    drain has been fully consumed. Returns what was committed.
-    At-least-once by construction: records produced between the drain
-    and this commit are skipped-forward past, and a crash BEFORE the
-    commit re-reads the whole batch — the standard non-transactional
-    batch-consumer contract (exactly-once pipelines pair the read
-    with an idempotent lakehouse sink instead)."""
-    meta = request_metadata(host, port, [topic])
-    tmeta = next(
-        (t for t in meta["topics"] if t["name"] == topic), None
-    )
-    if tmeta is None or tmeta["error"]:
-        raise ValueError(f"topic {topic!r} unknown to {host}:{port}")
-    parts = [p["partition"] for p in tmeta["partitions"]]
-    hwm = list_offsets(host, port, topic, parts, LATEST)
-    offset_commit(host, port, group, topic, hwm)
-    return hwm
+    positions: dict[int, int],
+) -> None:
+    """Commit the positions the caller actually CONSUMED (per-
+    partition next-offsets, e.g. ``consumed_positions(pdf)``) for
+    ``group`` — the bookkeeping step after a
+    ``read_kafka_topic(group_id=…)`` drain is fully processed.
+    At-least-once: a crash before this commit re-reads the batch.
+    Committing anything NEWER than what was consumed (a fresh
+    ListOffsets(LATEST), say) would silently skip records produced
+    between the drain and the commit — at-most-once data loss, which
+    is why this function refuses to look up offsets itself."""
+    if not positions:
+        return
+    offset_commit(host, port, group, topic, positions)
 
 
 def produce(
@@ -602,9 +606,10 @@ def read_kafka_topic(
     COMMITTED offset (OffsetFetch v1), falling back to EARLIEST for
     partitions with nothing committed (-1, the wire contract) — the
     external batch-consumer resume shape. Pair with
-    ``commit_read_position`` AFTER the drained frame is fully
-    consumed; committing first would drop rows on a failed action
-    (at-least-once, like every non-transactional consumer)."""
+    ``commit_read_position(…, consumed_positions(pdf))`` AFTER the
+    drained frame is fully consumed; committing first would drop rows
+    on a failed action (at-least-once, like every non-transactional
+    consumer)."""
     from dst_spark_k8_lakehouse_spark.shipping import ensure_shipped
     from dst_spark_k8_lakehouse_spark.streaming.pipelines import (
         KAFKA_WIRE_SCHEMA,
@@ -1326,6 +1331,68 @@ def _responder_fixture(spark, sf_dir: str) -> "SegmentResponder":
 _PRODUCE_STATE: dict[str, tuple["SegmentResponder", bool]] = {}
 
 
+def _staged_responder(prefix: str) -> "SegmentResponder":
+    """A live responder over a fresh EMPTY root, torn down at process
+    exit — the shared staging step of the produce-side fixtures."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    responder = SegmentResponder(root)
+    responder.__enter__()
+    atexit.register(responder.close)
+    return responder
+
+
+def _events_wire_payload(spark, sf_dir: str, with_headers: bool):
+    """The 2000-event fixtures' wire payload, shared by BOTH
+    produce-side fixtures so the load-bearing details live once:
+    JSON values with the FULL-microsecond timestampFormat (to_json's
+    default truncates to millis and would fail parse_kafka_events'
+    round trip), partition = event_id % 2. Keeps ``eid`` for wave
+    filtering; callers drop it before producing."""
+    from pyspark.sql import functions as F
+
+    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") <= 2000
+    )
+    cols = [
+        F.col("event_id").alias("eid"),
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(*ev.columns),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        ).cast("binary").alias("value"),
+        (F.col("event_id") % 2).cast("int").alias("partition"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias(
+            "timestamp_ms"
+        ),
+    ]
+    if with_headers:
+        # per-record HEADERS (r13, includeHeaders parity): one
+        # value-checkable header keyed to the record plus one
+        # null-valued header (hvlen=-1 on the wire) — the read side
+        # folds both into its oracle hash
+        cols.append(
+            F.array(
+                F.struct(
+                    F.lit("eid").alias("key"),
+                    F.col("event_id").cast("string").cast("binary")
+                    .alias("value"),
+                ),
+                F.struct(
+                    F.lit("null_h").alias("key"),
+                    F.lit(None).cast("binary").alias("value"),
+                ),
+            ).alias("headers")
+        )
+    return ev.select(*cols)
+
+
 def _produce_fixture(spark, sf_dir: str) -> tuple["SegmentResponder", bool]:
     """A responder with an EMPTY root; the first call PRODUCES the
     2000-event set over TCP through the distributed write face
@@ -1336,50 +1403,12 @@ def _produce_fixture(spark, sf_dir: str) -> tuple["SegmentResponder", bool]:
     got = _PRODUCE_STATE.get(sf_dir)
     if got is not None:
         return got
-    import atexit
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
-
-    root = tempfile.mkdtemp(prefix="dst-kafka-produce-")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    responder = SegmentResponder(root)
-    responder.__enter__()
-    atexit.register(responder.close)
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_id") <= 2000
-    )
-    payload = ev.select(
-        F.col("event_id").cast("string").cast("binary").alias("key"),
-        F.to_json(
-            F.struct(*ev.columns),
-            # full-microsecond format: to_json's default truncates to
-            # millis and would fail parse_kafka_events' round trip
-            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
-        ).cast("binary").alias("value"),
-        (F.col("event_id") % 2).cast("int").alias("partition"),
-        F.unix_millis(F.col("ts").cast("timestamp")).alias(
-            "timestamp_ms"
-        ),
-        # per-record HEADERS (r13, includeHeaders parity): one
-        # value-checkable header keyed to the record plus one
-        # null-valued header (hvlen=-1 on the wire) — the read side
-        # folds both into its oracle hash
-        F.array(
-            F.struct(
-                F.lit("eid").alias("key"),
-                F.col("event_id").cast("string").cast("binary")
-                .alias("value"),
-            ),
-            F.struct(
-                F.lit("null_h").alias("key"),
-                F.lit(None).cast("binary").alias("value"),
-            ),
-        ).alias("headers"),
-    )
+    responder = _staged_responder("dst-kafka-produce-")
+    payload = _events_wire_payload(
+        spark, sf_dir, with_headers=True
+    ).drop("eid")
     acks = write_kafka_topic(
         payload, responder.host, responder.port, "produced",
         records_per_batch=100, compression="gzip",
@@ -1423,34 +1452,10 @@ def _group_resume_fixture(
     got = _GROUP_RESUME_STATE.get(sf_dir)
     if got is not None:
         return got
-    import atexit
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
-
-    root = tempfile.mkdtemp(prefix="dst-kafka-resume-")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    responder = SegmentResponder(root)
-    responder.__enter__()
-    atexit.register(responder.close)
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_id") <= 2000
-    )
-    payload = ev.select(
-        F.col("event_id").alias("eid"),
-        F.col("event_id").cast("string").cast("binary").alias("key"),
-        F.to_json(
-            F.struct(*ev.columns),
-            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
-        ).cast("binary").alias("value"),
-        (F.col("event_id") % 2).cast("int").alias("partition"),
-        F.unix_millis(F.col("ts").cast("timestamp")).alias(
-            "timestamp_ms"
-        ),
-    )
+    responder = _staged_responder("dst-kafka-resume-")
+    payload = _events_wire_payload(spark, sf_dir, with_headers=False)
     wave_a = payload.filter(F.col("eid") <= _RESUME_SPLIT).drop("eid")
     wave_b = payload.filter(F.col("eid") > _RESUME_SPLIT).drop("eid")
     n_a = wave_a.count()
@@ -1461,16 +1466,17 @@ def _group_resume_fixture(
     first = read_kafka_topic(
         spark, responder.host, responder.port, "resumed",
         group_id=_RESUME_GROUP,
-    )
-    n_first = first.count()
-    committed = commit_read_position(
-        responder.host, responder.port, _RESUME_GROUP, "resumed"
+    ).toPandas()
+    positions = consumed_positions(first)
+    commit_read_position(
+        responder.host, responder.port, _RESUME_GROUP, "resumed",
+        positions,
     )
     hwm = list_offsets(
         responder.host, responder.port, "resumed",
-        sorted(committed), LATEST,
+        sorted(positions), LATEST,
     )
-    ok = n_first == n_a and committed == hwm
+    ok = len(first) == n_a and positions == hwm
     write_kafka_topic(
         wave_b, responder.host, responder.port, "resumed",
         records_per_batch=100,

@@ -951,9 +951,14 @@ def test_read_kafka_topic_group_anchored(spark, tmp_path):
             spark, r.host, r.port, "t", group_id="g"
         ).toPandas()
         assert len(first) == 40  # nothing committed -> EARLIEST
-        committed = kb.commit_read_position(r.host, r.port, "g", "t")
-        assert sum(committed.values()) == 40
+        positions = kb.consumed_positions(first)
+        assert sum(positions.values()) == 40
+        # records produced AFTER the drain but BEFORE the commit must
+        # NOT be skipped: the commit records what was CONSUMED, so the
+        # next read picks the late rows up (at-least-once, never
+        # at-most-once)
         kb.write_kafka_topic(wave(100, 15), r.host, r.port, "t").collect()
+        kb.commit_read_position(r.host, r.port, "g", "t", positions)
         second = kb.read_kafka_topic(
             spark, r.host, r.port, "t", group_id="g"
         ).toPandas()
