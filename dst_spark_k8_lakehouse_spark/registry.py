@@ -74,6 +74,7 @@ PRIORITY: list[str] = [
     "l2_semdedup_recall",  # its recall contract
     "s13_kafka_produce",  # changed: headers folded into the oracle
     "s13_kafka_group_resume",  # NEW: coordinator resume, oracle
+    "t12_stateful_running_agg",  # NEW: applyInPandasWithState, oracle
     "s13_kafka_tcp",  # rides the produce/validation stack
     "t10_kafka_tcp_stream",  # rides the DataSource reader changes
     "t11_kafka_tcp_pipe",  # rides both write faces
@@ -91,8 +92,9 @@ PRIORITY: list[str] = [
     "l6_pack_sequences",
     "l6_passage_dedup",
     "t7_stream_cdf",
-    # then the r07 cohort (next-oldest; 19 of its 20 ids — s8_range
-    # yielded its slot to s13_kafka_group_resume, fronted in r14):
+    # then the r07 cohort (next-oldest; 18 of its 20 ids — s8_range
+    # and s1_parquet_scan yielded their slots to the two NEW r13
+    # oracle ids, fronted in r14):
     "a1_count",
     "a2_avg",
     "a3_sum",
@@ -111,7 +113,6 @@ PRIORITY: list[str] = [
     "l6_pii_scrub",
     "l6_stratified_sample",
     "l6_vocab_topk",
-    "s1_parquet_scan",
     # then the rest of the judge-named l6/l2/l3 backlog (r10-green,
     # named in VERDICT r12 item 2's done-criteria):
     "l6_mixture_epochs",
@@ -119,9 +120,10 @@ PRIORITY: list[str] = [
     "l4_ivf_recall",
     "l3_langid",
     "l3_langid_eval",
-    # 50 exactly (s13_kafka_group_resume took s8_range's slot — a
-    # trivial r07 scan, fronted in r14 instead). r14 backlog (write
-    # down so nothing silently ages): s8_range, then
+    # 50 exactly (s13_kafka_group_resume and t12_stateful_running_agg
+    # took the slots of s8_range and s1_parquet_scan — trivial r07
+    # scans, fronted in r14 instead). r14 backlog (write down so
+    # nothing silently ages): s8_range, s1_parquet_scan, then
     # the r09 cohort (a7_null_audit, a8_dup_count, a9_min_cdist,
     # a10_approx, a10_percentile, a11_cube, a11_gsets, a11_rollup,
     # d15_zorder_preserves, f4_map, p1_project, p2_selectexpr,

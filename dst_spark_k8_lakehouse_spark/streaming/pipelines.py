@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from dst_spark_k8_lakehouse_spark.exact import sum_sql
 from dst_spark_k8_lakehouse_spark.registry import query
 from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
 
@@ -288,13 +289,15 @@ def _arrival_stream(
     return stream, os.path.join(base, "ck")
 
 
-def _drain_to_memory(df: DataFrame, checkpoint: str) -> DataFrame:
+def _drain_to_memory(
+    df: DataFrame, checkpoint: str, output_mode: str = "append"
+) -> DataFrame:
     """availableNow-drain ``df`` into a uniquely named memory sink and
     return the sink table (repeat calls are independent runs)."""
     import uuid
 
     name = f"t_sink_{uuid.uuid4().hex[:12]}"
-    run_available_now(df, name, checkpoint)
+    run_available_now(df, name, checkpoint, output_mode)
     return df.sparkSession.table(name)
 
 
@@ -390,6 +393,56 @@ def t5_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_within_watermark(stream, ["event_id"], _WATERMARK)
     out = _drain_to_memory(deduped, ck)
     return out.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@query(
+    "t12_stateful_running_agg",
+    oracle=f"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {sum_sql('value')} AS total_value,
+               CAST(count(DISTINCT event_id % 4) AS BIGINT)
+                   AS n_batches_seen
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def t12_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 (r13): CUSTOM stateful streaming via
+    ``applyInPandasWithState`` (``streaming/stateful.running_totals``)
+    — per-key running totals held in EXPLICIT state across
+    micro-batches, value-checked against the relational oracle.
+
+    The arrival is a deterministic 4-file stream split by
+    ``event_id % 4`` (one micro-batch per file); each batch a key
+    appears in bumps its state's ``n_batches`` and accumulates exact
+    integer cents, and the update-mode sink receives the cumulative
+    row per (key, contributing batch). The query folds the sink by
+    per-key MAXIMA (rows are cumulative, so the final state is the
+    max of every column) — ``n_batches_seen`` must equal the oracle's
+    ``count(DISTINCT event_id % 4)`` per type, so a key whose state
+    reset between batches (lost state), double-counted a batch, or
+    missed one flips the hash; ``n_events``/``total_value`` pin the
+    accumulated payload exactly. This is the capability
+    ``transformWithStateInPandas`` (T9) would provide — T9's worker
+    needs ``google.protobuf``, absent here, and the operator ships on
+    the protobuf-free ``applyInPandasWithState`` instead."""
+    from dst_spark_k8_lakehouse_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    files = [ev.filter(F.col("event_id") % 4 == b) for b in range(4)]
+    stream, ck = _arrival_stream(spark, *files)
+    out = _drain_to_memory(
+        running_totals(stream, "event_type", "value"), ck,
+        output_mode="update",
+    )
+    return out.groupBy(F.col("key").alias("event_type")).agg(
+        F.max("n_events").alias("n_events"),
+        (F.max("total_cents") / 100).cast("double").alias("total_value"),
+        F.max("n_batches").alias("n_batches_seen"),
+    )
 
 
 def foreach_batch_append(
