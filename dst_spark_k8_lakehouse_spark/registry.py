@@ -75,6 +75,7 @@ PRIORITY: list[str] = [
     "s13_kafka_produce",  # changed: headers folded into the oracle
     "s13_kafka_group_resume",  # NEW: coordinator resume, oracle
     "t12_stateful_running_agg",  # NEW: applyInPandasWithState, oracle
+    "t13_sessionize",  # NEW: custom stateful sessionization, oracle
     "s13_kafka_tcp",  # rides the produce/validation stack
     "t10_kafka_tcp_stream",  # rides the DataSource reader changes
     "t11_kafka_tcp_pipe",  # rides both write faces
@@ -92,10 +93,9 @@ PRIORITY: list[str] = [
     "l6_pack_sequences",
     "l6_passage_dedup",
     "t7_stream_cdf",
-    # then the r07 cohort (next-oldest; 18 of its 20 ids — s8_range
-    # and s1_parquet_scan yielded their slots to the two NEW r13
-    # oracle ids, fronted in r14):
-    "a1_count",
+    # then the r07 cohort (next-oldest; 17 of its 20 ids — s8_range,
+    # s1_parquet_scan and a1_count yielded their slots to the three
+    # NEW r13 oracle ids, fronted in r14):
     "a2_avg",
     "a3_sum",
     "a4_filtered_count",
@@ -120,11 +120,12 @@ PRIORITY: list[str] = [
     "l4_ivf_recall",
     "l3_langid",
     "l3_langid_eval",
-    # 50 exactly (s13_kafka_group_resume and t12_stateful_running_agg
-    # took the slots of s8_range and s1_parquet_scan — trivial r07
-    # scans, fronted in r14 instead). r14 backlog (write down so
-    # nothing silently ages): s8_range, s1_parquet_scan, then
-    # the r09 cohort (a7_null_audit, a8_dup_count, a9_min_cdist,
+    # 50 exactly (the three NEW r13 oracle ids — s13_kafka_group_
+    # resume, t12_stateful_running_agg, t13_sessionize — took the
+    # slots of s8_range, s1_parquet_scan and a1_count: trivial r07
+    # scans/aggs, fronted in r14 instead). r14 backlog (write down so
+    # nothing silently ages): s8_range, s1_parquet_scan, a1_count,
+    # then the r09 cohort (a7_null_audit, a8_dup_count, a9_min_cdist,
     # a10_approx, a10_percentile, a11_cube, a11_gsets, a11_rollup,
     # d15_zorder_preserves, f4_map, p1_project, p2_selectexpr,
     # p3_filter_eq, s2_csv_roundtrip, s5_append_sink, t1_tumbling,

@@ -445,6 +445,81 @@ def t12_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t13_sessionize",
+    oracle=f"""
+        WITH o AS (
+          SELECT user_id, ts, value, event_id,
+                 CASE WHEN ts > lag(ts) OVER
+                          (PARTITION BY user_id
+                           ORDER BY ts, event_id)
+                          + INTERVAL 60 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+        ), s AS (
+          SELECT *, SUM(brk) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o
+        ), g AS (
+          SELECT user_id, sess,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 min(ts) AS session_start,
+                 max(ts) AS session_end,
+                 {sum_sql('value')} AS total_value
+          FROM s GROUP BY user_id, sess
+        )
+        SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+               n_events, session_start, session_end, total_value
+        FROM g
+        WHERE sess < (SELECT max(sess) FROM s s2
+                      WHERE s2.user_id = g.user_id)
+    """,
+)
+def t13_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 (r13): CUSTOM SESSIONIZATION via ``applyInPandasWithState``
+    (``streaming/stateful.sessionize``) — per-user sessions with a
+    60-minute strict-gap rule, emitted EXACTLY ONCE on close, with
+    open sessions riding explicit GroupState across micro-batches.
+
+    The arrival is the events month in 4 time-ordered weekly files
+    (one micro-batch each), so sessions straddling a week boundary
+    must survive in state and close batches later. The emitted set is
+    batch-split-invariant — every session except each user's LAST
+    (nothing ever proves the last one ended) — which the oracle
+    expresses relationally: lag-gap breaks → cumulative session
+    ordinals → per-session aggregates, minus each user's max
+    ordinal. One lost open session, a double emission, a wrong fold
+    at a batch boundary, or a broken ordinal sequence flips the
+    hash; exact cents pin the payload."""
+    from dst_spark_k8_lakehouse_spark.streaming.stateful import (
+        sessionize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    lits = [F.lit(c).cast("timestamp") for c in cuts]
+    files = [
+        ev.filter(F.col("ts") < lits[0]),
+        ev.filter((F.col("ts") >= lits[0]) & (F.col("ts") < lits[1])),
+        ev.filter((F.col("ts") >= lits[1]) & (F.col("ts") < lits[2])),
+        ev.filter(F.col("ts") >= lits[2]),
+    ]
+    stream, ck = _arrival_stream(spark, *files)
+    out = _drain_to_memory(
+        sessionize(stream, "user_id", "ts", "value", "event_id", 60),
+        ck, output_mode="update",
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "session_id",
+        "n_events",
+        "session_start",
+        "session_end",
+        (F.col("total_cents") / 100).cast("double").alias("total_value"),
+    )
+
+
 def foreach_batch_append(
     df: DataFrame, target_dir: str, checkpoint_dir: str
 ) -> None:

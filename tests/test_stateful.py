@@ -145,3 +145,117 @@ def test_t12_query_matches_batch_expectation(spark):
         .collect()
     }
     assert got == exp
+
+
+def _run_sessionize(spark, d, files, gap_minutes=60):
+    """Write `files` (lists of (user, ts_str, value, event_id)) as a
+    pinned-order stream and drain the sessionizer's emissions."""
+    import uuid
+
+    from dst_spark_k8_lakehouse_spark.streaming.stateful import (
+        sessionize,
+    )
+
+    import datetime as dt
+
+    base = os.path.join(d, f"run-{uuid.uuid4().hex[:8]}")
+    os.makedirs(os.path.join(base, "in"))
+    schema = "user_id long, ts timestamp, value double, event_id long"
+
+    def _parse(rows):
+        return [
+            (u, dt.datetime.fromisoformat(ts) if isinstance(ts, str)
+             else ts, v, e)
+            for u, ts, v, e in rows
+        ]
+
+    for i, rows in enumerate(files):
+        tmp = os.path.join(base, f"w{i}")
+        spark.createDataFrame(_parse(rows), schema).coalesce(1) \
+            .write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = os.path.join(base, "in", f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "in"))
+    )
+    out = sessionize(stream, "user_id", "ts", "value", "event_id",
+                     gap_minutes)
+    name = f"t13_sink_{uuid.uuid4().hex[:8]}"
+    run_available_now(out, name, os.path.join(base, "ck"), "update")
+    return sorted(
+        (r["key"], r["session_id"], r["n_events"],
+         str(r["session_start"]), str(r["session_end"]),
+         r["total_cents"])
+        for r in spark.table(name).collect()
+    )
+
+
+def test_sessionize_closes_across_batch_boundary(spark, tmp_path):
+    """A session straddling a batch boundary folds (open state +
+    first local run merge); the next gap closes it exactly once."""
+    d = str(tmp_path)
+    rows = _run_sessionize(spark, d, [
+        # batch 0: one session (10:00-10:30), still open at the cut
+        [(1, "2024-01-01 10:00:00", 1.00, 1),
+         (1, "2024-01-01 10:30:00", 2.00, 2)],
+        # batch 1: 10:50 is within gap -> folds into the OPEN session;
+        # 13:00 breaks -> session 0 closes (3 events, 10:00-10:50)
+        [(1, "2024-01-01 10:50:00", 0.50, 3),
+         (1, "2024-01-01 13:00:00", 9.00, 4)],
+    ])
+    assert rows == [
+        (1, 0, 3, "2024-01-01 10:00:00", "2024-01-01 10:50:00", 350),
+    ]  # the 13:00 session stays open, never emitted
+
+
+def test_sessionize_boundary_break_closes_carried_state(spark, tmp_path):
+    """When the batch's FIRST row already exceeds the gap, the carried
+    open session closes AS-IS (no fold) and ordinals stay sequential."""
+    d = str(tmp_path)
+    rows = _run_sessionize(spark, d, [
+        [(7, "2024-01-01 08:00:00", 1.00, 1)],
+        # first row of batch 1 breaks; then an in-batch break too
+        [(7, "2024-01-01 12:00:00", 2.00, 2),
+         (7, "2024-01-01 15:00:00", 4.00, 3)],
+    ])
+    assert rows == [
+        (7, 0, 1, "2024-01-01 08:00:00", "2024-01-01 08:00:00", 100),
+        (7, 1, 1, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 200),
+    ]
+
+
+def test_sessionize_emitted_set_is_batch_split_invariant(spark, tmp_path):
+    """The same time-ordered events produce the SAME emitted sessions
+    whether they arrive as one batch, two, or one-per-event — the
+    property the t13 oracle's relational twin relies on."""
+    import datetime as dt
+
+    d = str(tmp_path)
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    events = []
+    eid = 0
+    for u in (1, 2):
+        t = base
+        for sess in range(3):
+            for j in range(2 + sess):
+                events.append(
+                    (u, str(t), float(u + sess), eid)
+                )
+                eid += 1
+                t += dt.timedelta(minutes=20)
+            t += dt.timedelta(hours=3)  # gap -> new session
+    events.sort(key=lambda r: (r[1], r[3]))
+    one = _run_sessionize(spark, d, [events])
+    halves = _run_sessionize(
+        spark, d, [events[: len(events) // 2],
+                   events[len(events) // 2:]],
+    )
+    singles = _run_sessionize(spark, d, [[e] for e in events])
+    assert one == halves == singles
+    # 2 users x 3 sessions, last per user open: 4 emitted
+    assert len(one) == 4
