@@ -59,23 +59,64 @@ def _doc_gram_hashes(docs: DataFrame, n: int) -> DataFrame:
     gram strings (no per-gram string allocation), and the downstream
     broadcast carries 8-byte longs.
 
-    PLAN-SHAPE WARNING (measured 15×): the explode MUST stay inline in
-    a single select — ``select(arr.alias("gs")).select(explode("gs"))``
-    makes Catalyst re-inline the whole HOF expression into the Generate
-    where it is re-evaluated per output row (39 s vs 2.7 s cold at
-    sf0.1)."""
-    tok = F.split(F.trim(F.lower("text")), r"\s+")
-    parts = ", ".join(f"element_at(tokh, i + {j})" for j in range(n))
-    grams = F.expr(
-        f"transform(sequence(1, size(tokh) - {n - 1}), "
-        f"i -> xxhash64({parts}))"
-    )
+    Shares ``_doc_gram_hashes_sized``'s single-projection plan shape
+    (r13: one regex split per doc — the old ``filter(size(tok) >= n)``
+    on a projected alias was pushed below the projection with the
+    alias substituted, so the split ran twice per doc; see the
+    plan-shape notes on the sized variant). The ``isNotNull`` filter
+    drops the outer-explode marker rows of short docs; gram hashes
+    themselves are never null."""
     return (
-        docs.withColumn("tok", tok)
-        .filter(F.size("tok") >= n)
-        .withColumn("tokh", F.expr("transform(tok, t -> xxhash64(t))"))
+        _doc_gram_hashes_sized(docs, n)
+        .filter(F.col("gram_h").isNotNull())
+        .select("doc_id", "gram_h")
+    )
+
+
+def _doc_gram_hashes_sized(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, n_grams, gram_h) — ``_doc_gram_hashes`` with the doc's
+    DISTINCT gram count carried through the explode, so a consumer that
+    inner-joins the grams can still report per-doc totals without a
+    second tokenize pass or a left join (r13 optimization: the
+    contamination aggregate's input shrinks from every gram in the
+    corpus to the hits only — guide §2.3 "aggregate before you
+    shuffle"). The gram array is built in its own projection and
+    referenced twice (``size`` + ``explode``); CollapseProject keeps a
+    multiply-referenced non-cheap alias un-inlined, so the HOF pipeline
+    still evaluates once per doc.
+
+    PLAN-SHAPE WARNING #2 (r13, cousin of the r12 dsir isnotnull
+    lesson): the explode MUST be ``explode_outer``. With a plain
+    ``explode`` of an ATTRIBUTE, ``InferFiltersFromGenerate`` adds
+    ``size(garr) > 0 AND isnotnull(garr)`` and predicate pushdown then
+    re-inlines the ENTIRE tokenize+hash HOF pipeline into that filter
+    (measured: the sf0.1 query went from ~0.45 s to minutes). The rule
+    skips outer generates; ``size(tok) >= n`` already guarantees the
+    array is non-empty, so outer ≡ inner here row for row (and a
+    hypothetical null row could not survive the downstream equi-join
+    anyway).
+
+    PLAN-SHAPE NOTE #3: there is deliberately NO ``size(tok) >= n``
+    filter here. A filter on a projected alias gets pushed below the
+    projection with the alias SUBSTITUTED, so the regex split would be
+    evaluated twice per doc (once in the pushed filter, once in the
+    projection — this also affects ``_doc_gram_hashes``'s shape). The
+    ``gram_hash_array`` IF-guard yields an empty array for short docs
+    instead; ``explode_outer`` turns it into one null-gram row that the
+    consumer's equi-join drops."""
+    return (
+        docs.withColumn(
+            "tokh",
+            F.expr(
+                r"transform(split(trim(lower(text)), '\\s+'), "
+                "t -> xxhash64(t))"
+            ),
+        )
+        .withColumn("garr", gram_hash_array(n))
         .select(
-            "doc_id", F.explode(F.array_distinct(grams)).alias("gram_h")
+            "doc_id",
+            F.size("garr").cast("long").alias("n_grams"),
+            F.explode_outer("garr").alias("gram_h"),
         )
     )
 
@@ -116,17 +157,14 @@ def contamination_report(
     bench_grams = F.broadcast(
         _doc_gram_hashes(benchmark, n).select("gram_h").distinct()
     )
-    grams = _doc_gram_hashes(corpus, n)
+    grams = _doc_gram_hashes_sized(corpus, n)
     return (
-        grams.join(
-            bench_grams.withColumn("hit", F.lit(1)), "gram_h", "left"
-        )
+        grams.join(bench_grams, "gram_h")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
-            F.count("hit").alias("n_hit"),
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_hit"),
         )
-        .filter(F.col("n_hit") > 0)
     )
 
 
@@ -178,16 +216,14 @@ def contamination_scan(
     deterministic); the benchmark side is a parquet read + broadcast
     instead of tokenize + distinct per pass, and both sides compare
     8-byte gram hashes instead of gram strings."""
-    grams = _doc_gram_hashes(corpus, n)
-    hits = F.broadcast(bench_grams_hashed.withColumn("hit", F.lit(1)))
+    grams = _doc_gram_hashes_sized(corpus, n)
     return (
-        grams.join(hits, "gram_h", "left")
+        grams.join(F.broadcast(bench_grams_hashed), "gram_h")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
-            F.count("hit").alias("n_hit"),
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_hit"),
         )
-        .filter(F.col("n_hit") > 0)
     )
 
 
