@@ -630,38 +630,48 @@ def l6_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick) so both engines compute identical integers — production
     swaps in ``ln`` one-lined, ranking unchanged.
 
-    Plan: two wordcount partial aggs (target + raw) build a joined
-    per-word weight table that is BROADCAST; scoring is then one
-    map-side join over the exploded tokens and a per-doc sum — no
-    corpus-sized shuffle except the doc_id agg. The paper buckets
-    hashed n-grams to 10k buckets instead of words; at 100 TB this
-    vocabulary becomes that fixed-width bucket table (swap the word
-    key for ``xxhash64(w) % B`` — the broadcast stays tiny either
-    way), exactly how the hashed-gram contamination path already
-    works."""
+    Plan (r13 re-plan, guide §2.4 "remove shuffles outright"): ONE
+    wordcount partial agg builds (word, raw count, target count) —
+    the target side is a ``count_if`` conditional aggregate, not a
+    second filtered aggregation — and the corpus totals come from an
+    unpartitioned window over the AGGREGATED vocab frame (bounded:
+    the vocabulary, not the corpus), replacing the raw⋈tgt join +
+    crossJoin(totals) shape whose broadcast subtrees re-executed the
+    tokenize+aggregate pipeline three more times. The corpus is now
+    tokenized twice per run (weights + scoring) instead of five
+    times, with one wordcount shuffle instead of two plus a join.
+    The paper buckets hashed n-grams to 10k buckets instead of
+    words; at 100 TB this vocabulary becomes that fixed-width bucket
+    table (swap the word key for ``xxhash64(w) % B`` — the broadcast
+    stays tiny either way), exactly how the hashed-gram contamination
+    path already works."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang",
         F.explode(F.split(F.trim("text"), " ")).alias("w"),
     )
-    raw = toks.groupBy("w").agg(F.count("*").alias("c_raw"))
-    tgt = toks.filter(F.col("lang") == "en").groupBy("w").agg(
-        F.count("*").alias("c_tgt")
+    wc = toks.groupBy("w").agg(
+        F.count("*").alias("c_raw"),
+        F.count_if(F.col("lang") == "en").alias("c_tgt"),
     )
-    totals = raw.agg(
-        F.sum("c_raw").alias("tc"), F.count("*").alias("v")
-    ).crossJoin(tgt.agg(F.sum("c_tgt").alias("tt")))
-    bits = lambda c: F.length(F.expr(f"bin({c})"))  # noqa: E731
-    weights = (
-        raw.join(tgt, "w", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "w",
+    # single-partition window: safe BY CONSTRUCTION (vocabulary-sized
+    # input; any production deployment caps/buckets the vocab anyway)
+    tot = Window.partitionBy()
+    bits = lambda c: F.length(F.bin(c))  # noqa: E731
+    weights = wc.select(
+        "w",
+        (
             (
-                (bits("coalesce(c_tgt, 0) + 1") - bits("tt + v"))
-                - (bits("c_raw + 1") - bits("tc + v"))
-            ).alias("b"),
-        )
+                bits(F.col("c_tgt") + 1)
+                - bits(F.sum("c_tgt").over(tot) + F.count("*").over(tot))
+            )
+            - (
+                bits(F.col("c_raw") + 1)
+                - bits(F.sum("c_raw").over(tot) + F.count("*").over(tot))
+            )
+        ).alias("b"),
     )
     return (
         toks.join(F.broadcast(weights), "w")

@@ -264,13 +264,19 @@ def signature_table(
 def banded_signatures(
     sigs: DataFrame, num_hashes: int = 32, bands: int = 8
 ) -> DataFrame:
-    """Explode signatures to (doc_id, band, sig) LSH keys."""
+    """Explode signatures to (doc_id, band, sig) LSH keys.
+
+    ``sig`` is ``xxhash64`` of the band's minhash slice (r13 — the old
+    spelling built a ~30-byte ``concat_ws`` string per band per doc;
+    an 8-byte long carries the same equality semantics for the band
+    join while shuffling/broadcasting a quarter of the bytes and
+    comparing in one instruction). A cross-band 64-bit collision can
+    only ADD a candidate pair, and every candidate is exact-Jaccard
+    verified downstream — same accepted posture as the hashed-gram
+    contamination path (birthday ~n²/2⁶⁴)."""
     r = num_hashes // bands
     band_sigs = F.array(
-        *[
-            F.concat_ws(",", F.slice("mh", i * r + 1, r).cast("array<string>"))
-            for i in range(bands)
-        ]
+        *[F.xxhash64(F.slice("mh", i * r + 1, r)) for i in range(bands)]
     )
     return sigs.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
 

@@ -387,17 +387,23 @@ def l3_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stopwords are hot keys). The vocab is broadcast here and in any
     deployment that caps it top-K (every real tokenizer does); an
     uncapped 100 TB vocab join instead relies on AQE skew splitting,
-    noted in SCALING.md. The corpus total rides in as a 1-row
-    broadcast cross join, not a collect."""
+    noted in SCALING.md. The corpus total is an unpartitioned window
+    over the AGGREGATED vocab frame (r13 — bounded input by
+    construction; the old 1-row crossJoin broadcast re-executed the
+    whole tokenize+wordcount subtree a second time, so the corpus was
+    tokenized three times per run instead of two)."""
+    from pyspark.sql import Window
+
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w")
     )
     vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
+    vocab = vocab.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy())
+    )
     bits = lambda c: F.length(F.expr(f"bin({c})"))  # noqa: E731
     return (
         toks.join(F.broadcast(vocab), "w")
-        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_tokens"),
