@@ -449,8 +449,10 @@ def _register() -> None:
              i["facets"]["format"], bool(ok))
             for i in event["inputs"]
         ]
-        return spark.createDataFrame(
-            rows, "dataset string, fmt string, event_ok boolean"
+        from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+        return local_frame(
+            spark, rows, "dataset string, fmt string, event_ok boolean"
         )
 
 

@@ -560,7 +560,10 @@ def l3_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = learn_bpe_merges(
         load_table(spark, sf_dir, "documents"), n_merges=10
     )
-    return spark.createDataFrame(
+    from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+    return local_frame(
+        spark,
         [(r, a, b) for r, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
     )

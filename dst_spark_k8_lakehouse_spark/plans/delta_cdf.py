@@ -297,10 +297,15 @@ def _file_rows(
     ]
     df = spark.read.schema(T.StructType(data_fields)).parquet(absp)
     if positions is not None:
+        from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
         df = df.withColumn("__cdf_pos", F.col("_metadata.row_index"))
+        # local_frame: a broadcast LocalRelation builds driver-side
+        # with no job; createDataFrame(list) would plan an RDD scan
+        # whose broadcast runs a Python-worker job per read (r13)
         pos_df = F.broadcast(
-            spark.createDataFrame(
-                [(int(p),) for p in positions], "__cdf_pos long"
+            local_frame(
+                spark, [(int(p),) for p in positions], "__cdf_pos long"
             )
         )
         df = df.join(pos_df, "__cdf_pos").drop("__cdf_pos")

@@ -269,6 +269,8 @@ def materialize_dvs(spark: SparkSession, table: str) -> int:
     version, or -1 if the table has no DVs."""
     import time
 
+    from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
     state = delta_reader._replay(spark, table, None)
     from dst_spark_k8_lakehouse_spark.plans import delta_rowtracking
 
@@ -293,9 +295,11 @@ def materialize_dvs(spark: SparkSession, table: str) -> int:
             spark.read.parquet(absp)
             .withColumn("__pos", F.col("_metadata.row_index"))
             .join(
+                # local_frame: no-job broadcast build (r13; an RDD-
+                # scan frame costs a Python-worker job per broadcast)
                 F.broadcast(
-                    spark.createDataFrame(
-                        [(int(p),) for p in dropped], "__pos long"
+                    local_frame(
+                        spark, [(int(p),) for p in dropped], "__pos long"
                     )
                 ),
                 "__pos",

@@ -199,13 +199,16 @@ def attach_row_ids(
     ``ROW_FILE``/``ROW_POS`` identity columns:
     ``coalesce(materialized, baseRowId + position)`` via a broadcast
     join on the (tiny) per-file base map."""
+    from dst_spark_k8_lakehouse_spark.localrel import local_frame
     from dst_spark_k8_lakehouse_spark.plans import delta_reader
 
     mat = materialized_col(meta)
     rows = base_row_id_map(table, files)
+    # local_frame: no-job broadcast build (r13; an RDD-scan frame
+    # costs a Python-worker job per broadcast)
     base_df = F.broadcast(
-        spark.createDataFrame(
-            rows, f"{delta_reader.ROW_FILE} string, __base_row_id long"
+        local_frame(
+            spark, rows, f"{delta_reader.ROW_FILE} string, __base_row_id long"
         )
     )
     df = df.join(base_df, delta_reader.ROW_FILE, "left")

@@ -1017,7 +1017,10 @@ def _describe_detail(spark, path: str) -> DataFrame:
             ],
             dict(meta.get("properties") or {}),
         )
-    return spark.createDataFrame(
+    from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+    return local_frame(
+        spark,
         [row],
         "format string, id string, location string, numFiles long, "
         "sizeInBytes long, partitionColumns array<string>, "
@@ -1064,8 +1067,10 @@ def _describe_history(spark, path: str) -> DataFrame:
                     if s.get("timestamp_ms") else None,
                 )
             )
-    return spark.createDataFrame(
-        rows, "version long, operation string, timestamp_ms long"
+    from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+    return local_frame(
+        spark, rows, "version long, operation string, timestamp_ms long"
     )
 
 
@@ -1113,8 +1118,10 @@ def query_native_sql(
             ) or {}
         else:
             conf = iceberg_writer._load_meta(p)[0].get("properties") or {}
-        return spark.createDataFrame(
-            sorted(conf.items()), "key string, value string"
+        from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+        return local_frame(
+            spark, sorted(conf.items()), "key string, value string"
         )
     if m := _SELECT_JOIN_RE.match(s):
         # JOINS PLAN THROUGH THE CBO (VERDICT r12 item 6): statement-

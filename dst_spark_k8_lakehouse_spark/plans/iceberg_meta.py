@@ -28,6 +28,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dst_spark_k8_lakehouse_spark.localrel import local_frame
 from dst_spark_k8_lakehouse_spark.plans import iceberg_reader
 
 
@@ -69,7 +70,8 @@ def files_table(spark: SparkSession, path: str) -> DataFrame:
          pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
         for p, content, kind, seq in rows
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         out,
         "file_path string, content int, content_kind string, "
         "sequence_number long, record_count long, "
@@ -118,7 +120,7 @@ def partitions_table(spark: SparkSession, path: str) -> DataFrame:
     schema = (f"{cols}, " if cols else "") + (
         "record_count long, file_count long, total_size_bytes long"
     )
-    return spark.createDataFrame(rows, schema)
+    return local_frame(spark, rows, schema)
 
 
 def manifests_table(spark: SparkSession, path: str) -> DataFrame:
@@ -211,7 +213,8 @@ def history_table(spark: SparkSession, path: str) -> DataFrame:
          int(e["snapshot-id"]) == cur)
         for e in meta.get("snapshot-log") or []
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "made_current_at_ms long, snapshot_id long, is_current boolean",
     )
@@ -224,8 +227,8 @@ def refs_table(spark: SparkSession, path: str) -> DataFrame:
         (name, r.get("type", "tag"), int(r["snapshot-id"]))
         for name, r in sorted((meta.get("refs") or {}).items())
     ]
-    return spark.createDataFrame(
-        rows, "name string, type string, snapshot_id long"
+    return local_frame(
+        spark, rows, "name string, type string, snapshot_id long"
     )
 
 

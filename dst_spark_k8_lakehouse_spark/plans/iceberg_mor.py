@@ -491,8 +491,10 @@ def rewrite_position_delete_files(
         .select("file_path", "pos")
         .dropDuplicates(["file_path", "pos"])
     )
-    live_df = spark.createDataFrame(
-        [(p,) for p in sorted(live_paths)], "file_path string"
+    from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+    live_df = local_frame(
+        spark, [(p,) for p in sorted(live_paths)], "file_path string"
     )
     # dangling deletes (targets no live data file) drop here — the
     # join is delete-rows × file-count, metadata-sized at any scale

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dst_spark_k8_lakehouse_spark import localrel
 from dst_spark_k8_lakehouse_spark.plans.dml import execute_dml
 from dst_spark_k8_lakehouse_spark.plans.table import VersionedTable
 from dst_spark_k8_lakehouse_spark.registry import query
@@ -213,8 +214,9 @@ def d16_delta_native_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
         "bal", F.lit(-5.0)
     )
-    new_row = spark.createDataFrame(
-        [(-7, "NEW", 42.0)], "c_custkey long, c_mktsegment string, bal double"
+    new_row = localrel.local_frame(
+        spark, [(-7, "NEW", 42.0)],
+        "c_custkey long, c_mktsegment string, bal double",
     )
     delta_dml.merge_delta(
         spark, table, src.unionByName(new_row), on=["c_custkey"]
@@ -355,8 +357,8 @@ def d21_iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
         F.lit(-5.0).alias("bal"),
     )
-    new_row = spark.createDataFrame(
-        [(-7, "NEW", 42.0)], "c_custkey long, seg string, bal double"
+    new_row = localrel.local_frame(
+        spark, [(-7, "NEW", 42.0)], "c_custkey long, seg string, bal double"
     )
     iceberg_dml.merge_iceberg(
         spark, table, src.unionByName(new_row), on=["c_custkey"]
@@ -2627,8 +2629,8 @@ def d49_puffin_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in cols
     ]
-    return spark.createDataFrame(
-        rows, "col string, ndv_exact long, ndv_ok boolean"
+    return localrel.local_frame(
+        spark, rows, "col string, ndv_exact long, ndv_ok boolean"
     )
 
 
@@ -3093,7 +3095,8 @@ def d59_ref_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     iceberg_writer.create_branch(
         table, "b", min_snapshots_to_keep=2
     )
-    extra = spark.createDataFrame(
+    extra = localrel.local_frame(
+        spark,
         [(100, "x"), (101, "y"), (102, "z")],
         "r_regionkey long, r_name string",
     ).coalesce(1)
@@ -3118,7 +3121,8 @@ def d59_ref_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         iceberg_reader.read_iceberg(spark, table, ref="eom").count()
         == n_rows
     )
-    return spark.createDataFrame(
+    return localrel.local_frame(
+        spark,
         [(n_rows, stale_gone, pinned_ok, fresh_reads)],
         "n_rows long, stale_ref_gone boolean, "
         "ancestry_pinned boolean, fresh_tag_reads boolean",

@@ -384,9 +384,12 @@ class VersionedTable:
             }
             for s in self._load()
         ]
-        return self.spark.createDataFrame(
+        from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+        return local_frame(
+            self.spark,
             rows,
-            schema="version int, timestamp_ms long, operation string, n_files int",
+            "version int, timestamp_ms long, operation string, n_files int",
         )
 
     def files(self, version: int | None = None) -> DataFrame:
@@ -422,8 +425,11 @@ class VersionedTable:
                     ),
                 }
             )
-        return self.spark.createDataFrame(
-            rows, schema="data_dir string, n_parquet_files int, bytes long"
+        from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+        return local_frame(
+            self.spark, rows,
+            "data_dir string, n_parquet_files int, bytes long",
         )
 
     def compact(self) -> int:

@@ -647,7 +647,12 @@ def read_kafka_topic(
     # repartitionByRange gives the documented 1:1 partition→task
     # mapping (hash repartition can collide two Kafka partitions into
     # one task and leave another idle)
-    plan = spark.createDataFrame(
+    from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+    # local_frame: the plan rows come from the driver; an RDD-scan
+    # frame would add a Python-worker parallelize job per read (r13)
+    plan = local_frame(
+        spark,
         [(topic, p, host, port, starts[p], max_bytes)
          for p in partitions],
         "topic string, partition int, host string, port int, "

@@ -52,8 +52,11 @@ def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
             .csv(out)
         )
-        return spark.createDataFrame(
-            [(back.count(), nation.count())], "n_back BIGINT, n_src BIGINT"
+        from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+        return local_frame(
+            spark, [(back.count(), nation.count())],
+            "n_back BIGINT, n_src BIGINT",
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -72,8 +75,11 @@ def s5_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         region = load_table(spark, sf_dir, "region")
         region.write.mode("overwrite").parquet(out)
         region.write.mode("append").parquet(out)
-        return spark.createDataFrame(
-            [(spark.read.parquet(out).count(),)], "n_appended BIGINT"
+        from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+        return local_frame(
+            spark, [(spark.read.parquet(out).count(),)],
+            "n_appended BIGINT",
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -759,7 +759,10 @@ def t7_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert all(
         kind == "delete" for _, _, kind, _ in collected[n_first:]
     )
-    return spark.createDataFrame(
+    from dst_spark_k8_lakehouse_spark.localrel import local_frame
+
+    return local_frame(
+        spark,
         collected,
         "c_custkey long, bal double, _change_type string, "
         "_commit_version int",
