@@ -375,13 +375,8 @@ class VersionedTable:
         """DESCRIBE HISTORY analog (``03_delta_demo.ipynb:123``;
         Iceberg ``.snapshots`` / ``.history`` metadata tables,
         ``02_…ipynb:143``)."""
-        rows: list[dict[str, Any]] = [
-            {
-                "version": s.version,
-                "timestamp_ms": s.timestamp_ms,
-                "operation": s.operation,
-                "n_files": len(s.files),
-            }
+        rows = [
+            (s.version, s.timestamp_ms, s.operation, len(s.files))
             for s in self._load()
         ]
         from dst_spark_k8_lakehouse_spark.localrel import local_frame
@@ -408,7 +403,7 @@ class VersionedTable:
                     f"version {version} not in [0, {len(snaps) - 1}]"
                 )
             snap = snaps[version]
-        rows: list[dict[str, Any]] = []
+        rows: list[tuple[str, int, int]] = []
         for rel in snap.files:
             full = os.path.join(self.path, rel)
             parts = [
@@ -417,13 +412,13 @@ class VersionedTable:
                 if f.endswith(".parquet") and not f.startswith("_")
             ]
             rows.append(
-                {
-                    "data_dir": rel,
-                    "n_parquet_files": len(parts),
-                    "bytes": sum(
+                (
+                    rel,
+                    len(parts),
+                    sum(
                         os.path.getsize(os.path.join(full, f)) for f in parts
                     ),
-                }
+                )
             )
         from dst_spark_k8_lakehouse_spark.localrel import local_frame
 
