@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from dst_spark_k8_lakehouse_spark.llm.dedup import (
     DUP_OFFSET,
+    spread_compute,
     with_planted_duplicates,
 )
 from dst_spark_k8_lakehouse_spark.registry import query
@@ -265,13 +266,19 @@ def l7_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the stand-in benchmark (every 10th original doc). Every
     mirror copy must flag with n_hit == n_grams; any organic 5-gram
     collision in the corpus flags too — both sides value-checked by
-    the oracle."""
+    the oracle. ``spread_compute`` on the corpus side (r13): the
+    tokenize+gram-hash HOF pass is per-token interpreted work over a
+    1-2-partition scan (measured 0.45 → 0.26 s at sf0.1; no-op at
+    cluster scale). The benchmark side stays unspread — it is 10% of
+    the docs and feeds a broadcast build."""
     docs = with_planted_duplicates(load_table(spark, sf_dir, "documents"))
     benchmark = docs.filter(
         (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < DUP_OFFSET)
     )
-    corpus = docs.filter(
-        (F.col("doc_id") % 10 != 0) | (F.col("doc_id") >= DUP_OFFSET)
+    corpus = spread_compute(
+        docs.filter(
+            (F.col("doc_id") % 10 != 0) | (F.col("doc_id") >= DUP_OFFSET)
+        )
     )
     return contamination_report(corpus, benchmark, n=5)
 
@@ -283,10 +290,14 @@ def l7_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — the marginal cost of checking a corpus once the benchmark
     suite is pipeline state. This is how the 100 TB pass runs: the
     gram set is built once per benchmark release, broadcast as 8-byte
-    hashes, and the corpus scan stays one map-side pass."""
+    hashes, and the corpus scan stays one map-side pass.
+    ``spread_compute`` (r13): parallelizes the interpreted gram-hash
+    pass (measured 0.39 → 0.19 s at sf0.1; no-op at cluster scale)."""
     docs = with_planted_duplicates(load_table(spark, sf_dir, "documents"))
-    corpus = docs.filter(
-        (F.col("doc_id") % 10 != 0) | (F.col("doc_id") >= DUP_OFFSET)
+    corpus = spread_compute(
+        docs.filter(
+            (F.col("doc_id") % 10 != 0) | (F.col("doc_id") >= DUP_OFFSET)
+        )
     )
     bench = _persisted_benchmark_grams(spark, sf_dir, n=5)
     return contamination_scan(corpus, bench, n=5)

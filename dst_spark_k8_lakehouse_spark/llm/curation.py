@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from dst_spark_k8_lakehouse_spark.llm.dedup import (
     PLANTED_SQL,
+    spread_compute,
     with_planted_duplicates,
 )
 from dst_spark_k8_lakehouse_spark.registry import query
@@ -468,9 +469,16 @@ def l6_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exactly the ones this op exists to find) are the skewed keys —
     AQE skew-join or the star-edge guard from the LSH path applies.
     The oracle keeps exact passage strings so both engines compare
-    identical values."""
+    identical values. ``spread_compute`` (r13): the three tokenize
+    subtrees below run interpreted HOFs over what is otherwise a
+    1-2-partition scan — the spread parallelizes them AND its exchange
+    is reused across the subtrees (one scan execution, measured 0.72 →
+    0.37 s at sf0.1; a no-op at cluster scale where the scan already
+    has thousands of splits)."""
     return passage_dedup_report(
-        with_planted_duplicates(load_table(spark, sf_dir, "documents"))
+        spread_compute(
+            with_planted_duplicates(load_table(spark, sf_dir, "documents"))
+        )
     )
 
 
@@ -858,8 +866,11 @@ def l6_dsir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the SAME md5-derived buckets in DuckDB;
     the xxhash64 default the library uses is pytest-locked to agree
     with word-level selection on ≥95% of documents
-    (``test_curation.py``)."""
-    docs = load_table(spark, sf_dir, "documents")
+    (``test_curation.py``). ``spread_compute`` (r13): the md5-bucket
+    derivation is per-token interpreted work over a 1-2-partition
+    scan; spreading it measured 0.38 → 0.16 s at sf0.1 (no-op at
+    cluster scale)."""
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
     weights = _persisted_dsir_weights(
         spark, sf_dir, DSIR_BUCKETS, DSIR_MD5_BUCKET
     )

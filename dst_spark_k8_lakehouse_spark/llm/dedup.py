@@ -96,9 +96,18 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spread_for_python(df: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Repartition a small-partition-count input so a downstream Python
-    stage (mapInArrow / pandas UDF) uses the cluster, not the scan's
-    partitioning. The testdata
+    """Repartition a small-partition-count input so a downstream
+    compute-heavy stage uses the cluster, not the scan's partitioning.
+    Originally for Python stages (mapInArrow / pandas UDF); r13 made it
+    the shared spread for JVM interpreted-HOF tokenize/hash passes too
+    (``spread_compute`` alias) — array HOF lambdas evaluate outside
+    whole-stage codegen at a per-token interpreted cost, so a
+    one-partition cached scan serializes the whole corpus pass on one
+    core exactly like a Python stage would (measured at sf0.1:
+    l7_contamination_scan 0.39 → 0.19 s, l6_dsir_scan 0.38 → 0.16 s,
+    l6_passage_dedup 0.72 → 0.37 s — and the repartition exchange is
+    REUSED across a query's multiple tokenize subtrees, so multi-pass
+    consumers also stop re-running the scan per subtree). The testdata
     parquet is 1-2 row groups → 2 scan tasks, which would run the
     Python signature stage on 2 of 32 cores (measured 1.06 s → 0.65 s
     at sf0.1). No-op when the input already has enough partitions —
@@ -117,6 +126,12 @@ def _spread_for_python(df: DataFrame, key: str = "doc_id") -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, key)
+
+
+# Public face of the spread for non-Python compute-bound passes
+# (interpreted-HOF tokenize/hash pipelines in curation, contamination,
+# textstats) — same semantics, same CALLER BEWARE note.
+spread_compute = _spread_for_python
 
 
 # Mersenne prime for the universal-hash permutation family. MUST sit

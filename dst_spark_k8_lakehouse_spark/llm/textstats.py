@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dst_spark_k8_lakehouse_spark.llm.dedup import spread_compute
 from dst_spark_k8_lakehouse_spark.registry import query
 from dst_spark_k8_lakehouse_spark.sources.catalog import load_table
 
@@ -471,8 +472,12 @@ def l3_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: entirely map-side (string fns + HOF filters over the token
     array; no shuffle, no UDF) — at 100 TB this is a pure scan
-    pipeline that AQE never has to think about."""
-    docs = load_table(spark, sf_dir, "documents")
+    pipeline that AQE never has to think about. ``spread_compute``
+    (r13): the HOF filters evaluate interpreted per token, so the
+    1-2-partition local scan serialized the whole gate on one core;
+    spreading measured 0.32 → 0.15 s at sf0.1 (no-op at cluster
+    scale, where the scan has thousands of splits)."""
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
     tx = F.trim("text")
     base = docs.select(
         "doc_id",

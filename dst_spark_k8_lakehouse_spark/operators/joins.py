@@ -306,7 +306,22 @@ def x1_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     three scans, stats-driven auto-broadcast of the filtered customer
     side (no forced hint — it degrades to a shuffle join safely at
     SF=1000), partial agg, TakeOrderedAndProject for the top-20.
-    Deterministic tiebreak on l_orderkey keeps the cut hash-stable."""
+    Deterministic tiebreak on l_orderkey keeps the cut hash-stable.
+
+    Eager-aggregation shape (r13, guide §2.3 "aggregate before you
+    shuffle"): lineitem is pre-aggregated by ``l_orderkey`` BEFORE the
+    join, so the one fact-sized exchange carries map-side partial-agg
+    output (~1 narrow row per order per input partition) instead of
+    every surviving lineitem row — and the post-join groupBy exchange
+    disappears entirely. Equivalence: ``o_orderkey`` is the orders
+    primary key, so ``order_date``/``o_orderpriority`` are functions of
+    the join key and the original GROUP BY (l_orderkey, date, priority)
+    collapses to GROUP BY l_orderkey followed by a 1:1 join — proven
+    value-identical to the join-then-agg shape and to the oracle at
+    sf0.01/sf0.1. No broadcast HINT anywhere: a hint FORCES broadcast
+    at any size (OOM at SF=1000); the planner broadcasts the
+    pre-aggregated side locally from stats and degrades to a shuffle
+    join when it outgrows the threshold."""
     customer = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -322,23 +337,20 @@ def x1_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > "1996-01-01")
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    # no broadcast HINT on the filtered customer side: a hint FORCES
-    # broadcast at any size (OOM at SF=1000, where one segment is
-    # ~30M rows); the static planner/AQE auto-broadcasts it locally
-    # from stats and degrades to shuffle when it outgrows the
-    # threshold — hints are reserved for guaranteed-small dims (j5)
+    li_agg = lineitem.groupBy("l_orderkey").agg(
+        revenue("l_extendedprice", "l_discount").alias("revenue")
+    )
     return (
-        lineitem.join(
+        li_agg.join(
             orders.join(customer, orders.o_custkey == customer.c_custkey),
-            lineitem.l_orderkey == orders.o_orderkey,
+            li_agg.l_orderkey == orders.o_orderkey,
         )
-        .groupBy(
+        .select(
             "l_orderkey",
+            "revenue",
             F.col("o_orderdate").cast("date").cast("timestamp").alias("order_date"),
             "o_orderpriority",
         )
-        .agg(revenue("l_extendedprice", "l_discount").alias("revenue"))
-        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(20)
     )
