@@ -9,11 +9,12 @@ removal on a key (``06_pipeline_metrics_demo.ipynb:245-264``,
   the hash; map-side partial aggregation; no Python.
 - **MinHash+LSH** (L2): shingle → minhash signature → banded LSH
   bucketing → candidate pairs → exact-Jaccard verification → connected-
-  component clustering → one representative per cluster. The whole
-  pipeline is JVM codegen since r13 (see ``signature_table`` for the
-  measured history: interpreted HOFs 30× slower, and the former
-  ``mapInArrow`` stage's wall time was the Python boundary itself, not
-  the compute). Candidate generation is linear in corpus size (explode
+  component clustering → one representative per cluster. The signature
+  stage is size-switched between an all-JVM codegen spelling (small
+  inputs — the mapInArrow boundary dominates there) and the numpy
+  Arrow-batch stage (large inputs — vectorized compute, boundary
+  amortized; the 100 TB branch), bit-identical by test — see
+  ``signature_table``. Candidate generation is linear in corpus size (explode
   b bands/doc, shuffle on band signature); only the verify step touches
   pairs, and only within-bucket pairs ever materialize. Signatures are
   persistable (``signature_table``) for incremental ingest
@@ -168,69 +169,145 @@ def _perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def signature_table(
-    docs: DataFrame,
-    num_hashes: int = 32,
-    shingle_n: int = 3,
-    spread: bool = True,
-) -> DataFrame:
-    """(doc_id, mh, shash) — the persistable dedup state. At corpus
-    scale this is computed once per ingest batch and written as a table
-    (see ``incremental_neardup``); signatures are deterministic, so
-    re-ingesting a doc reproduces its row exactly. Docs with fewer than
-    ``shingle_n`` tokens have no shingles and are dropped (empty text
-    is not duplicate content). ``spread=False`` skips the
-    local-parallelism repartition — REQUIRED when ``docs`` has shuffle
-    stages upstream (see ``_spread_for_python``).
+def _minhash_batch_fn(num_hashes: int, shingle_n: int):
+    """Arrow-batch iterator function computing (minhash signature, hashed
+    shingle set) per doc, for ``DataFrame.mapInArrow``.
 
-    All-JVM codegen spelling (r13). History, in order of measurement:
+    Design notes, in order of measurement:
 
-    - A pure array-HOF formulation (per-shingle ``transform`` lambdas
-      for construction + hashing + |shingles|·num_hashes permutation
-      mins ≈ 10k interpreted lambda frames per doc) measured ~8 s for
-      5500 docs — HOF lambdas evaluate outside whole-stage codegen.
-    - r4-r12 ran a numpy ``mapInArrow`` stage (~0.35 s single-thread
-      compute). r13 profiled it: the compute spread over 16 cores is
-      ~20 ms; the REST of the stage's 0.35-0.41 s wall is the
-      JVM→Python→JVM boundary itself (an *identity* ``mapInArrow``
-      over the same rows measured 0.25-0.40 s — per-task worker round
-      trips + Arrow transposes, irreducible from inside the function).
-    - This spelling keeps every operator inside codegen and drops the
-      boundary: explode one row per shingle (``sequence`` index, so
-      the token array is never the generator input —
-      ``InferFiltersFromGenerate`` would re-inline the split), hash
-      with the built-in ``crc32``, then ONE hash aggregate computes
-      all ``num_hashes`` permutation mins + the sorted distinct
-      shingle-hash set. Measured 0.35 → 0.26 s at sf0.1, and the
-      shuffle carries map-side partially-aggregated rows (≈1 row per
-      doc per input partition), not the exploded shingles.
+    - Why Python and not array higher-order functions: Spark evaluates
+      HOF lambdas *interpreted*, outside whole-stage codegen. A pure-HOF
+      formulation (shingle construction + per-shingle hashing +
+      |shingles|·num_hashes permutation mins ≈ 10k lambda frames per
+      doc) measured ~8 s for 5500 docs; crc32 per shingle plus ONE
+      numpy broadcast-min for all permutations does the same work in
+      ~0.3 s single-threaded.
+    - Why ``mapInArrow`` and not ``@pandas_udf``: the pandas UDF path
+      materializes the struct-of-arrays result through pandas object
+      columns on the worker and a struct wrapper on the JVM side;
+      building the ``pyarrow`` list arrays directly measured the
+      signature stage 0.75 s → 0.48 s and the full inline LSH query
+      1.75 s → 1.07 s at sf0.1 (round-4 environment).
+    - Tokenization moved Python-side with it: one string per doc
+      crosses Arrow instead of an ``array<string>``, and vectorized
+      ``Series.str`` handles lower/strip/split.
 
-    Output is BIT-IDENTICAL to the retired Arrow stage (proven row-set
-    equal at sf0.01 AND sf0.1 before the swap): ``crc32`` is the same
-    CRC-32 zlib computed, ``sort_array(collect_set(hv))`` reproduces
-    ``np.unique``, and the permutation arithmetic (a·(hv mod P) + b
-    mod P, P = 2^31 − 1) stays in exact int64 range — so persisted
-    SIG_VERSION=2 state remains valid. Tokenization parity note: the
-    regex edge-strip + ``\\s+`` split matches Python ``str.split()``
-    for ASCII whitespace; exotic Unicode spaces (e.g. U+00A0) would
-    tokenize differently — absent from the corpus and from any
-    signature state this engine ever wrote.
+    Everything is deterministic (crc32 + fixed (a_i, b_i) universal
+    hashes, h_i(x) = (a_i·x + b_i) mod P — MMDS ch.3), so signatures
+    agree across runs, partitionings, and cluster sizes. The hashed
+    shingle set rides along for exact-Jaccard verification downstream
+    (int arrays compare faster and shuffle smaller than strings; crc
+    collisions are ~1e-5 per pair and only perturb the estimate).
     """
     a, b = _perm_constants(num_hashes)
-    base = (
-        (_spread_for_python(docs) if spread else docs)
-        .select(
-            "doc_id",
-            F.split(
-                F.regexp_replace(F.lower("text"), r"^\s+|\s+$", ""), r"\s+"
-            ).alias("tk"),
-        )
-        .filter(F.size("tk") >= shingle_n)
-    )
+
+    def gen(batches):
+        import zlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        A = np.asarray(a, dtype=np.int64)[:, None]
+        B = np.asarray(b, dtype=np.int64)[:, None]
+        for batch in batches:
+            toks = (
+                batch.column("text")
+                .to_pandas()
+                .str.lower()
+                .str.strip()
+                .str.split()
+            )
+            mhs: list = []
+            shs: list = []
+            for tk in toks:
+                # isinstance guard: pandas returns NaN (a float), not
+                # None, for missing values on some versions — len(NaN)
+                # would raise inside the Arrow stage.
+                if not isinstance(tk, list) or len(tk) < shingle_n:
+                    mhs.append([])
+                    shs.append([])
+                    continue
+                hv = np.unique(
+                    np.fromiter(
+                        (
+                            zlib.crc32(
+                                " ".join(tk[i : i + shingle_n]).encode()
+                            )
+                            for i in range(len(tk) - shingle_n + 1)
+                        ),
+                        dtype=np.int64,
+                    )
+                )
+                # reduce to the hash domain first (see _MINHASH_P);
+                # a < P < 2^31, x < P → a·x + b < 2^62: no overflow
+                hr = hv % _MINHASH_P
+                mhs.append(((A * hr[None, :] + B) % _MINHASH_P).min(axis=1))
+                shs.append(hv)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array(mhs, type=pa.list_(pa.int64())),
+                    pa.array(shs, type=pa.list_(pa.int64())),
+                ],
+                names=["doc_id", "mh", "shash"],
+            )
+
+    return gen
+
+
+# Size switch for the signature stage, in CATALYST-ESTIMATED INPUT
+# BYTES (``_plan_size_bytes`` — no job). Below it, an all-JVM codegen
+# spelling of the same computation wins: the mapInArrow boundary is a
+# fixed ~0.25-0.40 s per pass locally (an IDENTITY mapInArrow over the
+# same rows costs that much) while the JVM explode+crc32+aggregate
+# pipeline has no boundary at all. Above it, the numpy batch stage
+# wins: its per-task boundary cost is amortized over large batches and
+# one vectorized permutation-min per doc beats the row-at-a-time
+# aggregate update (guide-measured, interleaved in one JVM: sf0.1
+# (3.3 MB est) JVM 0.26 s vs Arrow 0.35 s; replicated sf1 (53 MB est)
+# Arrow 1.44 s vs JVM 2.17 s — the two spellings CROSS between those
+# sizes; 16 MB splits the measured interval). Both branches are
+# BIT-IDENTICAL by construction and by test
+# (``test_dedup_properties.test_signature_branches_bit_identical``),
+# so the switch can never change which signatures a corpus gets and
+# persisted SIG_VERSION=2 state is valid regardless of the branch that
+# wrote it.
+CODEGEN_SIG_MAX_BYTES = 16 << 20
+
+
+def _sigs_arrow(base: DataFrame, num_hashes: int, shingle_n: int) -> DataFrame:
+    """Arrow-batch spelling: numpy minhash in ``mapInArrow`` — the
+    100 TB branch (vectorized native compute per batch, guide §4.2)."""
+    return base.select("doc_id", "text").mapInArrow(
+        _minhash_batch_fn(num_hashes, shingle_n),
+        "doc_id bigint, mh array<bigint>, shash array<bigint>",
+    ).filter(F.size("shash") > 0)
+
+
+def _sigs_codegen(base: DataFrame, num_hashes: int, shingle_n: int) -> DataFrame:
+    """All-JVM codegen spelling: explode one row per shingle via a
+    ``sequence`` index (the token array is never the generator input —
+    ``InferFiltersFromGenerate`` would re-inline the split), hash with
+    the built-in ``crc32``, then ONE aggregate computes every
+    permutation min plus ``sort_array(collect_set(hv))`` (≡
+    ``np.unique``). The aggregate's partial+final pair rides the
+    spread exchange — the shuffle moves ~1 row per doc per input
+    partition, never the exploded shingles. Tokenization parity: the
+    regex edge-strip + ``\\s+`` split matches Python ``str.split()``
+    for ASCII whitespace (exotic Unicode spaces would diverge — absent
+    from the corpus and from any signature state this engine wrote).
+    """
+    a, b = _perm_constants(num_hashes)
+    toks = base.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.lower("text"), r"^\s+|\s+$", ""), r"\s+"
+        ).alias("tk"),
+    ).filter(F.size("tk") >= shingle_n)
     shingle = F.concat_ws(
         " ", *[F.element_at("tk", F.col("i") + j) for j in range(shingle_n)]
     )
-    sh = base.select(
+    sh = toks.select(
         "doc_id",
         "tk",
         F.explode(
@@ -251,6 +328,39 @@ def signature_table(
             "shash",
         )
     )
+
+
+def signature_table(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    spread: bool = True,
+) -> DataFrame:
+    """(doc_id, mh, shash) — the persistable dedup state. At corpus
+    scale this is computed once per ingest batch and written as a table
+    (see ``incremental_neardup``); signatures are deterministic, so
+    re-ingesting a doc reproduces its row exactly. Docs with fewer than
+    ``shingle_n`` tokens have no shingles and are dropped (empty text
+    is not duplicate content). ``spread=False`` skips the
+    local-parallelism repartition — REQUIRED when ``docs`` has shuffle
+    stages upstream (see ``_spread_for_python``).
+
+    Two BIT-IDENTICAL spellings, size-switched on the input's Catalyst
+    estimate (the ``l4_cosine_topk`` HOF-vs-GEMM pattern — see
+    ``CODEGEN_SIG_MAX_BYTES`` for the measured crossover): small
+    inputs take the all-JVM codegen pipeline (``_sigs_codegen`` — no
+    Python boundary), large inputs the numpy Arrow-batch stage
+    (``_sigs_arrow`` — boundary amortized, vectorized permutation
+    mins; the branch a 100 TB corpus always takes). A pure array-HOF
+    formulation (≈10k interpreted lambda frames per doc) measured ~8 s
+    for 5500 docs and stays retired.
+    """
+    from dst_spark_k8_lakehouse_spark.llm.similarity import _plan_size_bytes
+
+    base = _spread_for_python(docs) if spread else docs
+    if _plan_size_bytes(docs) > CODEGEN_SIG_MAX_BYTES:
+        return _sigs_arrow(base, num_hashes, shingle_n)
+    return _sigs_codegen(base, num_hashes, shingle_n)
 
 
 def banded_signatures(
@@ -576,8 +686,9 @@ def l2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_batch_fn():
     """Arrow-batch iterator computing 64-bit SimHash per doc, for
-    ``mapInArrow`` (sha256-per-token has no cheap codegen analog, unlike
-    the MinHash stage ``signature_table`` moved JVM-side in r13).
+    ``mapInArrow`` (same boundary rationale as ``_minhash_batch_fn``;
+    sha256-per-token has no cheap codegen analog, so unlike the MinHash
+    stage there is no small-input JVM branch).
 
     Charikar's construction: per-token 64-bit hash votes ±1 on each bit;
     the signature is the sign vector. Token hash = first 8 bytes of

@@ -171,3 +171,25 @@ def test_quantization_roundtrip_error_bound_property(spark, vecs):
         for c, x in zip(r.codes, originals[r.vec_id]):
             assert -similarity.QUANT_LEVELS <= c <= similarity.QUANT_LEVELS
             assert abs(c * r.scale - float(x)) <= r.scale * (1 + 1e-9)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(doc, min_size=1, max_size=12))
+def test_signature_branches_bit_identical(spark, texts):
+    """The size-switched signature spellings (_sigs_codegen JVM branch
+    vs _sigs_arrow numpy branch) must agree doc-by-doc on BOTH the
+    minhash signature and the shingle-hash set for arbitrary texts —
+    the contract that makes CODEGEN_SIG_MAX_BYTES a pure performance
+    switch (persisted SIG_VERSION state stays valid whichever branch
+    wrote it)."""
+    base = _docs_df(spark, texts, 2)
+    a = {
+        r.doc_id: (tuple(r.mh), tuple(r.shash))
+        for r in dedup._sigs_codegen(base, 32, 3).collect()
+    }
+    b = {
+        r.doc_id: (tuple(r.mh), tuple(r.shash))
+        for r in dedup._sigs_arrow(base, 32, 3).collect()
+    }
+    assert a == b
