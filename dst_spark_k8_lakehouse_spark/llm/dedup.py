@@ -263,7 +263,7 @@ def _minhash_batch_fn(num_hashes: int, shingle_n: int):
 # pipeline has no boundary at all. Above it, the numpy batch stage
 # wins: its per-task boundary cost is amortized over large batches and
 # one vectorized permutation-min per doc beats the row-at-a-time
-# aggregate update (guide-measured, interleaved in one JVM: sf0.1
+# aggregate update (measured interleaved in one JVM: sf0.1
 # (3.3 MB est) JVM 0.26 s vs Arrow 0.35 s; replicated sf1 (53 MB est)
 # Arrow 1.44 s vs JVM 2.17 s — the two spellings CROSS between those
 # sizes; 16 MB splits the measured interval). Both branches are
